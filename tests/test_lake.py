@@ -1,0 +1,110 @@
+"""Lake-adapter round-trip tests (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.lake import LakeAdapter
+from tscd_datalake_adapter_spark.lake.adapter import BOOK_SCHEMA, InvalidBookId
+from tscd_datalake_adapter_spark.lake.api import IngestApi
+
+TS = dt.datetime(2026, 8, 13, 14, 30, 0)
+TS2 = dt.datetime(2026, 8, 14, 9, 0, 0)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return LakeAdapter(spark, str(tmp_path / "lake"))
+
+
+def test_ingest_list_exists_roundtrip(lake, book_dir):
+    results = lake.ingest_files(
+        sorted(str(p) for p in book_dir.iterdir()), TS
+    )
+    assert all(r["status"] == "ingested" for r in results)
+    assert lake.list_books() == [11, 22, 33]
+    assert lake.exists(22)
+    assert not lake.exists(999)
+    # Re-read schema equality on names+types (SURVEY.md §5.2 item 3);
+    # nullability flags are owned by the parquet reader, not the contract.
+    got = [(f.name, f.dataType) for f in lake.read().schema.fields]
+    want = [(f.name, f.dataType) for f in BOOK_SCHEMA.fields]
+    assert got == want
+
+
+def test_partition_layout(lake, book_dir):
+    lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS)
+    import os
+
+    part = os.path.join(lake.lake_root, "ingest_date=20260813", "ingest_hour=14")
+    assert os.path.isdir(part)
+    row = (
+        lake.read()
+        .where(F.col("book_id") == 11)
+        .select("ingest_date", "ingest_hour", "header", "body")
+        .first()
+    )
+    assert (row.ingest_date, row.ingest_hour) == ("20260813", "14")
+    assert row.body.startswith("MOBY DICK ***")
+
+
+def test_duplicate_ingest_idempotent_listing(lake, book_dir):
+    paths = sorted(str(p) for p in book_dir.iterdir())
+    lake.ingest_files(paths, TS)
+    lake.ingest_files(paths, TS2)  # same ids, different partition
+    # Both partition paths exist; list/exists report each id once
+    # (FIXTURES.md §F2 duplicate-ingest case).
+    assert lake.list_books() == [11, 22, 33]
+    assert lake.read().where(F.col("book_id") == 11).count() == 2
+    assert lake.exists(11)
+
+
+def test_empty_lake(lake):
+    assert lake.list_books() == []
+    assert not lake.exists(1)
+
+
+def test_invalid_book_id(lake):
+    for bad in ("abc", 0, -5, None, "1.5"):
+        with pytest.raises(InvalidBookId):
+            lake.exists(bad)
+
+
+def test_relative_path_for(lake):
+    # R7 shape: datalake/{yyyyMMdd}/{HH}/{id} (S3DatalakeStorage.java:121-124).
+    assert lake.relative_path_for(7, TS) == "datalake/20260813/14/7"
+
+
+def test_distributed_bulk_ingest(lake, spark, book_dir):
+    from tests.conftest import BOOK_NO_END, BOOK_V1, BOOK_V2
+
+    raw = spark.createDataFrame(
+        [(1, BOOK_V1), (2, BOOK_V2), (3, BOOK_NO_END)],
+        "book_id long, raw string",
+    )
+    failed = lake.ingest_raw_df(raw, TS)
+    assert failed == 1  # the unparseable book is dropped, counted
+    assert lake.list_books() == [1, 2]
+
+
+def test_api_shapes(lake, book_dir):
+    from tests.conftest import BOOK_V1
+
+    api = IngestApi(lake)
+    res = api.ingest(41, BOOK_V1, TS)
+    assert res["status"] == "ingested"
+    assert res["path"] == "datalake/20260813/14/41"
+    assert res["date"] == "20260813" and res["hour"] == "14"
+
+    assert api.status(41)["status"] == "available"
+    assert api.status(404)["status"] == "not_found"
+    assert api.status("x")["error"]["code"] == "invalid_book_id"
+    assert api.ingest("x", BOOK_V1)["error"]["code"] == "invalid_book_id"
+    assert api.ingest(5, "no markers")["error"]["code"] == "download_failed"
+
+    listing = api.list()
+    assert listing["count"] == 1 and listing["books"] == [41]
+    assert api.health()["status"] == "ok"

@@ -1,0 +1,262 @@
+"""Partitioned-parquet lake adapter — reference R1, R4, R5, R6, R7.
+
+The reference stores each ingested book as two text objects under
+``{prefix}datalake/{yyyyMMdd}/{HH}/{id}.{part}.txt`` (``S3DatalakeStorage
+.java:145-150``) and answers ``exists``/``listBooks`` with O(total-objects)
+paginated key scans (``S3DatalakeStorage.java:64-119``). Here the lake is a
+Hive-partitioned parquet dataset:
+
+    <root>/ingest_date=<yyyyMMdd>/ingest_hour=<HH>/part-*.parquet
+
+with one row per book: ``(book_id, header, body, ingest_ts)``. Differences
+from the reference, all deliberate (SURVEY.md §1.1):
+
+- UTC partition values (the reference uses server-local wall clock,
+  ``Main.java:105``).
+- No accidental ``datalakedatalake/`` double prefix
+  (``S3DatalakeStorage.java:146``).
+- The header+body pair is committed atomically (one row, one committer
+  transaction) — the reference's two sequential putObject calls can leave a
+  body-only book visible (SURVEY.md §3.1 step 7).
+
+Scale notes (100 TB): the write path appends and never lists the whole lake;
+``exists`` is a filter+limit-1 whose predicate pushes into the parquet scan
+(min/max row-group pruning on ``book_id``); ``list_books`` is the
+scan→project→distinct→sort pipeline (reference R6) executed as a 2-phase
+distributed hash aggregate with only the ``book_id`` column read. No
+operator collects more than its result to the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tscd_datalake_adapter_spark.lake.gutenberg import gutenberg_url, split_book
+
+BOOK_SCHEMA = T.StructType(
+    [
+        T.StructField("book_id", T.LongType(), False),
+        T.StructField("header", T.StringType(), True),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("ingest_ts", T.TimestampType(), False),
+        T.StructField("ingest_date", T.StringType(), False),
+        T.StructField("ingest_hour", T.StringType(), False),
+    ]
+)
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("book_id", T.LongType(), False),
+        T.StructField("raw", T.StringType(), True),
+    ]
+)
+
+
+class InvalidBookId(ValueError):
+    """Reference error code ``invalid_book_id`` (``Main.java:147-160``)."""
+
+
+class IngestFailed(RuntimeError):
+    """Reference error code ``download_failed`` (``Main.java:100-103``)."""
+
+
+def validate_book_id(book_id: object) -> int:
+    """Positive-int validation, semantics of ``Main.java:147-160``."""
+    try:
+        v = int(str(book_id))
+    except (TypeError, ValueError) as exc:
+        raise InvalidBookId(f"book_id must be an integer: {book_id!r}") from exc
+    if v <= 0:
+        raise InvalidBookId(f"book_id must be > 0: {v}")
+    return v
+
+
+def partition_values(ts: dt.datetime) -> tuple[str, str]:
+    """(yyyyMMdd, HH) partition values (``S3DatalakeStorage.java:21-22``), UTC."""
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return ts.strftime("%Y%m%d"), ts.strftime("%H")
+
+
+class LakeAdapter:
+    """Spark-backed book lake with the reference's operation surface."""
+
+    def __init__(self, spark: SparkSession, lake_root: str):
+        self.spark = spark
+        self.lake_root = lake_root
+
+    # -- write path (R2 + R4) ------------------------------------------------
+
+    def ingest_text(self, book_id: object, raw_text: str, ts: dt.datetime) -> dict:
+        """Split one raw book and append it to the lake (reference R9 minus
+        the HTTP fetch; fetch variants below).
+
+        Raises :class:`InvalidBookId` / :class:`IngestFailed` with the
+        reference's error taxonomy instead of swallowing to booleans
+        (``IngestionService.java:74-76`` — an observed defect, not parity).
+        """
+        bid = validate_book_id(book_id)
+        res = split_book(raw_text)
+        if not res.ok:
+            raise IngestFailed(f"gutenberg markers missing/mis-ordered for {bid}")
+        day, hour = partition_values(ts)
+        row = [(bid, res.header, res.body, ts.replace(tzinfo=None), day, hour)]
+        df = self.spark.createDataFrame(row, BOOK_SCHEMA)
+        self._write(df)
+        return {
+            "book_id": bid,
+            "status": "ingested",
+            "path": self.relative_path_for(bid, ts),
+            "date": day,
+            "hour": hour,
+            "backend": "spark-parquet",
+        }
+
+    def ingest_raw_df(self, raw_df: DataFrame, ts: dt.datetime) -> int:
+        """Distributed bulk ingest: split many raw books on executors.
+
+        ``raw_df`` has schema ``(book_id long, raw string)``. The marker split
+        runs as an Arrow-batched ``mapInPandas`` over the exact same pure
+        function as the single-book path, so semantics cannot drift. Books
+        that fail to parse are dropped (counted in the return value), matching
+        the reference's fail-to-false behavior per book.
+
+        This is the 100 TB path: fetch/stage elsewhere, split+write here with
+        no driver materialization.
+        """
+        day, hour = partition_values(ts)
+        ts_naive = ts.replace(tzinfo=None)
+
+        def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {
+                    "book_id": [],
+                    "header": [],
+                    "body": [],
+                    "ingest_ts": [],
+                    "ingest_date": [],
+                    "ingest_hour": [],
+                }
+                for bid, raw in zip(pdf["book_id"], pdf["raw"]):
+                    res = split_book(raw if raw is not None else "")
+                    if not res.ok:
+                        continue
+                    out["book_id"].append(bid)
+                    out["header"].append(res.header)
+                    out["body"].append(res.body)
+                    out["ingest_ts"].append(ts_naive)
+                    out["ingest_date"].append(day)
+                    out["ingest_hour"].append(hour)
+                pdf_out = pd.DataFrame(out)
+                # Pin dtypes so empty batches don't infer float64 (Arrow
+                # cannot cast that to timestamp/string).
+                pdf_out = pdf_out.astype(
+                    {"book_id": "int64", "ingest_ts": "datetime64[us]"}
+                )
+                yield pdf_out
+
+        split_df = raw_df.mapInPandas(_split, schema=BOOK_SCHEMA)
+        before = raw_df.count()
+        # Cache-free: the write action is the only pass over split_df.
+        self._write(split_df)
+        after = (
+            self.read()
+            .where(F.col("ingest_date") == day)
+            .where(F.col("ingest_hour") == hour)
+            .count()
+        )
+        return before - min(before, after)
+
+    def fetch_and_ingest(self, book_id: object, ts: dt.datetime | None = None) -> dict:
+        """Driver-side fetch (reference R1: GET gutenberg.org, 10s/30s
+        timeouts) then :meth:`ingest_text`. Network-dependent; tests use
+        :meth:`ingest_text` on local fixture texts instead (SURVEY.md §7
+        non-goals)."""
+        import urllib.request
+
+        bid = validate_book_id(book_id)
+        req = urllib.request.Request(
+            gutenberg_url(bid), headers={"User-Agent": "TAHS-Ingestion/1.0"}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                if resp.status != 200:
+                    raise IngestFailed(f"HTTP {resp.status} for {bid}")
+                raw = resp.read().decode("utf-8")
+        except OSError as exc:
+            raise IngestFailed(f"fetch failed for {bid}: {exc}") from exc
+        return self.ingest_text(bid, raw, ts or dt.datetime.now(dt.timezone.utc))
+
+    def _write(self, df: DataFrame) -> None:
+        (
+            df.write.mode("append")
+            .partitionBy("ingest_date", "ingest_hour")
+            .parquet(self.lake_root)
+        )
+
+    # -- read path (R5 + R6 + R7) --------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The whole lake as a DataFrame (partition columns read as strings)."""
+        return (
+            self.spark.read.option("basePath", self.lake_root)
+            .schema(BOOK_SCHEMA)
+            .parquet(self.lake_root)
+        )
+
+    def _empty(self) -> bool:
+        return not os.path.isdir(self.lake_root)
+
+    def exists(self, book_id: object) -> bool:
+        """Reference R5 (``S3DatalakeStorage.java:64-86``) done right: the
+        reference pays an O(total objects) sequential key scan; here the
+        ``book_id = ?`` predicate pushes into the parquet scan (row-group
+        min/max pruning) and ``LIMIT 1`` short-circuits."""
+        bid = validate_book_id(book_id)
+        if self._empty():
+            return False
+        return (
+            self.read().where(F.col("book_id") == bid).limit(1).count() > 0
+        )
+
+    def list_books(self) -> list[int]:
+        """Reference R6 (``S3DatalakeStorage.java:89-119``): scan → project →
+        distinct → ascending sort, as a 2-phase distributed aggregate that
+        reads only the ``book_id`` column."""
+        if self._empty():
+            return []
+        rows = (
+            self.read()
+            .select("book_id")
+            .distinct()
+            .orderBy("book_id")
+            .collect()
+        )
+        return [r.book_id for r in rows]
+
+    def relative_path_for(self, book_id: object, ts: dt.datetime) -> str:
+        """Reference R7 (``S3DatalakeStorage.java:121-124,142-150``):
+        ``datalake/{yyyyMMdd}/{HH}/{id}`` — response-display only (the
+        reference's version matches no stored key either; SURVEY.md §1.1)."""
+        bid = validate_book_id(book_id)
+        day, hour = partition_values(ts)
+        return f"datalake/{day}/{hour}/{bid}"
+
+    # -- convenience for tests ----------------------------------------------
+
+    def ingest_files(self, paths: Iterable[str], ts: dt.datetime) -> list[dict]:
+        """Ingest local ``book_<id>.txt`` fixture files (FIXTURES.md §F2)."""
+        out = []
+        for p in paths:
+            name = os.path.basename(p)
+            bid = int(name.replace("book_", "").replace(".txt", ""))
+            with open(p, encoding="utf-8") as fh:
+                out.append(self.ingest_text(bid, fh.read(), ts))
+        return out

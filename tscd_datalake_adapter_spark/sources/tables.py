@@ -1,0 +1,98 @@
+"""Fixture-table loaders and generic sources/sinks.
+
+The fixture star schema (TESTDATA.md / FIXTURES.md §F1) is read straight from
+parquet; loaders never infer schemas at query time beyond the parquet footer,
+and callers are expected to ``select`` only what they need so Catalyst prunes
+columns down to the scan (verify with ``df.explain`` → ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown fixture table {name!r}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Text scan; ``wholetext=True`` is the fixture-book read mode
+    (reference R1's test form, SURVEY.md §2.1)."""
+    return spark.read.option("wholetext", str(wholetext).lower()).text(path)
+
+
+_LAKEHOUSE_FORMATS = {"delta", "iceberg"}
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Generic sink. ``fmt`` in {parquet, delta, iceberg}; lakehouse formats
+    require their connector on the classpath (feature-gated: SURVEY.md §2.2).
+    """
+    if fmt in _LAKEHOUSE_FORMATS:
+        jars = df.sparkSession.conf.get("spark.jars.packages", "") or ""
+        if fmt not in jars:
+            raise NotImplementedError(
+                f"{fmt} connector not on classpath; add the {fmt} package to "
+                "spark.jars.packages (feature-gated — parquet is the default "
+                "format in this environment)"
+            )
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: tuple[str, ...], mode: str = "append"
+) -> None:
+    """Reference R4's lake write shape: append, Hive-partitioned parquet."""
+    write_table(df, path, fmt="parquet", mode=mode, partition_by=partition_by)
