@@ -1,0 +1,51 @@
+"""Oracle-differential gate (SURVEY.md §5.2 item 2), run at sf0.001 for
+speed — the driver runs the same comparison at sf0.01 via __spark_entry__.
+
+Each registered query's Spark result must match its DuckDB oracle exactly
+(row count, column names, values) after normalization. Exact cell equality is
+stricter than the driver's value-hash, so passing here implies passing there.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import scripts.parity_check as pc
+from tscd_datalake_adapter_spark.operators import load_all
+from tscd_datalake_adapter_spark.sources import TABLE_NAMES
+
+REGISTRY = load_all()
+ORACLE_NAMES = [n for n, s in REGISTRY.items() if s.oracle is not None]
+WEAK_NAMES = [n for n, s in REGISTRY.items() if s.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    spec = REGISTRY[name]
+    spdf = spec.fn(spark, sf_dir).toPandas()
+    opdf = duck.execute(spec.oracle).df()
+    scols, srows = pc._to_rows(spdf)
+    ocols, orows = pc._to_rows(opdf)
+    assert scols == ocols, f"{name}: column names differ: {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: row counts differ"
+    for i, (a, b) in enumerate(zip(srows, orows)):
+        assert a == b, f"{name}: first diff at sorted row {i}:\n {a}\n {b}"
+
+
+@pytest.mark.parametrize("name", WEAK_NAMES)
+def test_weak_query_runs(spark, sf_dir, name):
+    """Non-SQL-expressible operators: at minimum they run and return rows."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0

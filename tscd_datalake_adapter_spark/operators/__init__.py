@@ -1,0 +1,56 @@
+"""Operator/query registry — the SURVEY.md §2.2 correctness contract.
+
+Every implemented operator registers a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a DuckDB oracle
+SQL string. ``__spark_entry__.py`` exposes this registry to the round driver;
+``scripts/parity_check.py`` runs it locally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None = None
+    headline: bool = False
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so registrations run."""
+    from tscd_datalake_adapter_spark.operators import (  # noqa: F401
+        dedup,
+        relational,
+        scalars,
+        similarity,
+        text,
+    )
+    from tscd_datalake_adapter_spark.streaming import batch_twins  # noqa: F401
+
+    return REGISTRY

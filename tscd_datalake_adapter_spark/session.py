@@ -44,6 +44,9 @@ _BASE_CONF: dict[str, str] = {
     # Dimension tables (region/nation/supplier) should always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet stores timestamp[ns]; Spark 4 rejects NANOS by default.
+    # Read as long and derive a microsecond timestamp in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.shuffle.partitions": "32",
