@@ -1,0 +1,141 @@
+"""Validation for the non-SQL-expressible LLM operators (SURVEY.md §7):
+MinHash recall vs the exact-Jaccard twin, LSH ANN recall vs brute force,
+SimHash properties, fingerprint determinism, media-stub plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.operators.dedup import (
+    distinct_tokens,
+    exact_jaccard_pairs,
+    minhash_lsh_near_dup,
+    simhash_fingerprints,
+)
+from tscd_datalake_adapter_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+)
+from tscd_datalake_adapter_spark.operators.multimodal import (
+    MEDIA_FEATURE_SCHEMA,
+    media_feature_extract,
+)
+from tscd_datalake_adapter_spark.operators.text import doc_fingerprints
+from tscd_datalake_adapter_spark.sources import load_table
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """MinHash banding must recover ≥90% of true Jaccard≥0.9 pairs
+    (SURVEY.md §7: 'MinHash validated by recall >= target at fixture scale')."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in exact_jaccard_pairs(distinct_tokens(docs))
+        .where(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_near_dup(spark, sf_dir).collect()
+    }
+    assert mh <= exact  # exact-verify stage guarantees no false positives
+    if exact:
+        recall = len(mh & exact) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH ANN must place ≥50% of true top-5 neighbors (12-bit buckets on a
+    500-vector corpus are coarse; the knob is bits vs recall)."""
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in ann_lsh_topk(spark, sf_dir).collect()
+    }
+    assert approx, "LSH returned nothing"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ann recall {recall:.3f} < 0.5"
+
+
+def test_simhash_determinism_and_similarity(spark, sf_dir):
+    fp1 = {r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()}
+    fp2 = {r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()}
+    assert fp1 == fp2  # deterministic
+    assert len(set(fp1.values())) > 1  # not degenerate
+
+    # Near-identical docs must have near-identical simhashes (small hamming
+    # distance): compare a doc with itself minus its last token.
+    docs = load_table(spark, sf_dir, "documents").limit(0)  # schema only
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    twin = base + " omega"
+    df = docs.sparkSession.createDataFrame(
+        [(1, base, "en", "srcX", len(base)), (2, twin, "en", "srcX", len(twin))],
+        schema=load_table(docs.sparkSession, "/root/testdata/sf0.001", "documents").schema,
+    )
+    import tscd_datalake_adapter_spark.operators.dedup as dd
+
+    tok_counts = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    # reuse the operator's bit pipeline by just asserting hamming distance
+    sims = {r.doc_id: r.simhash for r in _simhash_of(df).collect()}
+    hamming = bin((sims[1] ^ sims[2]) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 16, f"hamming {hamming} too large for near-identical docs"
+
+
+def _simhash_of(df):
+    from pyspark.sql import functions as F
+
+    tok_counts = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bits = tok_counts.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("shiftright(h, cast(bit as int)) & 1") == 1, F.col("cnt"))
+        .otherwise(-F.col("cnt")),
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def test_doc_fingerprints_deterministic(spark, sf_dir):
+    a = {r.doc_id: (r.n_fingerprints, r.min_fp) for r in doc_fingerprints(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.n_fingerprints, r.min_fp) for r in doc_fingerprints(spark, sf_dir).collect()}
+    assert a == b and len(a) == 500
+
+
+def test_media_feature_plumbing(spark, sf_dir):
+    df = media_feature_extract(spark, sf_dir)
+    assert df.schema == MEDIA_FEATURE_SCHEMA
+    rows = df.collect()
+    assert len(rows) == 100
+    r0 = {r.doc_id: r for r in rows}
+    # deterministic fake decode: same payload → same metadata
+    rows2 = {r.doc_id: r for r in media_feature_extract(spark, sf_dir).collect()}
+    assert all(r0[k] == rows2[k] for k in r0)
+    # media_type cycling + video frame semantics
+    for r in rows:
+        assert r.media_type in ("image", "audio", "video")
+        assert (r.n_frames > 1) <= (r.media_type == "video")
+        assert 64 <= r.width <= 255 and 64 <= r.height <= 255
+        assert len(r.feature) == 8

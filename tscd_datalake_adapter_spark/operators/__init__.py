@@ -46,6 +46,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run."""
     from tscd_datalake_adapter_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         scalars,
         similarity,

@@ -1,1 +1,331 @@
-"""Placeholder — filled in M3."""
+"""Deduplication operators (SURVEY.md §2.2 LLM block + north-star).
+
+Five tiers, each a first-class query:
+
+- ``dedup_exact`` — hash-groupBy exact dedup (oracle-checked).
+- ``jaccard_near_dup`` — **exact** token-set Jaccard via an inverted-index
+  self-join (oracle-checked). This is the scale path for exact similarity:
+  instead of an O(n²) crossJoin, explode distinct tokens and join docs *only
+  where they share a token* — at 100 TB the join key (token) is the shuffle
+  key and hot tokens can be salted or stop-worded.
+- ``minhash_lsh_near_dup`` — MinHash banding (shingle→minhash→band→
+  bucket-join→exact verify). Probabilistic candidate generation, exact final
+  Jaccard; validated against the exact twin in tests (recall gate), no SQL
+  oracle (xxhash64 is Spark-specific).
+- ``simhash_fingerprints`` — 64-bit SimHash per document (weak oracle).
+- ``ngram_jaccard_near_dup`` — character-3-gram Jaccard, exact,
+  oracle-checked.
+
+All operators keep every stage distributed: no collect(), no driver loops;
+candidate pruning happens in joins, not in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def distinct_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) with per-document distinct whitespace tokens."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+def exact_jaccard_pairs(
+    tokens: DataFrame, left_filter=None, right_filter=None
+) -> DataFrame:
+    """Inverted-index exact Jaccard: |A∩B| from a token-equi-join,
+    |A∪B| = |A|+|B|-|A∩B|. Returns (doc_a, doc_b, inter, n_a, n_b, jaccard).
+    """
+    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tokens.alias("a")
+    b = tokens.alias("b")
+    if left_filter is not None:
+        a = a.where(left_filter)
+        b = b.where(right_filter if right_filter is not None else left_filter)
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_a")),
+            F.col("doc_a") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_b")),
+            F.col("doc_b") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    headline=True,
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH unioned AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, sha256(text) AS h FROM unioned
+    )
+    SELECT h AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM hashed GROUP BY h HAVING count(*) > 1
+    ORDER BY keeper_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256(text) hash-groupBy, deterministic keep-lowest-id.
+
+    The fixture corpus has no exact duplicates (FIXTURES.md), so the dedup-
+    positive input is a self-union with shifted ids — every text appears
+    exactly twice and the keeper is always the original id. At scale this is
+    one shuffle on a 32-byte key; the sha256 is computed map-side.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    shifted = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    unioned = d.unionByName(shifted)
+    return (
+        unioned.select("doc_id", F.sha2("text", 256).alias("h"))
+        .groupBy(F.col("h").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+@register(
+    "jaccard_near_dup",
+    headline=True,
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard near-duplicate pairs (threshold 0.9) over the
+    doc_id<200 slice, via the inverted-index join — the exact twin that pins
+    MinHash semantics (SURVEY.md §4.2)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    pairs = exact_jaccard_pairs(distinct_tokens(docs))
+    return (
+        pairs.where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "minhash_lsh_near_dup",
+    tags=("llm", "dedup"),
+    # No SQL oracle: minhash uses Spark's xxhash64. Tests validate recall
+    # against the exact-Jaccard twin (SURVEY.md §7: "MinHash validated by
+    # recall >= target at fixture scale").
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, exact-verified.
+
+    Pipeline (each stage a DataFrame op, fully distributed):
+    token explode → 64 permutation hashes (xxhash64(tok, seed)) → per-doc
+    minhash signature → 16 bands × 4 rows → band-signature bucket join →
+    candidate pairs → exact Jaccard verify ≥ 0.9.
+
+    At 100 TB the band join is the only shuffle that grows with corpus size,
+    and its key (band_id, band_signature) is uniform by construction — no
+    skew. The exact verify touches only candidate pairs (LSH prunes the n²).
+    """
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    tokens = distinct_tokens(docs)
+
+    n_hashes, rows_per_band = 64, 4
+    seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
+    # minhash_{seed}(doc) = min over tokens of xxhash64(tok, seed)
+    mh = (
+        tokens.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.xxhash64("tok", "seed")).alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "mh"))
+                        ),
+                        lambda s: s.getField("mh").cast("string"),
+                    ),
+                ),
+                256,
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = exact_jaccard_pairs(tokens).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    tags=("llm", "dedup"),
+    # No SQL oracle (xxhash64-based); determinism pinned by unit test.
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from token-frequency-weighted xxhash64
+    bits: bit_i(doc) = sign(Σ_tok cnt(tok) · (±1 if bit_i(hash(tok)))).
+
+    Wholly expression-based (no UDF): tokens × 64 bit positions explode, a
+    single groupBy(doc_id, bit) and a bit-assembly aggregate.
+    """
+    docs = _docs(spark, sf_dir)
+    tok_counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bits = tok_counts.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).withColumn(
+        "contrib",
+        F.when(
+            F.expr("shiftright(h, cast(bit as int)) & 1") == 1,
+            F.col("cnt"),
+        ).otherwise(-F.col("cnt")),
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ngram_jaccard_near_dup",
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, length(text) - 1), i -> substr(text, i, 3)))) AS g
+        FROM documents WHERE doc_id < 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup (threshold 0.5), exact, via the same
+    inverted-index shape keyed on shingles instead of tokens."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("tok"),
+    )
+    pairs = exact_jaccard_pairs(grams)
+    return (
+        pairs.where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,169 @@
+"""Multimodal columns (SURVEY.md §2.2 LLM block, north-star).
+
+Media are opaque ``binary`` payloads with typed metadata travelling beside
+them in the same DataFrame. The fixtures carry no real media, so payloads are
+derived from text (`CAST(text AS BINARY)`) — the *Spark plumbing* (schema,
+Arrow batch shape, mapInPandas signature, partitioning) is real and tested;
+the actual codec step is stubbed behind a deterministic fake, clearly marked
+(the image/audio libraries are not in this container).
+
+- ``multimodal_metadata`` — binary-column metadata extraction, oracle-checked.
+- ``media_feature_extract`` — the mapInPandas decode/feature pipeline with a
+  deterministic fake decoder (weak oracle; unit-tested for shape+determinism).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+
+@register(
+    "multimodal_metadata",
+    tags=("llm", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256,
+           upper(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex,
+           CASE WHEN octet_length(CAST(text AS BLOB)) > 300 THEN 'large'
+                ELSE 'small' END AS size_class
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata: length, content hash, magic-bytes hex, size
+    class. The shape of image/audio manifest tables at 100 TB — metadata
+    computed map-side, payloads never shuffled."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2("text", 256).alias("payload_sha256"),
+        F.upper(F.hex(F.substring("text", 1, 8).cast("binary"))).alias("head_hex"),
+        F.when(F.octet_length(payload) > 300, "large")
+        .otherwise("small")
+        .alias("size_class"),
+    ).orderBy("doc_id")
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real media decoder.
+
+    STUB: a real deployment replaces this with PIL/ffmpeg/torchaudio decode
+    (not installed in this container — SURVEY.md build constraints). The fake
+    derives stable pseudo-metadata from the payload's sha256 so tests can pin
+    exact outputs. Raises on empty payload like a real decoder would.
+    """
+    if not payload:
+        raise ValueError("empty media payload")
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    n_frames = 1 + digest[2] % 16
+    mean_intensity = round(digest[3] / 255.0, 6)
+    feature = [round((b / 255.0) * 2.0 - 1.0, 6) for b in digest[:8]]
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "mean_intensity": mean_intensity,
+        "feature": feature,
+    }
+
+
+def extract_media_features(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over (doc_id, media_type,
+    payload) — the real 100 TB plumbing: payload bytes stay columnar through
+    Arrow, decode runs per-batch in the Python worker, output schema is fixed
+    so downstream ops are planable. Swap ``_fake_decode`` for a real codec to
+    productionize."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                try:
+                    meta = _fake_decode(bytes(payload) if payload is not None else b"")
+                except ValueError:
+                    continue  # undecodable media dropped, like a real pipeline
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": str(mtype),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_frames": meta["n_frames"] if mtype == "video" else 1,
+                        "mean_intensity": meta["mean_intensity"],
+                        "feature": meta["feature"],
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "mean_intensity",
+                    "feature",
+                ],
+            )
+            out = out.astype(
+                {
+                    "doc_id": "int64",
+                    "width": "int32",
+                    "height": "int32",
+                    "n_frames": "int32",
+                    "mean_intensity": "float64",
+                }
+            )
+            yield out
+
+    return media_df.mapInPandas(_decode, schema=MEDIA_FEATURE_SCHEMA)
+
+
+@register(
+    "media_feature_extract",
+    tags=("llm", "multimodal"),
+    # Weak oracle: mapInPandas with the stubbed decoder is not SQL-
+    # expressible; unit tests pin schema + exact deterministic values.
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table (text bytes as stand-in payloads, media_type
+    cycling image/audio/video) and run the decode/feature pipeline."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_media_features(media).orderBy("doc_id")

@@ -1,1 +1,294 @@
-"""Placeholder — filled in M3."""
+"""Text-analysis operators (SURVEY.md §2.2 LLM block): per-document stats,
+term frequencies, quality scoring, regex token counting, language-ID
+heuristic, and rolling-hash fingerprinting.
+
+All hot paths are built-in expressions (whole-stage codegen); nothing here
+uses a Python UDF. The documents fixture is word-soup from a 31-word
+vocabulary (FIXTURES.md), so the language-ID operator is validated for
+*determinism* (exact SQL twin), not accuracy — its bigram profiles are
+engine-internal constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+# A fixed stopword list (subset of the fixture vocabulary plus common English
+# stopwords) used by quality scoring — an engine constant, same in oracles.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "value", "data")
+
+# Language-ID character-bigram profiles: (lang, bigram, weight). Tiny,
+# deterministic, and embedded identically in the SQL twin. A real deployment
+# would load trained profiles; the *operator shape* (profile scoring + argmax)
+# is what scales.
+LANG_PROFILES = {
+    "en": (("th", 3), ("he", 2), ("an", 1)),
+    "de": (("ch", 3), ("ei", 2), ("de", 1)),
+    "es": (("ll", 3), ("os", 2), ("de", 1)),
+    "fr": (("ou", 3), ("le", 2), ("es", 1)),
+}
+
+
+def _count_occurrences(col, needle: str):
+    """Occurrences of `needle` in `col` via length arithmetic — identical
+    integer math in any engine."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+@register(
+    "text_stats",
+    tags=("llm", "text"),
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           n_chars AS n_chars_stored,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS type_token_ratio,
+           round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(text), 6) AS space_ratio
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics, incl. the stored-vs-computed
+    n_chars cross-check."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_stored"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            _count_occurrences(F.col("text"), " ").cast("double")
+            / F.length("text"),
+            6,
+        ).alias("space_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "term_frequencies",
+    headline=True,
+    tags=("llm", "text"),
+    oracle="""
+    SELECT tok, count(*) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    WHERE tok != ''
+    GROUP BY tok ORDER BY tf DESC, tok LIMIT 20
+    """,
+)
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term + document frequencies, top-20. The classic explode →
+    two-level aggregate; partial aggregation makes the shuffle carry at most
+    |vocab| rows per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(20)
+    )
+
+
+def _stopword_sql_list() -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "quality_scores",
+    tags=("llm", "text"),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+        WHERE doc_id < 100
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, t -> t IN ({_stopword_sql_list()})))
+                    AS BIGINT) AS n_stop,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_span,
+           round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+                 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6)
+               AS quality_score
+    FROM m ORDER BY doc_id
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + stopword penalty —
+    the shape of C4/Gopher-style quality filters, engine-deterministic."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("long")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / n_tokens, 6).alias(
+            "avg_token_span"
+        ),
+        F.round(
+            F.least(n_tokens.cast("double") / 50.0, F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - stop_ratio) * 0.5,
+            6,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_count_regex",
+    tags=("llm", "text"),
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS BIGINT) AS n_long_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting + the chars/4 BPE approximation rule."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[a-z]{4,}"))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    terms = [
+        f"(length(text) - length(replace(text, '{bg}', ''))) / 2 * {w}"
+        for bg, w in LANG_PROFILES[lang]
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "language_id",
+    tags=("llm", "text"),
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST({_lang_score_sql('en')} AS BIGINT) AS score_en,
+               CAST({_lang_score_sql('de')} AS BIGINT) AS score_de,
+               CAST({_lang_score_sql('es')} AS BIGINT) AS score_es,
+               CAST({_lang_score_sql('fr')} AS BIGINT) AS score_fr
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es
+                  AND score_en >= score_fr THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scored ORDER BY doc_id
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram-profile language ID: per-language weighted bigram
+    occurrence score, argmax with a fixed preference order. Pure length/
+    replace arithmetic — identical in any engine (validated for determinism;
+    the fixture corpus shares one vocabulary across langs, FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    def score(lang: str):
+        total = F.lit(0)
+        for bg, w in LANG_PROFILES[lang]:
+            total = total + _count_occurrences(F.col("text"), bg) * w
+        return total.cast("long")
+
+    scored = d.select(
+        "doc_id",
+        score("en").alias("score_en"),
+        score("de").alias("score_de"),
+        score("es").alias("score_es"),
+        score("fr").alias("score_fr"),
+    )
+    return scored.select(
+        "*",
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_fr")),
+            "en",
+        )
+        .when(
+            (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") >= F.col("score_fr")),
+            "de",
+        )
+        .when(F.col("score_es") >= F.col("score_fr"), "es")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    tags=("llm", "text"),
+    # No SQL oracle: winnowing uses xxhash64. Determinism pinned in tests.
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 shape):
+    5-gram rolling window of token hashes, minimum per window of 4, distinct
+    mins = the document's fingerprint set. Expression-only implementation:
+    sequence → transform → explode → groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # hash each 5-token shingle: xxhash64 of the joined shingle
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)), "
+        "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 5))))"
+    )
+    windows = F.expr(
+        "transform(sequence(1, greatest(size(shingle_hashes) - 3, 1)), "
+        "i -> array_min(slice(shingle_hashes, i, 4)))"
+    )
+    return (
+        d.select("doc_id", shingles.alias("shingle_hashes"))
+        .select("doc_id", F.explode(F.array_distinct(windows)).alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
