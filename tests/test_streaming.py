@@ -1,0 +1,58 @@
+"""Live Structured Streaming smoke tests (SURVEY.md §5.2: batch twins are
+oracle-checked; the live runs must agree with them)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tscd_datalake_adapter_spark.streaming import jobs
+from tscd_datalake_adapter_spark.streaming.batch_twins import (
+    stream_dedup_events,
+    stream_tumbling_window,
+)
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream") / "events_src"
+    return jobs.stage_stream_source(spark, sf_dir, str(d))
+
+
+def test_tumbling_stream_matches_batch_twin(spark, sf_dir, source_dir, tmp_path):
+    live = jobs.run_tumbling_stream(
+        spark, source_dir, str(tmp_path / "ckpt"), "tumbling_smoke"
+    )
+    batch = stream_tumbling_window(spark, sf_dir)
+    live_rows = sorted(tuple(r) for r in live.collect())
+    batch_rows = sorted(tuple(r) for r in batch.collect())
+    assert live_rows == batch_rows
+
+
+def test_dedup_stream_unique_events(spark, sf_dir, source_dir, tmp_path):
+    out = jobs.run_dedup_stream(
+        spark, source_dir, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    # The file source delivers each event once here; dedup must keep them all
+    # unique and complete.
+    n_events = spark.read.parquet(source_dir).count()
+    assert out.select("event_id").distinct().count() == n_events
+    assert out.count() == n_events
+    # and agree with the batch twin's per-type uniques
+    twin = {
+        (r.event_type, r.n_unique)
+        for r in stream_dedup_events(spark, sf_dir).collect()
+    }
+    got = {
+        (r.event_type, r.n)
+        for r in out.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == twin
+
+
+def test_session_stream_runs(spark, source_dir, tmp_path):
+    res = jobs.run_session_stream(
+        spark, source_dir, str(tmp_path / "ckpt"), "session_smoke"
+    )
+    rows = res.collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)

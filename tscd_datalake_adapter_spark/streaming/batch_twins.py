@@ -1,1 +1,215 @@
-"""Placeholder — filled in M4."""
+"""Streaming operators in batch-twin form (SURVEY.md §2.2 streaming block).
+
+DuckDB cannot run a stream, so every streaming operator has a batch query
+with identical semantics that the oracle checks; :mod:`jobs` then runs the
+same logic live over ``readStream`` (availableNow trigger) and tests assert
+the live result equals the batch twin.
+
+Window-bucket equivalences used in the oracles:
+- tumbling 10m: start = floor(epoch/600)·600 — exactly Spark's ``window(ts,
+  '10 minutes')`` start.
+- sliding 10m/5m: each event belongs to starts {floor(epoch/300)·300,
+  that − 300} — exactly Spark's two windows per event.
+- session 5m gap: Spark starts a new session when ts − prev_ts ≥ gap (window
+  end is exclusive); the twin reproduces it with lag + a running session
+  counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.functions import dec_sum, oracle_dec_sum
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """The shared tumbling-window aggregation used by both the batch twin and
+    the live streaming job (single definition — semantics cannot drift)."""
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_window",
+    headline=True,
+    tags=("streaming",),
+    oracle=f"""
+    SELECT strftime(TIMESTAMP '1970-01-01'
+               + to_seconds(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)),
+               '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {oracle_dec_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window counts+sums per event type. Live form in
+    :func:`tscd_datalake_adapter_spark.streaming.jobs.run_tumbling_stream`."""
+    return tumbling_agg(_events(spark, sf_dir)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "stream_sliding_window",
+    tags=("streaming",),
+    oracle=f"""
+    WITH expanded AS (
+        SELECT strftime(TIMESTAMP '1970-01-01' + to_seconds(
+                   CAST(floor(epoch(ts) / 300) * 300 - s.i * 300 AS BIGINT)),
+                   '{TS_FMT_DUCK}') AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           {oracle_dec_sum('value')} AS total_value
+    FROM expanded GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): every event lands in
+    exactly two windows; Spark's ``window(ts, len, slide)`` expands them."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_session_window",
+    tags=("streaming",),
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+               AS session_end,
+           count(*) AS n_events,
+           {oracle_dec_sum('value')} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute gap per user, via Spark's native
+    ``session_window`` (merge-on-gap); the oracle reproduces the merge with
+    lag + running counter. Session end = last event + gap (exclusive)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.col("user_id"), F.session_window("ts", "5 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "stream_watermark_filter",
+    tags=("streaming",),
+    oracle=f"""
+    SELECT event_type, count(*) AS n_recent,
+           {oracle_dec_sum('value')} AS total_value
+    FROM events
+    WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch form: drop events older than
+    max(event time) − 7 days — the same cutoff a ``withWatermark('ts',
+    '7 days')`` stream would apply to late data (live demo in jobs.py)."""
+    e = _events(spark, sf_dir)
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    return (
+        e.join(F.broadcast(cutoff))
+        .where(F.col("ts") > F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_recent"), dec_sum("value").alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stream_dedup_events",
+    tags=("streaming",),
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM (
+        SELECT DISTINCT * FROM (
+            SELECT * FROM events UNION ALL SELECT * FROM events
+        )
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup's batch twin: exactly-once semantics over an
+    at-least-once (duplicated) feed via dropDuplicates on event_id. The live
+    form is ``dropDuplicates(['event_id'])`` + watermark (jobs.py)."""
+    e = _events(spark, sf_dir)
+    feed = e.unionByName(e)  # simulate at-least-once delivery
+    return (
+        feed.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )

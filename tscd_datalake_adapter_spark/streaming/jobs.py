@@ -1,0 +1,112 @@
+"""Live Structured Streaming jobs (SURVEY.md §2.2 streaming block).
+
+Each job reads the events fixture through ``readStream`` (file source +
+``availableNow`` trigger — bounded, deterministic), applies the *same*
+transformation function as the batch twin, and lands results in a sink.
+Tests assert stream output == batch twin output.
+
+Scale design: file-source streams are the local stand-in for Kafka; the
+aggregation state store is keyed by (window, event_type) — bounded keys —
+and the watermark bounds state retention for sessions/dedup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.sources import load_table
+from tscd_datalake_adapter_spark.streaming.batch_twins import tumbling_agg
+
+
+def stage_stream_source(spark: SparkSession, sf_dir: str, source_dir: str) -> str:
+    """Re-write the events table into a directory the file stream can tail.
+
+    Multiple parquet files → multiple micro-batch splits, exercising
+    incremental processing."""
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(source_dir)
+    return source_dir
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    schema = spark.read.parquet(source_dir).schema
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def run_tumbling_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, query_name: str
+) -> DataFrame:
+    """Watermarked tumbling aggregation, availableNow, complete-mode memory
+    sink. Returns the final result DataFrame."""
+    stream = read_event_stream(spark, source_dir).withWatermark("ts", "10 minutes")
+    q = (
+        tumbling_agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_dedup_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str
+) -> DataFrame:
+    """Stateful streaming dedup on event_id with a watermark bounding state,
+    appended to a parquet sink via foreachBatch (the reference's lake-write
+    R4 in streaming form)."""
+    stream = (
+        read_event_stream(spark, source_dir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id"])
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
+def run_session_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, query_name: str
+) -> DataFrame:
+    """Session-window aggregation over the live stream (update-mode memory
+    sink shows per-batch session growth; availableNow → one final state)."""
+    stream = read_event_stream(spark, source_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        stream.groupBy(
+            F.col("user_id"), F.session_window("ts", "5 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {query_name}")
