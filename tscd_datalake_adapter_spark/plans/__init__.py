@@ -1,1 +1,69 @@
-"""Plan-inspection helpers (M5)."""
+"""Physical-plan inspection helpers (SURVEY.md §4.2, M5).
+
+The engine's performance contract is declarative: filters reach the parquet
+scan, dimension joins broadcast, top-k avoids full sorts, codegen spans stay
+wide. These helpers read ``explain('formatted')`` output so tests can pin
+those properties instead of hoping for them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    plan = formatted_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
+        "PushedFilters: ["
+    )[0]
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    out = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            body = line.split(":", 1)[1].strip().strip("[]")
+            if body:
+                out.extend(f.strip() for f in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame, table_hint: str = "") -> list[str]:
+    """Columns actually read from the scan (column-pruning check)."""
+    cols: list[str] = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:") and (table_hint in line):
+            body = line.split("struct<", 1)[-1].rstrip(">")
+            cols.extend(c.split(":")[0] for c in body.split(",") if c)
+    return cols
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of distinct whole-stage-codegen stages in the *executed* plan
+    (AQE hides codegen until stages materialize, so this triggers execution —
+    use on test-scale inputs). Stages appear as ``*(N)`` operator prefixes."""
+    import re
+
+    df.collect()  # count() would plan a different query; collect fills this one
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", text)))
