@@ -24,9 +24,18 @@ TABLE_NAMES = (
 )
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions the engine didn't build (e.g. the
+    round driver's): UTC determinism and nanosecond-parquet readability are
+    required by every query; both are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}")
+    ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet timestamp[ns]; with nanosAsLong it arrives as
