@@ -50,8 +50,11 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         scalars,
         similarity,
+        subqueries,
         text,
+        udfs,
     )
+    from tscd_datalake_adapter_spark.operators import io as io_ops  # noqa: F401
     from tscd_datalake_adapter_spark.streaming import batch_twins  # noqa: F401
 
     return REGISTRY

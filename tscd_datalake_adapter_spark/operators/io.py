@@ -1,0 +1,139 @@
+"""Source/sink round-trip operators (SURVEY.md §2.2 scans/sinks block).
+
+Each query exercises a real write→read cycle in a fresh temp directory and
+produces a result the DuckDB oracle can verify from the original parquet —
+so format fidelity (csv/json/partitioned parquet) and the lake adapter's
+ingest→list pipeline are inside the hash-checked gate, not just unit tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.functions import dec_sum, oracle_dec_sum
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"tscd_{prefix}_")
+
+
+@register(
+    "csv_roundtrip_agg",
+    tags=("io",),
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, explicit schema on re-read) → aggregate. Doubles
+    survive CSV because Spark writes round-trippable repr and reads it back
+    to the identical bits."""
+    path = _tmp("csv")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.option("header", "true")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .csv(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dec_sum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "json_roundtrip_agg",
+    tags=("io",),
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           {oracle_dec_sum('value')} AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines → re-read with explicit schema → aggregate."""
+    path = _tmp("json")
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, event_type string, value double").json(
+        path
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value").alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "partitioned_write_pruned_read",
+    tags=("io",),
+    oracle="""
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS mo, count(*) AS n
+    FROM orders WHERE year(o_orderdate) = 1997
+    GROUP BY 1 ORDER BY mo
+    """,
+)
+def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R4 write + R5 pruned read: write orders partitioned by
+    order year, read back with a partition filter (only the 1997 directory is
+    scanned — ``PartitionFilters`` in explain), count by month."""
+    path = _tmp("part")
+    o = load_table(spark, sf_dir, "orders")
+    o.withColumn("order_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path).where(F.col("order_year") == 1997)
+    return (
+        back.groupBy(F.month("o_orderdate").cast("long").alias("mo"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("mo")
+    )
+
+
+@register(
+    "lake_ingest_list_books",
+    tags=("io", "ingest"),
+    oracle="""
+    SELECT DISTINCT CAST(doc_id + 1 AS BIGINT) AS book_id
+    FROM documents WHERE doc_id < 20
+    ORDER BY book_id
+    """,
+)
+def lake_ingest_list_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole lifecycle inside the oracle gate: frame 20
+    documents as Gutenberg books, bulk-ingest them through the distributed
+    split path (R1+R2+R4), then answer ``listBooks`` (R6) from the written
+    lake. The oracle knows the expected id set algebraically."""
+    from tscd_datalake_adapter_spark.lake.adapter import LakeAdapter
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    nl = F.lit("\n")
+    raw = F.concat(
+        F.lit("Header for "),
+        F.col("doc_id").cast("string"),
+        nl,
+        F.lit("*** START OF THE PROJECT GUTENBERG EBOOK D ***"),
+        nl,
+        F.col("text"),
+        nl,
+        F.lit("*** END OF THE PROJECT GUTENBERG EBOOK D ***"),
+    )
+    raw_df = d.select((F.col("doc_id") + 1).alias("book_id"), raw.alias("raw"))
+    lake = LakeAdapter(spark, _tmp("lake") + "/lake")
+    lake.ingest_raw_df(raw_df, dt.datetime(2026, 1, 1, 12, 0, 0))
+    return (
+        lake.read().select("book_id").distinct().orderBy("book_id")
+    )
