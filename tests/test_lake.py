@@ -90,6 +90,35 @@ def test_distributed_bulk_ingest(lake, spark, book_dir):
     assert lake.list_books() == [1, 2]
 
 
+def test_compaction(lake, book_dir, spark):
+    import glob
+
+    paths = sorted(str(p) for p in book_dir.iterdir())
+    lake.ingest_files(paths, TS)  # 3 separate commits → ≥3 files
+    part_glob = f"{lake.lake_root}/ingest_date=20260813/ingest_hour=14/*.parquet"
+    assert len(glob.glob(part_glob)) >= 3
+    before = sorted(tuple(r) for r in lake.read().collect())
+
+    n = lake.compact("20260813", "14", target_files=1)
+    assert n == 3
+    assert len(glob.glob(part_glob)) == 1  # small files merged
+    after = sorted(tuple(r) for r in lake.read().collect())
+    assert before == after  # data byte-identical
+    assert lake.list_books() == [11, 22, 33]
+
+
+def test_approx_count_distinct_bounds(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.relational_extra import (
+        approx_count_distinct_custkeys,
+    )
+
+    for r in approx_count_distinct_custkeys(spark, sf_dir).collect():
+        # rsd=0.02 → generous 10% acceptance band
+        assert abs(r.approx_customers - r.exact_customers) <= max(
+            3, 0.1 * r.exact_customers
+        )
+
+
 def test_api_shapes(lake, book_dir):
     from tests.conftest import BOOK_V1
 

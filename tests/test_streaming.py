@@ -49,6 +49,30 @@ def test_dedup_stream_unique_events(spark, sf_dir, source_dir, tmp_path):
     assert got == twin
 
 
+def test_stateful_counter_matches_batch(spark, sf_dir, source_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    live = jobs.run_stateful_user_counter(
+        spark, source_dir, str(tmp_path / "ckpt"), "stateful_smoke"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    live_map = {r.user_id: (r.n_events, r.total_value) for r in live.collect()}
+    batch_map = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    assert set(live_map) == set(batch_map)
+    for k in batch_map:
+        assert live_map[k][0] == batch_map[k][0], k
+        assert abs(live_map[k][1] - batch_map[k][1]) < 0.05, k
+
+
 def test_session_stream_runs(spark, source_dir, tmp_path):
     res = jobs.run_session_stream(
         spark, source_dir, str(tmp_path / "ckpt"), "session_smoke"

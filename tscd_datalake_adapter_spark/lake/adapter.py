@@ -249,6 +249,38 @@ class LakeAdapter:
         day, hour = partition_values(ts)
         return f"datalake/{day}/{hour}/{bid}"
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, ingest_date: str, ingest_hour: str, target_files: int = 1) -> int:
+        """Small-file compaction for one partition (the lake-maintenance op
+        every append-only ingest lake needs at scale: each single-book ingest
+        commits its own file; queries want few large files).
+
+        Rewrites the partition into ``target_files`` files via dynamic
+        partition overwrite — other partitions are untouched, and the swap is
+        committer-atomic. Returns the row count of the compacted partition.
+        """
+        part_df = (
+            self.read()
+            .where(F.col("ingest_date") == ingest_date)
+            .where(F.col("ingest_hour") == ingest_hour)
+        )
+        n = part_df.count()
+        if n == 0:
+            return 0
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                part_df.coalesce(target_files)
+                .write.mode("overwrite")
+                .partitionBy("ingest_date", "ingest_hour")
+                .parquet(self.lake_root)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return n
+
     # -- convenience for tests ----------------------------------------------
 
     def ingest_files(self, paths: Iterable[str], ts: dt.datetime) -> list[dict]:

@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         relational,
+        relational_extra,
         scalars,
         similarity,
         subqueries,

@@ -1,0 +1,125 @@
+"""Inventory completion queries (SURVEY.md §2.2 audit round): right outer
+join, first/last window analytics, approx_count_distinct, embedding-cosine
+near-duplicate pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.operators.similarity import cosine
+from tscd_datalake_adapter_spark.sources import load_table
+
+
+@register(
+    "right_outer_join_parts",
+    tags=("join",),
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lineitems
+    FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_partkey < 100
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY p.p_partkey
+    """,
+)
+def right_outer_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every part keeps a row even with zero lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count("l_orderkey").alias("n_lineitems"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "window_first_last",
+    tags=("window",),
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS last_price,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last analytic functions over per-customer order history (last
+    over the full-frame window, the standard gotcha handled explicitly)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.count("*").over(Window.partitionBy("o_custkey")).cast("long").alias(
+            "n_orders"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "approx_count_distinct_custkeys",
+    tags=("agg",),
+    # Weak oracle by design: approx_* is excluded from hash-matching
+    # (BASELINE.md determinism rules). The unit test checks the estimate is
+    # within HLL++ rsd bounds of the exact count.
+)
+def approx_count_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct: the sketch path for 100 TB
+    cardinalities (exact countDistinct shuffles every key; the sketch is a
+    fixed-size mergeable state)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "embedding_cosine_near_dup",
+    tags=("llm", "dedup", "similarity"),
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 150),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / sqrt(list_dot_product(a.v, a.v)
+                            * list_dot_product(b.v, b.v)), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.5
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine ≥ 0.5) over a bounded id
+    slice — the exact twin that pins the LSH variant's semantics. At corpus
+    scale the same predicate runs post-LSH-bucketing instead of post-crossJoin.
+    """
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.5)
+        .orderBy("vec_a", "vec_b")
+    )

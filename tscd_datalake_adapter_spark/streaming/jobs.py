@@ -81,6 +81,56 @@ def run_dedup_stream(
     return spark.read.parquet(out_dir)
 
 
+def run_stateful_user_counter(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, query_name: str
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY.md
+    §2.2: 'applyInPandasWithState for custom stateful operators'): a
+    per-user running (event count, value total) kept in group state across
+    micro-batches, emitting the updated totals each batch.
+
+    State is one small tuple per user key — bounded, mergeable, exactly the
+    shape that scales to 100 TB behind a watermark."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_event_stream(spark, source_dir)
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # Latest state per user (a user may emit once per micro-batch).
+    latest = spark.sql(
+        f"SELECT user_id, max_by(n_events, n_events) AS n_events, "
+        f"max_by(total_value, n_events) AS total_value "
+        f"FROM {query_name} GROUP BY user_id"
+    )
+    return latest
+
+
 def run_session_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str, query_name: str
 ) -> DataFrame:
