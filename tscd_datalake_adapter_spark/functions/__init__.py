@@ -14,6 +14,13 @@ make aggregates exact and therefore engine-independent:
 
 At 100 TB these stay fully distributed: decimal sums are partial-aggregated
 map-side exactly like double sums, with no extra shuffle.
+
+Performance note (measured at sf0.1): decimal(38,6) aggregation costs ~2-3×
+a plain double sum on the agg operator. A scaled-integer variant
+(``sum(cast(round(x*1e6) as bigint))``) is ~2× faster and produces identical
+values at fixture scale, but silently wraps past ~9.2e18 (≳1e12 rows of 1e6-
+scaled values in one group) — an unacceptable failure mode at 100 TB, so the
+overflow-safe decimal form is the default.
 """
 
 from __future__ import annotations

@@ -89,6 +89,34 @@ def approx_count_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "percentiles_by_status",
+    tags=("agg",),
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: same (1-h)·a + h·b interpolation on the same sorted
+    doubles → bit-identical). At 100 TB the sketch form
+    (``percentile_approx``) replaces this; the exact form is the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "embedding_cosine_near_dup",
     tags=("llm", "dedup", "similarity"),
     oracle="""
