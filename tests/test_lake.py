@@ -119,6 +119,17 @@ def test_approx_count_distinct_bounds(spark, sf_dir):
         )
 
 
+def test_wholetext_dir_ingest(lake, book_dir):
+    # Distributed R1 test mode: spark.read.text(wholetext) over book files.
+    failed = lake.ingest_text_dir(str(book_dir / "*.txt"), TS)
+    assert failed == 0
+    assert lake.list_books() == [11, 22, 33]
+    body = (
+        lake.read().where(F.col("book_id") == 33).select("body").first().body
+    )
+    assert body.startswith("白鯨 🐋 ***")  # unicode + title-tail parity
+
+
 def test_api_shapes(lake, book_dir):
     from tests.conftest import BOOK_V1
 

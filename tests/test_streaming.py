@@ -54,9 +54,18 @@ def test_stateful_counter_matches_batch(spark, sf_dir, source_dir, tmp_path):
 
     from tscd_datalake_adapter_spark.sources import load_table
 
+    # one file per micro-batch → 4 batches → state must carry across batches
     live = jobs.run_stateful_user_counter(
-        spark, source_dir, str(tmp_path / "ckpt"), "stateful_smoke"
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt"),
+        "stateful_smoke",
+        max_files_per_trigger=1,
     )
+    # update-mode sink saw multiple emissions per user → cross-batch state ran
+    n_emissions = spark.sql("SELECT count(*) FROM stateful_smoke").first()[0]
+    n_users = live.count()
+    assert n_emissions > n_users
     batch = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")

@@ -174,6 +174,28 @@ class LakeAdapter:
         )
         return before - min(before, after)
 
+    def ingest_text_dir(self, path_glob: str, ts: dt.datetime) -> int:
+        """Distributed whole-file ingest (reference R1's test mode,
+        SURVEY.md §2.1: 'read local fixture files via spark.read.text(...,
+        wholetext=True)'): each ``book_<id>.txt`` becomes one row, ids parsed
+        from file names executor-side, then the bulk split/write path runs.
+        Returns the number of files that failed to parse."""
+        # NB: wholetext must be the .text() kwarg — .option("wholetext") is
+        # silently ignored by the text source.
+        raw = (
+            self.spark.read.text(path_glob, wholetext=True)
+            .select(
+                F.regexp_extract(
+                    F.input_file_name(), r"book_(\d+)\.txt", 1
+                )
+                .cast("long")
+                .alias("book_id"),
+                F.col("value").alias("raw"),
+            )
+            .where(F.col("book_id").isNotNull() & (F.col("book_id") > 0))
+        )
+        return self.ingest_raw_df(raw, ts)
+
     def fetch_and_ingest(self, book_id: object, ts: dt.datetime | None = None) -> dict:
         """Driver-side fetch (reference R1: GET gutenberg.org, 10s/30s
         timeouts) then :meth:`ingest_text`. Network-dependent; tests use

@@ -80,8 +80,9 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
     """Text scan; ``wholetext=True`` is the fixture-book read mode
-    (reference R1's test form, SURVEY.md §2.1)."""
-    return spark.read.option("wholetext", str(wholetext).lower()).text(path)
+    (reference R1's test form, SURVEY.md §2.1). Must be passed as the
+    ``.text()`` kwarg — ``.option("wholetext")`` is silently ignored."""
+    return spark.read.text(path, wholetext=wholetext)
 
 
 _LAKEHOUSE_FORMATS = {"delta", "iceberg"}

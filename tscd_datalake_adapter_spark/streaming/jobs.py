@@ -32,9 +32,14 @@ def stage_stream_source(spark: SparkSession, sf_dir: str, source_dir: str) -> st
     return source_dir
 
 
-def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     schema = spark.read.parquet(source_dir).schema
-    return spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
 
 
 def run_tumbling_stream(
@@ -82,7 +87,11 @@ def run_dedup_stream(
 
 
 def run_stateful_user_counter(
-    spark: SparkSession, source_dir: str, checkpoint_dir: str, query_name: str
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (SURVEY.md
     §2.2: 'applyInPandasWithState for custom stateful operators'): a
@@ -90,11 +99,13 @@ def run_stateful_user_counter(
     micro-batches, emitting the updated totals each batch.
 
     State is one small tuple per user key — bounded, mergeable, exactly the
-    shape that scales to 100 TB behind a watermark."""
+    shape that scales to 100 TB behind a watermark. Pass
+    ``max_files_per_trigger`` to force multiple micro-batches so state
+    genuinely carries across batches."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = read_event_stream(spark, source_dir)
+    stream = read_event_stream(spark, source_dir, max_files_per_trigger)
 
     def _update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
