@@ -45,8 +45,8 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """LSH ANN must place ≥50% of true top-5 neighbors (12-bit buckets on a
-    500-vector corpus are coarse; the knob is bits vs recall)."""
+    """LSH ANN must place ≥70% of true top-5 neighbors (12 tables × 4 bits
+    measures ~0.9; the gate leaves headroom for corpus-size variation)."""
     exact = {
         (r.query_id, r.neighbor_id) for r in cosine_topk(spark, sf_dir).collect()
     }
@@ -55,7 +55,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     }
     assert approx, "LSH returned nothing"
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.5, f"ann recall {recall:.3f} < 0.5"
+    assert recall >= 0.7, f"ann recall {recall:.3f} < 0.7"
 
 
 def test_simhash_determinism_and_similarity(spark, sf_dir):

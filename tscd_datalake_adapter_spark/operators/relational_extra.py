@@ -89,6 +89,37 @@ def approx_count_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "lake_path_derivation",
+    tags=("ingest",),
+    oracle="""
+    SELECT o_orderkey,
+           'datalake/' || strftime(o_orderdate, '%Y%m%d') || '/'
+               || strftime(o_orderdate, '%H') || '/'
+               || CAST(o_orderkey AS VARCHAR) AS rel_path,
+           strftime(o_orderdate, '%Y%m%d') AS ingest_date,
+           strftime(o_orderdate, '%H') AS ingest_hour
+    FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
+    """,
+)
+def lake_path_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R7 (`relativePathFor`, ``S3DatalakeStorage.java:121-124,
+    142-150``) as a declarative expression: ``datalake/{yyyyMMdd}/{HH}/{id}``
+    derived with date_format + concat_ws — the partition-value derivation the
+    lake write path uses, inside the oracle gate."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    day = F.date_format("o_orderdate", "yyyyMMdd")
+    hour = F.date_format("o_orderdate", "HH")
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "/", F.lit("datalake"), day, hour, F.col("o_orderkey").cast("string")
+        ).alias("rel_path"),
+        day.alias("ingest_date"),
+        hour.alias("ingest_hour"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "percentiles_by_status",
     tags=("agg",),
     oracle="""

@@ -128,17 +128,17 @@ def _hyperplanes(
     # against cosine_topk (the exact twin) at fixture scale.
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: multi-table random-hyperplane LSH (8 tables × 4 sign bits) →
+    """ANN: multi-table random-hyperplane LSH (12 tables × 4 sign bits) →
     bucket join → exact cosine rerank of the candidate union.
 
     Candidates are vectors sharing *any* table's bucket with the query —
     multi-table OR-amplification trades candidate volume for recall (with
-    near-orthogonal random vectors a single fine bucket has ~zero recall; 8×4
-    reaches ~0.9 at fixture scale, see tests). The only data-sized shuffle is
-    the bucket join keyed on (table, signature) — uniform by construction.
-    At 100 TB: raise bits per table as density grows; candidates per query
-    stay ~corpus/2^bits × tables."""
-    n_tables, bits = 8, 4
+    near-orthogonal random vectors a single fine bucket has ~zero recall;
+    12×4 measures recall@5 ≈ 0.9 at fixture scale, see tests). The only
+    data-sized shuffle is the bucket join keyed on (table, signature) —
+    uniform by construction. At 100 TB: raise bits per table as density
+    grows; candidates per query stay ~corpus/2^bits × tables."""
+    n_tables, bits = 12, 4
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planes = _hyperplanes(spark, n_tables, bits)
 
