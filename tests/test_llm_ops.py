@@ -124,6 +124,28 @@ def test_doc_fingerprints_deterministic(spark, sf_dir):
     assert a == b and len(a) == 500
 
 
+def test_binary_payload_lake_roundtrip(spark, sf_dir, tmp_path):
+    """Binary media payloads survive a partitioned-parquet lake round trip
+    byte-exactly (sha256 verified) — the multimodal storage contract."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    media = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.sha2("text", 256).alias("sha_before"),
+        (F.col("doc_id") % 4).alias("part"),
+    )
+    path = str(tmp_path / "media_lake")
+    media.write.mode("overwrite").partitionBy("part").parquet(path)
+    back = spark.read.parquet(path)
+    bad = back.where(
+        F.sha2(F.col("payload").cast("string"), 256) != F.col("sha_before")
+    ).count()
+    assert bad == 0
+    assert back.count() == 50
+
+
 def test_media_feature_plumbing(spark, sf_dir):
     df = media_feature_extract(spark, sf_dir)
     assert df.schema == MEDIA_FEATURE_SCHEMA

@@ -305,6 +305,33 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_explode",
+    tags=("scalar",),
+    oracle="""
+    SELECT n_nationkey, key, value FROM (
+        SELECT n_nationkey, 'name' AS key, n_name AS value FROM nation
+        UNION ALL
+        SELECT n_nationkey, 'region' AS key, CAST(n_regionkey AS VARCHAR) AS value
+        FROM nation
+    ) ORDER BY n_nationkey, key
+    """,
+)
+def map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(map) → (key, value) rows; the oracle enumerates the known
+    keys algebraically."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"),
+        F.col("n_name"),
+        F.lit("region"),
+        F.col("n_regionkey").cast("string"),
+    )
+    return n.select("n_nationkey", F.explode(m).alias("key", "value")).orderBy(
+        "n_nationkey", "key"
+    )
+
+
+@register(
     "json_functions",
     tags=("scalar",),
     oracle="""
