@@ -119,6 +119,28 @@ def test_approx_count_distinct_bounds(spark, sf_dir):
         )
 
 
+def test_merge_upsert(lake, book_dir, spark):
+    lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS)
+    lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS2)
+    assert lake.read().where(F.col("book_id") == 22).count() == 2
+
+    updates = spark.createDataFrame(
+        [(22, "new header", "new body"), (44, "h44", "b44")],
+        "book_id long, header string, body string",
+    )
+    ts3 = dt.datetime(2026, 8, 15, 10, 0, 0)
+    lake.merge_books(updates, ts3)
+
+    # updated book: exactly one row, the new version, in the merge partition
+    rows = lake.read().where(F.col("book_id") == 22).collect()
+    assert len(rows) == 1
+    assert rows[0].body == "new body" and rows[0].ingest_date == "20260815"
+    # inserted book appears; untouched books unchanged (both versions intact)
+    assert lake.read().where(F.col("book_id") == 44).count() == 1
+    assert lake.read().where(F.col("book_id") == 11).count() == 2
+    assert lake.list_books() == [11, 22, 33, 44]
+
+
 def test_wholetext_dir_ingest(lake, book_dir):
     # Distributed R1 test mode: spark.read.text(wholetext) over book files.
     failed = lake.ingest_text_dir(str(book_dir / "*.txt"), TS)

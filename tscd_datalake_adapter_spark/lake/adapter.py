@@ -271,6 +271,64 @@ class LakeAdapter:
         day, hour = partition_values(ts)
         return f"datalake/{day}/{hour}/{bid}"
 
+    # -- upsert (MERGE) ------------------------------------------------------
+
+    def merge_books(self, updates: DataFrame, ts: dt.datetime) -> None:
+        """MERGE/upsert on the parquet lake: every existing row of an updated
+        ``book_id`` is removed and replaced by the new version in the ``ts``
+        partition (delete-and-insert, the Delta MERGE semantic on a plain
+        parquet layout).
+
+        ``updates`` has schema ``(book_id long, header string, body string)``.
+        Fully declarative — no driver-side id collection: affected partitions
+        are discovered by join, rewritten via dynamic partition overwrite;
+        untouched partitions are never read or written.
+
+        Caveat (inherent to partition-overwrite MERGE without a table
+        format): a partition whose every row is updated away would write zero
+        rows and therefore not be overwritten; its rows are superseded by the
+        newer ``ingest_ts`` rather than physically deleted. A table format
+        (Delta/Iceberg, feature-gated in sources.write_table) removes this.
+        """
+        day, hour = partition_values(ts)
+        ts_naive = ts.replace(tzinfo=None)
+        lake = self.read()
+        ids = updates.select("book_id").distinct()
+        affected = (
+            lake.join(F.broadcast(ids), "book_id")
+            .select("ingest_date", "ingest_hour")
+            .distinct()
+        )
+        target = self.spark.createDataFrame(
+            [(day, hour)], "ingest_date string, ingest_hour string"
+        )
+        parts = affected.unionByName(target).distinct()
+        keep = lake.join(
+            F.broadcast(parts), ["ingest_date", "ingest_hour"]
+        ).join(F.broadcast(ids), "book_id", "left_anti")
+        new_rows = updates.select(
+            "book_id",
+            "header",
+            "body",
+            F.lit(ts_naive).cast("timestamp").alias("ingest_ts"),
+            F.lit(day).alias("ingest_date"),
+            F.lit(hour).alias("ingest_hour"),
+        )
+        cols = [f.name for f in BOOK_SCHEMA.fields]
+        out = keep.select(*cols).unionByName(new_rows.select(*cols))
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("ingest_date", "ingest_hour")
+                .parquet(self.lake_root)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, ingest_date: str, ingest_hour: str, target_files: int = 1) -> int:

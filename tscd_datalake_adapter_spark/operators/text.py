@@ -261,6 +261,68 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    tags=("llm", "text"),
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM tok
+        WHERE tok != '' GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        WHERE tok != '' GROUP BY tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, tok) AS BIGINT) AS rk
+        FROM scored
+    )
+    SELECT doc_id, tok, tfidf, rk FROM ranked
+    WHERE rk <= 3 AND doc_id < 50
+    ORDER BY doc_id, rk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-document top-3 terms by tf · ln(N/df). Classic two-pass
+    term weighting — tf and df are separate aggregates joined on token, the
+    per-doc top-k is a window. Ranking on the rounded score with a token
+    tiebreak keeps ordering engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # tiny scalar; at scale pass via broadcast agg join
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where((F.col("rk") <= 3) & (F.col("doc_id") < 50))
+        .orderBy("doc_id", "rk")
+    )
+
+
+@register(
     "doc_fingerprints",
     tags=("llm", "text"),
     # No SQL oracle: winnowing uses xxhash64. Determinism pinned in tests.

@@ -189,6 +189,53 @@ def stream_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_funnel",
+    tags=("streaming", "agg"),
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN first_view IS NOT NULL
+                          AND first_click > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked_after_view,
+           CAST(sum(CASE WHEN first_view IS NOT NULL
+                          AND first_click > first_view
+                          AND first_purchase > first_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM per_user
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click→purchase funnel: conditional-min event times per user,
+    strict ordering between stages, one global rollup. The per-user
+    aggregation is a single shuffle on user_id; the funnel predicate is
+    post-aggregation arithmetic."""
+    e = _events(spark, sf_dir)
+    fmin = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        fmin("view").alias("first_view"),
+        fmin("click").alias("first_click"),
+        fmin("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    converted = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+    )
+
+
+@register(
     "stream_dedup_events",
     tags=("streaming",),
     oracle="""
