@@ -148,6 +148,75 @@ def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_status_by_segment",
+    tags=("agg",),
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot(): order counts per segment pivoted into one column
+    per status. Pivot values are declared explicitly (F/O/P) so Spark skips
+    the extra distinct-values job — the scale-correct form."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count("o_orderkey"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "rolling_active_users",
+    tags=("agg", "streaming"),
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users_7d
+    FROM days d
+    JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day ORDER BY day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. Distinct-over-range
+    can't ride a window frame, so it's a day-grid range join (the day grid is
+    tiny and broadcast; the join fans each event into ≤7 day buckets — at
+    100 TB this is the standard dedup-then-fan-out: distinct (day,user)
+    first, then the 7-day expansion, keeping the join input minimal)."""
+    e = load_table(spark, sf_dir, "events")
+    day_user = e.select(
+        F.col("ts").cast("date").alias("eday"), "user_id"
+    ).distinct()
+    days = day_user.select(F.col("eday").alias("day")).distinct()
+    return (
+        F.broadcast(days)
+        .join(
+            day_user,
+            (F.col("eday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users_7d"
+        )
+        .orderBy("day")
+    )
+
+
+@register(
     "embedding_cosine_near_dup",
     tags=("llm", "dedup", "similarity"),
     oracle="""
