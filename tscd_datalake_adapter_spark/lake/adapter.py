@@ -164,15 +164,23 @@ class LakeAdapter:
 
         split_df = raw_df.mapInPandas(_split, schema=BOOK_SCHEMA)
         before = raw_df.count()
-        # Cache-free: the write action is the only pass over split_df.
+
+        def _part_count() -> int:
+            if self._empty():
+                return 0
+            return (
+                self.read()
+                .where(F.col("ingest_date") == day)
+                .where(F.col("ingest_hour") == hour)
+                .count()
+            )
+
+        # Delta-based failure count: the target partition may already hold
+        # rows from earlier ingests.
+        part_before = _part_count()
         self._write(split_df)
-        after = (
-            self.read()
-            .where(F.col("ingest_date") == day)
-            .where(F.col("ingest_hour") == hour)
-            .count()
-        )
-        return before - min(before, after)
+        written = _part_count() - part_before
+        return before - min(before, written)
 
     def ingest_text_dir(self, path_glob: str, ts: dt.datetime) -> int:
         """Distributed whole-file ingest (reference R1's test mode,

@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     from tscd_datalake_adapter_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         relational,
         relational_extra,
         scalars,
