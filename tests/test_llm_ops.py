@@ -4,7 +4,6 @@ SimHash properties, fingerprint determinism, media-stub plumbing."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.operators.dedup import (
@@ -73,15 +72,6 @@ def test_simhash_determinism_and_similarity(spark, sf_dir):
         [(1, base, "en", "srcX", len(base)), (2, twin, "en", "srcX", len(twin))],
         schema=load_table(docs.sparkSession, "/root/testdata/sf0.001", "documents").schema,
     )
-    import tscd_datalake_adapter_spark.operators.dedup as dd
-
-    tok_counts = (
-        df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
-    # reuse the operator's bit pipeline by just asserting hamming distance
     sims = {r.doc_id: r.simhash for r in _simhash_of(df).collect()}
     hamming = bin((sims[1] ^ sims[2]) & ((1 << 64) - 1)).count("1")
     assert hamming <= 16, f"hamming {hamming} too large for near-identical docs"
