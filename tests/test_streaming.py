@@ -82,6 +82,30 @@ def test_stateful_counter_matches_batch(spark, sf_dir, source_dir, tmp_path):
         assert abs(live_map[k][1] - batch_map[k][1]) < 0.05, k
 
 
+def test_append_file_sink(spark, sf_dir, source_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    out = jobs.run_append_file_sink(
+        spark, source_dir, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert out.count() == expected
+    assert "event_date" in out.columns  # partitioned streaming lake write
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    counted, n_late = jobs.demo_watermark_late_drop(spark, str(tmp_path))
+    # 60 fresh events were sent; the 5 stale ones must not be counted.
+    assert counted == 60, f"counted {counted}, late rows leaked"
+    assert n_late == 5
+
+
 def test_session_stream_runs(spark, source_dir, tmp_path):
     res = jobs.run_session_stream(
         spark, source_dir, str(tmp_path / "ckpt"), "session_smoke"

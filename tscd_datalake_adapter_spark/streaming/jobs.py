@@ -142,6 +142,87 @@ def run_stateful_user_counter(
     return latest
 
 
+def run_append_file_sink(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str
+) -> DataFrame:
+    """Direct ``writeStream.format('parquet')`` append sink (the streaming
+    analogue of the reference's lake write R4): filter purchases, land them
+    partitioned by event date, exactly-once via the checkpoint."""
+    stream = read_event_stream(spark, source_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        stream.withColumn("event_date", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
+def demo_watermark_late_drop(
+    spark: SparkSession, work_dir: str
+) -> tuple[int, int]:
+    """Observable late-data drop: batch 1 carries fresh events that advance
+    the watermark far past batch 2's stale events; with an append-mode
+    windowed aggregation the stale rows are dropped from state.
+
+    Returns (rows_in_result_including_late, rows_truly_late_sent). The caller
+    asserts the late batch contributed nothing."""
+    import datetime as dt
+    import os
+
+    src = os.path.join(work_dir, "src")
+    ckpt = os.path.join(work_dir, "ckpt")
+    out = os.path.join(work_dir, "out")
+
+    fresh = [(i, dt.datetime(2024, 3, 10, 12, 0, i), "click") for i in range(60)]
+    late = [(100 + i, dt.datetime(2024, 3, 1, 0, 0, i), "click") for i in range(5)]
+    pusher = [(200, dt.datetime(2024, 3, 10, 13, 0, 0), "click")]
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def run_once() -> None:
+        # Append-mode windowed agg to a parquet sink (checkpoint-recoverable):
+        # a window emits only once the watermark passes its end.
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: fresh events → watermark advances to 12:00:59 − 10 min
+    spark.createDataFrame(fresh, schema).write.mode("overwrite").parquet(src)
+    run_once()
+    # batch 2: stale events, 9 days behind the watermark → dropped from state
+    spark.createDataFrame(late, schema).write.mode("append").parquet(src)
+    run_once()
+    # batch 3: one event an hour later → watermark passes the fresh window's
+    # end, finalizing it. If the stale rows had leaked into state, their
+    # (long-finalized) windows would emit here too.
+    spark.createDataFrame(pusher, schema).write.mode("append").parquet(src)
+    run_once()
+
+    total_counted = spark.read.parquet(out).agg(F.sum("n")).first()[0] or 0
+    return int(total_counted), len(late)
+
+
 def run_session_stream(
     spark: SparkSession, source_dir: str, checkpoint_dir: str, query_name: str
 ) -> DataFrame:
