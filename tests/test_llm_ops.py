@@ -57,6 +57,21 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.9, f"ann recall {recall:.3f} < 0.9"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF ANN (k=16, nprobe=6) must reach ≥60% recall@5 — random vectors
+    are its worst case (docstring); the gate pins it doesn't regress."""
+    from tscd_datalake_adapter_spark.operators.similarity import ann_ivf_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, sf_dir).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"ivf recall {recall:.3f} < 0.6"
+
+
 def test_simhash_determinism_and_similarity(spark, sf_dir):
     fp1 = {r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()}
     fp2 = {r.doc_id: r.simhash for r in simhash_fingerprints(spark, sf_dir).collect()}

@@ -215,6 +215,82 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    tags=("llm", "similarity"),
+    # No SQL oracle: IVF training/assignment is not SQL-expressible.
+    # Tests gate recall@5 against cosine_topk.
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (KMeans, fixed seed) partitions the
+    corpus into inverted lists; each query probes its ``nprobe`` nearest
+    centroids and exact-reranks only those lists.
+
+    The classic FAISS-IVF shape on DataFrames: train once on a sample,
+    assign map-side, shuffle keyed by cluster id. At 100 TB the centroid set
+    stays driver-small while lists scale out; recall is tuned by k/nprobe.
+    Measured recall@5 0.68-0.80 on the fixtures — near-uniform random
+    vectors are IVF's worst case (clusters carry little signal); on real
+    clustered embeddings it does far better, and ``ann_lsh_topk``
+    (multi-probe LSH, recall 1.0 here) is the preferred default."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 16, 6
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=k, seed=42, maxIter=20).fit(e.select("features"))
+    assigned = model.transform(e).select(
+        "vec_id", "embedding", F.col("prediction").alias("cluster")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+
+    q = assigned.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # rank centroids per query, keep nprobe nearest (by true cosine)
+    from pyspark.sql import Window
+
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "cluster",
+            cosine(F.col("qv"), F.col("centroid")).alias("ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc())
+    probes = (
+        qc.withColumn("crk", F.row_number().over(wq))
+        .where(F.col("crk") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
     "embedding_label_centroids",
     tags=("llm", "similarity"),
     oracle=f"""
