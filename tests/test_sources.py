@@ -1,0 +1,71 @@
+"""Source/sink unit coverage: readers, feature gates, clustered writes."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.sources import (
+    load_table,
+    read_csv,
+    read_json,
+    read_text,
+    write_partitioned,
+    write_table,
+)
+
+
+def test_read_text_modes(spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("line1\nline2\n")
+    assert read_text(spark, str(p)).count() == 2
+    assert read_text(spark, str(p), wholetext=True).count() == 1
+
+
+def test_csv_json_readers(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "c"))
+    df.write.mode("overwrite").json(str(tmp_path / "j"))
+    assert read_csv(spark, str(tmp_path / "c"), schema="id long, v string").count() == 2
+    assert read_json(spark, str(tmp_path / "j"), schema="id long, v string").count() == 2
+
+
+def test_lakehouse_formats_gated(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id long")
+    for fmt in ("delta", "iceberg"):
+        with pytest.raises(NotImplementedError):
+            write_table(df, str(tmp_path / fmt), fmt=fmt)
+
+
+def test_clustered_write_narrows_file_ranges(spark, sf_dir, tmp_path):
+    """cluster_by must make each file cover a narrow, mostly-disjoint value
+    range (the min/max data-skipping property)."""
+    o = load_table(spark, sf_dir, "orders").repartition(8)  # scrambled input
+    path = str(tmp_path / "clustered")
+    write_partitioned(
+        o,
+        path,
+        partition_by=(),
+        mode="overwrite",
+        cluster_by=("o_orderdate",),
+        n_files=4,
+    )
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderdate"), F.max("o_orderdate"))
+            .first()
+        )
+        if r[0] is not None:
+            ranges.append((r[0], r[1]))
+    ranges.sort()
+    # consecutive files must not overlap beyond range boundaries
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
+    )
+    assert overlaps == 0, f"file ranges overlap: {ranges}"

@@ -284,6 +284,38 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_near_dup",
+    tags=("llm", "dedup"),
+    # No SQL oracle (xxhash64-based); sanity-tested against token Jaccard.
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance ≤ 12 between 64-bit
+    fingerprints over a bounded slice. Banding on the high 16 bits prunes the
+    n² comparison (same-band requirement ≈ LSH on the fingerprint), then
+    ``bit_count(xor)`` computes the exact distance on candidates only."""
+    fps = simhash_fingerprints(spark, sf_dir).where(F.col("doc_id") < 200)
+    banded = fps.withColumn("band", F.expr("shiftright(simhash, 48)"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band",
+    )
+    return (
+        a.join(b, ["band"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        .where(F.col("hamming") <= 12)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
     "ngram_jaccard_near_dup",
     tags=("llm", "dedup"),
     oracle="""

@@ -148,6 +148,67 @@ def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multiset_ops",
+    tags=("set",),
+    oracle="""
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N'
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N'
+        INTERSECT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    ORDER BY op
+    """,
+)
+def multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (exceptAll / intersectAll): duplicate-preserving
+    semantics, the bag algebra the distinct variants can't express."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.where(F.col("l_returnflag") == "N").select("l_suppkey")
+    r = li.where(F.col("l_returnflag") == "R").select("l_suppkey")
+    ex = n.exceptAll(r).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    inter = n.intersectAll(r).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    return ex.unionByName(inter).orderBy("op")
+
+
+@register(
+    "quality_histogram",
+    tags=("agg", "llm"),
+    oracle=f"""
+    WITH scored AS (
+        SELECT round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0), 6)
+                   AS len_score
+        FROM documents
+    )
+    SELECT CAST(floor(len_score * 10) AS BIGINT) AS bucket,
+           count(*) AS n_docs
+    FROM scored GROUP BY 1 ORDER BY bucket
+    """,
+)
+def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram by fixed-width bucketing (floor(score·10)) — the
+    aggregation shape of corpus-quality dashboards."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    score = F.round(F.least(F.size(toks).cast("double") / 50.0, F.lit(1.0)), 6)
+    return (
+        d.select(F.floor(score * 10).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+@register(
     "pivot_status_by_segment",
     tags=("agg",),
     oracle="""
