@@ -148,6 +148,40 @@ def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_order_per_customer",
+    tags=("agg",),
+    oracle="""
+    SELECT o_custkey,
+           CAST(max_by(o_orderkey, epoch(o_orderdate) * 10000000 + o_orderkey)
+                AS BIGINT) AS latest_orderkey,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS latest_orderdate,
+           count(*) AS n_orders
+    FROM orders WHERE o_custkey < 200
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation (max_by): the latest order per customer without a
+    window — one aggregate pass instead of sort+row_number. The ordering key
+    folds the orderkey in as a tiebreak so the argmax is unique."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    sort_key = F.expr(
+        "unix_timestamp(o_orderdate) * 10000000 + o_orderkey"
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", sort_key).cast("long").alias("latest_orderkey"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "latest_orderdate"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
     "multiset_ops",
     tags=("set",),
     oracle="""
