@@ -284,6 +284,109 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.9
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+        UNION SELECT doc_id, doc_id FROM sizes
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id,
+           src = min(dst) AS is_canonical
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate graph: transitive
+    closure of Jaccard≥0.9 pairs, each doc labeled with its component's
+    minimum doc_id (the canonical keeper). The step a real dedup pipeline
+    needs after pair generation — near-duplication is not transitive, so
+    keeping one doc per *component* (not per pair) is what removes every
+    duplicate exactly once.
+
+    Spark side: iterative min-label propagation — each round, every node
+    takes the min of its own and its neighbors' labels; O(component
+    diameter) rounds, each one shuffle keyed on the node id. The oracle is
+    DuckDB's recursive CTE over the same edge set, so the iterative
+    algorithm is hash-verified against a declarative fixpoint."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    tokens = distinct_tokens(docs)
+    pairs = (
+        exact_jaccard_pairs(tokens)
+        .where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("src"), F.col("doc_id").alias("label")
+    )
+    # Min-label propagation to fixpoint (diameter-bounded; cache each
+    # iteration to keep lineage flat). Components here are tiny; the cap is
+    # a safety net, with a convergence check every round.
+    for _ in range(15):
+        neighbor_min = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.src"))
+            .groupBy(F.col("e.src").alias("node"))
+            .agg(F.min("l.label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.src == neighbor_min.node, "left"
+            )
+            .select(
+                "src",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        (F.col("src") == F.col("label")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+@register(
     "simhash_near_dup",
     tags=("llm", "dedup"),
     # No SQL oracle (xxhash64-based); sanity-tested against token Jaccard.
