@@ -119,6 +119,16 @@ def test_approx_count_distinct_bounds(spark, sf_dir):
         )
 
 
+def test_retention_expire(lake, book_dir):
+    paths = sorted(str(p) for p in book_dir.iterdir())
+    lake.ingest_files(paths, TS)   # 20260813
+    lake.ingest_files(paths, TS2)  # 20260814
+    assert lake.expire("20260814") == 1  # drops only the 0813 partition
+    assert lake.read().select("ingest_date").distinct().collect()[0][0] == "20260814"
+    assert lake.list_books() == [11, 22, 33]  # newer copies survive
+    assert lake.expire("20260813") == 0  # nothing older left
+
+
 def test_merge_upsert(lake, book_dir, spark):
     lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS)
     lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS2)

@@ -369,6 +369,25 @@ class LakeAdapter:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return n
 
+    def expire(self, before_date: str) -> int:
+        """Retention: drop whole partitions with ``ingest_date`` strictly
+        before ``before_date`` (``yyyyMMdd``). Partition-level deletes are
+        the only safe physical delete on a plain-parquet lake — no file
+        rewrite, no reader disruption for retained partitions. Returns the
+        number of partitions removed."""
+        import shutil
+
+        if self._empty():
+            return 0
+        removed = 0
+        for entry in sorted(os.listdir(self.lake_root)):
+            if not entry.startswith("ingest_date="):
+                continue
+            if entry.split("=", 1)[1] < before_date:
+                shutil.rmtree(os.path.join(self.lake_root, entry))
+                removed += 1
+        return removed
+
     # -- convenience for tests ----------------------------------------------
 
     def ingest_files(self, paths: Iterable[str], ts: dt.datetime) -> list[dict]:

@@ -148,6 +148,67 @@ def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_audit",
+    tags=("agg", "io"),
+    oracle="""
+    SELECT 'lineitem_orphan_orders' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_customers',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_null_keys',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IS NULL OR l_partkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_bad_discount',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertion suite over the lake tables: referential
+    integrity (anti-joins), null keys, domain violations — the audit every
+    ingest pipeline runs before publishing a partition. Each check is a
+    count the optimizer collapses to a semi/anti join or a pushed filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    rows = [
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("lineitem_orphan_orders").alias("check_name"), "n_violations"),
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("orders_orphan_customers").alias("check_name"), "n_violations"),
+        li.where(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull())
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("lineitem_null_keys").alias("check_name"), "n_violations"),
+        li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("lineitem_bad_discount").alias("check_name"), "n_violations"),
+        o.where(~F.col("o_orderstatus").isin("F", "O", "P"))
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("orders_bad_status").alias("check_name"), "n_violations"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("check_name")
+
+
+@register(
     "latest_order_per_customer",
     tags=("agg",),
     oracle="""
