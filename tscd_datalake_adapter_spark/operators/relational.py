@@ -358,10 +358,14 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left outer join + two-level aggregation."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("order_count"))
+    # Pre-aggregate orders before the join: the join then carries one row
+    # per customer instead of one per order — at 100 TB this turns a
+    # fact-sized shuffle into a dimension-sized one.
+    counts = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("cnt")
+    )
+    per_cust = c.join(counts, "c_custkey", "left").select(
+        F.coalesce("cnt", F.lit(0)).alias("order_count")
     )
     return (
         per_cust.groupBy("order_count")
@@ -548,15 +552,17 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+    # Aggregate lineitem to one row per order *before* joining (the final
+    # grouping key is order-level, so the partial sum commutes with the
+    # join): the join input shrinks from line-items to orders.
+    li_per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
         )
+    )
+    return (
+        li_per_order.join(o, "o_orderkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "o_orderkey",
             "revenue",
@@ -621,16 +627,23 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    # Two-level exact aggregation: per-order decimal sums first (map-side
+    # combine shrinks the shuffle ~4x), then the customer-level rollup.
+    # Decimal sums are exactly associative, so the result is bit-identical
+    # to the single-level form the oracle computes.
+    li_per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("rev_dec")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_per_order.join(o, "o_orderkey")
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
+        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
