@@ -202,6 +202,51 @@ def grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_chunk_documents",
+    tags=("udf", "llm"),
+    oracle="""
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM (
+        SELECT doc_id,
+               CAST(floor((pos - 1) / 10) AS BIGINT) AS chunk_idx,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+               count(*) AS n_tokens
+        FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 20
+        )
+        GROUP BY doc_id, floor((pos - 1) / 10)
+    ) ORDER BY doc_id, chunk_idx
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark ≥ 3.5 table function): chunk each document into
+    10-token windows — the canonical LLM-context chunking step — emitting
+    (chunk_idx, chunk_text, n_tokens) rows per input document. The oracle
+    reproduces the chunking algebraically with positional grouping."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_text string, n_tokens bigint")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):  # noqa: D401
+            toks = [t for t in (text or "").split(" ")]
+            for i in range(0, len(toks), size):
+                chunk = toks[i : i + size]
+                yield i // size, " ".join(chunk), len(chunk)
+
+    ChunkDoc_registered = ChunkDoc  # local-scope table function
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return (
+        d.lateralJoin(
+            ChunkDoc_registered(F.col("text").outer(), lit(10))
+        )
+        .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
     "posexplode_tokens",
     tags=("udf",),
     oracle="""
