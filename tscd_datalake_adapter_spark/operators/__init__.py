@@ -45,6 +45,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run."""
     from tscd_datalake_adapter_spark.operators import (  # noqa: F401
+        asof,
         dedup,
         multimodal,
         pipeline,
