@@ -189,6 +189,69 @@ def stream_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hypertable_rollup",
+    tags=("streaming", "agg"),
+    oracle=f"""
+    WITH buckets AS (
+        SELECT event_type, value,
+               strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_b,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_b,
+               strftime(TIMESTAMP '1970-01-01'
+                   + to_seconds(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)),
+                   '%Y-%m-%d %H:%M:%S') AS min10_b
+        FROM events
+    )
+    SELECT CASE WHEN min10_b IS NOT NULL THEN '10min'
+                WHEN hour_b IS NOT NULL THEN 'hour'
+                ELSE 'day' END AS granularity,
+           coalesce(min10_b, hour_b, day_b) AS bucket,
+           event_type,
+           count(*) AS n,
+           {oracle_dec_sum('value')} AS total_value
+    FROM buckets
+    GROUP BY GROUPING SETS ((day_b, event_type), (hour_b, event_type),
+                            (min10_b, event_type))
+    ORDER BY granularity, bucket, event_type
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (the TimescaleDB
+    continuous-aggregate shape, SURVEY.md §4.2 custom-operator tier): one
+    pass over events producing 10-minute, hourly, and daily aggregates via
+    GROUPING SETS — Spark expands each row into the three grouping branches
+    map-side, so the shuffle carries pre-combined partials per (bucket,
+    type), not three scans."""
+    from tscd_datalake_adapter_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH buckets AS (
+            SELECT event_type, value,
+                   date_format(date_trunc('day', ts), 'yyyy-MM-dd HH:mm:ss')
+                       AS day_b,
+                   date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')
+                       AS hour_b,
+                   date_format(window(ts, '10 minutes').start,
+                               'yyyy-MM-dd HH:mm:ss') AS min10_b
+            FROM events
+        )
+        SELECT CASE WHEN min10_b IS NOT NULL THEN '10min'
+                    WHEN hour_b IS NOT NULL THEN 'hour'
+                    ELSE 'day' END AS granularity,
+               coalesce(min10_b, hour_b, day_b) AS bucket,
+               event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM buckets
+        GROUP BY GROUPING SETS ((day_b, event_type), (hour_b, event_type),
+                                (min10_b, event_type))
+        ORDER BY granularity, bucket, event_type
+        """
+    )
+
+
+@register(
     "event_funnel",
     tags=("streaming", "agg"),
     oracle="""
