@@ -39,6 +39,42 @@ def test_lakehouse_formats_gated(spark, tmp_path):
             write_table(df, str(tmp_path / fmt), fmt=fmt)
 
 
+def test_json_quarantine(spark, tmp_path):
+    from tscd_datalake_adapter_spark.sources.tables import read_json_with_quarantine
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "not-a-number", "v": 3}\n'
+    )
+    df = read_json_with_quarantine(spark, str(p), "id long, v string")
+    rows = df.collect()
+    assert len(rows) == 4  # nothing dropped
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 2}
+    assert len(bad) == 2  # malformed line + type-violating line quarantined
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    from tscd_datalake_adapter_spark.sources.tables import read_lake_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+    df = read_lake_evolved(spark, path)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None  # pre-evolution file reads NULL
+    assert rows[2].score == 9.5
+
+
 def test_clustered_write_narrows_file_ranges(spark, sf_dir, tmp_path):
     """cluster_by must make each file cover a narrow, mostly-disjoint value
     range (the min/max data-skipping property)."""

@@ -85,6 +85,31 @@ def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFr
     return spark.read.text(path, wholetext=wholetext)
 
 
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """JSON reader with corrupt-record quarantine (PERMISSIVE +
+    ``_corrupt_record``): malformed lines land in the quarantine column
+    instead of failing the job or being silently dropped — at 100 TB a few
+    bad records must never kill an ingest, and must stay auditable.
+    Filter ``_corrupt_record IS NOT NULL`` to route them to a dead-letter
+    sink."""
+    full_schema = f"{schema}, _corrupt_record string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_lake_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: ``mergeSchema`` unions the schemas of every
+    file footer, so files written before a column existed read as NULL for
+    it — additive lake evolution without rewrites."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 _LAKEHOUSE_FORMATS = {"delta", "iceberg"}
 
 
