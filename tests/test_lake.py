@@ -107,6 +107,16 @@ def test_compaction(lake, book_dir, spark):
     assert lake.list_books() == [11, 22, 33]
 
 
+def test_approx_percentile_bounds(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.relational_extra import (
+        approx_percentiles_by_status,
+    )
+
+    for r in approx_percentiles_by_status(spark, sf_dir).collect():
+        assert abs(r.approx_median - r.exact_median) <= 0.02 * abs(r.exact_median)
+        assert abs(r.approx_p90 - r.exact_p90) <= 0.02 * abs(r.exact_p90)
+
+
 def test_approx_count_distinct_bounds(spark, sf_dir):
     from tscd_datalake_adapter_spark.operators.relational_extra import (
         approx_count_distinct_custkeys,

@@ -373,6 +373,33 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentiles_by_status",
+    tags=("agg",),
+    # Weak oracle by design: approx_percentile is a sketch (excluded from
+    # hash-matching); unit test bounds it against the exact percentiles.
+)
+def approx_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): the mergeable fixed-size
+    state that replaces exact sorts at 100 TB. Output pairs the sketch
+    estimate with the exact value so drift is observable."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias(
+                "approx_median"
+            ),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias(
+                "approx_p90"
+            ),
+            F.expr("percentile(o_totalprice, 0.9)").alias("exact_p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "embedding_cosine_near_dup",
     tags=("llm", "dedup", "similarity"),
     oracle="""

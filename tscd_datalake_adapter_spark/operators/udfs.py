@@ -191,8 +191,9 @@ def _exact_sum_agg(v: pd.Series) -> float:
     """,
 )
 def grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-aggregate pandas UDF: exact (fsum) per-group sum, matching the
-    decimal-sum oracle bit-for-bit."""
+    """Grouped-aggregate pandas UDF: per-group sum with Python-side
+    decimal(38,6) replica semantics, matching the decimal-sum oracle
+    bit-for-bit."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
