@@ -64,7 +64,7 @@ def _to_rows(pdf):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("-k", default="", help="substring filter on query names")
+    ap.add_argument("-k", default="", help="comma-separated substring filters on query names")
     ap.add_argument("--skip-entry", action="store_true")
     args = ap.parse_args()
 
@@ -93,7 +93,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failed, passed, weak = [], [], []
     for name, fn in queries.items():
-        if args.k and args.k not in name:
+        if args.k and not any(part in name for part in args.k.split(",")):
             continue
         t0 = time.time()
         try:

@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         subqueries,
         text,
+        tpch_more,
         udfs,
     )
     from tscd_datalake_adapter_spark.operators import io as io_ops  # noqa: F401
