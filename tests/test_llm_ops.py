@@ -93,34 +93,9 @@ def test_simhash_determinism_and_similarity(spark, sf_dir):
 
 
 def _simhash_of(df):
-    from pyspark.sql import functions as F
+    from tscd_datalake_adapter_spark.operators.dedup import simhash_of
 
-    tok_counts = (
-        df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .where(F.col("tok") != "")
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
-    bits = tok_counts.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("shiftright(h, cast(bit as int)) & 1") == 1, F.col("cnt"))
-        .otherwise(-F.col("cnt")),
-    )
-    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    return simhash_of(df)
 
 
 def test_doc_fingerprints_deterministic(spark, sf_dir):

@@ -79,3 +79,29 @@ def r6(col: Column) -> Column:
 
 def r2(col: Column) -> Column:
     return F.round(col, 2)
+
+
+def h60(col: Column | str) -> Column:
+    """Cross-engine deterministic 60-bit hash: first 15 hex chars of md5 as a
+    non-negative BIGINT. Chosen because BOTH Spark and DuckDB compute the
+    identical value (Spark: ``conv(substring(md5(x),1,15),16,10)``; DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``), which makes hash-derived
+    operators (MinHash, SimHash, winnowing fingerprints) fully
+    oracle-checkable instead of weak. 15 hex digits < 2^60 always fits a
+    signed 64-bit int.
+
+    Scale note: md5 is ~3-4x slower than xxhash64 per call but both are
+    JVM-side and codegen'd; for a production 100 TB run where cross-engine
+    verification is not needed, swap ``F.xxhash64`` in at the call site —
+    every consumer treats the hash as an opaque bigint.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+H60_SQLEXPR = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+"""Spark-SQL-string form of :func:`h60` for use inside ``F.expr`` lambdas."""
+
+
+def oracle_h60(expr: str) -> str:
+    """DuckDB twin of :func:`h60` (bit-identical)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"

@@ -10,9 +10,10 @@ Five tiers, each a first-class query:
   key and hot tokens can be salted or stop-worded.
 - ``minhash_lsh_near_dup`` — MinHash banding (shingle→minhash→band→
   bucket-join→exact verify). Probabilistic candidate generation, exact final
-  Jaccard; validated against the exact twin in tests (recall gate), no SQL
-  oracle (xxhash64 is Spark-specific).
-- ``simhash_fingerprints`` — 64-bit SimHash per document (weak oracle).
+  Jaccard; recall-gated in tests AND fully oracle-checked (the permutation
+  hash is the cross-engine md5-derived ``functions.h60``, so DuckDB
+  replicates signatures, band buckets, and candidates bit-exactly).
+- ``simhash_fingerprints`` — 60-bit SimHash per document (oracle-exact).
 - ``ngram_jaccard_near_dup`` — character-3-gram Jaccard, exact,
   oracle-checked.
 
@@ -25,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tscd_datalake_adapter_spark.functions import h60, oracle_h60
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -167,17 +169,56 @@ def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_near_dup",
     tags=("llm", "dedup"),
-    # No SQL oracle: minhash uses Spark's xxhash64. Tests validate recall
-    # against the exact-Jaccard twin (SURVEY.md §7: "MinHash validated by
-    # recall >= target at fixture scale").
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    seeds AS (SELECT unnest(range(0, 64)) AS seed),
+    mh AS (
+        SELECT doc_id, seed,
+               min({oracle_h60("tok || ':' || seed")}) AS mh
+        FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.9
+    ORDER BY c.doc_a, c.doc_b
+    """,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, exact-verified.
 
     Pipeline (each stage a DataFrame op, fully distributed):
-    token explode → 64 permutation hashes (xxhash64(tok, seed)) → per-doc
+    token explode → 64 permutation hashes (h60(tok:seed)) → per-doc
     minhash signature → 16 bands × 4 rows → band-signature bucket join →
     candidate pairs → exact Jaccard verify ≥ 0.9.
+
+    The permutation hash is the cross-engine :func:`h60` (md5-derived), so
+    the ENTIRE probabilistic pipeline — signatures, band buckets, candidate
+    set — is replicated bit-exactly by the DuckDB oracle, not just the final
+    verified output (recall is additionally gated in tests).
 
     At 100 TB the band join is the only shuffle that grows with corpus size,
     and its key (band_id, band_signature) is uniform by construction — no
@@ -188,17 +229,17 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_hashes, rows_per_band = 64, 4
     seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
-    # minhash_{seed}(doc) = min over tokens of xxhash64(tok, seed)
+    # minhash_{seed}(doc) = min over tokens of h60(tok ':' seed)
     mh = (
         tokens.crossJoin(F.broadcast(seeds))
         .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64("tok", "seed")).alias("mh"))
+        .agg(F.min(h60(F.concat_ws(":", "tok", "seed"))).alias("mh"))
     )
     bands = (
         mh.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
         .groupBy("doc_id", "band")
         .agg(
-            F.sha2(
+            F.md5(
                 F.concat_ws(
                     ",",
                     F.transform(
@@ -207,8 +248,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                         lambda s: s.getField("mh").cast("string"),
                     ),
-                ),
-                256,
+                )
             ).alias("sig")
         )
     )
@@ -239,28 +279,56 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_fingerprints",
     tags=("llm", "dedup"),
-    # No SQL oracle (xxhash64-based); determinism pinned by unit test.
+    oracle=f"""
+    WITH tokc AS (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    hashed AS (
+        SELECT doc_id, cnt, {oracle_h60("tok")} AS h FROM tokc
+    ),
+    bits AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document from token-frequency-weighted xxhash64
-    bits: bit_i(doc) = sign(Σ_tok cnt(tok) · (±1 if bit_i(hash(tok)))).
+    """60-bit SimHash per document from token-frequency-weighted hash bits:
+    bit_i(doc) = sign(Σ_tok cnt(tok) · (±1 if bit_i(hash(tok)))).
 
-    Wholly expression-based (no UDF): tokens × 64 bit positions explode, a
-    single groupBy(doc_id, bit) and a bit-assembly aggregate.
+    Uses the cross-engine :func:`h60` (60 usable bits), so fingerprints are
+    bit-identical in the DuckDB oracle. Wholly expression-based (no UDF):
+    tokens × 60 bit positions explode, a single groupBy(doc_id, bit) and a
+    bit-assembly aggregate.
     """
-    docs = _docs(spark, sf_dir)
+    return simhash_of(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def simhash_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) for any DataFrame with doc_id + text columns —
+    the shared pipeline behind ``simhash_fingerprints`` (also used directly
+    by tests on synthetic documents)."""
     tok_counts = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", h60("tok"))
     )
     bits = tok_counts.select(
         "doc_id",
         "cnt",
         "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
     ).withColumn(
         "contrib",
         F.when(
@@ -269,17 +337,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(-F.col("cnt")),
     )
     per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-        .orderBy("doc_id")
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
     )
 
 
@@ -389,15 +453,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_near_dup",
     tags=("llm", "dedup"),
-    # No SQL oracle (xxhash64-based); sanity-tested against token Jaccard.
+    oracle=f"""
+    WITH tokc AS (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 200)
+        WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    hashed AS (
+        SELECT doc_id, cnt, {oracle_h60("tok")} AS h FROM tokc
+    ),
+    bits AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
+        GROUP BY doc_id, bit
+    ),
+    fps AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    banded AS (SELECT doc_id, simhash, simhash >> 44 AS band FROM fps)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    ORDER BY doc_a, doc_b
+    """,
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: Hamming distance ≤ 12 between 64-bit
+    """SimHash near-duplicate pairs: Hamming distance ≤ 12 between 60-bit
     fingerprints over a bounded slice. Banding on the high 16 bits prunes the
     n² comparison (same-band requirement ≈ LSH on the fingerprint), then
-    ``bit_count(xor)`` computes the exact distance on candidates only."""
+    ``bit_count(xor)`` computes the exact distance on candidates only.
+    Fully oracle-checked: the h60 fingerprints are engine-identical."""
     fps = simhash_fingerprints(spark, sf_dir).where(F.col("doc_id") < 200)
-    banded = fps.withColumn("band", F.expr("shiftright(simhash, 48)"))
+    banded = fps.withColumn("band", F.expr("shiftright(simhash, 44)"))
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),

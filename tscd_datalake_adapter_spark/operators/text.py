@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tscd_datalake_adapter_spark.functions import H60_SQLEXPR, oracle_h60
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -325,19 +326,46 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprints",
     tags=("llm", "text"),
-    # No SQL oracle: winnowing uses xxhash64. Determinism pinned in tests.
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                   i -> {oracle_h60(
+                       "array_to_string("
+                       "list_slice(string_split(text, ' '), i, i + 4), ' ')"
+                   )}) AS hs
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 3, 1) + 1),
+                   i -> list_min(list_slice(hs, i, i + 3)))) AS fps
+        FROM sh
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+           min(fp) AS min_fp, max(fp) AS max_fp
+    FROM (SELECT doc_id, unnest(fps) AS fp FROM wins)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 shape):
     5-gram rolling window of token hashes, minimum per window of 4, distinct
     mins = the document's fingerprint set. Expression-only implementation:
-    sequence → transform → explode → groupBy."""
+    sequence → transform → explode → groupBy. The shingle hash is the
+    cross-engine ``functions.h60``, so the full fingerprint set is
+    oracle-checked bit-exactly (not just determinism-tested)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    # hash each 5-token shingle: xxhash64 of the joined shingle
+    # hash each 5-token shingle: h60 of the joined shingle
+    shingle_h = H60_SQLEXPR.format(
+        x="concat_ws(' ', slice(split(text, ' '), i, 5))"
+    )
     shingles = F.expr(
         "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)), "
-        "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 5))))"
+        f"i -> {shingle_h})"
     )
     windows = F.expr(
         "transform(sequence(1, greatest(size(shingle_hashes) - 3, 1)), "
