@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational_extra,
         scalars,
+        sampling,
         similarity,
         subqueries,
         text,

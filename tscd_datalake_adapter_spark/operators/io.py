@@ -137,3 +137,31 @@ def lake_ingest_list_books(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lake.read().select("book_id").distinct().orderBy("book_id")
     )
+
+
+@register(
+    "orc_roundtrip_agg",
+    tags=("io",),
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+           {oracle_dec_sum('l_extendedprice')} AS total
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → re-read → aggregate. ORC is the third columnar
+    format of the adapter surface (after parquet and the text formats);
+    doubles and timestamps round-trip losslessly, which the oracle checks
+    from the ORIGINAL parquet — so this hashes the whole write/read cycle,
+    not just the aggregate."""
+    path = _tmp("orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), dec_sum("l_extendedprice").alias("total"))
+        .orderBy("l_returnflag")
+    )

@@ -976,3 +976,78 @@ def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.subtract(op).orderBy("o_custkey")
+
+
+@register(
+    "range_join_binned",
+    tags=("join",),
+    oracle=f"""
+    WITH win AS (
+        SELECT i AS window_id,
+               TIMESTAMP '2024-01-01 00:00:00' + to_hours(73 * i) AS ws,
+               TIMESTAMP '2024-01-01 00:00:00' + to_hours(73 * i + 8) AS we
+        FROM (SELECT unnest(range(0, 10)) AS i)
+    )
+    SELECT w.window_id, count(*) AS n_events,
+           {oracle_dec_sum('e.value')} AS total_value
+    FROM win w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY w.window_id ORDER BY w.window_id
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-point range join via bucketing — the scale path for the
+    join Spark would otherwise plan as BroadcastNestedLoopJoin.
+
+    Ten 8-hour maintenance windows (one per 73 h, deterministic) join
+    against event timestamps. Naively ``e.ts >= ws AND e.ts < we`` is a
+    pure-inequality join: O(|windows|·|events|) comparisons and, with a
+    large build side, a nested loop. The binned rewrite quantizes time into
+    8-hour buckets (bucket width >= max window length, so a window overlaps
+    at most 2 buckets): each window explodes to its covered buckets, events
+    map to exactly one bucket, and the join becomes an EQUI join on bucket
+    with the range predicate as a residual filter. At 100 TB that is one
+    hash shuffle (or broadcast of the tiny exploded window side) instead of
+    a quadratic loop — the same technique behind Databricks' range-join
+    bin hints.
+
+    Generalizes the reference's time-partitioned key layout
+    (``S3DatalakeStorage.java:145-150``) into time-range query capability
+    it never had.
+    """
+    bucket_s = 8 * 3600
+    win = (
+        spark.range(10)
+        .select(
+            F.col("id").alias("window_id"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, cast(73 * id as int), 0, 0)"
+            ).alias("ws"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, cast(73 * id + 8 as int), 0, 0)"
+            ).alias("we"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp("ws") / bucket_s).cast("long"),
+                    (F.unix_timestamp("we") / bucket_s).cast("long"),
+                )
+            ),
+        )
+    )
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.unix_timestamp("ts") / bucket_s).cast("long")
+    )
+    return (
+        e.join(F.broadcast(win), "bucket")
+        .where((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
+        .groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+        .orderBy("window_id")
+    )

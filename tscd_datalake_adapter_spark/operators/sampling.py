@@ -1,0 +1,141 @@
+"""Deterministic sampling & split operators (north-star LLM-pipeline block).
+
+At 100 TB, ``df.sample(fraction, seed)`` is the WRONG tool for pipeline
+sampling: its output depends on partitioning (a repartition or AQE re-plan
+changes which rows are picked), so reruns are not reproducible and no other
+engine can verify the result. The production-correct pattern — used by every
+large training-data pipeline — is **content-hash sampling**: a row is in the
+sample iff ``hash(stable_key) % N < k``. That is partition-invariant,
+rerun-stable, engine-portable (the oracle replicates it bit-exactly via
+``functions.h60``), and embarrassingly parallel with zero shuffle: the
+sampling predicate is evaluated map-side and pushed into the scan pipeline.
+
+The reference has no sampling surface at all (SURVEY.md §2.1 absence list);
+these generalize its hash-free key-suffix filtering
+(``S3DatalakeStorage.java:67,103``) into principled hash predicates.
+
+Three tiers:
+- ``deterministic_sample`` — Bernoulli p=10% over orders by key hash.
+- ``stratified_sample_counts`` — per-stratum rates (the ``sampleBy``
+  shape, but deterministic): rebalancing class mixes in training data.
+- ``train_test_split_counts`` — the canonical hash-mod train/holdout
+  split over documents, leakage-free by construction (a document's split
+  follows it everywhere, independent of corpus growth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.functions import (
+    dec_sum,
+    h60,
+    oracle_dec_sum,
+    oracle_h60,
+)
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+
+@register(
+    "deterministic_sample",
+    tags=("sampling", "llm"),
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM orders
+    WHERE {oracle_h60("o_orderkey::VARCHAR")} % 100 < 10
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% Bernoulli sample of orders by key-hash predicate, aggregated.
+
+    ``h60(o_orderkey) % 100 < 10`` — no shuffle, no RNG state, identical
+    row set on every rerun and on every engine. Compare ``df.sample``:
+    partition-order-dependent and unverifiable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(h60(F.col("o_orderkey").cast("string")) % 100 < 10)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dec_sum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    tags=("sampling", "llm"),
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n_sampled,
+           {oracle_dec_sum('l_quantity')} AS qty
+    FROM lineitem
+    WHERE {oracle_h60("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")}
+          % 100 <
+          CASE l_returnflag WHEN 'A' THEN 5 WHEN 'N' THEN 10 ELSE 20 END
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-class rates (A 5%, N 10%,
+    R 20%) via one hash predicate — the ``sampleBy`` shape without its
+    partition-dependence. Rebalancing skewed class mixes this way costs one
+    map-side filter; the per-stratum rate table would be a broadcast join at
+    scale (here an inline CASE).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rate = (
+        F.when(F.col("l_returnflag") == "A", 5)
+        .when(F.col("l_returnflag") == "N", 10)
+        .otherwise(20)
+    )
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        li.where(h60(key) % 100 < rate)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            dec_sum("l_quantity").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "train_test_split_counts",
+    tags=("sampling", "llm"),
+    oracle=f"""
+    SELECT CASE WHEN {oracle_h60("doc_id::VARCHAR")} % 10 = 0
+                THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1 ORDER BY split
+    """,
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical hash-mod train/holdout split (10% test) over documents.
+
+    The split is a pure function of doc_id, so it is stable under corpus
+    growth, shards, reorders, and engine changes — the property that makes
+    it leakage-free for LLM training pipelines (a near-dup cluster can then
+    be forced into one side by hashing the cluster representative instead).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        h60(F.col("doc_id").cast("string")) % 10 == 0, "test"
+    ).otherwise("train")
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
