@@ -113,3 +113,17 @@ def test_session_stream_runs(spark, source_dir, tmp_path):
     rows = res.collect()
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir, source_dir, tmp_path):
+    from tscd_datalake_adapter_spark.streaming.batch_twins import (
+        stream_stream_join,
+    )
+
+    live = jobs.run_stream_stream_join(
+        spark, source_dir, str(tmp_path / "ckpt"), "ssjoin_smoke"
+    )
+    live_rows = sorted((r.user_id, r.n_pairs) for r in live.collect())
+    batch = stream_stream_join(spark, sf_dir)
+    batch_rows = sorted((r.user_id, r.n_pairs) for r in batch.collect())
+    assert live_rows == batch_rows

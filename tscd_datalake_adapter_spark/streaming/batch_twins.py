@@ -323,3 +323,65 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+def view_purchase_pairs(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared view→purchase attribution join (batch twin AND live stream-
+    stream join use this single definition): a purchase is attributed to
+    every view by the same user in the preceding 30 minutes.
+
+    The time-bound predicate is what makes this joinable as two STREAMS:
+    it bounds how long either side's state must be retained (Spark derives
+    state eviction from watermark + constraint — see
+    ``jobs.run_stream_stream_join``). An unbounded stream-stream equi-join
+    would accumulate state forever at 100 TB/day.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+
+
+@register(
+    "stream_stream_join",
+    tags=("streaming", "join"),
+    oracle=f"""
+    SELECT v.user_id, count(*) AS n_pairs,
+           {oracle_dec_sum('p.value')} AS attributed_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts < v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id ORDER BY v.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join: per user,
+    how many view→purchase attributions (30-minute window) and their value.
+    Live form in :func:`jobs.run_stream_stream_join` (both sides
+    watermarked; the interval predicate bounds join state)."""
+    e = _events(spark, sf_dir)
+    pairs = view_purchase_pairs(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "purchase"),
+    )
+    return (
+        pairs.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dec_sum("p_value").alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -252,3 +252,43 @@ def run_session_stream(
     )
     q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_stream_join(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, query_name: str
+) -> DataFrame:
+    """Live stream-stream interval join: views ⋈ purchases, both sides read
+    as watermarked streams from the same file source.
+
+    Spark uses the watermarks plus the time-range join condition to compute
+    per-side state-retention bounds (views held 30 min past the purchase
+    watermark, purchases dropped once the view watermark passes) — without
+    them the join state grows without bound. Append mode: a joined pair is
+    emitted once it can no longer change. Aggregation happens downstream of
+    the join in the same continuous query.
+    """
+    from tscd_datalake_adapter_spark.streaming.batch_twins import (
+        view_purchase_pairs,
+    )
+
+    events = read_event_stream(spark, source_dir)
+    views = events.where(F.col("event_type") == "view").withWatermark(
+        "ts", "1 hour"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    pairs = view_purchase_pairs(views, purchases)
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT v_user AS user_id, count(*) AS n_pairs FROM {query_name} "
+        "GROUP BY v_user ORDER BY user_id"
+    )
