@@ -52,3 +52,66 @@ def test_exists_probe_pushes_key(spark, sf_dir):
 
 def test_codegen_present(spark, sf_dir):
     assert plans.codegen_stage_count(pricing_summary(spark, sf_dir)) >= 1
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout must give file-level min/max skipping on BOTH curve
+    columns; a linear sort only serves its leading column. Verified from
+    the real parquet footers, not the planner."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tscd_datalake_adapter_spark.plans.layout import zorder_write
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    n_files = 16
+    zorder_write(orders, "o_custkey", "o_totalprice", zpath, n_files=n_files)
+    # linear baseline: sorted by totalprice only
+    orders.repartitionByRange(n_files, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    ).write.mode("overwrite").parquet(lpath)
+
+    def overlapping_files(path: str, col: str, lo, hi) -> tuple[int, int]:
+        files = glob.glob(f"{path}/part-*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit, len(files)
+
+    # a narrow custkey slice (~3% of the key domain, whatever the SF)
+    kmax = orders.agg({"o_custkey": "max"}).collect()[0][0]
+    lo, hi = int(kmax * 0.30), int(kmax * 0.33)
+    z_hit, z_total = overlapping_files(zpath, "o_custkey", lo, hi)
+    l_hit, l_total = overlapping_files(lpath, "o_custkey", lo, hi)
+    assert z_total == n_files and l_total == n_files
+    # linear-by-totalprice layout cannot skip on custkey: every file matches
+    assert l_hit == l_total
+    # z-order: most files must be skippable on the non-leading dimension too
+    # theoretical best for the curve grid is ~4; allow boundary slack
+    assert z_hit <= 7, f"z-order pruned only {z_total - z_hit}/{z_total}"
+    # and the leading-sort dimension must ALSO still prune under z-order
+    pmax = orders.agg({"o_totalprice": "max"}).collect()[0][0]
+    zp_hit, _ = overlapping_files(zpath, "o_totalprice", pmax * 0.30, pmax * 0.33)
+    assert zp_hit <= 7, f"z-order price-dim pruned only {16 - zp_hit}/16"
+
+    # and the layouts are content-identical
+    a = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(lpath).collect())
+    assert a == b

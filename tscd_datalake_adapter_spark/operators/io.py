@@ -165,3 +165,38 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dec_sum("l_extendedprice").alias("total"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "zorder_clustered_read",
+    tags=("io", "layout"),
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 300
+      AND o_totalprice < 150000.0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → Z-order-clustered parquet (Morton curve on custkey ×
+    totalprice, ``plans.layout.zorder_write``) → 2-D-selective read-back →
+    aggregate. The oracle checks content fidelity of the re-layout; the
+    clustering quality itself (files skipped per dimension, measured from
+    parquet footers) is pinned in ``tests/test_plans.py``."""
+    from tscd_datalake_adapter_spark.plans.layout import zorder_write
+
+    path = _tmp("zorder")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    zorder_write(o, "o_custkey", "o_totalprice", path)
+    back = spark.read.parquet(path).where(
+        F.col("o_custkey").between(100, 300) & (F.col("o_totalprice") < 150000.0)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dec_sum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
