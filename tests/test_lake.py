@@ -190,3 +190,42 @@ def test_api_shapes(lake, book_dir):
     listing = api.list()
     assert listing["count"] == 1 and listing["books"] == [41]
     assert api.health()["status"] == "ok"
+
+
+def test_lake_write_carries_bloom_filter(spark, tmp_path):
+    """The lake's book_id bloom filter must physically land in the files:
+    writing identical data with the adapter's options must be measurably
+    larger than a plain write (the bloom bitmap; pyarrow in this env does
+    not expose bloom metadata, so size is the observable)."""
+    import glob
+    import os
+
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    df = (
+        load_table(spark, "/root/testdata/sf0.01", "orders")
+        .selectExpr("o_orderkey AS book_id")
+        .coalesce(1)
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.write.mode("overwrite").parquet(plain)
+    (
+        df.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#book_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#book_id", "100000")
+        .parquet(bloomed)
+    )
+
+    def total(path):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{path}/*.parquet")
+        )
+
+    assert total(bloomed) > total(plain) + 10_000, (
+        f"bloom={total(bloomed)} plain={total(plain)}: no bloom bitmap written"
+    )
+    # and the lookup answers stay correct through the bloomed files
+    back = spark.read.parquet(bloomed)
+    assert back.where("book_id = 1").count() == 1
+    assert back.where("book_id = -5").count() == 0

@@ -225,8 +225,18 @@ class LakeAdapter:
         return self.ingest_text(bid, raw, ts or dt.datetime.now(dt.timezone.utc))
 
     def _write(self, df: DataFrame) -> None:
+        """Append with a parquet bloom filter on ``book_id``: min/max
+        row-group stats can't prune point lookups when ids are scattered
+        across the insert order (every row group spans most of the id
+        domain), but a bloom filter answers "id definitely absent" per row
+        group regardless of layout — at 100 TB, :meth:`exists` then touches
+        footer bytes instead of data pages for the no-hit case (the
+        reference instead paid a full O(objects) key scan,
+        ``S3DatalakeStorage.java:64-86``)."""
         (
             df.write.mode("append")
+            .option("parquet.bloom.filter.enabled#book_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#book_id", "100000")
             .partitionBy("ingest_date", "ingest_hour")
             .parquet(self.lake_root)
         )

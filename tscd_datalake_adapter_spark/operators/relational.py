@@ -1051,3 +1051,36 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+@register(
+    "window_percent_rank",
+    tags=("window",),
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WHERE c_custkey <= 200
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics: percent_rank and cume_dist per market
+    segment, ordered by account balance with the key as deterministic
+    tie-break. Both are rank arithmetic over one per-partition sort — the
+    same single shuffle as row_number at any scale."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
