@@ -115,3 +115,32 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(lpath).collect())
     assert a == b
+
+
+def test_tpch_star_joins_broadcast_dimensions(spark, sf_dir):
+    """The Q7/Q8 star shapes must broadcast every dimension (no
+    SortMergeJoin fact-dim pairs, never a nested loop) and keep shuffles to
+    the aggregation tail."""
+    from tscd_datalake_adapter_spark.operators.tpch_more import (
+        market_share,
+        volume_shipping,
+    )
+
+    for fn in (volume_shipping, market_share):
+        p = plans.formatted_plan(fn(spark, sf_dir))
+        assert "BroadcastNestedLoop" not in p
+        assert "BroadcastHashJoin" in p
+        n_exchange = p.count("- Exchange")
+        assert n_exchange <= 2, f"{fn.__name__}: {n_exchange} exchanges"
+
+
+def test_waiting_suppliers_single_fact_scan(spark, sf_dir):
+    """The Q21 rewrite must scan lineitem exactly once (window aggregates,
+    not a groupBy + re-join of the same fact join)."""
+    from tscd_datalake_adapter_spark.operators.tpch_more import (
+        waiting_suppliers,
+    )
+
+    p = plans.formatted_plan(waiting_suppliers(spark, sf_dir))
+    scans = [ln for ln in p.splitlines() if "lineitem" in ln and "Location" in ln]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)} times"

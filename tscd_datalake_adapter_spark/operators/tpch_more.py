@@ -435,13 +435,16 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     date; the fixture has no receipt/commit dates).
 
     Spark-first rewrite: instead of the SQL's two correlated lineitem
-    self-joins (three fact shuffles), aggregate per order once —
-    ``n_supp = countDistinct(supplier)``, ``n_late_supp = countDistinct(
-    supplier | late)`` — and re-join. A late line qualifies iff its order has
-    ≥2 suppliers and exactly 1 late supplier (necessarily its own): this is
-    pointwise-equivalent to EXISTS(other supplier) ∧ NOT EXISTS(other late
-    supplier). Two shuffles total, and the aggregate side has order-level,
-    not line-level, cardinality.
+    self-joins (three fact shuffles and three fact scans), join the fact
+    tables ONCE and compute the per-order supplier sets as window
+    aggregates over ``l_orderkey`` — ``n_supp = size(collect_set(supp))``,
+    ``n_late_supp = size(collect_set(supp | late))`` (collect_set skips the
+    null of the when()). A late line qualifies iff its order has ≥2
+    suppliers and exactly 1 late supplier (necessarily its own): pointwise
+    equivalent to EXISTS(other supplier) ∧ NOT EXISTS(other late supplier).
+    One scan of lineitem, one fact shuffle for the join plus one window
+    shuffle on order key; the per-order set state is bounded by suppliers
+    per order (~7), safe at any scale.
     """
     o = (
         _t(spark, sf_dir, "orders")
@@ -454,16 +457,21 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     lo = li.join(o, li.l_orderkey == o.o_orderkey)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.withColumn("is_late", late).withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
     )
-    late_lines = lo.where(late)
     return (
-        late_lines.join(
-            per_order, late_lines.l_orderkey == per_order.po_orderkey
+        flagged.where(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
-        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
