@@ -141,3 +141,21 @@ def test_media_feature_plumbing(spark, sf_dir):
         assert (r.n_frames > 1) <= (r.media_type == "video")
         assert 64 <= r.width <= 255 and 64 <= r.height <= 255
         assert len(r.feature) == 8
+
+
+def test_hash_sampling_partition_invariant(spark, sf_dir):
+    """The h60 sampling predicate must pick the IDENTICAL row set no matter
+    how the input is partitioned — the property df.sample() lacks and the
+    reason content-hash sampling is the 100 TB pattern."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.functions import h60
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    pred = h60(F.col("o_orderkey").cast("string")) % 100 < 10
+    one = sorted(r.o_orderkey for r in o.coalesce(1).where(pred).collect())
+    many = sorted(
+        r.o_orderkey for r in o.repartition(13).where(pred).collect()
+    )
+    assert one == many and len(one) > 0

@@ -980,6 +980,7 @@ def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "range_join_binned",
+    headline=True,
     tags=("join",),
     oracle=f"""
     WITH win AS (

@@ -13,10 +13,10 @@ rows), generalizing its single scan→filter→project→distinct→sort pipelin
 
 Scale notes (100 TB) applied throughout: every dimension side is explicitly
 broadcast; fact-fact correlation (Q21) is rewritten from three lineitem
-self-joins into one per-order aggregate + re-join (two shuffles instead of
-three, and the aggregate output is order-cardinality, not line-cardinality);
-derived-view maxima (Q15) reduce to a 1-row broadcast instead of a global
-sort; all money sums go through exact decimal(38,6) (see functions/__init__).
+self-joins into window aggregates over ONE fact join (single lineitem scan,
+plan-tested); derived-view maxima (Q15) reduce to a 1-row broadcast instead
+of a global sort; all money sums go through exact decimal(38,6) (see
+functions/__init__).
 """
 
 from __future__ import annotations
@@ -111,6 +111,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "market_share",
+    headline=True,
     tags=("join", "agg"),
     oracle=f"""
     SELECT o_year,
