@@ -292,3 +292,77 @@ def run_stream_stream_join(
         f"SELECT v_user AS user_id, count(*) AS n_pairs FROM {query_name} "
         "GROUP BY v_user ORDER BY user_id"
     )
+
+
+def run_incremental_rollup(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, state_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance: per micro-batch, fold the
+    batch's hourly per-type partial aggregates into a persistent rollup
+    table (count + decimal-exact value sum per (hour, event_type)).
+
+    The rollup state is written copy-on-write into versioned subdirs
+    (``v000001``, ``v000002``, …) — reading vN while writing vN+1 never
+    overlaps, which is the manual form of a table format's atomic swap
+    (with Delta/Iceberg this whole function is ``MERGE INTO`` in
+    ``foreachBatch``). Counts and sums are ASSOCIATIVE partials, so folding
+    per batch gives exactly the batch-twin result regardless of how the
+    stream is split — verified in tests with maxFilesPerTrigger=1.
+
+    At 100 TB/day this is the pattern that keeps dashboards fresh without
+    re-scanning history: each batch touches only its own hours'
+    aggregates, state size is bounded by rollup cardinality (hours ×
+    types), never raw-event volume.
+    """
+    import os
+
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    def _latest_version(path: str) -> tuple[int, str | None]:
+        if not os.path.isdir(path):
+            return 0, None
+        vs = sorted(d for d in os.listdir(path) if d.startswith("v"))
+        return (int(vs[-1][1:]), os.path.join(path, vs[-1])) if vs else (0, None)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        inc = (
+            batch_df.groupBy(
+                F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                # state stays decimal(38,6): folding doubles would re-
+                # introduce summation-order error across batches
+                F.sum(F.col("value").cast(DEC)).alias("total_dec"),
+            )
+        )
+        ver, cur_path = _latest_version(state_dir)
+        if cur_path is not None:
+            cur = batch_df.sparkSession.read.parquet(cur_path)
+            merged = (
+                cur.unionByName(inc)
+                .groupBy("hour", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_dec").cast(DEC).alias("total_dec"),
+                )
+            )
+        else:
+            merged = inc
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{ver + 1:06d}")
+        )
+
+    q = (
+        read_event_stream(spark, source_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _, final_path = _latest_version(state_dir)
+    return spark.read.parquet(final_path).withColumn(
+        "total_value", F.col("total_dec").cast("double")
+    ).drop("total_dec")
