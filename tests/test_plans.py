@@ -144,3 +144,34 @@ def test_waiting_suppliers_single_fact_scan(spark, sf_dir):
     p = plans.formatted_plan(waiting_suppliers(spark, sf_dir))
     scans = [ln for ln in p.splitlines() if "lineitem" in ln and "Location" in ln]
     assert len(scans) == 1, f"lineitem scanned {len(scans)} times"
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact with a filtered dimension must inject a
+    dynamic-pruning subquery into the fact scan's PartitionFilters — at
+    100 TB this is what keeps 'join to this month's dimension slice' from
+    scanning every partition."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    path = str(tmp_path / "fact")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    ).write.partitionBy("order_year").parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim filter is on a NON-join column, so the qualifying years are
+    # unknown until runtime: a literal filter would be constant-folded into
+    # a static PartitionFilter instead (Catalyst does that too — tested by
+    # partitioned_write_pruned_read)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+    )
+    joined = fact.join(F.broadcast(dim), fact.order_year == dim.y).groupBy(
+        "order_year"
+    ).count()
+    p = plans.formatted_plan(joined)
+    assert "dynamicpruning" in p.lower(), p[:2000]
