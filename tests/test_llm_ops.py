@@ -159,3 +159,36 @@ def test_hash_sampling_partition_invariant(spark, sf_dir):
         r.o_orderkey for r in o.repartition(13).where(pred).collect()
     )
     assert one == many and len(one) > 0
+
+
+def test_h60_cross_engine_fuzz(spark):
+    """functions.h60 must agree with its DuckDB twin bit-for-bit on
+    adversarial inputs — a dozen oracle-exact operators (MinHash, SimHash,
+    winnowing, sampling) stand on this identity."""
+    import random
+
+    import duckdb
+
+    from tscd_datalake_adapter_spark.functions import h60, oracle_h60
+
+    rng = random.Random(42)
+    corpus = [
+        "", " ", "a", "hello", "tok:7", "0", "-1",
+        "naïve café über — em-dash", "日本語テキスト", "🎉🚀",
+        "tab\tand\nnewline", "quote'quote\"quote", "back\\slash",
+        "a" * 10_000,
+    ] + [
+        "".join(chr(rng.randint(32, 0x2FFF)) for _ in range(rng.randint(1, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], ["s"])
+    got = {r.s: r.h for r in df.select("s", h60("s").alias("h")).collect()}
+
+    con = duckdb.connect()
+    expr = oracle_h60("s")
+    want = dict(
+        con.execute(
+            f"SELECT s, {expr} FROM (SELECT unnest(?) AS s)", [corpus]
+        ).fetchall()
+    )
+    assert got == want
