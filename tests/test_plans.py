@@ -175,3 +175,40 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     ).count()
     p = plans.formatted_plan(joined)
     assert "dynamicpruning" in p.lower(), p[:2000]
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Spark's runtime bloom-filter join must be available and inject a
+    might_contain pre-filter on the fact side of a selective big-big join
+    (the scan-size threshold keeps it off at fixture scale, so the test
+    lowers it to prove the capability that activates at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 450000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        p = plans.formatted_plan(j)
+        assert "might_contain" in p
+        assert "bloom_filter_agg" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
