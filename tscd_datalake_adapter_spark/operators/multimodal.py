@@ -167,3 +167,54 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return extract_media_features(media).orderBy("doc_id")
+
+
+@register(
+    "png_header_parse",
+    tags=("llm", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           CAST(100 + doc_id % 50 AS BIGINT) AS width,
+           CAST(80 + doc_id % 40 AS BIGINT) AS height,
+           true AS magic_ok
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (not stubbed) binary container parsing, pure JVM expressions:
+    build byte-correct PNG prefixes (8-byte signature + IHDR chunk, dims
+    big-endian from ``unhex(lpad(hex(n), 8))``) and parse width/height back
+    out of the raw bytes with ``substring``/``hex``/``conv`` — the pattern
+    for extracting media dimensions from 100 TB of payload columns without
+    a codec or a Python worker: magic-byte check + fixed-offset header
+    reads stay in whole-stage codegen, full decode (the stubbed
+    ``media_feature_extract`` path) is reserved for rows that need it.
+
+    The oracle recomputes the dims from the generating formula, so the
+    whole pack→parse round-trip is inside the exact gate."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    w = (100 + F.col("doc_id") % 50).cast("int")
+    h = (80 + F.col("doc_id") % 40).cast("int")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),  # IHDR length = 13
+        F.unhex(F.lit("49484452")),  # 'IHDR'
+        be4(w),
+        be4(h),
+        F.unhex(F.lit("0806000000")),  # bit depth + color type + misc
+    )
+    media = d.select("doc_id", payload.alias("payload"))
+    return media.select(
+        "doc_id",
+        F.conv(F.hex(F.expr("substring(payload, 17, 4)")), 16, 10)
+        .cast("bigint")
+        .alias("width"),
+        F.conv(F.hex(F.expr("substring(payload, 21, 4)")), 16, 10)
+        .cast("bigint")
+        .alias("height"),
+        (
+            F.hex(F.expr("substring(payload, 1, 8)"))
+            == F.lit("89504E470D0A1A0A")
+        ).alias("magic_ok"),
+    ).orderBy("doc_id")
