@@ -237,7 +237,7 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_partkey
     HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) >
            (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
-                   * 0.0002
+                   * 2.0 / COUNT(DISTINCT l_partkey)
             FROM lineitem)
     ORDER BY part_value DESC, l_partkey
     """,
@@ -248,16 +248,21 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The threshold is a 1-row aggregate broadcast into the HAVING filter; the
     per-part aggregate and the global aggregate share one scan of lineitem
-    (adaptation: value from l_extendedprice since there is no partsupp).
+    (adaptations: value from l_extendedprice since there is no partsupp, and
+    the fraction is 2× the average per-part share — TPC-H scales its
+    0.0001 fraction by 1/SF for the same reason: a fixed fraction selects
+    nothing as the part count grows).
     """
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast(DEC)).alias("v_dec")
     )
     thr = li.agg(
-        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") * 0.0002).alias(
-            "thr"
-        )
+        (
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            * 2.0
+            / F.countDistinct("l_partkey")
+        ).alias("thr")
     )
     return (
         per_part.join(F.broadcast(thr))
