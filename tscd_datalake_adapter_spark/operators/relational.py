@@ -1085,3 +1085,37 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "yoy_revenue_growth",
+    tags=("agg", "window"),
+    oracle=f"""
+    WITH yearly AS (
+        SELECT strftime(o_orderdate, '%Y') AS yr,
+               {oracle_dec_sum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT yr, revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY yr))
+                 / lag(revenue) OVER (ORDER BY yr), 6) AS yoy_pct
+    FROM yearly ORDER BY yr
+    """,
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: a window (lag + ratio) OVER an
+    aggregate — the composition every BI rollup ends in. The window input
+    is year-cardinality (tiny regardless of fact size), so the lag runs on
+    a single post-aggregation partition; the only fact-sized work is the
+    partial+final sum. First year's growth is NULL by construction."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("yr")
+    ).agg(dec_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("yoy_pct"),
+    ).orderBy("yr")
