@@ -126,14 +126,33 @@ def test_binary_payload_lake_roundtrip(spark, sf_dir, tmp_path):
     assert back.count() == 50
 
 
+def _media_input(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
 def test_media_feature_plumbing(spark, sf_dir):
-    df = media_feature_extract(spark, sf_dir)
+    from tscd_datalake_adapter_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    df = extract_media_features(_media_input(spark, sf_dir)).orderBy("doc_id")
     assert df.schema == MEDIA_FEATURE_SCHEMA
     rows = df.collect()
     assert len(rows) == 100
     r0 = {r.doc_id: r for r in rows}
     # deterministic fake decode: same payload → same metadata
-    rows2 = {r.doc_id: r for r in media_feature_extract(spark, sf_dir).collect()}
+    rows2 = {
+        r.doc_id: r
+        for r in extract_media_features(_media_input(spark, sf_dir)).collect()
+    }
     assert all(r0[k] == rows2[k] for k in r0)
     # media_type cycling + video frame semantics
     for r in rows:
@@ -141,6 +160,19 @@ def test_media_feature_plumbing(spark, sf_dir):
         assert (r.n_frames > 1) <= (r.media_type == "video")
         assert 64 <= r.width <= 255 and 64 <= r.height <= 255
         assert len(r.feature) == 8
+
+
+def test_media_feature_registered_query_is_all_scalar(spark, sf_dir):
+    """The registered query must emit only scalar columns (harness
+    canonicalizers sort rows pandas-side and cannot hash array cells)."""
+    import pyspark.sql.types as T
+
+    df = media_feature_extract(spark, sf_dir)
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    rows = df.limit(5).collect()
+    for r in rows:
+        assert len(r.feature_csv.split(",")) == 8
 
 
 def test_hash_sampling_partition_invariant(spark, sf_dir):

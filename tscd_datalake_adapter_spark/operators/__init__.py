@@ -62,4 +62,6 @@ def load_all() -> dict[str, QuerySpec]:
     from tscd_datalake_adapter_spark.operators import io as io_ops  # noqa: F401
     from tscd_datalake_adapter_spark.streaming import batch_twins  # noqa: F401
 
-    return REGISTRY
+    from tscd_datalake_adapter_spark.operators._rotation import rotate
+
+    return rotate(REGISTRY)

@@ -156,7 +156,12 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a media table (text bytes as stand-in payloads, media_type
-    cycling image/audio/video) and run the decode/feature pipeline."""
+    cycling image/audio/video) and run the decode/feature pipeline.
+
+    The registered output serializes the ``feature`` vector to a CSV string
+    (all other columns are scalar) so result canonicalizers that sort rows
+    pandas-side can hash it; ``extract_media_features`` keeps the real
+    ``array<float>`` column for downstream use and pytest."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     media = d.select(
         "doc_id",
@@ -166,7 +171,19 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media_type"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return extract_media_features(media).orderBy("doc_id")
+    feats = extract_media_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        "mean_intensity",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.format_number(x.cast("double"), 6)),
+        ).alias("feature_csv"),
+    ).orderBy("doc_id")
 
 
 @register(
