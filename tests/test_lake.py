@@ -161,6 +161,27 @@ def test_merge_upsert(lake, book_dir, spark):
     assert lake.list_books() == [11, 22, 33, 44]
 
 
+def test_read_latest_resolves_superseded_versions(lake, book_dir, spark):
+    """read_latest() must show exactly one (the newest) version per book even
+    when merge_books leaves stale physical rows behind (its documented
+    partition-overwrite caveat)."""
+    lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS)
+    lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS2)
+
+    updates = spark.createDataFrame(
+        [(22, "new header", "new body")], "book_id long, header string, body string"
+    )
+    lake.merge_books(updates, dt.datetime(2026, 8, 15, 10, 0, 0))
+
+    latest = lake.read_latest()
+    assert latest.count() == 3  # one row per book, every book still listed
+    by_id = {r.book_id: r for r in latest.collect()}
+    assert by_id[22].body == "new body" and by_id[22].ingest_date == "20260815"
+    # un-merged books resolve to their newest ingest (TS2 partition)
+    assert by_id[11].ingest_date == TS2.strftime("%Y%m%d")
+    assert by_id[33].ingest_date == TS2.strftime("%Y%m%d")
+
+
 def test_wholetext_dir_ingest(lake, book_dir):
     # Distributed R1 test mode: spark.read.text(wholetext) over book files.
     failed = lake.ingest_text_dir(str(book_dir / "*.txt"), TS)

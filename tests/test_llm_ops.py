@@ -43,6 +43,59 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
 
 
+def test_prefix_filter_equals_exact_jaccard(spark, sf_dir):
+    """The prefix-filtered join must return EXACTLY the pairs the plain
+    inverted-index join returns at the same threshold (prefix filtering is
+    lossless for Jaccard >= tau by the Bayardo/Chaudhuri prefix lemma)."""
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tokens = distinct_tokens(docs)
+    plain = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in exact_jaccard_pairs(tokens).where(F.col("jaccard") >= 0.9).collect()
+    }
+    filtered = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in jaccard_pairs_prefix_filtered(tokens, 0.9).collect()
+    }
+    assert filtered == plain
+
+
+def test_prefix_filter_excludes_hot_token(spark):
+    """A corpus-wide stop word (maximal df) must never become an
+    inverted-index join key: under df-ascending prefix ordering it sorts
+    last in every doc, outside the ~(1-tau) prefix — the Zipfian hot-token
+    shuffle fix. A truly near-duplicate pair must still be found."""
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
+        prefix_index_tokens,
+    )
+
+    spark_rows = []
+    # 40 docs, each 20 distinct tokens: 'the' in EVERY doc (hot), the rest
+    # unique per doc except docs 0/1 which share 19 of 20 tokens (J = 19/21
+    # < 0.9) and docs 2/3 which are identical except one token (J 19/21)...
+    # make docs 4/5 exact-duplicates at the token level (J = 1.0 >= 0.9).
+    for i in range(40):
+        if i == 5:
+            toks = [f"tok_{4}_{j}" for j in range(19)]  # same as doc 4
+        else:
+            toks = [f"tok_{i}_{j}" for j in range(19)]
+        spark_rows.append((i, " ".join(["the"] + toks)))
+    docs = spark.createDataFrame(spark_rows, ["doc_id", "text"])
+    tokens = distinct_tokens(docs)
+    idx = prefix_index_tokens(tokens, 0.9)
+    hot_rows = idx.where(F.col("tok") == "the").count()
+    assert hot_rows == 0, "hot token leaked into the inverted index"
+    pairs = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs_prefix_filtered(tokens, 0.9).collect()
+    }
+    assert pairs == {(4, 5)}
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     """LSH ANN must place ≥90% of true top-5 neighbors (12 tables × 4 bits
     + Hamming-1 multi-probe measures 1.0; gate leaves headroom)."""

@@ -177,6 +177,71 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in p.lower(), p[:2000]
 
 
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
+    """Broadcast hints are reserved for fixed-cardinality dims (nation=25,
+    region=5) and aggregate-derived frames. customer/supplier/part grow
+    linearly with SF: a forced hint on them overrides AQE's size check and
+    OOMs at 100 TB, so with size-based broadcasting disabled their scans
+    must never appear under a hinted BroadcastExchange."""
+    from tscd_datalake_adapter_spark.operators.relational import (
+        revenue_by_segment,
+        shipping_priority,
+    )
+    from tscd_datalake_adapter_spark.operators.relational_extra import (
+        pivot_status_by_segment,
+    )
+    from tscd_datalake_adapter_spark.operators.subqueries import (
+        promo_revenue_ratio,
+    )
+    from tscd_datalake_adapter_spark.operators.tpch_more import (
+        best_supplier_per_part,
+        disjunctive_part_revenue,
+        market_share,
+        product_profit,
+        promo_heavy_suppliers,
+        volume_shipping,
+        waiting_suppliers,
+    )
+
+    scaling = ["customer", "supplier", "part", "orders", "lineitem"]
+    queries = [
+        revenue_by_segment,
+        local_supplier_volume,
+        shipping_priority,
+        pivot_status_by_segment,
+        promo_revenue_ratio,
+        best_supplier_per_part,
+        disjunctive_part_revenue,
+        market_share,
+        product_profit,
+        promo_heavy_suppliers,
+        volume_shipping,
+        waiting_suppliers,
+    ]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in queries:
+            forced = plans.forced_broadcast_base_tables(fn(spark, sf_dir), scaling)
+            assert not forced, f"{fn.__name__} force-broadcasts {forced}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_fixed_dims_still_broadcast_with_size_stats_off(spark, sf_dir):
+    """The nation/region hints must survive: with size-based broadcast
+    disabled, Q5's plan still broadcasts the fixed-cardinality dims."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = plans.forced_broadcast_base_tables(
+            local_supplier_volume(spark, sf_dir), ["nation", "region"]
+        )
+        assert forced == {"nation", "region"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_runtime_bloom_filter_join_injection(spark, sf_dir):
     """Spark's runtime bloom-filter join must be available and inject a
     might_contain pre-filter on the fact side of a selective big-big join

@@ -251,6 +251,30 @@ class LakeAdapter:
             .parquet(self.lake_root)
         )
 
+    def read_latest(self) -> DataFrame:
+        """One row per ``book_id`` — the newest version by ``ingest_ts``
+        (ties broken by partition values, newest first).
+
+        This is the consistent read view over a lake where :meth:`merge_books`
+        may leave superseded row versions physically present (its documented
+        partition-overwrite caveat): content queries should read this, not
+        :meth:`read`, whenever upserts are in play. One window shuffle keyed
+        on ``book_id``; at 100 TB the same rewrite a table format's MERGE
+        does internally."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("book_id").orderBy(
+            F.col("ingest_ts").desc(),
+            F.col("ingest_date").desc(),
+            F.col("ingest_hour").desc(),
+        )
+        return (
+            self.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _empty(self) -> bool:
         return not os.path.isdir(self.lake_root)
 
@@ -305,8 +329,12 @@ class LakeAdapter:
         Caveat (inherent to partition-overwrite MERGE without a table
         format): a partition whose every row is updated away would write zero
         rows and therefore not be overwritten; its rows are superseded by the
-        newer ``ingest_ts`` rather than physically deleted. A table format
-        (Delta/Iceberg, feature-gated in sources.write_table) removes this.
+        newer ``ingest_ts`` rather than physically deleted. Readers that care
+        about versions must use :meth:`read_latest` (max-``ingest_ts``-per-
+        book view), which resolves every superseded row regardless of whether
+        its file was rewritten; ``exists``/``list_books`` are unaffected
+        (MERGE never removes a book id). A table format (Delta/Iceberg,
+        feature-gated in sources.write_table) removes the caveat physically.
         """
         day, hour = partition_values(ts)
         ts_naive = ts.replace(tzinfo=None)

@@ -23,7 +23,7 @@ candidate pruning happens in joins, not in Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import h60, oracle_h60
@@ -66,14 +66,16 @@ def exact_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+    # sizes scales with corpus (one row per doc) — no broadcast hint; AQE
+    # broadcasts while it fits and shuffle-joins beyond.
     return (
         inter.join(
-            F.broadcast(sizes.withColumnRenamed("n", "n_a")),
+            sizes.withColumnRenamed("n", "n_a"),
             F.col("doc_a") == F.col("doc_id"),
         )
         .drop("doc_id")
         .join(
-            F.broadcast(sizes.withColumnRenamed("n", "n_b")),
+            sizes.withColumnRenamed("n", "n_b"),
             F.col("doc_b") == F.col("doc_id"),
         )
         .drop("doc_id")
@@ -82,6 +84,86 @@ def exact_jaccard_pairs(
             F.col("inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
         )
+    )
+
+
+def prefix_index_tokens(tokens: DataFrame, tau: float) -> DataFrame:
+    """Per-doc prefix-filtered join tokens for threshold-τ Jaccard.
+
+    Prefix-filtering principle (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo/Ma/
+    Srikant WWW'07 "Scaling Up All Pairs"): order every doc's token set by a
+    single global order — here ascending document frequency, rarest first —
+    and keep only its first ``n - ceil(τ·n) + 1`` tokens as join keys. Any
+    pair with Jaccard ≥ τ must share at least one token inside both prefixes,
+    so candidate generation over prefixes alone is lossless; the ~τ fraction
+    of most-common tokens of every doc never becomes a join key. This is the
+    hot-token fix: a Zipfian stop word (maximal df) sorts last and is
+    excluded from the inverted index for every doc whose prefix is shorter
+    than its full token list, so no single token can own the shuffle.
+
+    Returns (doc_id, tok) restricted to prefix tokens.
+    """
+    df = tokens.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = tokens.join(df, "tok").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+        ),
+    )
+    with_n = ranked.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    return with_n.where(F.col("pos") <= prefix_len).select("doc_id", "tok")
+
+
+def jaccard_pairs_prefix_filtered(tokens: DataFrame, tau: float) -> DataFrame:
+    """Exact threshold-τ Jaccard pairs via prefix filtering + array verify.
+
+    Stage 1 (candidates): self-join only the prefix tokens — the inverted
+    index shrinks to each doc's rarest ~(1-τ) fraction of tokens, which
+    kills hot-key skew while provably keeping every qualifying pair.
+    Stage 2 (verify): join candidate pairs to per-doc sorted token arrays
+    and compute the exact intersection with ``array_intersect`` — exact
+    Jaccard on candidates only, never on all pairs. Token arrays are
+    bounded by document length, so the per-row state is small at any
+    corpus scale.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ τ — identical to
+    filtering ``exact_jaccard_pairs`` at τ.
+    """
+    idx = prefix_index_tokens(tokens, tau)
+    cand = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toksets = tokens.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("toks")
+    )
+    return (
+        cand.join(toksets.withColumnRenamed("toks", "toks_a"), cand.doc_a == toksets.doc_id)
+        .drop("doc_id")
+        .join(
+            toksets.withColumnRenamed("toks", "toks_b").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .drop("doc_id_b")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -155,13 +237,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-Jaccard near-duplicate pairs (threshold 0.9) over the
-    doc_id<200 slice, via the inverted-index join — the exact twin that pins
-    MinHash semantics (SURVEY.md §4.2)."""
+    doc_id<200 slice — the exact twin that pins MinHash semantics
+    (SURVEY.md §4.2).
+
+    Uses the prefix-filtered inverted index (``jaccard_pairs_prefix_
+    filtered``): candidates come only from each doc's rarest ~10% of
+    tokens, so a Zipfian hot token cannot dominate the join shuffle, and
+    the result is provably identical to the unfiltered exact join."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    pairs = exact_jaccard_pairs(distinct_tokens(docs))
+    pairs = jaccard_pairs_prefix_filtered(distinct_tokens(docs), 0.9)
     return (
-        pairs.where(F.col("jaccard") >= 0.9)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -413,8 +499,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src"), F.col("doc_id").alias("label")
     )
     # Min-label propagation to fixpoint (diameter-bounded; cache each
-    # iteration to keep lineage flat). Components here are tiny; the cap is
-    # a safety net, with a convergence check every round.
+    # iteration to keep lineage flat). The cap is a stall guard, not a
+    # result-changer: exiting it without convergence raises rather than
+    # silently returning wrong (partially-propagated) cluster ids.
+    changed = -1
     for _ in range(15):
         neighbor_min = (
             edges.alias("e")
@@ -443,6 +531,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge within "
+            "15 rounds (a component's diameter exceeds the cap); raise the "
+            "round cap rather than using partially-propagated labels"
+        )
     return labels.select(
         F.col("src").alias("doc_id"),
         F.col("label").cast("long").alias("cluster_id"),

@@ -278,12 +278,14 @@ def collect_sorted_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join fact→dimension. Customer is broadcast (dimension-side)
-    so the orders fact table never shuffles."""
+    """Inner equi-join fact→dimension. Customer scales with SF (unlike
+    nation/region), so no forced broadcast: AQE broadcasts it while it fits
+    under the threshold and falls back to shuffle join beyond — a forced
+    hint would OOM at 100 TB."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue"))
         .orderBy("c_mktsegment")
@@ -311,8 +313,10 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. lineitem⋈orders is the only
-    shuffle-worthy join; customer/supplier/nation/region are broadcast."""
+    """TPC-H Q5 shape: 6-way star join. Only the fixed-cardinality dims
+    (nation=25, region=5) carry broadcast hints; customer/supplier scale
+    with SF, so AQE picks their join strategy (broadcast at small SF,
+    shuffle beyond the threshold — never a forced driver OOM)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -324,8 +328,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(
             F.broadcast(n),
             (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
@@ -544,7 +548,8 @@ def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: join + agg + global top-k (TakeOrderedAndProject)."""
+    """TPC-H Q3 shape: join + agg + global top-k (TakeOrderedAndProject).
+    Customer scales with SF — no forced broadcast; AQE decides."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -562,7 +567,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li_per_order.join(o, "o_orderkey")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "o_orderkey",
             "revenue",

@@ -339,13 +339,16 @@ def map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(props, '$.k') AS k_str,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
            json_extract_string(props, '$.missing') AS missing_key,
-           json_valid(props) AS is_valid
+           coalesce(json_valid(props), false) AS is_valid
     FROM events WHERE event_id < 100 ORDER BY event_id
     """,
 )
 def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family over ``events.props``: path extraction + typed parse via
-    ``from_json`` (schema'd struct, the scale-safe form)."""
+    ``from_json`` (schema'd struct, the scale-safe form). Validity is real
+    parsing — ``try_parse_json(props) IS NOT NULL`` — which agrees with the
+    oracle's ``json_valid`` on malformed strings and non-object JSON alike
+    (a regex shape-check would not)."""
     e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 100)
     parsed = F.from_json("props", "k BIGINT")
     return e.select(
@@ -353,5 +356,5 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k_num"),
         F.get_json_object("props", "$.missing").alias("missing_key"),
-        F.col("props").rlike(r"^\s*\{.*\}\s*$").alias("is_valid"),
+        F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"),
     ).orderBy("event_id")

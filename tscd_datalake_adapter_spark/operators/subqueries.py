@@ -187,7 +187,8 @@ def conditional_agg_shipmodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional revenue ratio with a broadcast part join."""
+    """TPC-H Q14 shape: conditional revenue ratio over lineitem⋈part.
+    Part scales with SF — no forced broadcast; AQE picks the strategy."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
@@ -195,7 +196,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(100.0 * dec_sum(promo_rev) / dec_sum(rev), 6).alias("promo_pct")
     )
 

@@ -305,13 +305,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # tiny scalar; at scale pass via broadcast agg join
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # N as a broadcast 1-row aggregate crossJoin (scalar-subquery pattern,
+    # cf. scalar_subquery_above_avg): keeps the whole query one DAG — no
+    # driver-side count() job. The tf⋈df token join carries no hint: the
+    # df side scales with vocabulary, so AQE picks broadcast vs shuffle.
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 

@@ -67,9 +67,10 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between a nation pair by year.
 
     The nation table joins twice under different roles (supplier-side,
-    customer-side) with a disjunctive pair predicate. Both nation lookups are
-    broadcast; the pair filter reduces the fact stream immediately after each
-    broadcast join, so the only shuffle is lineitem⋈orders.
+    customer-side) with a disjunctive pair predicate. Only the two nation
+    lookups (fixed cardinality 25) are force-broadcast; supplier/customer
+    scale with SF, so AQE picks their strategy — broadcast while small,
+    shuffle join at 100 TB instead of an OOM.
     """
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -90,9 +91,9 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(pair)
         .groupBy(
@@ -142,9 +143,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of regional revenue per year —
     a conditional-sum ratio over an 8-way star join.
 
-    All six dimension lookups broadcast; lineitem⋈orders is the one shuffle.
-    The part filter (p_type) prunes the fact stream through the broadcast
-    hash join before anything widens.
+    Only the fixed-cardinality dims (nation ×2, region) carry broadcast
+    hints; part/supplier/customer scale with SF and are left to AQE. The
+    part filter (p_type) still prunes the fact stream early wherever the
+    optimizer places that join.
     """
     p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     li = _t(spark, sf_dir, "lineitem")
@@ -161,11 +163,11 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat_volume = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
@@ -204,7 +206,8 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adaptation: the fixture schema has no partsupp/ps_supplycost, so unit
     cost is proxied as ``0.1 * p_retailprice`` (documented, deterministic).
-    The LIKE filter prunes part before its broadcast.
+    The LIKE filter prunes part before its join; only nation (25 rows) is
+    force-broadcast — part/supplier sizes scale with SF, AQE decides.
     """
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
     li = _t(spark, sf_dir, "lineitem")
@@ -215,9 +218,9 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -343,11 +346,12 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst cannot push the cross-table disjunction below the join, but it
     does extract the common single-table residues (p_brand IN (...),
     p_size/l_quantity range hulls) as pushed-down pre-filters; the full
-    disjunction applies after the broadcast hash join.
+    disjunction applies after the join (AQE-chosen strategy — part scales
+    with SF, so no forced broadcast).
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -390,8 +394,9 @@ def promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adaptation: no partsupp, so the availability predicate becomes a shipped-
     quantity threshold over lineitem⋈part. The qualifying-supplier set is
-    aggregated first (supplier-cardinality), then semi-joined — at 100 TB the
-    semi join's build side is the small aggregate, not lineitem.
+    aggregated first (supplier-cardinality), then semi-joined — the build
+    side is the aggregate, never lineitem; its size still scales with SF,
+    so AQE (not a forced hint) decides broadcast vs shuffle.
     """
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -400,14 +405,14 @@ def promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     s = _t(spark, sf_dir, "supplier")
     qualifying = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
         .where(F.col("qty") > 300)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -478,7 +483,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.where(
             F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -534,13 +539,13 @@ def best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal")
     )
-    cand = ps.join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
+    cand = ps.join(eu, ps.l_suppkey == F.col("s_suppkey"))
     w = Window.partitionBy("l_partkey")
     best = cand.withColumn("mx", F.max("s_acctbal").over(w)).where(
         F.col("s_acctbal") == F.col("mx")
     )
     return (
-        best.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        best.join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             "p_partkey",
             "p_name",

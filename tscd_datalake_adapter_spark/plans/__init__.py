@@ -54,6 +54,43 @@ def read_schema_columns(df: DataFrame, table_hint: str = "") -> list[str]:
     return cols
 
 
+def forced_broadcast_base_tables(df: DataFrame, tables: list[str]) -> set[str]:
+    """Base tables of ``tables`` that sit under a BroadcastExchange as a bare
+    scan (no aggregation in between).
+
+    Intended use: build ``df`` with ``spark.sql.autoBroadcastJoinThreshold=-1``
+    so size-based broadcasts are off — any BroadcastExchange left in the plan
+    then comes from an explicit ``F.broadcast`` hint. A hinted *bare* scan of
+    a table that grows with data is the 100 TB OOM pattern this helper
+    exists to catch; aggregate-derived build sides (scalar subqueries,
+    qualifying-key sets) are excluded because aggregation bounds them.
+    """
+    import re
+
+    # sparkPlan has the join strategy chosen but exchanges not yet inserted,
+    # so look at Broadcast*Join nodes and take their build-side subtree.
+    plan = df._jdf.queryExecution().sparkPlan()
+    found: set[str] = set()
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name.startswith("BroadcastHashJoin") or name.startswith(
+            "BroadcastNestedLoopJoin"
+        ):
+            build = 0 if node.buildSide().toString() == "BuildLeft" else 1
+            subtree = node.children().apply(build).toString()
+            if "HashAggregate" not in subtree and "Distinct" not in subtree:
+                for t in tables:
+                    if re.search(rf"\b{t}\.parquet\b", subtree):
+                        found.add(t)
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(plan)
+    return found
+
+
 def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
