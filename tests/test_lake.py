@@ -182,6 +182,31 @@ def test_read_latest_resolves_superseded_versions(lake, book_dir, spark):
     assert by_id[33].ingest_date == TS2.strftime("%Y%m%d")
 
 
+def test_distributed_url_fetch_ingest(lake, book_dir, spark):
+    """Executor-parallel R1: fetch via urllib INSIDE mapInPandas workers
+    (file:// URLs — same urllib code path as https, offline), then the
+    distributed split/write. Bad URLs become error rows, not exceptions;
+    unparseable books count as split failures; good books land in the lake."""
+    urls = sorted(
+        (int(p.name.split("_")[1].split(".")[0]), p.as_uri())
+        for p in book_dir.iterdir()
+    )
+    urls.append((999, (book_dir / "missing.txt").as_uri()))  # fetch failure
+    urls_df = spark.createDataFrame(urls, "book_id long, url string")
+
+    fetched = lake.fetch_urls_distributed(urls_df)
+    by_id = {r.book_id: r for r in fetched.collect()}
+    assert by_id[999].raw is None and "fetch failed" in by_id[999].error
+    assert by_id[11].error is None and "MOBY DICK" in by_id[11].raw
+
+    stats = lake.ingest_urls(urls_df, TS)
+    assert stats["fetch_failed"] == 1
+    assert stats["split_failed"] == 0
+    assert lake.list_books() == [11, 22, 33]
+    row = lake.read().where(F.col("book_id") == 11).first()
+    assert row.body.startswith("MOBY DICK ***")
+
+
 def test_wholetext_dir_ingest(lake, book_dir):
     # Distributed R1 test mode: spark.read.text(wholetext) over book files.
     failed = lake.ingest_text_dir(str(book_dir / "*.txt"), TS)

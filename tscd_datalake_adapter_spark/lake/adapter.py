@@ -204,6 +204,79 @@ class LakeAdapter:
         )
         return self.ingest_raw_df(raw, ts)
 
+    def fetch_urls_distributed(
+        self, urls_df: DataFrame, timeout: float = 30.0
+    ) -> DataFrame:
+        """Executor-parallel fetch (reference R1's scale form, SURVEY.md §2.2:
+        'udf/mapInPandas doing urllib calls inside executors for parallel
+        fetch at scale' — ``IngestionService.java:26-30,43-52`` does one
+        driver-side GET per book; at 100 TB the fetch itself must fan out).
+
+        ``urls_df`` has schema ``(book_id long, url string)``. Each Arrow
+        batch is fetched inside the Python worker with urllib (the
+        reference's 30s read timeout), so fetch parallelism equals task
+        parallelism and raw payloads are born distributed — never collected
+        to the driver. Returns ``(book_id, raw, error)`` with exactly one of
+        raw/error null per row: failures are data, not exceptions, matching
+        the reference's per-book fail-soft behavior.
+
+        Tests drive this offline via ``file://`` URLs (urllib handles the
+        scheme identically); production uses :func:`gutenberg_url`.
+        """
+        out_schema = T.StructType(
+            [
+                T.StructField("book_id", T.LongType(), False),
+                T.StructField("raw", T.StringType(), True),
+                T.StructField("error", T.StringType(), True),
+            ]
+        )
+
+        def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import urllib.request
+
+            for pdf in batches:
+                ids, raws, errs = [], [], []
+                for bid, url in zip(pdf["book_id"], pdf["url"]):
+                    ids.append(int(bid))
+                    try:
+                        req = urllib.request.Request(
+                            str(url), headers={"User-Agent": "TAHS-Ingestion/1.0"}
+                        )
+                        with urllib.request.urlopen(req, timeout=timeout) as resp:
+                            status = getattr(resp, "status", 200)
+                            if status and status != 200:
+                                raise OSError(f"HTTP {status}")
+                            raws.append(resp.read().decode("utf-8"))
+                            errs.append(None)
+                    except (OSError, ValueError, UnicodeDecodeError) as exc:
+                        raws.append(None)
+                        errs.append(f"fetch failed: {exc}")
+                yield pd.DataFrame(
+                    {"book_id": pd.array(ids, dtype="int64"), "raw": raws, "error": errs}
+                )
+
+        return urls_df.mapInPandas(_fetch, schema=out_schema)
+
+    def ingest_urls(self, urls_df: DataFrame, ts: dt.datetime) -> dict:
+        """Fully-distributed R1 pipeline: fetch → split → stage → lake write,
+        all executor-side (fetch via :meth:`fetch_urls_distributed`, split+
+        write via :meth:`ingest_raw_df`). Returns per-stage failure counts.
+        The fetched frame is cached for the duration: it feeds both the
+        failure count and the write, and re-fetching on recompute would be
+        both slow and non-idempotent against a live origin."""
+        fetched = self.fetch_urls_distributed(urls_df).cache()
+        try:
+            n_fetch_failed = fetched.where(F.col("error").isNotNull()).count()
+            ok = fetched.where(F.col("error").isNull()).select("book_id", "raw")
+            n_split_failed = self.ingest_raw_df(ok, ts)
+        finally:
+            fetched.unpersist()
+        return {
+            "fetch_failed": n_fetch_failed,
+            "split_failed": n_split_failed,
+            "backend": "spark-parquet",
+        }
+
     def fetch_and_ingest(self, book_id: object, ts: dt.datetime | None = None) -> dict:
         """Driver-side fetch (reference R1: GET gutenberg.org, 10s/30s
         timeouts) then :meth:`ingest_text`. Network-dependent; tests use

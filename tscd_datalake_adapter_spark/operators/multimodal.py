@@ -186,6 +186,105 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _le_hex(c, n_bytes: int):
+    """Little-endian hex string of an int column (byte-reversed big-endian
+    hex) — pure JVM expressions, stays in whole-stage codegen."""
+    hx = F.lpad(F.hex(c), 2 * n_bytes, "0")
+    return F.concat(
+        *[F.substring(hx, 2 * i + 1, 2) for i in reversed(range(n_bytes))]
+    )
+
+
+def _le_read(payload_col: str, offset: int, n_bytes: int):
+    """Parse a little-endian unsigned int at a 1-based byte offset of a
+    binary column: per-byte hex, reassembled most-significant-first, then
+    base-16 conv. Fixed offsets keep it codegen-only."""
+    byte_hex = [
+        F.hex(F.expr(f"substring({payload_col}, {offset + i}, 1)"))
+        for i in reversed(range(n_bytes))
+    ]
+    return F.conv(F.concat(*byte_hex), 16, 10).cast("bigint")
+
+
+@register(
+    "wav_header_parse",
+    tags=("llm", "multimodal"),
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(1000 + doc_id * 37 AS BIGINT) AS data_bytes,
+           round(CAST(1000 + doc_id * 37 AS DOUBLE) * 1000.0
+                 / ((8000 + (doc_id % 5) * 8000) * (1 + doc_id % 2) * 2), 6)
+               AS duration_ms,
+           true AS magic_ok
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (not stubbed) RIFF/WAV header parsing, pure JVM expressions —
+    the little-endian sibling of ``png_header_parse``: build byte-correct
+    44-byte canonical WAV headers (RIFF chunk + PCM fmt chunk + data chunk,
+    all multi-byte fields little-endian) and parse sample rate, channel
+    count, bit depth, and data size back out of the raw bytes with
+    ``substring``/``hex``/``conv``. Duration is *derived from the parsed
+    bytes* (data_bytes / byte_rate), so the oracle's formula recomputation
+    verifies the whole pack→parse round-trip including the LE byte order.
+
+    At 100 TB this is the audio-manifest fast path: magic check +
+    fixed-offset header reads in whole-stage codegen; full decode (the
+    stubbed ``media_feature_extract`` tier) only for rows that need it."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sr = (8000 + (F.col("doc_id") % 5) * 8000).cast("int")
+    ch = (1 + F.col("doc_id") % 2).cast("int")
+    bits = F.lit(16)
+    block_align = (ch * 2).cast("int")
+    byte_rate = (sr * ch * 2).cast("int")
+    data_len = (1000 + F.col("doc_id") * 37).cast("int")
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # 'RIFF'
+            _le_hex(36 + data_len, 4),  # chunk size
+            F.lit("57415645"),  # 'WAVE'
+            F.lit("666D7420"),  # 'fmt '
+            _le_hex(F.lit(16), 4),  # fmt chunk size (PCM)
+            _le_hex(F.lit(1), 2),  # audio format = PCM
+            _le_hex(ch, 2),
+            _le_hex(sr, 4),
+            _le_hex(byte_rate, 4),
+            _le_hex(block_align, 2),
+            _le_hex(bits, 2),
+            F.lit("64617461"),  # 'data'
+            _le_hex(data_len, 4),
+        )
+    )
+    media = d.select("doc_id", payload.alias("payload"))
+    parsed = media.select(
+        "doc_id",
+        _le_read("payload", 25, 4).alias("sample_rate"),
+        _le_read("payload", 23, 2).alias("n_channels"),
+        _le_read("payload", 35, 2).alias("bits_per_sample"),
+        _le_read("payload", 29, 4).alias("byte_rate"),
+        _le_read("payload", 41, 4).alias("data_bytes"),
+        (
+            (F.hex(F.expr("substring(payload, 1, 4)")) == "52494646")
+            & (F.hex(F.expr("substring(payload, 9, 4)")) == "57415645")
+        ).alias("magic_ok"),
+    )
+    return parsed.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "data_bytes",
+        F.round(
+            F.col("data_bytes").cast("double") * 1000.0 / F.col("byte_rate"), 6
+        ).alias("duration_ms"),
+        "magic_ok",
+    ).orderBy("doc_id")
+
+
 @register(
     "png_header_parse",
     tags=("llm", "multimodal"),
