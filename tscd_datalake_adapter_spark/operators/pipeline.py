@@ -108,6 +108,225 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_filter",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+           FROM toks, UNNEST(range(1, len(t))) u(i)),
+    bis AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                   round(max(cnt) * 1.0 / sum(cnt), 6) AS top_bigram_frac
+            FROM (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY 1, 2)
+            GROUP BY doc_id),
+    tri AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, UNNEST(range(1, len(t) - 1)) u(i)),
+    tris AS (SELECT doc_id,
+                    round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6)
+                        AS dup_trigram_frac
+             FROM tri GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
+           top_bigram_frac <= 0.06 AND dup_trigram_frac <= 0.02 AS keep
+    FROM bis JOIN tris USING (doc_id) ORDER BY doc_id
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1): flag
+    documents dominated by a single 2-gram or by duplicated 3-grams — the
+    boilerplate/SEO-spam signature in web-scale pre-training corpora.
+
+    Per doc: top-bigram fraction (most frequent token 2-gram's share of all
+    2-gram instances) and duplicate-trigram fraction (1 − distinct/total
+    3-grams); ``keep`` applies fixed thresholds. Scale shape: explode →
+    two-level aggregate per n-gram branch, partial aggregation map-side, the
+    shuffle keyed on doc_id — never wider than the corpus's n-gram multiset,
+    and embarrassingly parallel across docs."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 3
+    )
+    bi = base.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(0, size(t)-2),"
+            " i -> concat(t[i], ' ', t[i+1])))"
+        ).alias("g"),
+    )
+    bis = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    tri = base.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(0, size(t)-3),"
+            " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))"
+        ).alias("g"),
+    )
+    tris = tri.groupBy("doc_id").agg(
+        F.round(1.0 - F.countDistinct("g") * 1.0 / F.count("*"), 6).alias(
+            "dup_trigram_frac"
+        )
+    )
+    return (
+        bis.join(tris, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+            (
+                (F.col("top_bigram_frac") <= 0.06)
+                & (F.col("dup_trigram_frac") <= 0.02)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-\d{4}\b"
+
+
+@register(
+    "pii_redaction",
+    tags=("llm", "text"),
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM synth ORDER BY doc_id
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact email addresses
+    and phone numbers with built-in regex expressions — map-side only, zero
+    shuffle, whole-stage codegen (the pattern scales to 100 TB trivially).
+
+    The fixture corpus carries no real PII, so deterministic synthetic
+    contacts are appended first (doc_id-derived, recomputed identically in
+    the oracle); the regexes use only syntax Java regex and RE2 interpret
+    the same way, so redaction is bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(synth, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "benchmark_decontamination",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+              FROM toks, UNNEST(range(1, len(t) - 2)) u(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+    hits AS (SELECT grams.doc_id, count(*) AS n
+             FROM grams JOIN bench USING (g)
+             WHERE grams.doc_id % 29 != 0 GROUP BY grams.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap_4grams,
+           coalesce(h.n, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 29 != 0 ORDER BY d.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C / PaLM style): flag training
+    documents sharing any token 4-gram with a held-out benchmark set (here
+    the doc_id % 29 == 0 slice stands in for the benchmark suite).
+
+    Scale shape: distinct per-doc 4-grams on both sides, then an equi-join
+    keyed on the gram — candidates only, never doc×doc. The benchmark gram
+    set is bounded by the (fixed-size) benchmark suite, so AQE broadcasts
+    it at any corpus scale; no forced hint. Contamination counts come from
+    one groupBy(doc_id) on the join output, and clean docs are restored
+    with a left join against the doc list."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 4)
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(0, size(t)-4),"
+                " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3])))"
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    bench = grams.where(F.col("doc_id") % 29 == 0).select("g").distinct()
+    hits = (
+        grams.where(F.col("doc_id") % 29 != 0)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        d.where(F.col("doc_id") % 29 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                "n_overlap_4grams"
+            ),
+            (F.coalesce(F.col("n"), F.lit(0)) >= 1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "unpivot_lineitem_metrics",
     tags=("agg",),
     oracle=f"""
