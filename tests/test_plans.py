@@ -242,6 +242,46 @@ def test_fixed_dims_still_broadcast_with_size_stats_off(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling — the runtime answer to Zipfian join keys at
+    100 TB — must actually fire: a shuffle join where 90% of rows share one
+    key gets its hot partition split (SortMergeJoin(skew=true) + 'skewed'
+    AQEShuffleRead in the FINAL adaptive plan), with no manual salting.
+    Thresholds are scaled down to fixture bytes; the mechanism is identical
+    at cluster scale."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 300000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_join_injection(spark, sf_dir):
     """Spark's runtime bloom-filter join must be available and inject a
     might_contain pre-filter on the fact side of a selective big-big join

@@ -545,6 +545,85 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_dedup_keep_longest",
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.9
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+        UNION SELECT doc_id, doc_id FROM sizes
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    joined AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(doc_id) FILTER (WHERE rn = 1) AS BIGINT) AS kept_doc_id,
+           CAST(max(n_chars) AS BIGINT) AS kept_n_chars
+    FROM joined GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def fuzzy_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-policy stage of fuzzy dedup: one surviving document per
+    near-duplicate component — the LONGEST member (deterministic lowest-id
+    tiebreak), the policy real curation pipelines use (a longer variant of
+    the same page usually carries the superset of content).
+
+    Composition of the verified building blocks: :func:`dedup_clusters`
+    labels → join back to documents → per-cluster argmax via ``max_by`` on
+    a (n_chars, -doc_id) struct — one extra shuffle keyed on cluster_id,
+    whose cardinality is already ≤ corpus size and shrinks with dup rate."""
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        "doc_id", "n_chars"
+    )
+    key = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        labels.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max_by("doc_id", key).alias("kept_doc_id"),
+            F.max("n_chars").alias("kept_n_chars"),
+        )
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("kept_doc_id").cast("long").alias("kept_doc_id"),
+            F.col("kept_n_chars").cast("long").alias("kept_n_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
     "simhash_near_dup",
     tags=("llm", "dedup"),
     oracle=f"""

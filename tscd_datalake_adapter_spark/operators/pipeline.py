@@ -326,6 +326,77 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKED_DOMAINS = ("src7.example.com", "src13.example.com")
+
+
+@register(
+    "domain_curation",
+    tags=("llm", "text"),
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id, n_chars,
+               'https://' || source || '.example.com/docs/' || doc_id AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, n_chars, url,
+               regexp_extract(url, 'https?://([^/]+)/', 1) AS domain
+        FROM urls
+    ),
+    ranked AS (
+        SELECT doc_id, domain, url,
+               row_number() OVER (PARTITION BY domain
+                                  ORDER BY n_chars DESC, doc_id) AS domain_rank
+        FROM parsed
+        WHERE domain NOT IN {_BLOCKED_DOMAINS!r}
+    )
+    SELECT doc_id, domain, url, CAST(domain_rank AS BIGINT) AS domain_rank,
+           domain_rank <= 10 AS kept
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-based corpus curation (the CommonCrawl-pipeline staple):
+    parse the domain out of each document's URL, drop blocklisted domains,
+    and cap each surviving domain's contribution (top-10 docs by length,
+    deterministic doc_id tiebreak) so no single site dominates the corpus.
+
+    Fixture documents carry no URL, so one is synthesized from ``source``
+    (recomputed identically in the oracle); the operator shape — regex
+    domain extraction map-side, blocklist as an IN filter the scanner can
+    push, per-domain ranking as one window shuffle keyed on domain — is the
+    scale path: state per task is one domain's doc list, and the cap means
+    downstream stages see at most ``cap × |domains|`` rows."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    parsed = d.select(
+        "doc_id", "n_chars", url.alias("url")
+    ).withColumn("domain", F.regexp_extract("url", r"https?://([^/]+)/", 1))
+    ranked = (
+        parsed.where(~F.col("domain").isin(*_BLOCKED_DOMAINS))
+        .withColumn(
+            "domain_rank",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "domain",
+        "url",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+        (F.col("domain_rank") <= 10).alias("kept"),
+    ).orderBy("doc_id")
+
+
 @register(
     "unpivot_lineitem_metrics",
     tags=("agg",),
