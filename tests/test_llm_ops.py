@@ -96,6 +96,42 @@ def test_prefix_filter_excludes_hot_token(spark):
     assert pairs == {(4, 5)}
 
 
+def test_prefix_filter_lossless_on_random_corpora(spark):
+    """Fuzz the prefix lemma: on seeded random corpora (Zipf-ish token
+    draws, varying doc lengths and thresholds) the prefix-filtered join
+    must equal a pure-Python exact Jaccard computation — independent of
+    Spark, so a shared bug can't self-confirm."""
+    import itertools
+    import random
+
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
+    )
+
+    for seed, tau in [(1, 0.5), (2, 0.7), (3, 0.9), (4, 0.6), (5, 0.8)]:
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(30)]
+        weights = [1.0 / (i + 1) for i in range(30)]  # Zipf-ish: hot head
+        docs = {}
+        for doc_id in range(30):
+            n = rng.randint(3, 12)
+            docs[doc_id] = set(rng.choices(vocab, weights=weights, k=n))
+        expected = set()
+        for a, b in itertools.combinations(sorted(docs), 2):
+            inter = len(docs[a] & docs[b])
+            if inter / (len(docs[a]) + len(docs[b]) - inter) >= tau:
+                expected.add((a, b))
+        tokens = spark.createDataFrame(
+            [(d, t) for d, toks in docs.items() for t in toks],
+            ["doc_id", "tok"],
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs_prefix_filtered(tokens, tau).collect()
+        }
+        assert got == expected, f"seed={seed} tau={tau}"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     """LSH ANN must place ≥90% of true top-5 neighbors (12 tables × 4 bits
     + Hamming-1 multi-probe measures 1.0; gate leaves headroom)."""

@@ -398,6 +398,62 @@ def domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "context_packing",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens - 512 * floor((cum - n_tokens) / 512) AS BIGINT)
+               AS pack_offset
+    FROM packed ORDER BY source, doc_id
+    """,
+)
+def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing for pre-training batches: stream each source's
+    documents in a deterministic order and assign every doc to a 512-token
+    pack by its running token offset (offset-based packing — docs may
+    straddle a boundary and be split at tokenization time; the pack id and
+    intra-pack offset computed here are what the loader needs).
+
+    Scale shape: ONE window shuffle keyed on ``source`` (the natural
+    packing unit — corpora pack per-shard, never globally), running sum in
+    a single pass, everything else map-side arithmetic. A global ORDER BY
+    cumsum would serialize the corpus; partitioning by shard is what makes
+    packing embarrassingly parallel at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / 512).cast("long").alias("pack_id"),
+        (start - 512 * F.floor(start / 512)).cast("long").alias("pack_offset"),
+    ).orderBy("source", "doc_id")
+
+
+@register(
     "unpivot_lineitem_metrics",
     tags=("agg",),
     oracle=f"""
