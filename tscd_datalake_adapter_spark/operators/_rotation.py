@@ -8,12 +8,43 @@ reorders the registry so queries that have NEVER had a green driver row come
 first; already-verified queries (still guarded every round by pytest's
 ``tests/test_oracle_parity.py`` over the same oracles) rotate to the back.
 
-Append one entry per round: the names whose CORRECTNESS_r{N}.json row was
-fully green (rows/schema/hash all true).  Errored or unchecked names are NOT
-listed, so they stay in the front window until they earn a green row.
+Green names are discovered automatically: every ``CORRECTNESS_r*.json`` at
+the repo root is scanned at load time for rows with rows/schema/hash all
+true, so each new round's results rotate the window with no code change.
+``_R1_GREEN`` is kept as a pinned fallback (and regression record) in case
+the JSON files are absent in some execution context.  Errored or unchecked
+names never enter the verified set, so they stay in the front window until
+they earn a green row.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+
+
+def _greens_from_correctness_files() -> set[str]:
+    """Names with a fully-green driver row in any CORRECTNESS_r*.json."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            ):
+                green.add(name)
+    return green
 
 # Green rows in CORRECTNESS_r01.json (49 of the 50 checked;
 # media_feature_extract errored and so stays in the unverified front set).
@@ -73,7 +104,7 @@ VERIFIED_BY_ROUND: dict[int, list[str]] = {1: _R1_GREEN}
 
 VERIFIED: frozenset[str] = frozenset(
     name for names in VERIFIED_BY_ROUND.values() for name in names
-)
+) | frozenset(_greens_from_correctness_files())
 
 
 def rotate(registry: dict) -> dict:
