@@ -182,6 +182,26 @@ def test_read_latest_resolves_superseded_versions(lake, book_dir, spark):
     assert by_id[33].ingest_date == TS2.strftime("%Y%m%d")
 
 
+def test_read_as_of_time_travel(lake, book_dir, spark):
+    """read_as_of(ts) reconstructs the lake at ts: versions newer than the
+    cutoff are invisible, versions at/before it resolve to the newest one,
+    and books born after the cutoff are absent entirely."""
+    paths = sorted(str(p) for p in book_dir.iterdir())
+    lake.ingest_files(paths[:2], TS)  # books 11, 22 on day 1
+    lake.ingest_files(paths, TS2)  # all three re-ingested on day 2
+
+    as_of_day1 = lake.read_as_of(dt.datetime(2026, 8, 13, 23, 0, 0))
+    got = {(r.book_id, r.ingest_date) for r in as_of_day1.collect()}
+    assert got == {(11, "20260813"), (22, "20260813")}  # book 33 not yet born
+
+    as_of_now = lake.read_as_of(dt.datetime(2026, 8, 20, 0, 0, 0))
+    got2 = {(r.book_id, r.ingest_date) for r in as_of_now.collect()}
+    assert got2 == {(11, "20260814"), (22, "20260814"), (33, "20260814")}
+
+    # cutoff exactly at TS includes the TS ingest (<=, not <)
+    assert {r.book_id for r in lake.read_as_of(TS).collect()} == {11, 22}
+
+
 def test_distributed_url_fetch_ingest(lake, book_dir, spark):
     """Executor-parallel R1: fetch via urllib INSIDE mapInPandas workers
     (file:// URLs — same urllib code path as https, offline), then the

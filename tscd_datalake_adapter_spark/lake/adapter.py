@@ -348,6 +348,36 @@ class LakeAdapter:
             .drop("_rn")
         )
 
+    def read_as_of(self, ts: dt.datetime) -> DataFrame:
+        """Time-travel read: the lake as it stood at ``ts`` — for each book,
+        the newest version with ``ingest_ts <= ts``; books first ingested
+        after ``ts`` are absent.
+
+        What a table format's snapshot read gives for free, recovered here
+        from the append-only layout: the ``ingest_date`` partition filter
+        prunes files at the scan (only partitions up to the cutoff day are
+        touched), then one window keyed on ``book_id`` picks the newest
+        surviving version — same shuffle budget as :meth:`read_latest`."""
+        from pyspark.sql import Window
+
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        day, _ = partition_values(ts)
+        w = Window.partitionBy("book_id").orderBy(
+            F.col("ingest_ts").desc(),
+            F.col("ingest_date").desc(),
+            F.col("ingest_hour").desc(),
+        )
+        return (
+            self.read()
+            # partition-level prune first (scan-time), exact cutoff second
+            .where(F.col("ingest_date") <= F.lit(day))
+            .where(F.col("ingest_ts") <= F.lit(ts))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _empty(self) -> bool:
         return not os.path.isdir(self.lake_root)
 
