@@ -242,6 +242,27 @@ def test_fixed_dims_still_broadcast_with_size_stats_off(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_curation_operator_shuffle_budgets(spark, sf_dir):
+    """The new curation operators keep their declared shuffle budgets:
+    context packing and domain curation are ONE data shuffle (their window)
+    plus the presentation sort; decontamination stays an equi-join — no
+    cartesian/nested-loop node may appear at any scale."""
+    from tscd_datalake_adapter_spark.operators.pipeline import (
+        benchmark_decontamination,
+        context_packing,
+        domain_curation,
+    )
+
+    for fn, max_hash_exchanges in [(context_packing, 1), (domain_curation, 1)]:
+        p = plans.formatted_plan(fn(spark, sf_dir))
+        n = p.count("Exchange hashpartitioning")
+        assert n <= max_hash_exchanges, f"{fn.__name__}: {n} hash exchanges"
+
+    p = plans.formatted_plan(benchmark_decontamination(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_aqe_skew_join_splits_hot_partition(spark):
     """AQE's skew-join handling — the runtime answer to Zipfian join keys at
     100 TB — must actually fire: a shuffle join where 90% of rows share one
