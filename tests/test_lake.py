@@ -202,6 +202,26 @@ def test_read_as_of_time_travel(lake, book_dir, spark):
     assert {r.book_id for r in lake.read_as_of(TS).collect()} == {11, 22}
 
 
+def test_read_as_of_tz_aware_consistency(lake, book_dir):
+    """A tz-aware ingest timestamp and a tz-aware cutoff must land on the
+    same (UTC) clock: a book ingested at 10:00+02:00 is visible as of
+    11:00+02:00 — regression test for comparing UTC cutoffs against
+    wall-clock stored timestamps."""
+    tz2 = dt.timezone(dt.timedelta(hours=2))
+    paths = sorted(str(p) for p in book_dir.iterdir())
+    lake.ingest_files(paths[:1], dt.datetime(2026, 8, 13, 10, 0, 0, tzinfo=tz2))
+
+    visible = lake.read_as_of(dt.datetime(2026, 8, 13, 11, 0, 0, tzinfo=tz2))
+    assert {r.book_id for r in visible.collect()} == {11}
+    # stored ingest_ts is naive UTC (08:00), partition agrees
+    row = lake.read().first()
+    assert row.ingest_ts == dt.datetime(2026, 8, 13, 8, 0, 0)
+    assert (row.ingest_date, row.ingest_hour) == ("20260813", "08")
+    # a cutoff before the ingest (in UTC terms) hides it
+    empty = lake.read_as_of(dt.datetime(2026, 8, 13, 9, 30, 0, tzinfo=tz2))
+    assert empty.count() == 0
+
+
 def test_distributed_url_fetch_ingest(lake, book_dir, spark):
     """Executor-parallel R1: fetch via urllib INSIDE mapInPandas workers
     (file:// URLs — same urllib code path as https, offline), then the

@@ -75,10 +75,9 @@ def test_prefix_filter_excludes_hot_token(spark):
     )
 
     spark_rows = []
-    # 40 docs, each 20 distinct tokens: 'the' in EVERY doc (hot), the rest
-    # unique per doc except docs 0/1 which share 19 of 20 tokens (J = 19/21
-    # < 0.9) and docs 2/3 which are identical except one token (J 19/21)...
-    # make docs 4/5 exact-duplicates at the token level (J = 1.0 >= 0.9).
+    # 40 docs, each 20 distinct tokens: 'the' in EVERY doc (hot); all other
+    # tokens unique per doc, except docs 4/5 which are token-level exact
+    # duplicates (J = 1.0 >= 0.9) — the only qualifying pair.
     for i in range(40):
         if i == 5:
             toks = [f"tok_{4}_{j}" for j in range(19)]  # same as doc 4

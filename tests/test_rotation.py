@@ -1,5 +1,5 @@
 """Registry-rotation tests: the driver's 50-slot CORRECTNESS window must be
-spent on queries that have never had a green driver row."""
+spent on queries that can still produce new signal."""
 
 from __future__ import annotations
 
@@ -8,6 +8,7 @@ from tscd_datalake_adapter_spark.operators._rotation import (
     _R1_GREEN,
     VERIFIED,
     _greens_from_correctness_files,
+    _recorded_without_error,
 )
 
 
@@ -15,16 +16,29 @@ def test_greens_parsed_from_correctness_files():
     g = _greens_from_correctness_files()
     # r1's recorded greens must all be discovered from CORRECTNESS_r01.json
     assert set(_R1_GREEN) <= g
-    # the one errored row must not be treated as verified
+    # the one errored row must not be treated as verified or recorded
     assert "media_feature_extract" not in g
+    assert "media_feature_extract" not in _recorded_without_error()
 
 
-def test_front_window_is_all_unverified():
-    names = list(load_all().keys())
-    front, back = names[:50], names[50:]
-    assert not (set(front) & VERIFIED), "verified query wasting a front slot"
-    # every verified query sits behind the window
-    assert VERIFIED <= set(back)
+def test_rotation_tiers_are_ordered():
+    """All signal-capable queries (tier 0/1) precede all spent ones (tier 2),
+    regardless of how many of each exist — stable across future rounds."""
+    registry = load_all()
+    names = list(registry.keys())
+    recorded = _recorded_without_error()
+
+    def tier(name):
+        spec = registry[name]
+        if spec.oracle is not None:
+            return 0 if name not in VERIFIED else 2
+        return 1 if name not in recorded else 2
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "rotation must order tier 0 < 1 < 2"
+    # oracle-less queries never sit ahead of oracle-backed unverified ones
+    if 0 in tiers and 1 in tiers:
+        assert tiers.index(1) > max(i for i, t in enumerate(tiers) if t == 0)
 
 
 def test_rotation_preserves_registry_contents():

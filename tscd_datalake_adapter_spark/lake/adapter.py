@@ -78,10 +78,20 @@ def validate_book_id(book_id: object) -> int:
     return v
 
 
-def partition_values(ts: dt.datetime) -> tuple[str, str]:
-    """(yyyyMMdd, HH) partition values (``S3DatalakeStorage.java:21-22``), UTC."""
+def naive_utc(ts: dt.datetime) -> dt.datetime:
+    """Normalize to naive UTC — the lake's single timestamp convention.
+
+    Partition values AND the stored ``ingest_ts`` both use this, so a
+    tz-aware ingest timestamp and a tz-aware ``read_as_of`` cutoff land on
+    the same clock; a naive input is taken as already-UTC."""
     if ts.tzinfo is not None:
         ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return ts
+
+
+def partition_values(ts: dt.datetime) -> tuple[str, str]:
+    """(yyyyMMdd, HH) partition values (``S3DatalakeStorage.java:21-22``), UTC."""
+    ts = naive_utc(ts)
     return ts.strftime("%Y%m%d"), ts.strftime("%H")
 
 
@@ -107,7 +117,7 @@ class LakeAdapter:
         if not res.ok:
             raise IngestFailed(f"gutenberg markers missing/mis-ordered for {bid}")
         day, hour = partition_values(ts)
-        row = [(bid, res.header, res.body, ts.replace(tzinfo=None), day, hour)]
+        row = [(bid, res.header, res.body, naive_utc(ts), day, hour)]
         df = self.spark.createDataFrame(row, BOOK_SCHEMA)
         self._write(df)
         return {
@@ -132,7 +142,7 @@ class LakeAdapter:
         no driver materialization.
         """
         day, hour = partition_values(ts)
-        ts_naive = ts.replace(tzinfo=None)
+        ts_naive = naive_utc(ts)
 
         def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -232,6 +242,7 @@ class LakeAdapter:
         )
 
         def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import http.client
             import urllib.request
 
             for pdf in batches:
@@ -248,23 +259,33 @@ class LakeAdapter:
                                 raise OSError(f"HTTP {status}")
                             raws.append(resp.read().decode("utf-8"))
                             errs.append(None)
-                    except (OSError, ValueError, UnicodeDecodeError) as exc:
+                    # HTTPException covers mid-body failures (IncompleteRead,
+                    # BadStatusLine) that are not OSErrors — a flaky origin
+                    # must yield an error ROW, never a task failure.
+                    except (
+                        OSError,
+                        ValueError,
+                        UnicodeDecodeError,
+                        http.client.HTTPException,
+                    ) as exc:
                         raws.append(None)
-                        errs.append(f"fetch failed: {exc}")
+                        errs.append(f"fetch failed: {exc!r}")
                 yield pd.DataFrame(
                     {"book_id": pd.array(ids, dtype="int64"), "raw": raws, "error": errs}
                 )
 
         return urls_df.mapInPandas(_fetch, schema=out_schema)
 
-    def ingest_urls(self, urls_df: DataFrame, ts: dt.datetime) -> dict:
+    def ingest_urls(
+        self, urls_df: DataFrame, ts: dt.datetime, timeout: float = 30.0
+    ) -> dict:
         """Fully-distributed R1 pipeline: fetch → split → stage → lake write,
         all executor-side (fetch via :meth:`fetch_urls_distributed`, split+
         write via :meth:`ingest_raw_df`). Returns per-stage failure counts.
         The fetched frame is cached for the duration: it feeds both the
         failure count and the write, and re-fetching on recompute would be
         both slow and non-idempotent against a live origin."""
-        fetched = self.fetch_urls_distributed(urls_df).cache()
+        fetched = self.fetch_urls_distributed(urls_df, timeout=timeout).cache()
         try:
             n_fetch_failed = fetched.where(F.col("error").isNotNull()).count()
             ok = fetched.where(F.col("error").isNull()).select("book_id", "raw")
@@ -324,16 +345,12 @@ class LakeAdapter:
             .parquet(self.lake_root)
         )
 
-    def read_latest(self) -> DataFrame:
-        """One row per ``book_id`` — the newest version by ``ingest_ts``
-        (ties broken by partition values, newest first).
-
-        This is the consistent read view over a lake where :meth:`merge_books`
-        may leave superseded row versions physically present (its documented
-        partition-overwrite caveat): content queries should read this, not
-        :meth:`read`, whenever upserts are in play. One window shuffle keyed
-        on ``book_id``; at 100 TB the same rewrite a table format's MERGE
-        does internally."""
+    @staticmethod
+    def _newest_version_per_book(df: DataFrame) -> DataFrame:
+        """One row per ``book_id`` — newest by ``ingest_ts`` (ties broken by
+        partition values, newest first). The single version-resolution rule
+        shared by :meth:`read_latest` and :meth:`read_as_of`; one window
+        shuffle keyed on ``book_id``."""
         from pyspark.sql import Window
 
         w = Window.partitionBy("book_id").orderBy(
@@ -342,11 +359,18 @@ class LakeAdapter:
             F.col("ingest_hour").desc(),
         )
         return (
-            self.read()
-            .withColumn("_rn", F.row_number().over(w))
+            df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def read_latest(self) -> DataFrame:
+        """The consistent read view over a lake where :meth:`merge_books`
+        may leave superseded row versions physically present (its documented
+        partition-overwrite caveat): content queries should read this, not
+        :meth:`read`, whenever upserts are in play. At 100 TB this is the
+        same rewrite a table format's MERGE does internally."""
+        return self._newest_version_per_book(self.read())
 
     def read_as_of(self, ts: dt.datetime) -> DataFrame:
         """Time-travel read: the lake as it stood at ``ts`` — for each book,
@@ -356,26 +380,15 @@ class LakeAdapter:
         What a table format's snapshot read gives for free, recovered here
         from the append-only layout: the ``ingest_date`` partition filter
         prunes files at the scan (only partitions up to the cutoff day are
-        touched), then one window keyed on ``book_id`` picks the newest
-        surviving version — same shuffle budget as :meth:`read_latest`."""
-        from pyspark.sql import Window
-
-        if ts.tzinfo is not None:
-            ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        touched), then the shared newest-version window resolves what
+        survives — same shuffle budget as :meth:`read_latest`."""
+        ts = naive_utc(ts)
         day, _ = partition_values(ts)
-        w = Window.partitionBy("book_id").orderBy(
-            F.col("ingest_ts").desc(),
-            F.col("ingest_date").desc(),
-            F.col("ingest_hour").desc(),
-        )
-        return (
+        return self._newest_version_per_book(
             self.read()
             # partition-level prune first (scan-time), exact cutoff second
             .where(F.col("ingest_date") <= F.lit(day))
             .where(F.col("ingest_ts") <= F.lit(ts))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
         )
 
     def _empty(self) -> bool:
@@ -440,7 +453,7 @@ class LakeAdapter:
         feature-gated in sources.write_table) removes the caveat physically.
         """
         day, hour = partition_values(ts)
-        ts_naive = ts.replace(tzinfo=None)
+        ts_naive = naive_utc(ts)
         lake = self.read()
         ids = updates.select("book_id").distinct()
         affected = (

@@ -24,27 +24,43 @@ import json
 import os
 
 
-def _greens_from_correctness_files() -> set[str]:
-    """Names with a fully-green driver row in any CORRECTNESS_r*.json."""
+def _correctness_rows() -> list[tuple[str, dict]]:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    out: list[tuple[str, dict]] = []
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        if not isinstance(rows, dict):
-            continue
-        for name, row in rows.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match") is True
-                and row.get("schema_match") is True
-                and row.get("hash_match") is True
-            ):
-                green.add(name)
-    return green
+        if isinstance(rows, dict):
+            out.extend(
+                (name, row) for name, row in rows.items() if isinstance(row, dict)
+            )
+    return out
+
+
+def _greens_from_correctness_files() -> set[str]:
+    """Names with a fully-green driver row in any CORRECTNESS_r*.json."""
+    return {
+        name
+        for name, row in _correctness_rows()
+        if row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    }
+
+
+def _recorded_without_error() -> set[str]:
+    """Names the driver ran and recorded a non-erroring row for (green OR a
+    weaker rows-only result). For oracle-less queries this is the best
+    possible outcome — they can never earn a hash-green row — so one such
+    record means the front-window slot has done its job."""
+    return {
+        name
+        for name, row in _correctness_rows()
+        if row.get("err") is None and row.get("rows_match") is not None
+    }
 
 # Green rows in CORRECTNESS_r01.json (49 of the 50 checked;
 # media_feature_extract errored and so stays in the unverified front set).
@@ -108,7 +124,24 @@ VERIFIED: frozenset[str] = frozenset(
 
 
 def rotate(registry: dict) -> dict:
-    """Unverified queries first (registration order), verified ones last."""
-    front = {n: s for n, s in registry.items() if n not in VERIFIED}
-    back = {n: s for n, s in registry.items() if n in VERIFIED}
-    return {**front, **back}
+    """Order the registry so the driver's 50-slot window is spent where it
+    can still produce signal (registration order within each tier):
+
+    1. oracle-backed queries with no green driver row yet — each window
+       visit can turn one green;
+    2. oracle-less queries the driver has never recorded — they can earn at
+       most a rows-only row, once;
+    3. everything else: hash-verified queries and oracle-less queries that
+       already have their (best-possible) recorded row.
+    """
+    recorded = _recorded_without_error()
+
+    def tier(name: str, spec) -> int:
+        if spec.oracle is not None:
+            return 0 if name not in VERIFIED else 2
+        return 1 if name not in recorded else 2
+
+    out: dict = {}
+    for t in (0, 1, 2):
+        out.update({n: s for n, s in registry.items() if tier(n, s) == t})
+    return out

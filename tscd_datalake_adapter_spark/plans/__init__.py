@@ -67,9 +67,12 @@ def forced_broadcast_base_tables(df: DataFrame, tables: list[str]) -> set[str]:
     """
     import re
 
-    # sparkPlan has the join strategy chosen but exchanges not yet inserted,
-    # so look at Broadcast*Join nodes and take their build-side subtree.
-    plan = df._jdf.queryExecution().sparkPlan()
+    # Scan locations are elided past spark.sql.maxMetadataStringLength
+    # (default 100 chars) when nodes stringify — under a deep fixture path
+    # the '<table>.parquet' tail would vanish and the check pass vacuously.
+    spark = df.sparkSession
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     found: set[str] = set()
 
     def walk(node):
@@ -87,7 +90,13 @@ def forced_broadcast_base_tables(df: DataFrame, tables: list[str]) -> set[str]:
         for i in range(kids.size()):
             walk(kids.apply(i))
 
-    walk(plan)
+    try:
+        # sparkPlan has the join strategy chosen but exchanges not yet
+        # inserted, so look at Broadcast*Join nodes and take their
+        # build-side subtree (stringified AFTER raising the metadata cap).
+        walk(df._jdf.queryExecution().sparkPlan())
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
     return found
 
 
