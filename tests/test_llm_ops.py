@@ -431,3 +431,48 @@ def test_h60_cross_engine_fuzz(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_lm_perplexity_terciles(spark, sf_dir):
+    """Tercile buckets split the scored corpus ~evenly; head docs score a
+    strictly higher avg log-prob (lower ppl) than tail docs; no training
+    doc (doc_id % 7 == 0) is ever scored."""
+    from tscd_datalake_adapter_spark.operators.pipeline import (
+        lm_perplexity_filter,
+    )
+
+    rows = lm_perplexity_filter(spark, sf_dir).collect()
+    assert rows and all(r.doc_id % 7 != 0 for r in rows)
+    by_bucket = {b: [r for r in rows if r.bucket == b] for b in ("head", "middle", "tail")}
+    n = len(rows)
+    for b, rs in by_bucket.items():
+        assert abs(len(rs) - n / 3) <= n / 6 + 1, f"{b} tercile badly skewed"
+    assert min(r.avg_logprob for r in by_bucket["head"]) >= max(
+        r.avg_logprob for r in by_bucket["tail"]
+    )
+    for r in rows:
+        assert abs(r.ppl - round(2.718281828459045 ** (-r.avg_logprob), 3)) < 0.01 * r.ppl + 1e-3
+
+
+def test_temperature_sampling_upweights_low_resource(spark, sf_dir):
+    """Alpha=0.3 temperature sampling: rarer languages get a strictly
+    higher sampling rate, all rates are in (0, 1], and realized per-lang
+    sample sizes track rate * n_docs."""
+    from tscd_datalake_adapter_spark.operators.sampling import (
+        temperature_sampling_counts,
+    )
+
+    rows = temperature_sampling_counts(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    for small, large in zip(by_size, by_size[1:]):
+        if small.n_docs < large.n_docs:
+            assert small.rate >= large.rate, "low-resource lang must not get a lower rate"
+    for r in rows:
+        assert 0.0 < r.rate <= 1.0
+        assert 0 <= r.n_sampled <= r.n_docs
+        # hash predicate realizes ~rate of the population (binomial 5-sigma)
+        import math
+
+        sigma = math.sqrt(r.n_docs * r.rate * (1 - r.rate))
+        assert abs(r.n_sampled - r.rate * r.n_docs) <= 5 * sigma + 1

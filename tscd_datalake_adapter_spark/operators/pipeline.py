@@ -486,3 +486,141 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum("value").alias("total"), F.count("*").alias("n"))
         .orderBy("metric")
     )
+
+
+@register(
+    "lm_perplexity_filter",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) u(i)
+        WHERE len(t) >= 2
+    ),
+    train AS (SELECT w1, w2 FROM bg WHERE doc_id % 7 = 0),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY w1),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 7 = 0)
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               round(ln((coalesce(c2.c2, 0) + 0.5)
+                        / (coalesce(c1.c1, 0) + 0.5 * v)), 6) AS logp
+        FROM bg CROSS JOIN vocab
+        LEFT JOIN c2 USING (w1, w2)
+        LEFT JOIN c1 USING (w1)
+        WHERE bg.doc_id % 7 != 0
+    ),
+    perdoc AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(logp AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(avg_logprob, 1.0/3) AS q1,
+               quantile_cont(avg_logprob, 2.0/3) AS q2
+        FROM perdoc
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_logprob,
+           round(exp(-avg_logprob), 6) AS ppl,
+           CASE WHEN avg_logprob >= q2 THEN 'head'
+                WHEN avg_logprob >= q1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM perdoc CROSS JOIN cuts
+    ORDER BY doc_id
+    """,
+)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity filter (Wenzek et al., 2020): train
+    an add-k-smoothed bigram model on a trusted reference slice (here the
+    ``doc_id % 7 == 0`` docs stand in for Wikipedia), score every other
+    document by average token log-probability, and bucket the corpus into
+    head / middle / tail perplexity terciles — the standard quality gate in
+    large-scale pre-training data pipelines.
+
+    Scale shape: the model is built from the *fixed-size* reference corpus,
+    so the bigram/context count tables are bounded regardless of how large
+    the scored corpus grows — AQE broadcasts them and scoring is a map-side
+    join over the exploded bigram stream. One groupBy(doc_id) shuffle folds
+    scores per document (decimal-exact sums, so the average is
+    order-independent and engine-portable). The tercile cutoffs come from an
+    exact two-scalar percentile aggregate broadcast back over the docs — NOT
+    a global ntile() window, which would funnel every row through one
+    partition at 100 TB.
+
+    Per-bigram log-probs are rounded to 6 decimals before the decimal-sum
+    fold (``functions`` module determinism recipe), keeping the whole score
+    pipeline cross-engine hash-exact despite the ln/exp double math.
+    """
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(0, size(t)-2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2)))"
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    train = bg.where(F.col("doc_id") % 7 == 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        toks.where(F.col("doc_id") % 7 == 0)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bg.where(F.col("doc_id") % 7 != 0)
+        .crossJoin(F.broadcast(vocab))
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce("c2", F.lit(0)) + 0.5)
+                    / (F.coalesce("c1", F.lit(0)) + 0.5 * F.col("v"))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("logp").cast(DEC)).cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )
+    cuts = perdoc.agg(
+        F.expr("percentile(avg_logprob, 1.0/3)").alias("q1"),
+        F.expr("percentile(avg_logprob, 2.0/3)").alias("q2"),
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+            F.when(F.col("avg_logprob") >= F.col("q2"), "head")
+            .when(F.col("avg_logprob") >= F.col("q1"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

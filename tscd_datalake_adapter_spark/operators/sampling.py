@@ -139,3 +139,94 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "temperature_sampling_counts",
+    tags=("sampling", "llm"),
+    oracle=f"""
+    WITH stats AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM stats),
+    langq AS (
+        SELECT lang, n_docs,
+               round(pow(CAST(n_docs AS DOUBLE) / n, 0.3), 6) AS q
+        FROM stats CROSS JOIN tot
+    ),
+    z AS (SELECT CAST(sum(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS z FROM langq),
+    rates AS (
+        SELECT lang, n_docs,
+               CAST(floor(least(1.0, 0.5 * n * (q / z) / n_docs) * 1000000)
+                    AS BIGINT) AS thr
+        FROM langq CROSS JOIN z CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.lang, count(*) AS n_sampled
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE {oracle_h60("doc_id::VARCHAR")} % 1000000 < r.thr
+        GROUP BY d.lang
+    )
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+           round(thr / 1000000.0, 6) AS rate,
+           CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM rates r LEFT JOIN kept k USING (lang)
+    ORDER BY r.lang
+    """,
+)
+def temperature_sampling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual sampling (XLM-R / mBERT style,
+    alpha = 0.3): up-weight low-resource languages by sampling language l
+    with probability proportional to p_l^alpha instead of p_l, targeting
+    half the corpus overall. The per-language Bernoulli rate is realized as
+    a deterministic content-hash predicate, so the sample is rerun-stable,
+    partition-invariant, and engine-verifiable like every sampler here.
+
+    Scale shape: language statistics are one |langs|-row aggregate; the
+    rate table is fixed-cardinality (broadcast by construction); the doc
+    scan applies the hash predicate map-side with zero extra shuffle. The
+    normalizer Z folds the per-language q values through decimal(38,6) so
+    the rates are order-independent doubles, and each rate is floored to an
+    integer per-million threshold so the keep decision is pure integer
+    comparison — no float boundary ambiguity at any scale.
+    """
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = stats.agg(F.sum("n_docs").cast("long").alias("n"))
+    langq = stats.crossJoin(F.broadcast(tot)).withColumn(
+        "q",
+        F.round(F.pow(F.col("n_docs").cast("double") / F.col("n"), 0.3), 6),
+    )
+    z = langq.agg(F.sum(F.col("q").cast(DEC)).cast("double").alias("z"))
+    rates = langq.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5)
+                * F.col("n")
+                * (F.col("q") / F.col("z"))
+                / F.col("n_docs"),
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .where(h60(F.col("doc_id").cast("string")) % 1000000 < F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("thr") / 1000000.0, 6).alias("rate"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
