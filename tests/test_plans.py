@@ -338,3 +338,33 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_lm_perplexity_no_global_window(spark, sf_dir):
+    """The perplexity terciles must come from scalar percentile aggregates,
+    never a global ntile()/Window — a global window funnels every row
+    through one partition at 100 TB. Shuffle budget: model counts (w1 /
+    w1,w2), vocab distinct, and the per-doc fold; nothing else."""
+    from tscd_datalake_adapter_spark.operators.pipeline import (
+        lm_perplexity_filter,
+    )
+
+    p = plans.formatted_plan(lm_perplexity_filter(spark, sf_dir))
+    assert "Window" not in p, "global window in the perplexity path"
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 8, f"perplexity filter shuffle budget exceeded: {n}"
+
+
+def test_temperature_sampling_mapside_docs_scan(spark, sf_dir):
+    """The rate table is fixed-cardinality (|langs| rows) so every join in
+    the sampler must broadcast — a sort-merge join would shuffle the whole
+    document corpus just to attach a per-language threshold."""
+    from tscd_datalake_adapter_spark.operators.sampling import (
+        temperature_sampling_counts,
+    )
+
+    p = plans.formatted_plan(temperature_sampling_counts(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 4, f"temperature sampler shuffle budget exceeded: {n}"

@@ -221,7 +221,8 @@ def temperature_sampling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
     )
     return (
-        rates.join(kept, "lang", "left")
+        # kept is bounded by |langs| rows — fixed-cardinality, safe to hint
+        rates.join(F.broadcast(kept), "lang", "left")
         .select(
             "lang",
             F.col("n_docs").cast("long").alias("n_docs"),
