@@ -9,7 +9,10 @@ the actual codec step is stubbed behind a deterministic fake, clearly marked
 
 - ``multimodal_metadata`` — binary-column metadata extraction, oracle-checked.
 - ``media_feature_extract`` — the mapInPandas decode/feature pipeline with a
-  deterministic fake decoder (weak oracle; unit-tested for shape+determinism).
+  deterministic fake decoder. Because the fake derives every output from the
+  payload's sha256 with exactly-representable arithmetic (k/256, k/128 are
+  dyadic rationals — bit-exact in float32/double), the registered query is
+  fully oracle-checked: DuckDB recomputes the same bytes from ``sha256(text)``.
 """
 
 from __future__ import annotations
@@ -76,6 +79,11 @@ def _fake_decode(payload: bytes) -> dict:
     (not installed in this container — SURVEY.md build constraints). The fake
     derives stable pseudo-metadata from the payload's sha256 so tests can pin
     exact outputs. Raises on empty payload like a real decoder would.
+
+    All float outputs are dyadic rationals (byte/256 and byte/128 - 1): they
+    are exactly representable in float32 and double, so a SQL oracle that
+    recomputes them from ``sha256(text)`` matches bit-for-bit — no rounding
+    ties, no cross-engine float drift.
     """
     if not payload:
         raise ValueError("empty media payload")
@@ -83,8 +91,8 @@ def _fake_decode(payload: bytes) -> dict:
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     n_frames = 1 + digest[2] % 16
-    mean_intensity = round(digest[3] / 255.0, 6)
-    feature = [round((b / 255.0) * 2.0 - 1.0, 6) for b in digest[:8]]
+    mean_intensity = digest[3] / 256.0
+    feature = [(b / 256.0) * 2.0 - 1.0 for b in digest[:8]]
     return {
         "width": width,
         "height": height,
@@ -148,11 +156,43 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(_decode, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def _sha_byte(i: int) -> str:
+    """DuckDB SQL for byte ``i`` of a lowercase-hex sha256 column ``hx``."""
+    hi = f"(strpos('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(hx, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+_MEDIA_FEATURE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS hx
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(CAST(text AS BLOB)) > 0
+    ), b AS (
+      SELECT doc_id,
+             {", ".join(f"{_sha_byte(i)} AS b{i}" for i in range(8))}
+      FROM h
+    )
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS media_type,
+           CAST(64 + b0 % 192 AS INTEGER) AS width,
+           CAST(64 + b1 % 192 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + b2 % 16 ELSE 1 END
+                AS INTEGER) AS n_frames,
+           b3 / 256.0 AS mean_intensity,
+           concat_ws(',', {", ".join(
+               f"printf('%.7f', (b{i} / 256.0) * 2.0 - 1.0)" for i in range(8)
+           )}) AS feature_csv
+    FROM b ORDER BY doc_id
+    """
+
+
 @register(
     "media_feature_extract",
     tags=("llm", "multimodal"),
-    # Weak oracle: mapInPandas with the stubbed decoder is not SQL-
-    # expressible; unit tests pin schema + exact deterministic values.
+    oracle=_MEDIA_FEATURE_ORACLE,
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a media table (text bytes as stand-in payloads, media_type
@@ -161,7 +201,10 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     The registered output serializes the ``feature`` vector to a CSV string
     (all other columns are scalar) so result canonicalizers that sort rows
     pandas-side can hash it; ``extract_media_features`` keeps the real
-    ``array<float>`` column for downstream use and pytest."""
+    ``array<float>`` column for downstream use and pytest. The oracle
+    re-derives the fake decoder's outputs from DuckDB's ``sha256`` — every
+    value is a dyadic rational, so the match is bit-exact (``%.7f`` prints
+    k/128 and k/256 without rounding)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     media = d.select(
         "doc_id",
@@ -181,7 +224,9 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_intensity",
         F.concat_ws(
             ",",
-            F.transform("feature", lambda x: F.format_number(x.cast("double"), 6)),
+            F.transform(
+                "feature", lambda x: F.format_string("%.7f", x.cast("double"))
+            ),
         ).alias("feature_csv"),
     ).orderBy("doc_id")
 
