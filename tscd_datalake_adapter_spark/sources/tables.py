@@ -30,6 +30,12 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     required by every query; both are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive (isAdjustedToUTC=false) parquet timestamps must arrive as
+    # TIMESTAMP (LTZ): watermarks/windows require it, and with the session
+    # zone pinned to UTC the wall-clock values equal the NTZ reading — the
+    # same interpretation DuckDB oracles use. Spark 4 would otherwise infer
+    # TIMESTAMP_NTZ.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
