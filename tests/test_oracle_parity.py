@@ -31,10 +31,24 @@ def duck(sf_dir):
     con.close()
 
 
+def _assert_all_scalar(df, name):
+    """Driver canonicalizers lexsort rows pandas-side; an array/map/struct
+    cell is unhashable there and errors the row (r1 media_feature_extract,
+    r2 array_functions). Every REGISTERED output must be scalar-only."""
+    import pyspark.sql.types as T
+
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"{name}: registered output column {f.name} is non-scalar {f.dataType}"
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     spec = REGISTRY[name]
-    spdf = spec.fn(spark, sf_dir).toPandas()
+    sp = spec.fn(spark, sf_dir)
+    _assert_all_scalar(sp, name)
+    spdf = sp.toPandas()
     opdf = duck.execute(spec.oracle).df()
     scols, srows = pc._to_rows(spdf)
     ocols, orows = pc._to_rows(opdf)
@@ -48,4 +62,5 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 def test_weak_query_runs(spark, sf_dir, name):
     """Non-SQL-expressible operators: at minimum they run and return rows."""
     df = REGISTRY[name].fn(spark, sf_dir)
+    _assert_all_scalar(df, name)
     assert df.count() >= 0

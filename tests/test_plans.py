@@ -355,6 +355,39 @@ def test_lm_perplexity_no_global_window(spark, sf_dir):
     assert n <= 8, f"perplexity filter shuffle budget exceeded: {n}"
 
 
+def test_ntile_has_no_global_window_over_base_rows(spark, sf_dir):
+    """window_ntile_customers must use the two-pass boundary form: the only
+    unpartitioned window allowed is the cumulative-rank pass over the
+    per-value AGGREGATE (bounded by the acctbal value domain), never over
+    raw customer rows."""
+    from tscd_datalake_adapter_spark.operators.relational import (
+        window_ntile_customers,
+    )
+
+    df = window_ntile_customers(spark, sf_dir)
+    bad = plans.unpartitioned_windows_over_unaggregated_input(df)
+    assert not bad, f"global window over unaggregated input:\n" + "\n".join(bad)
+
+
+def test_registry_has_no_global_window_over_base_rows(spark, sf_dir):
+    """Registry-wide regression net for the single-partition-window
+    anti-pattern: every registered query's plan must keep unpartitioned
+    windows above an aggregation (bounded input). Plan-only — nothing
+    executes."""
+    from tscd_datalake_adapter_spark.operators import load_all
+
+    offenders = {}
+    for name, spec in load_all().items():
+        try:
+            df = spec.fn(spark, sf_dir)
+        except Exception:
+            continue  # construction-time failures are other tests' business
+        bad = plans.unpartitioned_windows_over_unaggregated_input(df)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"global windows over unaggregated input: {offenders}"
+
+
 def test_temperature_sampling_mapside_docs_scan(spark, sf_dir):
     """The rate table is fixed-cardinality (|langs| rows) so every join in
     the sampler must broadcast — a sort-merge join would shuffle the whole

@@ -7,6 +7,7 @@ from tscd_datalake_adapter_spark.operators import load_all
 from tscd_datalake_adapter_spark.operators._rotation import (
     _R1_GREEN,
     VERIFIED,
+    _correctness_rows,
     _greens_from_correctness_files,
     _recorded_without_error,
 )
@@ -16,9 +17,20 @@ def test_greens_parsed_from_correctness_files():
     g = _greens_from_correctness_files()
     # r1's recorded greens must all be discovered from CORRECTNESS_r01.json
     assert set(_R1_GREEN) <= g
-    # the one errored row must not be treated as verified or recorded
-    assert "media_feature_extract" not in g
-    assert "media_feature_extract" not in _recorded_without_error()
+    # invariant (round-independent): a name whose recorded rows are ALL
+    # errored has produced no usable signal — it must be in neither the
+    # verified set nor the recorded set.  (A later round turning such a name
+    # green removes it from errored_only, so this never goes stale.)
+    by_name: dict[str, list[dict]] = {}
+    for name, row in _correctness_rows():
+        by_name.setdefault(name, []).append(row)
+    errored_only = {
+        name
+        for name, rows in by_name.items()
+        if all(r.get("err") is not None for r in rows)
+    }
+    assert not (errored_only & g)
+    assert not (errored_only & _recorded_without_error())
 
 
 def test_rotation_tiers_are_ordered():

@@ -781,14 +781,86 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over every customer WITHOUT a global per-row window (the
+    naive ``Window.orderBy(...)`` funnels the whole table through one
+    partition — unacceptable at 100 TB). Exact two-pass boundary form:
+
+    1. ``groupBy(c_acctbal)`` → (cnt, exact decimal sum). Cardinality is
+       bounded by the VALUE DOMAIN (cents in ~[-100k, 1M) → ≤1.1M distinct
+       values) regardless of SF, so the cumulative-rank window in step 2
+       runs over a bounded aggregate — same class as the 7-row window in
+       ``yoy_revenue_growth`` — never over base-table rows.
+    2. A window over that bounded table gives each value its global start
+       rank; exact integer ntile arithmetic (``div``, no double division —
+       safe to 2^63 rows) then assigns whole value-groups to tiles, and
+       their counts/sums aggregate WITHOUT touching per-row data.
+    3. Only value-groups straddling a tile boundary (≤ ntiles-1 of them, ≤3
+       here) return to per-row work: broadcast-join those values against
+       customer and ``row_number`` partitioned BY VALUE (tiebreak
+       c_custkey), matching ntile's ORDER BY (c_acctbal, c_custkey).
+       Worst case one value owns every row; the docstring contract is the
+       bounded-domain + low-tie profile of an account-balance column.
+
+    Decimal partial sums are exact and associative, so whole-group sums +
+    straddling-row sums re-aggregate to the identical ``dec_sum`` total.
+    """
+    nt = 4
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        c.select(
-            "c_acctbal", F.ntile(4).over(w).cast("long").alias("tile")
-        )
+    per_val = c.groupBy("c_acctbal").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("val_sum"),
+    )
+    wv = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, -1)
+    per_val = per_val.withColumn(
+        "rank0", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("long")
+    )
+    tot = per_val.groupBy().agg(F.sum("cnt").cast("long").alias("n_total"))
+    pv = (
+        per_val.join(F.broadcast(tot))
+        .withColumn("base", F.expr(f"n_total div {nt}"))
+        .withColumn("rem", F.col("n_total") % nt)
+    )
+
+    # Exact integer tile-of-rank: first `rem` tiles hold base+1 rows, the
+    # rest hold base. ceil(a/b) == (a + b - 1) div b, all in int64.
+    def tile_of(rank_expr: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN ({rank_expr}) <= rem * (base + 1)"
+            f" THEN (({rank_expr}) + base) div (base + 1)"
+            f" ELSE rem + (({rank_expr}) - rem * (base + 1)"
+            f"            + greatest(base, 1) - 1) div greatest(base, 1) END"
+        ).cast("long")
+
+    pv = pv.withColumn("tile_first", tile_of("rank0 + 1")).withColumn(
+        "tile_last", tile_of("rank0 + cnt")
+    )
+
+    whole = (
+        pv.where(F.col("tile_first") == F.col("tile_last"))
+        .groupBy(F.col("tile_first").alias("tile"))
+        .agg(F.sum("cnt").alias("n_part"), F.sum("val_sum").alias("bal_part"))
+    )
+    straddle = pv.where(F.col("tile_first") != F.col("tile_last")).select(
+        "c_acctbal", "rank0", "base", "rem"
+    )
+    wrow = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    straddle_rows = (
+        c.join(F.broadcast(straddle), "c_acctbal")
+        .withColumn("rn", F.row_number().over(wrow))
+        .withColumn("tile", tile_of("rank0 + rn"))
         .groupBy("tile")
-        .agg(F.count("*").alias("n"), dec_sum("c_acctbal").alias("tile_balance"))
+        .agg(
+            F.count("*").alias("n_part"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("bal_part"),
+        )
+    )
+    return (
+        whole.unionByName(straddle_rows)
+        .groupBy("tile")
+        .agg(
+            F.sum("n_part").cast("long").alias("n"),
+            F.sum("bal_part").cast("double").alias("tile_balance"),
+        )
         .orderBy("tile")
     )
 

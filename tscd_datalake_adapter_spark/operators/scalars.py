@@ -238,8 +238,9 @@ def cast_guard_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
-           list_transform(list_slice(embedding, 1, 3),
-                          x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+           array_to_string(list_transform(list_slice(embedding, 1, 3),
+                          x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))), ',')
+               AS head3_csv,
            round(list_sum(list_transform(embedding,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
            CAST(label AS BIGINT) AS label
@@ -249,7 +250,12 @@ def cast_guard_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over the embedding column: size/element_at/slice plus the
     higher-order transform+aggregate dot-product building block (used by the
-    similarity operators)."""
+    similarity operators).
+
+    The registered output serializes the ``head3`` slice to a CSV string
+    (``%.4f`` of the rounded doubles, same on both engines) because result
+    canonicalizers that lexsort rows pandas-side cannot hash an array cell —
+    the same shape fix as ``media_feature_extract``."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
     sq = F.aggregate(
         F.col("embedding"),
@@ -262,9 +268,13 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
             "first_component"
         ),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
-        ).alias("head3"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.format_string("%.4f", F.round(x.cast("double"), 4)),
+            ),
+        ).alias("head3_csv"),
         F.round(sq, 6).alias("sq_norm"),
         F.col("label").cast("long").alias("label"),
     ).orderBy("vec_id")

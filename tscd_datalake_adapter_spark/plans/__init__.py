@@ -100,6 +100,35 @@ def forced_broadcast_base_tables(df: DataFrame, tables: list[str]) -> set[str]:
     return found
 
 
+def unpartitioned_windows_over_unaggregated_input(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec whose input subtree contains
+    no aggregation — the "move the whole table to one partition" pattern that
+    dies at 100 TB. A global window over an *aggregate* (bounded: group count
+    caps the rows, e.g. a 7-row YoY table or a value-domain-bounded distinct
+    set) is acceptable and excluded. Returns one plan-line per offender so
+    tests can show what leaked."""
+    out: list[str] = []
+    aggs = ("HashAggregate", "SortAggregate", "ObjectHashAggregate", "AggregateInPandas")
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            try:
+                empty_spec = node.partitionSpec().isEmpty()
+            except Exception:
+                empty_spec = False
+            if empty_spec:
+                subtree = node.children().apply(0).toString()
+                if not any(a in subtree for a in aggs):
+                    out.append(node.toString().splitlines()[0])
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return out
+
+
 def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
