@@ -388,6 +388,31 @@ def test_registry_has_no_global_window_over_base_rows(spark, sf_dir):
     assert not offenders, f"global windows over unaggregated input: {offenders}"
 
 
+def test_lm_perplexity_scaled_is_bounded_and_sketched(spark, sf_dir):
+    """The scale-tier perplexity variant must (a) bound its reference set
+    with a TakeOrdered-style top-N (no global Sort of the corpus), (b) cut
+    terciles with approx_percentile's constant-size sketch, (c) keep every
+    scoring join a broadcast, and (d) still have no Window anywhere."""
+    from tscd_datalake_adapter_spark.operators.pipeline import (
+        lm_perplexity_filter_scaled,
+    )
+
+    df = lm_perplexity_filter_scaled(spark, sf_dir, ref_docs=20)
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p, "reference top-N not bounded"
+    assert "approx_percentile" in p, "cutoffs not sketch-based"
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+    rows = df.collect()
+    assert rows, "scaled variant produced no scored docs"
+    buckets = {r.bucket for r in rows}
+    assert buckets <= {"head", "middle", "tail"}
+    n = len(rows)
+    n_tail = sum(r.bucket == "tail" for r in rows)
+    assert 0 < n_tail < n, "tercile cut degenerate"
+
+
 def test_temperature_sampling_mapside_docs_scan(spark, sf_dir):
     """The rate table is fixed-cardinality (|langs| rows) so every join in
     the sampler must broadcast — a sort-merge join would shuffle the whole

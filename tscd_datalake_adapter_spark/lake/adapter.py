@@ -172,24 +172,22 @@ class LakeAdapter:
                 )
                 yield pdf_out
 
-        split_df = raw_df.mapInPandas(_split, schema=BOOK_SCHEMA)
-        before = raw_df.count()
+        # Both counts ride the write job itself via observed metrics — one
+        # row count above the split, one below. A single pass over the data
+        # (no re-scan of raw_df, no re-read of the target partition), and
+        # correct under concurrent ingests into the same partition because
+        # nothing is derived from shared lake state.
+        from pyspark.sql import Observation
 
-        def _part_count() -> int:
-            if self._empty():
-                return 0
-            return (
-                self.read()
-                .where(F.col("ingest_date") == day)
-                .where(F.col("ingest_hour") == hour)
-                .count()
-            )
-
-        # Delta-based failure count: the target partition may already hold
-        # rows from earlier ingests.
-        part_before = _part_count()
+        obs_in = Observation("ingest_raw_in")
+        obs_out = Observation("ingest_raw_out")
+        raw_counted = raw_df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        split_df = raw_counted.mapInPandas(_split, schema=BOOK_SCHEMA).observe(
+            obs_out, F.count(F.lit(1)).alias("n")
+        )
         self._write(split_df)
-        written = _part_count() - part_before
+        before = obs_in.get["n"]
+        written = obs_out.get["n"]
         return before - min(before, written)
 
     def ingest_text_dir(self, path_glob: str, ts: dt.datetime) -> int:

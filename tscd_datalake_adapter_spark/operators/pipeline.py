@@ -545,15 +545,24 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     head / middle / tail perplexity terciles — the standard quality gate in
     large-scale pre-training data pipelines.
 
-    Scale shape: the model is built from the *fixed-size* reference corpus,
-    so the bigram/context count tables are bounded regardless of how large
-    the scored corpus grows — AQE broadcasts them and scoring is a map-side
-    join over the exploded bigram stream. One groupBy(doc_id) shuffle folds
-    scores per document (decimal-exact sums, so the average is
-    order-independent and engine-portable). The tercile cutoffs come from an
-    exact two-scalar percentile aggregate broadcast back over the docs — NOT
-    a global ntile() window, which would funnel every row through one
-    partition at 100 TB.
+    Scale shape: scoring is joins over the exploded bigram stream plus one
+    groupBy(doc_id) shuffle folding scores per document (decimal-exact sums,
+    so the average is order-independent and engine-portable). The tercile
+    cutoffs come from a two-scalar percentile aggregate broadcast back over
+    the docs — NOT a global ntile() window, which would funnel every row
+    through one partition at 100 TB.
+
+    Two deliberate non-scale choices keep THIS form oracle-exact, with the
+    production form in :func:`lm_perplexity_filter_scaled`:
+
+    - the reference slice is ``doc_id % 7 == 0`` — 1/7 of the corpus, so the
+      c1/c2 model tables GROW with the data (the joins still shuffle fine;
+      they just stop being broadcastable). The scaled variant bounds the
+      reference to a fixed-N doc set via deterministic content-hash top-N.
+    - ``percentile()`` is exact: it buffers every per-doc score in one
+      aggregation state (~16 bytes x n_docs on one executor — fine to ~1e8
+      docs, not beyond). The scaled variant uses ``approx_percentile``,
+      whose sketch is constant-size.
 
     Per-bigram log-probs are rounded to 6 decimals before the decimal-sum
     fold (``functions`` module determinism recipe), keeping the whole score
@@ -609,6 +618,102 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = perdoc.agg(
         F.expr("percentile(avg_logprob, 1.0/3)").alias("q1"),
         F.expr("percentile(avg_logprob, 2.0/3)").alias("q2"),
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+            F.when(F.col("avg_logprob") >= F.col("q2"), "head")
+            .when(F.col("avg_logprob") >= F.col("q1"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_perplexity_filter_scaled(
+    spark: SparkSession, sf_dir: str, ref_docs: int = 10_000
+) -> DataFrame:
+    """Production-scale form of :func:`lm_perplexity_filter` (not
+    oracle-registered — the bounded sampling and sketch percentiles are not
+    reproducible in portable SQL; pinned instead by plan + behavior tests).
+
+    Differences from the oracle form, both sized for 100 TB:
+
+    - **Fixed-size reference set**: the ``ref_docs`` documents with the
+      smallest content hash (deterministic, partition-invariant; computed
+      with ``TakeOrdered``-style bounded top-N, never a global sort). The
+      c1/c2/vocab model tables are therefore bounded regardless of corpus
+      size, and the scoring joins are hinted broadcasts — the whole scoring
+      pass is map-side.
+    - **Sketch cutoffs**: ``approx_percentile`` (constant-size sketch,
+      default accuracy 1e-4 relative rank error) instead of exact
+      ``percentile``'s buffer-every-score aggregation state.
+    """
+    from tscd_datalake_adapter_spark.functions import DEC, h60
+
+    d = load_table(spark, sf_dir, "documents")
+    # Bounded deterministic reference: top-N by content hash. limit() over
+    # an ordered frame plans as TakeOrderedAndProject: per-partition top-N,
+    # single merge of N*partitions candidates — no full sort, no shuffle of
+    # the corpus.
+    ref_ids = (
+        d.select("doc_id", h60(F.col("text")).alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(ref_docs)
+        .select("doc_id")
+    )
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(0, size(t)-2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2)))"
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    train = bg.join(F.broadcast(ref_ids), "doc_id", "semi")
+    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        toks.join(F.broadcast(ref_ids), "doc_id", "semi")
+        .select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(ref_ids), "doc_id", "anti")
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce("c2", F.lit(0)) + 0.5)
+                    / (F.coalesce("c1", F.lit(0)) + 0.5 * F.col("v"))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("logp").cast(DEC)).cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )
+    cuts = perdoc.agg(
+        F.expr("approx_percentile(avg_logprob, 1.0/3, 10000)").alias("q1"),
+        F.expr("approx_percentile(avg_logprob, 2.0/3, 10000)").alias("q2"),
     )
     return (
         perdoc.crossJoin(F.broadcast(cuts))

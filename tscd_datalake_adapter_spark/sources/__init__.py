@@ -9,6 +9,7 @@ connector on the classpath.
 
 from tscd_datalake_adapter_spark.sources.tables import (
     TABLE_NAMES,
+    ensure_engine_confs,
     load_table,
     load_tables,
     read_csv,
@@ -21,6 +22,7 @@ from tscd_datalake_adapter_spark.sources.tables import (
 
 __all__ = [
     "TABLE_NAMES",
+    "ensure_engine_confs",
     "load_table",
     "load_tables",
     "read_csv",

@@ -27,7 +27,13 @@ TABLE_NAMES = (
 def ensure_engine_confs(spark: SparkSession) -> None:
     """Defensive runtime confs for sessions the engine didn't build (e.g. the
     round driver's): UTC determinism and nanosecond-parquet readability are
-    required by every query; both are runtime-settable SQL confs."""
+    required by every query; both are runtime-settable SQL confs.
+
+    OS-timezone caveat: the session zone governs SQL functions and Arrow
+    transfer, but a plain ``collect()`` of TIMESTAMP renders through the
+    *driver JVM's* default zone. Full determinism therefore also assumes the
+    driver runs with TZ=UTC (true here; set ``TZ``/``user.timezone`` when
+    deploying elsewhere)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Naive (isAdjustedToUTC=false) parquet timestamps must arrive as
@@ -113,6 +119,7 @@ def read_lake_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Schema-evolution read: ``mergeSchema`` unions the schemas of every
     file footer, so files written before a column existed read as NULL for
     it — additive lake evolution without rewrites."""
+    ensure_engine_confs(spark)  # timestamp typing must not depend on call order
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 

@@ -35,6 +35,9 @@ def stage_stream_source(spark: SparkSession, sf_dir: str, source_dir: str) -> st
 def read_event_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    from tscd_datalake_adapter_spark.sources import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # timestamp typing must not depend on call order
     schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
