@@ -388,6 +388,19 @@ def test_registry_has_no_global_window_over_base_rows(spark, sf_dir):
     assert not offenders, f"global windows over unaggregated input: {offenders}"
 
 
+def test_bm25_topk_is_takeordered_and_prefiltered(spark, sf_dir):
+    """BM25's top-k must plan as TakeOrderedAndProject (never a global
+    sort), its stats/df joins must broadcast, and the query-term filter
+    must sit below the tf aggregation so only matching tokens shuffle."""
+    from tscd_datalake_adapter_spark.operators.text import bm25_topk
+
+    df = bm25_topk(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "Window" not in p
+
+
 def test_lm_perplexity_scaled_is_bounded_and_sketched(spark, sf_dir):
     """The scale-tier perplexity variant must (a) bound its reference set
     with a TakeOrdered-style top-N (no global Sort of the corpus), (b) cut

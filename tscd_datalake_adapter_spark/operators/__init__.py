@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
     from tscd_datalake_adapter_spark.operators import (  # noqa: F401
         asof,
         dedup,
+        history,
         multimodal,
         pipeline,
         relational,

@@ -231,3 +231,119 @@ def temperature_sampling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "domain_grouped_split",
+    tags=("sampling", "llm"),
+    oracle=f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT CASE WHEN {oracle_h60('source')} % 10 < 8
+                    THEN 'train' ELSE 'holdout' END AS split,
+               source, n_chars
+        FROM documents
+    )
+    GROUP BY split ORDER BY split
+    """,
+)
+def domain_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUPED train/holdout split: the split decision hashes
+    the document's SOURCE (domain), not the document, so every document
+    from one domain lands on the same side — near-duplicate pages from the
+    same site can never straddle the boundary and leak holdout content into
+    training (the standard web-corpus failure ``train_test_split_counts``'s
+    per-document hash cannot prevent).
+
+    Scale shape: identical to the per-doc splitter — a map-side hash
+    predicate on an existing column, zero extra shuffle beyond the final
+    2-row aggregate; partition-invariant and rerun-stable at any corpus
+    size, and new documents from a known domain always join their side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.when(h60(F.col("source")) % 10 < 8, "train")
+            .otherwise("holdout")
+            .alias("split"),
+            "source",
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "dataset_mixture_plan",
+    tags=("sampling", "llm"),
+    oracle="""
+    WITH per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS sq
+        FROM documents GROUP BY source
+    ),
+    z AS (
+        SELECT CAST(sum(CAST(sq AS DECIMAL(38,6))) AS DOUBLE) AS z
+        FROM per_src
+    ),
+    planned AS (
+        SELECT source, n_docs,
+               round(sq / z, 6) AS weight,
+               CAST(round((sq / z) * 1000, 0) AS BIGINT) AS target_docs
+        FROM per_src CROSS JOIN z
+    )
+    SELECT source, n_docs, weight, target_docs,
+           round(CAST(target_docs AS DOUBLE) / n_docs, 6) AS sample_rate,
+           (target_docs + n_docs - 1) // n_docs AS n_epochs
+    FROM planned ORDER BY source
+    """,
+)
+def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner: square-root-scaled source weights (the
+    sqrt-rebalancing used to keep giant web crawls from drowning small
+    high-quality sources; alpha=0.5 sibling of ``temperature_sampling``'s
+    alpha=0.3 language form) turned into an executable plan — per source:
+    mixture weight, target document count for a 1000-doc budget, the
+    sampling rate to apply, and how many epochs (full passes) an
+    under-sized source must repeat to meet its target.
+
+    Scale shape: one groupBy(source) aggregate (|sources| rows — bounded by
+    the catalog, not the corpus), a broadcast scalar normalizer, then pure
+    per-row arithmetic. The sqrt weights fold through decimal(38,6) after
+    rounding so the normalizer is order-independent; all divisions and the
+    epoch ceil are mirrored integer/double ops on both engines.
+    """
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    per_src = per_src.withColumn(
+        "sq", F.round(F.sqrt(F.col("n_docs").cast("double")), 6)
+    )
+    z = per_src.agg(F.sum(F.col("sq").cast(DEC)).cast("double").alias("z"))
+    planned = per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("sq") / F.col("z"), 6).alias("weight"),
+        F.round((F.col("sq") / F.col("z")) * 1000, 0)
+        .cast("long")
+        .alias("target_docs"),
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "weight",
+        "target_docs",
+        F.round(F.col("target_docs").cast("double") / F.col("n_docs"), 6).alias(
+            "sample_rate"
+        ),
+        F.expr("(target_docs + n_docs - 1) div n_docs").alias("n_epochs"),
+    ).orderBy("source")

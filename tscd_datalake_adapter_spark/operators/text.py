@@ -390,3 +390,107 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "bm25_topk",
+    tags=("llm", "text"),
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl, t FROM docs),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dl)
+        WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY doc_id, dl, tok
+    ),
+    dft AS (
+        SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS dft
+        FROM tf GROUP BY tok
+    ),
+    per_term AS (
+        SELECT doc_id,
+               round(ln(1.0 + ((n_docs - dft + 0.5) / (dft + 0.5)))
+                     * ((CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+                        / (tf + ({_BM25_K1} * (1.0 - {_BM25_B}
+                           + ({_BM25_B} * (dl / (CAST(sum_dl AS DOUBLE)
+                                                 / n_docs))))))), 6) AS s
+        FROM tf JOIN dft USING (tok) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           round(CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 6) AS bm25
+    FROM per_term
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Lucene formulation: ``idf = ln(1 +
+    (N - df + 0.5)/(df + 0.5))``, k1=1.2, b=0.75) for a fixed query-term
+    set over the document corpus — the classic sparse-retrieval sibling of
+    ``cosine_topk`` for RAG-style data pipelines.
+
+    Scale shape: tokenize → explode → filter to the query terms BEFORE any
+    shuffle (the token stream shrinks to matches only), then one
+    groupBy(doc_id, dl, tok) for term frequencies. Document-frequency and
+    corpus stats are tiny aggregates joined back as broadcasts, and the
+    final top-k is an ORDER BY ... LIMIT — planned as TakeOrdered
+    (per-partition heap + driver merge of k·partitions candidates), never a
+    global sort. Determinism: per-term scores rounded to 6 decimals, summed
+    exactly through decimal(38,6), doc_id tiebreak on the k boundary.
+    """
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
+    ).select("doc_id", F.size("t").cast("long").alias("dl"), "t")
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("t").alias("tok"))
+        .where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("dft")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    )
+    tf_part = (F.col("tf").cast("double") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + (_BM25_K1 * (1.0 - _BM25_B + (_BM25_B * (F.col("dl") / avgdl))))
+    )
+    per_term = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tf_part, 6).alias("s"))
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("s").cast(DEC)).cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
