@@ -476,3 +476,47 @@ def test_temperature_sampling_upweights_low_resource(spark, sf_dir):
 
         sigma = math.sqrt(r.n_docs * r.rate * (1 - r.rate))
         assert abs(r.n_sampled - r.rate * r.n_docs) <= 5 * sigma + 1
+
+
+def test_ntile_two_pass_matches_native(spark):
+    """The two-pass boundary ntile must equal Spark's native global-window
+    ntile on every edge case: N < tiles, N % tiles != 0, heavy ties on the
+    value column (incl. ties straddling tile boundaries), single value
+    owning everything."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tscd_datalake_adapter_spark.operators.relational import (
+        ntile_counts_two_pass,
+    )
+
+    cases = [
+        [(1.0, 1)],                                   # N=1 < nt
+        [(1.0, 1), (1.0, 2), (1.0, 3)],               # all ties, N<nt
+        [(float(i % 3), i) for i in range(10)],       # ties + N%4 != 0
+        [(5.0, i) for i in range(9)],                 # one value owns all
+        [(float(i), i) for i in range(8)],            # exact multiple, no ties
+        [(float(i // 5), i) for i in range(23)],      # tie blocks straddle
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "v double, k long")
+        got = {
+            r.tile: (r.n, round(r.tile_balance, 6))
+            for r in ntile_counts_two_pass(df, "v", "k", 4).collect()
+        }
+        w = Window.orderBy("v", "k")
+        want = {
+            r.tile: (r.n, round(r.tile_balance, 6))
+            for r in df.select(
+                "v", F.ntile(4).over(w).cast("long").alias("tile")
+            )
+            .groupBy("tile")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("v").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("tile_balance"),
+            )
+            .collect()
+        }
+        assert got == want, f"case {rows[:4]}...: {got} != {want}"

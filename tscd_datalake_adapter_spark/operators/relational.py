@@ -804,13 +804,25 @@ def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal partial sums are exact and associative, so whole-group sums +
     straddling-row sums re-aggregate to the identical ``dec_sum`` total.
     """
-    nt = 4
     c = _t(spark, sf_dir, "customer")
-    per_val = c.groupBy("c_acctbal").agg(
+    return ntile_counts_two_pass(c, "c_acctbal", "c_custkey", 4)
+
+
+def ntile_counts_two_pass(
+    df: DataFrame, value_col: str, key_col: str, nt: int
+) -> DataFrame:
+    """Exact distributed ntile aggregation: (tile, n, tile_balance) matching
+    ``ntile(nt) OVER (ORDER BY value_col, key_col)`` followed by a per-tile
+    count/decimal-sum — computed WITHOUT a global per-row window (see
+    :func:`window_ntile_customers` for the scale argument). Equivalence to
+    the native global-window form, including tie and N % nt edge cases, is
+    pinned in ``tests/test_llm_ops.py::test_ntile_two_pass_matches_native``.
+    """
+    per_val = df.groupBy(value_col).agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("val_sum"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("val_sum"),
     )
-    wv = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, -1)
+    wv = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
     per_val = per_val.withColumn(
         "rank0", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("long")
     )
@@ -841,17 +853,17 @@ def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("n_part"), F.sum("val_sum").alias("bal_part"))
     )
     straddle = pv.where(F.col("tile_first") != F.col("tile_last")).select(
-        "c_acctbal", "rank0", "base", "rem"
+        value_col, "rank0", "base", "rem"
     )
-    wrow = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    wrow = Window.partitionBy(value_col).orderBy(key_col)
     straddle_rows = (
-        c.join(F.broadcast(straddle), "c_acctbal")
+        df.join(F.broadcast(straddle), value_col)
         .withColumn("rn", F.row_number().over(wrow))
         .withColumn("tile", tile_of("rank0 + rn"))
         .groupBy("tile")
         .agg(
             F.count("*").alias("n_part"),
-            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("bal_part"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("bal_part"),
         )
     )
     return (
