@@ -729,3 +729,111 @@ def lm_perplexity_filter_scaled(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "length_percentile_filter",
+    tags=("llm", "text"),
+    oracle="""
+    WITH lens AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    hist AS (
+        SELECT n_tokens, CAST(count(*) AS BIGINT) AS cnt
+        FROM lens GROUP BY n_tokens
+    ),
+    cum AS (
+        SELECT n_tokens, cnt,
+               sum(cnt) OVER (ORDER BY n_tokens
+                              ROWS UNBOUNDED PRECEDING) AS cum_cnt
+        FROM hist
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+    cuts AS (
+        SELECT min(CASE WHEN cum_cnt >= (5 * n + 99) // 100
+                        THEN n_tokens END) AS p5,
+               min(CASE WHEN cum_cnt >= (95 * n + 99) // 100
+                        THEN n_tokens END) AS p95
+        FROM cum CROSS JOIN tot
+    )
+    SELECT p5, p95, n AS n_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM lens, cuts
+            WHERE n_tokens >= p5 AND n_tokens <= p95) AS n_kept,
+           (SELECT CAST(count(*) AS BIGINT) FROM lens, cuts
+            WHERE n_tokens < p5) AS n_short,
+           (SELECT CAST(count(*) AS BIGINT) FROM lens, cuts
+            WHERE n_tokens > p95) AS n_long
+    FROM cuts CROSS JOIN tot
+    """,
+)
+def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length outlier filter with EXACT percentile-disc cutoffs
+    computed from a bounded value histogram — the scale-correct form of
+    exact percentiles. ``percentile()`` buffers every row's value in one
+    aggregation state; here the state is ``groupBy(n_tokens)`` — bounded by
+    the token-length DOMAIN (a document length in tokens), not the corpus —
+    and the cumulative scan runs over that bounded histogram (same class
+    as the two-pass ntile). Cutoff rank is integer ``ceil(q*N)``
+    (percentile-disc semantics), so every value out of this operator is an
+    exact integer — nothing to round, bit-equal on any engine.
+
+    Returns the 1-row summary (p5/p95 cutoffs, kept/dropped counts) a
+    pipeline would use to gate the actual filter pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count("*").cast("long").alias("cnt"))
+    wcum = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum_cnt", F.sum("cnt").over(wcum))
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    cuts = (
+        cum.join(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.expr("(5 * n + 99) div 100"),
+                    F.col("n_tokens"),
+                )
+            ).alias("p5"),
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.expr("(95 * n + 99) div 100"),
+                    F.col("n_tokens"),
+                )
+            ).alias("p95"),
+        )
+    )
+    tagged = lens.join(F.broadcast(cuts))
+    return (
+        tagged.join(F.broadcast(tot))
+        .agg(
+            F.first("p5").alias("p5"),
+            F.first("p95").alias("p95"),
+            F.first("n").alias("n_total"),
+            F.sum(
+                F.when(
+                    (F.col("n_tokens") >= F.col("p5"))
+                    & (F.col("n_tokens") <= F.col("p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("n_tokens") < F.col("p5"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_short"),
+            F.sum(F.when(F.col("n_tokens") > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_long"),
+        )
+    )

@@ -494,3 +494,93 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+_VOCAB_SIZE = 100
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    tags=("llm", "text"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, lang, unnest(t) AS tok FROM toks),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS cnt FROM exploded GROUP BY tok
+        ) ORDER BY cnt DESC, tok LIMIT {_VOCAB_SIZE}
+    ),
+    perdoc AS (
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(count(*) FILTER (tok IN (SELECT tok FROM vocab))
+                    AS BIGINT) AS n_in
+        FROM exploded GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(round(1.0 - CAST(n_in AS DOUBLE) / n_tok, 6)
+                     AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+               AS avg_oov_rate
+    FROM perdoc GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate analysis: build the top-K token vocab
+    from the corpus itself (count desc, token tiebreak — deterministic),
+    then measure each document's out-of-vocabulary token rate and average
+    it per language — the standard pre-tokenizer health check before
+    committing a vocab to a training run (high OOV languages get shredded
+    into bytes and under-train).
+
+    Scale shape: one token-count shuffle with map-side partial aggregation;
+    the vocab itself is a TakeOrdered top-K (bounded: K rows) joined back
+    as a broadcast; per-doc and per-lang aggregates shuffle on doc_id/lang.
+    Per-doc rates are rounded then decimal-folded so the per-language mean
+    is order-independent.
+    """
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "tok"
+        ),
+    )
+    vocab = (
+        exploded.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(_VOCAB_SIZE)
+        .select("tok")
+    )
+    in_vocab = F.when(F.col("v_tok").isNotNull(), 1).otherwise(0)
+    perdoc = (
+        exploded.join(
+            F.broadcast(vocab.withColumnRenamed("tok", "v_tok")),
+            exploded["tok"] == F.col("v_tok"),
+            "left",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(in_vocab).cast("long").alias("n_in"),
+        )
+    )
+    oov = F.round(1.0 - F.col("n_in").cast("double") / F.col("n_tok"), 6)
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(oov.cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("avg_oov_rate"),
+        )
+        .orderBy("lang")
+    )
