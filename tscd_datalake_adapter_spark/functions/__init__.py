@@ -15,12 +15,22 @@ make aggregates exact and therefore engine-independent:
 At 100 TB these stay fully distributed: decimal sums are partial-aggregated
 map-side exactly like double sums, with no extra shuffle.
 
-Performance note (measured at sf0.1): decimal(38,6) aggregation costs ~2-3×
-a plain double sum on the agg operator. A scaled-integer variant
-(``sum(cast(round(x*1e6) as bigint))``) is ~2× faster and produces identical
-values at fixture scale, but silently wraps past ~9.2e18 (≳1e12 rows of 1e6-
-scaled values in one group) — an unacceptable failure mode at 100 TB, so the
-overflow-safe decimal form is the default.
+Performance note (measured at sf0.1, Q1-shaped agg over lineitem):
+decimal(38,6) costs ~3.3× a plain double sum and decimal(20,6) ~2.5× when
+the cores are saturated (local[8]); at local[32] the scan dominates and the
+gap shrinks to ~2%. The narrower per-row cast and arithmetic are cheaper
+even though both sum buffers exceed Spark's 18-digit compact-long
+representation — at 1000-executor scale aggregation is CPU-bound, so
+first-moment sums (``dec_sum``/``dec_avg``) cast through ``DEC_SUM`` =
+decimal(20,6): Spark widens the SUM result to decimal(30,6) → 24 integral
+digits of capacity, overflow-safe for |x| ≤ 1e10 over ≤ 1e13 rows per group
+(a 100 TB money sum is ~1e17 — seven orders of headroom; ANSI mode would
+error loudly, not wrap, if ever exceeded). Second moments (``dec_var_samp``)
+keep decimal(38,6): squared prices (~1e11 each) need the wider buffer.
+A scaled-bigint variant would be ~2× faster still but silently wraps past
+~9.2e18 — an unacceptable failure mode at 100 TB. The DuckDB oracle side
+stays DECIMAL(38,6) everywhere: exact decimal sums are equal regardless of
+declared width, so the final doubles are bit-identical.
 """
 
 from __future__ import annotations
@@ -29,16 +39,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(38,6)"
+DEC_SUM = "decimal(20,6)"
 
 
 def dec_sum(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.sum(c.cast(DEC_SUM)).cast("double")
 
 
 def dec_avg(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return F.sum(c.cast(DEC_SUM)).cast("double") / F.count(c)
 
 
 def dec_var_samp(col: Column | str) -> Column:
