@@ -200,3 +200,89 @@ def zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dec_sum("o_totalprice").alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "bucketed_join_agg",
+    tags=("io", "layout"),
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned co-located join: write both join sides bucketed+sorted
+    by the join key (``bucketBy`` tables), then join bucket-to-bucket —
+    Spark plans a SortMergeJoin with ZERO shuffle exchanges because matching
+    bucket files are already co-partitioned on disk. At 100 TB this is THE
+    lever for repeated big-big joins: pay the layout cost once at write
+    time, skip the join shuffle on every subsequent query (the zero-Exchange
+    property is pinned in tests/test_layout.py).
+
+    The oracle is the plain parquet join — bucketing must be invisible to
+    results. (At fixture scale AQE may still choose a broadcast join over
+    the bucketed SMJ — also correct; the zero-Exchange SMJ property itself
+    is pinned with broadcasts disabled in tests/test_layout.py.)
+    """
+    from tscd_datalake_adapter_spark.plans.layout import write_bucketed
+
+    uid = abs(hash((sf_dir, "bucketed_join_agg"))) % 10**8
+    t_o, t_c = f"b_orders_{uid}", f"b_customer_{uid}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_o,
+        ("o_custkey",),
+        n_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_c,
+        ("c_custkey",),
+        n_buckets=8,
+    )
+    o, c = spark.table(t_o), spark.table(t_c)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), dec_sum("o_totalprice").alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "salted_join_agg",
+    tags=("io", "layout"),
+    oracle=f"""
+    SELECT n_name, count(*) AS n,
+           {oracle_dec_sum('c_acctbal')} AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join as a registered, oracle-checked query: the
+    build side is replicated across ``n_salts`` salt values and the probe
+    side salted uniformly, so a pathologically hot key (the null-key or
+    default-value hub every real fact table has) spreads over ``n_salts``
+    partitions instead of melting one executor. The salt is internal —
+    results must be IDENTICAL to the plain join, which is exactly what the
+    oracle asserts. (Broadcast is disabled for the salted join so the
+    mechanism itself, not a broadcast rewrite, is what executes.)
+    """
+    from tscd_datalake_adapter_spark.plans.layout import salted_join
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    # merge hint on the probe side only: it survives to the salted equi-join
+    # and keeps AQE from broadcasting the replicated build side, while the
+    # build side's internal crossJoin (no equi keys) stays hint-free.
+    joined = salted_join(c.hint("merge"), n, "c_nationkey")
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count("*").alias("n"), dec_sum("c_acctbal").alias("total_bal"))
+        .orderBy("n_name")
+    )
