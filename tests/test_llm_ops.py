@@ -520,3 +520,42 @@ def test_ntile_two_pass_matches_native(spark):
             .collect()
         }
         assert got == want, f"case {rows[:4]}...: {got} != {want}"
+
+
+def test_media_resize_and_frame_sample_plumbing(spark, sf_dir):
+    """Resize/frame-sample mapInPandas plumbing: scalar-only registered
+    outputs, undecodable (empty) payloads dropped, integer aspect math,
+    strictly-increasing sampled frame indices, k capped by n_frames."""
+    import pyspark.sql.types as T
+
+    from tscd_datalake_adapter_spark.operators.multimodal import (
+        media_frame_sample,
+        media_resize,
+        resize_media,
+        sample_frames,
+    )
+
+    rs = media_resize(spark, sf_dir)
+    fs = media_frame_sample(spark, sf_dir)
+    for df in (rs, fs):
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+    for r in rs.limit(20).collect():
+        assert r.out_w == 64
+        assert r.out_h == (r.height * 64) // r.width
+        assert len(r.thumb_csv.split(",")) == 4
+    for r in fs.limit(20).collect():
+        idx = [int(x) for x in r.frame_idx_csv.split(",")]
+        assert idx == sorted(set(idx)), "frame indices must strictly increase"
+        assert r.n_sampled == min(4, r.n_frames) == len(idx)
+        assert all(0 <= i < r.n_frames for i in idx)
+
+    # empty payloads are dropped, not errored — the real-decoder contract
+    empty = spark.createDataFrame(
+        [(1, "image", b""), (2, "image", b"x")],
+        "doc_id long, media_type string, payload binary",
+    )
+    assert resize_media(empty).count() == 1
+    assert sample_frames(empty).count() == 1

@@ -379,3 +379,197 @@ def png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.lit("89504E470D0A1A0A")
         ).alias("magic_ok"),
     ).orderBy("doc_id")
+
+
+MEDIA_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("scale_x", T.DoubleType(), True),
+        T.StructField("thumb_csv", T.StringType(), True),
+    ]
+)
+
+_RESIZE_TARGET = 64
+
+
+def resize_media(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched resize over (doc_id, media_type, payload): decode (the
+    declared stub), fit width to the 64-px target preserving aspect ratio
+    (integer floor math), and emit a 4-sample thumbnail signature. The pixel
+    resampling itself is STUBBED (sha-derived dyadic samples stand in for a
+    real bilinear kernel — PIL/ffmpeg absent in this container); the Spark
+    side — Arrow batching, fixed output schema, per-batch loop, row drops on
+    undecodable payloads — is the real 100 TB plumbing."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    meta = _fake_decode(bytes(payload) if payload is not None else b"")
+                except ValueError:
+                    continue
+                w, h = meta["width"], meta["height"]
+                digest = hashlib.sha256(bytes(payload)).digest()
+                thumb = [digest[4 + i] / 256.0 for i in range(4)]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "out_w": _RESIZE_TARGET,
+                        "out_h": (h * _RESIZE_TARGET) // w,
+                        "scale_x": w / float(_RESIZE_TARGET),
+                        "thumb_csv": ",".join("%.7f" % v for v in thumb),
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "scale_x", "thumb_csv",
+                ],
+            ).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "out_w": "int32", "out_h": "int32", "scale_x": "float64"}
+            )
+            yield out
+
+    return media_df.mapInPandas(_resize, schema=MEDIA_RESIZE_SCHEMA)
+
+
+_MEDIA_RESIZE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS hx
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(CAST(text AS BLOB)) > 0
+    ), b AS (
+      SELECT doc_id,
+             {", ".join(f"{_sha_byte(i)} AS b{i}" for i in range(8))}
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(64 + b0 % 192 AS INTEGER) AS width,
+           CAST(64 + b1 % 192 AS INTEGER) AS height,
+           CAST({_RESIZE_TARGET} AS INTEGER) AS out_w,
+           CAST(((64 + b1 % 192) * {_RESIZE_TARGET})
+                // (64 + b0 % 192) AS INTEGER) AS out_h,
+           (64 + b0 % 192) / {_RESIZE_TARGET}.0 AS scale_x,
+           concat_ws(',', {", ".join(
+               f"printf('%.7f', b{4 + i} / 256.0)" for i in range(4)
+           )}) AS thumb_csv
+    FROM b ORDER BY doc_id
+    """
+
+
+@register(
+    "media_resize",
+    tags=("llm", "multimodal"),
+    oracle=_MEDIA_RESIZE_ORACLE,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered resize query: build the media table (text bytes as
+    payloads) and run :func:`resize_media`. Aspect math is pure integer
+    (floor), scale_x is int/64 (a dyadic rational — exact in double and in
+    ``%.6f``-free comparison), thumbnail samples are byte/256 dyadics
+    printed ``%.7f`` — every cell bit-equal to the sha256-re-deriving
+    oracle."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = d.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return resize_media(media).orderBy("doc_id")
+
+
+MEDIA_FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_sampled", T.IntegerType(), True),
+        T.StructField("frame_idx_csv", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, k: int = 4) -> DataFrame:
+    """Arrow-batched frame sampling for video payloads: decode the frame
+    count (stub), pick ``min(k, n_frames)`` evenly-spaced frame indices
+    (``(i * n) div kept`` — strictly increasing integers, no dedup needed).
+    A real pipeline would then seek-decode exactly those frames; the index
+    arithmetic and the Spark plumbing here are that pipeline's skeleton."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    meta = _fake_decode(bytes(payload) if payload is not None else b"")
+                except ValueError:
+                    continue
+                n = meta["n_frames"]
+                kept = min(k, n)
+                idx = [(i * n) // kept for i in range(kept)]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": n,
+                        "n_sampled": kept,
+                        "frame_idx_csv": ",".join(str(i) for i in idx),
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_sampled", "frame_idx_csv"],
+            ).astype(
+                {"doc_id": "int64", "n_frames": "int32", "n_sampled": "int32"}
+            )
+            yield out
+
+    return media_df.mapInPandas(_sample, schema=MEDIA_FRAME_SAMPLE_SCHEMA)
+
+
+_MEDIA_FRAME_SAMPLE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS hx
+      FROM documents
+      WHERE doc_id < 100 AND doc_id % 3 = 2
+        AND octet_length(CAST(text AS BLOB)) > 0
+    ), b AS (
+      SELECT doc_id, 1 + {_sha_byte(2)} % 16 AS nf FROM h
+    ), s AS (
+      SELECT doc_id, nf, least(4, nf) AS kept FROM b
+    )
+    SELECT doc_id,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(kept AS INTEGER) AS n_sampled,
+           array_to_string(list_transform(range(0, kept),
+                           i -> CAST((i * nf) // kept AS VARCHAR)), ',')
+               AS frame_idx_csv
+    FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "media_frame_sample",
+    tags=("llm", "multimodal"),
+    oracle=_MEDIA_FRAME_SAMPLE_ORACLE,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered frame-sampling query over the video slice (doc_id%3==2,
+    matching the media fixture's type cycling): pure-integer frame index
+    selection, bit-equal to the sha256-re-deriving oracle."""
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 3 == 2)
+    )
+    media = d.select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return sample_frames(media).orderBy("doc_id")
