@@ -635,6 +635,18 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lm_perplexity_filter_scaled", tags=("llm", "text"))
+def lm_perplexity_filter_scaled_demo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered (rows-only: sketch percentiles + bounded sampling are not
+    portably SQL-expressible) demo of the production perplexity form, with
+    the reference-set size fit to the fixture: N = max(10, n_docs/10). A
+    real deployment passes an absolute N (e.g. 10k Wikipedia pages)."""
+    n = load_table(spark, sf_dir, "documents").count()
+    return lm_perplexity_filter_scaled(spark, sf_dir, max(10, n // 10))
+
+
 def lm_perplexity_filter_scaled(
     spark: SparkSession, sf_dir: str, ref_docs: int = 10_000
 ) -> DataFrame:
