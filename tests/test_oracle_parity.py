@@ -34,13 +34,18 @@ def duck(sf_dir):
 def _assert_all_scalar(df, name):
     """Driver canonicalizers lexsort rows pandas-side; an array/map/struct
     cell is unhashable there and errors the row (r1 media_feature_extract,
-    r2 array_functions). Every REGISTERED output must be scalar-only."""
+    r2 array_functions). Decimal/binary are banned too: they surface as
+    pandas object cells whose hash differs from the oracle's float/str even
+    when values compare equal, so pytest's ``==`` parity would mask a
+    driver hash mismatch. Every REGISTERED output must be plain
+    numeric/string/bool/date."""
     import pyspark.sql.types as T
 
+    banned = (T.ArrayType, T.MapType, T.StructType, T.DecimalType, T.BinaryType)
     for f in df.schema.fields:
         assert not isinstance(
-            f.dataType, (T.ArrayType, T.MapType, T.StructType)
-        ), f"{name}: registered output column {f.name} is non-scalar {f.dataType}"
+            f.dataType, banned
+        ), f"{name}: registered output column {f.name} is {f.dataType}"
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
