@@ -407,3 +407,69 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .orderBy("query_id", "rk")
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    tags=("llm", "similarity"),
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < 50
+    ),
+    m AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS mx
+        FROM v
+    )
+    SELECT vec_id,
+           round(mx, 6) AS scale_max,
+           array_to_string(list_transform(e,
+               x -> CAST(CAST(round(x * 127.0 / mx, 0) AS BIGINT)
+                         AS VARCHAR)), ',') AS q_csv,
+           round(list_sum(list_transform(e,
+               x -> (x - round(x * 127.0 / mx, 0) * mx / 127.0)
+                    * (x - round(x * 127.0 / mx, 0) * mx / 127.0)))
+                 / len(e), 6) AS mse
+    FROM m WHERE mx > 0 ORDER BY vec_id
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage/bandwidth lever
+    for vector search at 100 TB: 4× smaller than float32, SIMD-friendly
+    integer dot products): per-vector absmax scale, ``q = round(x·127/mx)``,
+    plus the exact reconstruction MSE. Pure higher-order expressions —
+    map-side, zero shuffle beyond the scan; both engines fold the MSE
+    left-to-right over the same doubles, so even the error term is
+    bit-deterministic. Output is all-scalar (q vector as CSV) per the
+    registered-query shape rules."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    m = e.select("vec_id", ed.alias("e")).withColumn(
+        "mx", F.array_max(F.transform("e", lambda x: F.abs(x)))
+    )
+    q_of = lambda x: F.round(x * 127.0 / F.col("mx"), 0)
+    return (
+        m.where(F.col("mx") > 0)
+        .select(
+            "vec_id",
+            F.round("mx", 6).alias("scale_max"),
+            F.concat_ws(
+                ",",
+                F.transform("e", lambda x: q_of(x).cast("long").cast("string")),
+            ).alias("q_csv"),
+            F.round(
+                F.aggregate(
+                    "e",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + (x - q_of(x) * F.col("mx") / 127.0)
+                    * (x - q_of(x) * F.col("mx") / 127.0),
+                )
+                / F.size("e"),
+                6,
+            ).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
