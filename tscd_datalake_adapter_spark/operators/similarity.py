@@ -473,3 +473,80 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Int8-quantize an embedding column: adds ``q`` (array<long> in
+    [-127, 127]), ``mx`` (absmax scale), and ``qnorm`` (the dequantized L2
+    norm) — one map-side pass, the storage/SIMD layout for quantized
+    retrieval. Vectors with absmax 0 are dropped (cosine undefined)."""
+    ed = F.transform(vec_col, lambda x: x.cast("double"))
+    out = df.withColumn("_e", ed).withColumn(
+        "mx", F.array_max(F.transform("_e", lambda x: F.abs(x)))
+    )
+    q = F.transform("_e", lambda x: F.round(x * 127.0 / F.col("mx"), 0).cast("long"))
+    return (
+        out.where(F.col("mx") > 0)
+        .withColumn("q", q)
+        .withColumn(
+            "qnorm",
+            F.sqrt(
+                F.aggregate(
+                    "q", F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")
+                )
+            )
+            * F.col("mx")
+            / 127.0,
+        )
+        .drop("_e")
+    )
+
+
+def quantized_cosine_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """Approximate cosine top-k over INT8-quantized vectors — the compressed
+    retrieval path (4× less memory/IO than float32; integer dot products).
+    Same plan shape as :func:`cosine_topk` (broadcast query side, single
+    corpus pass, per-query window top-k); the score is the integer dot
+    product rescaled by ``mx_a·mx_b/127²`` and normalized by dequantized
+    norms. Recall vs the exact ranker is gated in
+    ``tests/test_llm_ops.py::test_quantized_cosine_recall`` (no oracle —
+    quantization error is implementation-defined, like the ANN tier)."""
+    e = quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "q", "mx", "qnorm")
+    qs = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("mx").alias("mx_a"),
+        F.col("qnorm").alias("norm_a"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qa", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(e)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                idot.cast("double")
+                * (F.col("mx_a") * F.col("mx") / (127.0 * 127.0))
+                / (F.col("norm_a") * F.col("qnorm")),
+                6,
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )
