@@ -439,3 +439,21 @@ def test_temperature_sampling_mapside_docs_scan(spark, sf_dir):
     assert "ShuffledHashJoin" not in p
     n = p.count("Exchange hashpartitioning")
     assert n <= 4, f"temperature sampler shuffle budget exceeded: {n}"
+
+
+def test_partition_skew_report(spark, sf_dir):
+    """The skew diagnostic must read ~1.0 on a round-robin repartition and
+    >> 1 on a hash repartition of a constant key (every row one partition)."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.operators.relational import _t
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    even = plans.partition_skew_report(o.repartition(8))
+    assert even["n_partitions"] == 8
+    assert even["skew_factor"] < 1.5
+    hot = plans.partition_skew_report(
+        o.withColumn("k", F.lit(1)).repartition(8, "k")
+    )
+    assert hot["n_partitions"] == 1  # only the hot partition holds rows
+    assert hot["rows"] == even["rows"]

@@ -142,3 +142,30 @@ def codegen_stage_count(df: DataFrame) -> int:
     df.collect()  # count() would plan a different query; collect fills this one
     text = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", text)))
+
+
+def partition_skew_report(df: DataFrame) -> dict:
+    """Materialize per-partition row counts and return skew statistics:
+    ``{"n_partitions", "rows", "max", "mean", "skew_factor"}`` where
+    ``skew_factor = max/mean`` (1.0 = perfectly balanced). The straggler
+    diagnostic for shuffles: run it on a DataFrame AFTER a repartition/join
+    to see whether one partition holds the hot key. Cost: one pass over
+    ``df`` (a count per partition — no data to the driver beyond the
+    per-partition counts)."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.spark_partition_id().alias("pid")).count()
+    row = counts.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("count").alias("rows"),
+        F.max("count").alias("mx"),
+        (F.sum("count") / F.count("*")).alias("mean"),
+    ).collect()[0]
+    mean = float(row["mean"]) if row["mean"] else 0.0
+    return {
+        "n_partitions": int(row["n_partitions"]),
+        "rows": int(row["rows"] or 0),
+        "max": int(row["mx"] or 0),
+        "mean": mean,
+        "skew_factor": (float(row["mx"]) / mean) if mean else 0.0,
+    }
