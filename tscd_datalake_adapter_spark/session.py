@@ -37,6 +37,13 @@ def int_env(name: str, default: int) -> int:
 # spark-submit / cluster defaults and the env overrides below.
 _BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Defense in depth: plain collect() of TIMESTAMP renders via the JVM
+    # default zone, not the session zone — pin the JVMs to UTC too so
+    # determinism never depends on the host's /etc/localtime. (No-op when
+    # attaching to an already-running JVM; the session-zone conf still
+    # governs all SQL semantics there.)
+    "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",
+    "spark.executor.extraJavaOptions": "-Duser.timezone=UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
