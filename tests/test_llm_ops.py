@@ -580,3 +580,28 @@ def test_quantized_cosine_recall(spark, sf_dir):
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.9, f"quantized recall too low: {hits}/{total}"
+
+
+def test_incremental_exact_dedup(spark):
+    """Batch-internal dupes keep lowest id; lake-seen texts are dropped;
+    the carried hash state accumulates exactly the distinct hashes."""
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+    fresh1, seen1 = incremental_exact_dedup(b1)
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]
+    assert seen1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "bbb"), (11, "ccc"), (12, "ccc")], "doc_id long, text string"
+    )
+    fresh2, seen2 = incremental_exact_dedup(b2, seen1)
+    assert sorted(r.doc_id for r in fresh2.collect()) == [11]
+    assert seen2.count() == 3
+    # rerun of the same batch against the updated state yields nothing new
+    fresh3, seen3 = incremental_exact_dedup(b2, seen2)
+    assert fresh3.count() == 0 and seen3.count() == 3

@@ -731,3 +731,41 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame, seen_hashes: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingestion exact dedup: given a batch of ``(doc_id, text)``
+    and the lake's accumulated ``seen_hashes`` table (``text_hash`` column),
+    return ``(fresh_docs, updated_hashes)`` where ``fresh_docs`` drops both
+    batch-internal duplicates (keep-lowest-id) and anything already in the
+    lake.
+
+    Scale shape: sha256 map-side; one shuffle to dedupe within the batch
+    (keyed on the 32-byte hash — batch-sized, not lake-sized); the
+    lake-history check is a LEFT ANTI join against the hash table, which at
+    100 TB is the hash-table side of a shuffled join (or a bloom-filtered
+    scan with AQE's runtime filters) — never a scan of lake text. The hash
+    table is the only state the pipeline carries forward: 32 bytes per
+    unique document ever seen.
+    """
+    hashed = new_docs.select("doc_id", "text", F.sha2("text", 256).alias("text_hash"))
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    batch_unique = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if seen_hashes is not None:
+        fresh = batch_unique.join(
+            seen_hashes.select("text_hash"), "text_hash", "left_anti"
+        )
+    else:
+        fresh = batch_unique
+    updated = (
+        seen_hashes.select("text_hash").unionByName(fresh.select("text_hash"))
+        if seen_hashes is not None
+        else fresh.select("text_hash")
+    ).distinct()
+    return fresh.select("doc_id", "text"), updated
