@@ -105,3 +105,32 @@ def test_clustered_write_narrows_file_ranges(spark, sf_dir, tmp_path):
         1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
     )
     assert overlaps == 0, f"file ranges overlap: {ranges}"
+
+
+def test_queries_self_heal_under_foreign_session_confs(spark, sf_dir):
+    """The round driver builds its own SparkSession with its own confs.
+    load_table's ensure_engine_confs must make timestamp-sensitive queries
+    produce identical results even when the session starts with a hostile
+    timezone and NTZ inference — the guard NOTES.md says never to remove."""
+    from tscd_datalake_adapter_spark.operators.history import (
+        scd2_user_event_history,
+    )
+    from tscd_datalake_adapter_spark.streaming.batch_twins import (
+        stream_tumbling_window,
+    )
+
+    def snap():
+        a = [tuple(r) for r in scd2_user_event_history(spark, sf_dir).limit(40).collect()]
+        b = [tuple(r) for r in stream_tumbling_window(spark, sf_dir).limit(40).collect()]
+        return a, b
+
+    baseline = snap()
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_ntz = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        assert snap() == baseline
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", old_ntz)
