@@ -85,6 +85,17 @@ def get_spark(
         cpus = env("SPARK_GRAFT_CPUS", "*")
         builder = builder.master(f"local[{cpus}]")
 
+    for k, v in resolve_conf(conf).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def resolve_conf(conf: dict[str, str] | None = None) -> dict[str, str]:
+    """The merged session conf: base defaults ← env overrides (R14
+    default-if-blank semantics) ← S3A object-store gate (R15: applied only
+    when ``S3_ENDPOINT_URL`` is configured, path-style access forced as the
+    reference does for LocalStack) ← explicit ``conf``. Pure function of
+    env + args so the precedence is unit-testable without a session."""
     merged = dict(_BASE_CONF)
     merged["spark.sql.shuffle.partitions"] = str(
         int_env("SPARK_SHUFFLE_PARTITIONS", 32)
@@ -106,6 +117,4 @@ def get_spark(
 
     if conf:
         merged.update(conf)
-    for k, v in merged.items():
-        builder = builder.config(k, v)
-    return builder.getOrCreate()
+    return merged
