@@ -769,3 +769,63 @@ def incremental_exact_dedup(
         else fresh.select("text_hash")
     ).distinct()
     return fresh.select("doc_id", "text"), updated
+
+
+@register(
+    "incremental_dedup_batch",
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH state AS (
+        SELECT DISTINCT sha256(text) AS text_hash FROM documents
+        WHERE doc_id < 150
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 100
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id >= 100 AND doc_id < 120
+    ),
+    hashed AS (SELECT doc_id, sha256(text) AS text_hash FROM batch),
+    batch_unique AS (
+        SELECT doc_id, text_hash FROM (
+            SELECT doc_id, text_hash,
+                   row_number() OVER (PARTITION BY text_hash
+                                      ORDER BY doc_id) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    ),
+    fresh AS (
+        SELECT b.doc_id FROM batch_unique b
+        WHERE NOT EXISTS (SELECT 1 FROM state s
+                          WHERE s.text_hash = b.text_hash)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fresh,
+           CAST(min(doc_id) AS BIGINT) AS first_kept,
+           CAST(max(doc_id) AS BIGINT) AS last_kept
+    FROM fresh
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered demo of :func:`incremental_exact_dedup`: the lake state
+    holds hashes of docs < 150; the incoming batch is docs >= 100 plus 20
+    shifted-id duplicates (so both dedup tiers fire: in-batch keep-lowest-id
+    AND anti-join against lake history). Output is the fresh-survivor
+    summary. Same shapes as the API: map-side sha256, batch-keyed
+    row_number, left-anti against the 32-byte hash state."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    state = (
+        d.where(F.col("doc_id") < 150)
+        .select(F.sha2("text", 256).alias("text_hash"))
+        .distinct()
+    )
+    batch = d.where(F.col("doc_id") >= 100).unionByName(
+        d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    fresh, _ = incremental_exact_dedup(batch, state)
+    return fresh.agg(
+        F.count("*").cast("long").alias("n_fresh"),
+        F.min("doc_id").cast("long").alias("first_kept"),
+        F.max("doc_id").cast("long").alias("last_kept"),
+    )

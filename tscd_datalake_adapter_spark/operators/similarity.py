@@ -550,3 +550,59 @@ def quantized_cosine_topk(
         .where(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+@register(
+    "quantized_cosine_topk_q",
+    tags=("llm", "similarity"),
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, list_max(list_transform(e, x -> abs(x))) AS mx, e
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, mx,
+               list_transform(e, x -> CAST(round(x * 127.0 / mx, 0)
+                                           AS BIGINT)) AS qv
+        FROM m WHERE mx > 0
+    ),
+    n AS (
+        SELECT vec_id, mx, qv,
+               sqrt(list_sum(list_transform(qv,
+                    x -> CAST(x * x AS DOUBLE)))) * mx / 127.0 AS qnorm
+        FROM q
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, len(a.qv) + 1),
+                         i -> CAST(a.qv[i] * b.qv[i] AS DOUBLE)))
+                     * (a.mx * b.mx / (127.0 * 127.0))
+                     / (a.qnorm * b.qnorm), 6) AS qcos
+        FROM n a JOIN n b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 10
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, qcos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, qcos, rk FROM ranked
+    WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def quantized_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`quantized_cosine_topk`: int8 quantization
+    is approximate RETRIEVAL but fully DETERMINISTIC computation, so unlike
+    the ANN tier it gets an exact value oracle — DuckDB re-derives the
+    quantized vectors, integer dot products, and rescaled cosines
+    bit-identically (index-based transform instead of zip; DuckDB 1.0 has
+    no list_zip). Recall vs the float ranker is separately gated in
+    tests/test_llm_ops.py."""
+    return quantized_cosine_topk(spark, sf_dir, k=5, n_queries=10).select(
+        "query_id", "neighbor_id", "qcos", "rk"
+    )
