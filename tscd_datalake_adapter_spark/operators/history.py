@@ -164,3 +164,143 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "retention_cohorts",
+    tags=("history",),
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CAST(strftime(date_trunc('week', ts), '%Y-%m-%d')
+                   AS VARCHAR)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               CAST(strftime(date_trunc('week', ts), '%Y-%m-%d') AS VARCHAR)
+                   AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week, a.active_week,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted in
+    every week they were active — the standard growth-analytics triangle.
+
+    Scale shape: one groupBy(user_id) min-aggregate for cohorts, one
+    distinct over (user, week) — both shuffle on user_id and partial-
+    aggregate map-side; the final matrix is |weeks|² cells regardless of
+    event volume. Weeks leave as formatted date strings (Spark and DuckDB
+    both truncate to Monday)."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    firsts = e.select("user_id", week.alias("w")).groupBy("user_id").agg(
+        F.min("w").alias("cohort_week")
+    )
+    activity = e.select("user_id", week.alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "active_week")
+    )
+
+
+@register(
+    "last_touch_attribution",
+    tags=("history",),
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, event_id AS view_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    latest AS (
+        SELECT p.user_id, p.purchase_id, p.value,
+               max(epoch_us(v.v_ts)) AS mt
+        FROM purchases p JOIN views v
+          ON p.user_id = v.user_id
+         AND v.v_ts <= p.p_ts
+         AND v.v_ts >= p.p_ts - INTERVAL 7 DAY
+        GROUP BY p.user_id, p.purchase_id, p.value
+    ),
+    touched AS (
+        SELECT l.user_id, l.purchase_id, l.value,
+               max(v.view_id) AS attributed_view
+        FROM latest l JOIN views v
+          ON v.user_id = l.user_id AND epoch_us(v.v_ts) = l.mt
+        GROUP BY l.user_id, l.purchase_id, l.value
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_attributed,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(max(attributed_view) AS BIGINT) AS max_view_id
+    FROM touched GROUP BY user_id ORDER BY user_id
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest view by the
+    same user within a 7-day lookback — the marketing-analytics sibling of
+    the as-of join, here as a bounded range join + ``max_by`` argmax (no
+    window over the joined stream, no pair blow-up beyond the lookback).
+
+    Scale shape: the join shuffles on user_id; the 7-day bound keeps
+    per-user pair counts proportional to activity density, and the argmax
+    folds map-side. Money leaves as exact integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    # Two-step portable argmax (DuckDB 1.0's max_by cannot take a tuple
+    # sort key): latest view timestamp per purchase, then the max view_id
+    # at that timestamp — deterministic under ts ties on both engines.
+    latest = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (
+                F.unix_micros("v_ts")
+                >= F.unix_micros("p_ts") - 7 * 24 * 3600 * 1_000_000
+            ),
+        )
+        .groupBy("user_id", "purchase_id", "value")
+        .agg(F.max(F.unix_micros("v_ts")).alias("mt"))
+    )
+    touched = (
+        latest.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.unix_micros("v_ts") == F.col("mt")),
+        )
+        .groupBy("user_id", "purchase_id", "value")
+        .agg(F.max("view_id").alias("attributed_view"))
+    )
+    return (
+        touched.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_attributed"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+            F.max("attributed_view").cast("long").alias("max_view_id"),
+        )
+        .orderBy("user_id")
+    )

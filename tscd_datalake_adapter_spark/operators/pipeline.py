@@ -849,3 +849,105 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_long"),
         )
     )
+
+
+@register(
+    "dsir_importance_weights",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, lang, unnest(t) AS tok FROM toks),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ex),
+    target AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM ex
+        WHERE lang = 'en' GROUP BY tok
+    ),
+    raw AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cr FROM ex GROUP BY tok
+    ),
+    tot AS (
+        SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM target) AS nt,
+               (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr
+    ),
+    scored AS (
+        SELECT ex.doc_id, ex.lang,
+               round(ln((coalesce(t.ct, 0) + 1.0) / (nt + v))
+                     - ln((r.cr + 1.0) / (nr + v)), 6) AS lw
+        FROM ex
+        LEFT JOIN target t USING (tok)
+        JOIN raw r USING (tok)
+        CROSS JOIN tot CROSS JOIN vocab
+    ),
+    perdoc AS (
+        SELECT doc_id, lang,
+               round(CAST(sum(CAST(lw AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_logweight
+        FROM scored GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, avg_logweight FROM perdoc
+    ORDER BY avg_logweight DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): score every
+    document by how much its unigram distribution looks like the TARGET
+    domain (here the English slice) versus the RAW corpus,
+    ``avg_t[ln p_target(t) - ln p_raw(t)]`` with add-1 smoothing over the
+    shared vocab; the top-weighted docs are what importance resampling
+    would draw first for domain-targeted pre-training selection.
+
+    Scale shape: identical machinery to ``lm_perplexity_filter`` — two
+    vocab-bounded count tables joined (broadcast once bounded) onto the
+    exploded token stream, one groupBy(doc) decimal-exact fold, TakeOrdered
+    top-k. No windows, no collect."""
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("tok"),
+    )
+    vocab = ex.agg(F.countDistinct("tok").cast("long").alias("v"))
+    target = (
+        ex.where(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    raw = ex.groupBy("tok").agg(F.count("*").cast("long").alias("cr"))
+    nt = target.agg(F.sum("ct").cast("long").alias("nt"))
+    nr = raw.agg(F.sum("cr").cast("long").alias("nr"))
+    scored = (
+        ex.join(F.broadcast(target), "tok", "left")
+        .join(raw, "tok")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1.0)
+                    / (F.col("nt") + F.col("v"))
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v"))),
+                6,
+            ).alias("lw"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("lw").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("avg_logweight")
+        )
+        .orderBy(F.col("avg_logweight").desc(), "doc_id")
+        .limit(50)
+    )
