@@ -829,3 +829,72 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_kept"),
         F.max("doc_id").cast("long").alias("last_kept"),
     )
+
+
+@register(
+    "containment_near_dup",
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok
+              GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup: ``|A∩B| / |A| >= 0.8`` flags doc A
+    as largely contained in B — the subset-duplication case (a paragraph
+    lifted into a larger page, a quote-wrapper around an article) that
+    symmetric Jaccard under-scores because the size difference dilutes the
+    union. Broder's containment measure, the standard complement to
+    resemblance in near-dup pipelines.
+
+    Scale shape: the same inverted-index equi-join as the Jaccard family
+    (token → candidate pairs → per-pair intersection counts), one join +
+    two aggregations, all keyed on token/doc — no all-pairs path. Note
+    containment does NOT admit Jaccard's prefix filter (the threshold
+    bounds |A∩B|/|A| only, so B's common tokens can't be dropped); at
+    production scale the hot-token guard is a df-cap on join tokens,
+    documented rather than silently applied here to keep the oracle
+    exact."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    tokens = distinct_tokens(docs)
+    sizes = tokens.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = tokens.alias("a")
+    b = tokens.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("n", "n_a"), inter.doc_a == sizes.doc_id)
+        .drop("doc_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter").cast("double") / F.col("n_a"), 6),
+        )
+        .where(F.col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -584,3 +584,48 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_normalize_stats",
+    tags=("llm", "text"),
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n_text
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(length(n_text) AS BIGINT) AS n_chars_norm,
+           CAST(len(list_filter(string_split(n_text, ' '), x -> x != ''))
+                AS BIGINT) AS n_tokens_norm,
+           md5(n_text) AS norm_fingerprint
+    FROM norm ORDER BY doc_id
+    """,
+)
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the dedup-preprocessing standard:
+    lowercase → strip non-alphanumerics → collapse whitespace → trim) with
+    a cross-engine md5 fingerprint of the normalized form — the key you
+    actually dedup on when byte-identical matching is too strict.
+    Restricted to ASCII character classes so Java-regex (Spark) and RE2
+    (DuckDB) semantics coincide exactly. Map-side only — normalization
+    adds zero shuffles to whatever pipeline consumes it."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    n_text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    norm = d.select("doc_id", n_text.alias("n_text"))
+    return norm.select(
+        "doc_id",
+        F.length("n_text").cast("long").alias("n_chars_norm"),
+        F.size(F.expr("filter(split(n_text, ' '), x -> x != '')"))
+        .cast("long")
+        .alias("n_tokens_norm"),
+        F.md5(F.col("n_text").cast("binary")).alias("norm_fingerprint"),
+    ).orderBy("doc_id")
