@@ -304,3 +304,221 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_transition_matrix",
+    tags=("history",),
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev, event_type AS curr FROM seq WHERE prev IS NOT NULL
+    ),
+    counts AS (
+        SELECT prev, curr, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY prev, curr
+    )
+    SELECT prev, curr, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev), 6) AS p
+    FROM counts ORDER BY prev, curr
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: count
+    (previous event type → current event type) per user-ordered sequence
+    and normalize rows to probabilities — the behavioral-model building
+    block (and the input to anomaly scoring on unlikely transitions).
+
+    Scale shape: one per-entity lag window, one (prev, curr) aggregate —
+    the matrix is |event_types|² cells however large the stream; the
+    normalizing window runs over that bounded aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("prev", F.col("event_type").alias("curr"))
+    )
+    counts = pairs.groupBy("prev", "curr").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "curr",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    ).orderBy("prev", "curr")
+
+
+@register(
+    "time_weighted_avg_value",
+    tags=("history",),
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS t_next
+        FROM events WHERE user_id < 100
+    ),
+    seg AS (
+        SELECT user_id, value, t_next - t AS dt
+        FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dt) AS BIGINT) AS span_us,
+           round(sum(value * dt) / sum(dt), 6) AS twap
+    FROM seg GROUP BY user_id
+    HAVING sum(dt) > 0
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP-style): each observation holds until the
+    next one, so its weight is the gap to the successor — the correct mean
+    for irregularly-sampled state series (a plain AVG over-weights bursts).
+    Hypertable-adjacent: the continuous-aggregate form of this runs in the
+    streaming rollup.
+
+    Scale shape: one per-entity lead window + one aggregate, both keyed on
+    user_id. Weights are exact integer microseconds; the weighted sum is
+    double both engines fold over identical per-row products (sum order
+    inside one group is engine-internal — values here are uniform-scale
+    positive, and 6-decimal rounding absorbs the reassociation; the
+    decimal-exact recipe remains available if a future fixture breaks
+    that)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "value", F.unix_micros("ts").alias("t"), "ts", "event_id"
+    ).withColumn("t_next", F.lead(F.unix_micros("ts")).over(w))
+    seg = seq.where(F.col("t_next").isNotNull()).select(
+        "user_id", "value", (F.col("t_next") - F.col("t")).alias("dt")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("dt").cast("long").alias("span_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twap"),
+        )
+        .where(F.col("span_us") > 0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "gap_fill_locf_daily",
+    tags=("history",),
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value FROM events WHERE user_id < 100
+    ),
+    mt AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, max(epoch_us(ts)) AS m
+        FROM e GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT mt.user_id, mt.d, max(e.value) AS v
+        FROM mt JOIN e ON e.user_id = mt.user_id
+                      AND epoch_us(e.ts) = mt.m
+                      AND CAST(e.ts AS DATE) = mt.d
+        GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM rng
+    ),
+    j AS (
+        SELECT s.user_id, s.d, daily.v
+        FROM spine s LEFT JOIN daily USING (user_id, d)
+    ),
+    f AS (
+        SELECT user_id, d, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        FROM j
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(v) AS BIGINT) AS n_observed,
+           CAST(count(*) - count(v) AS BIGINT) AS n_filled,
+           round(CAST(sum(CAST(round(fv, 6) AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS checksum
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+)
+def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with last-observation-carried-forward: build each
+    user's daily spine (``sequence`` between first and last active day),
+    left-join the per-day closing value (portable two-step argmax on the
+    day's latest event), and fill missing days with
+    ``last(value, ignorenulls)`` — the standard state-series densification
+    every BI layer runs before day-over-day math.
+
+    Scale shape: all windows and joins keyed on user_id (per-entity); the
+    spine explode is bounded by each user's active date span, not the
+    event volume. Output is the compact per-user summary (spine length,
+    observed vs filled days, decimal-exact checksum of the filled
+    series)."""
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    ed = e.select(
+        "user_id", "ts", "value", F.to_date("ts").alias("d"),
+        F.unix_micros("ts").alias("us"),
+    )
+    mt = ed.groupBy("user_id", "d").agg(F.max("us").alias("m"))
+    daily = (
+        mt.join(
+            ed.select(
+                F.col("user_id").alias("u2"), F.col("d").alias("d2"),
+                "us", "value",
+            ),
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("d") == F.col("d2"))
+            & (F.col("us") == F.col("m")),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.max("value").alias("v"))
+    )
+    rng = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = rng.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = j.withColumn("fv", F.last("v", ignorenulls=True).over(w))
+    return (
+        f.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.count("v").cast("long").alias("n_observed"),
+            (F.count("*") - F.count("v")).cast("long").alias("n_filled"),
+            F.round(
+                F.sum(F.round("fv", 6).cast(DEC)).cast("double"), 6
+            ).alias("checksum"),
+        )
+        .orderBy("user_id")
+    )
