@@ -34,8 +34,9 @@ def test_greens_parsed_from_correctness_files():
 
 
 def test_rotation_tiers_are_ordered():
-    """All signal-capable queries (tier 0/1) precede all spent ones (tier 2),
-    regardless of how many of each exist — stable across future rounds."""
+    """All signal-capable queries (tier 0/1) precede deferred ones (tier 2)
+    which precede spent ones (tier 3), regardless of how many of each exist
+    — stable across future rounds."""
     registry = load_all()
     names = list(registry.keys())
     recorded = _recorded_without_error()
@@ -43,14 +44,22 @@ def test_rotation_tiers_are_ordered():
     def tier(name):
         spec = registry[name]
         if spec.oracle is not None:
-            return 0 if name not in VERIFIED else 2
-        return 1 if name not in recorded else 2
+            if name in VERIFIED:
+                return 3
+            return 2 if spec.defer else 0
+        if name in recorded:
+            return 3
+        return 2 if spec.defer else 1
 
     tiers = [tier(n) for n in names]
-    assert tiers == sorted(tiers), "rotation must order tier 0 < 1 < 2"
+    assert tiers == sorted(tiers), "rotation must order tier 0 < 1 < 2 < 3"
     # oracle-less queries never sit ahead of oracle-backed unverified ones
     if 0 in tiers and 1 in tiers:
         assert tiers.index(1) > max(i for i, t in enumerate(tiers) if t == 0)
+    # deferred additions must never displace undeferred never-verified ones
+    if 2 in tiers:
+        first_deferred = tiers.index(2)
+        assert all(t != 0 and t != 1 for t in tiers[first_deferred:])
 
 
 def test_rotation_preserves_registry_contents():

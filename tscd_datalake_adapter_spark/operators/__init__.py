@@ -22,6 +22,15 @@ class QuerySpec:
     oracle: str | None = None
     headline: bool = False
     tags: tuple[str, ...] = field(default_factory=tuple)
+    defer: bool = False
+    """Queue behind the current round's locked verification window.
+
+    Registry order follows module IMPORT order, so a query added to an
+    early-imported module after a round's 50-slot window has been planned
+    would silently displace a query whose first green row that round needs.
+    ``defer=True`` pins such additions behind every non-deferred
+    never-verified query; rotation promotes them automatically once the
+    round lands and the window frees up."""
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -32,11 +41,14 @@ def register(
     oracle: str | None = None,
     headline: bool = False,
     tags: tuple[str, ...] = (),
+    defer: bool = False,
 ):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name}")
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            fn=fn, oracle=oracle, headline=headline, tags=tags, defer=defer
+        )
         return fn
 
     return deco

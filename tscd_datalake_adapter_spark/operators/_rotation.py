@@ -131,17 +131,26 @@ def rotate(registry: dict) -> dict:
        visit can turn one green;
     2. oracle-less queries the driver has never recorded — they can earn at
        most a rows-only row, once;
-    3. everything else: hash-verified queries and oracle-less queries that
+    3. DEFERRED unverified queries (``QuerySpec.defer``): registered after
+       the current round's window was planned — they must never displace a
+       query whose first row this round needs, so they queue here and are
+       promoted automatically next round (their names land in the
+       correctness files, or the window frees up as greens rotate out);
+    4. everything else: hash-verified queries and oracle-less queries that
        already have their (best-possible) recorded row.
     """
     recorded = _recorded_without_error()
 
     def tier(name: str, spec) -> int:
         if spec.oracle is not None:
-            return 0 if name not in VERIFIED else 2
-        return 1 if name not in recorded else 2
+            if name in VERIFIED:
+                return 3
+            return 2 if spec.defer else 0
+        if name in recorded:
+            return 3
+        return 2 if spec.defer else 1
 
     out: dict = {}
-    for t in (0, 1, 2):
+    for t in (0, 1, 2, 3):
         out.update({n: s for n, s in registry.items() if tier(n, s) == t})
     return out

@@ -833,6 +833,7 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "containment_near_dup",
+    defer=True,
     tags=("llm", "dedup"),
     oracle="""
     WITH tok AS (

@@ -853,6 +853,7 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dsir_importance_weights",
+    defer=True,
     tags=("llm", "text"),
     oracle="""
     WITH toks AS (
