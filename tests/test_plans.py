@@ -372,12 +372,21 @@ def test_ntile_has_no_global_window_over_base_rows(spark, sf_dir):
 def test_registry_has_no_global_window_over_base_rows(spark, sf_dir):
     """Registry-wide regression net for the single-partition-window
     anti-pattern: every registered query's plan must keep unpartitioned
-    windows above an aggregation (bounded input). Plan-only — nothing
-    executes."""
+    windows above an aggregation (bounded input). The plan WALK is
+    lazy, but query CONSTRUCTION itself is not free for every entry —
+    a few run real jobs while building (bucketed table writes, bounded
+    counts); they have no windows and their own dedicated tests, so they
+    are skipped here rather than re-paying their side effects."""
     from tscd_datalake_adapter_spark.operators import load_all
 
+    construction_side_effects = {
+        "bucketed_join_agg",  # saveAsTable x2 during construction
+        "lm_perplexity_filter_scaled",  # documents.count() during construction
+    }
     offenders = {}
     for name, spec in load_all().items():
+        if name in construction_side_effects:
+            continue
         try:
             df = spec.fn(spark, sf_dir)
         except Exception:
@@ -455,5 +464,8 @@ def test_partition_skew_report(spark, sf_dir):
     hot = plans.partition_skew_report(
         o.withColumn("k", F.lit(1)).repartition(8, "k")
     )
-    assert hot["n_partitions"] == 1  # only the hot partition holds rows
+    # empty partitions still count: one partition holds everything, so the
+    # skew factor must read 8x, not a vacuous 1.0
+    assert hot["n_partitions"] == 8
     assert hot["rows"] == even["rows"]
+    assert abs(hot["skew_factor"] - 8.0) < 1e-9

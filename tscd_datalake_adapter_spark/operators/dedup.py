@@ -737,10 +737,11 @@ def incremental_exact_dedup(
     new_docs: DataFrame, seen_hashes: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingestion exact dedup: given a batch of ``(doc_id, text)``
-    and the lake's accumulated ``seen_hashes`` table (``text_hash`` column),
-    return ``(fresh_docs, updated_hashes)`` where ``fresh_docs`` drops both
-    batch-internal duplicates (keep-lowest-id) and anything already in the
-    lake.
+    and the lake's accumulated ``seen_hashes`` table (``text_hash`` column,
+    contract: distinct — true of every ``updated_hashes`` this function
+    returns), return ``(fresh_docs, updated_hashes)`` where ``fresh_docs``
+    drops both batch-internal duplicates (keep-lowest-id) and anything
+    already in the lake.
 
     Scale shape: sha256 map-side; one shuffle to dedupe within the batch
     (keyed on the 32-byte hash — batch-sized, not lake-sized); the
@@ -763,11 +764,17 @@ def incremental_exact_dedup(
         )
     else:
         fresh = batch_unique
+    # No trailing distinct: ``seen_hashes`` is this function's own prior
+    # output (contract: already distinct), ``fresh`` is internally unique
+    # (row_number==1 per hash) and disjoint from seen (left anti) — so the
+    # plain union IS distinct. A .distinct() here would re-shuffle the
+    # entire accumulated lake state on every batch, exactly the
+    # O(lake-size)-per-batch cost the scale argument above rules out.
     updated = (
         seen_hashes.select("text_hash").unionByName(fresh.select("text_hash"))
         if seen_hashes is not None
         else fresh.select("text_hash")
-    ).distinct()
+    )
     return fresh.select("doc_id", "text"), updated
 
 
@@ -888,14 +895,16 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("inter"))
     )
+    # Threshold on the RAW ratio, round only for output — same convention
+    # as the jaccard family; thresholding the rounded value would keep
+    # pairs in [0.7999995, 0.8) that the oracle (raw-ratio filter) drops.
+    raw = F.col("inter").cast("double") / F.col("n_a")
     return (
         inter.join(sizes.withColumnRenamed("n", "n_a"), inter.doc_a == sizes.doc_id)
         .drop("doc_id")
-        .withColumn(
-            "containment",
-            F.round(F.col("inter").cast("double") / F.col("n_a"), 6),
+        .where(raw >= 0.8)
+        .select(
+            "doc_a", "doc_b", F.round(raw, 6).alias("containment")
         )
-        .where(F.col("containment") >= 0.8)
-        .select("doc_a", "doc_b", "containment")
         .orderBy("doc_a", "doc_b")
     )

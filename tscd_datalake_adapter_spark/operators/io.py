@@ -226,9 +226,14 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed SMJ — also correct; the zero-Exchange SMJ property itself
     is pinned with broadcasts disabled in tests/test_layout.py.)
     """
+    import hashlib
+
     from tscd_datalake_adapter_spark.plans.layout import write_bucketed
 
-    uid = abs(hash((sf_dir, "bucketed_join_agg"))) % 10**8
+    # Deterministic per-sf_dir names (Python hash() is PYTHONHASHSEED-
+    # randomized per process — it would mint fresh table names every run
+    # and mode("overwrite") would never reclaim the old copies).
+    uid = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_o, t_c = f"b_orders_{uid}", f"b_customer_{uid}"
     write_bucketed(
         load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),

@@ -101,14 +101,30 @@ def forced_broadcast_base_tables(df: DataFrame, tables: list[str]) -> set[str]:
 
 
 def unpartitioned_windows_over_unaggregated_input(df: DataFrame) -> list[str]:
-    """Window nodes with an EMPTY partition spec whose input subtree contains
-    no aggregation — the "move the whole table to one partition" pattern that
-    dies at 100 TB. A global window over an *aggregate* (bounded: group count
-    caps the rows, e.g. a 7-row YoY table or a value-domain-bounded distinct
-    set) is acceptable and excluded. Returns one plan-line per offender so
-    tests can show what leaked."""
+    """Window nodes with an EMPTY partition spec whose input can still be
+    base-table-sized — the "move the whole table to one partition" pattern
+    that dies at 100 TB. A global window whose every input branch passes
+    through an aggregation is acceptable (bounded: group count caps the
+    rows, e.g. a 7-row YoY table or a value-domain-bounded distinct set).
+
+    The bound check walks the actual plan tree: a global window is an
+    offender iff some SCAN in its input is reachable WITHOUT crossing an
+    aggregate node — substring-matching the subtree would wrongly excuse a
+    window over base rows merely because an aggregate exists somewhere in
+    a joined branch. Returns one plan-line per offender."""
     out: list[str] = []
-    aggs = ("HashAggregate", "SortAggregate", "ObjectHashAggregate", "AggregateInPandas")
+
+    def scan_reachable_unaggregated(node) -> bool:
+        name = node.getClass().getSimpleName()
+        if "Aggregate" in name:  # Hash/Sort/ObjectHash/InPandas: bounds below
+            return False
+        if "Scan" in name or name.startswith("InMemoryTableScan"):
+            return True
+        kids = node.children()
+        for i in range(kids.size()):
+            if scan_reachable_unaggregated(kids.apply(i)):
+                return True
+        return False
 
     def walk(node):
         name = node.getClass().getSimpleName()
@@ -117,10 +133,8 @@ def unpartitioned_windows_over_unaggregated_input(df: DataFrame) -> list[str]:
                 empty_spec = node.partitionSpec().isEmpty()
             except Exception:
                 empty_spec = False
-            if empty_spec:
-                subtree = node.children().apply(0).toString()
-                if not any(a in subtree for a in aggs):
-                    out.append(node.toString().splitlines()[0])
+            if empty_spec and scan_reachable_unaggregated(node.children().apply(0)):
+                out.append(node.toString().splitlines()[0])
         kids = node.children()
         for i in range(kids.size()):
             walk(kids.apply(i))
@@ -154,17 +168,22 @@ def partition_skew_report(df: DataFrame) -> dict:
     per-partition counts)."""
     from pyspark.sql import functions as F
 
+    # Physical partition count comes from the RDD, NOT from counting the
+    # groupBy's rows: empty partitions produce no (pid, count) row, so a
+    # max-skew layout (every row in one of 8 partitions) would otherwise
+    # read as n_partitions=1 and skew_factor=1.0 — the exact case this
+    # diagnostic exists to expose.
+    n_partitions = df.rdd.getNumPartitions()
     counts = df.groupBy(F.spark_partition_id().alias("pid")).count()
     row = counts.agg(
-        F.count("*").alias("n_partitions"),
         F.sum("count").alias("rows"),
         F.max("count").alias("mx"),
-        (F.sum("count") / F.count("*")).alias("mean"),
     ).collect()[0]
-    mean = float(row["mean"]) if row["mean"] else 0.0
+    rows = int(row["rows"] or 0)
+    mean = rows / n_partitions if n_partitions else 0.0
     return {
-        "n_partitions": int(row["n_partitions"]),
-        "rows": int(row["rows"] or 0),
+        "n_partitions": int(n_partitions),
+        "rows": rows,
         "max": int(row["mx"] or 0),
         "mean": mean,
         "skew_factor": (float(row["mx"]) / mean) if mean else 0.0,
