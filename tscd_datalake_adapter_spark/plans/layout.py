@@ -19,7 +19,19 @@ def write_bucketed(
     """Persist a table bucketed (and sorted) by the join key. Two tables
     bucketed identically join with zero shuffle — Spark reads matching
     buckets pairwise. This is the lakehouse answer to repeated big joins on
-    one key (e.g. lineitem ⋈ orders on orderkey, every day, at 100 TB)."""
+    one key (e.g. lineitem ⋈ orders on orderkey, every day, at 100 TB).
+
+    Idempotent against catalog/filesystem drift: with an in-memory catalog
+    a previous process's managed-table DIRECTORY can outlive its catalog
+    entry, and ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS —
+    so both the table and any orphaned location are dropped first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)
