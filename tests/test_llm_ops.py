@@ -605,3 +605,14 @@ def test_incremental_exact_dedup(spark):
     # rerun of the same batch against the updated state yields nothing new
     fresh3, seen3 = incremental_exact_dedup(b2, seen2)
     assert fresh3.count() == 0 and seen3.count() == 3
+
+    # NULL text must not re-emit forever nor stack NULL rows into state:
+    # it hashes as empty text, so it dedups as one class across batches
+    b4 = spark.createDataFrame(
+        [(20, None), (21, None), (22, "")], "doc_id long, text string"
+    )
+    fresh4, seen4 = incremental_exact_dedup(b4, seen3)
+    assert [r.doc_id for r in fresh4.collect()] == [20]
+    assert seen4.count() == 4
+    fresh5, seen5 = incremental_exact_dedup(b4, seen4)
+    assert fresh5.count() == 0 and seen5.count() == 4

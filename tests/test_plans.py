@@ -372,11 +372,13 @@ def test_ntile_has_no_global_window_over_base_rows(spark, sf_dir):
 def test_registry_has_no_global_window_over_base_rows(spark, sf_dir):
     """Registry-wide regression net for the single-partition-window
     anti-pattern: every registered query's plan must keep unpartitioned
-    windows above an aggregation (bounded input). The plan WALK is
-    lazy, but query CONSTRUCTION itself is not free for every entry —
-    a few run real jobs while building (bucketed table writes, bounded
-    counts); they have no windows and their own dedicated tests, so they
-    are skipped here rather than re-paying their side effects."""
+    windows above an aggregation (bounded input). The plan WALK is lazy,
+    but query CONSTRUCTION is not free for every entry — several (the IO
+    round-trips, z-order write, vectorized top-k's K-vector collect) run
+    real jobs while building and ARE still constructed here, accepting the
+    cost for coverage. Only the two heaviest are skipped: their plans are
+    window-free by construction and pinned by their own dedicated tests.
+    If a window is ever added to either, REMOVE it from this skip set."""
     from tscd_datalake_adapter_spark.operators import load_all
 
     construction_side_effects = {

@@ -751,7 +751,16 @@ def incremental_exact_dedup(
     table is the only state the pipeline carries forward: 32 bytes per
     unique document ever seen.
     """
-    hashed = new_docs.select("doc_id", "text", F.sha2("text", 256).alias("text_hash"))
+    # NULL text hashes as empty text: sha2(NULL) is NULL, and a NULL join
+    # key never anti-matches (SQL null semantics), so null-text docs would
+    # re-emit as "fresh" every batch AND stack an extra NULL row into the
+    # carried state each time — unbounded growth and a broken distinct
+    # contract. Coalescing makes all null/empty texts one dedup class.
+    hashed = new_docs.select(
+        "doc_id",
+        "text",
+        F.sha2(F.coalesce("text", F.lit("")), 256).alias("text_hash"),
+    )
     w = Window.partitionBy("text_hash").orderBy("doc_id")
     batch_unique = (
         hashed.withColumn("_rn", F.row_number().over(w))

@@ -118,7 +118,12 @@ def unpartitioned_windows_over_unaggregated_input(df: DataFrame) -> list[str]:
         name = node.getClass().getSimpleName()
         if "Aggregate" in name:  # Hash/Sort/ObjectHash/InPandas: bounds below
             return False
-        if "Scan" in name or name.startswith("InMemoryTableScan"):
+        if "Scan" in name:
+            # Includes InMemoryTableScan: a cached relation MIGHT hold an
+            # aggregate internally, but the plan can't show it — flagging
+            # is the conservative choice (a false positive fails loudly in
+            # a test; a false negative ships a 100 TB single-partition
+            # window). No registry query caches today.
             return True
         kids = node.children()
         for i in range(kids.size()):
@@ -163,9 +168,12 @@ def partition_skew_report(df: DataFrame) -> dict:
     ``{"n_partitions", "rows", "max", "mean", "skew_factor"}`` where
     ``skew_factor = max/mean`` (1.0 = perfectly balanced). The straggler
     diagnostic for shuffles: run it on a DataFrame AFTER a repartition/join
-    to see whether one partition holds the hot key. Cost: one pass over
-    ``df`` (a count per partition — no data to the driver beyond the
-    per-partition counts)."""
+    to see whether one partition holds the hot key. Cost: under AQE
+    (default here) up to TWO executions of ``df`` — ``df.rdd`` materializes
+    the adaptive plan to resolve the true physical partition count, and the
+    counting aggregate re-runs the pipeline. A diagnostic you reach for
+    when a job is already misbehaving, not something to leave in a
+    production path."""
     from pyspark.sql import functions as F
 
     # Physical partition count comes from the RDD, NOT from counting the

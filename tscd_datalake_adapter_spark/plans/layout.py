@@ -24,14 +24,20 @@ def write_bucketed(
     Idempotent against catalog/filesystem drift: with an in-memory catalog
     a previous process's managed-table DIRECTORY can outlive its catalog
     entry, and ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS —
-    so both the table and any orphaned location are dropped first."""
+    so the table is dropped first and, when the location can be derived
+    unambiguously (unqualified name, current database ``default`` — the
+    only case whose warehouse path is ``<warehouse>/<table>``), any
+    orphaned directory is deleted too. For qualified names or non-default
+    databases the cleanup is skipped rather than guessed: deleting a
+    mis-derived path could destroy another table's data."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+    if "." not in table_name and spark.catalog.currentDatabase() == "default":
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)
