@@ -566,20 +566,38 @@ def test_quantized_cosine_recall(spark, sf_dir):
     recall@5 >= 0.9 over the query set, and the quantized scores must sit
     within the max quantization error bound of the exact cosines."""
     from tscd_datalake_adapter_spark.operators.similarity import (
+        DIM,
         cosine_topk,
         quantized_cosine_topk,
     )
 
     exact = {}
+    exact_cos = {}
     for r in cosine_topk(spark, sf_dir).collect():
         exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+        exact_cos[(r.query_id, r.neighbor_id)] = r.cos
     approx = {}
+    qcos = {}
     for r in quantized_cosine_topk(spark, sf_dir).collect():
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        qcos[(r.query_id, r.neighbor_id)] = r.qcos
     assert set(approx) == set(exact)
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.9, f"quantized recall too low: {hits}/{total}"
+
+    # Analytic int8 score-error bound. Per-component dequantization error is
+    # <= mx/(2*127), so ||a - a_hat|| <= sqrt(d)*mx/254 <= sqrt(d)*||a||/254
+    # (absmax <= L2 norm). The quantized score is exactly cos(a_hat, b_hat)
+    # (qnorm IS the dequantized L2 norm), and for unit-normalized vectors
+    # |cos(a_hat,b_hat) - cos(a,b)| <= 2(||a-a_hat||/||a|| + ||b-b_hat||/||b||)
+    # <= 4*sqrt(d)/254. Every pair ranked by BOTH engines must sit inside it.
+    bound = 4.0 * (DIM**0.5) / 254.0
+    overlap = set(qcos) & set(exact_cos)
+    assert overlap, "no overlapping (query, neighbor) pairs to bound-check"
+    for pair in overlap:
+        err = abs(qcos[pair] - exact_cos[pair])
+        assert err <= bound, f"{pair}: |qcos-cos|={err:.6f} > bound {bound:.6f}"
 
 
 def test_incremental_exact_dedup(spark):

@@ -40,26 +40,40 @@ def _correctness_rows() -> list[tuple[str, dict]]:
     return out
 
 
-def _greens_from_correctness_files() -> set[str]:
+def _greens_from_correctness_files(
+    rows: list[tuple[str, dict]] | None = None,
+) -> set[str]:
     """Names with a fully-green driver row in any CORRECTNESS_r*.json."""
     return {
         name
-        for name, row in _correctness_rows()
+        for name, row in (_correctness_rows() if rows is None else rows)
         if row.get("rows_match") is True
         and row.get("schema_match") is True
         and row.get("hash_match") is True
     }
 
 
-def _recorded_without_error() -> set[str]:
-    """Names the driver ran and recorded a non-erroring row for (green OR a
-    weaker rows-only result). For oracle-less queries this is the best
-    possible outcome — they can never earn a hash-green row — so one such
-    record means the front-window slot has done its job."""
+def _is_rows_only_record(row: dict) -> bool:
+    """True for the driver's oracle-less record shape: ``{"rows_match":
+    null, ..., "err": "no_oracle", "spark_rows": N}`` (see the 5 such rows
+    in CORRECTNESS_r03.json). The query RAN — ``no_oracle`` is a record
+    kind, not a failure — and a rows-only record is the best outcome an
+    oracle-less query can ever earn."""
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def _recorded_without_error(
+    rows: list[tuple[str, dict]] | None = None,
+) -> set[str]:
+    """Names the driver ran and recorded a best-possible row for: a normal
+    ``err: null`` row for oracle-backed queries, or a rows-only
+    ``no_oracle`` record for oracle-less ones — one such record means the
+    front-window slot has done its job and the query retires."""
     return {
         name
-        for name, row in _correctness_rows()
-        if row.get("err") is None and row.get("rows_match") is not None
+        for name, row in (_correctness_rows() if rows is None else rows)
+        if (row.get("err") is None and row.get("rows_match") is not None)
+        or _is_rows_only_record(row)
     }
 
 # Green rows in CORRECTNESS_r01.json (49 of the 50 checked;
@@ -136,8 +150,11 @@ def rotate(registry: dict) -> dict:
        query whose first row this round needs, so they queue here and are
        promoted automatically next round (their names land in the
        correctness files, or the window frees up as greens rotate out);
-    4. everything else: hash-verified queries and oracle-less queries that
-       already have their (best-possible) recorded row.
+    4. hash-verified oracle-backed queries (window slots spent here just
+       re-confirm a green — harmless but zero new signal);
+    5. oracle-less queries that already have their (best-possible)
+       rows-only record: the driver would only re-emit an ``err:
+       "no_oracle"`` row for them, so they sort behind everything.
     """
     recorded = _recorded_without_error()
 
@@ -147,10 +164,10 @@ def rotate(registry: dict) -> dict:
                 return 3
             return 2 if spec.defer else 0
         if name in recorded:
-            return 3
+            return 4
         return 2 if spec.defer else 1
 
     out: dict = {}
-    for t in (0, 1, 2, 3):
+    for t in (0, 1, 2, 3, 4):
         out.update({n: s for n, s in registry.items() if tier(n, s) == t})
     return out

@@ -791,8 +791,11 @@ def incremental_exact_dedup(
     "incremental_dedup_batch",
     tags=("llm", "dedup"),
     oracle="""
+    -- sha256(coalesce(text, '')) mirrors incremental_exact_dedup's NULL
+    -- handling: NULL-text and empty-text docs form ONE dedup class in both
+    -- engines (DuckDB's NULL hash would otherwise always pass NOT EXISTS).
     WITH state AS (
-        SELECT DISTINCT sha256(text) AS text_hash FROM documents
+        SELECT DISTINCT sha256(coalesce(text, '')) AS text_hash FROM documents
         WHERE doc_id < 150
     ),
     batch AS (
@@ -801,7 +804,8 @@ def incremental_exact_dedup(
         SELECT doc_id + 1000000 AS doc_id, text FROM documents
         WHERE doc_id >= 100 AND doc_id < 120
     ),
-    hashed AS (SELECT doc_id, sha256(text) AS text_hash FROM batch),
+    hashed AS (SELECT doc_id, sha256(coalesce(text, '')) AS text_hash
+               FROM batch),
     batch_unique AS (
         SELECT doc_id, text_hash FROM (
             SELECT doc_id, text_hash,
@@ -831,7 +835,8 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     state = (
         d.where(F.col("doc_id") < 150)
-        .select(F.sha2("text", 256).alias("text_hash"))
+        # same NULL/empty equivalence class as incremental_exact_dedup
+        .select(F.sha2(F.coalesce("text", F.lit("")), 256).alias("text_hash"))
         .distinct()
     )
     batch = d.where(F.col("doc_id") >= 100).unionByName(
@@ -849,7 +854,6 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "containment_near_dup",
-    defer=True,
     tags=("llm", "dedup"),
     oracle="""
     WITH tok AS (

@@ -168,7 +168,6 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "retention_cohorts",
-    defer=True,
     tags=("history",),
     oracle="""
     WITH firsts AS (
@@ -214,7 +213,6 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "last_touch_attribution",
-    defer=True,
     tags=("history",),
     oracle="""
     WITH purchases AS (
@@ -310,7 +308,6 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_transition_matrix",
-    defer=True,
     tags=("history",),
     oracle="""
     WITH seq AS (
@@ -363,7 +360,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "time_weighted_avg_value",
-    defer=True,
     tags=("history",),
     oracle="""
     WITH seq AS (
@@ -423,7 +419,6 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gap_fill_locf_daily",
-    defer=True,
     tags=("history",),
     oracle="""
     WITH e AS (

@@ -640,11 +640,26 @@ def lm_perplexity_filter_scaled_demo(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Registered (rows-only: sketch percentiles + bounded sampling are not
-    portably SQL-expressible) demo of the production perplexity form, with
-    the reference-set size fit to the fixture: N = max(10, n_docs/10). A
-    real deployment passes an absolute N (e.g. 10k Wikipedia pages)."""
-    n = load_table(spark, sf_dir, "documents").count()
-    return lm_perplexity_filter_scaled(spark, sf_dir, max(10, n // 10))
+    portably SQL-expressible) demo of the production perplexity form.
+
+    Single-DAG: the reference set is the ~10% of documents whose content
+    hash falls below the in-plan ``approx_percentile(hk, 0.1)`` cutoff — a
+    broadcast 1-row aggregate crossJoin (the ``tfidf_top_terms`` pattern),
+    so constructing the registered query performs NO driver-side action.
+    A real deployment passes an absolute N (e.g. 10k Wikipedia pages) to
+    :func:`lm_perplexity_filter_scaled`, whose TakeOrdered top-N bounds the
+    reference set independent of corpus size."""
+    from tscd_datalake_adapter_spark.functions import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    hk = d.select("doc_id", h60(F.col("text")).alias("hk"))
+    cut = hk.agg(F.expr("approx_percentile(hk, 0.1, 10000)").alias("hcut"))
+    ref_ids = (
+        hk.crossJoin(F.broadcast(cut))
+        .where(F.col("hk") <= F.col("hcut"))
+        .select("doc_id")
+    )
+    return _lm_perplexity_scaled_body(spark, sf_dir, ref_ids)
 
 
 def lm_perplexity_filter_scaled(
@@ -666,7 +681,7 @@ def lm_perplexity_filter_scaled(
       default accuracy 1e-4 relative rank error) instead of exact
       ``percentile``'s buffer-every-score aggregation state.
     """
-    from tscd_datalake_adapter_spark.functions import DEC, h60
+    from tscd_datalake_adapter_spark.functions import h60
 
     d = load_table(spark, sf_dir, "documents")
     # Bounded deterministic reference: top-N by content hash. limit() over
@@ -679,6 +694,17 @@ def lm_perplexity_filter_scaled(
         .limit(ref_docs)
         .select("doc_id")
     )
+    return _lm_perplexity_scaled_body(spark, sf_dir, ref_ids)
+
+
+def _lm_perplexity_scaled_body(
+    spark: SparkSession, sf_dir: str, ref_ids: DataFrame
+) -> DataFrame:
+    """Shared scoring body: train bigram model on ``ref_ids`` (a bounded
+    doc_id set, broadcast), score the rest, bucket by sketch percentiles."""
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
     )
@@ -853,7 +879,6 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dsir_importance_weights",
-    defer=True,
     tags=("llm", "text"),
     oracle="""
     WITH toks AS (

@@ -122,8 +122,33 @@ def _hyperplanes(
 @register(
     "ann_lsh_topk",
     tags=("llm", "similarity"),
-    # No SQL oracle: LSH bucketing is approximate. Tests gate recall@5
-    # against cosine_topk (the exact twin) at fixture scale.
+    # Oracle = the EXACT cosine top-5 SQL (same as cosine_topk). Legitimate
+    # because multi-probe 12×4-bit LSH measures recall@5 = 1.0 at sf0.001-0.1
+    # (tests/test_llm_ops.py gates it), and the rerank ranks on the same
+    # (round(cos,6) DESC, neighbor_id) key as the exact path — so whenever
+    # every true top-5 neighbor is a candidate, the outputs are identical.
+    # This is the same pattern by which minhash_lsh_near_dup oracle-checks an
+    # LSH pipeline end-to-end. If a future fixture drops recall below 1.0 the
+    # driver row goes red and the oracle should be removed, not the query.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, e.v)
+                     / sqrt(list_dot_product(q.qv, q.qv)
+                            * list_dot_product(e.v, e.v)), 6) AS cos
+        FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM ranked
+    WHERE rk <= 5 ORDER BY query_id, rk
+    """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: multi-table random-hyperplane LSH (12 tables × 4 sign bits) with

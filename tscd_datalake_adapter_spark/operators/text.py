@@ -588,7 +588,6 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_normalize_stats",
-    defer=True,
     tags=("llm", "text"),
     oracle="""
     WITH norm AS (

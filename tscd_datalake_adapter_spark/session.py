@@ -37,11 +37,17 @@ def int_env(name: str, default: int) -> int:
 # spark-submit / cluster defaults and the env overrides below.
 _BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
-    # Defense in depth: plain collect() of TIMESTAMP renders via the JVM
-    # default zone, not the session zone — pin the JVMs to UTC too so
-    # determinism never depends on the host's /etc/localtime. (No-op when
-    # attaching to an already-running JVM; the session-zone conf still
-    # governs all SQL semantics there.)
+    # Cluster-mode defense in depth: plain collect() of TIMESTAMP renders
+    # via the JVM default zone, not the session zone — pin remote JVMs to
+    # UTC so determinism never depends on an executor host's
+    # /etc/localtime. NOTE these confs only act where spark-submit launches
+    # a NEW JVM (cluster-mode driver, standalone/YARN/K8s executors). In
+    # the local/client sessions this factory builds for tests, the driver
+    # JVM already exists (py4j gateway) and local executors share it, so
+    # they are deliberately inert here — UTC correctness in that path is
+    # carried by the session-zone conf above plus
+    # ``sources.ensure_engine_confs`` at load_table time, and the
+    # formatted-string output convention keeps hashes JVM-zone-independent.
     "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",
     "spark.executor.extraJavaOptions": "-Duser.timezone=UTC",
     "spark.sql.adaptive.enabled": "true",
