@@ -1,31 +1,42 @@
 """Multimodal columns (SURVEY.md §2.2 LLM block, north-star).
 
 Media are opaque ``binary`` payloads with typed metadata travelling beside
-them in the same DataFrame. The fixtures carry no real media, so payloads are
-derived from text (`CAST(text AS BINARY)`) — the *Spark plumbing* (schema,
-Arrow batch shape, mapInPandas signature, partitioning) is real and tested;
-the actual codec step is stubbed behind a deterministic fake, clearly marked
-(the image/audio libraries are not in this container).
+them in the same DataFrame. The decode tier dispatches on magic bytes:
+
+- **PNG payloads decode for REAL** — ``png_codec`` (stdlib zlib + numpy,
+  full unfilter support) turns the bytes back into pixels; features, means,
+  resized thumbnails, and checksums are computed from the ACTUAL decoded
+  pixel values. The registered image queries build byte-correct PNGs from a
+  deterministic pixel formula, so a DuckDB oracle that re-derives the same
+  formula verifies the whole encode→decode→feature path end to end.
+- **WAV payloads parse for REAL** — RIFF chunk walk + 8-bit PCM samples.
+- Anything else falls back to ``_fake_decode``, the clearly-declared
+  deterministic stand-in for codecs genuinely absent in this container
+  (JPEG, video/ffmpeg). Only the video tier still uses it.
 
 - ``multimodal_metadata`` — binary-column metadata extraction, oracle-checked.
-- ``media_feature_extract`` — the mapInPandas decode/feature pipeline with a
-  deterministic fake decoder. Because the fake derives every output from the
-  payload's sha256 with exactly-representable arithmetic (k/256, k/128 are
-  dyadic rationals — bit-exact in float32/double), the registered query is
-  fully oracle-checked: DuckDB recomputes the same bytes from ``sha256(text)``.
+- ``media_feature_extract`` — the mapInPandas decode/feature pipeline:
+  real PNG + WAV decode, fake only for the video arm.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.operators.png_codec import (
+    PNG_SIGNATURE,
+    png_decode,
+    png_encode,
+)
 from tscd_datalake_adapter_spark.sources import load_table
 
 
@@ -72,11 +83,102 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _png_pixels(doc_id: int) -> np.ndarray:
+    """The deterministic greyscale test image for ``doc_id``: dims from the
+    id, pixel (x, y) = (7x + 13y + doc_id) mod 256. The oracle re-derives
+    this formula in SQL, so any decode defect breaks the hash match."""
+    w = 8 + doc_id % 9
+    h = 6 + doc_id % 7
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    return ((7 * x[None, :] + 13 * y[:, None] + doc_id) % 256).astype(np.uint8)
+
+
+def _wav_payload(doc_id: int) -> bytes:
+    """A real 8-bit PCM mono WAV for ``doc_id``: canonical 44-byte header
+    (RIFF + fmt + data) and samples data[i] = (11·doc_id + 5i) mod 256."""
+    n = 50 + doc_id % 20
+    sr, ch, bits = 8000, 1, 8
+    data = bytes((11 * doc_id + 5 * i) % 256 for i in range(n))
+    block_align = ch * bits // 8
+    byte_rate = sr * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sr, byte_rate, block_align, bits)
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
+def _parse_wav(payload: bytes) -> dict:
+    """REAL RIFF/WAVE parse: chunk walk to fmt + data, 8-bit PCM samples as
+    the intensity stream. Raises on malformed/unsupported payloads like any
+    decoder."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, sr, _rate, _align, bits = fmt
+    if audio_format != 1 or bits != 8:
+        raise ValueError(f"unsupported WAV format {audio_format}/{bits}-bit")
+    samples = np.frombuffer(data, dtype=np.uint8)
+    if samples.size == 0:
+        raise ValueError("empty WAV data chunk")
+    return {
+        "width": None,
+        "height": None,
+        "n_frames": 1,
+        "mean_intensity": int(samples.sum()) / (samples.size * 256),
+        "feature": [(int(b) / 256.0) * 2.0 - 1.0 for b in samples[:8]],
+    }
+
+
+def _decode_media(payload: bytes) -> dict:
+    """Magic-byte decode dispatch: REAL PNG pixels, REAL WAV samples,
+    deterministic fake for everything else (the codecs this container
+    genuinely lacks). Raises on empty payload like a real decoder would."""
+    if not payload:
+        raise ValueError("empty media payload")
+    if payload[:8] == PNG_SIGNATURE:
+        arr = png_decode(payload)
+        h, w = arr.shape[0], arr.shape[1]
+        flat_row0 = arr.reshape(h, -1)[0]
+        total = int(arr.astype(np.int64).sum())
+        return {
+            "width": w,
+            "height": h,
+            "n_frames": 1,
+            "mean_intensity": total / (arr.size * 256),
+            "feature": [
+                (int(b) / 256.0) * 2.0 - 1.0 for b in flat_row0[:8]
+            ],
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _parse_wav(payload)
+    return _fake_decode(payload)
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for a real media decoder.
 
-    STUB: a real deployment replaces this with PIL/ffmpeg/torchaudio decode
-    (not installed in this container — SURVEY.md build constraints). The fake
+    STUB (video/JPEG arm only — PNG and WAV payloads decode for real via
+    ``_decode_media``): a real deployment replaces this with ffmpeg/
+    torchaudio decode (not installed in this container — SURVEY.md build
+    constraints). The fake
     derives stable pseudo-metadata from the payload's sha256 so tests can pin
     exact outputs. Raises on empty payload like a real decoder would.
 
@@ -116,7 +218,9 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
                 try:
-                    meta = _fake_decode(bytes(payload) if payload is not None else b"")
+                    meta = _decode_media(
+                        bytes(payload) if payload is not None else b""
+                    )
                 except ValueError:
                     continue  # undecodable media dropped, like a real pipeline
                 rows.append(
@@ -145,8 +249,9 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
             out = out.astype(
                 {
                     "doc_id": "int64",
-                    "width": "int32",
-                    "height": "int32",
+                    # nullable Int32: a real WAV has no width/height
+                    "width": "Int32",
+                    "height": "Int32",
                     "n_frames": "int32",
                     "mean_intensity": "float64",
                 }
@@ -163,30 +268,109 @@ def _sha_byte(i: int) -> str:
     return f"({hi} * 16 + {lo})"
 
 
+# DuckDB expressions mirroring the deterministic generators:
+# image pixel (x, y) of doc d = (7x + 13y + d) % 256, dims (8+d%9, 6+d%7);
+# audio sample i of doc d = (11d + 5i) % 256, n = 50 + d%20.
+_IMG_W, _IMG_H = "(8 + doc_id % 9)", "(6 + doc_id % 7)"
 _MEDIA_FEATURE_ORACLE = f"""
-    WITH h AS (
+    WITH img AS (
+      SELECT doc_id, 'image' AS media_type,
+             CAST({_IMG_W} AS INTEGER) AS width,
+             CAST({_IMG_H} AS INTEGER) AS height,
+             CAST(1 AS INTEGER) AS n_frames,
+             CAST(list_sum(flatten(list_transform(range(0, {_IMG_H}), y ->
+                  list_transform(range(0, {_IMG_W}), x ->
+                    (7*x + 13*y + doc_id) % 256)))) AS DOUBLE)
+               / ({_IMG_W} * {_IMG_H} * 256.0) AS mean_intensity,
+             concat_ws(',', {", ".join(
+                 f"printf('%.7f', ((7*{i} + doc_id) % 256)"
+                 "/256.0*2.0-1.0)" for i in range(8)
+             )}) AS feature_csv
+      FROM documents WHERE doc_id < 100 AND doc_id % 3 = 0
+    ),
+    aud AS (
+      SELECT doc_id, 'audio' AS media_type,
+             CAST(NULL AS INTEGER) AS width,
+             CAST(NULL AS INTEGER) AS height,
+             CAST(1 AS INTEGER) AS n_frames,
+             CAST(list_sum(list_transform(range(0, 50 + doc_id % 20),
+                  i -> (11*doc_id + 5*i) % 256)) AS DOUBLE)
+               / ((50 + doc_id % 20) * 256.0) AS mean_intensity,
+             concat_ws(',', {", ".join(
+                 f"printf('%.7f', ((11*doc_id + 5*{i}) % 256)"
+                 "/256.0*2.0-1.0)" for i in range(8)
+             )}) AS feature_csv
+      FROM documents WHERE doc_id < 100 AND doc_id % 3 = 1
+    ),
+    vh AS (
       SELECT doc_id, sha256(text) AS hx
       FROM documents
-      WHERE doc_id < 100 AND octet_length(CAST(text AS BLOB)) > 0
-    ), b AS (
+      WHERE doc_id < 100 AND doc_id % 3 = 2
+        AND octet_length(CAST(text AS BLOB)) > 0
+    ), vb AS (
       SELECT doc_id,
              {", ".join(f"{_sha_byte(i)} AS b{i}" for i in range(8))}
-      FROM h
+      FROM vh
+    ),
+    vid AS (
+      SELECT doc_id, 'video' AS media_type,
+             CAST(64 + b0 % 192 AS INTEGER) AS width,
+             CAST(64 + b1 % 192 AS INTEGER) AS height,
+             CAST(1 + b2 % 16 AS INTEGER) AS n_frames,
+             b3 / 256.0 AS mean_intensity,
+             concat_ws(',', {", ".join(
+                 f"printf('%.7f', (b{i} / 256.0) * 2.0 - 1.0)"
+                 for i in range(8)
+             )}) AS feature_csv
+      FROM vb
     )
-    SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER)
-                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
-           END AS media_type,
-           CAST(64 + b0 % 192 AS INTEGER) AS width,
-           CAST(64 + b1 % 192 AS INTEGER) AS height,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + b2 % 16 ELSE 1 END
-                AS INTEGER) AS n_frames,
-           b3 / 256.0 AS mean_intensity,
-           concat_ws(',', {", ".join(
-               f"printf('%.7f', (b{i} / 256.0) * 2.0 - 1.0)" for i in range(8)
-           )}) AS feature_csv
-    FROM b ORDER BY doc_id
+    SELECT * FROM img
+    UNION ALL SELECT * FROM aud
+    UNION ALL SELECT * FROM vid
+    ORDER BY doc_id
     """
+
+
+def build_media_table(d: DataFrame) -> DataFrame:
+    """Attach REAL media payloads to a documents frame: byte-correct PNGs
+    (deterministic pixel formula) for image rows, real 8-bit PCM WAVs for
+    audio rows, and raw text bytes for video rows (the arm whose codec this
+    container lacks — decoded by the declared fake). Payload construction
+    is an Arrow-batched pandas UDF: binaries are built executor-side and
+    never pass through the driver."""
+
+    @F.pandas_udf(T.BinaryType())
+    def payload_of(
+        doc_id: pd.Series, media_type: pd.Series, text: pd.Series
+    ) -> pd.Series:
+        out = []
+        for did, mt, tx in zip(doc_id, media_type, text):
+            did = int(did)
+            if mt == "image":
+                out.append(png_encode(_png_pixels(did)))
+            elif mt == "audio":
+                out.append(_wav_payload(did))
+            elif tx is None:
+                out.append(None)
+            elif isinstance(tx, str):
+                out.append(tx.encode("utf-8"))
+            else:
+                out.append(bytes(tx))
+        return pd.Series(out)
+
+    typed = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        "text",
+    )
+    return typed.select(
+        "doc_id",
+        "media_type",
+        payload_of("doc_id", "media_type", "text").alias("payload"),
+    )
 
 
 @register(
@@ -195,26 +379,23 @@ _MEDIA_FEATURE_ORACLE = f"""
     oracle=_MEDIA_FEATURE_ORACLE,
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a media table (text bytes as stand-in payloads, media_type
-    cycling image/audio/video) and run the decode/feature pipeline.
+    """Build a media table with REAL payloads (byte-correct PNGs for image
+    rows, real 8-bit PCM WAVs for audio rows, text bytes for the video arm)
+    and run the decode/feature pipeline. Image features come from ACTUALLY
+    DECODED pixels (``png_codec``: inflate + unfilter), audio features from
+    parsed PCM samples; only the video arm uses the declared fake decoder.
 
     The registered output serializes the ``feature`` vector to a CSV string
     (all other columns are scalar) so result canonicalizers that sort rows
     pandas-side can hash it; ``extract_media_features`` keeps the real
     ``array<float>`` column for downstream use and pytest. The oracle
-    re-derives the fake decoder's outputs from DuckDB's ``sha256`` — every
-    value is a dyadic rational, so the match is bit-exact (``%.7f`` prints
-    k/128 and k/256 without rounding)."""
+    re-derives each arm from its generating formula — because the Spark
+    side recomputes those values from the decoded BYTES, a hash match
+    verifies the full encode→decode→feature path. Every value is a dyadic
+    rational or an identical-operand IEEE division, so the match is
+    bit-exact (``%.7f`` prints k/128 and k/256 without rounding)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    media = d.select(
-        "doc_id",
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    feats = extract_media_features(media)
+    feats = extract_media_features(build_media_table(d))
     return feats.select(
         "doc_id",
         "media_type",
@@ -390,31 +571,83 @@ MEDIA_RESIZE_SCHEMA = T.StructType(
         T.StructField("out_h", T.IntegerType(), True),
         T.StructField("scale_x", T.DoubleType(), True),
         T.StructField("thumb_csv", T.StringType(), True),
+        T.StructField("resized_checksum", T.LongType(), True),
     ]
 )
 
 _RESIZE_TARGET = 64
 
 
+def nearest_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resample of a decoded greyscale array:
+    out[y, x] = in[(y·h) div out_h, (x·w) div out_w]. Integer source-index
+    math, so the result is exactly reproducible in SQL — which is what lets
+    the resize oracle verify actual pixel movement, not just aspect math."""
+    h, w = arr.shape[0], arr.shape[1]
+    src_x = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    src_y = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    return arr[src_y][:, src_x]
+
+
 def resize_media(media_df: DataFrame) -> DataFrame:
-    """Arrow-batched resize over (doc_id, media_type, payload): decode (the
-    declared stub), fit width to the 64-px target preserving aspect ratio
-    (integer floor math), and emit a 4-sample thumbnail signature. The pixel
-    resampling itself is STUBBED (sha-derived dyadic samples stand in for a
-    real bilinear kernel — PIL/ffmpeg absent in this container); the Spark
-    side — Arrow batching, fixed output schema, per-batch loop, row drops on
-    undecodable payloads — is the real 100 TB plumbing."""
+    """Arrow-batched resize over (doc_id, media_type, payload).
+
+    PNG payloads take the REAL path: ``png_codec`` decode (inflate +
+    unfilter) → nearest-neighbor resample to the 64-px-wide target
+    (aspect-preserving integer floor math) → thumbnail samples and a
+    position-weighted checksum computed from the ACTUAL resized pixels.
+    Non-PNG payloads fall back to the declared fake decoder (sha-derived
+    thumbnail, NULL checksum) — the arm whose codecs this container lacks.
+    The Spark side — Arrow batching, fixed output schema, per-batch loop,
+    row drops on undecodable payloads — is the 100 TB plumbing either way."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pay = bytes(payload) if payload is not None else b""
+                if pay[:8] == PNG_SIGNATURE:
+                    try:
+                        arr = png_decode(pay)
+                    except ValueError:
+                        continue
+                    if arr.ndim == 3:  # collapse color to first channel
+                        arr = arr[:, :, 0]
+                    h, w = arr.shape
+                    out_h = (h * _RESIZE_TARGET) // w
+                    resized = nearest_resize(arr, _RESIZE_TARGET, out_h)
+                    weights = np.arange(
+                        1, resized.size + 1, dtype=np.int64
+                    ).reshape(resized.shape)
+                    checksum = int(
+                        (resized.astype(np.int64) * weights).sum()
+                    )
+                    thumb = [
+                        int(resized[0, x]) / 256.0 for x in (0, 16, 32, 48)
+                    ]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "width": w,
+                            "height": h,
+                            "out_w": _RESIZE_TARGET,
+                            "out_h": out_h,
+                            "scale_x": w / float(_RESIZE_TARGET),
+                            # %.8f: k/256 needs 8 fractional digits to
+                            # print exactly (1/256 = 0.00390625)
+                            "thumb_csv": ",".join(
+                                "%.8f" % v for v in thumb
+                            ),
+                            "resized_checksum": checksum,
+                        }
+                    )
+                    continue
                 try:
-                    meta = _fake_decode(bytes(payload) if payload is not None else b"")
+                    meta = _fake_decode(pay)
                 except ValueError:
                     continue
                 w, h = meta["width"], meta["height"]
-                digest = hashlib.sha256(bytes(payload)).digest()
+                digest = hashlib.sha256(pay).digest()
                 thumb = [digest[4 + i] / 256.0 for i in range(4)]
                 rows.append(
                     {
@@ -425,44 +658,52 @@ def resize_media(media_df: DataFrame) -> DataFrame:
                         "out_h": (h * _RESIZE_TARGET) // w,
                         "scale_x": w / float(_RESIZE_TARGET),
                         "thumb_csv": ",".join("%.7f" % v for v in thumb),
+                        "resized_checksum": None,
                     }
                 )
             out = pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "width", "height", "out_w", "out_h",
-                    "scale_x", "thumb_csv",
+                    "scale_x", "thumb_csv", "resized_checksum",
                 ],
             ).astype(
                 {"doc_id": "int64", "width": "int32", "height": "int32",
-                 "out_w": "int32", "out_h": "int32", "scale_x": "float64"}
+                 "out_w": "int32", "out_h": "int32", "scale_x": "float64",
+                 "resized_checksum": "Int64"}
             )
             yield out
 
     return media_df.mapInPandas(_resize, schema=MEDIA_RESIZE_SCHEMA)
 
 
+# resized[y][x] = source pixel ((x·w) div 64, (y·h) div out_h) of the
+# deterministic formula image — the oracle recomputes ACTUAL pixel values,
+# so a hash match proves the decode + nearest-neighbor resample moved real
+# bytes correctly, not just the aspect arithmetic.
 _MEDIA_RESIZE_ORACLE = f"""
-    WITH h AS (
-      SELECT doc_id, sha256(text) AS hx
-      FROM documents
-      WHERE doc_id < 100 AND octet_length(CAST(text AS BLOB)) > 0
-    ), b AS (
-      SELECT doc_id,
-             {", ".join(f"{_sha_byte(i)} AS b{i}" for i in range(8))}
-      FROM h
+    WITH q AS (
+      SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h,
+             ({_IMG_H} * {_RESIZE_TARGET}) // {_IMG_W} AS out_h
+      FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
-           CAST(64 + b0 % 192 AS INTEGER) AS width,
-           CAST(64 + b1 % 192 AS INTEGER) AS height,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
            CAST({_RESIZE_TARGET} AS INTEGER) AS out_w,
-           CAST(((64 + b1 % 192) * {_RESIZE_TARGET})
-                // (64 + b0 % 192) AS INTEGER) AS out_h,
-           (64 + b0 % 192) / {_RESIZE_TARGET}.0 AS scale_x,
+           CAST(out_h AS INTEGER) AS out_h,
+           w / {_RESIZE_TARGET}.0 AS scale_x,
            concat_ws(',', {", ".join(
-               f"printf('%.7f', b{4 + i} / 256.0)" for i in range(4)
-           )}) AS thumb_csv
-    FROM b ORDER BY doc_id
+               f"printf('%.8f', ((7*(({x}*w)//{_RESIZE_TARGET}) + doc_id)"
+               " % 256)/256.0)" for x in (0, 16, 32, 48)
+           )}) AS thumb_csv,
+           CAST(list_sum(flatten(list_transform(range(0, out_h), y ->
+                list_transform(range(0, {_RESIZE_TARGET}), x ->
+                  ((7*((x*w)//{_RESIZE_TARGET}) + 13*((y*h)//out_h)
+                    + doc_id) % 256)
+                  * (y*{_RESIZE_TARGET} + x + 1))))) AS BIGINT)
+               AS resized_checksum
+    FROM q ORDER BY doc_id
     """
 
 
@@ -472,17 +713,26 @@ _MEDIA_RESIZE_ORACLE = f"""
     oracle=_MEDIA_RESIZE_ORACLE,
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered resize query: build the media table (text bytes as
-    payloads) and run :func:`resize_media`. Aspect math is pure integer
-    (floor), scale_x is int/64 (a dyadic rational — exact in double and in
-    ``%.6f``-free comparison), thumbnail samples are byte/256 dyadics
-    printed ``%.7f`` — every cell bit-equal to the sha256-re-deriving
-    oracle."""
+    """Registered resize query: build REAL PNG payloads (deterministic
+    pixel formula), decode them with ``png_codec``, nearest-neighbor
+    resample to 64-px width, and emit thumbnail samples plus a
+    position-weighted checksum of every resized pixel. The oracle
+    recomputes the resized pixel grid from the generating formula, so the
+    hash match covers encode → inflate → unfilter → resample → checksum.
+    Aspect math is pure integer (floor), scale_x is w/64 (dyadic — exact
+    in double), thumbnails are byte/256 dyadics printed ``%.8f``."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    @F.pandas_udf(T.BinaryType())
+    def png_of(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [png_encode(_png_pixels(int(i))) for i in doc_id]
+        )
+
     media = d.select(
         "doc_id",
         F.lit("image").alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
+        png_of("doc_id").alias("payload"),
     )
     return resize_media(media).orderBy("doc_id")
 

@@ -1,0 +1,211 @@
+"""Real PNG encode/decode on stdlib ``zlib``/``struct`` + numpy.
+
+A genuine, self-contained implementation of the PNG still-image format
+(W3C PNG spec / RFC 2083 — public): chunk framing with CRC-32, IHDR
+parsing, IDAT inflate, and full scanline unfiltering (None/Sub/Up/Average/
+Paeth) for 8-bit greyscale, RGB, and RGBA. It exists so the multimodal
+operators decode REAL pixels instead of a stubbed fake — the container has
+no PIL/ffmpeg, but PNG needs neither (its codec is zlib, which is stdlib).
+
+Scope (asserted, not silently wrong): bit depth 8, color types 0/2/6, no
+interlacing, no palette. That covers everything the in-repo encoder emits
+and keeps the decoder honest about what it handles.
+
+Used from ``mapInPandas`` workers — pure CPU, no Spark imports here.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an 8-bit image array as a valid PNG.
+
+    ``pixels``: (h, w) greyscale, (h, w, 3) RGB, or (h, w, 4) RGBA, dtype
+    coercible to uint8. ``filter_type`` applies ONE filter to every
+    scanline (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) — real encoders pick
+    per-line, but a fixed choice keeps encoding deterministic and still
+    exercises the decoder's unfilter paths.
+    """
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, h, w = 0, arr.shape[0], arr.shape[1]
+        flat = arr.reshape(h, w, 1)
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, h, w = 2, arr.shape[0], arr.shape[1]
+        flat = arr
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color_type, h, w = 6, arr.shape[0], arr.shape[1]
+        flat = arr
+    else:
+        raise ValueError(f"unsupported pixel array shape {arr.shape}")
+    bpp = flat.shape[2]
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
+
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = flat[y].reshape(-1).astype(np.int32)
+        raw.append(filter_type)
+        raw.extend(_filter_line(line, prev, bpp, filter_type))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_line(
+    line: np.ndarray, prev: np.ndarray, bpp: int, ftype: int
+) -> bytes:
+    """Forward-filter one scanline (encoder side)."""
+    n = line.shape[0]
+    out = bytearray(n)
+    for i in range(n):
+        a = int(line[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        c = int(prev[i - bpp]) if i >= bpp else 0
+        x = int(line[i])
+        if ftype == 0:
+            v = x
+        elif ftype == 1:
+            v = x - a
+        elif ftype == 2:
+            v = x - b
+        elif ftype == 3:
+            v = x - (a + b) // 2
+        else:
+            v = x - _paeth(a, b, c)
+        out[i] = v & 0xFF
+    return bytes(out)
+
+
+def png_parse_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
+    """Split a PNG byte stream into (tag, data) chunks, verifying the
+    signature and each chunk's CRC-32."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    chunks = []
+    pos = 8
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk data")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        chunks.append((tag, data))
+        pos += 12 + length
+        if tag == b"IEND":
+            break
+    return chunks
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode a PNG to an 8-bit numpy array: (h, w) for greyscale, else
+    (h, w, channels). Full unfilter support (types 0-4)."""
+    chunks = png_parse_chunks(payload)
+    tags = [t for t, _ in chunks]
+    if not tags or tags[0] != b"IHDR":
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported color type {color_type}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported compression/filter/interlace method")
+    bpp = _CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(d for t, d in chunks if t == b"IDAT"))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"IDAT size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        recon = _unfilter_line(line, prev, bpp, ftype)
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    if color_type == 0:
+        return out.reshape(h, w)
+    return out.reshape(h, w, bpp)
+
+
+def _unfilter_line(
+    line: np.ndarray, prev: np.ndarray, bpp: int, ftype: int
+) -> np.ndarray:
+    n = line.shape[0]
+    recon = np.zeros(n, dtype=np.int32)
+    if ftype == 0:
+        return line.copy()
+    if ftype == 2:  # Up — vectorizable (no intra-line dependency)
+        return (line + prev) & 0xFF
+    for i in range(n):
+        a = int(recon[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        c = int(prev[i - bpp]) if i >= bpp else 0
+        x = int(line[i])
+        if ftype == 1:
+            v = x + a
+        elif ftype == 3:
+            v = x + (a + b) // 2
+        elif ftype == 4:
+            v = x + _paeth(a, b, c)
+        else:
+            raise ValueError(f"bad filter type byte {ftype}")
+        recon[i] = v & 0xFF
+    return recon
+
+
+def png_header(payload: bytes) -> tuple[int, int, int]:
+    """Fast-path header read: (width, height, channels) from IHDR only —
+    no inflate. The manifest-scan tier; mirrors what the JVM-expression
+    ``png_header_parse`` operator does in whole-stage codegen."""
+    chunks = png_parse_chunks(payload[: 8 + 12 + 13])  # signature + IHDR
+    w, h, depth, color_type, *_ = struct.unpack(">IIBBBBB", chunks[0][1])
+    return int(w), int(h), _CHANNELS.get(color_type, 0)
