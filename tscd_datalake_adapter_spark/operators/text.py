@@ -400,6 +400,7 @@ _BM25_TOPK = 20
 
 @register(
     "bm25_topk",
+    headline=True,
     tags=("llm", "text"),
     oracle=f"""
     WITH docs AS (

@@ -182,6 +182,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "product_profit",
+    headline=True,
     tags=("join", "agg"),
     oracle=f"""
     SELECT nation, o_year, {oracle_dec_sum('amount')} AS sum_profit
@@ -420,6 +421,7 @@ def promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "waiting_suppliers",
+    headline=True,
     tags=("join", "subquery"),
     oracle="""
     SELECT s.s_name, count(*) AS numwait
