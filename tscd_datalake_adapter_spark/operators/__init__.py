@@ -57,6 +57,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run."""
     from tscd_datalake_adapter_spark.operators import (  # noqa: F401
+        analytics,
         asof,
         dedup,
         history,
@@ -67,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalars,
         sampling,
         similarity,
+        sketches,
         subqueries,
         text,
         tpch_more,

@@ -921,3 +921,69 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "levenshtein_near_dup",
+    tags=("llm", "dedup"),
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 24) AS k,
+               length(substr(text, 1, 24)) AS klen
+        FROM documents WHERE doc_id < 80 AND text IS NOT NULL
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id
+     AND abs(a.klen - b.klen) <= 12
+    WHERE levenshtein(a.k, b.k) <= 12
+    ORDER BY doc_a, doc_b
+    """,
+)
+def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup — the character-level member of the dedup
+    family (catches typo-level mutations that token-set Jaccard misses and
+    shingles dilute): document-prefix keys (first 24 chars) within
+    Levenshtein distance 12, over a bounded slice (doc_id < 80).
+
+    Both engines implement unit-cost Levenshtein identically, so the
+    distances are integer-exact. The join carries the LOSSLESS length-band
+    prune |len(a) − len(b)| <= d (edit distance is at least the length
+    difference) — at fixture scale it rides the pair join; at 100 TB the
+    same bound becomes the blocking key (band by length bucket, join only
+    adjacent buckets) so candidate generation never goes all-pairs, the
+    exact pattern used by ``jaccard_near_dup``'s prefix filter. Quadratic
+    verify cost is capped by the 24-char key length."""
+    docs = _docs(spark, sf_dir).where(
+        (F.col("doc_id") < 80) & F.col("text").isNotNull()
+    )
+    d = docs.select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("k"),
+        F.length(F.substring("text", 1, 24)).alias("klen"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("k").alias("ka"),
+        F.col("klen").alias("la"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("k").alias("kb"),
+        F.col("klen").alias("lb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("la") - F.col("lb")) <= 12),
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ka", "kb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )

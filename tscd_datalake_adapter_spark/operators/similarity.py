@@ -631,3 +631,229 @@ def quantized_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(spark, sf_dir, k=5, n_queries=10).select(
         "query_id", "neighbor_id", "qcos", "rk"
     )
+
+
+@register(
+    "embedding_cosine_near_dup_lsh",
+    tags=("llm", "similarity", "dedup"),
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    ok AS (SELECT * FROM base WHERE list_dot_product(e, e) > 0),
+    corpus AS (
+        SELECT vec_id, e FROM ok
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_concat([e[1] + 0.05], e[2:]) AS e
+        FROM ok WHERE vec_id < 25
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.e, b.e)
+                 / sqrt(list_dot_product(a.e, a.e)
+                        * list_dot_product(b.e, b.e)) AS c
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(c, 6) AS cos
+    FROM pairs WHERE c >= 0.99 ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection at SCALE (the LSH-bucketed
+    production path; ``embedding_cosine_near_dup`` in relational_extra.py is
+    the bounded-slice exact twin) — the semantic tier of the
+    dedup family (exact/MinHash/SimHash/ngram/containment are lexical):
+    pairs of vectors with cosine >= 0.99 found via sign-LSH candidate
+    generation + exact verification, never an all-pairs scan.
+
+    The fixture has no embedding near-dups (max pairwise cosine ~0.51), so
+    the query PLANTS them deterministically: each vec_id < 25 gets a twin
+    (id + 100000) with component 1 shifted by +0.05 — cosine ~0.9999,
+    built identically by both engines. Candidates: 12 LSH tables x 8 sign
+    bits over the shared hyperplanes; at cosine 0.99 the per-table band
+    match probability is ~0.9, so the 12-table miss probability is
+    < 1e-12 per true pair (and the DuckDB oracle is BRUTE-FORCE all-pairs,
+    so any miss would fail the hash gate; recall is additionally pinned in
+    tests). Scale: the only corpus-sized shuffles are the signature
+    groupBy and the bucket self-join — candidate pairs per bucket are
+    corpus/2^8 sized, uniform by hash construction."""
+    n_tables, bits, thresh = 12, 8, 0.99
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(x as double))"
+            ).alias("e"),
+        )
+        .where(sq_norm(F.col("e")) > 0)
+    )
+    planted = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "concat(array(e[0] + 0.05d), slice(e, 2, size(e) - 1))"
+        ).alias("e"),
+    )
+    corpus = base.unionByName(planted)
+    planes = _hyperplanes(spark, n_tables, bits)
+    sig = (
+        corpus.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "e",
+            "tbl",
+            "bit_idx",
+            F.when(dot(F.col("e"), F.col("pv")) >= 0, 1)
+            .otherwise(0)
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(cast(bit as bigint), cast(bit_idx as int))")
+            ).alias("bucket"),
+            F.first("e").alias("e"),
+        )
+    )
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("tbl").alias("tbl"),
+        F.col("bucket").alias("bucket"),
+        F.col("e").alias("ea"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("tbl").alias("tbl"),
+        F.col("bucket").alias("bucket"),
+        F.col("e").alias("eb"),
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    scored = cand.select(
+        "vec_a",
+        "vec_b",
+        (
+            dot(F.col("ea"), F.col("eb"))
+            / F.sqrt(sq_norm(F.col("ea")) * sq_norm(F.col("eb")))
+        ).alias("c"),
+    )
+    return (
+        scored.where(F.col("c") >= thresh)
+        .select("vec_a", "vec_b", F.round("c", 6).alias("cos"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "knn_label_accuracy",
+    tags=("llm", "similarity"),
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 50),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+               e.label AS nlabel,
+               round(list_dot_product(q.qv, e.v)
+                     / sqrt(list_dot_product(q.qv, q.qv)
+                            * list_dot_product(e.v, e.v)), 6) AS cos
+        FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, nlabel,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, qlabel, nlabel, count(*) AS cnt
+        FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT query_id, qlabel, nlabel AS predicted
+        FROM (
+            SELECT query_id, qlabel, nlabel, row_number() OVER (
+                PARTITION BY query_id ORDER BY cnt DESC, nlabel) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN predicted = qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN predicted = qlabel THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS accuracy
+    FROM pred GROUP BY qlabel ORDER BY qlabel
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-prediction evaluation (k = 5, majority vote, ties to the
+    smallest label): for each query vector (vec_id < 50), predict its
+    label from its 5 exact-cosine nearest neighbors and report per-label
+    accuracy — the standard embedding-quality probe run after training a
+    new encoder. Plan shape = ``cosine_topk`` (broadcast query side, one
+    corpus pass, per-query window top-k) plus two bounded aggregations;
+    the vote argmax uses a deterministic (count DESC, label ASC) tiebreak
+    in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "embedding",
+    )
+    q = e.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    wrk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    top5 = (
+        scored.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") <= 5)
+    )
+    votes = top5.groupBy("query_id", "qlabel", "nlabel").agg(
+        F.count("*").alias("cnt")
+    )
+    wvote = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("nlabel")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wvote))
+        .where(F.col("vr") == 1)
+        .select("query_id", "qlabel", F.col("nlabel").alias("predicted"))
+    )
+    correct = F.when(F.col("predicted") == F.col("qlabel"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.round(
+                F.sum(correct) / F.count("*").cast("double"), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

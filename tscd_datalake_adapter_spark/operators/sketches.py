@@ -1,0 +1,439 @@
+"""Probabilistic-sketch operators with EXACT oracles (LLM block, sketches).
+
+The classic streaming sketches — Count-Min (Cormode & Muthukrishnan 2005),
+HyperLogLog (Flajolet et al. 2007), Bloom filter (Bloom 1970) — are usually
+"weak" in a cross-engine harness because engine-native implementations
+(``approx_count_distinct``'s HLL++, ``bloom_filter_agg``) hash differently
+per engine. Here each sketch is built FROM FIRST PRINCIPLES on the
+cross-engine ``h60`` hash (``functions.h60``: identical md5-prefix bigint in
+Spark and DuckDB), so the whole sketch — cells, registers, bit positions,
+and the final estimate — is bit-reproducible in SQL and sits inside the
+exact hash gate, unlike the engine-native ``approx_*`` tier.
+
+Scale notes per operator in the docstrings; the shared shape: sketches are
+FIXED-SIZE aggregation states (1 KiB - 64 KiB), so every shuffle here is
+bounded by the sketch width, never by the data. That is the whole point of
+sketching at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.functions import h60, oracle_h60
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("tok")
+    )
+
+
+@register(
+    "countmin_heavy_hitters",
+    tags=("llm", "sketch"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+               FROM toks GROUP BY tok),
+    top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 10),
+    rws AS (SELECT unnest(range(0, {_CM_DEPTH})) AS r),
+    cells AS (
+        SELECT r,
+               {oracle_h60("concat('cm', CAST(r AS VARCHAR), ':', tok)")}
+                   % {_CM_WIDTH} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks CROSS JOIN rws GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT t.tok, t.c, min(cells.cnt) AS cm
+        FROM top t
+        CROSS JOIN rws
+        JOIN cells ON cells.r = rws.r
+          AND cells.b =
+              {oracle_h60("concat('cm', CAST(rws.r AS VARCHAR), ':', t.tok)")}
+                  % {_CM_WIDTH}
+        GROUP BY 1, 2
+    )
+    SELECT tok, c AS true_count, cm AS cm_estimate,
+           CAST(cm - c AS BIGINT) AS overcount
+    FROM est ORDER BY true_count DESC, tok
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: a 4x256 cell grid counts token
+    occurrences under 4 independent h60-derived hash rows; a token's
+    frequency estimate is the MIN over its 4 cells (one-sided overestimate
+    — ``overcount >= 0`` always, asserted in tests). The top-10
+    true-frequency tokens are reported with their CM estimates.
+
+    Scale shape: the sketch is ONE bounded groupBy — 1024 cells regardless
+    of corpus size — so the shuffle is fixed-width; estimates join the
+    (broadcast) cell table. The exact-count side here exists only to
+    exhibit the error; a production heavy-hitters pass keeps just the
+    sketch + a candidate set. Oracle: DuckDB rebuilds the identical cells
+    from the identical hashes — the estimate itself is hash-verified.
+    """
+    toks = _tokens(spark, sf_dir)
+    rows = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("r"))
+    cell_key = (
+        h60(
+            F.concat(
+                F.lit("cm"), F.col("r").cast("string"), F.lit(":"), F.col("tok")
+            )
+        )
+        % _CM_WIDTH
+    )
+    cells = (
+        toks.crossJoin(F.broadcast(rows))
+        .select("r", cell_key.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(10)
+    )
+    est = (
+        top.crossJoin(F.broadcast(rows))
+        .select("tok", "c", "r", cell_key.alias("b"))
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("tok", "c")
+        .agg(F.min("cnt").alias("cm"))
+    )
+    return est.select(
+        "tok",
+        F.col("c").alias("true_count"),
+        F.col("cm").alias("cm_estimate"),
+        (F.col("cm") - F.col("c")).cast("long").alias("overcount"),
+    ).orderBy(F.col("true_count").desc(), "tok")
+
+
+_HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_TWO53 = "9007199254740992.0"  # 2^53 as an exact double literal, both engines
+
+
+@register(
+    "hll_distinct_tokens",
+    tags=("llm", "sketch"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    units AS (
+        SELECT 'unigram' AS unit, unnest(t) AS u FROM toks
+        UNION ALL
+        SELECT 'bigram' AS unit,
+               unnest(list_transform(range(1, len(t)),
+                      i -> concat(t[i], ' ', t[i+1]))) AS u
+        FROM toks WHERE len(t) >= 2
+    ),
+    hashed AS (
+        SELECT unit,
+               {oracle_h60('u')} % {_HLL_M} AS bucket,
+               {oracle_h60('u')} // {_HLL_M} AS v
+        FROM units
+    ),
+    regs AS (
+        SELECT unit, bucket,
+               max(CASE WHEN v = 0 THEN 53
+                        ELSE 53 - length(bin(v)) END) AS rho
+        FROM hashed GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT unit,
+               CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS DOUBLE)
+                   AS sum_scaled
+        FROM regs GROUP BY unit
+    ),
+    est AS (
+        SELECT unit,
+               CAST({_HLL_M} - n_regs AS BIGINT) AS n_zero,
+               (0.7213 / (1.0 + 1.079 / {_HLL_M}.0))
+                 * {_HLL_M}.0 * {_HLL_M}.0 * {_TWO53}
+                 / (sum_scaled
+                    + ({_HLL_M}.0 - CAST(n_regs AS DOUBLE)) * {_TWO53})
+                   AS e_raw
+        FROM agg
+    ),
+    fixed AS (
+        SELECT unit, n_zero,
+               CASE WHEN e_raw <= 2.5 * {_HLL_M} AND n_zero > 0
+                    THEN {_HLL_M}.0 * ln({_HLL_M}.0 / n_zero)
+                    ELSE e_raw END AS estimate
+        FROM est
+    ),
+    ex AS (SELECT unit, CAST(count(DISTINCT u) AS BIGINT) AS n_exact
+           FROM units GROUP BY unit)
+    SELECT f.unit, ex.n_exact, f.n_zero,
+           round(f.estimate, 4) AS hll_estimate,
+           round(abs(f.estimate - ex.n_exact) / ex.n_exact, 4) AS rel_error
+    FROM fixed f JOIN ex ON f.unit = ex.unit
+    ORDER BY f.unit
+    """,
+)
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count — from first principles on the h60 hash,
+    so (unlike ``approx_count_distinct``'s engine-private HLL++) the whole
+    sketch is cross-engine EXACT: bucket = h mod 256, rho = leading-zero
+    rank of the remaining 52 hash bits (+1), register = max(rho), estimate
+    = Flajolet's alpha_m * m^2 / sum(2^-M_j) harmonic mean with the
+    standard small-range (linear-counting) correction.
+
+    Determinism trick: sum(2^-M_j) is accumulated as the INTEGER
+    sum(1 << (53 - M_j)) — every addend and the running sum are exact, so
+    the register fold is order-independent (a double fold of 2^-M_j would
+    depend on partition order once the sum needs > 53 mantissa bits); the
+    single cast-to-double of the final integer rounds identically in both
+    engines. The only floating math after that is division + one log on
+    identical operands, rounded to 4 decimals.
+
+    Two units exercise both estimator branches on this corpus: ``unigram``
+    (small cardinality -> linear-counting branch) and ``bigram`` (larger
+    cardinality -> raw-estimate branch). Scale: the shuffle is 256
+    registers per unit, constant in corpus size — THE distinct-count shape
+    for 100 TB when ±2% error is acceptable; ``count_distinct_by_status``
+    is the exact-but-shuffle-heavy alternative.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
+    )
+    unigrams = toks.select(F.explode("t").alias("u")).select(
+        F.lit("unigram").alias("unit"), "u"
+    )
+    bigrams = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> concat(t[i], ' ', t[i+1]))"
+                )
+            ).alias("u")
+        )
+        .select(F.lit("bigram").alias("unit"), "u")
+    )
+    units = unigrams.unionByName(bigrams)
+    h = h60(F.col("u"))
+    hashed = units.select(
+        "unit",
+        (h % _HLL_M).alias("bucket"),
+        F.floor(h / _HLL_M).cast("long").alias("v"),
+    )
+    # conv(v, 10, 2) has no leading zeros, exactly like DuckDB's bin(v)
+    rho = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(F.col("v").cast("string"), 10, 2))
+    )
+    regs = (
+        hashed.select("unit", "bucket", rho.alias("rho"))
+        .groupBy("unit", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    two53 = float(1 << 53)
+    agg = regs.groupBy("unit").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - rho)"))
+        .cast("double")
+        .alias("sum_scaled"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(_HLL_M))
+    e_raw = (
+        F.lit(alpha)
+        * float(_HLL_M)
+        * float(_HLL_M)
+        * F.lit(two53)
+        / (
+            F.col("sum_scaled")
+            + (F.lit(float(_HLL_M)) - F.col("n_regs").cast("double"))
+            * F.lit(two53)
+        )
+    )
+    est = agg.select(
+        "unit",
+        (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("n_zero"),
+        e_raw.alias("e_raw"),
+    ).select(
+        "unit",
+        "n_zero",
+        F.when(
+            (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("n_zero") > 0),
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / F.col("n_zero")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("estimate"),
+    )
+    exact = units.groupBy("unit").agg(
+        F.countDistinct("u").cast("long").alias("n_exact")
+    )
+    return (
+        est.join(exact, "unit")
+        .select(
+            "unit",
+            "n_exact",
+            "n_zero",
+            F.round("estimate", 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("unit")
+    )
+
+
+_BF_BITS = 4096
+_BF_K = 3
+
+
+@register(
+    "bloom_probe_decontamination",
+    tags=("llm", "sketch"),
+    oracle=f"""
+    WITH block_toks AS (
+        SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                           x -> x != '')) AS tok
+        FROM documents WHERE doc_id < 25
+    ),
+    ks AS (SELECT unnest(range(0, {_BF_K})) AS k),
+    bits AS (
+        SELECT DISTINCT
+               {oracle_h60("concat('bf', CAST(k AS VARCHAR), ':', tok)")}
+                   % {_BF_BITS} AS pos
+        FROM block_toks CROSS JOIN ks
+    ),
+    probe AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x != '')) AS tok
+        FROM documents WHERE doc_id >= 25
+    ),
+    hits AS (
+        SELECT p.source, p.tok,
+               count(b.pos) AS n_hit
+        FROM probe p
+        CROSS JOIN ks
+        LEFT JOIN bits b
+          ON b.pos =
+             {oracle_h60("concat('bf', CAST(ks.k AS VARCHAR), ':', p.tok)")}
+                 % {_BF_BITS}
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT p.source, p.tok,
+               CASE WHEN bt.tok IS NOT NULL THEN 1 ELSE 0 END AS in_block
+        FROM probe p LEFT JOIN block_toks bt ON p.tok = bt.tok
+    )
+    SELECT h.source,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN h.n_hit = {_BF_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(t.in_block) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN h.n_hit = {_BF_K} AND t.in_block = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM hits h JOIN truth t ON h.source = t.source AND h.tok = t.tok
+    GROUP BY h.source ORDER BY h.source
+    """,
+)
+def bloom_probe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for decontamination: hash the blocklist
+    vocabulary (docs < 25 standing in for a benchmark set) into a
+    4096-bit / 3-hash Bloom filter, then probe every other document's
+    distinct tokens. A token is flagged iff ALL 3 h60-derived bit positions
+    are set; the output compares flagged counts to exact membership per
+    source — no false negatives ever (asserted in tests), false positives
+    bounded by the classic (1 - e^(-kn/m))^k rate.
+
+    Scale shape: the filter is a bounded DISTINCT over at most 4096
+    positions (broadcastable KBs regardless of blocklist size at this m/n
+    design point); the probe side joins each token's 3 positions against
+    the broadcast bit set — the standard "cheap pre-filter before the
+    exact semi-join" topology where only the ~flagged subset pays the full
+    verification shuffle. Oracle: DuckDB rebuilds identical bits from
+    identical hashes, so even the false-positive COUNT matches exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    block_toks = (
+        d.where(F.col("doc_id") < 25)
+        .select(
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x != '')")
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    ks = spark.range(_BF_K).select(F.col("id").cast("int").alias("k"))
+    pos_of = (
+        h60(
+            F.concat(
+                F.lit("bf"), F.col("k").cast("string"), F.lit(":"), F.col("tok")
+            )
+        )
+        % _BF_BITS
+    )
+    bits = (
+        block_toks.crossJoin(F.broadcast(ks))
+        .select(pos_of.alias("pos"))
+        .distinct()
+    )
+    probe = (
+        d.where(F.col("doc_id") >= 25)
+        .select(
+            "source",
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x != '')")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    hits = (
+        probe.crossJoin(F.broadcast(ks))
+        .select("source", "tok", pos_of.alias("pos"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("source", "tok")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    truth = probe.join(
+        block_toks.withColumn("in_block", F.lit(1)), "tok", "left"
+    ).select(
+        "source", "tok", F.coalesce(F.col("in_block"), F.lit(0)).alias("in_block")
+    )
+    return (
+        hits.join(truth, ["source", "tok"])
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_probed"),
+            F.sum(F.when(F.col("n_hit") == _BF_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("in_block").cast("long").alias("n_true"),
+            F.sum(
+                F.when(
+                    (F.col("n_hit") == _BF_K) & (F.col("in_block") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )
