@@ -987,3 +987,145 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 12)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_eval_pr",
+    tags=("llm", "dedup"),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 150
+    ),
+    seeds AS (SELECT unnest(range(0, 64)) AS seed),
+    mh AS (
+        SELECT doc_id, seed,
+               min({oracle_h60("tok || ':' || seed")}) AS mh
+        FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE)
+              / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+    ),
+    m AS (
+        SELECT
+            (SELECT count(*) FROM cand) AS n_candidates,
+            (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM cand c
+             WHERE EXISTS (SELECT 1 FROM truth t
+                           WHERE t.doc_a = c.doc_a
+                             AND t.doc_b = c.doc_b)) AS n_hit
+    )
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CASE WHEN n_candidates > 0
+                      THEN n_hit / CAST(n_candidates AS DOUBLE) END, 6)
+               AS precision,
+           round(CASE WHEN n_truth > 0
+                      THEN n_hit / CAST(n_truth AS DOUBLE) END, 6) AS recall
+    FROM m
+    """,
+)
+def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality evaluation: precision/recall of the
+    MinHash-LSH candidate set (16 bands x 4 rows, same machinery as
+    ``minhash_lsh_near_dup``) against EXACT Jaccard >= 0.5 ground truth —
+    the measurement every production dedup pipeline runs before trusting
+    its banding parameters. At tau = 0.5 the banding S-curve gives partial
+    recall (1-(1-0.5^4)^16 ~ 0.64 for pairs exactly at threshold; higher
+    above it), so the numbers are non-trivial in both directions.
+
+    Everything is deterministic (h60 permutations), so even this
+    "probabilistic" evaluation is hash-exact cross-engine. Scale: both
+    sides are the candidate-generation paths already analyzed (band-bucket
+    join + prefix-style inverted index); the PR join touches candidate
+    pairs only."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
+    tokens = distinct_tokens(docs)
+
+    n_hashes, rows_per_band = 64, 4
+    seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
+    mh = (
+        tokens.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(h60(F.concat_ws(":", "tok", "seed"))).alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s.getField("mh").cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    truth = (
+        exact_jaccard_pairs(tokens)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"], "semi")
+    counts = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    return counts.select(
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hit") / F.col("n_candidates").cast("double"),
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hit") / F.col("n_truth").cast("double"),
+            ),
+            6,
+        ).alias("recall"),
+    )

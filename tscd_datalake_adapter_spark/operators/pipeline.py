@@ -977,3 +977,84 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_logweight").desc(), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "curation_pipeline_summary",
+    tags=("llm", "pipeline"),
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+        WHERE doc_id < 30
+    ),
+    staged AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY sha256(coalesce(text, ''))
+                                  ORDER BY doc_id) AS dup_rn,
+               len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS n_tokens
+        FROM corpus
+    ),
+    tagged AS (
+        SELECT lang,
+               CASE
+                 WHEN lang NOT IN ('en', 'de', 'es', 'fr')
+                      THEN 'lang_unsupported'
+                 WHEN dup_rn > 1 THEN 'duplicate'
+                 WHEN n_tokens < 25 THEN 'too_short'
+                 WHEN n_tokens > 85 THEN 'too_long'
+                 ELSE 'kept'
+               END AS stage
+        FROM staged
+    )
+    SELECT lang, stage, CAST(count(*) AS BIGINT) AS n_docs
+    FROM tagged GROUP BY lang, stage ORDER BY lang, stage
+    """,
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel — the composed form of the
+    individual gates this module provides (language filter -> exact dedup
+    -> length gates), with FIRST-FAIL stage attribution per document: every
+    doc lands in exactly one bucket (lang_unsupported, duplicate,
+    too_short, too_long, kept), so the per-(lang, stage) counts read as a
+    loss ledger — what each pipeline stage costs each language — the
+    report every training-data curation run ships with.
+
+    The corpus plants 30 shifted-id duplicates (the ``dedup_exact``
+    pattern) so the dedup stage demonstrably fires. Stage order is the
+    production order (cheap predicates before the dedup shuffle); the only
+    corpus-wide shuffle is the dedup window on the 32-byte hash. All other
+    stages are map-side predicates."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+        )
+    )
+    w = Window.partitionBy(
+        F.sha2(F.coalesce("text", F.lit("")), 256)
+    ).orderBy("doc_id")
+    staged = corpus.select(
+        "lang",
+        F.row_number().over(w).alias("dup_rn"),
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "n_tokens"
+        ),
+    )
+    stage = (
+        F.when(
+            ~F.col("lang").isin("en", "de", "es", "fr"), "lang_unsupported"
+        )
+        .when(F.col("dup_rn") > 1, "duplicate")
+        .when(F.col("n_tokens") < 25, "too_short")
+        .when(F.col("n_tokens") > 85, "too_long")
+        .otherwise("kept")
+    )
+    return (
+        staged.select("lang", stage.alias("stage"))
+        .groupBy("lang", "stage")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "stage")
+    )

@@ -347,3 +347,61 @@ def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(target_docs + n_docs - 1) div n_docs").alias("n_epochs"),
     ).orderBy("source")
+
+
+@register(
+    "weighted_sample_topk",
+    tags=("sampling", "llm"),
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               pow({oracle_h60("'ws:' || CAST(doc_id AS VARCHAR)")}
+                     / 1152921504606846976.0,
+                   1.0 / n_chars) AS k
+        FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT doc_id, w, k,
+               row_number() OVER (ORDER BY round(k, 12) DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, w, round(k, 6) AS sample_key,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res, 2006): each doc draws u = h60('ws:'||id)/2^60 in [0,1)
+    and competes with key u^(1/w) (w = n_chars); the top-20 keys are the
+    sample, inclusion probability proportional to weight. Because u comes
+    from the content hash instead of an RNG, the "random" sample is
+    partition-invariant, rerun-stable, and cross-engine reproducible — the
+    same reasons the plain hash-mod sampler above beats ``df.sample``.
+
+    Ranking uses round(key, 12) with a doc_id tiebreak: pow() may differ
+    by ~1 ulp between libm implementations, and adjacent sample keys are
+    ~1/n apart, so a 1e-12 quantization can never reorder distinct keys
+    but makes any exactly-tied rounding deterministic. TakeOrdered top-20:
+    per-partition heads, no global sort. Scale: zero data shuffle — the
+    key is map-side arithmetic on the scan."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = h60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) / F.lit(
+        float(1 << 60)
+    )
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("k"),
+    )
+    ranked = keyed.orderBy(
+        F.round("k", 12).desc(), F.col("doc_id")
+    ).limit(20)
+    from pyspark.sql import Window as _W
+
+    wr = _W.orderBy(F.round("k", 12).desc(), F.col("doc_id"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .select("doc_id", "w", F.round("k", 6).alias("sample_key"), "rk")
+        .orderBy("rk")
+    )

@@ -396,6 +396,9 @@ def bloom_probe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(pos_of.alias("pos"))
         .distinct()
     )
+    # Single probe pipeline: the exact-membership mark rides the same rows
+    # as the bit probes, so `documents` is scanned once for the probe side
+    # (a two-branch formulation would re-derive the distinct token set).
     probe = (
         d.where(F.col("doc_id") >= 25)
         .select(
@@ -405,22 +408,26 @@ def bloom_probe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
+        .join(
+            F.broadcast(block_toks.withColumn("in_block", F.lit(1))),
+            "tok",
+            "left",
+        )
+        .select(
+            "source",
+            "tok",
+            F.coalesce(F.col("in_block"), F.lit(0)).alias("in_block"),
+        )
     )
     hits = (
         probe.crossJoin(F.broadcast(ks))
-        .select("source", "tok", pos_of.alias("pos"))
+        .select("source", "tok", "in_block", pos_of.alias("pos"))
         .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
-        .groupBy("source", "tok")
+        .groupBy("source", "tok", "in_block")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
     )
-    truth = probe.join(
-        block_toks.withColumn("in_block", F.lit(1)), "tok", "left"
-    ).select(
-        "source", "tok", F.coalesce(F.col("in_block"), F.lit(0)).alias("in_block")
-    )
     return (
-        hits.join(truth, ["source", "tok"])
-        .groupBy("source")
+        hits.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_probed"),
             F.sum(F.when(F.col("n_hit") == _BF_K, 1).otherwise(0))
@@ -436,4 +443,99 @@ def bloom_probe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_pos"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "join_cardinality_cm_estimate",
+    tags=("sketch", "tpch"),
+    oracle=f"""
+    WITH rws AS (SELECT unnest(range(0, {_CM_DEPTH})) AS r),
+    cm_o AS (
+        SELECT r,
+               {oracle_h60("concat('jc', CAST(r AS VARCHAR), ':', "
+                           "CAST(o_custkey AS VARCHAR))")} % {_CM_WIDTH} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders CROSS JOIN rws GROUP BY 1, 2
+    ),
+    cm_c AS (
+        SELECT r,
+               {oracle_h60("concat('jc', CAST(r AS VARCHAR), ':', "
+                           "CAST(c_custkey AS VARCHAR))")} % {_CM_WIDTH} AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM customer CROSS JOIN rws GROUP BY 1, 2
+    ),
+    per_row AS (
+        SELECT o.r, sum(o.cnt * c.cnt) AS est
+        FROM cm_o o JOIN cm_c c ON o.r = c.r AND o.b = c.b
+        GROUP BY o.r
+    ),
+    truth AS (
+        SELECT count(*) AS true_size
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT CAST(t.true_size AS BIGINT) AS true_size,
+           CAST(min(p.est) AS BIGINT) AS cm_estimate,
+           CAST(min(p.est) - t.true_size AS BIGINT) AS overcount
+    FROM per_row p CROSS JOIN truth t
+    GROUP BY t.true_size
+    """,
+)
+def join_cardinality_cm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches (the AMS/CM
+    inner-product estimator every cost-based optimizer variant of this
+    idea descends from): sketch orders.o_custkey and customer.c_custkey
+    into parallel 4x256 grids, estimate |orders JOIN customer| as
+    min over rows r of sum_b cmA[r][b]*cmB[r][b]. The estimate is a
+    one-sided overcount (colliding keys add cross terms), asserted in
+    tests; the true size is computed alongside to exhibit the error.
+
+    Scale: this is how you size a join WITHOUT running it — two fixed-width
+    (1024-cell) aggregations, one 1024-row sketch join — against the full
+    key-shuffle the exact count needs. Deterministic h60 cells make even
+    the estimate hash-exact cross-engine."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    rows = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("r"))
+    key = (
+        h60(F.concat(F.lit("jc"), F.col("r").cast("string"), F.lit(":"), F.col("k")))
+        % _CM_WIDTH
+    )
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(rows))
+            .select("r", key.alias("b"))
+            .groupBy("r", "b")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    cm_o = sketch(o)
+    cm_c = sketch(c)
+    per_row = (
+        cm_o.alias("o")
+        .join(cm_c.alias("c"), ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("o.cnt") * F.col("c.cnt")).alias("est"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    truth = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .agg(F.count("*").alias("true_size"))
+    )
+    return (
+        per_row.agg(F.min("est").alias("cm_estimate"))
+        .crossJoin(truth)
+        .select(
+            F.col("true_size").cast("long").alias("true_size"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("true_size"))
+            .cast("long")
+            .alias("overcount"),
+        )
     )

@@ -118,6 +118,12 @@ def unpartitioned_windows_over_unaggregated_input(df: DataFrame) -> list[str]:
         name = node.getClass().getSimpleName()
         if "Aggregate" in name:  # Hash/Sort/ObjectHash/InPandas: bounds below
             return False
+        # A limit caps the window's input rows just as hard as an aggregate
+        # does (GlobalLimit/TakeOrderedAndProject/CollectLimit emit at most
+        # N rows regardless of scan size) — a global window above one is
+        # bounded by construction, e.g. ranking an already-limited top-k.
+        if "Limit" in name or "TakeOrderedAndProject" in name:
+            return False
         if "Scan" in name:
             # Includes InMemoryTableScan: a cached relation MIGHT hold an
             # aggregate internally, but the plan can't show it — flagging
