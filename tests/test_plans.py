@@ -471,3 +471,60 @@ def test_partition_skew_report(spark, sf_dir):
     assert hot["n_partitions"] == 8
     assert hot["rows"] == even["rows"]
     assert abs(hot["skew_factor"] - 8.0) < 1e-9
+
+
+def test_sketch_operators_stay_bounded_and_broadcast(spark, sf_dir):
+    """Sketch queries must keep their scale contracts: the sketch/probe
+    joins are broadcasts (the sketch side is fixed-width — 1024 CM cells,
+    4096 Bloom bits — never a corpus-sized shuffle join), and no
+    cartesian node sneaks in beyond the deliberate tiny-dimension
+    crossJoins (hash-row / k-index frames of <= 4 rows)."""
+    from tscd_datalake_adapter_spark.operators.sketches import (
+        bloom_probe_decontamination,
+        countmin_heavy_hitters,
+        join_cardinality_cm_estimate,
+    )
+
+    for fn in (
+        countmin_heavy_hitters,
+        bloom_probe_decontamination,
+        join_cardinality_cm_estimate,
+    ):
+        p = plans.formatted_plan(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, (
+            f"{fn.__name__}: sketch join must broadcast\n{p[:2000]}"
+        )
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_analytics_operators_plan_shapes(spark, sf_dir):
+    """pivot/corr are single-scan map-side aggregations; the binned
+    interval-overlap aggregation must not plan a nested-loop theta join;
+    the weighted sampler's top-k is TakeOrdered (no global sort of the
+    corpus)."""
+    from tscd_datalake_adapter_spark.operators.analytics import (
+        corr_quantity_price,
+        orders_in_flight_by_month,
+        pivot_status_revenue,
+    )
+    from tscd_datalake_adapter_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    def n_scans(p: str) -> int:
+        return len(
+            [ln for ln in p.splitlines() if "Location" in ln and "parquet" in ln]
+        )
+
+    p = plans.formatted_plan(pivot_status_revenue(spark, sf_dir))
+    assert n_scans(p) == 1
+    p = plans.formatted_plan(corr_quantity_price(spark, sf_dir))
+    assert n_scans(p) == 1
+    assert p.count("Exchange (") <= 2
+
+    p = plans.formatted_plan(orders_in_flight_by_month(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = plans.formatted_plan(weighted_sample_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p

@@ -159,3 +159,25 @@ def test_incremental_rollup_matches_batch(spark, sf_dir, source_dir, tmp_path):
 
     versions = [d for d in os.listdir(tmp_path / "state") if d.startswith("v")]
     assert len(versions) >= 2
+
+
+def test_windowed_topk_stream_matches_batch_twin(spark, sf_dir, source_dir, tmp_path):
+    """The live maintained leaderboard (foreachBatch rank-over-state,
+    overwrite serving table) must equal the batch twin exactly."""
+    from tscd_datalake_adapter_spark.streaming.batch_twins import (
+        stream_windowed_topk,
+    )
+
+    live = jobs.run_windowed_topk_stream(
+        spark, source_dir, str(tmp_path / "ckpt_topk"), str(tmp_path / "topk")
+    )
+    batch = stream_windowed_topk(spark, sf_dir)
+    live_rows = sorted(tuple(r) for r in live.collect())
+    batch_rows = sorted(tuple(r) for r in batch.collect())
+    assert live_rows == batch_rows
+    # every window serves at most 3 ranks, starting at 1
+    by_window = {}
+    for r in live.collect():
+        by_window.setdefault(r.window_start, []).append(r.rk)
+    for rks in by_window.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1)) and len(rks) <= 3

@@ -385,3 +385,56 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def windowed_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """Shared top-k-per-window logic (batch twin AND live serving job use
+    this one definition): tumbling 10-minute aggregation ranked within each
+    window by (n_events DESC, event_type) — the deterministic tiebreak —
+    keeping the top ``k`` event types. The rank window is partitioned by
+    window_start over the AGGREGATE, so its input is bounded by
+    windows × event types at any corpus scale."""
+    agg = tumbling_agg(events)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("window_start", "event_type", "n_events", "total_value", "rk")
+    )
+
+
+@register(
+    "stream_windowed_topk",
+    tags=("streaming",),
+    oracle=f"""
+    WITH agg AS (
+        SELECT strftime(TIMESTAMP '1970-01-01'
+                   + to_seconds(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)),
+                   '{TS_FMT_DUCK}') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {oracle_dec_sum('value')} AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n_events, total_value,
+               CAST(row_number() OVER (PARTITION BY window_start
+                    ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        FROM agg
+    )
+    SELECT window_start, event_type, n_events, total_value, rk
+    FROM ranked WHERE rk <= 3 ORDER BY window_start, rk
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now: top-3 event types per tumbling 10-minute window — the
+    maintained-leaderboard streaming shape. Live form in
+    :func:`tscd_datalake_adapter_spark.streaming.jobs.run_windowed_topk_stream`,
+    where each trigger re-ranks the windowed state in ``foreachBatch`` and
+    atomically overwrites the serving table (rank-over-state cannot be
+    expressed inside a streaming query plan — windows over streaming aggs
+    are unsupported — so the serving-layer rewrite IS the production
+    pattern). Tests assert live == this twin."""
+    return windowed_topk(_events(spark, sf_dir)).orderBy("window_start", "rk")

@@ -369,3 +369,49 @@ def run_incremental_rollup(
     return spark.read.parquet(final_path).withColumn(
         "total_value", F.col("total_dec").cast("double")
     ).drop("total_dec")
+
+
+def run_windowed_topk_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str
+) -> DataFrame:
+    """Live maintained top-k leaderboard: watermarked tumbling aggregation in
+    complete mode; each trigger's ``foreachBatch`` applies the SHARED
+    ranking (``batch_twins.windowed_topk``'s window spec) to the full
+    windowed state and atomically overwrites the parquet serving table —
+    the standard pattern for rank-over-streaming-state, which Structured
+    Streaming cannot plan inside the stream (window functions over a
+    streaming aggregate are unsupported by design: rank is a total
+    statement about state, not an increment).
+
+    Returns the final serving table. Scale: the per-trigger rework is
+    bounded by windows × event types (the aggregate state), not by the
+    event volume; the overwrite is a small serving artifact."""
+    from pyspark.sql import Window as _W
+
+    from tscd_datalake_adapter_spark.streaming.batch_twins import tumbling_agg
+
+    stream = read_event_stream(spark, source_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+
+    def _rank_and_serve(batch_df: DataFrame, batch_id: int) -> None:
+        w = _W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+        (
+            batch_df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= 3)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        tumbling_agg(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(_rank_and_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
