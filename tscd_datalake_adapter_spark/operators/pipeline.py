@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import oracle_dec_sum
+from tscd_datalake_adapter_spark.functions import oracle_dec_sum, oracle_h60
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.operators.text import STOPWORDS
 from tscd_datalake_adapter_spark.sources import load_table
@@ -1057,4 +1057,98 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "stage")
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("lang", "stage")
+    )
+
+
+@register(
+    "span_corruption_masks",
+    tags=("llm", "pipeline"),
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS n_tokens
+        FROM documents WHERE doc_id < 200
+    ),
+    blocks AS (
+        SELECT doc_id, n_tokens,
+               unnest(range(0, n_tokens // 6)) AS b
+        FROM d WHERE n_tokens >= 6
+    ),
+    marked AS (
+        SELECT doc_id, n_tokens, b,
+               CASE WHEN {oracle_h60(
+                   "concat('sc:', CAST(doc_id AS VARCHAR), ':', "
+                   "CAST(b AS VARCHAR))")} % 4 = 0
+                    THEN 1 ELSE 0 END AS sel
+        FROM blocks
+    )
+    SELECT doc_id,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(sel) AS BIGINT) AS n_masked_spans,
+           CAST(sum(sel) * 3 AS BIGINT) AS n_masked_tokens,
+           round(sum(sel) * 3 / CAST(min(n_tokens) AS DOUBLE), 4)
+               AS mask_ratio
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask PLANNING (Raffel et al. 2020): divide
+    each document into 6-token blocks, deterministically select ~25% of
+    blocks by content hash, and mask a 3-token span per selected block —
+    non-overlapping spans, ~12.5% expected token mask rate. The output is
+    the per-document mask ledger (span/token counts, realized ratio) a
+    seq2seq pre-training data builder materializes alongside the corpus.
+
+    Hash-derived selection instead of an RNG makes the masking rerun-
+    stable, partition-invariant, and cross-engine reproducible — the same
+    property every sampling operator in this repo relies on. Scale: one
+    explode bounded by n_tokens/6 per doc, one groupBy(doc_id); map-side
+    otherwise."""
+    from tscd_datalake_adapter_spark.functions import h60
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(
+                F.expr("filter(split(text, ' '), x -> x != '')")
+            ).alias("n_tokens"),
+        )
+    )
+    blocks = d.where(F.col("n_tokens") >= 6).select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0), F.floor(F.col("n_tokens") / 6) - 1)
+        ).alias("b"),
+    )
+    sel = F.when(
+        h60(
+            F.concat(
+                F.lit("sc:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 4
+        == 0,
+        1,
+    ).otherwise(0)
+    return (
+        blocks.select("doc_id", "n_tokens", sel.alias("sel"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_tokens").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("sel").cast("long").alias("n_masked_spans"),
+            (F.sum("sel") * 3).cast("long").alias("n_masked_tokens"),
+            F.round(
+                F.sum("sel") * 3 / F.min("n_tokens").cast("double"), 4
+            ).alias("mask_ratio"),
+        )
+        .orderBy("doc_id")
     )

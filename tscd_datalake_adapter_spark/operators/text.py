@@ -630,3 +630,198 @@ def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens_norm"),
         F.md5(F.col("n_text").cast("binary")).alias("norm_fingerprint"),
     ).orderBy("doc_id")
+
+
+@register(
+    "langid_confusion",
+    tags=("llm", "text"),
+    oracle=f"""
+    WITH scored AS (
+        SELECT d.doc_id, d.lang AS actual,
+               CAST({_lang_score_sql('en')} AS BIGINT) AS s_en,
+               CAST({_lang_score_sql('de')} AS BIGINT) AS s_de,
+               CAST({_lang_score_sql('es')} AS BIGINT) AS s_es,
+               CAST({_lang_score_sql('fr')} AS BIGINT) AS s_fr
+        FROM documents d WHERE doc_id < 100
+    ),
+    pred AS (
+        SELECT actual,
+               CASE
+                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr'
+               END AS predicted
+        FROM scored
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual, predicted ORDER BY actual, predicted
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the classifier-evaluation face of
+    ``language_id`` — predicted vs fixture-labelled language counts. (The
+    toy bigram profiles only know en/de/es/fr, so zh rows all land in a
+    predicted-latin bucket — exactly the kind of systematic blind spot a
+    confusion matrix exists to expose.) Composition of the already-
+    verified scorer plus one bounded aggregation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("actual")
+    )
+    pred = language_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    return (
+        pred.join(d, "doc_id")
+        .groupBy("actual", F.col("predicted_lang").alias("predicted"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS tok
+        FROM documents
+    ),
+    tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             FROM toks GROUP BY tok),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(tok)),
+                      i -> substr(tok, i, 2))) AS pair, c
+        FROM tokc WHERE length(tok) >= 2
+    ),
+    merged AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences FROM merged
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training step (Sennrich et al. 2016): count adjacent
+    character pairs across the corpus, weighted by word frequency — the
+    top pair is the next merge a BPE tokenizer would learn. The top-20
+    candidates are reported.
+
+    Scale shape: pair counting runs over the VOCABULARY (distinct tokens x
+    their counts), not over raw text — the word-count aggregation collapses
+    the corpus first, so the explode factor is token length over a
+    vocabulary-sized frame. This is exactly how production BPE trainers
+    structure the count (word-frequency dict, then pair statistics)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("tok")
+    )
+    tokc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    pairs = tokc.where(F.length("tok") >= 2).select(
+        "c",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "pmi_cooccurrence_topk",
+    tags=("llm", "text"),
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM dt a JOIN dt b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 20
+    )
+    SELECT tok_a, tok_b, c_ab,
+           round(ln((n.n_docs * c_ab) / CAST(ca.c * cb.c AS DOUBLE)), 6)
+               AS pmi
+    FROM pairs
+    JOIN dfreq ca ON tok_a = ca.tok
+    JOIN dfreq cb ON tok_b = cb.tok
+    CROSS JOIN n
+    ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
+    """,
+)
+def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information collocation mining: for token pairs
+    co-occurring in >= 20 documents, PMI = ln(N·c_ab / (c_a·c_b)) over
+    document-level co-occurrence; top-20 by (PMI DESC, pair) — the classic
+    corpus-linguistics measure of "appear together more than chance".
+
+    Scale shape: the pair join is the inverted-index self-join keyed on
+    doc_id (pairs bounded by per-doc distinct-token count squared, never
+    corpus x corpus); document frequencies join back broadcast-sized at
+    vocabulary cardinality; N arrives via a broadcast 1-row aggregate —
+    single DAG, no driver count. The integer products N·c_ab and c_a·c_b
+    are exact longs, so the one double division + log sees identical
+    operands in both engines."""
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    n = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    dfreq = dt.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    a = dt.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = dt.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 20)
+    )
+    return (
+        pairs.join(
+            dfreq.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca")),
+            "tok_a",
+        )
+        .join(
+            dfreq.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb")),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("n_docs") * F.col("c_ab"))
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )
