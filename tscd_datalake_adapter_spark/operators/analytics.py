@@ -554,3 +554,119 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("expectation")
+
+
+@register(
+    "mad_outlier_days",
+    tags=("tpch", "analytics"),
+    oracle="""
+    WITH delays AS (
+        SELECT CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt
+             FROM delays GROUP BY d),
+    cum AS (
+        SELECT d, cnt,
+               sum(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                   AS cum_cnt,
+               sum(cnt) OVER () AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT CAST(min(CASE WHEN cum_cnt * 2 >= n THEN d END)
+                    AS BIGINT) AS median,
+               CAST(min(n) AS BIGINT) AS n
+        FROM cum
+    ),
+    dev_hist AS (
+        SELECT abs(h.d - m.median) AS dev, CAST(sum(h.cnt) AS BIGINT) AS cnt
+        FROM hist h CROSS JOIN med m GROUP BY 1
+    ),
+    dev_cum AS (
+        SELECT dev, cnt,
+               sum(cnt) OVER (ORDER BY dev ROWS UNBOUNDED PRECEDING)
+                   AS cum_cnt,
+               sum(cnt) OVER () AS n
+        FROM dev_hist
+    ),
+    mad AS (
+        SELECT CAST(min(CASE WHEN cum_cnt * 2 >= n THEN dev END)
+                    AS BIGINT) AS mad
+        FROM dev_cum
+    )
+    SELECT m.median, a.mad, m.n AS n_total,
+           CAST(coalesce((SELECT sum(h.cnt) FROM hist h
+                          WHERE abs(h.d - m.median) > 5 * a.mad), 0)
+                AS BIGINT) AS n_outliers
+    FROM med m CROSS JOIN mad a
+    """,
+)
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation: median and
+    MAD of the order→ship day delay via TWO bounded-value-histogram passes
+    (the exact-percentile pattern, reused: the deviation domain is as
+    bounded as the delay domain), then count delays beyond 5·MAD — the
+    robust alternative to z-scores when the distribution has heavy tails
+    (a handful of extreme delays cannot drag the threshold the way they
+    drag a mean/stddev).
+
+    Scale: the raw data is touched once (histogram aggregation keyed on
+    the integer day-delay); every subsequent pass — deviation histogram,
+    MAD walk, outlier count — runs over the bounded histogram with the
+    1-row median/MAD broadcast back. All integer arithmetic end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delays = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("d")
+    )
+    hist = delays.groupBy("d").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum_cnt"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    med = cum.agg(
+        F.min(F.when(F.col("cum_cnt") * 2 >= F.col("n"), F.col("d")))
+        .cast("long")
+        .alias("median"),
+        F.min("n").cast("long").alias("n"),
+    )
+    dev_hist = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(F.col("d") - F.col("median")).alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wdev = Window.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
+    dev_cum = dev_hist.select(
+        "dev",
+        F.sum("cnt").over(wdev).alias("cum_cnt"),
+        F.sum("cnt").over(Window.partitionBy()).alias("dn"),
+    )
+    mad = dev_cum.agg(
+        F.min(F.when(F.col("cum_cnt") * 2 >= F.col("dn"), F.col("dev")))
+        .cast("long")
+        .alias("mad")
+    )
+    outliers = (
+        hist.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .where(F.abs(F.col("d") - F.col("median")) > 5 * F.col("mad"))
+        .agg(F.sum("cnt").cast("long").alias("n_outliers"))
+    )
+    return (
+        med.crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(outliers))
+        .select(
+            "median",
+            "mad",
+            F.col("n").alias("n_total"),
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )

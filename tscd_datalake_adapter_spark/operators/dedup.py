@@ -1129,3 +1129,146 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@register(
+    "minhash_jaccard_estimate_error",
+    tags=("llm", "dedup", "sketch"),
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 150
+    ),
+    seeds AS (SELECT unnest(range(0, 64)) AS seed),
+    mh AS (
+        SELECT doc_id, seed,
+               min({oracle_h60("tok || ':' || seed")}) AS mh
+        FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 64.0 AS est_j
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.doc_a
+        JOIN mh b ON b.doc_id = c.doc_b AND b.seed = a.seed
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT e.doc_a, e.doc_b, e.est_j,
+               CAST(coalesce(i.inter, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - coalesce(i.inter, 0) AS DOUBLE)
+                   AS true_j
+        FROM est e
+        LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+        JOIN sizes sa ON e.doc_a = sa.doc_id
+        JOIN sizes sb ON e.doc_b = sb.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(abs(est_j - true_j)) / count(*), 6) AS mae,
+           round(max(abs(est_j - true_j)), 6) AS max_err
+    FROM exact
+    """,
+)
+def minhash_jaccard_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-accuracy evaluation for MinHash: over the LSH candidate
+    pairs, compare the signature-based Jaccard estimate (matching
+    minhashes / 64 — the unbiased estimator the sketch exists to provide)
+    against the exact token Jaccard, reporting MAE and worst-case error.
+    Together with ``dedup_eval_pr`` (candidate recall/precision) this is
+    the full measurement story a production dedup pipeline needs before
+    trusting its sketch parameters: does banding FIND the pairs, and does
+    the signature SCORE them accurately (theory: std ~= sqrt(J(1-J)/64)).
+
+    Deterministic h60 permutations make the evaluation itself hash-exact.
+    Scale: candidates only (never all pairs); the signature comparison
+    joins 64-row signatures per candidate — bounded per pair."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
+    tokens = distinct_tokens(docs)
+    n_hashes, rows_per_band = 64, 4
+    seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
+    mh = (
+        tokens.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(h60(F.concat_ws(":", "tok", "seed"))).alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s.getField("mh").cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a")
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mh_b")
+    )
+    est = (
+        cand.join(ma, "doc_a")
+        .join(mb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+                )
+                / 64.0
+            ).alias("est_j")
+        )
+    )
+    exact = exact_jaccard_pairs(tokens).select("doc_a", "doc_b", "jaccard")
+    joined = est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "est_j",
+        F.coalesce("jaccard", F.lit(0.0)).alias("true_j"),
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.abs(F.col("est_j") - F.col("true_j"))) / F.count("*"), 6
+        ).alias("mae"),
+        F.round(F.max(F.abs(F.col("est_j") - F.col("true_j"))), 6).alias(
+            "max_err"
+        ),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tscd_datalake_adapter_spark.functions import oracle_dec_sum
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -521,4 +522,117 @@ def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("checksum"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "cdc_merge_apply",
+    tags=("history", "lakehouse"),
+    oracle=f"""
+    WITH cdc AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type
+                 WHEN 'signup' THEN 'I'
+                 WHEN 'error' THEN 'D'
+                 ELSE 'U'
+               END AS op,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, op, v FROM (
+            SELECT user_id, op, v,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM cdc
+        ) WHERE rn = 1
+    ),
+    ops AS (
+        SELECT CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inserts,
+               CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_updates,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deletes
+        FROM cdc
+    )
+    SELECT o.n_inserts, o.n_updates, o.n_deletes,
+           CAST(count(CASE WHEN l.op != 'D' THEN 1 END) AS BIGINT)
+               AS n_live_users,
+           CAST(count(CASE WHEN l.op = 'D' THEN 1 END) AS BIGINT)
+               AS n_tombstoned_users,
+           round({oracle_dec_sum("CASE WHEN l.op != 'D' THEN l.v END")}, 4)
+               AS live_value_sum
+    FROM latest l CROSS JOIN ops o
+    GROUP BY o.n_inserts, o.n_updates, o.n_deletes
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics as a query: interpret the event stream as a
+    change feed (signup→INSERT, error→DELETE, everything else→UPDATE),
+    apply latest-wins per key — row_number over (ts, event_id) DESC, the
+    deterministic variant of Delta/Iceberg MERGE's match resolution — and
+    report the resulting table state: live rows, tombstones, applied-op
+    counts, and the decimal-exact sum of surviving values.
+
+    This is the semantics `LakeAdapter.merge_books` implements physically
+    (and what the gated Delta/Iceberg sink would hand to the table
+    format); expressing it as a pure query makes the resolution rule
+    oracle-verifiable. Scale: one hash-partitioned window keyed on
+    user_id — the same shuffle any MERGE shuffles — plus a broadcast 1-row
+    op-count aggregate."""
+    from tscd_datalake_adapter_spark.functions import dec_sum
+
+    e = load_table(spark, sf_dir, "events")
+    cdc = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("value").cast("double").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "op", "v")
+    )
+    ops = cdc.agg(
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updates"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("long")
+        .alias("n_deletes"),
+    )
+    return (
+        latest.crossJoin(F.broadcast(ops))
+        .groupBy("n_inserts", "n_updates", "n_deletes")
+        .agg(
+            F.count(F.when(F.col("op") != "D", 1)).cast("long").alias(
+                "n_live_users"
+            ),
+            F.count(F.when(F.col("op") == "D", 1)).cast("long").alias(
+                "n_tombstoned_users"
+            ),
+            F.round(
+                dec_sum(F.when(F.col("op") != "D", F.col("v"))), 4
+            ).alias("live_value_sum"),
+        )
+        .select(
+            "n_inserts",
+            "n_updates",
+            "n_deletes",
+            "n_live_users",
+            "n_tombstoned_users",
+            "live_value_sum",
+        )
     )

@@ -825,3 +825,103 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+@register(
+    "chi2_keyness_topk",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (
+        SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS grp,
+               unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN grp = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN grp = 'rest' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM toks GROUP BY tok
+    ),
+    totals AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+        FROM counts
+    ),
+    scored AS (
+        SELECT c.tok, c.a, c.b,
+               round(
+                 (CAST(t.ta AS DOUBLE) + CAST(t.tb AS DOUBLE))
+                 * (CAST(c.a AS DOUBLE) * CAST(t.tb - c.b AS DOUBLE)
+                    - CAST(c.b AS DOUBLE) * CAST(t.ta - c.a AS DOUBLE))
+                 * (CAST(c.a AS DOUBLE) * CAST(t.tb - c.b AS DOUBLE)
+                    - CAST(c.b AS DOUBLE) * CAST(t.ta - c.a AS DOUBLE))
+                 / (CAST(c.a + c.b AS DOUBLE)
+                    * CAST(t.ta + t.tb - c.a - c.b AS DOUBLE)
+                    * CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)), 4)
+                   AS chi2
+        FROM counts c CROSS JOIN totals t
+        WHERE c.a + c.b >= 50
+    )
+    SELECT tok, a AS n_en, b AS n_rest, chi2
+    FROM scored ORDER BY chi2 DESC, tok LIMIT 20
+    """,
+)
+def chi2_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared keyness (corpus linguistics / feature selection): which
+    tokens are most over- or under-represented in English documents vs the
+    rest of the corpus, by the 2x2 contingency chi² statistic over token
+    occurrence counts (min frequency 50). The standard keyword-extraction
+    and feature-selection measure for labelled corpora.
+
+    Determinism: the contingency cells are exact integers; every double
+    conversion is exact (< 2^53) and the product/division sequence is
+    written in the same order in both engines (the numerator would
+    overflow int64 if computed integrally, so BOTH engines do the
+    identical double arithmetic). One token aggregation shuffle + a
+    broadcast 1-row totals crossJoin — single DAG."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", "en").otherwise("rest").alias("grp"),
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("grp") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("grp") == "rest", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    num_half = d(F.col("a")) * d(F.col("tb") - F.col("b")) - d(
+        F.col("b")
+    ) * d(F.col("ta") - F.col("a"))
+    chi2 = (
+        (d(F.col("ta")) + d(F.col("tb")))
+        * num_half
+        * num_half
+        / (
+            d(F.col("a") + F.col("b"))
+            * d(F.col("ta") + F.col("tb") - F.col("a") - F.col("b"))
+            * d(F.col("ta"))
+            * d(F.col("tb"))
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .where(F.col("a") + F.col("b") >= 50)
+        .select(
+            "tok",
+            F.col("a").alias("n_en"),
+            F.col("b").alias("n_rest"),
+            F.round(chi2, 4).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "tok")
+        .limit(20)
+    )
