@@ -670,3 +670,562 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "longest_purchase_streak",
+    tags=("events", "analytics"),
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE event_type = 'purchase' AND user_id < 60
+    ),
+    grouped AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+               min(d) AS start_d
+        FROM grouped GROUP BY user_id, island
+    ),
+    best AS (
+        SELECT user_id, len, start_d,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start_d) AS rk
+        FROM streaks
+    )
+    SELECT user_id, len AS streak_days,
+           strftime(start_d, '%Y-%m-%d') AS streak_start
+    FROM best WHERE rk = 1 ORDER BY user_id
+    """,
+)
+def longest_purchase_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE calendar
+    days with at least one purchase, via the classic date-minus-row_number
+    island key (consecutive dates share a constant difference from their
+    per-user rank). Ties on length resolve to the earliest streak.
+
+    Scale: both windows are partitioned by user_id over the per-user
+    distinct-day set (bounded by the calendar, not event volume); the
+    island groupBy rides the same hash distribution."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("user_id") < 60))
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    wdays = Window.partitionBy("user_id").orderBy("d")
+    grouped = e.select(
+        "user_id",
+        "d",
+        F.date_sub(
+            F.col("d"), F.row_number().over(wdays)
+        ).alias("island"),
+    )
+    streaks = grouped.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len"), F.min("d").alias("start_d")
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_d")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("streak_days"),
+            F.date_format("start_d", "yyyy-MM-dd").alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "top_event_trigrams_by_session",
+    tags=("events", "analytics"),
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id < 80
+    ),
+    marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM marked
+    ),
+    withnext AS (
+        SELECT user_id, session_id, event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts, event_id) AS e2,
+               lead(event_type, 2) OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts, event_id) AS e3
+        FROM sessions
+    )
+    SELECT concat(event_type, '>', e2, '>', e3) AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM withnext WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 15
+    """,
+)
+def top_event_trigrams_by_session(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral path mining: the most common 3-step event sequences
+    WITHIN a session (30-minute-gap sessionization, same rule as
+    ``sessionize_events_batch``) — trigrams never span a session boundary,
+    which is what separates this from a naive per-user lead() and is the
+    property the oracle pins. The product-analytics "top user journeys"
+    report.
+
+    Scale: sessionization + lead windows are all partitioned by user (and
+    session) — per-entity state; the final path count is a low-cardinality
+    aggregation (|event_types|^3 keys max)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 80)
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wseq).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(wseq))
+                >= 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    wsess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    withnext = sessions.select(
+        "event_type",
+        F.lead("event_type", 1).over(wsess).alias("e2"),
+        F.lead("event_type", 2).over(wsess).alias("e3"),
+    )
+    return (
+        withnext.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(15)
+    )
+
+
+@register(
+    "dow_seasonality_profile",
+    tags=("events", "analytics"),
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    dow AS (
+        SELECT d, c, dayofweek(d) AS dw FROM daily
+    ),
+    profile AS (
+        SELECT dw,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS total,
+               round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_events
+        FROM dow GROUP BY dw
+    ),
+    overall AS (
+        SELECT round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS grand_mean
+        FROM daily
+    )
+    SELECT CAST(p.dw AS BIGINT) AS day_of_week, p.n_days, p.total,
+           p.mean_events,
+           round(p.mean_events / o.grand_mean, 6) AS seasonal_index
+    FROM profile p CROSS JOIN overall o
+    ORDER BY day_of_week
+    """,
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: mean daily event volume per
+    weekday and its seasonal index (ratio to the grand daily mean) — the
+    first decomposition step of any traffic forecast. Integer sums
+    end-to-end (counts), divisions on identical operands; the grand mean
+    arrives by broadcast 1-row aggregate. DuckDB ``dayofweek`` (0=Sunday)
+    differs from Spark ``dayofweek`` (1=Sunday), reconciled by shifting
+    Spark's value down one. Bounded output (7 rows) from one daily
+    aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    dow = daily.select(
+        (F.dayofweek("d") - 1).alias("dw"), "c"
+    )
+    profile = dow.groupBy("dw").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+        F.round(F.sum("c").cast("double") / F.count("*"), 6).alias(
+            "mean_events"
+        ),
+    )
+    overall = daily.agg(
+        F.round(F.sum("c").cast("double") / F.count("*"), 6).alias(
+            "grand_mean"
+        )
+    )
+    return (
+        profile.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("dw").cast("long").alias("day_of_week"),
+            "n_days",
+            "total",
+            "mean_events",
+            F.round(F.col("mean_events") / F.col("grand_mean"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("day_of_week")
+    )
+
+
+@register(
+    "rfm_segmentation",
+    tags=("events", "analytics"),
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+    purch AS (
+        SELECT user_id,
+               CAST(datediff('day', max(ts), (SELECT ref_ts FROM ref))
+                    AS BIGINT) AS recency,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(round(sum(CAST(value AS DECIMAL(38, 6))) * 100, 0)
+                    AS BIGINT) AS monetary_cents
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY user_id
+    ),
+    metrics AS (
+        SELECT 'r' AS m, recency AS v FROM purch
+        UNION ALL SELECT 'f', frequency FROM purch
+        UNION ALL SELECT 'm', monetary_cents FROM purch
+    ),
+    hist AS (SELECT m, v, CAST(count(*) AS BIGINT) AS cnt
+             FROM metrics GROUP BY m, v),
+    cum AS (
+        SELECT m, v, cnt,
+               sum(cnt) OVER (PARTITION BY m ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+               sum(cnt) OVER (PARTITION BY m) AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT m,
+               min(CASE WHEN cum_cnt * 3 >= n THEN v END) AS t1,
+               min(CASE WHEN cum_cnt * 3 >= 2 * n THEN v END) AS t2
+        FROM cum GROUP BY m
+    ),
+    wide AS (
+        SELECT max(CASE WHEN m = 'r' THEN t1 END) AS r1,
+               max(CASE WHEN m = 'r' THEN t2 END) AS r2,
+               max(CASE WHEN m = 'f' THEN t1 END) AS f1,
+               max(CASE WHEN m = 'f' THEN t2 END) AS f2,
+               max(CASE WHEN m = 'm' THEN t1 END) AS m1,
+               max(CASE WHEN m = 'm' THEN t2 END) AS m2
+        FROM cuts
+    ),
+    bucketed AS (
+        SELECT p.user_id,
+               CASE WHEN p.recency <= w.r1 THEN 1
+                    WHEN p.recency <= w.r2 THEN 2 ELSE 3 END AS r_b,
+               CASE WHEN p.frequency <= w.f1 THEN 1
+                    WHEN p.frequency <= w.f2 THEN 2 ELSE 3 END AS f_b,
+               CASE WHEN p.monetary_cents <= w.m1 THEN 1
+                    WHEN p.monetary_cents <= w.m2 THEN 2 ELSE 3 END AS m_b,
+               p.monetary_cents
+        FROM purch p CROSS JOIN wide w
+    )
+    SELECT concat(CAST(r_b AS VARCHAR), '-', CAST(f_b AS VARCHAR), '-',
+                  CAST(m_b AS VARCHAR)) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+    FROM bucketed GROUP BY 1 ORDER BY segment
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per purchasing user, Recency (days since
+    last purchase vs corpus max ts), Frequency (purchase count), Monetary
+    (decimal-exact cent sum); each metric is cut into EXACT terciles via
+    the bounded-value-histogram percentile pattern (stacked long so one
+    histogram pass serves all three metrics), and users are bucketed into
+    the 27 possible r-f-m segments with counts and value totals — the
+    standard CRM segmentation, leakage-free and rerun-stable.
+
+    Scale: one purchase aggregation keyed on user; the tercile machinery
+    runs over metric HISTOGRAMS (distinct values, not users); cutoffs
+    (6 scalars) broadcast back. Bucket index 1 = lowest metric value, so
+    1-x-x recency is the MOST recent tier — interpretation, not math."""
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("ref_ts"))
+    purch = (
+        e.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")) * 100, 0)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff(F.col("ref_ts"), F.col("last_ts"))
+            .cast("long")
+            .alias("recency"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    metrics = (
+        purch.select(F.lit("r").alias("m"), F.col("recency").alias("v"))
+        .unionByName(
+            purch.select(F.lit("f").alias("m"), F.col("frequency").alias("v"))
+        )
+        .unionByName(
+            purch.select(
+                F.lit("m").alias("m"), F.col("monetary_cents").alias("v")
+            )
+        )
+    )
+    hist = metrics.groupBy("m", "v").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("m")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "m",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum_cnt"),
+        F.sum("cnt").over(Window.partitionBy("m")).alias("n"),
+    )
+    cuts = cum.groupBy("m").agg(
+        F.min(F.when(F.col("cum_cnt") * 3 >= F.col("n"), F.col("v"))).alias(
+            "t1"
+        ),
+        F.min(
+            F.when(F.col("cum_cnt") * 3 >= 2 * F.col("n"), F.col("v"))
+        ).alias("t2"),
+    )
+    wide = cuts.groupBy().agg(
+        F.max(F.when(F.col("m") == "r", F.col("t1"))).alias("r1"),
+        F.max(F.when(F.col("m") == "r", F.col("t2"))).alias("r2"),
+        F.max(F.when(F.col("m") == "f", F.col("t1"))).alias("f1"),
+        F.max(F.when(F.col("m") == "f", F.col("t2"))).alias("f2"),
+        F.max(F.when(F.col("m") == "m", F.col("t1"))).alias("m1"),
+        F.max(F.when(F.col("m") == "m", F.col("t2"))).alias("m2"),
+    )
+    tier = lambda v, t1, t2: (  # noqa: E731
+        F.when(F.col(v) <= F.col(t1), 1)
+        .when(F.col(v) <= F.col(t2), 2)
+        .otherwise(3)
+    )
+    bucketed = purch.crossJoin(F.broadcast(wide)).select(
+        "user_id",
+        "monetary_cents",
+        tier("recency", "r1", "r2").alias("r_b"),
+        tier("frequency", "f1", "f2").alias("f_b"),
+        tier("monetary_cents", "m1", "m2").alias("m_b"),
+    )
+    return (
+        bucketed.select(
+            F.concat_ws(
+                "-",
+                F.col("r_b").cast("string"),
+                F.col("f_b").cast("string"),
+                F.col("m_b").cast("string"),
+            ).alias("segment"),
+            "monetary_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("monetary_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "benford_first_digit",
+    tags=("tpch", "analytics"),
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT c.d AS first_digit, c.n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / c.d), 6) AS benford_freq,
+           round(CAST(c.n AS DOUBLE) / t.total
+                 - log10(1.0 + 1.0 / c.d), 6) AS deviation
+    FROM counts c CROSS JOIN tot t ORDER BY first_digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals: observed leading-
+    digit frequencies vs the log10(1 + 1/d) expectation — the classic
+    anomaly/fraud screen for financial magnitude columns. String-extracted
+    first digit (integer-exact), one bounded aggregation (9 rows), total
+    via broadcast 1-row crossJoin; the only float math is division and
+    log10 on identical operands."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            F.round(obs, 6).alias("observed_freq"),
+            F.round(ben, 6).alias("benford_freq"),
+            F.round(obs - ben, 6).alias("deviation"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@register(
+    "revenue_share_within_region",
+    tags=("tpch", "analytics"),
+    oracle=f"""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {oracle_dec_sum('o.o_totalprice')} AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+               AS share_in_region,
+           CAST(row_number() OVER (PARTITION BY region
+                ORDER BY revenue DESC, nation) AS BIGINT) AS rank_in_region
+    FROM rev ORDER BY region, rank_in_region
+    """,
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue plus
+    its in-region rank — the BI staple missing from the frame-aggregate
+    family (the share window has NO frame: it is the partition total).
+    Runs over the (region, nation) AGGREGATE (25 rows at any scale), so
+    the share window is trivially bounded; revenue sums are decimal-exact
+    before the one share division. Broadcast dimension joins throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(dec_sum("o_totalprice").alias("revenue"))
+    )
+    wshare = Window.partitionBy("region")
+    wrank = Window.partitionBy("region").orderBy(
+        F.col("revenue").desc(), F.col("nation")
+    )
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(wshare), 6
+        ).alias("share_in_region"),
+        F.row_number().over(wrank).cast("long").alias("rank_in_region"),
+    ).orderBy("region", "rank_in_region")
+
+
+@register(
+    "cumulative_unique_users",
+    tags=("events", "analytics"),
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT first_day, CAST(count(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY first_day
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY first_day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM per_day ORDER BY day
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user growth curve: the streaming-unfriendly
+    "distinct count to date" rewritten as first-seen-day attribution (one
+    groupBy(user) for first_day, one bounded daily aggregate, one running
+    sum over the CALENDAR) — the standard rewrite that turns an
+    O(days × users) repeated-distinct into two linear aggregations. The
+    running-sum window orders the per-day aggregate, bounded by the
+    calendar at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = firsts.groupBy("first_day").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    wrun = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(wrun).cast("long").alias("cumulative_users"),
+    ).orderBy("day")

@@ -925,3 +925,225 @@ def chi2_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), "tok")
         .limit(20)
     )
+
+
+@register(
+    "token_graph_triangles",
+    tags=("llm", "text", "graph"),
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 100
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.tb = e2.ta
+        JOIN edges e3 ON e3.ta = e1.ta AND e3.tb = e2.tb
+    ),
+    nodes AS (
+        SELECT count(DISTINCT t) AS n_nodes FROM (
+            SELECT ta AS t FROM edges UNION SELECT tb FROM edges
+        )
+    )
+    SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles
+    FROM nodes n CROSS JOIN tri t
+    """,
+)
+def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the token co-occurrence graph (edges = token
+    pairs sharing >= 100 documents, ordered ta < tb so each triangle is
+    counted once as (a<b<c)) — the canonical distributed-graph primitive
+    (clustering coefficient, community density) expressed as two
+    self-joins on the ordered edge list.
+
+    Scale: the classic trick applies — ordering each edge low<high means
+    the join fans out from each node's FORWARD adjacency only, the
+    standard mitigation for high-degree skew in triangle enumeration; the
+    doc-keyed co-occurrence join is the same inverted-index shape as the
+    PMI operator. Edge and triangle counts are integers — exact."""
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("tok").alias("ta"))
+    b = dt.select("doc_id", F.col("tok").alias("tb"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 100)
+        .select("ta", "tb")
+    )
+    e1 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("y"))
+    e2 = edges.select(F.col("ta").alias("y"), F.col("tb").alias("z"))
+    e3 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("ta").alias("t"))
+        .union(edges.select(F.col("tb").alias("t")))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def _pagerank_oracle(n_iters: int = 5) -> str:
+    """Unrolled-iteration DuckDB twin of ``pagerank_token_graph``: each
+    iteration's ranks are rounded to 9 decimals, which is what makes the
+    float recursion cross-engine exact (see the operator docstring)."""
+    prev = "pr0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+    pr{i} AS (
+        SELECT n.t,
+               round(0.15 / (SELECT CAST(count(*) AS DOUBLE) FROM nodes)
+                     + 0.85 * coalesce((
+                         SELECT sum(p.pr / d.deg)
+                         FROM edges2 e
+                         JOIN {prev} p ON p.t = e.src
+                         JOIN degs d ON d.t = e.src
+                         WHERE e.dst = n.t), 0.0), 9) AS pr
+        FROM nodes n
+    )""")
+        prev = f"pr{i}"
+    return f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 100
+    ),
+    edges2 AS (
+        SELECT ta AS src, tb AS dst FROM edges
+        UNION ALL SELECT tb, ta FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS t FROM edges2),
+    degs AS (SELECT src AS t, CAST(count(*) AS DOUBLE) AS deg
+             FROM edges2 GROUP BY src),
+    pr0 AS (
+        SELECT t, round(1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM nodes),
+                        9) AS pr
+        FROM nodes
+    ),{",".join(iters)}
+    SELECT t AS token, pr AS pagerank FROM {prev}
+    ORDER BY pagerank DESC, token LIMIT 15
+    """
+
+
+@register(
+    "pagerank_token_graph",
+    tags=("llm", "text", "graph"),
+    oracle=_pagerank_oracle(5),
+)
+def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power iterations, damping 0.85) over the undirected
+    token co-occurrence graph — the iterative-graph-algorithm tier,
+    DataFrame-native: each iteration is one join + one aggregation, the
+    loop unrolled in the driver as plan construction (NOT execution; the
+    whole 5-iteration lineage is one lazy DAG, and Spark executes it as a
+    single job).
+
+    Cross-engine float determinism for an ITERATIVE recursion: each
+    iteration's ranks are rounded to 9 decimals before feeding the next.
+    Within an iteration the contribution sum is a per-node sum of ~degree
+    doubles (fp error ~1e-15, far below the 5e-10 rounding quantum), so
+    both engines produce identical rounded ranks every iteration and the
+    error cannot compound. Scale: per-iteration cost is one shuffle keyed
+    on dst over the edge list — the standard Pregel-equivalent shape; the
+    rank state is one double per node."""
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("tok").alias("ta"))
+    b = dt.select("doc_id", F.col("tok").alias("tb"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 100)
+        .select("ta", "tb")
+    )
+    edges2 = edges.select(
+        F.col("ta").alias("src"), F.col("tb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
+    )
+    nodes = edges2.select(F.col("src").alias("t")).distinct()
+    degs = edges2.groupBy(F.col("src").alias("t")).agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
+    pr = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select("t", F.round(F.lit(1.0) / F.col("n"), 9).alias("pr"))
+    )
+    for _ in range(5):
+        contrib = (
+            edges2.join(
+                pr.withColumnRenamed("t", "src"), "src"
+            )
+            .join(degs.withColumnRenamed("t", "src"), "src")
+            .groupBy(F.col("dst").alias("t"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, "t", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "t",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce("inflow", F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select(F.col("t").alias("token"), F.col("pr").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "token")
+        .limit(15)
+    )
