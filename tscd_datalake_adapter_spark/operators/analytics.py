@@ -1229,3 +1229,309 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(wrun).cast("long").alias("cumulative_users"),
     ).orderBy("day")
+
+
+@register(
+    "market_basket_lift_topk",
+    tags=("tpch", "analytics"),
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+          FROM baskets),
+    freq AS (SELECT pkey, CAST(count(*) AS BIGINT) AS c
+             FROM baskets GROUP BY pkey),
+    pairs AS (
+        SELECT a.pkey AS part_a, b.pkey AS part_b,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.pkey < b.pkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.c_ab,
+           round(CAST(p.c_ab AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(p.c_ab AS DOUBLE) / fa.c, 6) AS confidence_a_to_b,
+           round((CAST(n.n_orders AS DOUBLE) * p.c_ab)
+                 / CAST(fa.c * fb.c AS DOUBLE), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON p.part_a = fa.pkey
+    JOIN freq fb ON p.part_b = fb.pkey
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def market_basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-ordered in >= 3
+    orders with support, confidence, and lift (the Apriori first rung) —
+    top-20 by lift. The basket self-join is keyed on order (pairs bounded
+    by per-order basket size squared, never catalog x catalog); part
+    frequencies join back at catalog cardinality; N arrives broadcast.
+    Integer products N·c_ab and c_a·c_b are exact longs, so the double
+    divisions see identical operands in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    n = baskets.agg(
+        F.countDistinct("okey").cast("long").alias("n_orders")
+    )
+    freq = baskets.groupBy("pkey").agg(F.count("*").cast("long").alias("c"))
+    a = baskets.select("okey", F.col("pkey").alias("part_a"))
+    b = baskets.select("okey", F.col("pkey").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    return (
+        pairs.join(
+            freq.select(F.col("pkey").alias("part_a"), F.col("c").alias("ca")),
+            "part_a",
+        )
+        .join(
+            freq.select(F.col("pkey").alias("part_b"), F.col("c").alias("cb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(F.col("c_ab").cast("double") / F.col("ca"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                (F.col("n_orders").cast("double") * F.col("c_ab"))
+                / (F.col("ca") * F.col("cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "interarrival_stats_by_type",
+    tags=("events", "analytics"),
+    oracle=f"""
+    WITH seq AS (
+        -- ts IS NOT NULL: Spark orders NULLS FIRST, DuckDB NULLS LAST, so
+        -- a NULL timestamp would pair different neighbors per engine.
+        -- floor(epoch) per endpoint = Spark's whole-second unix_timestamp
+        -- (epoch() is fractional in DuckDB; flooring the DIFFERENCE would
+        -- round differently).
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY event_type
+                         ORDER BY ts, event_id) AS prev_sec
+        FROM events WHERE ts IS NOT NULL
+    ),
+    gaps AS (
+        SELECT event_type, sec - prev_sec AS gap_s
+        FROM seq WHERE prev_sec IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_gap_s,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps GROUP BY event_type ORDER BY event_type
+    """,
+)
+def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time statistics per event type (the arrival-process
+    profile capacity planning starts from): per-type lag over the ordered
+    stream, whole-second gaps, integer-sum-derived mean. The lag window is
+    partitioned by event type; gap sums are exact integers so the one mean
+    division is identical cross-engine."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (
+                F.unix_timestamp("ts")
+                - F.lag(F.unix_timestamp("ts")).over(w)
+            ).alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(
+                F.sum("gap_s").cast("double") / F.count("*"), 6
+            ).alias("mean_gap_s"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "abc_pareto_parts",
+    tags=("tpch", "analytics"),
+    oracle=f"""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               {oracle_dec_sum('l_extendedprice * (1 - l_discount)')}
+                   AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    top AS (
+        SELECT l_partkey, round(revenue, 2) AS revenue
+        FROM part_rev ORDER BY revenue DESC, l_partkey LIMIT 200
+    ),
+    cum AS (
+        SELECT l_partkey, revenue,
+               sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               sum(revenue) OVER () AS total
+        FROM top
+    )
+    SELECT l_partkey, revenue,
+           round(cum_rev / total, 6) AS cum_share,
+           CASE WHEN cum_rev / total <= 0.5 THEN 'A'
+                WHEN cum_rev / total <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum ORDER BY revenue DESC, l_partkey
+    """,
+)
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of the top-200 revenue parts: rank by
+    decimal-exact revenue, classify by cumulative share (A: first 50%,
+    B: to 80%, C: rest) — the inventory-prioritization classic. The
+    cumulative window runs over the TakeOrdered top-200 ONLY (bounded by
+    construction; a global cumulative share over every part would be the
+    single-partition trap — the production form for full-catalog ABC is
+    the bounded-value-histogram percentile pattern used elsewhere here).
+    Revenue rounded to cents BEFORE the cumulative sum so the running
+    totals add identical operands in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_rev = li.groupBy("l_partkey").agg(
+        F.round(dec_sum(rev), 2).alias("revenue")
+    )
+    top = part_rev.orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    ).limit(200)
+    wcum = Window.orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    share = F.col("cum_rev") / F.col("total")
+    return (
+        top.select(
+            "l_partkey",
+            "revenue",
+            F.sum("revenue").over(wcum).alias("cum_rev"),
+            F.sum("revenue").over(wall).alias("total"),
+        )
+        .select(
+            "l_partkey",
+            "revenue",
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.5, "A")
+            .when(share <= 0.8, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_partkey")
+    )
+
+
+@register(
+    "weekday_hour_heatmap",
+    tags=("events", "analytics"),
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS day_of_week,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY day_of_week, hour_of_day
+    """,
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (events and distinct users per
+    cell) — the operational-dashboard staple; bounded 7x24 output from one
+    aggregation. Spark's dayofweek is 1=Sunday, DuckDB's 0=Sunday;
+    reconciled by shifting Spark down one."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("day_of_week"),
+            F.hour("ts").cast("long").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("day_of_week", "hour_of_day")
+    )
+
+
+@register(
+    "dq_profile_all_tables",
+    tags=("analytics", "dq"),
+    oracle="""
+    SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct_keys,
+           CAST(count(*) - count(c_name) AS BIGINT) AS n_null_attr
+    FROM customer
+    UNION ALL
+    SELECT 'documents', count(*), count(DISTINCT doc_id),
+           count(*) - count(text) FROM documents
+    UNION ALL
+    SELECT 'events', count(*), count(DISTINCT event_id),
+           count(*) - count(value) FROM events
+    UNION ALL
+    SELECT 'lineitem', count(*),
+           count(DISTINCT l_orderkey * 10 + l_linenumber),
+           count(*) - count(l_shipdate) FROM lineitem
+    UNION ALL
+    SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+           count(*) - count(o_orderdate) FROM orders
+    ORDER BY tbl
+    """,
+)
+def dq_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality profile: row count, distinct key count,
+    and null count of one representative attribute for the five largest
+    fixture tables, unioned into one report — the warehouse-wide freshness
+    dashboard every nightly pipeline publishes. One aggregation per table
+    (each its own map-side pass), a 5-row union; lineitem's composite key
+    is checked as orderkey·10 + linenumber (linenumber < 10 in TPC-H)."""
+    def prof(name: str, key, attr) -> DataFrame:
+        t = load_table(spark, sf_dir, name)
+        return t.agg(
+            F.lit(name).alias("tbl"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(key).cast("long").alias("n_distinct_keys"),
+            (F.count("*") - F.count(attr)).cast("long").alias("n_null_attr"),
+        )
+
+    out = (
+        prof("customer", F.col("c_custkey"), "c_name")
+        .unionByName(prof("documents", F.col("doc_id"), "text"))
+        .unionByName(prof("events", F.col("event_id"), "value"))
+        .unionByName(
+            prof(
+                "lineitem",
+                F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+                "l_shipdate",
+            )
+        )
+        .unionByName(prof("orders", F.col("o_orderkey"), "o_orderdate"))
+    )
+    return out.orderBy("tbl")
