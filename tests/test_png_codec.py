@@ -63,6 +63,26 @@ def test_rejects_malformed():
         png_decode(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         png_parse_chunks(good[:20])
+    # truncation INSIDE a struct field (CRC cut short) must surface as
+    # ValueError too — struct.error is not a ValueError subclass and would
+    # escape the decode pipelines' drop-row handling
+    with pytest.raises(ValueError):
+        png_parse_chunks(good[:-2])
+    # corrupt DEFLATE stream -> ValueError (zlib.error wrapped)
+    idat_body = bytearray(good)
+    idat_body[idat_pos + 10] ^= 0xFF
+    import zlib as _zlib
+
+    fixed_crc = bytearray(idat_body)
+    # recompute the IDAT CRC so corruption reaches the inflate stage
+    length = int.from_bytes(good[idat_pos - 4 : idat_pos], "big")
+    data = bytes(idat_body[idat_pos + 4 : idat_pos + 4 + length])
+    crc = _zlib.crc32(b"IDAT" + data) & 0xFFFFFFFF
+    fixed_crc[idat_pos + 4 + length : idat_pos + 8 + length] = crc.to_bytes(
+        4, "big"
+    )
+    with pytest.raises(ValueError):
+        png_decode(bytes(fixed_crc))
     # 16-bit depth is out of scope and must be refused, not mis-decoded
     ihdr = struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0)
     deep = (

@@ -68,13 +68,18 @@ def test_no_oracle_rows_retire_queries():
 
 
 def test_real_no_oracle_rows_are_retired():
-    """The 5 oracle-less queries recorded in CORRECTNESS_r03.json must be
+    """All 5 oracle-less queries recorded in CORRECTNESS_r03.json must be
     in the recorded set (and hence sort to the final tier), not recycled
-    into the front window."""
+    into the front window. ann_lsh_topk gained an oracle in round 4 — its
+    historical rows-only record still appears here (correct: the driver
+    DID run it), but rotation tiering for oracle-backed names keys on
+    VERIFIED, not on this set, so it re-enters the window as tier 0 until
+    it earns a hash-green row."""
     recorded = _recorded_without_error()
     for name in (
         "lm_perplexity_filter_scaled",
         "ann_ivf_topk",
+        "ann_lsh_topk",
         "approx_count_distinct_custkeys",
         "approx_percentiles_by_status",
     ):

@@ -754,9 +754,13 @@ def longest_purchase_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE user_id < 80
     ),
     marked AS (
+        -- epoch_us: microsecond-exact boundary (fractional epoch() vs a
+        -- whole-second diff would place near-boundary gaps in different
+        -- sessions per engine; same convention as sessionize_events_batch)
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN prev_ts IS NULL
-                         OR epoch(ts) - epoch(prev_ts) >= 1800
+                         OR epoch_us(ts) - epoch_us(prev_ts)
+                            >= 1800 * 1000000
                     THEN 1 ELSE 0 END AS new_session
         FROM seq
     ),
@@ -804,9 +808,9 @@ def top_event_trigrams_by_session(
         F.when(
             F.lag("ts").over(wseq).isNull()
             | (
-                F.unix_timestamp("ts")
-                - F.unix_timestamp(F.lag("ts").over(wseq))
-                >= 1800
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(wseq))
+                >= 1800 * 1_000_000
             ),
             1,
         )
@@ -1135,19 +1139,24 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_share_within_region",
     tags=("tpch", "analytics"),
-    oracle=f"""
+    oracle="""
     WITH rev AS (
+        -- revenue stays DECIMAL through the partition-total window sum: a
+        -- double window sum's accumulation order differs per engine and
+        -- an ulp at a round(...,6) boundary would flip the hash.
         SELECT r.r_name AS region, n.n_name AS nation,
-               {oracle_dec_sum('o.o_totalprice')} AS revenue
+               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS revenue
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2
     )
-    SELECT region, nation, round(revenue, 2) AS revenue,
-           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
-               AS share_in_region,
+    SELECT region, nation,
+           round(CAST(revenue AS DOUBLE), 2) AS revenue,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(sum(revenue) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS share_in_region,
            CAST(row_number() OVER (PARTITION BY region
                 ORDER BY revenue DESC, nation) AS BIGINT) AS rank_in_region
     FROM rev ORDER BY region, rank_in_region
@@ -1171,7 +1180,13 @@ def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("r_name").alias("region"), F.col("n_name").alias("nation")
         )
-        .agg(dec_sum("o_totalprice").alias("revenue"))
+        # decimal sum stays DECIMAL through the share window below — a
+        # double window sum would be an order-dependent float fold
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "revenue"
+            )
+        )
     )
     wshare = Window.partitionBy("region")
     wrank = Window.partitionBy("region").orderBy(
@@ -1180,9 +1195,11 @@ def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.select(
         "region",
         "nation",
-        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
         F.round(
-            F.col("revenue") / F.sum("revenue").over(wshare), 6
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(wshare).cast("double"),
+            6,
         ).alias("share_in_region"),
         F.row_number().over(wrank).cast("long").alias("rank_in_region"),
     ).orderBy("region", "rank_in_region")
@@ -1389,8 +1406,14 @@ def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS revenue
         FROM lineitem GROUP BY l_partkey
     ),
+    -- cents-rounded through an (engine-identical) double, then pinned to
+    -- DECIMAL(20,2) so the cumulative/total window sums below are EXACT
+    -- integer-cent arithmetic — a double window sum's accumulation order
+    -- differs per engine and could flip a share at a rounding or A/B/C
+    -- class boundary.
     top AS (
-        SELECT l_partkey, round(revenue, 2) AS revenue
+        SELECT l_partkey,
+               CAST(round(revenue, 2) AS DECIMAL(20,2)) AS revenue
         FROM part_rev ORDER BY revenue DESC, l_partkey LIMIT 200
     ),
     cum AS (
@@ -1400,10 +1423,13 @@ def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(revenue) OVER () AS total
         FROM top
     )
-    SELECT l_partkey, revenue,
-           round(cum_rev / total, 6) AS cum_share,
-           CASE WHEN cum_rev / total <= 0.5 THEN 'A'
-                WHEN cum_rev / total <= 0.8 THEN 'B'
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS cum_share,
+           CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) <= 0.5
+                     THEN 'A'
+                WHEN CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                     THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM cum ORDER BY revenue DESC, l_partkey
     """,
@@ -1420,8 +1446,11 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals add identical operands in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # cents-rounded through an (engine-identical) double, then pinned to
+    # decimal(20,2) so the window sums below are exact cent arithmetic —
+    # never an order-dependent double fold (see oracle comment).
     part_rev = li.groupBy("l_partkey").agg(
-        F.round(dec_sum(rev), 2).alias("revenue")
+        F.round(dec_sum(rev), 2).cast("decimal(20,2)").alias("revenue")
     )
     top = part_rev.orderBy(
         F.col("revenue").desc(), F.col("l_partkey")
@@ -1430,7 +1459,7 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").desc(), F.col("l_partkey")
     ).rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
-    share = F.col("cum_rev") / F.col("total")
+    share = F.col("cum_rev").cast("double") / F.col("total").cast("double")
     return (
         top.select(
             "l_partkey",
@@ -1440,7 +1469,7 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_partkey",
-            "revenue",
+            F.col("revenue").cast("double").alias("revenue"),
             F.round(share, 6).alias("cum_share"),
             F.when(share <= 0.5, "A")
             .when(share <= 0.8, "B")

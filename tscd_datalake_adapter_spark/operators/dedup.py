@@ -87,6 +87,94 @@ def exact_jaccard_pairs(
     )
 
 
+MINHASH_N_HASHES = 64
+MINHASH_ROWS_PER_BAND = 4
+
+
+def minhash_bands(
+    spark: SparkSession, tokens: DataFrame, mh: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, band, sig): 64 h60-permutation minhashes per doc, folded
+    into 16 bands of 4 rows, each band's signature an md5 over the
+    seed-ordered minhash values. The single definition shared by
+    ``minhash_lsh_near_dup``, ``dedup_eval_pr``, and
+    ``minhash_jaccard_estimate_error`` — parameters or hash changes happen
+    here once or the operators would silently diverge. Pass an existing
+    ``minhash_signatures`` frame to share its lineage."""
+    if mh is None:
+        mh = minhash_signatures(spark, tokens)
+    return (
+        mh.withColumn(
+            "band", (F.col("seed") / MINHASH_ROWS_PER_BAND).cast("long")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s.getField("mh").cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_signatures(spark: SparkSession, tokens: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh): the raw 64-permutation minhash signatures."""
+    seeds = spark.range(MINHASH_N_HASHES).select(F.col("id").alias("seed"))
+    return (
+        tokens.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(h60(F.concat_ws(":", "tok", "seed"))).alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any (band, sig) bucket."""
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_oracle_ctes(doc_filter: str) -> str:
+    """The DuckDB twin of the tok→mh→bands→cand chain, as CTE text shared
+    by the three MinHash oracles (same single-definition rationale as
+    :func:`minhash_bands`). ``doc_filter`` is the documents WHERE clause."""
+    return f"""tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents WHERE {doc_filter}
+    ),
+    seeds AS (SELECT unnest(range(0, {MINHASH_N_HASHES})) AS seed),
+    mh AS (
+        SELECT doc_id, seed,
+               min({oracle_h60("tok || ':' || seed")}) AS mh
+        FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // {MINHASH_ROWS_PER_BAND}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    )"""
+
+
 def prefix_index_tokens(tokens: DataFrame, tau: float) -> DataFrame:
     """Per-doc prefix-filtered join tokens for threshold-τ Jaccard.
 
@@ -256,26 +344,7 @@ def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_near_dup",
     tags=("llm", "dedup"),
     oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        FROM documents WHERE doc_id < 200
-    ),
-    seeds AS (SELECT unnest(range(0, 64)) AS seed),
-    mh AS (
-        SELECT doc_id, seed,
-               min({oracle_h60("tok || ':' || seed")}) AS mh
-        FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
-    ),
-    bands AS (
-        SELECT doc_id, seed // 4 AS band,
-               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
-        FROM mh GROUP BY doc_id, seed // 4
-    ),
-    cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-    ),
+    WITH {minhash_oracle_ctes("doc_id < 200")},
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -313,44 +382,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     tokens = distinct_tokens(docs)
 
-    n_hashes, rows_per_band = 64, 4
-    seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
-    # minhash_{seed}(doc) = min over tokens of h60(tok ':' seed)
-    mh = (
-        tokens.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(h60(F.concat_ws(":", "tok", "seed"))).alias("mh"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "mh"))
-                        ),
-                        lambda s: s.getField("mh").cast("string"),
-                    ),
-                )
-            ).alias("sig")
-        )
-    )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(minhash_bands(spark, tokens))
     exact = exact_jaccard_pairs(tokens).select(
         "doc_a", "doc_b", "jaccard"
     )
@@ -993,26 +1025,7 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_eval_pr",
     tags=("llm", "dedup"),
     oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        FROM documents WHERE doc_id < 150
-    ),
-    seeds AS (SELECT unnest(range(0, 64)) AS seed),
-    mh AS (
-        SELECT doc_id, seed,
-               min({oracle_h60("tok || ':' || seed")}) AS mh
-        FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
-    ),
-    bands AS (
-        SELECT doc_id, seed // 4 AS band,
-               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
-        FROM mh GROUP BY doc_id, seed // 4
-    ),
-    cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-    ),
+    WITH {minhash_oracle_ctes("doc_id < 150")},
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1064,41 +1077,8 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
     tokens = distinct_tokens(docs)
 
-    n_hashes, rows_per_band = 64, 4
-    seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
-    mh = (
-        tokens.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(h60(F.concat_ws(":", "tok", "seed"))).alias("mh"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s.getField("mh").cast("string"),
-                    ),
-                )
-            ).alias("sig")
-        )
-    )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    mh = minhash_signatures(spark, tokens)
+    cand = lsh_candidate_pairs(minhash_bands(spark, tokens, mh=mh))
     truth = (
         exact_jaccard_pairs(tokens)
         .where(F.col("jaccard") >= 0.5)
@@ -1135,26 +1115,7 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_jaccard_estimate_error",
     tags=("llm", "dedup", "sketch"),
     oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        FROM documents WHERE doc_id < 150
-    ),
-    seeds AS (SELECT unnest(range(0, 64)) AS seed),
-    mh AS (
-        SELECT doc_id, seed,
-               min({oracle_h60("tok || ':' || seed")}) AS mh
-        FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
-    ),
-    bands AS (
-        SELECT doc_id, seed // 4 AS band,
-               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
-        FROM mh GROUP BY doc_id, seed // 4
-    ),
-    cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-    ),
+    WITH {minhash_oracle_ctes("doc_id < 150")},
     est AS (
         SELECT c.doc_a, c.doc_b,
                sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 64.0 AS est_j
@@ -1202,41 +1163,8 @@ def minhash_jaccard_estimate_error(
     joins 64-row signatures per candidate — bounded per pair."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
     tokens = distinct_tokens(docs)
-    n_hashes, rows_per_band = 64, 4
-    seeds = spark.range(n_hashes).select(F.col("id").alias("seed"))
-    mh = (
-        tokens.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(h60(F.concat_ws(":", "tok", "seed"))).alias("mh"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s.getField("mh").cast("string"),
-                    ),
-                )
-            ).alias("sig")
-        )
-    )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    mh = minhash_signatures(spark, tokens)
+    cand = lsh_candidate_pairs(minhash_bands(spark, tokens, mh=mh))
     ma = mh.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a")
     )

@@ -116,20 +116,24 @@ def _wav_payload(doc_id: int) -> bytes:
 
 def _parse_wav(payload: bytes) -> dict:
     """REAL RIFF/WAVE parse: chunk walk to fmt + data, 8-bit PCM samples as
-    the intensity stream. Raises on malformed/unsupported payloads like any
-    decoder."""
+    the intensity stream. Raises ``ValueError`` on malformed/unsupported
+    payloads like any decoder (struct truncation included — ``struct.error``
+    is not a ValueError and would escape the drop-row handlers)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
-        tag = payload[pos : pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + size]
-        if tag == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif tag == b"data":
-            data = body
-        pos += 8 + size + (size & 1)
+    try:
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+    except struct.error as e:
+        raise ValueError(f"malformed WAV chunk: {e}") from e
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, ch, sr, _rate, _align, bits = fmt

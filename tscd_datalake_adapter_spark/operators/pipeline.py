@@ -993,8 +993,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang,
                row_number() OVER (PARTITION BY sha256(coalesce(text, ''))
                                   ORDER BY doc_id) AS dup_rn,
-               len(list_filter(string_split(text, ' '), x -> x != ''))
-                   AS n_tokens
+               -- coalesce: a NULL text must count 0 tokens in BOTH engines
+               -- (len(NULL) is NULL in DuckDB while Spark's size() yields
+               -- -1; either way the CASE below would diverge), keeping the
+               -- NULL/empty equivalence class the dedup window already uses
+               len(list_filter(string_split(coalesce(text, ''), ' '),
+                               x -> x != '')) AS n_tokens
         FROM corpus
     ),
     tagged AS (
@@ -1039,9 +1043,11 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = corpus.select(
         "lang",
         F.row_number().over(w).alias("dup_rn"),
-        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
-            "n_tokens"
-        ),
+        # coalesce: size() on a NULL array returns -1 (would bucket NULL
+        # text as too_short while the oracle's NULL falls through to kept)
+        F.size(
+            F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
+        ).alias("n_tokens"),
     )
     stage = (
         F.when(

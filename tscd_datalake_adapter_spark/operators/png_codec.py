@@ -113,41 +113,55 @@ def _filter_line(
 
 def png_parse_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
     """Split a PNG byte stream into (tag, data) chunks, verifying the
-    signature and each chunk's CRC-32."""
+    signature and each chunk's CRC-32.
+
+    ERROR CONTRACT: every malformed-input failure raises ``ValueError`` —
+    including truncation inside a struct field, which would otherwise
+    surface as ``struct.error`` (NOT a ValueError subclass) and escape the
+    decode pipelines' drop-row handling, failing a whole Spark task on one
+    bad blob."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     chunks = []
     pos = 8
-    while pos < len(payload):
-        if pos + 8 > len(payload):
-            raise ValueError("truncated chunk header")
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
-            raise ValueError("truncated chunk data")
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + length : pos + 12 + length]
-        )
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        chunks.append((tag, data))
-        pos += 12 + length
-        if tag == b"IEND":
-            break
+    try:
+        while pos < len(payload):
+            if pos + 8 > len(payload):
+                raise ValueError("truncated chunk header")
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) != length:
+                raise ValueError("truncated chunk data")
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {tag!r} chunk")
+            chunks.append((tag, data))
+            pos += 12 + length
+            if tag == b"IEND":
+                break
+    except struct.error as e:  # truncated length/CRC field
+        raise ValueError(f"truncated chunk structure: {e}") from e
     return chunks
 
 
 def png_decode(payload: bytes) -> np.ndarray:
     """Decode a PNG to an 8-bit numpy array: (h, w) for greyscale, else
-    (h, w, channels). Full unfilter support (types 0-4)."""
+    (h, w, channels). Full unfilter support (types 0-4). Malformed input
+    always raises ``ValueError`` (see ``png_parse_chunks``); corrupt
+    DEFLATE streams are wrapped likewise."""
     chunks = png_parse_chunks(payload)
     tags = [t for t, _ in chunks]
     if not tags or tags[0] != b"IHDR":
         raise ValueError("missing IHDR")
-    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", chunks[0][1]
-    )
+    try:
+        w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", chunks[0][1]
+        )
+    except struct.error as e:
+        raise ValueError(f"malformed IHDR: {e}") from e
     if depth != 8:
         raise ValueError(f"unsupported bit depth {depth}")
     if color_type not in _CHANNELS:
@@ -155,7 +169,10 @@ def png_decode(payload: bytes) -> np.ndarray:
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported compression/filter/interlace method")
     bpp = _CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(d for t, d in chunks if t == b"IDAT"))
+    try:
+        raw = zlib.decompress(b"".join(d for t, d in chunks if t == b"IDAT"))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(

@@ -237,7 +237,10 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = units.select(
         "unit",
         (h % _HLL_M).alias("bucket"),
-        F.floor(h / _HLL_M).cast("long").alias("v"),
+        # shiftright = exact integer h // 2^p. floor(h / 256.0) would go
+        # through DOUBLE division and mis-floor for h > 2^53 (~17% of
+        # 60-bit hashes), silently diverging from DuckDB's integer `//`.
+        F.shiftright(h, _HLL_P).cast("long").alias("v"),
     )
     # conv(v, 10, 2) has no leading zeros, exactly like DuckDB's bin(v)
     rho = F.when(F.col("v") == 0, F.lit(53)).otherwise(
