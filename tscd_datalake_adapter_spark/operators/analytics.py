@@ -158,12 +158,16 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = vals[0]
         for x in vals[1:]:
             s = s * 0.75 + x * 0.25
+        # Emit UNROUNDED doubles: Python round() is half-to-even while
+        # DuckDB round() is half-away-from-zero — a dyadic value landing
+        # exactly on a 6-decimal half would diverge. F.round below is
+        # HALF_UP, matching DuckDB for these values.
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_events": [len(vals)],
-                "ewma": [round(s, 6)],
-                "last_value": [round(vals[-1], 6)],
+                "ewma": [s],
+                "last_value": [vals[-1]],
             }
         )
 
@@ -172,6 +176,12 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             fold,
             "user_id long, n_events long, ewma double, last_value double",
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round("ewma", 6).alias("ewma"),
+            F.round("last_value", 6).alias("last_value"),
         )
         .orderBy("user_id")
     )
@@ -301,12 +311,16 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+    # Empty pivot cells: Spark yields NULL for count over a missing
+    # (returnflag, linestatus) combination while the oracle's
+    # count(CASE ...) yields 0 — coalesce the counts (revenue sums are
+    # NULL-on-empty in both engines and stay as-is).
     return wide.select(
         "l_returnflag",
         F.col("F_rev").alias("rev_f"),
         F.col("O_rev").alias("rev_o"),
-        F.col("F_n").alias("n_f"),
-        F.col("O_n").alias("n_o"),
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_o"),
     ).orderBy("l_returnflag")
 
 

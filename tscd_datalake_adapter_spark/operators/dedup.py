@@ -154,7 +154,9 @@ def minhash_oracle_ctes(doc_filter: str) -> str:
     by the three MinHash oracles (same single-definition rationale as
     :func:`minhash_bands`). ``doc_filter`` is the documents WHERE clause."""
     return f"""tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id,
+               unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                  x -> x != '')) AS tok
         FROM documents WHERE {doc_filter}
     ),
     seeds AS (SELECT unnest(range(0, {MINHASH_N_HASHES})) AS seed),
@@ -255,6 +257,74 @@ def jaccard_pairs_prefix_filtered(tokens: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def containment_pairs_prefix_filtered(
+    tokens: DataFrame, tau: float
+) -> DataFrame:
+    """Exact threshold-τ containment pairs (|A∩B| / |A| ≥ τ) with LOSSLESS
+    prefix-filtered candidate generation — the hot-token guard in code.
+
+    Containment admits the prefix filter on the CONTAINED side: overlap
+    ≥ ⌈τ·|A|⌉ forces B to share at least one of A's first
+    |A| − ⌈τ·|A|⌉ + 1 tokens in the global rarest-first (df-ascending)
+    order — if B missed all of them, the overlap would be at most
+    ⌈τ·|A|⌉ − 1 < τ·|A|. So only A's prefix tokens become probe keys.
+    The index side is then semi-join-pruned to tokens occurring in at
+    least one probe prefix (a token outside every prefix can never match
+    a probe key, so the prune is lossless too). A corpus-wide stop word
+    has maximal df, sorts last in every doc's prefix order, and is
+    therefore excluded from both the probes and the pruned index —
+    candidate generation never fans out on it, closing the quadratic
+    hot-token path the plain tokens⋈tokens join had. The verify stage
+    computes the exact intersection on candidates only, via bounded
+    per-doc sorted token arrays.
+
+    Returns ORDERED pairs: (doc_a, doc_b, inter, n_a, containment) with
+    containment = |A∩B| / |A| ≥ τ and doc_a ≠ doc_b — identical to the
+    all-pairs formulation filtered at τ.
+    """
+    probe = prefix_index_tokens(tokens, tau)
+    index = tokens.join(probe.select("tok").distinct(), "tok", "semi")
+    cand = (
+        probe.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toksets = tokens.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("toks")
+    )
+    return (
+        cand.join(
+            toksets.withColumnRenamed("toks", "toks_a"),
+            cand.doc_a == toksets.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            toksets.withColumnRenamed("toks", "toks_b").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .drop("doc_id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+        )
+        .withColumn("n_a", F.size("toks_a").cast("long"))
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.col("n_a").cast("double"),
+        )
+        .where(F.col("containment") >= tau)
+        .select("doc_a", "doc_b", "inter", "n_a", "containment")
+    )
+
+
 @register(
     "dedup_exact",
     headline=True,
@@ -304,7 +374,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
     oracle="""
     WITH tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id,
+               unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                  x -> x != '')) AS tok
         FROM documents WHERE doc_id < 200
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -470,7 +542,9 @@ def simhash_of(docs: DataFrame) -> DataFrame:
     tags=("llm", "dedup"),
     oracle="""
     WITH RECURSIVE tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id,
+               unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                  x -> x != '')) AS tok
         FROM documents WHERE doc_id < 200
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -581,7 +655,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
     oracle="""
     WITH RECURSIVE tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id,
+               unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                  x -> x != '')) AS tok
         FROM documents WHERE doc_id < 200
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -889,7 +965,9 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
     oracle="""
     WITH tok AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id,
+               unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                  x -> x != '')) AS tok
         FROM documents WHERE doc_id < 200
     ),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok
@@ -916,40 +994,25 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     union. Broder's containment measure, the standard complement to
     resemblance in near-dup pipelines.
 
-    Scale shape: the same inverted-index equi-join as the Jaccard family
-    (token → candidate pairs → per-pair intersection counts), one join +
-    two aggregations, all keyed on token/doc — no all-pairs path. Note
-    containment does NOT admit Jaccard's prefix filter (the threshold
-    bounds |A∩B|/|A| only, so B's common tokens can't be dropped); at
-    production scale the hot-token guard is a df-cap on join tokens,
-    documented rather than silently applied here to keep the oracle
-    exact."""
+    Scale shape (the hot-token guard is CODE, not prose, as of round 5):
+    candidate generation is :func:`containment_pairs_prefix_filtered` —
+    the prefix filter applied to the CONTAINED side (provably lossless
+    for containment, see that helper's docstring) plus a lossless
+    semi-join prune of the inverted index to prefix tokens. A Zipfian
+    stop word never becomes a join key, so candidates stay bounded;
+    exact intersections are computed on candidates only. The oracle
+    stays the straightforward all-pairs formulation — identical output
+    because the filter is lossless at the threshold."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     tokens = distinct_tokens(docs)
-    sizes = tokens.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    a = tokens.alias("a")
-    b = tokens.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
-    # Threshold on the RAW ratio, round only for output — same convention
-    # as the jaccard family; thresholding the rounded value would keep
-    # pairs in [0.7999995, 0.8) that the oracle (raw-ratio filter) drops.
-    raw = F.col("inter").cast("double") / F.col("n_a")
+    # Threshold on the RAW ratio (inside the helper), round only for
+    # output — same convention as the jaccard family; thresholding the
+    # rounded value would keep pairs in [0.7999995, 0.8) that the oracle
+    # (raw-ratio filter) drops.
     return (
-        inter.join(sizes.withColumnRenamed("n", "n_a"), inter.doc_a == sizes.doc_id)
-        .drop("doc_id")
-        .where(raw >= 0.8)
+        containment_pairs_prefix_filtered(tokens, 0.8)
         .select(
-            "doc_a", "doc_b", F.round(raw, 6).alias("containment")
+            "doc_a", "doc_b", F.round("containment", 6).alias("containment")
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -980,13 +1043,18 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein distance 12, over a bounded slice (doc_id < 80).
 
     Both engines implement unit-cost Levenshtein identically, so the
-    distances are integer-exact. The join carries the LOSSLESS length-band
-    prune |len(a) − len(b)| <= d (edit distance is at least the length
-    difference) — at fixture scale it rides the pair join; at 100 TB the
-    same bound becomes the blocking key (band by length bucket, join only
-    adjacent buckets) so candidate generation never goes all-pairs, the
-    exact pattern used by ``jaccard_near_dup``'s prefix filter. Quadratic
-    verify cost is capped by the 24-char key length."""
+    distances are integer-exact. Candidate generation is LENGTH-BUCKET
+    BLOCKING (in code as of round 5): edit distance is at least the
+    length difference, so |len(a) − len(b)| ≤ d is a lossless prune, and
+    bucketing by ``klen DIV d`` turns it into an EQUI-join — side A
+    probes buckets {b−1, b, b+1} (for lb ∈ [la−d, la+d], floor(lb/d) is
+    within ±1 of floor(la/d)), side B keys on its own bucket. Spark plans
+    a hash/sort-merge join on the bucket key instead of a nested-loop
+    all-pairs join; each qualifying pair matches exactly once because
+    B's bucket is unique and A's three probe values are distinct. The
+    residual |la−lb| ≤ d band filter rides the join; quadratic verify
+    cost is capped by the 24-char key length."""
+    dist_cap = 12
     docs = _docs(spark, sf_dir).where(
         (F.col("doc_id") < 80) & F.col("text").isNotNull()
     )
@@ -995,20 +1063,24 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 24).alias("k"),
         F.length(F.substring("text", 1, 24)).alias("klen"),
     )
+    bucket = F.floor(F.col("klen") / dist_cap)
     a = d.select(
         F.col("doc_id").alias("doc_a"),
         F.col("k").alias("ka"),
         F.col("klen").alias("la"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         F.col("k").alias("kb"),
         F.col("klen").alias("lb"),
+        bucket.alias("bucket"),
     )
-    pairs = a.join(
-        b,
+    pairs = a.join(b, "bucket").where(
         (F.col("doc_a") < F.col("doc_b"))
-        & (F.abs(F.col("la") - F.col("lb")) <= 12),
+        & (F.abs(F.col("la") - F.col("lb")) <= dist_cap)
     )
     return (
         pairs.select(
@@ -1016,7 +1088,7 @@ def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.levenshtein("ka", "kb").cast("long").alias("dist"),
         )
-        .where(F.col("dist") <= 12)
+        .where(F.col("dist") <= dist_cap)
         .orderBy("doc_a", "doc_b")
     )
 

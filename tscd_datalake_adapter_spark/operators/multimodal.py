@@ -618,7 +618,10 @@ def resize_media(media_df: DataFrame) -> DataFrame:
                     if arr.ndim == 3:  # collapse color to first channel
                         arr = arr[:, :, 0]
                     h, w = arr.shape
-                    out_h = (h * _RESIZE_TARGET) // w
+                    # Clamp: a very wide image (w > target*h) would floor
+                    # to out_h == 0 and the thumbnail read would IndexError
+                    # inside the task; 1-row output keeps the row instead.
+                    out_h = max(1, (h * _RESIZE_TARGET) // w)
                     resized = nearest_resize(arr, _RESIZE_TARGET, out_h)
                     weights = np.arange(
                         1, resized.size + 1, dtype=np.int64

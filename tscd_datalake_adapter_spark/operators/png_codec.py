@@ -224,5 +224,10 @@ def png_header(payload: bytes) -> tuple[int, int, int]:
     no inflate. The manifest-scan tier; mirrors what the JVM-expression
     ``png_header_parse`` operator does in whole-stage codegen."""
     chunks = png_parse_chunks(payload[: 8 + 12 + 13])  # signature + IHDR
+    # Module contract: every malformed input raises ValueError (drop-row
+    # handlers catch exactly that). A valid-CRC first chunk that is not a
+    # 13-byte IHDR must not escape as struct.error or return garbage.
+    if not chunks or chunks[0][0] != b"IHDR" or len(chunks[0][1]) != 13:
+        raise ValueError("first chunk is not a 13-byte IHDR")
     w, h, depth, color_type, *_ = struct.unpack(">IIBBBBB", chunks[0][1])
     return int(w), int(h), _CHANNELS.get(color_type, 0)
