@@ -106,6 +106,11 @@ def test_compaction(lake, book_dir, spark):
     assert before == after  # data byte-identical
     assert lake.list_books() == [11, 22, 33]
 
+    # missing partition: observed 0 rows, empty dynamic overwrite is a
+    # no-op — nothing deleted elsewhere (round-5 one-pass compact)
+    assert lake.compact("19990101", "03") == 0
+    assert sorted(tuple(r) for r in lake.read().collect()) == after
+
 
 def test_approx_percentile_bounds(spark, sf_dir):
     from tscd_datalake_adapter_spark.operators.relational_extra import (

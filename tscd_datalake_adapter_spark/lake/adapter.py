@@ -498,16 +498,23 @@ class LakeAdapter:
 
         Rewrites the partition into ``target_files`` files via dynamic
         partition overwrite — other partitions are untouched, and the swap is
-        committer-atomic. Returns the row count of the compacted partition.
+        committer-atomic. Returns the row count of the compacted partition,
+        observed DURING the rewrite (Observation API, the same one-pass
+        pattern as ``ingest_raw_df``) — one read of the partition, not a
+        separate ``count()`` pass, and no race window between counting and
+        rewriting under concurrent ingests. An empty/missing partition
+        yields an empty write, which dynamic overwrite treats as a no-op
+        (no partitions in the data → nothing replaced).
         """
+        from pyspark.sql import Observation
+
+        obs = Observation("compact_rows")
         part_df = (
             self.read()
             .where(F.col("ingest_date") == ingest_date)
             .where(F.col("ingest_hour") == ingest_hour)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        n = part_df.count()
-        if n == 0:
-            return 0
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -519,7 +526,7 @@ class LakeAdapter:
             )
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        return n
+        return int(obs.get["n"])
 
     def expire(self, before_date: str) -> int:
         """Retention: drop whole partitions with ``ingest_date`` strictly
