@@ -725,3 +725,34 @@ def test_levenshtein_blocking_is_equi_join(spark, sf_dir):
     p = plans.formatted_plan(levenshtein_near_dup(spark, sf_dir))
     assert "BroadcastNestedLoop" not in p
     assert "CartesianProduct" not in p
+
+
+def test_lsh_signatures_partition_invariant_and_bounded(spark, sf_dir):
+    """Round-5 pin for the vectorized _lsh_signatures path: bucket ids are
+    a per-row function of (vector, constant plane matrix), so they must be
+    identical under any partitioning/batching, and every bucket must lie
+    in [0, 2^bits)."""
+    from tscd_datalake_adapter_spark.operators.similarity import (
+        _lsh_signatures,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
+        .limit(60)
+    )
+    n_tables, bits = 5, 6
+    one = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in _lsh_signatures(e.repartition(1), "e", n_tables, bits).collect()
+    }
+    many = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in _lsh_signatures(e.repartition(7), "e", n_tables, bits).collect()
+    }
+    assert one == many
+    assert len(one) == 60 * n_tables
+    assert all(0 <= b < (1 << bits) for b in one.values())
