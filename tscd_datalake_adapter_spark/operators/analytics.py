@@ -413,30 +413,34 @@ def orders_in_flight_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     month X?) into a plain groupBy — the same rewrite as
     ``range_join_binned``, here for the temporal-overlap shape.
 
-    Scale: the explode factor is the interval length in months (bounded by
-    business rules, not data size), after which everything is one
-    hash aggregation on a low-cardinality month key — versus the
-    nested-loop month×interval theta join a naive formulation plans.
-    Intervals with ship < order (synthetic fixture noise) are excluded
-    explicitly so the month sequence is always non-empty and forward."""
+    Scale (round-5 aggregate-before-expand rewrite): intervals are first
+    COUNTED per distinct (order-month, ship-month) pair — a map-side
+    partial aggregation on a key whose cardinality is bounded by the
+    month-domain square (~84² here), independent of row count — and only
+    the tiny pair table explodes its month sequence, carrying the pair
+    count as a weight. The row-count-sized explode the naive form pays
+    (one sequence per line item) never happens; after the first
+    aggregation every stage is month-domain-sized. Intervals with
+    ship < order (synthetic fixture noise) are excluded explicitly so
+    the month sequence is always non-empty and forward."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    iv = (
+    pair_counts = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .where(F.col("l_shipdate") >= F.col("o_orderdate"))
-        .select(
+        .groupBy(
             F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("m0"),
             F.trunc(F.col("l_shipdate").cast("date"), "MM").alias("m1"),
         )
+        .agg(F.count("*").alias("n"))
     )
-    months = iv.select(
-        F.explode(
-            F.expr("sequence(m0, m1, interval 1 month)")
-        ).alias("m")
+    months = pair_counts.select(
+        "n",
+        F.explode(F.expr("sequence(m0, m1, interval 1 month)")).alias("m"),
     )
     return (
         months.groupBy(F.date_format("m", "yyyy-MM").alias("month"))
-        .agg(F.count("*").cast("long").alias("n_in_flight"))
+        .agg(F.sum("n").cast("long").alias("n_in_flight"))
         .orderBy("month")
     )
 
