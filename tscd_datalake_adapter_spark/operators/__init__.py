@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         asof,
         dedup,
         history,
+        mlprep,
         multimodal,
         pipeline,
         relational,

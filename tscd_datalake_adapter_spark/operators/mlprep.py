@@ -1,0 +1,968 @@
+"""ML-data-preparation operators (round 5): retrieval fusion + ranking
+evaluation, leakage-safe feature engineering, fold assignment, referential
+integrity auditing, and behavioral funnels.
+
+These sit beside the dedup/similarity/text tiers as the "make a training
+set out of a lake" layer: hybrid retrieval (RRF), NDCG evaluation of a
+ranker, smoothed target encoding, deterministic k-fold splits, FK-orphan
+audits, and funnel conversion. Every query is DuckDB-oracle-exact; the
+determinism recipes follow NOTES.md (integer counts through shuffles,
+decimal for money, two-term double expressions instead of float folds,
+round-12 before decimal-summing libm-derived weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.functions import (
+    dec_sum,
+    h60,
+    oracle_dec_sum,
+    oracle_h60,
+)
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+RRF_K = 60
+RRF_TERM = "scan"
+
+
+@register(
+    "rrf_hybrid_search_topk",
+    tags=("llm", "retrieval"),
+    oracle=f"""
+    WITH lex_top AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                   x -> x = '{RRF_TERM}')) AS tf
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '),
+                  x -> x = '{RRF_TERM}')) > 0
+        ORDER BY tf DESC, doc_id LIMIT 50
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY tf DESC, doc_id)
+                    AS BIGINT) AS rank_lex
+        FROM lex_top
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    sem_top AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_dot_product(e.v, qv.q)
+                     / sqrt(list_dot_product(e.v, e.v)
+                            * list_dot_product(qv.q, qv.q)), 6) AS cos
+        FROM e CROSS JOIN qv WHERE e.vec_id != 0
+        ORDER BY cos DESC, doc_id LIMIT 50
+    ),
+    sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                    AS BIGINT) AS rank_sem
+        FROM sem_top
+    ),
+    fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.rank_lex, sem.rank_sem,
+               round(coalesce(1.0 / ({RRF_K} + lex.rank_lex), 0.0)
+                     + coalesce(1.0 / ({RRF_K} + sem.rank_sem), 0.0), 6)
+                   AS rrf_score
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rk
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.):
+    a lexical ranking (term frequency of one query term over documents)
+    and a semantic ranking (cosine to one query embedding, vec_id = 0,
+    joined on doc_id = vec_id) fused as Σ 1/(60 + rank) — the standard
+    score-free way to combine heterogeneous rankers in hybrid search.
+
+    Determinism: both input ranks carry unique-id tiebreaks; the fused
+    score is a two-term double expression (no float fold), rounded before
+    the final rank. Scale: each ranker keeps only its TOP-50 via
+    ``orderBy().limit()`` (TakeOrderedAndProject — per-partition top-k,
+    never a global sort), and the rank window runs above that bounded
+    list — fusing top-N lists is also the actual RRF semantics (rankers
+    return result pages, not total orders). The fusion itself is a
+    full outer join of two ≤50-row sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = F.size(
+        F.filter(F.split("text", " "), lambda x: x == F.lit(RRF_TERM))
+    )
+    lex = (
+        docs.select("doc_id", tf.alias("tf"))
+        .where(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), F.col("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("tf").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rank_lex"),
+        )
+    )
+    from tscd_datalake_adapter_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    sem = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rank_sem"),
+        )
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sem")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return (
+        fused.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    )
+
+
+@register(
+    "ndcg_retrieval_eval",
+    tags=("llm", "retrieval"),
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 10),
+    ranked AS (
+        SELECT q.query_id, q.qlabel, e.label AS nlabel,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qv, e.v)
+                         / sqrt(list_dot_product(q.qv, q.qv)
+                                * list_dot_product(e.v, e.v)), 6) DESC,
+                   e.vec_id) AS rk
+        FROM q CROSS JOIN e WHERE e.vec_id != q.query_id
+    ),
+    top AS (
+        SELECT query_id,
+               CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel, rk
+        FROM ranked WHERE rk <= 10
+    ),
+    scored AS (
+        SELECT query_id,
+               CAST(sum(rel) AS BIGINT) AS n_rel,
+               sum(CASE WHEN rel = 1
+                        THEN CAST(round(1.0 / log2(rk + 1.0), 12)
+                                  AS DECIMAL(38, 12)) END) AS dcg_d
+        FROM top GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT n.query_id, n.n_rel,
+               sum(CAST(round(1.0 / log2(i.i + 1.0), 12)
+                        AS DECIMAL(38, 12))) AS idcg_d
+        FROM scored n
+        JOIN (SELECT unnest(range(1, 11)) AS i) i ON i.i <= n.n_rel
+        GROUP BY n.query_id, n.n_rel
+    )
+    SELECT s.query_id, s.n_rel,
+           round(CAST(coalesce(s.dcg_d, 0) AS DOUBLE), 6) AS dcg,
+           round(CASE WHEN s.n_rel > 0
+                      THEN CAST(s.dcg_d AS DOUBLE) / CAST(i.idcg_d AS DOUBLE)
+                      END, 6) AS ndcg
+    FROM scored s LEFT JOIN ideal i ON s.query_id = i.query_id
+    ORDER BY s.query_id
+    """,
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact cosine ranker against label-match relevance —
+    the standard graded-ranking evaluation every retrieval/embedding
+    pipeline reports (here with binary gains: rel = 1 iff the neighbor
+    shares the query's label).
+
+    Cross-engine float recipe: each DCG term 1/log2(rank+1) is a
+    libm-derived double, so terms are rounded to 12 decimals and summed
+    as DECIMAL(38,12) — order-independent, immune to the ulp skew
+    engine libms can have (same recipe as weighted_sample_topk's
+    round-12 keys). IDCG is derived from n_rel alone (binary gains:
+    ideal list = all hits first), so it shares the identical term table.
+    Scale: ranking is the one corpus-sized stage; everything after rides
+    per-query top-10 rows."""
+    from tscd_datalake_adapter_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    ranked = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("label").alias("nlabel"),
+            F.col("vec_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rk") <= 10)
+    )
+    term = F.round(1.0 / F.log2(F.col("rk") + 1.0), 12).cast(
+        "decimal(38,12)"
+    )
+    rel = F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+    scored = ranked.groupBy("query_id").agg(
+        F.sum(rel).cast("long").alias("n_rel"),
+        F.sum(F.when(rel == 1, term)).alias("dcg_d"),
+    )
+    ranks = spark.range(1, 11).select(F.col("id").alias("i"))
+    ideal = (
+        scored.join(F.broadcast(ranks), F.col("i") <= F.col("n_rel"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.round(1.0 / F.log2(F.col("i") + 1.0), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("idcg_d")
+        )
+    )
+    return (
+        scored.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(
+                F.coalesce(F.col("dcg_d"), F.lit(0)).cast("double"), 6
+            ).alias("dcg"),
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.col("dcg_d").cast("double")
+                    / F.col("idcg_d").cast("double"),
+                ),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "target_encoding_smoothed",
+    tags=("tpch", "mlprep"),
+    oracle="""
+    WITH g AS (
+        SELECT CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                    AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS grate
+        FROM orders
+    ),
+    per AS (
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                    AS BIGINT) AS n_pos
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT priority, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+           round((CAST(n_pos AS DOUBLE) + 20.0 * g.grate)
+                 / (CAST(n AS DOUBLE) + 20.0), 6) AS encoded
+    FROM per CROSS JOIN g
+    ORDER BY priority
+    """,
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate target encoding (m = 20) of order priority against the
+    binary target "order is finished": encoded = (n_pos + m·global_rate)
+    / (n + m) — the smoothing that keeps rare categories from memorizing
+    their few labels, the standard leakage-aware categorical feature.
+
+    Single DAG: the global rate is a broadcast 1-row aggregate crossJoin
+    (no driver count), the per-category stats one map-side-combined
+    groupBy on integer counts; every division happens after aggregation,
+    so the result is engine-exact at any parallelism. At 100 TB this is
+    a scan + one low-cardinality shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1)
+    g = o.agg(
+        (
+            F.count(pos).cast("double") / F.count("*").cast("double")
+        ).alias("grate")
+    )
+    per = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(pos).cast("long").alias("n_pos"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "priority",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round(
+                (F.col("n_pos").cast("double") + 20.0 * F.col("grate"))
+                / (F.col("n").cast("double") + 20.0),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "kfold_assignment_stats",
+    tags=("tpch", "mlprep"),
+    oracle=f"""
+    WITH folded AS (
+        SELECT {oracle_h60("'fold:' || o_orderkey")} % 5 AS fold,
+               o_totalprice, o_orderstatus, o_orderkey
+        FROM orders
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS revenue,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                AS BIGINT) AS n_pos,
+           round(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+    FROM folded GROUP BY fold ORDER BY fold
+    """,
+)
+def kfold_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k = 5) by content hash — fold =
+    h60('fold:' || key) % 5 — with per-fold size, decimal-exact revenue,
+    and target-rate balance stats: the split audit run before any
+    cross-validated training job. Hash-based assignment is
+    partition-invariant and reproducible across runs/engines (same
+    recipe as the deterministic samplers); the stats verify the folds
+    are balanced in both size and label rate. One map-side-combined
+    groupBy on a 5-value key; zero extra shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    folded = o.select(
+        (h60(F.concat(F.lit("fold:"), F.col("o_orderkey"))) % 5).alias(
+            "fold"
+        ),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    pos = F.when(F.col("o_orderstatus") == "F", 1)
+    return (
+        folded.groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dec_sum("o_totalprice").alias("revenue"),
+            F.count(pos).cast("long").alias("n_pos"),
+            F.round(
+                F.count(pos) / F.count("*").cast("double"), 6
+            ).alias("pos_rate"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    tags=("tpch", "dq"),
+    oracle="""
+    SELECT * FROM (
+        SELECT 'lineitem.l_orderkey->orders' AS edge,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+    ) ORDER BY edge
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each FK edge,
+    total child rows and rows whose key has no parent (left-anti join) —
+    the referential face of the DQ tier (``dq_profile_all_tables`` covers
+    nulls/ranges; this covers joinability, the property every downstream
+    join silently depends on).
+
+    Scale shape: each edge is one anti-join keyed on the FK — the same
+    shuffle the production join would pay, with broadcast parents where
+    small — feeding 1-row aggregates unioned at the end; edges audit
+    independently (no barrier between them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("edge"),
+            F.count("*").cast("long").alias("n_child"),
+        ).crossJoin(
+            orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge(
+            "customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"
+        ),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("edge")
+
+
+@register(
+    "session_funnel_conversion",
+    tags=("events", "analytics"),
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'click'
+                         AND e.ts > s1.tv THEN e.ts END) AS tc
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE s1.tv IS NOT NULL
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase'
+                         AND e.ts > s2.tc THEN e.ts END) AS tp
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE s2.tc IS NOT NULL
+        GROUP BY e.user_id
+    ),
+    m AS (
+        SELECT
+            (SELECT count(*) FROM s1 WHERE tv IS NOT NULL) AS n_view,
+            (SELECT count(*) FROM s2 WHERE tc IS NOT NULL) AS n_click,
+            (SELECT count(*) FROM s3 WHERE tp IS NOT NULL) AS n_purchase
+    )
+    SELECT CAST(n_view AS BIGINT) AS n_view,
+           CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           round(CASE WHEN n_view > 0
+                      THEN n_click / CAST(n_view AS DOUBLE) END, 6)
+               AS view_to_click,
+           round(CASE WHEN n_click > 0
+                      THEN n_purchase / CAST(n_click AS DOUBLE) END, 6)
+               AS click_to_purchase
+    FROM m
+    """,
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered behavioral funnel (view → later click → later
+    purchase) with stage conversion rates: each stage's timestamp must be
+    AFTER the previous stage's first completion, the semantics product
+    funnels need (a purchase before the first view does not convert).
+
+    Expressed as three staged conditional aggregations keyed on user —
+    each stage one groupBy + a re-join of the (users × 1 ts) stage table,
+    never a self-join of raw events against raw events. Timestamp
+    comparisons stay native microsecond timestamps on both engines (no
+    epoch conversion — NOTES.md). Counts are integers; rates divide after
+    aggregation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv")
+    )
+    s2 = (
+        e.join(s1.where(F.col("tv").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("tv")),
+                    F.col("ts"),
+                )
+            ).alias("tc")
+        )
+    )
+    s3 = (
+        e.join(s2.where(F.col("tc").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("tc")),
+                    F.col("ts"),
+                )
+            ).alias("tp")
+        )
+    )
+    m = (
+        s1.agg(F.count("tv").cast("long").alias("n_view"))
+        .crossJoin(s2.agg(F.count("tc").cast("long").alias("n_click")))
+        .crossJoin(s3.agg(F.count("tp").cast("long").alias("n_purchase")))
+    )
+    return m.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(
+            F.when(
+                F.col("n_view") > 0,
+                F.col("n_click") / F.col("n_view").cast("double"),
+            ),
+            6,
+        ).alias("view_to_click"),
+        F.round(
+            F.when(
+                F.col("n_click") > 0,
+                F.col("n_purchase") / F.col("n_click").cast("double"),
+            ),
+            6,
+        ).alias("click_to_purchase"),
+    )
+
+
+@register(
+    "autocorr_daily_events",
+    tags=("events", "analytics"),
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS idx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 4)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM lags l
+        JOIN daily a ON true
+        JOIN daily b ON b.idx = a.idx - l.lag
+    ),
+    s AS (
+        SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS autocorr
+    FROM s ORDER BY lag
+    """,
+)
+def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1–3 — the
+    first diagnostic of any forecasting pipeline (is there day-over-day
+    persistence / weekly structure worth modeling?).
+
+    Determinism: the series is INTEGER daily counts, every Pearson
+    ingredient (Σx, Σy, Σx², Σy², Σxy, n) is an exact integer sum, and
+    the correlation is derived once per lag from those integers — the
+    ``corr_quantity_price`` recipe applied to a self-lagged series.
+    Scale: one events aggregation (row-count-sized), then all lag work
+    happens on the day-domain-sized series (~30 rows here, bounded by
+    calendar span, not data volume)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("idx")
+    ).agg(F.count("*").cast("long").alias("c"))
+    lags = spark.range(1, 4).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("idx").alias("ia"), F.col("c").alias("x"))
+    b = daily.select(F.col("idx").alias("ib"), F.col("c").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") - F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("autocorr"),
+    ).orderBy("lag")
+
+
+@register(
+    "cusum_changepoint_daily",
+    tags=("events", "analytics"),
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+        SELECT day, c,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+               sum(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+               CAST(count(*) OVER () AS BIGINT) AS nn,
+               sum(c) OVER () AS tot
+        FROM daily
+    ),
+    t AS (
+        SELECT day, c, nn * cum - k * tot AS tk, nn FROM w
+    )
+    SELECT day, c AS n_events,
+           round(CAST(tk AS DOUBLE) / nn, 6) AS cusum,
+           CASE WHEN abs(tk) = max(abs(tk)) OVER () THEN true ELSE false END
+               AS is_peak
+    FROM t ORDER BY day
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series: the
+    cumulative sum of deviations from the global mean, S_k = Σ_{i≤k} c_i
+    − k·mean, whose |maximum| marks the most likely level-shift point
+    (the classic offline CUSUM statistic).
+
+    Integer-exact float recipe: S_k is computed as the INTEGER
+    T_k = N·cum_k − k·T (NOTES.md: never window-sum doubles), divided by
+    N only at output; the peak flag compares integers. The windows are
+    global but run over the AGGREGATED day-domain series (~30 rows) —
+    the registry's bounded-input exemption, same as
+    ``cumulative_unique_users``."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = e.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    wo = Window.orderBy("day")
+    wall = Window.partitionBy()
+    w = daily.select(
+        "day",
+        "c",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.count("*").over(wall).cast("long").alias("nn"),
+        F.sum("c").over(wall).alias("tot"),
+    )
+    t = w.select(
+        "day",
+        "c",
+        (F.col("nn") * F.col("cum") - F.col("k") * F.col("tot")).alias("tk"),
+        "nn",
+    )
+    return t.select(
+        "day",
+        F.col("c").alias("n_events"),
+        F.round(F.col("tk").cast("double") / F.col("nn"), 6).alias("cusum"),
+        (F.abs("tk") == F.max(F.abs("tk")).over(wall)).alias("is_peak"),
+    ).orderBy("day")
+
+
+@register(
+    "kmv_distinct_sketch",
+    tags=("tpch", "sketch"),
+    oracle=f"""
+    WITH hashed AS (
+        SELECT c_mktsegment AS segment, c_custkey,
+               {oracle_h60("'kmv:' || c_custkey")} AS h
+        FROM customer
+    ),
+    ranked AS (
+        SELECT segment, h,
+               CAST(row_number() OVER (PARTITION BY segment
+                    ORDER BY h, c_custkey) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n_true
+        FROM hashed
+    ),
+    kth AS (
+        SELECT segment, n_true,
+               max(CASE WHEN rn = 16 THEN h END) AS h16
+        FROM ranked GROUP BY segment, n_true
+    )
+    SELECT segment, n_true,
+           round(CASE WHEN n_true <= 16 THEN CAST(n_true AS DOUBLE)
+                      ELSE 15.0 * 1152921504606846976.0 / h16 END, 2)
+               AS est_distinct,
+           round((CASE WHEN n_true <= 16 THEN CAST(n_true AS DOUBLE)
+                       ELSE 15.0 * 1152921504606846976.0 / h16 END
+                  - n_true) / n_true, 6) AS rel_err
+    FROM kth ORDER BY segment
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k = 16, per market
+    segment: D̂ = (k−1)·M/h_(k) where h_(k) is the k-th smallest h60 value
+    and M = 2^60 is the hash space — the mergeable distinct sketch that
+    (unlike HLL) also supports set-intersection estimates, completing the
+    sketch tier (Count-Min / HLL / Bloom / KMV).
+
+    Like the other sketches it is rebuilt on h60 so the ENTIRE sketch —
+    every h value, the k-th order statistic, the estimate — is
+    cross-engine exact (vs engine-native approx_count_distinct, which is
+    weak-by-design). Sub-sketch (n_true ≤ k) degenerates to the exact
+    count, the standard KMV rule. Scale: per-group top-k-by-hash is a
+    partial-aggregatable pattern; the window form here is segment-
+    partitioned and the per-segment state is k values."""
+    c = load_table(spark, sf_dir, "customer")
+    hashed = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        h60(F.concat(F.lit("kmv:"), F.col("c_custkey"))).alias("h"),
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = hashed.select(
+        "segment",
+        "h",
+        F.row_number()
+        .over(wseg.orderBy("h", "c_custkey"))
+        .cast("long")
+        .alias("rn"),
+        F.count("*").over(wseg).cast("long").alias("n_true"),
+    )
+    kth = ranked.groupBy("segment", "n_true").agg(
+        F.max(F.when(F.col("rn") == 16, F.col("h"))).alias("h16")
+    )
+    est = F.when(
+        F.col("n_true") <= 16, F.col("n_true").cast("double")
+    ).otherwise(15.0 * 1152921504606846976.0 / F.col("h16"))
+    return kth.select(
+        "segment",
+        "n_true",
+        F.round(est, 2).alias("est_distinct"),
+        F.round((est - F.col("n_true")) / F.col("n_true"), 6).alias(
+            "rel_err"
+        ),
+    ).orderBy("segment")
+
+
+@register(
+    "feature_hashing_counts",
+    tags=("llm", "mlprep"),
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+            AS tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT {oracle_h60("'fh:' || tok")} % 512 AS bucket, tok FROM tok
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+    FROM bucketed GROUP BY bucket
+    ORDER BY n_occurrences DESC, bucket LIMIT 15
+    """,
+)
+def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): token → h60('fh:'||tok) mod
+    512 bucket, with per-bucket occurrence counts and distinct-token
+    collision counts for the top-15 buckets — the fixed-width,
+    vocabulary-free featurization used when a learned vocab is too big
+    or too mutable, plus the collision audit that sizes the bucket count.
+
+    One explode + one map-side-combined groupBy on a 512-value key;
+    distinct-token counting rides the same shuffle. Top-k via
+    TakeOrdered with bucket-id tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    bucketed = tok.select(
+        (h60(F.concat(F.lit("fh:"), F.col("tok"))) % 512)
+        .cast("long")
+        .alias("bucket"),
+        "tok",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("tok").cast("long").alias("n_distinct_tokens"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bucket"))
+        .limit(15)
+    )
+
+
+@register(
+    "seasonal_naive_forecast_eval",
+    tags=("events", "analytics"),
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS idx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    eval AS (
+        SELECT a.idx, a.c,
+               s.c AS f_seasonal,
+               n1.c AS f_naive1
+        FROM daily a
+        JOIN daily s ON s.idx = a.idx - 7
+        JOIN daily n1 ON n1.idx = a.idx - 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(c - f_seasonal)) AS BIGINT) AS abs_err_seasonal,
+               CAST(sum(abs(c - f_naive1)) AS BIGINT) AS abs_err_naive1
+        FROM eval
+    )
+    SELECT n_days, abs_err_seasonal, abs_err_naive1,
+           round(abs_err_seasonal / CAST(n_days AS DOUBLE), 6)
+               AS mae_seasonal,
+           round(abs_err_naive1 / CAST(n_days AS DOUBLE), 6) AS mae_naive1,
+           round(1.0 - (abs_err_seasonal / CAST(n_days AS DOUBLE))
+                 / (abs_err_naive1 / CAST(n_days AS DOUBLE)), 6) AS skill
+    FROM m
+    """,
+)
+def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict today = same
+    weekday last week) against the naive-1 baseline (predict today =
+    yesterday) on daily event counts: MAE of both over every day where
+    both forecasts exist, plus the skill score 1 − MAE_s/MAE_n1 — the
+    sanity benchmark any forecasting pipeline must beat before deploying
+    a model.
+
+    Integer-exact: the series and both absolute-error sums are integers;
+    divisions happen once at the end. Scale: one row-count-sized
+    aggregation to the day domain, then self-joins on the ~30-row
+    series."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("idx")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = daily.select(F.col("idx"), F.col("c"))
+    s = daily.select(F.col("idx").alias("is_"), F.col("c").alias("f_seasonal"))
+    n1 = daily.select(F.col("idx").alias("in1"), F.col("c").alias("f_naive1"))
+    ev = a.join(s, F.col("is_") == F.col("idx") - 7).join(
+        n1, F.col("in1") == F.col("idx") - 1
+    )
+    m = ev.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("c") - F.col("f_seasonal")))
+        .cast("long")
+        .alias("abs_err_seasonal"),
+        F.sum(F.abs(F.col("c") - F.col("f_naive1")))
+        .cast("long")
+        .alias("abs_err_naive1"),
+    )
+    mae_s = F.col("abs_err_seasonal") / F.col("n_days").cast("double")
+    mae_n = F.col("abs_err_naive1") / F.col("n_days").cast("double")
+    return m.select(
+        "n_days",
+        "abs_err_seasonal",
+        "abs_err_naive1",
+        F.round(mae_s, 6).alias("mae_seasonal"),
+        F.round(mae_n, 6).alias("mae_naive1"),
+        F.round(1.0 - mae_s / mae_n, 6).alias("skill"),
+    )
