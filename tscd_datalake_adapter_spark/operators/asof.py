@@ -29,10 +29,23 @@ def asof_join(
     left_id: str,
     right_id: str,
     right_payload: tuple[str, ...] = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic as-of join. For each left row: the right row with the
-    greatest ``(on, right_id)`` such that ``right.on <= left.on`` and keys
-    match. Right-side columns come back prefixed ``asof_``."""
+    """Generic as-of join. ``direction='backward'`` (default): for each
+    left row, the right row with the greatest ``(on, right_id)`` such that
+    ``right.on <= left.on`` and keys match — the most recent prior
+    observation. ``direction='forward'``: the right row with the smallest
+    ``(on, right_id)`` such that ``right.on >= left.on`` — the next
+    observation (pandas ``merge_asof`` directions). Right-side columns
+    come back prefixed ``asof_``.
+
+    Both directions are the same union+window plan, only the traversal
+    order flips: forward walks time descending, so the last right row
+    seen at each left row is the nearest at-or-after one (ids ordered
+    descending so equal-timestamp ties resolve to the MINIMUM right id,
+    mirroring backward's maximum-id rule under ascending traversal)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     lt = left.select(
         F.col(by), F.col(on), F.lit(1).alias("_side"), F.col(left_id).alias("_lid"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
@@ -44,10 +57,25 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in (right_id, *right_payload)],
     )
     unioned = lt.unionByName(rt)
-    # Right rows sort before left rows at equal ts (side 0 < 1): <= semantics.
+    # Right rows sort before left rows at equal ts (side 0 < 1): <=/>=
+    # inclusive semantics in either direction.
+    if direction == "backward":
+        order = [
+            F.col(on),
+            F.col("_side"),
+            F.col(f"_r_{right_id}"),
+            F.col("_lid"),
+        ]
+    else:
+        order = [
+            F.col(on).desc(),
+            F.col("_side"),
+            F.col(f"_r_{right_id}").desc(),
+            F.col("_lid"),
+        ]
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on), F.col("_side"), F.col(f"_r_{right_id}"), F.col("_lid"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -118,4 +146,192 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("ts") - F.unix_timestamp("asof_view_ts"))
         .cast("long")
         .alias("seconds_since_view"),
+    ).orderBy("user_id", "purchase_id")
+
+
+@register(
+    "asof_join_forward_next_click",
+    tags=("join", "streaming"),
+    oracle="""
+    SELECT s.user_id,
+           s.event_id AS signup_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+           c.event_id AS asof_click_id,
+           CAST(date_diff('second', s.ts, c.ts) AS BIGINT)
+               AS seconds_to_click
+    FROM events s
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts FROM events c
+        WHERE c.user_id = s.user_id AND c.event_type = 'click'
+          AND c.ts >= s.ts
+        ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
+    ) c ON TRUE
+    WHERE s.event_type = 'signup'
+    ORDER BY s.user_id, signup_id
+    """,
+)
+def asof_join_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each signup matched to the user's next click
+    at-or-after it (ties → min event_id) — the time-to-first-action
+    measurement every activation funnel needs. Same union+window plan as
+    the backward form with the traversal order flipped; still one shuffle
+    on the key, no candidate-pair blow-up."""
+    e = load_table(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        signups,
+        clicks,
+        on="ts",
+        by="user_id",
+        left_id="event_id",
+        right_id="event_id",
+        right_payload=("click_ts",),
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
+        F.col("asof_event_id").alias("asof_click_id"),
+        (F.unix_timestamp("asof_click_ts") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("seconds_to_click"),
+    ).orderBy("user_id", "signup_id")
+
+
+@register(
+    "asof_join_tolerance",
+    tags=("join", "streaming"),
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS asof_view_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT)
+               AS seconds_since_view
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts <= p.ts
+          AND v.ts >= p.ts - INTERVAL 2 HOUR
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) v ON TRUE
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.user_id, purchase_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE band (pandas ``merge_asof(tolerance=)``):
+    each purchase matched to the most recent view at most 2 hours before
+    it; staler matches become NULL (an attribution window — a view from
+    last week should not claim this purchase).
+
+    The tolerance is applied as a post-filter on the backward as-of
+    result (microsecond-exact comparison via ``unix_micros``, NOTES.md),
+    which keeps the one-shuffle union+window plan; the match columns are
+    nulled, not the rows dropped, preserving left cardinality exactly
+    like the oracle's banded lateral."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        left_id="event_id",
+        right_id="event_id",
+        right_payload=("view_ts",),
+    )
+    in_band = F.unix_micros("asof_view_ts") >= (
+        F.unix_micros("ts") - F.lit(2 * 3600 * 1000000)
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.when(in_band, F.col("asof_event_id")).alias("asof_view_id"),
+        F.when(
+            in_band,
+            (F.unix_timestamp("ts") - F.unix_timestamp("asof_view_ts")).cast(
+                "long"
+            ),
+        ).alias("seconds_since_view"),
+    ).orderBy("user_id", "purchase_id")
+
+
+@register(
+    "asof_join_nearest",
+    tags=("join", "streaming"),
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS nearest_view_id,
+           CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT)
+               AS micros_delta
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        ORDER BY abs(date_diff('microsecond', v.ts, p.ts)) ASC,
+                 (v.ts > p.ts) ASC, v.event_id ASC LIMIT 1
+    ) v ON TRUE
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.user_id, purchase_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``):
+    each purchase matched to the temporally closest view in EITHER
+    direction; exact-tie preference backward (the boolean ``v.ts > p.ts``
+    sort key), then min event id.
+
+    Composed from one backward and one forward as-of pass joined on the
+    left key — still two key-shuffles total, no pair materialization.
+    Distances compare in integer microseconds (``unix_micros``), so the
+    direction choice is exact on both engines. The backward arm wins ties
+    by max id and the forward arm by min id (each arm's canonical rule);
+    the oracle's tiebreak only ranks BETWEEN arms, so the composed result
+    is deterministic end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("view_ts")
+    )
+    common = dict(
+        on="ts",
+        by="user_id",
+        left_id="event_id",
+        right_id="event_id",
+        right_payload=("view_ts",),
+    )
+    b = asof_join(purchases, views, **common).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.col("asof_event_id").alias("b_id"),
+        F.col("asof_view_ts").alias("b_ts"),
+    )
+    f = asof_join(purchases, views, direction="forward", **common).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("asof_event_id").alias("f_id"),
+        F.col("asof_view_ts").alias("f_ts"),
+    )
+    j = b.join(f, "purchase_id", "left")
+    bd = F.unix_micros("pts") - F.unix_micros("b_ts")
+    fd = F.unix_micros("f_ts") - F.unix_micros("pts")
+    use_b = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (bd <= fd)
+    )
+    nearest_id = F.when(use_b, F.col("b_id")).otherwise(F.col("f_id"))
+    delta = F.when(use_b, bd).otherwise(-fd)
+    return j.select(
+        "user_id",
+        "purchase_id",
+        nearest_id.alias("nearest_view_id"),
+        delta.cast("long").alias("micros_delta"),
     ).orderBy("user_id", "purchase_id")

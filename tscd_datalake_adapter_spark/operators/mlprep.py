@@ -966,3 +966,375 @@ def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mae_n, 6).alias("mae_naive1"),
         F.round(1.0 - mae_s / mae_n, 6).alias("skill"),
     )
+
+
+@register(
+    "psi_drift_totalprice",
+    tags=("tpch", "dq"),
+    oracle="""
+    WITH binned AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 'ref' ELSE 'cur' END AS period,
+               least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
+                   AS bin
+        FROM orders
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(count(CASE WHEN period = 'ref' THEN 1 END) AS BIGINT)
+                   AS n_ref,
+               CAST(count(CASE WHEN period = 'cur' THEN 1 END) AS BIGINT)
+                   AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+               CAST(sum(n_cur) AS BIGINT) AS t_cur
+        FROM counts
+    ),
+    terms AS (
+        SELECT c.bin, c.n_ref, c.n_cur,
+               CAST(round(
+                   (c.n_ref / CAST(t.t_ref AS DOUBLE)
+                    - c.n_cur / CAST(t.t_cur AS DOUBLE))
+                   * ln((c.n_ref / CAST(t.t_ref AS DOUBLE))
+                        / (c.n_cur / CAST(t.t_cur AS DOUBLE))), 12)
+                   AS DECIMAL(38, 12)) AS term
+        FROM counts c CROSS JOIN tot t
+        WHERE c.n_ref > 0 AND c.n_cur > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           round(CAST(sum(term) AS DOUBLE), 6) AS psi
+    FROM terms
+    """,
+)
+def psi_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1998 (reference) and
+    post-1998 (current) order-value distributions over fixed 50k-wide
+    bins: PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur) — the standard drift
+    monitor every deployed-model pipeline runs on its features (PSI <
+    0.1 stable, > 0.25 drifted). Bins empty on either side are excluded
+    (the standard convention; both engines apply the identical filter).
+
+    Determinism: bin counts are integers from one map-side-combined
+    groupBy; each PSI term is derived once from those integers, rounded
+    to 12 decimals, and summed as DECIMAL — order-independent, immune to
+    libm ulp skew in ``ln`` (the NDCG recipe). Scale: one scan, one
+    10-value-key shuffle, then constant-size math."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9)
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == "ref", 1))
+        .cast("long")
+        .alias("n_ref"),
+        F.count(F.when(F.col("period") == "cur", 1))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p = F.col("n_ref") / F.col("t_ref").cast("double")
+    q = F.col("n_cur") / F.col("t_cur").cast("double")
+    terms = (
+        counts.crossJoin(F.broadcast(tot))
+        .where((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            F.round((p - q) * F.log(p / q), 12)
+            .cast("decimal(38,12)")
+            .alias("term")
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+    )
+
+
+@register(
+    "mutual_information_priority_status",
+    tags=("tpch", "mlprep"),
+    oracle="""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(count(*) AS BIGINT) AS nxy
+        FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY y),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint),
+    terms AS (
+        SELECT CAST(round(
+                   (j.nxy / CAST(t.n AS DOUBLE))
+                   * ln((CAST(j.nxy AS DOUBLE) * t.n)
+                        / (CAST(mx.nx AS DOUBLE) * my.ny)), 12)
+                   AS DECIMAL(38, 12)) AS mi_term,
+               CAST(round(
+                   -(j.nxy / CAST(t.n AS DOUBLE))
+                   * ln(j.nxy / CAST(t.n AS DOUBLE)), 12)
+                   AS DECIMAL(38, 12)) AS hxy_term
+        FROM joint j
+        JOIN mx ON j.x = mx.x
+        JOIN my ON j.y = my.y
+        CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(mi_term) AS DOUBLE), 6) AS mi_nats,
+           round(CAST(sum(hxy_term) AS DOUBLE), 6) AS joint_entropy_nats,
+           round(CAST(sum(mi_term) AS DOUBLE)
+                 / CAST(sum(hxy_term) AS DOUBLE), 6) AS nmi_ratio
+    FROM terms
+    """,
+)
+def mutual_information_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information (nats) between order priority and order status —
+    the model-free dependence measure used for categorical feature
+    selection: MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))), reported with the
+    joint entropy and their ratio (a normalized-MI variant).
+
+    Everything derives from ONE joint-count aggregation (margins are
+    re-aggregations of the ≤15-cell joint table, not extra scans);
+    each term is rounded to 12 decimals and decimal-summed
+    (order-independent, libm-ulp-proof — the NDCG/PSI recipe)."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count("*").cast("long").alias("nxy"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("long").alias("n"))
+    pxy = F.col("nxy") / F.col("n").cast("double")
+    mi_term = F.round(
+        pxy
+        * F.log(
+            (F.col("nxy").cast("double") * F.col("n"))
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    hxy_term = F.round(-pxy * F.log(pxy), 12).cast("decimal(38,12)")
+    terms = (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_term.alias("mi_term"), hxy_term.alias("hxy_term"))
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum("mi_term").cast("double"), 6).alias("mi_nats"),
+        F.round(F.sum("hxy_term").cast("double"), 6).alias(
+            "joint_entropy_nats"
+        ),
+        F.round(
+            F.sum("mi_term").cast("double")
+            / F.sum("hxy_term").cast("double"),
+            6,
+        ).alias("nmi_ratio"),
+    )
+
+
+@register(
+    "winsorized_stats_by_priority",
+    tags=("tpch", "mlprep"),
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kv,
+               o_totalprice
+        FROM orders
+    ),
+    hist AS (
+        SELECT priority, kv, CAST(count(*) AS BIGINT) AS cnt
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT priority, kv, cnt,
+               sum(cnt) OVER (PARTITION BY priority ORDER BY kv
+                              ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+               sum(cnt) OVER (PARTITION BY priority) AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT priority,
+               CAST(min(CASE WHEN cum_cnt * 20 >= n THEN kv END)
+                    AS BIGINT) AS k05,
+               CAST(min(CASE WHEN cum_cnt * 20 >= 19 * n THEN kv END)
+                    AS BIGINT) AS k95
+        FROM cum GROUP BY priority
+    )
+    SELECT v.priority,
+           CAST(count(*) AS BIGINT) AS n,
+           c.k05, c.k95,
+           {oracle_dec_sum(
+               "CASE WHEN v.kv < c.k05 THEN c.k05 * 1000.0 "
+               "WHEN v.kv > c.k95 THEN c.k95 * 1000.0 "
+               "ELSE v.o_totalprice END")} / count(*) AS winsorized_mean,
+           round(count(CASE WHEN v.kv < c.k05 OR v.kv > c.k95 THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS clipped_frac
+    FROM v JOIN cuts c ON v.priority = c.priority
+    GROUP BY v.priority, c.k05, c.k95
+    ORDER BY v.priority
+    """,
+)
+def winsorized_stats_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorized mean of order value per priority: order values are
+    clipped at the exact p05/p95 of a 1000-unit value histogram
+    (percentile_disc over the BOUNDED bucket domain — the
+    ``length_percentile_filter`` pattern, grouped), then decimal-exact
+    averaged — the robust-mean feature that tames heavy tails before
+    model training, with the clipped fraction as the audit column.
+
+    Two passes over orders (histogram, then clip+mean with the 5-row
+    cuts broadcast), each a map-side-combined aggregation; the quantile
+    windows run over the bucket domain (~500 rows/group), never raw
+    rows. Clipping to the BUCKET boundary (k·1000) keeps the clipped
+    value integer-derived, so the winsorized sum stays decimal-exact
+    cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("kv"),
+        "o_totalprice",
+    )
+    hist = v.groupBy("priority", "kv").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("kv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "kv",
+        F.sum("cnt").over(wcum).alias("cum_cnt"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    cuts = cum.groupBy("priority").agg(
+        F.min(F.when(F.col("cum_cnt") * 20 >= F.col("n"), F.col("kv")))
+        .cast("long")
+        .alias("k05"),
+        F.min(
+            F.when(F.col("cum_cnt") * 20 >= 19 * F.col("n"), F.col("kv"))
+        )
+        .cast("long")
+        .alias("k95"),
+    )
+    clipped = F.when(F.col("kv") < F.col("k05"), F.col("k05") * 1000.0).when(
+        F.col("kv") > F.col("k95"), F.col("k95") * 1000.0
+    ).otherwise(F.col("o_totalprice"))
+    out_frac = F.count(
+        F.when(
+            (F.col("kv") < F.col("k05")) | (F.col("kv") > F.col("k95")), 1
+        )
+    )
+    return (
+        v.join(F.broadcast(cuts), "priority")
+        .groupBy("priority", "k05", "k95")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (dec_sum(clipped) / F.count("*")).alias("winsorized_mean"),
+            F.round(out_frac / F.count("*").cast("double"), 6).alias(
+                "clipped_frac"
+            ),
+        )
+        .select(
+            "priority", "n", "k05", "k95", "winsorized_mean", "clipped_frac"
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "er_blocking_candidates",
+    tags=("tpch", "dedup"),
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM customer
+    ),
+    blocked AS (
+        SELECT c_custkey, c_nationkey, cents, cents // 1000 AS block
+        FROM c
+    ),
+    probes AS (
+        SELECT c_custkey, c_nationkey, cents, block + d.d AS probe
+        FROM blocked CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               a.c_nationkey AS nationkey,
+               abs(a.cents - b.cents) AS diff_cents
+        FROM probes a JOIN blocked b
+          ON a.probe = b.block
+         AND a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE abs(a.cents - b.cents) <= 500
+    )
+    SELECT custkey_a, custkey_b, CAST(nationkey AS BIGINT) AS nationkey,
+           diff_cents
+    FROM pairs
+    ORDER BY diff_cents, custkey_a, custkey_b LIMIT 20
+    """,
+)
+def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking over customers: candidate duplicate
+    accounts = same nation, account balances within 5.00 of each other —
+    found via 10-unit balance-bucket BLOCKING KEYS with ±1 adjacent-
+    bucket probes (the levenshtein length-bucket pattern applied to
+    numeric ER), never an all-pairs comparison. The top-20 closest pairs
+    are the review queue a data steward would triage.
+
+    Balances are converted to integer cents once (round-to-cent is
+    engine-identical on 2-decimal money), so blocks, the distance
+    band, and the ranking are all integer-exact. Scale: the join is an
+    equi-join on (nation, block); each qualifying pair matches exactly
+    once per probe construction."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    blocked = c.withColumn("block", F.floor(F.col("cents") / 1000))
+    probes = blocked.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_nationkey").alias("nk_a"),
+        F.col("cents").alias("cents_a"),
+        F.explode(
+            F.array(F.col("block") - 1, F.col("block"), F.col("block") + 1)
+        ).alias("probe"),
+    )
+    pairs = probes.join(
+        blocked,
+        (F.col("probe") == F.col("block"))
+        & (F.col("nk_a") == F.col("c_nationkey"))
+        & (F.col("custkey_a") < F.col("c_custkey")),
+    ).where(F.abs(F.col("cents_a") - F.col("cents")) <= 500)
+    return (
+        pairs.select(
+            "custkey_a",
+            F.col("c_custkey").alias("custkey_b"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.abs(F.col("cents_a") - F.col("cents")).alias("diff_cents"),
+        )
+        .orderBy("diff_cents", "custkey_a", "custkey_b")
+        .limit(20)
+    )
