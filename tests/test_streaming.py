@@ -181,3 +181,35 @@ def test_windowed_topk_stream_matches_batch_twin(spark, sf_dir, source_dir, tmp_
         by_window.setdefault(r.window_start, []).append(r.rk)
     for rks in by_window.values():
         assert sorted(rks) == list(range(1, len(rks) + 1)) and len(rks) <= 3
+
+
+def test_asof_stream_matches_batch_asof_join(spark, sf_dir, source_dir, tmp_path):
+    """The streaming as-of join's final (highest-seq) emission per purchase
+    must equal the batch asof_join — across REAL micro-batches
+    (maxFilesPerTrigger=1) whose staging repartition delivers events out
+    of time order, so late views must correct earlier matches."""
+    from tscd_datalake_adapter_spark.operators.asof import (
+        asof_join_purchase_view,
+    )
+
+    live = jobs.run_asof_stream(
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt"),
+        "asof_smoke",
+        max_files_per_trigger=1,
+    )
+    live_rows = {
+        (r.user_id, r.purchase_id): r.asof_view_id for r in live.collect()
+    }
+    batch_rows = {
+        (r.user_id, r.purchase_id): r.asof_view_id
+        for r in asof_join_purchase_view(spark, sf_dir).collect()
+    }
+    assert live_rows == batch_rows
+    # cross-batch correction genuinely happened: some purchase emitted
+    # more than once (seq > 1 exists) OR there were multiple batches
+    n_seqs = spark.sql(
+        "SELECT count(DISTINCT seq) FROM asof_smoke"
+    ).first()[0]
+    assert n_seqs > 1

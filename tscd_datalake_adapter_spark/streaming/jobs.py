@@ -415,3 +415,128 @@ def run_windowed_topk_stream(
     )
     q.awaitTermination(300)
     return spark.read.parquet(out_dir)
+
+
+def run_asof_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING as-of join via ``applyInPandasWithState``: each purchase
+    is matched to the user's most recent view at-or-before it (ties → max
+    event_id) — the live form of ``asof_join_purchase_view``, tolerant of
+    OUT-OF-ORDER arrival across micro-batches.
+
+    Per-user state buffers every (view, purchase) observation seen so far
+    as parallel long arrays (timestamps in integer microseconds). Each
+    batch in which the user appears re-derives the as-of match for ALL of
+    the user's purchases from the full buffered history and re-emits them
+    (update mode) with a monotonically increasing emission sequence; a
+    late-arriving view therefore corrects earlier matches in the user's
+    next emission, and the HIGHEST-seq emission per purchase equals the
+    batch as-of join exactly (pinned live==twin in tests, with
+    maxFilesPerTrigger=1 forcing real cross-batch state and the staging
+    repartition guaranteeing out-of-order time).
+
+    Production note: unbounded history is the demo simplification — at
+    100 TB the state carries a watermark-driven eviction
+    (EventTimeTimeout: finalize purchases older than the watermark and
+    drop views older than the oldest pending purchase), which bounds
+    per-user state to the late-data horizon; the matching logic is
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_event_stream(spark, source_dir, max_files_per_trigger).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            v_ts, v_id, p_ts, p_id, seq = state.get
+            v_ts, v_id, p_ts, p_id = (
+                list(v_ts), list(v_id), list(p_ts), list(p_id),
+            )
+        else:
+            v_ts, v_id, p_ts, p_id, seq = [], [], [], [], 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            micros = (
+                pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+            )
+            for t, i, et in zip(micros, pdf["event_id"], pdf["event_type"]):
+                if et == "view":
+                    v_ts.append(int(t))
+                    v_id.append(int(i))
+                else:
+                    p_ts.append(int(t))
+                    p_id.append(int(i))
+        seq += 1
+        state.update((v_ts, v_id, p_ts, p_id, seq))
+        if not p_ts:
+            return
+        out_match, out_mts = [], []
+        if v_ts:
+            # sort views by (ts, id); the best match for purchase ts is the
+            # LAST view with view_ts <= ts in that order (max ts, max id)
+            order = np.lexsort((np.asarray(v_id), np.asarray(v_ts)))
+            sv_ts = np.asarray(v_ts)[order]
+            sv_id = np.asarray(v_id)[order]
+        for t in p_ts:
+            if not v_ts:
+                out_match.append(None)
+                out_mts.append(None)
+                continue
+            pos = int(np.searchsorted(sv_ts, t, side="right")) - 1
+            if pos < 0:
+                out_match.append(None)
+                out_mts.append(None)
+            else:
+                # among equal-max-ts views, take the max id: scan back over
+                # the equal-ts run (sorted by id within ts, so `pos` already
+                # points at the max id of that run)
+                out_match.append(int(sv_id[pos]))
+                out_mts.append(int(sv_ts[pos]))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(p_ts),
+                "purchase_id": [int(x) for x in p_id],
+                "asof_view_id": out_match,
+                "view_ts_micros": out_mts,
+                "seq": [seq] * len(p_ts),
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "user_id long, purchase_id long, asof_view_id long, "
+            "view_ts_micros long, seq long"
+        ),
+        stateStructType=(
+            "v_ts array<long>, v_id array<long>, p_ts array<long>, "
+            "p_id array<long>, seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # Highest-seq emission per purchase = match over the user's FULL history
+    return spark.sql(
+        f"SELECT user_id, purchase_id, "
+        f"max_by(asof_view_id, seq) AS asof_view_id, "
+        f"max_by(view_ts_micros, seq) AS view_ts_micros "
+        f"FROM {query_name} GROUP BY user_id, purchase_id"
+    )
