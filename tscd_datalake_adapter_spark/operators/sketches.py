@@ -18,7 +18,7 @@ sketching at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import h60, oracle_h60
@@ -541,4 +541,127 @@ def join_cardinality_cm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("overcount"),
         )
+    )
+
+
+@register(
+    "bottomk_quantile_sketch",
+    tags=("tpch", "sketch"),
+    oracle=f"""
+    WITH hashed AS (
+        SELECT o_totalprice, {oracle_h60("'qs:' || o_orderkey")} AS h,
+               o_orderkey
+        FROM orders
+    ),
+    sample AS (
+        SELECT o_totalprice FROM hashed
+        ORDER BY h, o_orderkey LIMIT 256
+    ),
+    s AS (
+        SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kv,
+               CAST(row_number() OVER (ORDER BY o_totalprice, kv)
+                    AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM sample
+    ),
+    est AS (
+        SELECT max(n) AS n_sample,
+               min(CASE WHEN rn * 2 >= n THEN kv END) AS est_p50_kv,
+               min(CASE WHEN rn * 10 >= 9 * n THEN kv END) AS est_p90_kv
+        FROM s
+    ),
+    hist AS (
+        SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kv,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT kv,
+               sum(cnt) OVER (ORDER BY kv ROWS UNBOUNDED PRECEDING)
+                   AS cum_cnt,
+               sum(cnt) OVER () AS n
+        FROM hist
+    ),
+    truth AS (
+        SELECT min(CASE WHEN cum_cnt * 2 >= n THEN kv END) AS true_p50_kv,
+               min(CASE WHEN cum_cnt * 10 >= 9 * n THEN kv END)
+                   AS true_p90_kv
+        FROM cum
+    )
+    SELECT CAST(e.n_sample AS BIGINT) AS n_sample,
+           CAST(e.est_p50_kv AS BIGINT) AS est_p50_kv,
+           CAST(e.est_p90_kv AS BIGINT) AS est_p90_kv,
+           CAST(t.true_p50_kv AS BIGINT) AS true_p50_kv,
+           CAST(t.true_p90_kv AS BIGINT) AS true_p90_kv,
+           CAST(abs(e.est_p50_kv - t.true_p50_kv)
+                + abs(e.est_p90_kv - t.true_p90_kv) AS BIGINT)
+               AS total_kv_err
+    FROM est e CROSS JOIN truth t
+    """,
+)
+def bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch: a deterministic 256-row uniform sample —
+    the rows with the SMALLEST h60('qs:'||key) values — estimates p50/p90
+    of the order-value distribution, compared against the exact bounded-
+    histogram percentiles in the same row. Bottom-k-by-hash is the
+    mergeable sampling primitive (bottom-k of a union is the merge of the
+    per-partition bottom-k's), so the sketch distributes and re-merges at
+    any parallelism with identical content — the deterministic counterpart
+    of engine-native approx_percentile, which stays weak-by-design.
+
+    Percentiles are compared at 1000-unit bucket resolution on both the
+    sample and the truth side, keeping every output integer. The sample
+    stage is TakeOrdered (per-partition top-k, no global sort); the truth
+    side reuses the value-domain-bounded histogram pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    hashed = o.select(
+        "o_totalprice",
+        h60(F.concat(F.lit("qs:"), F.col("o_orderkey"))).alias("h"),
+        "o_orderkey",
+    )
+    sample = hashed.orderBy("h", "o_orderkey").limit(256)
+    kv = F.floor(F.col("o_totalprice") / 1000.0).cast("long")
+    ws = Window.orderBy(F.col("o_totalprice"), kv)
+    s = sample.select(
+        kv.alias("kv"),
+        F.row_number().over(ws).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    est = s.agg(
+        F.max("n").alias("n_sample"),
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("kv"))).alias(
+            "est_p50_kv"
+        ),
+        F.min(
+            F.when(F.col("rn") * 10 >= 9 * F.col("n"), F.col("kv"))
+        ).alias("est_p90_kv"),
+    )
+    hist = o.groupBy(kv.alias("kv")).agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("kv").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "kv",
+        F.sum("cnt").over(wcum).alias("cum_cnt"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    truth = cum.agg(
+        F.min(F.when(F.col("cum_cnt") * 2 >= F.col("n"), F.col("kv"))).alias(
+            "true_p50_kv"
+        ),
+        F.min(
+            F.when(F.col("cum_cnt") * 10 >= 9 * F.col("n"), F.col("kv"))
+        ).alias("true_p90_kv"),
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.col("n_sample").cast("long").alias("n_sample"),
+        F.col("est_p50_kv").cast("long").alias("est_p50_kv"),
+        F.col("est_p90_kv").cast("long").alias("est_p90_kv"),
+        F.col("true_p50_kv").cast("long").alias("true_p50_kv"),
+        F.col("true_p90_kv").cast("long").alias("true_p90_kv"),
+        (
+            F.abs(F.col("est_p50_kv") - F.col("true_p50_kv"))
+            + F.abs(F.col("est_p90_kv") - F.col("true_p90_kv"))
+        )
+        .cast("long")
+        .alias("total_kv_err"),
     )

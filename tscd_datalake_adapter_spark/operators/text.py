@@ -1147,3 +1147,98 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "token")
         .limit(15)
     )
+
+
+@register(
+    "token_neighbor_jaccard",
+    tags=("llm", "text", "graph"),
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 100
+    ),
+    adj AS (
+        SELECT ta AS t, tb AS nbr FROM edges
+        UNION ALL
+        SELECT tb AS t, ta AS nbr FROM edges
+    ),
+    sizes AS (SELECT t, count(*) AS n FROM adj GROUP BY t),
+    inter AS (
+        SELECT a.t AS tok_a, b.t AS tok_b, count(*) AS inter
+        FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.t < b.t
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT tok_a, tok_b,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON tok_a = sa.t
+        JOIN sizes sb ON tok_b = sb.t
+    )
+    SELECT tok_a, tok_b, jaccard FROM scored
+    ORDER BY jaccard DESC, tok_a, tok_b LIMIT 15
+    """,
+)
+def token_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural similarity on the token co-occurrence graph: Jaccard of
+    the two tokens' NEIGHBOR sets (same ≥100-doc edges as
+    ``token_graph_triangles``, symmetrized) — tokens are structurally
+    similar when they co-occur with the same other tokens even if they
+    never co-occur with each other, the distributional-similarity signal
+    PMI (direct co-occurrence) cannot see.
+
+    Implementation is :func:`~tscd_datalake_adapter_spark.operators.dedup.
+    exact_jaccard_pairs` applied to the adjacency list instead of the
+    document-token list — the inverted-index candidate join keyed on the
+    shared neighbor, sizes joined after, never all token pairs. The graph
+    is vocabulary-bounded, so every stage after edge construction is
+    vocab²-bounded regardless of corpus size."""
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("tok").alias("ta"))
+    b = dt.select("doc_id", F.col("tok").alias("tb"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 100)
+        .select("ta", "tb")
+    )
+    adj = edges.select(
+        F.col("ta").alias("doc_id"), F.col("tb").alias("tok")
+    ).unionByName(
+        edges.select(F.col("tb").alias("doc_id"), F.col("ta").alias("tok"))
+    )
+    pairs = exact_jaccard_pairs(adj)
+    return (
+        pairs.select(
+            F.col("doc_a").alias("tok_a"),
+            F.col("doc_b").alias("tok_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "tok_a", "tok_b")
+        .limit(15)
+    )
