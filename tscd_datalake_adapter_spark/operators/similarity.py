@@ -867,8 +867,13 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     # Vectorized per-row signatures (numpy matmul in mapInPandas, no
     # shuffle; see _lsh_signatures) and a NARROW bucket self-join —
     # candidate ids dedupe without dragging 64-double arrays through the
-    # shuffle; vectors re-join for verify.
-    sig = _lsh_signatures(corpus, "e", n_tables, bits)
+    # shuffle; vectors re-join for verify. The explicit repartition on
+    # the join key gives both self-join sides identical exchange
+    # subtrees, making the signature stage eligible for the engine's
+    # exchange-reuse rewrite (and pre-keys the join either way).
+    sig = _lsh_signatures(corpus, "e", n_tables, bits).repartition(
+        "tbl", "bucket"
+    )
     cand = (
         sig.alias("a")
         .join(
