@@ -213,3 +213,70 @@ def test_asof_stream_matches_batch_asof_join(spark, sf_dir, source_dir, tmp_path
         "SELECT count(DISTINCT seq) FROM asof_smoke"
     ).first()[0]
     assert n_seqs > 1
+
+
+def test_asof_stream_evicting_matches_batch_and_bounds_state(
+    spark, sf_dir, tmp_path
+):
+    """The watermark-evicting streaming as-of must (a) agree with the batch
+    asof_join on every purchase (finalized rows authoritative, pending
+    ones by latest emission), (b) actually FINALIZE purchases mid-stream,
+    and (c) actually EVICT view state (some emission carries fewer
+    buffered views than the user's full view history)."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.operators.asof import (
+        asof_join_purchase_view,
+    )
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    src = jobs.stage_stream_source_ordered(
+        spark, sf_dir, str(tmp_path / "ordered_src")
+    )
+    live = jobs.run_asof_stream_evicting(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        "asof_evict_smoke",
+        max_files_per_trigger=1,
+    )
+    live_rows = {
+        (r.user_id, r.purchase_id): r.asof_view_id for r in live.collect()
+    }
+    batch_rows = {
+        (r.user_id, r.purchase_id): r.asof_view_id
+        for r in asof_join_purchase_view(spark, sf_dir).collect()
+    }
+    assert live_rows == batch_rows
+
+    emissions = spark.sql(
+        "SELECT user_id, purchase_id, final, seq, state_views "
+        "FROM asof_evict_smoke"
+    ).collect()
+    # (b) finalization fired before the last batch for at least one purchase
+    assert any(r.final for r in emissions)
+    # a finalized purchase is never emitted again at a later seq
+    last_final = {}
+    for r in emissions:
+        if r.final:
+            key = (r.user_id, r.purchase_id)
+            assert key not in last_final, "finalized purchase re-emitted"
+            last_final[key] = r.seq
+    reemitted = [
+        r for r in emissions
+        if (r.user_id, r.purchase_id) in last_final
+        and r.seq > last_final[(r.user_id, r.purchase_id)]
+    ]
+    assert not reemitted
+    # (c) eviction: some user's buffered views < their total view count
+    total_views = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert any(
+        r.state_views < total_views.get(r.user_id, 0) for r in emissions
+    )

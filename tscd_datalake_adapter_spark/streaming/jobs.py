@@ -32,6 +32,36 @@ def stage_stream_source(spark: SparkSession, sf_dir: str, source_dir: str) -> st
     return source_dir
 
 
+def stage_stream_source_ordered(
+    spark: SparkSession, sf_dir: str, source_dir: str
+) -> str:
+    """Stage the events table as TIME-RANGE-ordered files replayed in time
+    order: four non-overlapping ts ranges written SEQUENTIALLY (the file
+    stream orders candidate files by modification time, so sequential
+    writes replay ranges oldest-first; a short sleep guarantees distinct
+    mtimes). Cross-batch disorder is then bounded (zero between ranges)
+    while within-batch rows stay unsorted — the bounded-late-data arrival
+    model a WATERMARK encodes. Use it for jobs whose semantics finalize or
+    drop on the watermark (the plain ``stage_stream_source``
+    hash-shuffles rows across files, which under a watermark would
+    legitimately discard or mis-finalize most of them)."""
+    import time as _time
+
+    e = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-09", "2024-01-17", "2024-01-25"]
+    ts = F.col("ts")
+    ranges = [
+        ts < cuts[0],
+        (ts >= cuts[0]) & (ts < cuts[1]),
+        (ts >= cuts[1]) & (ts < cuts[2]),
+        ts >= cuts[2],
+    ]
+    for cond in ranges:
+        e.where(cond).coalesce(1).write.mode("append").parquet(source_dir)
+        _time.sleep(1.1)  # distinct mtimes even on coarse filesystems
+    return source_dir
+
+
 def read_event_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -538,5 +568,147 @@ def run_asof_stream(
         f"SELECT user_id, purchase_id, "
         f"max_by(asof_view_id, seq) AS asof_view_id, "
         f"max_by(view_ts_micros, seq) AS view_ts_micros "
+        f"FROM {query_name} GROUP BY user_id, purchase_id"
+    )
+
+
+def run_asof_stream_evicting(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Production form of :func:`run_asof_stream`: the same out-of-order-
+    tolerant streaming as-of join, with WATERMARK-DRIVEN finalization and
+    state EVICTION so per-user state is bounded by the late-data horizon
+    instead of growing with history.
+
+    Each batch: append arrivals to the per-user buffers, then
+    - FINALIZE every purchase with ts < watermark (no view with a smaller
+      ts can still arrive, so its match can never change again): emit it
+      with ``final = true`` and drop it from state;
+    - still emit provisional (``final = false``) matches for the pending
+      purchases, so downstream sees fresh results at all times;
+    - EVICT views that can no longer match anything: every view except
+      the newest one at-or-below the watermark (any future purchase has
+      ts >= watermark, and its best match at-or-below the watermark is
+      exactly that newest view; views above the watermark all stay).
+
+    The finalized rows are append-only facts; provisional rows supersede
+    by emission seq. Tests pin (a) final+latest-provisional == the batch
+    as-of join, (b) a finalized purchase is never re-emitted, and (c)
+    eviction actually shrinks state below full history."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        read_event_stream(spark, source_dir, max_files_per_trigger)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .withWatermark("ts", delay)
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            v_ts, v_id, p_ts, p_id, seq = state.get
+            v_ts, v_id, p_ts, p_id = (
+                list(v_ts), list(v_id), list(p_ts), list(p_id),
+            )
+        else:
+            v_ts, v_id, p_ts, p_id, seq = [], [], [], [], 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            micros = (
+                pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+            )
+            for t, i, et in zip(micros, pdf["event_id"], pdf["event_type"]):
+                if et == "view":
+                    v_ts.append(int(t))
+                    v_id.append(int(i))
+                else:
+                    p_ts.append(int(t))
+                    p_id.append(int(i))
+        seq += 1
+        wm = state.getCurrentWatermarkMs() * 1000  # micros
+
+        def best(t):
+            if not v_ts:
+                return None, None
+            order = np.lexsort((np.asarray(v_id), np.asarray(v_ts)))
+            sv_ts = np.asarray(v_ts)[order]
+            sv_id = np.asarray(v_id)[order]
+            pos = int(np.searchsorted(sv_ts, t, side="right")) - 1
+            if pos < 0:
+                return None, None
+            return int(sv_id[pos]), int(sv_ts[pos])
+
+        rows = []
+        keep_p_ts, keep_p_id = [], []
+        for t, i in zip(p_ts, p_id):
+            m_id, m_ts = best(t)
+            final = bool(t < wm)
+            rows.append((int(i), m_id, m_ts, final))
+            if not final:
+                keep_p_ts.append(t)
+                keep_p_id.append(i)
+        # evict: keep views >= watermark plus the single newest below it
+        below = [(t, i) for t, i in zip(v_ts, v_id) if t < wm]
+        keep = [(t, i) for t, i in zip(v_ts, v_id) if t >= wm]
+        if below:
+            keep.append(max(below))
+        state.update(
+            (
+                [t for t, _ in keep],
+                [i for _, i in keep],
+                keep_p_ts,
+                keep_p_id,
+                seq,
+            )
+        )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(rows),
+                    "purchase_id": [r[0] for r in rows],
+                    "asof_view_id": [r[1] for r in rows],
+                    "view_ts_micros": [r[2] for r in rows],
+                    "final": [r[3] for r in rows],
+                    "seq": [seq] * len(rows),
+                    "state_views": [len(keep)] * len(rows),
+                }
+            )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "user_id long, purchase_id long, asof_view_id long, "
+            "view_ts_micros long, final boolean, seq long, state_views long"
+        ),
+        stateStructType=(
+            "v_ts array<long>, v_id array<long>, p_ts array<long>, "
+            "p_id array<long>, seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # finalized rows are authoritative; pending purchases resolve to their
+    # highest-seq provisional emission
+    return spark.sql(
+        f"SELECT user_id, purchase_id, "
+        f"max_by(asof_view_id, struct(CAST(final AS INT), seq)) "
+        f"  AS asof_view_id, "
+        f"max(CAST(final AS INT)) = 1 AS finalized "
         f"FROM {query_name} GROUP BY user_id, purchase_id"
     )
