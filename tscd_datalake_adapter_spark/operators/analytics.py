@@ -1582,3 +1582,79 @@ def dq_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("orders", F.col("o_orderkey"), "o_orderdate"))
     )
     return out.orderBy("tbl")
+
+
+@register(
+    "revenue_gini_binned",
+    tags=("tpch", "analytics"),
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38, 6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    binned AS (
+        SELECT CAST(floor(rev / 1000.0) AS BIGINT) AS kv,
+               CAST(count(*) AS BIGINT) AS c
+        FROM per_cust GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(sum(a.c * b.c * abs(a.kv - b.kv)) AS BIGINT)
+            AS pair_diff_sum
+        FROM binned a CROSS JOIN binned b
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * kv) AS BIGINT) AS mass
+        FROM binned
+    )
+    SELECT t.n AS n_customers,
+           CAST((SELECT count(*) FROM binned) AS BIGINT) AS n_bins,
+           round(CAST(p.pair_diff_sum AS DOUBLE)
+                 / (2.0 * t.n * t.mass), 6) AS gini
+    FROM pairs p CROSS JOIN tot t
+    """,
+)
+def revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue concentration, computed on
+    a 1000-unit binned distribution: G = Σ_{b,b'} c_b·c_b'·|v_b − v_b'| /
+    (2·n·Σ c_b·v_b) — the mean-absolute-difference form evaluated on the
+    bounded bin domain, so every numerator/denominator ingredient is an
+    INTEGER and the single division at the end is engine-exact.
+
+    Scale: per-customer revenue is one decimal-exact aggregation; the
+    bin×bin pair sum is value-domain-bounded (bins² independent of
+    customer count), never a customer×customer pair join — the same
+    bounded-histogram trade the exact-percentile operators make
+    (bin-resolution Gini, exact for the binned distribution)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        dec_sum("o_totalprice").alias("rev")
+    )
+    binned = per_cust.groupBy(
+        F.floor(F.col("rev") / 1000.0).cast("long").alias("kv")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = binned.select(F.col("kv").alias("ka"), F.col("c").alias("ca"))
+    b = binned.select(F.col("kv").alias("kb"), F.col("c").alias("cb"))
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.col("ca") * F.col("cb") * F.abs(F.col("ka") - F.col("kb"))
+        )
+        .cast("long")
+        .alias("pair_diff_sum")
+    )
+    tot = binned.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("kv")).cast("long").alias("mass"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_customers"),
+        "n_bins",
+        F.round(
+            F.col("pair_diff_sum").cast("double")
+            / (2.0 * F.col("n") * F.col("mass")),
+            6,
+        ).alias("gini"),
+    )

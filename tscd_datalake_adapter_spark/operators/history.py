@@ -636,3 +636,117 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "live_value_sum",
         )
     )
+
+
+@register(
+    "time_decay_attribution",
+    tags=("history",),
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+               CAST(value AS DOUBLE) AS value
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    views AS (
+        SELECT user_id, event_id AS view_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    touches AS (
+        SELECT p.user_id, p.purchase_id, p.value, v.view_id,
+               CAST(round(pow(0.5,
+                    (epoch_us(p.p_ts) - epoch_us(v.v_ts)) / 86400000000.0),
+                    12) AS DECIMAL(38, 12)) AS w
+        FROM purchases p JOIN views v
+          ON p.user_id = v.user_id
+         AND v.v_ts <= p.p_ts
+         AND epoch_us(v.v_ts) >= epoch_us(p.p_ts) - 604800000000
+    ),
+    norm AS (
+        SELECT user_id, purchase_id, value,
+               CAST(sum(w) AS DOUBLE) AS sw
+        FROM touches GROUP BY 1, 2, 3
+    ),
+    credits AS (
+        SELECT t.view_id,
+               CAST(round(n.value * CAST(t.w AS DOUBLE) / n.sw, 12)
+                    AS DECIMAL(38, 12)) AS credit
+        FROM touches t
+        JOIN norm n ON t.purchase_id = n.purchase_id
+    )
+    SELECT view_id,
+           CAST(count(*) AS BIGINT) AS n_purchases_touched,
+           round(CAST(sum(credit) AS DOUBLE), 6) AS attributed_value
+    FROM credits GROUP BY view_id
+    ORDER BY attributed_value DESC, view_id LIMIT 20
+    """,
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every view in a purchase's
+    7-day lookback shares the purchase value with weight 0.5^(Δdays)
+    (half-life decay), normalized per purchase — the standard middle
+    ground between last-touch (all credit to one touch) and linear
+    (equal credit) attribution. Reports the top-20 views by attributed
+    value.
+
+    Float recipe: the decay weight is a libm ``pow`` double, so each
+    weight is rounded to 12 decimals and DECIMAL-summed for the
+    per-purchase normalizer (order-free), and each view credit is again
+    a round-12 decimal term summed per view — no raw float fold
+    anywhere (the NDCG/PSI recipe, twice). Scale shape: identical to
+    ``last_touch_attribution`` — a user-keyed range join bounded by the
+    lookback, then two bounded aggregations."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    w = F.round(
+        F.pow(
+            F.lit(0.5),
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+            / 86400000000.0,
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    touches = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros("v_ts")
+            >= F.unix_micros("p_ts") - 604800000000
+        ),
+    ).select("user_id", "purchase_id", "value", "view_id", w.alias("w"))
+    norm = touches.groupBy("user_id", "purchase_id", "value").agg(
+        F.sum("w").cast("double").alias("sw")
+    )
+    credits = touches.join(
+        norm.select("purchase_id", "sw"), "purchase_id"
+    ).select(
+        "view_id",
+        F.round(
+            F.col("value") * F.col("w").cast("double") / F.col("sw"), 12
+        )
+        .cast("decimal(38,12)")
+        .alias("credit"),
+    )
+    return (
+        credits.groupBy("view_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases_touched"),
+            F.round(F.sum("credit").cast("double"), 6).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy(F.col("attributed_value").desc(), "view_id")
+        .limit(20)
+    )

@@ -11,7 +11,7 @@ engine-internal constants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import H60_SQLEXPR, oracle_h60
@@ -1241,4 +1241,99 @@ def token_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard").desc(), "tok_a", "tok_b")
         .limit(15)
+    )
+
+
+@register(
+    "zipf_fit_tokens",
+    tags=("llm", "text"),
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+            AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY tok
+    ),
+    ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT)
+                   AS rnk,
+               f
+        FROM freq ORDER BY f DESC, tok LIMIT 50
+    ),
+    terms AS (
+        SELECT CAST(round(ln(rnk), 12) AS DECIMAL(38, 12)) AS x,
+               CAST(round(ln(f), 12) AS DECIMAL(38, 12)) AS y,
+               CAST(round(ln(rnk) * ln(rnk), 12) AS DECIMAL(38, 12)) AS xx,
+               CAST(round(ln(rnk) * ln(f), 12) AS DECIMAL(38, 12)) AS xy
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(xx) AS DOUBLE) AS sxx,
+               CAST(sum(xy) AS DOUBLE) AS sxy
+        FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-50 token frequencies: OLS slope of
+    ln(freq) on ln(rank) — the corpus-statistics health check (natural
+    text sits near slope −1; a synthetic or deduplicated corpus drifts,
+    making this a cheap distribution-shift probe for training data).
+
+    Float recipe: each regression ingredient (ln terms and their
+    products) is rounded to 12 decimals and decimal-summed — the
+    libm-ulp-proof fold recipe (NDCG/PSI/MI) — and the slope/intercept
+    derive once from those sums. The rank window runs over the
+    vocabulary-bounded frequency table, TakeOrdered-limited to 50."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
+    ranked = (
+        freq.orderBy(F.col("f").desc(), F.col("tok"))
+        .limit(50)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), F.col("tok")))
+            .cast("long")
+            .alias("rnk"),
+            "f",
+        )
+    )
+    dec = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    lx, ly = F.log(F.col("rnk")), F.log(F.col("f"))
+    terms = ranked.select(
+        dec(lx).alias("x"),
+        dec(ly).alias("y"),
+        dec(lx * lx).alias("xx"),
+        dec(lx * ly).alias("xy"),
+    )
+    s = terms.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
     )
