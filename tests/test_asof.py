@@ -89,3 +89,56 @@ def test_asof_plan_is_single_window_no_nested_loop(spark, sf_dir):
         p = plans.formatted_plan(fn(spark, sf_dir))
         assert "BroadcastNestedLoop" not in p
         assert "CartesianProduct" not in p
+
+
+def test_asof_matches_bruteforce_on_random_histories(spark):
+    """Property-style pin (seeded random, no hypothesis-Spark session
+    interplay): on random per-user event histories with DUPLICATE
+    timestamps, both as-of directions must equal an independent
+    brute-force Python model (backward: max (ts,id) with ts<=t; forward:
+    min (ts,id') with ts>=t, id' compared ascending)."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        left_rows, right_rows = [], []
+        lid = rid = 0
+        for user in range(6):
+            for _ in range(rng.randint(0, 8)):
+                lid += 1
+                left_rows.append((user, _sec(rng.randint(0, 20)), lid))
+            for _ in range(rng.randint(0, 8)):
+                rid += 1
+                right_rows.append((user, _sec(rng.randint(0, 20)), 1000 + rid))
+        if not left_rows or not right_rows:
+            continue
+        left = _df(spark, left_rows)
+        right = _df(spark, right_rows)
+
+        def expect(direction):
+            out = {}
+            for (u, t, i) in left_rows:
+                cands = [
+                    (rt, ri)
+                    for (ru, rt, ri) in right_rows
+                    if ru == u
+                    and (rt <= t if direction == "backward" else rt >= t)
+                ]
+                if not cands:
+                    out[i] = None
+                elif direction == "backward":
+                    out[i] = max(cands)[1]
+                else:
+                    out[i] = min(cands, key=lambda c: (c[0], c[1]))[1]
+            return out
+
+        for direction in ("backward", "forward"):
+            got = {
+                r["event_id"]: r["asof_event_id"]
+                for r in asof_join(
+                    left, right, on="ts", by="user_id",
+                    left_id="event_id", right_id="event_id",
+                    direction=direction,
+                ).collect()
+            }
+            assert got == expect(direction), f"seed={seed} {direction}"
