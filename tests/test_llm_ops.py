@@ -756,3 +756,18 @@ def test_lsh_signatures_partition_invariant_and_bounded(spark, sf_dir):
     assert one == many
     assert len(one) == 60 * n_tables
     assert all(0 <= b < (1 << bits) for b in one.values())
+
+
+def test_er_blocking_is_equi_join_and_skew_bounded(spark, sf_dir):
+    """er_blocking_candidates must plan an equi-join on (nation, block) —
+    no nested-loop/cartesian path — and a planted hot block (many
+    customers with near-identical balances) must produce candidates only
+    within the nation+block neighborhood, not across the corpus."""
+    from tscd_datalake_adapter_spark import plans
+    from tscd_datalake_adapter_spark.operators.mlprep import (
+        er_blocking_candidates,
+    )
+
+    p = plans.formatted_plan(er_blocking_candidates(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p
+    assert "CartesianProduct" not in p
