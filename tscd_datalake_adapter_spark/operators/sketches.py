@@ -665,3 +665,123 @@ def bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_kv_err"),
     )
+
+
+@register(
+    "kmv_intersection_estimate",
+    tags=("tpch", "sketch"),
+    oracle=f"""
+    WITH a_keys AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    b_keys AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    a_sk AS (
+        SELECT {oracle_h60("'kmv:' || o_custkey")} AS h FROM a_keys
+        ORDER BY h LIMIT 16
+    ),
+    b_sk AS (
+        SELECT {oracle_h60("'kmv:' || o_custkey")} AS h FROM b_keys
+        ORDER BY h LIMIT 16
+    ),
+    u_sk AS (
+        SELECT h FROM (
+            SELECT h FROM a_sk UNION SELECT h FROM b_sk
+        ) ORDER BY h LIMIT 16
+    ),
+    m AS (
+        SELECT
+            (SELECT max(h) FROM u_sk) AS hk,
+            (SELECT count(*) FROM u_sk) AS ku,
+            (SELECT count(*) FROM u_sk
+             WHERE h IN (SELECT h FROM a_sk)
+               AND h IN (SELECT h FROM b_sk)) AS n_common,
+            (SELECT count(*) FROM a_keys) AS n_a,
+            (SELECT count(*) FROM b_keys) AS n_b,
+            (SELECT count(*) FROM a_keys
+             WHERE o_custkey IN (SELECT o_custkey FROM b_keys))
+                AS true_intersection
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(true_intersection AS BIGINT) AS true_intersection,
+           CAST(n_common AS BIGINT) AS n_common_in_union_sketch,
+           round(CASE WHEN ku < 16
+                      THEN CAST(ku AS DOUBLE)
+                      ELSE 15.0 * 1152921504606846976.0 / hk END
+                 * n_common / 16.0, 2) AS est_intersection
+    FROM m
+    """,
+)
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION estimation — the capability that earns KMV its
+    place beside HLL (which can only union): customers active in 1995 vs
+    1996, D̂(A∩B) = ρ·D̂(A∪B) where the union sketch is the k smallest of
+    the merged sketches (exactly the sketch of A∪B — the KMV merge
+    property) and ρ is the fraction of union-sketch members present in
+    BOTH input sketches (Beyer et al., "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations").
+
+    Deterministic end-to-end on h60 (sketch members, k-th order statistic,
+    ρ, and the estimate are all cross-engine exact), reported against the
+    exact intersection in the same row. Scale: each sketch is a
+    TakeOrdered-16 over a distinct-key aggregation; the merge and ρ are
+    constant-size."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def keys(year: str, nxt: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(year).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(nxt).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a_keys = keys("1995-01-01", "1996-01-01")
+    b_keys = keys("1996-01-01", "1997-01-01")
+
+    def sketch(kdf: DataFrame) -> DataFrame:
+        return (
+            kdf.select(
+                h60(F.concat(F.lit("kmv:"), F.col("o_custkey"))).alias("h")
+            )
+            .orderBy("h")
+            .limit(16)
+        )
+
+    a_sk, b_sk = sketch(a_keys), sketch(b_keys)
+    u_sk = (
+        a_sk.unionByName(b_sk).distinct().orderBy("h").limit(16)
+    )
+    common = u_sk.join(a_sk, "h", "semi").join(b_sk, "h", "semi")
+    m = (
+        u_sk.agg(
+            F.max("h").alias("hk"), F.count("*").cast("long").alias("ku")
+        )
+        .crossJoin(common.agg(F.count("*").cast("long").alias("n_common")))
+        .crossJoin(a_keys.agg(F.count("*").cast("long").alias("n_a")))
+        .crossJoin(b_keys.agg(F.count("*").cast("long").alias("n_b")))
+        .crossJoin(
+            a_keys.join(b_keys, "o_custkey", "semi")
+            .agg(F.count("*").cast("long").alias("true_intersection"))
+        )
+    )
+    union_est = F.when(F.col("ku") < 16, F.col("ku").cast("double")).otherwise(
+        15.0 * 1152921504606846976.0 / F.col("hk")
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "true_intersection",
+        F.col("n_common").alias("n_common_in_union_sketch"),
+        F.round(union_est * F.col("n_common") / 16.0, 2).alias(
+            "est_intersection"
+        ),
+    )
