@@ -30,6 +30,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_probe() -> float:
+    """Seconds for a fixed pure-Python loop — a machine-speed calibration
+    stamped into every bench JSON. Round-over-round bench comparisons
+    divide by this first: a uniform query slowdown accompanied by a
+    proportionally slower probe is host contention (the r4 driver-bench
+    mystery), not a plan regression."""
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.time() - t0, 3)
+
+
 def _timings(spark, sf_dir, specs, runs):
     """{name: sorted [t_1 <= t_2 <= ...]} over `runs` noop-sink executions."""
     out = {}
@@ -92,6 +105,7 @@ def main() -> int:
             "families": families,
             "queries": queries,
             "n_queries": len(queries),
+            "cpu_probe_sec": _cpu_probe(),
             "sf": _sf_val(sf_dir),
         }
         print(json.dumps(result))
@@ -115,6 +129,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "queries_p2": second_best,
+        "cpu_probe_sec": _cpu_probe(),
         "sf": _sf_val(sf_dir),
     }
     print(json.dumps(result))
