@@ -142,3 +142,22 @@ def test_asof_matches_bruteforce_on_random_histories(spark):
                 ).collect()
             }
             assert got == expect(direction), f"seed={seed} {direction}"
+
+
+def test_asof_null_timestamps_are_inert(spark):
+    """NULL-`on` guards: a NULL-ts right row must never be carried as a
+    match (it would sort NULLS-FIRST into the 'most recent' slot), and a
+    NULL-ts left row survives with NULL match columns in BOTH
+    directions."""
+    left = _df(spark, [(1, _sec(10), 100), (1, None, 101)])
+    right = _df(spark, [(1, None, 7), (1, _sec(5), 8)])
+    for direction, want in (("backward", 8), ("forward", None)):
+        got = {
+            r["event_id"]: r["asof_event_id"]
+            for r in asof_join(
+                left, right, on="ts", by="user_id",
+                left_id="event_id", right_id="event_id",
+                direction=direction,
+            ).collect()
+        }
+        assert got == {100: want, 101: None}, direction

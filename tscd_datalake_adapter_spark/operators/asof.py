@@ -51,7 +51,11 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
           for c in (right_id, *right_payload)],
     )
-    rt = right.select(
+    # NULL-`on` guards (SQL as-of semantics: NULL compares with nothing):
+    # a NULL-ts right row would otherwise sort NULLS-FIRST and be carried
+    # as "most recent" for every row after it — drop it; NULL-ts left
+    # rows are kept but their match columns are nulled below.
+    rt = right.where(F.col(on).isNotNull()).select(
         F.col(by), F.col(on), F.lit(0).alias("_side"),
         F.lit(None).cast(left.schema[left_id].dataType).alias("_lid"),
         *[F.col(c).alias(f"_r_{c}") for c in (right_id, *right_payload)],
@@ -96,7 +100,12 @@ def asof_join(
         F.col(by),
         F.col(on),
         F.col("_lid").alias(left_id),
-        *[F.col(f"asof_{c}") for c in (right_id, *right_payload)],
+        *[
+            F.when(F.col(on).isNotNull(), F.col(f"asof_{c}")).alias(
+                f"asof_{c}"
+            )
+            for c in (right_id, *right_payload)
+        ],
     )
 
 
