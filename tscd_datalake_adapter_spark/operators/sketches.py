@@ -714,7 +714,7 @@ def bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN ku < 16
                       THEN CAST(ku AS DOUBLE)
                       ELSE 15.0 * 1152921504606846976.0 / hk END
-                 * n_common / 16.0, 2) AS est_intersection
+                 * n_common / ku, 2) AS est_intersection
     FROM m
     """,
 )
@@ -776,12 +776,15 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_est = F.when(F.col("ku") < 16, F.col("ku").cast("double")).otherwise(
         15.0 * 1152921504606846976.0 / F.col("hk")
     )
+    # rho divides by the UNION SKETCH SIZE ku, not the nominal k: when the
+    # union holds fewer than k distinct values the sketch IS the union and
+    # n_common IS the exact intersection (est = ku * n_common / ku).
     return m.select(
         "n_a",
         "n_b",
         "true_intersection",
         F.col("n_common").alias("n_common_in_union_sketch"),
-        F.round(union_est * F.col("n_common") / 16.0, 2).alias(
+        F.round(union_est * F.col("n_common") / F.col("ku"), 2).alias(
             "est_intersection"
         ),
     )
