@@ -587,6 +587,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter) rounds, each one shuffle keyed on the node id. The oracle is
     DuckDB's recursive CTE over the same edge set, so the iterative
     algorithm is hash-verified against a declarative fixpoint."""
+    labels = _cluster_labels(spark, sf_dir)
+    return labels.select(
+        F.col("src").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        (F.col("src") == F.col("label")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, label) connected-component labels over the Jaccard≥0.9 graph —
+    the unsorted core shared by :func:`dedup_clusters` and
+    :func:`fuzzy_dedup_keep_longest`.
+
+    One action per propagation round: the convergence count rides the cache
+    materialization as an ``Observation`` metric (a label can only shrink,
+    so "changed" is exactly "a neighbor min undercut my label" — no
+    old-vs-new join needed)."""
+    from pyspark.sql import Observation
+
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     tokens = distinct_tokens(docs)
     pairs = (
@@ -609,13 +628,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result-changer: exiting it without convergence raises rather than
     # silently returning wrong (partially-propagated) cluster ids.
     changed = -1
-    for _ in range(15):
+    for i in range(15):
         neighbor_min = (
             edges.alias("e")
             .join(labels.alias("l"), F.col("e.dst") == F.col("l.src"))
             .groupBy(F.col("e.src").alias("node"))
             .agg(F.min("l.label").alias("nmin"))
         )
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(
                 neighbor_min, labels.src == neighbor_min.node, "left"
@@ -625,16 +645,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
                 ).alias("label"),
+                F.when(F.col("nmin") < F.col("label"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("chg"),
             )
+            .observe(obs, F.sum("chg").alias("changed"))
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        new_labels.count()
+        changed = obs.get["changed"] or 0
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     if changed != 0:
@@ -643,11 +663,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "15 rounds (a component's diameter exceeds the cap); raise the "
             "round cap rather than using partially-propagated labels"
         )
-    return labels.select(
-        F.col("src").alias("doc_id"),
-        F.col("label").cast("long").alias("cluster_id"),
-        (F.col("src") == F.col("label")).alias("is_canonical"),
-    ).orderBy("doc_id")
+    return labels
 
 
 @register(
@@ -708,7 +724,9 @@ def fuzzy_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels → join back to documents → per-cluster argmax via ``max_by`` on
     a (n_chars, -doc_id) struct — one extra shuffle keyed on cluster_id,
     whose cardinality is already ≤ corpus size and shrinks with dup rate."""
-    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    labels = _cluster_labels(spark, sf_dir).select(
+        F.col("src").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
+    )
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select(
         "doc_id", "n_chars"
     )
