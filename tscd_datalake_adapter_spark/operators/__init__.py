@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         asof,
         dedup,
         history,
+        mining,
         mlprep,
         multimodal,
         pipeline,

@@ -1,0 +1,575 @@
+"""Corpus & behavior mining operators (round 5, second wave): session-path
+mining, grid-blocked spatial joins, cross-document n-gram span duplication,
+per-domain cap sampling, token-entropy quality scoring, rolling exact
+medians, and Pareto (skyline) frontiers.
+
+Each query follows the repo's determinism recipes (NOTES.md): integer
+arithmetic through shuffles wherever possible, ``h60`` for any hash-derived
+value, round-12 + DECIMAL(38,12) sums for libm-derived terms, round-6
+double outputs. Scale shapes are called out per operator; the common theme
+of this wave is *blocking*: every pairwise computation (spatial pairs,
+duplicated spans) goes through an equi-joinable candidate key, never an
+all-pairs join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.functions import (
+    dec_sum,
+    h60,
+    oracle_dec_sum,
+    oracle_h60,
+)
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.sources import load_table
+
+LN2 = "0.6931471805599453"
+"""The double nearest ln(2), as a literal both engines parse identically."""
+
+GEO_LAT_RANGE = 180_000_001
+GEO_LON_RANGE = 360_000_001
+GEO_CELL = 10_000_000
+GEO_PAIR_D = 1_000_000  # pair radius in µdeg (and the blocking cell size)
+
+
+def _geo_points(spark: SparkSession, sf_dir: str, limit_id: int) -> DataFrame:
+    """Synthetic deterministic planar coordinates for events: non-negative
+    integer micro-degrees derived from ``h60`` of the event id (the fixture
+    has no geo columns; the *operators* over the grid are the deliverable).
+    Integer µdeg keep every distance computation exact in BIGINT."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < limit_id)
+    return e.select(
+        "event_id",
+        (h60(F.concat(F.lit("lat:"), F.col("event_id").cast("string")))
+         % GEO_LAT_RANGE).alias("y"),
+        (h60(F.concat(F.lit("lon:"), F.col("event_id").cast("string")))
+         % GEO_LON_RANGE).alias("x"),
+    )
+
+
+def _oracle_geo_points(limit_id: int) -> str:
+    lat = oracle_h60("'lat:' || CAST(event_id AS VARCHAR)")
+    lon = oracle_h60("'lon:' || CAST(event_id AS VARCHAR)")
+    return f"""
+        SELECT event_id,
+               {lat} % {GEO_LAT_RANGE} AS y,
+               {lon} % {GEO_LON_RANGE} AS x
+        FROM events WHERE event_id < {limit_id}
+    """
+
+
+@register(
+    "session_path_topk",
+    tags=("history", "mining"),
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE user_id < 300
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ),
+    r AS (
+        SELECT user_id, session_no, event_type,
+               row_number() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY ts, event_id) AS rn
+        FROM s
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining: the most common event-type journeys, where a
+    journey is the first five events of each 30-minute-gap session joined
+    as ``view>click>purchase`` — the flat-table form of a prefix tree over
+    user behavior (every prefix count is recoverable by grouping on a
+    path prefix).
+
+    Scale shape: sessionization windows are per-user (the same shape as
+    ``sessionize_events_batch``); the path build groups on (user,
+    session) — a key strictly finer than user — and the final count
+    groups on path with a TakeOrderedAndProject top-20, so no stage sees
+    an unpartitioned window or a global sort."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn("session_no", F.sum("is_new").over(run))
+    rw = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(rw)).where(F.col("rn") <= 5)
+    paths = r.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda st: st.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "geo_grid_hotspots",
+    tags=("mining", "geo"),
+    oracle=f"""
+    WITH pts AS ({_oracle_geo_points(100_000_000)})
+    SELECT x // {GEO_CELL} AS cell_x, y // {GEO_CELL} AS cell_y,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM pts GROUP BY cell_x, cell_y
+    ORDER BY n_events DESC, cell_x, cell_y LIMIT 15
+    """,
+)
+def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection by uniform grid binning: densest
+    ``GEO_CELL``-sized cells over synthetic planar µdeg coordinates (an
+    H3/S2-style discrete global grid reduced to its analytic core: a
+    map-side integer cell key). Coordinates are non-negative integers, so
+    ``div`` truncation equals floor in both engines.
+
+    Scale: the cell id is computed in the scan projection; one hash
+    aggregation on a bounded key domain (648 cells here; a real deployment
+    picks the cell size so the cell count stays shuffle-friendly), then
+    TakeOrdered top-15."""
+    pts = _geo_points(spark, sf_dir, 100_000_000)
+    return (
+        pts.select(
+            F.expr(f"x div {GEO_CELL}").alias("cell_x"),
+            F.expr(f"y div {GEO_CELL}").alias("cell_y"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "cell_x", "cell_y")
+        .limit(15)
+    )
+
+
+@register(
+    "geo_closest_pairs",
+    tags=("mining", "geo"),
+    oracle=f"""
+    WITH pts AS ({_oracle_geo_points(20_000)}),
+    cells AS (
+        SELECT event_id, x, y,
+               x // {GEO_PAIR_D} AS cx, y // {GEO_PAIR_D} AS cy
+        FROM pts
+    ),
+    probes AS (
+        SELECT c.event_id, c.x, c.y,
+               c.cx + dx.dx AS px, c.cy + dy.dy AS py
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+    ),
+    pairs AS (
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM probes a JOIN cells b ON a.px = b.cx AND a.py = b.cy
+        WHERE a.event_id < b.event_id
+    )
+    SELECT id_a, id_b, d2 FROM pairs
+    WHERE d2 <= {GEO_PAIR_D}::BIGINT * {GEO_PAIR_D}
+    ORDER BY d2, id_a, id_b LIMIT 20
+    """,
+)
+def geo_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial pair join via grid blocking: all point pairs within
+    ``GEO_PAIR_D`` µdeg (euclidean), found by equi-joining on grid cells
+    with a 3×3 neighbor probe — the standard distributed spatial-join
+    plan (block, probe neighbors, verify exactly). Lossless: the cell
+    width equals the radius, so any qualifying pair's cells differ by at
+    most 1 per axis; each pair is found exactly once because only the
+    probe side explodes (the build side keeps its true cell).
+
+    Scale: candidate volume is density-bounded (9 cells per point), the
+    join is a hash equi-join on (cx, cy), distances are exact BIGINT
+    µdeg² — no floats until never. The all-pairs quadratic form never
+    appears at any scale."""
+    pts = _geo_points(spark, sf_dir, 20_000)
+    cells = pts.select(
+        "event_id",
+        "x",
+        "y",
+        F.expr(f"x div {GEO_PAIR_D}").alias("cx"),
+        F.expr(f"y div {GEO_PAIR_D}").alias("cy"),
+    )
+    probes = (
+        cells.select(
+            "event_id",
+            "x",
+            "y",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+            "cx",
+            "cy",
+        )
+        .select(
+            "event_id",
+            "x",
+            "y",
+            (F.col("cx") + F.col("dx")).alias("px"),
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"),
+            "cy",
+        )
+        .select(
+            "event_id", "x", "y", "px", (F.col("cy") + F.col("dy")).alias("py")
+        )
+    )
+    a, b = probes.alias("a"), cells.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(
+            b,
+            (F.col("a.px") == F.col("b.cx")) & (F.col("a.py") == F.col("b.cy")),
+        )
+        .where(F.col("a.event_id") < F.col("b.event_id"))
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            d2.alias("d2"),
+        )
+        .where(F.col("d2") <= F.lit(GEO_PAIR_D * GEO_PAIR_D).cast("long"))
+        .orderBy("d2", "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@register(
+    "ngram_span_dedup",
+    tags=("llm", "dedup", "mining"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents WHERE doc_id < 300
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                      i -> array_to_string(t[i:i+7], ' '))) AS g
+        FROM toks WHERE len(t) >= 8
+    ),
+    hashed AS (SELECT doc_id, {oracle_h60("g")} AS h FROM grams),
+    hstats AS (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+           round(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+    FROM hashed a JOIN hstats s USING (h)
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+)
+def ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span measurement (the Lee et al.
+    "Deduplicating Training Data" exact-substring signal, at 8-token
+    granularity): for every document, the fraction of its 8-gram token
+    windows that also occur in at least one OTHER document. Pipelines
+    use this to cut boilerplate-heavy documents that exact and near-dup
+    passes miss because the *whole* documents differ.
+
+    Scale shape: the sliding 8-gram expansion is a map-side
+    ``transform(sequence(...))`` (output volume = tokens × 1, not
+    quadratic); spans meet through a groupBy on the 60-bit gram hash —
+    the blocking key — and rejoin per-doc. Count-distinct runs per gram
+    hash (bounded by docs sharing a span), never globally."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return ngram_dup_stats(docs)
+
+
+def ngram_dup_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc duplicated-8-gram stats for any (doc_id, text) DataFrame —
+    the shared core of :func:`ngram_span_dedup` (also driven by tests on
+    planted-span synthetic corpora)."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    grams = (
+        toks.where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 7),"
+                    " i -> array_join(slice(t, i, 8), ' '))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", h60("g").alias("h"))
+    )
+    hstats = grams.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        grams.join(hstats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            dup.cast("long").alias("n_dup_grams"),
+            F.round(dup / F.count("*").cast("double"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "domain_cap_sample",
+    tags=("llm", "curation", "mining"),
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+           round(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS keep_ratio
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap sampling — the curation step that stops one crawl
+    domain from dominating a training mixture: keep at most 10 documents
+    per source (longest first, id tiebreak) and report the per-domain
+    keep ledger. One window partitioned by source, one aggregation on
+    the same key — a single shuffle at any scale; hot domains are the
+    common case and stay a single partition's worth of ranking state
+    because row_number needs no buffering beyond the sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    kept = F.sum(F.when(F.col("rn") <= 10, 1).otherwise(0))
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            kept.cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= 10, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.round(kept / F.count("*").cast("double"), 6).alias("keep_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "token_entropy_quality",
+    tags=("llm", "text", "mining"),
+    oracle=f"""
+    WITH tokc AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 300)
+        WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(CAST(round(c * ln(c), 12) AS DECIMAL(38, 12)))
+                    AS DOUBLE) AS s
+        FROM tokc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round((round(ln(n_tokens), 12) - s / n_tokens) / {LN2}, 6)
+               AS entropy_bits
+    FROM agg ORDER BY doc_id
+    """,
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (bits/token) — the
+    quality signal that separates natural prose (high entropy) from
+    keyword stuffing and template boilerplate (low). Computed as
+    ``H = (ln N − Σ c·ln c / N) / ln 2`` so the corpus pass needs only
+    per-(doc, token) counts.
+
+    Determinism: the ``c·ln c`` terms are libm-derived, so each is
+    rounded to 12 decimals and summed as DECIMAL(38,12) (the NOTES
+    float-fold recipe); ``ln N`` is rounded per-row; the ln 2 divisor is
+    a shared double literal. Scale: one groupBy(doc, tok), one
+    groupBy(doc) — both partial-aggregated map-side."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    tokc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    c = F.col("c").cast("double")
+    term = F.round(c * F.log(c), 12).cast("decimal(38,12)")
+    agg = tokc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(term).cast("double").alias("s"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            (F.round(F.log(n), 12) - F.col("s") / n) / F.lit(float(LN2)),
+            6,
+        ).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "rolling_median_daily_value",
+    tags=("analytics", "mining"),
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               {oracle_dec_sum("value")} AS total
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(total, 6) AS total,
+           round(median(total) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS med7
+    FROM daily ORDER BY event_type, day
+    """,
+)
+def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median of daily event value totals — the
+    robust-trend twin of the moving average (medians shrug off the bursty
+    outlier days that drag a mean). Spark has no windowed median, so the
+    frame's ≤7 values are collected per row (``collect_list`` over a
+    ROWS frame — bounded state by construction), sorted, and the middle
+    element(s) picked; the DuckDB oracle is its native windowed
+    ``median``, making this a cross-implementation check, not an
+    echo. Even frames average the two middles — both engines do the
+    identical two-double mean.
+
+    Scale: daily totals are decimal-exact; the window is partitioned by
+    event_type and its frame is 7 rows regardless of data volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(dec_sum("value").alias("total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("total").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n.cast("int") / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, (n.cast("int") / 2).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2.0
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("total", 6).alias("total"),
+        F.round(med, 6).alias("med7"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "skyline_pareto_parts",
+    tags=("relational", "mining"),
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE a.p_partkey < 2000 AND NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_partkey < 2000
+          AND b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_retailprice, a.p_partkey
+    """,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts: cheapest-for-their-size parts —
+    every part not dominated by one that is both no more expensive and no
+    smaller (strictly better in at least one dimension). The operator
+    behind multi-objective shortlists (price/quality, latency/accuracy).
+
+    Spark plan is the scale-safe 2D skyline, NOT the quadratic NOT
+    EXISTS: aggregate max(size) per price, take the running strict max
+    over cheaper prices (one unpartitioned window, but over the
+    *aggregated* per-price frame, bounded by the price domain), and keep
+    parts equal to their price-group max that strictly beat every
+    cheaper group. The oracle states dominance declaratively — a
+    different formulation whose agreement is the test."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 2000)
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gg = g.withColumn("prev_max", F.max("msize").over(w))
+    return (
+        p.join(gg, "p_retailprice")
+        .where(
+            (F.col("p_size") == F.col("msize"))
+            & (
+                F.col("prev_max").isNull()
+                | (F.col("msize") > F.col("prev_max"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
