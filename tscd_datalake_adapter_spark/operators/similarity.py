@@ -1063,3 +1063,466 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (round 5, wave 2)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = "0.7"  # literal shared verbatim with the oracle SQL
+MMR_K = 8
+MMR_CANDS = 20
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-MMR DuckDB oracle: k-1 chained pick CTEs (plain SQL, no
+    recursion) over the same top-``MMR_CANDS`` candidate table the Spark
+    plan uses. Generated programmatically so the unroll depth follows
+    ``MMR_K``."""
+    lam = MMR_LAMBDA
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id AS cand_id,
+               round(list_dot_product(e.v, q.qv)
+                     / sqrt(list_dot_product(e.v, e.v)
+                            * list_dot_product(q.qv, q.qv)), 6) AS rel
+        FROM e CROSS JOIN q WHERE e.vec_id != 0
+    ),
+    cands AS MATERIALIZED (
+        SELECT cand_id, rel FROM scored
+        ORDER BY rel DESC, cand_id LIMIT {MMR_CANDS}
+    ),
+    cv AS (SELECT c.cand_id, e.v FROM cands c JOIN e ON e.vec_id = c.cand_id),
+    sims AS MATERIALIZED (
+        SELECT a.cand_id AS sa, b.cand_id AS sb,
+               round(list_dot_product(a.v, b.v)
+                     / sqrt(list_dot_product(a.v, a.v)
+                            * list_dot_product(b.v, b.v)), 6) AS sim
+        FROM cv a JOIN cv b ON a.cand_id != b.cand_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT CAST(1 AS INTEGER) AS step, cand_id, rel AS score
+        FROM cands ORDER BY rel DESC, cand_id LIMIT 1
+    )"""
+    ]
+    for s in range(2, MMR_K + 1):
+        prev = f"sel{s - 1}"
+        parts.append(
+            f""",
+    pick{s} AS (
+        SELECT CAST({s} AS INTEGER) AS step, c.cand_id,
+               {lam} * c.rel - (1 - {lam}) * m.ms AS score
+        FROM cands c JOIN (
+            SELECT s.sa AS cand_id, max(s.sim) AS ms FROM sims s
+            WHERE s.sb IN (SELECT cand_id FROM {prev}) GROUP BY s.sa
+        ) m ON m.cand_id = c.cand_id
+        WHERE c.cand_id NOT IN (SELECT cand_id FROM {prev})
+        ORDER BY score DESC, c.cand_id LIMIT 1
+    ),
+    sel{s} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{s})"""
+        )
+    parts.append(
+        f"""
+    SELECT step, cand_id, round(score, 6) AS score
+    FROM sel{MMR_K} ORDER BY step
+    """
+    )
+    return "".join(parts)
+
+
+@register("mmr_diversified_topk", tags=("llm", "similarity"), oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein) diversified
+    top-k: greedily pick the candidate maximizing
+    ``λ·rel(c) − (1−λ)·max_sim(c, selected)`` — the standard re-rank that
+    stops a retrieval page from returning eight near-copies of the same
+    document. Inherently sequential, so the greedy loop is unrolled as
+    ``MMR_K`` lazy TakeOrdered(1) stages over the cached candidate page —
+    one DAG, no driver collect; the oracle unrolls the identical greedy
+    chain in plain SQL.
+
+    Scale shape: the distributed work is candidate generation (one corpus
+    pass, TakeOrderedAndProject top-20); MMR itself runs on the page,
+    whose size is the API contract (re-ranking is O(k·|page|) by
+    definition). Determinism: rel/sim are round-6; the marginal score is
+    a two-term double expression on identical literals, bit-equal across
+    engines, with cand_id tiebreaks at every argmax."""
+    lam = float(MMR_LAMBDA)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+            "embedding",
+        )
+    )
+    cands = (
+        scored.orderBy(F.col("rel").desc(), "cand_id").limit(MMR_CANDS).cache()
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    sims = a.join(
+        b, F.col("a.cand_id") != F.col("b.cand_id")
+    ).select(
+        F.col("a.cand_id").alias("sa"),
+        F.col("b.cand_id").alias("sb"),
+        F.round(
+            cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        ).alias("sim"),
+    ).cache()
+    sel = (
+        cands.orderBy(F.col("rel").desc(), "cand_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("step"),
+            "cand_id",
+            F.col("rel").alias("score"),
+        )
+    )
+    # Each pick references the previous selection three times; without
+    # lineage truncation the lazy plan tree grows 3^k and Catalyst chokes
+    # analyzing it. localCheckpoint pins each ≤k-row selection (a tiny
+    # job per step over the cached 20-row page) so the plan stays linear.
+    sel = sel.localCheckpoint()
+    for step in range(2, MMR_K + 1):
+        picked = sel.select(F.col("cand_id").alias("pid"))
+        ms = (
+            sims.join(picked, F.col("sb") == F.col("pid"))
+            .groupBy("sa")
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            cands.join(picked, F.col("cand_id") == F.col("pid"), "left_anti")
+            .join(ms, F.col("cand_id") == F.col("sa"))
+            .select(
+                F.lit(step).cast("int").alias("step"),
+                "cand_id",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.col("ms")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "cand_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "step", "cand_id", F.round("score", 6).alias("score")
+    ).orderBy("step")
+
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ADC top-k (round 5, wave 2)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subvectors
+PQ_BITS = 4  # 2^4 = 16 codes per subvector
+PQ_K = 1 << PQ_BITS
+PQ_SUBDIM = DIM // PQ_M
+PQ_NQ = 8  # query vectors (vec_id < PQ_NQ)
+PQ_CANDS = 50  # ADC shortlist size per query
+
+
+def _pq_plane_components(m: int, b: int) -> list[float]:
+    """Sub-quantizer plane (m, b)'s components over the subspace,
+    ``(h60('pqplane:m:b:d') % 2001 - 1000) / 1000`` — the deterministic
+    plane family shared with ``ann_ivf_topk``/``_lsh_plane_matrix``."""
+    import hashlib
+
+    out = []
+    for d in range(PQ_SUBDIM):
+        h = int(
+            hashlib.md5(f"pqplane:{m}:{b}:{d}".encode()).hexdigest()[:15], 16
+        )
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+@register(
+    "pq_adc_topk",
+    tags=("llm", "similarity"),
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x / sqrt(list_dot_product(
+                                   CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])))) AS vh,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT mm.m, bb.b, list(comp ORDER BY d) AS plane FROM (
+            SELECT mm2.m, bb2.b, dd.d,
+                   (({oracle_h60("'pqplane:' || mm2.m || ':' || bb2.b || ':' || dd.d")}
+                     % 2001) - 1000) / 1000.0 AS comp
+            FROM (SELECT unnest(range(0, {PQ_M})) AS m) mm2
+            CROSS JOIN (SELECT unnest(range(0, {PQ_BITS})) AS b) bb2
+            CROSS JOIN (SELECT unnest(range(0, {PQ_SUBDIM})) AS d) dd
+        ) pc(m, b, d, comp)
+        JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm USING (m)
+        JOIN (SELECT unnest(range(0, {PQ_BITS})) AS b) bb USING (b)
+        GROUP BY mm.m, bb.b
+    ),
+    subs AS (
+        SELECT e.vec_id, mm.m,
+               e.vh[mm.m * {PQ_SUBDIM} + 1 : mm.m * {PQ_SUBDIM} + {PQ_SUBDIM}]
+                   AS sub
+        FROM e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
+    ),
+    assigned AS (
+        SELECT s.vec_id, s.m, s.sub,
+               CAST(sum(CASE WHEN list_dot_product(s.sub, p.plane) >= 0
+                             THEN 1 << p.b ELSE 0 END) AS BIGINT) AS cell
+        FROM subs s JOIN planes p ON s.m = p.m
+        GROUP BY s.vec_id, s.m, s.sub
+    ),
+    cellmeans AS (
+        SELECT a.m, a.cell, dd.d AS dim,
+               {oracle_dec_sum('a.sub[dd.d]')} / count(*) AS c
+        FROM assigned a
+        CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS d) dd
+        GROUP BY a.m, a.cell, dd.d
+    ),
+    cents AS (
+        SELECT m, cell AS k, list(round(c, 6) ORDER BY dim) AS cent
+        FROM cellmeans GROUP BY m, cell
+    ),
+    cn AS (SELECT m, k, cent, list_dot_product(cent, cent) AS cnorm FROM cents),
+    sn AS (
+        SELECT vec_id, m, sub, list_dot_product(sub, sub) AS snorm
+        FROM assigned
+    ),
+    d2s AS (
+        SELECT s.vec_id, s.m, c.k,
+               round(s.snorm - 2 * list_dot_product(s.sub, c.cent) + c.cnorm,
+                     6) AS d2
+        FROM sn s JOIN cn c ON s.m = c.m
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, k) AS rn
+            FROM d2s)
+        WHERE rn = 1
+    ),
+    qsubs AS (
+        SELECT e.vec_id AS query_id, mm.m,
+               e.v[mm.m * {PQ_SUBDIM} + 1 : mm.m * {PQ_SUBDIM} + {PQ_SUBDIM}]
+                   AS qsub
+        FROM e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
+        WHERE e.vec_id < {PQ_NQ}
+    ),
+    lut AS (
+        SELECT q.query_id, q.m, c.k,
+               round(list_dot_product(q.qsub, c.cent), 6) AS lv
+        FROM qsubs q JOIN cn c ON q.m = c.m
+    ),
+    adc AS (
+        SELECT l.query_id, co.vec_id,
+               CAST(sum(CAST(l.lv AS DECIMAL(38, 6))) AS DOUBLE) AS adot
+        FROM codes co JOIN lut l ON co.m = l.m AND co.k = l.k
+        WHERE co.vec_id != l.query_id
+        GROUP BY l.query_id, co.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adot DESC, vec_id) AS arn
+            FROM adc)
+        WHERE arn <= {PQ_CANDS}
+    ),
+    rerank AS (
+        SELECT s.query_id, s.vec_id AS neighbor_id,
+               round(list_dot_product(qe.v, ne.v)
+                     / sqrt(list_dot_product(qe.v, qe.v)
+                            * list_dot_product(ne.v, ne.v)), 6) AS cos
+        FROM shortlist s
+        JOIN e qe ON qe.vec_id = s.query_id
+        JOIN e ne ON ne.vec_id = s.vec_id
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM rerank)
+    WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al.) with asymmetric distance
+    computation: each NORMALIZED vector is compressed to ``PQ_M`` 4-bit
+    codes (2 bytes per 64-dim vector — 128× smaller than float32), queries
+    score the whole corpus from a per-query code→dot lookup table without
+    touching raw vectors, and the ADC shortlist is exactly reranked.
+    Because the quantized vector is v/||v||, the ADC sum approximates
+    ``||q||·cos(q, v)`` — monotone in cosine per query, so the shortlist
+    chases the right ranking.
+
+    The sub-codebooks are DATA-ADAPTIVE yet deterministic, the
+    ``ann_ivf_topk`` trick applied per subspace: 4 h60-derived sign
+    planes split each subspace into 16 cells, and the codeword is the
+    cell's decimal-exact mean — a one-pass, SQL-expressible "training"
+    that replaces k-means, so the ENTIRE pipeline (normalize, assign,
+    train, encode, LUT, ADC, rerank) has a hash-exact DuckDB twin;
+    recall vs brute force is gated separately in tests.
+
+    Scale shape: codebook training is one groupBy((m, cell), dim) decimal
+    mean over subvectors; encoding is a broadcast join (codebook ≤ M·K
+    rows) with the d2 computed via the norm identity (one subdim-16 dot
+    per pair); ADC is code-table ⋈ broadcast LUT on integer keys with a
+    decimal 4-term sum; rerank touches ``PQ_CANDS`` vectors per query.
+    At 100 TB the point is the 2-byte code table: the whole corpus'
+    codes fit in memory where raw embeddings cannot."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inv_norm = F.lit(1.0) / F.sqrt(sq_norm(F.col("embedding")))
+    ev = e.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding", lambda x: x.cast("double") * inv_norm
+        ).alias("vh"),
+    )
+    # The 64 plane literals are emitted as ONE SQL expression string and
+    # parsed JVM-side: building them as nested Column objects costs
+    # thousands of py4j round-trips (~4s of pure plan construction,
+    # measured); the parsed plan and its semantics are identical (the
+    # dot is the same left-to-right zip_with/aggregate fold as dot()).
+    def _dot_sql(a: str, comps: list[float]) -> str:
+        arr = "array(" + ",".join(f"{c!r}D" for c in comps) + ")"
+        return (
+            f"aggregate(zip_with({a}, {arr}, (x, y) -> CAST(x AS DOUBLE)"
+            " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)"
+        )
+
+    def _sub_struct_sql(m: int) -> str:
+        sub = f"slice(vh, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql(sub, _pq_plane_components(m, b))} >= 0"
+            f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for b in range(PQ_BITS)
+        )
+        return (
+            f"struct(CAST({m} AS INT) AS m, {sub} AS sub, ({bits}) AS cell)"
+        )
+
+    structs = ",".join(_sub_struct_sql(m) for m in range(PQ_M))
+    assigned = ev.select(
+        "vec_id", F.expr(f"explode(array({structs}))").alias("ms")
+    ).select(
+        "vec_id",
+        F.col("ms.m").alias("m"),
+        F.col("ms.sub").alias("sub"),
+        F.col("ms.cell").alias("cell"),
+    )
+
+    cellmeans = (
+        assigned.select(
+            "m", "cell", F.posexplode("sub").alias("pos", "comp")
+        )
+        .select("m", "cell", (F.col("pos") + 1).alias("dim"), "comp")
+        .groupBy("m", "cell", "dim")
+        .agg((dec_sum("comp") / F.count("*")).alias("c"))
+    )
+    cents = cellmeans.groupBy("m", F.col("cell").alias("k")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("dim", F.round("c", 6).alias("c")))
+            ),
+            lambda s: s.getField("c"),
+        ).alias("cent")
+    )
+    cn = cents.select(
+        "m", "k", "cent", dot(F.col("cent"), F.col("cent")).alias("cnorm")
+    )
+    sn = assigned.withColumn("snorm", dot(F.col("sub"), F.col("sub")))
+    d2s = sn.join(F.broadcast(cn), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        F.round(
+            F.col("snorm")
+            - 2 * dot(F.col("sub"), F.col("cent"))
+            + F.col("cnorm"),
+            6,
+        ).alias("d2"),
+    )
+    wassign = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
+    codes = (
+        d2s.withColumn("rn", F.row_number().over(wassign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "k")
+    )
+    qsubs = ev.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(
+                            "embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("qsub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select(
+        "query_id", F.col("ms.m").alias("m"), F.col("ms.qsub").alias("qsub")
+    )
+    lut = qsubs.join(F.broadcast(cn), "m").select(
+        "query_id",
+        "m",
+        "k",
+        F.round(dot(F.col("qsub"), F.col("cent")), 6).alias("lv"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("lv").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("adot")
+        )
+    )
+    wadc = Window.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), "vec_id"
+    )
+    shortlist = (
+        adc.withColumn("arn", F.row_number().over(wadc))
+        .where(F.col("arn") <= PQ_CANDS)
+        .select("query_id", "vec_id")
+    )
+    qe = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rerank = (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(e, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    return (
+        rerank.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )
