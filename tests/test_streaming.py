@@ -280,3 +280,102 @@ def test_asof_stream_evicting_matches_batch_and_bounds_state(
     assert any(
         r.state_views < total_views.get(r.user_id, 0) for r in emissions
     )
+
+
+def test_funnel_stream_matches_batch_twin_and_finalizes(
+    spark, sf_dir, tmp_path
+):
+    """The streaming funnel's end state must reproduce the oracle-checked
+    batch funnel exactly (global rollup AND per-user stage times), at
+    least one user must finalize mid-stream, and finalized users must
+    never be re-emitted at a later seq."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.streaming.batch_twins import event_funnel
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    src = jobs.stage_stream_source_ordered(
+        spark, sf_dir, str(tmp_path / "ordered_src")
+    )
+    live = jobs.run_funnel_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        "funnel_smoke",
+        max_files_per_trigger=1,
+    ).collect()
+
+    # per-user stage minima == batch recomputation
+    e = load_table(spark, sf_dir, "events")
+    fmin = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.unix_micros("ts"))
+    )
+    batch_users = {
+        r.user_id: (r.fv, r.fc, r.fp)
+        for r in e.groupBy("user_id")
+        .agg(
+            fmin("view").alias("fv"),
+            fmin("click").alias("fc"),
+            fmin("purchase").alias("fp"),
+        )
+        .collect()
+    }
+    live_users = {
+        r.user_id: (r.first_view_us, r.first_click_us, r.first_purchase_us)
+        for r in live
+    }
+    assert live_users == batch_users
+
+    # global funnel rollup == the oracle-checked batch twin
+    def funnel_counts(users):
+        n_viewed = sum(1 for v, _, _ in users.values() if v is not None)
+        n_clicked = sum(
+            1
+            for v, c, _ in users.values()
+            if v is not None and c is not None and c > v
+        )
+        n_conv = sum(
+            1
+            for v, c, p in users.values()
+            if v is not None
+            and c is not None
+            and p is not None
+            and c > v
+            and p > c
+        )
+        return (len(users), n_viewed, n_clicked, n_conv)
+
+    b = event_funnel(spark, sf_dir).collect()[0]
+    assert funnel_counts(live_users) == (
+        b.n_users,
+        b.n_viewed,
+        b.n_clicked_after_view,
+        b.n_converted,
+    )
+
+    emissions = spark.sql(
+        "SELECT user_id, final, seq FROM funnel_smoke"
+    ).collect()
+    finals = [r for r in emissions if r.final]
+    assert finals, "no user finalized"
+    # provisional phase observed before finalization...
+    assert any(not r.final for r in emissions)
+    # ...and finalization fired BEFORE the stream ran dry: with
+    # maxFilesPerTrigger=1 there is one micro-batch per staged file, and a
+    # user's seq counts their invocations, so a final emission with
+    # seq < n_files happened strictly before the last micro-batch.
+    import os
+
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files > 2
+    assert any(r.seq < n_files for r in finals)
+    # once final, never re-emitted later
+    final_seq = {}
+    for r in finals:
+        assert r.user_id not in final_seq, "finalized user re-emitted"
+        final_seq[r.user_id] = r.seq
+    assert not [
+        r
+        for r in emissions
+        if r.user_id in final_seq and r.seq > final_seq[r.user_id]
+    ]

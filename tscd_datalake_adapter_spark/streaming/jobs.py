@@ -712,3 +712,111 @@ def run_asof_stream_evicting(
         f"max(CAST(final AS INT)) = 1 AS finalized "
         f"FROM {query_name} GROUP BY user_id, purchase_id"
     )
+
+
+def run_funnel_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming view→click→purchase funnel with WATERMARK FINALIZATION —
+    the live twin of the oracle-checked ``event_funnel`` batch query
+    (its semantics: per-user minima of each stage's FIRST event, strict
+    ordering between the firsts).
+
+    Per-user state is three longs (first view/click/purchase micros) —
+    O(1) regardless of history, and correct under arbitrarily
+    out-of-order arrival because each field is a running min. A user
+    FINALIZES once every stage min exists and sits below the watermark:
+    no future event (ts ≥ watermark) can lower any min or flip the
+    strict-order flags, so the row is an immutable fact; the user is
+    marked done, never re-emitted, and subsequent events for them are
+    ignored without state growth. Pending users re-emit their current
+    provisional row each batch (update mode), superseded by seq.
+
+    At scale this is the canonical shape for funnel/attribution jobs:
+    key-partitioned constant-size state, watermark-bounded reprocessing,
+    append-only finalized facts."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger
+    ).withWatermark("ts", delay)
+
+    NONE = -1
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            fv, fc, fp, done, seq = state.get
+        else:
+            fv, fc, fp, done, seq = NONE, NONE, NONE, False, 0
+        seq += 1
+        if done:
+            state.update((fv, fc, fp, done, seq))
+            return
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for t, et in zip(micros, pdf["event_type"]):
+                t = int(t)
+                if et == "view" and (fv == NONE or t < fv):
+                    fv = t
+                elif et == "click" and (fc == NONE or t < fc):
+                    fc = t
+                elif et == "purchase" and (fp == NONE or t < fp):
+                    fp = t
+        wm = state.getCurrentWatermarkMs() * 1000  # micros
+        final = (
+            fv != NONE
+            and fc != NONE
+            and fp != NONE
+            and fv < wm
+            and fc < wm
+            and fp < wm
+        )
+        state.update((fv, fc, fp, bool(final), seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "first_view_us": [None if fv == NONE else fv],
+                "first_click_us": [None if fc == NONE else fc],
+                "first_purchase_us": [None if fp == NONE else fp],
+                "final": [bool(final)],
+                "seq": [seq],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "user_id long, first_view_us long, first_click_us long, "
+            "first_purchase_us long, final boolean, seq long"
+        ),
+        stateStructType=(
+            "fv long, fc long, fp long, done boolean, seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, "
+        f"max_by(first_view_us, seq) AS first_view_us, "
+        f"max_by(first_click_us, seq) AS first_click_us, "
+        f"max_by(first_purchase_us, seq) AS first_purchase_us, "
+        f"max(CAST(final AS INT)) = 1 AS finalized "
+        f"FROM {query_name} GROUP BY user_id"
+    )
