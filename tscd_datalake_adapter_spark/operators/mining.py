@@ -183,6 +183,7 @@ def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "geo_closest_pairs",
+    headline=True,
     tags=("mining", "geo"),
     oracle=f"""
     WITH pts AS ({_oracle_geo_points(20_000)}),
@@ -274,6 +275,7 @@ def geo_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_span_dedup",
+    headline=True,
     tags=("llm", "dedup", "mining"),
     oracle=f"""
     WITH toks AS (
