@@ -23,6 +23,11 @@ RISKY = [
     "cosine_topk_vectorized",     # per-batch numpy top-k pruning
     "kmv_distinct_sketch",        # order statistics on h60
     "cusum_changepoint_daily",    # integer window recursion
+    "token_entropy_quality",      # round-12 c*ln(c) decimal sums
+    "rolling_median_daily_value", # frame collect + two-middle average
+    "mmr_diversified_topk",       # unrolled greedy chain, checkpointed
+    "pq_adc_topk",                # codebook means + decimal ADC sums
+    "geo_closest_pairs",          # probe-side explode dedup contract
 ]
 
 
