@@ -838,3 +838,31 @@ def test_mmr_diversifies_and_keeps_relevance_anchor(spark, sf_dir):
         )
 
     assert max_pairwise(picked) <= max_pairwise(top_plain)
+
+
+def test_incremental_near_dup_planted_and_asymmetric(spark, sf_dir):
+    """Every planted near-copy must match its source doc, and the probe is
+    genuinely incremental: every pair is batch-vs-corpus (never
+    corpus x corpus or batch x batch)."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        _docs,
+        incremental_near_dup_batch,
+    )
+
+    rows = incremental_near_dup_batch(spark, sf_dir).collect()
+    assert rows
+    planted_src = {
+        r.doc_id
+        for r in _docs(spark, sf_dir)
+        .where((F.col("doc_id") < 150) & (F.col("doc_id") % 37 == 0))
+        .select("doc_id")
+        .collect()
+    }
+    got = {(r.batch_id, r.corpus_id) for r in rows}
+    for d in planted_src:
+        assert (d + 10000, d) in got, f"planted copy of {d} not matched"
+    for b, c in got:
+        assert c < 150  # corpus side only
+        assert (150 <= b < 200) or b >= 10000  # batch side only

@@ -1290,3 +1290,181 @@ def minhash_jaccard_estimate_error(
             "max_err"
         ),
     )
+
+
+INCR_NEARDUP_TAU = 0.9
+
+
+def incremental_near_dup(
+    spark: SparkSession,
+    corpus: DataFrame,
+    batch: DataFrame,
+    tau: float = INCR_NEARDUP_TAU,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against an existing corpus
+    index — the continuous-ingestion form of MinHash LSH (the near-dup
+    sibling of ``incremental_dedup``): band signatures for the batch are
+    probed against the corpus' band index, so candidate generation is
+    batch-bands ⋈ index-bands — never corpus ⋈ corpus, which is what
+    makes re-deduplicating a 100 TB lake on every ingest affordable
+    (the index is precomputed once and appended to; each new batch costs
+    |batch| signatures + one bucket join). Candidates are verified by
+    exact token Jaccard ≥ ``tau``.
+
+    Inputs are any (doc_id, text) frames with BIGINT doc ids; returns
+    (batch_id, corpus_id, jaccard).
+
+    Plan-shape note: both sides run through ONE tagged minhash pipeline
+    (uid = 2*doc_id + side bit), so the band probe and the verify join
+    are self-joins over the same subplan - Spark reuses the signature
+    exchange instead of computing the token/minhash chain once per side
+    per reference."""
+    tagged = corpus.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        batch.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
+    )
+    tokens = distinct_tokens(tagged)
+    bands = minhash_bands(spark, tokens)
+    is_b = F.col("doc_id") % 2 == 1
+    cand = (
+        bands.where(is_b)
+        .alias("b")
+        .join(
+            bands.where(~is_b).alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.sig") == F.col("c.sig")),
+        )
+        .select(
+            F.col("b.doc_id").alias("buid"), F.col("c.doc_id").alias("cuid")
+        )
+        .distinct()
+    )
+    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n"))
+    tb = tokens.where(is_b).select(F.col("doc_id").alias("buid"), "tok")
+    tc = tokens.where(~is_b).select(
+        F.col("doc_id").alias("cuid2"), F.col("tok").alias("tok_c")
+    )
+    inter = (
+        cand.join(tb, "buid")
+        .join(
+            tc,
+            (F.col("cuid") == F.col("cuid2"))
+            & (F.col("tok") == F.col("tok_c")),
+        )
+        .groupBy("buid", "cuid")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.where(is_b).select(
+        F.col("doc_id").alias("buid"), F.col("n").alias("na")
+    )
+    nb = sizes.where(~is_b).select(
+        F.col("doc_id").alias("cuid"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(na, "buid")
+        .join(nb, "cuid")
+        .withColumn(
+            "jaccard",
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast(
+                "double"
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select(
+            ((F.col("buid") - 1) / 2).cast("long").alias("batch_id"),
+            (F.col("cuid") / 2).cast("long").alias("corpus_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "incremental_near_dup_batch",
+    tags=("llm", "dedup"),
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 150 AND doc_id < 200
+        UNION ALL
+        SELECT doc_id + 10000, text || ' zzplanted' FROM documents
+        WHERE doc_id < 150 AND doc_id % 37 = 0
+    ),
+    tokc AS (
+        SELECT doc_id,
+               unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                  x -> x != '')) AS tok
+        FROM corpus
+    ),
+    tokb AS (
+        SELECT doc_id,
+               unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                  x -> x != '')) AS tok
+        FROM batch
+    ),
+    seeds AS (SELECT unnest(range(0, {MINHASH_N_HASHES})) AS seed),
+    mhc AS (
+        SELECT doc_id, seed, min({oracle_h60("tok || ':' || seed")}) AS mh
+        FROM tokc CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    mhb AS (
+        SELECT doc_id, seed, min({oracle_h60("tok || ':' || seed")}) AS mh
+        FROM tokb CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bandsc AS (
+        SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
+        FROM mhc GROUP BY doc_id, seed // {MINHASH_ROWS_PER_BAND}
+    ),
+    bandsb AS (
+        SELECT doc_id, seed // {MINHASH_ROWS_PER_BAND} AS band,
+               md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS sig
+        FROM mhb GROUP BY doc_id, seed // {MINHASH_ROWS_PER_BAND}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bandsb b JOIN bandsc c ON b.band = c.band AND b.sig = c.sig
+    ),
+    na AS (SELECT doc_id AS batch_id, count(*) AS na FROM tokb GROUP BY 1),
+    nb AS (SELECT doc_id AS corpus_id, count(*) AS nb FROM tokc GROUP BY 1),
+    inter AS (
+        SELECT cd.batch_id, cd.corpus_id, count(*) AS i
+        FROM cand cd
+        JOIN tokb tb ON tb.doc_id = cd.batch_id
+        JOIN tokc tc ON tc.doc_id = cd.corpus_id AND tc.tok = tb.tok
+        GROUP BY cd.batch_id, cd.corpus_id
+    )
+    SELECT i.batch_id, i.corpus_id,
+           round(i.i / CAST(na.na + nb.nb - i.i AS DOUBLE), 6) AS jaccard
+    FROM inter i JOIN na USING (batch_id) JOIN nb USING (corpus_id)
+    WHERE i.i / CAST(na.na + nb.nb - i.i AS DOUBLE) >= {INCR_NEARDUP_TAU}
+    ORDER BY batch_id, corpus_id
+    """,
+)
+def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`incremental_near_dup` over a fixture split: corpus = docs
+    < 150 (the standing index), batch = docs 150-199 plus PLANTED
+    near-copies of every 37th corpus doc (text + one extra token —
+    Jaccard |T|/(|T|+1) ≈ 0.99, so LSH recall at the 16×4 banding is
+    certain and the planted matches MUST surface). The oracle replicates
+    the full two-sided pipeline — batch signatures probed against the
+    corpus index, never corpus×corpus — then verifies by exact Jaccard,
+    so the candidate asymmetry itself is hash-checked."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") < 150).select("doc_id", "text")
+    fresh = docs.where(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 200)
+    ).select("doc_id", "text")
+    planted = docs.where(
+        (F.col("doc_id") < 150) & (F.col("doc_id") % 37 == 0)
+    ).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" zzplanted")).alias("text"),
+    )
+    batch = fresh.unionByName(planted)
+    return incremental_near_dup(spark, corpus, batch).orderBy(
+        "batch_id", "corpus_id"
+    )

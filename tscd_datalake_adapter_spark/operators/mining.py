@@ -575,3 +575,70 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+@register(
+    "length_bucketed_batching",
+    tags=("llm", "curation", "mining"),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n,
+               CASE {" ".join(f"WHEN n <= {b} THEN {b}" for b in LEN_BUCKETS)}
+                    ELSE {LEN_BUCKETS[-1]} END AS bucket
+        FROM toks WHERE n > 0
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(bucket - least(n, bucket)) AS BIGINT) AS padding_tokens,
+           round(sum(bucket - least(n, bucket))
+                 / CAST(sum(bucket - least(n, bucket)) + sum(n) AS DOUBLE),
+                 6) AS waste_ratio,
+           CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_batches_of_32
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketed batching plan — the packing step before
+    training: assign every document to the smallest power-of-two length
+    bucket that holds it (so each batch pads only to its bucket, not the
+    corpus max) and report the per-bucket padding-waste ledger that tells
+    you whether the bucket boundaries fit the corpus.
+
+    Bucket assignment is a CASE chain over the fixed boundary list — no
+    log2/pow floats to disagree across engines (``ceil(log2(n))`` lands
+    on libm at exact powers of two). One map-side projection plus one
+    aggregation on a ≤9-value key; documents beyond the last boundary
+    truncate to it (padding clamps at 0 via ``least``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    bucket = F.lit(LEN_BUCKETS[-1])
+    for b in reversed(LEN_BUCKETS):
+        bucket = F.when(F.col("n") <= b, F.lit(b)).otherwise(bucket)
+    bdf = (
+        docs.select("doc_id", n.alias("n"))
+        .where(F.col("n") > 0)
+        .withColumn("bucket", bucket)
+    )
+    pad = F.sum(F.col("bucket") - F.least("n", "bucket"))
+    return (
+        bdf.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            pad.cast("long").alias("padding_tokens"),
+            F.round(
+                pad / (pad + F.sum("n")).cast("double"), 6
+            ).alias("waste_ratio"),
+            F.ceil(F.count("*") / 32.0).cast("long").alias("n_batches_of_32"),
+        )
+        .orderBy("bucket")
+    )

@@ -1526,3 +1526,105 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .orderBy("query_id", "rk")
     )
+
+
+@register(
+    "contrastive_pair_mining",
+    tags=("llm", "similarity"),
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS anchor_id, label AS alabel, v AS qv
+          FROM e WHERE vec_id < 30),
+    scored AS (
+        SELECT q.anchor_id, q.alabel, e.vec_id, e.label,
+               round(list_dot_product(q.qv, e.v)
+                     / sqrt(list_dot_product(q.qv, q.qv)
+                            * list_dot_product(e.v, e.v)), 6) AS cos
+        FROM q CROSS JOIN e WHERE e.vec_id != q.anchor_id
+    ),
+    ranked AS (
+        SELECT anchor_id, alabel, vec_id, cos,
+               (label = alabel) AS same,
+               row_number() OVER (PARTITION BY anchor_id, (label = alabel)
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ),
+    pos AS (SELECT anchor_id, alabel, vec_id AS pos_id, cos AS pos_cos
+            FROM ranked WHERE same AND rn = 1),
+    neg AS (SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos
+            FROM ranked WHERE NOT same AND rn = 1)
+    SELECT p.anchor_id, CAST(p.alabel AS BIGINT) AS label,
+           p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           round(p.pos_cos - n.neg_cos, 6) AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+    ORDER BY anchor_id
+    """,
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-pair mining for contrastive training (the triplet-mining step
+    of embedding-model pipelines): for each anchor, the hardest positive
+    (most-similar vector of the SAME label — the pair the model should
+    pull together from the strongest starting point) and the hardest
+    negative (most-similar vector of a DIFFERENT label — the confusable
+    impostor it must push away), with the margin between them. Anchors
+    with a non-positive margin are exactly the ones a trainer samples
+    first.
+
+    Scale shape: identical to ``cosine_topk`` — broadcast anchor set, one
+    corpus pass, windows partitioned by (anchor, same-label flag); at
+    corpus scale the pass is replaced by the LSH/PQ candidate generators
+    already in this module (same rerank key), so the mining semantics
+    here are the verification oracle for those."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    q = e.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "alabel",
+            "vec_id",
+            (F.col("label") == F.col("alabel")).alias("same"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    pos = ranked.where(F.col("same")).select(
+        "anchor_id",
+        F.col("alabel").cast("long").alias("label"),
+        F.col("vec_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = ranked.where(~F.col("same")).select(
+        "anchor_id",
+        F.col("vec_id").alias("neg_id"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "label",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
