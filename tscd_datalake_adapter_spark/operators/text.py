@@ -1337,3 +1337,115 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "token_graph_khop_bfs",
+    tags=("llm", "text", "graph"),
+    oracle="""
+    WITH RECURSIVE dt AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 100
+    ),
+    edges2 AS (
+        SELECT ta AS src, tb AS dst FROM edges
+        UNION ALL SELECT tb, ta FROM edges
+    ),
+    degs AS (SELECT src AS tok, count(*) AS deg FROM edges2 GROUP BY src),
+    root AS (SELECT tok FROM degs ORDER BY deg DESC, tok LIMIT 1),
+    reach(tok, dist) AS (
+        SELECT tok, 0 FROM root
+        UNION
+        SELECT e.dst, r.dist + 1
+        FROM reach r JOIN edges2 e ON e.src = r.tok
+        WHERE r.dist < 3
+    ),
+    best AS (SELECT tok, min(dist) AS dist FROM reach GROUP BY tok)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           min(tok) AS first_tok
+    FROM best GROUP BY dist ORDER BY dist
+    """,
+)
+def token_graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS from the highest-degree token of the co-occurrence graph
+    (same ≥100-doc edge set as the triangle/PageRank queries): per-level
+    reach histogram — the neighborhood-expansion primitive behind
+    related-term discovery and graph-radius profiling.
+
+    Spark side is the distributed frontier expansion every Pregel-style
+    system performs: three unrolled rounds of frontier ⋈ edges with an
+    anti-join against the visited set (so each node is labeled with its
+    FIRST discovery level = its shortest distance); all joins are keyed
+    on the token, integers only. The oracle is DuckDB's recursive CTE
+    fixpoint over the same edges — a declarative shortest-path twin of
+    the iterative plan, the dedup_clusters verification pattern applied
+    to traversal."""
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("tok").alias("ta"))
+    b = dt.select("doc_id", F.col("tok").alias("tb"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 100)
+        .select("ta", "tb")
+    )
+    edges2 = edges.select(
+        F.col("ta").alias("src"), F.col("tb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
+    ).cache()
+    degs = edges2.groupBy(F.col("src").alias("tok")).agg(
+        F.count("*").alias("deg")
+    )
+    root = (
+        degs.orderBy(F.col("deg").desc(), "tok")
+        .limit(1)
+        .select("tok", F.lit(0).cast("int").alias("dist"))
+    )
+    # Same exponential-lineage trap as mmr_diversified_topk: each round
+    # references the previous visited/frontier twice, so without lineage
+    # truncation the lazy plan recomputes the (expensive) edge pipeline
+    # 2^k times. localCheckpoint pins each tiny frontier; the cached edge
+    # list is built once.
+    visited = root.localCheckpoint()
+    frontier = visited.select("tok")
+    for d in range(1, 4):
+        nxt = (
+            frontier.join(edges2, frontier.tok == edges2.src)
+            .select(F.col("dst").alias("tok"))
+            .distinct()
+            .join(visited.select("tok"), "tok", "left_anti")
+            .select("tok", F.lit(d).cast("int").alias("dist"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("tok")
+    return (
+        visited.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.min("tok").alias("first_tok"),
+        )
+        .orderBy("dist")
+    )
