@@ -642,3 +642,203 @@ def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "source_overlap_matrix",
+    tags=("llm", "curation", "mining"),
+    oracle="""
+    WITH st AS (
+        SELECT DISTINCT source, tok FROM (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x != '')) AS tok
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.i AS BIGINT) AS n_shared,
+           round(i.i / CAST(sa.n + sb.n - i.i AS DOUBLE), 6) AS jaccard,
+           round(i.i / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    ORDER BY jaccard DESC, src_a, src_b LIMIT 25
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources (Jaccard and
+    Broder containment over each domain's distinct token set) — the
+    audit that surfaces mirrored crawls and cross-domain contamination
+    BEFORE mixture weights are chosen (two sources with near-1
+    containment are the same content wearing two domain labels).
+
+    Scale shape: the pair computation is the inverted-index join the
+    dedup tier already proved out — sources meet only through shared
+    tokens, grouped on the (src_a, src_b) pair key whose cardinality is
+    domains², not documents². The distinct (source, token) projection is
+    the only corpus-volume pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("i").cast("long").alias("n_shared"),
+            F.round(
+                F.col("i")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("i") / F.least("na", "nb").cast("double"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+        .limit(25)
+    )
+
+
+@register(
+    "view_to_purchase_latency",
+    tags=("history", "mining"),
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS fv,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS fp
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id, (fp - fv) // 3600000000 AS hours
+        FROM per_user WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+    ),
+    hist AS (
+        SELECT hours, count(*) AS n FROM lat GROUP BY hours
+    ),
+    tot AS (SELECT sum(n) AS t FROM hist)
+    SELECT CAST(h.hours AS BIGINT) AS hours,
+           CAST(h.n AS BIGINT) AS n_users,
+           round(sum(h.n) OVER (ORDER BY h.hours) / CAST(t.t AS DOUBLE), 6)
+               AS cum_frac
+    FROM hist h CROSS JOIN tot t
+    ORDER BY h.hours
+    """,
+)
+def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: whole-hours between each user's
+    first view and first purchase, as a histogram with the cumulative
+    conversion fraction — the survival-curve input behind "how long does
+    intent take to convert" decisions (attribution windows, retargeting
+    delays). Latencies are exact integer microseconds floored to hours;
+    the cumulative fraction is a running sum over the (bounded) hour
+    domain, so the one unpartitioned window sits above an aggregate.
+
+    Scale: one per-user conditional-min aggregation (the event_funnel
+    shuffle), one histogram groupBy on the hour key."""
+    e = load_table(spark, sf_dir, "events")
+    fmin = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.unix_micros("ts"))
+    )
+    per_user = e.groupBy("user_id").agg(
+        fmin("view").alias("fv"), fmin("purchase").alias("fp")
+    )
+    lat = per_user.where(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(F.expr("(fp - fv) div 3600000000").alias("hours"))
+    hist = lat.groupBy("hours").agg(F.count("*").alias("n"))
+    tot = hist.agg(F.sum("n").alias("t"))
+    w = Window.orderBy("hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("hours").cast("long").alias("hours"),
+            F.col("n").cast("long").alias("n_users"),
+            F.round(
+                F.sum("n").over(w) / F.col("t").cast("double"), 6
+            ).alias("cum_frac"),
+        )
+        .orderBy("hours")
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    tags=("llm", "text", "mining"),
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS n_toks,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_chars) / CAST(sum(n_toks) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM t WHERE n_toks > 0 GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per (whitespace)
+    token — the compression-ratio audit run before committing to a
+    tokenizer, because a language whose fertility is far off the corpus
+    mean gets proportionally fewer effective context tokens and worse
+    training economics. Integer sums only, one division at output; a
+    single map-side projection + groupBy on the language key."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = docs.select("lang", n_toks.alias("n_toks"), "n_chars").where(
+        F.col("n_toks") > 0
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_toks").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
