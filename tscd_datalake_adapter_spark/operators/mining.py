@@ -842,3 +842,72 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _skew_oracle_arm(name: str, table: str, key: str) -> str:
+    return f"""
+        SELECT '{name}' AS join_key,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(max(c) AS BIGINT) AS max_rows_per_key,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+               round(max(c) * count(*) / CAST(sum(c) AS DOUBLE), 6)
+                   AS skew_ratio
+        FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY {key})
+    """
+
+
+@register(
+    "join_key_skew_audit",
+    tags=("relational", "mining", "audit"),
+    oracle=f"""
+    {_skew_oracle_arm('lineitem.l_orderkey', 'lineitem', 'l_orderkey')}
+    UNION ALL
+    {_skew_oracle_arm('lineitem.l_partkey', 'lineitem', 'l_partkey')}
+    UNION ALL
+    {_skew_oracle_arm('lineitem.l_suppkey', 'lineitem', 'l_suppkey')}
+    UNION ALL
+    {_skew_oracle_arm('orders.o_custkey', 'orders', 'o_custkey')}
+    ORDER BY join_key
+    """,
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit over the fact tables' join keys — the
+    number every 100-TB join plan should be sized against BEFORE it runs:
+    ``top1_share`` is the fraction of rows landing on the single hottest
+    key (the lower bound on the straggler partition's share of a shuffle
+    keyed there), and ``skew_ratio`` = max/avg rows per key is the
+    imbalance factor AQE's skew-join split or a salting rewrite must
+    absorb (1.0 = perfectly uniform). ``salted_join_agg`` and the AQE
+    skew-join plan test are the mitigations this audit tells you when to
+    reach for.
+
+    One groupBy per key (map-side partial) feeding a 1-row aggregate —
+    the audit costs a scan per key, nothing more."""
+    arms = [
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ]
+    out = None
+    for name, table, key in arms:
+        cnts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count("*").alias("c"))
+        )
+        row = cnts.agg(
+            F.lit(name).alias("join_key"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_rows_per_key"),
+            F.round(
+                F.max("c") / F.sum("c").cast("double"), 6
+            ).alias("top1_share"),
+            F.round(
+                F.max("c") * F.count("*") / F.sum("c").cast("double"), 6
+            ).alias("skew_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_key")

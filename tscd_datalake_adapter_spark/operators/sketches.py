@@ -788,3 +788,150 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersection"
         ),
     )
+
+
+def _hll_oracle_est(regs_cte: str) -> str:
+    """Estimate SQL over a (bucket, rho) register CTE — the Flajolet
+    formula + linear-counting correction, shared by the direct and merged
+    arms of ``hll_merge_by_source``."""
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS DOUBLE)
+                   AS sum_scaled
+        FROM {regs_cte}
+    """
+
+
+@register(
+    "hll_merge_by_source",
+    tags=("llm", "sketch"),
+    oracle=f"""
+    WITH units AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x != '')) AS u
+        FROM documents
+    ),
+    hashed AS (
+        SELECT source,
+               {oracle_h60('u')} % {_HLL_M} AS bucket,
+               {oracle_h60('u')} // {_HLL_M} AS v
+        FROM units
+    ),
+    rho AS (
+        SELECT source, bucket,
+               CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END AS r
+        FROM hashed
+    ),
+    shard_regs AS (
+        SELECT source, bucket, max(r) AS rho FROM rho GROUP BY 1, 2
+    ),
+    merged_regs AS (
+        SELECT bucket, max(rho) AS rho FROM shard_regs GROUP BY bucket
+    ),
+    direct_regs AS (
+        SELECT bucket, max(r) AS rho FROM rho GROUP BY bucket
+    ),
+    m AS ({_hll_oracle_est('merged_regs')}),
+    d AS ({_hll_oracle_est('direct_regs')}),
+    est AS (
+        SELECT
+          (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+            * {_TWO53} / (m.sum_scaled
+                          + ({_HLL_M}.0 - CAST(m.n_regs AS DOUBLE))
+                            * {_TWO53}) AS e_merged,
+          (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+            * {_TWO53} / (d.sum_scaled
+                          + ({_HLL_M}.0 - CAST(d.n_regs AS DOUBLE))
+                            * {_TWO53}) AS e_direct,
+          m.n_regs AS mr, d.n_regs AS dr
+        FROM m CROSS JOIN d
+    ),
+    nsrc AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+             FROM units),
+    ex AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_exact FROM units)
+    SELECT nsrc.n_sources, ex.n_exact,
+           round(est.e_merged, 4) AS merged_estimate,
+           round(est.e_direct, 4) AS direct_estimate,
+           (est.mr = est.dr AND round(est.e_merged, 4)
+                = round(est.e_direct, 4)) AS merge_is_lossless
+    FROM est CROSS JOIN nsrc CROSS JOIN ex
+    """,
+)
+def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches the 100-TB answer, registered as
+    hard signal: per-shard (per-source) HLL registers, MERGED by a
+    bucket-wise max, must yield the IDENTICAL estimate as one sketch
+    built over the whole corpus — max is associative/commutative, so
+    sketch union is exact regardless of how the data was sharded. This
+    is why a 1000-executor cluster can sketch each partition
+    independently and combine 256-integer states at the driver, instead
+    of shuffling raw values for an exact count-distinct.
+
+    Both arms (direct and shard-merged) run through the full pipeline
+    here and the output row carries ``merge_is_lossless`` — hash-checked
+    against DuckDB running the same two arms. Uses the unigram unit and
+    constants of ``hll_distinct_tokens``; the linear-counting branch is
+    irrelevant to the equality (both arms see identical registers)."""
+    d = load_table(spark, sf_dir, "documents")
+    units = d.select(
+        "source", F.explode(F.split("text", " ")).alias("u")
+    ).where(F.col("u") != "")
+    h = h60(F.col("u"))
+    rho_val = F.when(F.shiftright(h, _HLL_P) == 0, F.lit(53)).otherwise(
+        F.lit(53)
+        - F.length(
+            F.conv(F.shiftright(h, _HLL_P).cast("string"), 10, 2)
+        )
+    )
+    rho = units.select(
+        "source", (h % _HLL_M).alias("bucket"), rho_val.alias("r")
+    )
+    shard_regs = rho.groupBy("source", "bucket").agg(F.max("r").alias("rho"))
+    merged_regs = shard_regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    direct_regs = rho.groupBy("bucket").agg(F.max("r").alias("rho"))
+
+    def est(regs: DataFrame, prefix: str) -> DataFrame:
+        two53 = float(1 << 53)
+        alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+        a = regs.agg(
+            F.count("*").alias(f"{prefix}_n_regs"),
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - rho)"))
+            .cast("double")
+            .alias(f"{prefix}_sum_scaled"),
+        )
+        return a.select(
+            f"{prefix}_n_regs",
+            (
+                F.lit(alpha * _HLL_M * _HLL_M * two53)
+                / (
+                    F.col(f"{prefix}_sum_scaled")
+                    + (
+                        F.lit(float(_HLL_M))
+                        - F.col(f"{prefix}_n_regs").cast("double")
+                    )
+                    * F.lit(two53)
+                )
+            ).alias(f"{prefix}_e"),
+        )
+
+    m = est(merged_regs, "m")
+    dd = est(direct_regs, "d")
+    nsrc = units.agg(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    ex = units.agg(F.countDistinct("u").cast("long").alias("n_exact"))
+    return (
+        m.crossJoin(dd)
+        .crossJoin(F.broadcast(nsrc))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "n_sources",
+            "n_exact",
+            F.round("m_e", 4).alias("merged_estimate"),
+            F.round("d_e", 4).alias("direct_estimate"),
+            (
+                (F.col("m_n_regs") == F.col("d_n_regs"))
+                & (F.round("m_e", 4) == F.round("d_e", 4))
+            ).alias("merge_is_lossless"),
+        )
+    )
