@@ -125,3 +125,61 @@ def test_session_paths_cover_all_sessions(spark, sf_dir):
     assert sum(r.n_sessions for r in rows) <= sess
     assert all(1 <= len(r.path.split(">")) <= 5 for r in rows)
     assert rows == sorted(rows, key=lambda r: (-r.n_sessions, r.path))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_geo_blocking_randomized_equivalence(spark, seed):
+    """Grid blocking must equal all-pairs on RANDOM point sets too — not
+    just the fixture's hash-derived layout. Dense ranges force many
+    cross-cell pairs (the boundary cases the 3x3 probe exists for)."""
+    import random
+
+    rnd = random.Random(seed)
+    d = 1000
+    pts = [
+        (i, rnd.randrange(0, 20 * d), rnd.randrange(0, 20 * d))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, "event_id long, x long, y long")
+    from tscd_datalake_adapter_spark.operators.mining import geo_block_pairs
+
+    got = sorted(
+        (r.id_a, r.id_b, r.d2) for r in geo_block_pairs(df, d).collect()
+    )
+    brute = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= d * d
+    )
+    assert got == brute and got, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_pareto_frontier_randomized_dominance(spark, seed):
+    """Window-based skyline == quadratic dominance on random data with
+    heavy duplicates (equal costs, equal gains, fully equal rows — the
+    tie cases the strictness clause governs)."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = [
+        (i, float(rnd.randrange(0, 15)), rnd.randrange(0, 15))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, cost double, gain long")
+    from tscd_datalake_adapter_spark.operators.mining import pareto_frontier_2d
+
+    got = sorted(
+        (r.id, r.cost, r.gain)
+        for r in pareto_frontier_2d(df, "cost", "gain").collect()
+    )
+
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in rows
+        )
+
+    brute = sorted((r[0], r[1], r[2]) for r in rows if not dominated(r))
+    assert got == brute and got, f"seed={seed}"

@@ -224,12 +224,20 @@ def geo_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     µdeg² — no floats until never. The all-pairs quadratic form never
     appears at any scale."""
     pts = _geo_points(spark, sf_dir, 20_000)
+    return geo_block_pairs(pts, GEO_PAIR_D).orderBy("d2", "id_a", "id_b").limit(20)
+
+
+def geo_block_pairs(pts: DataFrame, d: int) -> DataFrame:
+    """All point pairs within euclidean distance ``d`` of any
+    (event_id, x, y) integer-coordinate frame, via the cell + 3x3-probe
+    blocking join — the shared core of ``geo_closest_pairs`` (also driven
+    by randomized brute-force-equivalence tests)."""
     cells = pts.select(
         "event_id",
         "x",
         "y",
-        F.expr(f"x div {GEO_PAIR_D}").alias("cx"),
-        F.expr(f"y div {GEO_PAIR_D}").alias("cy"),
+        F.expr(f"x div {d}").alias("cx"),
+        F.expr(f"y div {d}").alias("cy"),
     )
     probes = (
         cells.select(
@@ -267,9 +275,7 @@ def geo_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_id").alias("id_b"),
             d2.alias("d2"),
         )
-        .where(F.col("d2") <= F.lit(GEO_PAIR_D * GEO_PAIR_D).cast("long"))
-        .orderBy("d2", "id_a", "id_b")
-        .limit(20)
+        .where(F.col("d2") <= F.lit(d).cast("long") * F.lit(d).cast("long"))
     )
 
 
@@ -557,23 +563,31 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_partkey") < 2000)
         .select("p_partkey", "p_retailprice", "p_size")
     )
-    g = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    return pareto_frontier_2d(p, "p_retailprice", "p_size").orderBy(
+        "p_retailprice", "p_partkey"
+    )
+
+
+def pareto_frontier_2d(df: DataFrame, cost_col: str, gain_col: str) -> DataFrame:
+    """Rows not dominated by any (cost <=, gain >=, strict in one) row —
+    the window-based 2D skyline shared by ``skyline_pareto_parts`` (also
+    driven by randomized brute-force dominance tests)."""
+    g = df.groupBy(cost_col).agg(F.max(gain_col).alias("msize"))
     w = (
-        Window.orderBy("p_retailprice")
+        Window.orderBy(cost_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     gg = g.withColumn("prev_max", F.max("msize").over(w))
     return (
-        p.join(gg, "p_retailprice")
+        df.join(gg, cost_col)
         .where(
-            (F.col("p_size") == F.col("msize"))
+            (F.col(gain_col) == F.col("msize"))
             & (
                 F.col("prev_max").isNull()
                 | (F.col("msize") > F.col("prev_max"))
             )
         )
-        .select("p_partkey", "p_retailprice", "p_size")
-        .orderBy("p_retailprice", "p_partkey")
+        .select(*df.columns)
     )
 
 
