@@ -291,3 +291,54 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dec_sum("c_acctbal").alias("total_bal"))
         .orderBy("n_name")
     )
+
+
+@register(
+    "schema_evolution_merged_read",
+    tags=("io",),
+    oracle="""
+    SELECT coalesce(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                         ELSE o_orderpriority END, '<absent>') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS total
+    FROM orders GROUP BY 1 ORDER BY priority
+    """,
+)
+def schema_evolution_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through a physical write + mergeSchema read
+    (SURVEY §2.2 'schema evolution', promoted from test-only to hard
+    signal): an old-schema file (orderkey, totalprice) and a new-schema
+    file (+ o_orderpriority) land in the same dataset; the merged read
+    must union the schemas and null-fill the legacy rows. The aggregate
+    over the merged frame is checked against the oracle's algebraic
+    statement of the same split over the source table — if the merge
+    dropped rows, mis-null-filled, or mis-aligned columns by position,
+    the counts or decimal totals diverge.
+
+    Scale note: mergeSchema costs a footer read per file at planning
+    time; production lakes pin the merged schema in a catalog instead —
+    the read path exercised here is the migration-window behavior."""
+    path = _tmp("evolve")
+    o = load_table(spark, sf_dir, "orders")
+    o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{path}/v1")
+    o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{path}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/v1", f"{path}/v2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<absent>")).alias("priority")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("priority")
+    )
