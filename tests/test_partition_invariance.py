@@ -28,6 +28,7 @@ RISKY = [
     "mmr_diversified_topk",       # unrolled greedy chain, checkpointed
     "pq_adc_topk",                # codebook means + decimal ADC sums
     "geo_closest_pairs",          # probe-side explode dedup contract
+    "stable_row_ids",             # bucket-offset global sequence
 ]
 
 

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         asof,
         dedup,
+        export,
         history,
         mining,
         mlprep,

@@ -750,3 +750,97 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("attributed_value").desc(), "view_id")
         .limit(20)
     )
+
+
+@register(
+    "pit_scd2_feature_join",
+    tags=("history", "asof"),
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id, value
+        FROM events WHERE user_id < 50
+    ),
+    st AS (
+        SELECT user_id, event_type, ts, event_id FROM e
+        WHERE event_type != 'purchase'
+    ),
+    marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM st
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM marked
+        WHERE prev IS NULL OR prev != event_type
+    ),
+    hist AS (
+        SELECT user_id, event_type AS state, ts AS vf,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS vt
+        FROM changes
+    ),
+    p AS (
+        SELECT user_id, ts, event_id, value FROM e
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           p.event_id,
+           coalesce(h.state, '<none>') AS state_at_purchase,
+           round(p.value, 6) AS value
+    FROM p LEFT JOIN hist h
+      ON p.user_id = h.user_id AND p.ts >= h.vf
+         AND (h.vt IS NULL OR p.ts < h.vt)
+    ORDER BY p.user_id, p.event_id
+    """,
+)
+def pit_scd2_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of a fact stream against an SCD2 dimension — the
+    feature-store staple that prevents training-serving leakage: each
+    purchase is labeled with the state that was valid AT ITS TIMESTAMP
+    (never a later state), via ``valid_from <= ts < valid_to`` against
+    the interval table built by the same collapse-consecutive-changes
+    derivation as ``scd2_user_event_history``. Purchases before the first
+    observed state get ``<none>`` (left join preserves fact cardinality;
+    the half-open intervals partition time per user, so each fact matches
+    at most one interval — cardinality is provably preserved).
+
+    Scale shape: both SCD2 windows AND the join are keyed by user_id —
+    the interval predicate rides the user_id equi-join as a post-filter
+    (hash/SMJ join, never a nested loop; per-entity history is small, so
+    no interval binning is needed, unlike the value-domain range join in
+    ``range_join_binned``)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    st = e.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        st.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    hist = changes.select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("vf"),
+        F.lead("ts").over(w).alias("vt"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = p.join(
+        hist,
+        (p.user_id == hist.h_user_id)
+        & (p.ts >= hist.vf)
+        & (hist.vt.isNull() | (p.ts < hist.vt)),
+        "left",
+    )
+    return j.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        "event_id",
+        F.coalesce(F.col("state"), F.lit("<none>")).alias(
+            "state_at_purchase"
+        ),
+        F.round("value", 6).alias("value"),
+    ).orderBy("user_id", "event_id")
