@@ -29,6 +29,8 @@ RISKY = [
     "pq_adc_topk",                # codebook means + decimal ADC sums
     "geo_closest_pairs",          # probe-side explode dedup contract
     "stable_row_ids",             # bucket-offset global sequence
+    "poisson_bootstrap_ci",       # hash-derived weights, decimal replica sums
+    "feature_corr_matrix",        # 15 decimal moments in one pass
 ]
 
 

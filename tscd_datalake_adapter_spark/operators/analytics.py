@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from tscd_datalake_adapter_spark.functions import (
     oracle_dec_sum,
     dec_sum,
+    h60,
+    oracle_h60,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
@@ -1657,4 +1659,409 @@ def revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.col("n") * F.col("mass")),
             6,
         ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 8 (deferred behind the r5 verification window)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i:]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ",\n               ".join(
+        f"{oracle_dec_sum(c)} AS s_{c}" for c in _CORR_COLS
+    )
+    cross = ",\n               ".join(
+        f"{oracle_dec_sum(f'{a} * {b}')} AS s_{a}_{b}" for a, b in _CORR_PAIRS
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{a}' AS feature_x, '{b}' AS feature_y,
+           round((n * s_{a}_{b} - s_{a} * s_{b})
+                 / sqrt((n * s_{a}_{a} - s_{a} * s_{a})
+                        * (n * s_{b}_{b} - s_{b} * s_{b})), 6) AS corr
+    FROM s"""
+        for a, b in _CORR_PAIRS
+        if a != b
+    )
+    return f"""
+    WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               {sums},
+               {cross}
+        FROM lineitem
+    )
+    SELECT * FROM (
+{rows}
+    ) ORDER BY feature_x, feature_y
+    """
+
+
+@register(
+    "feature_corr_matrix",
+    tags=("analytics", "mlprep"),
+    defer=True,
+    oracle=_corr_matrix_oracle(),
+)
+def feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over four lineitem features in
+    ONE table scan — the feature-audit query run before training to spot
+    redundant/leaky columns. All 4 first moments, 4 second moments, and 6
+    cross moments accumulate as decimal(38,6) in a single map-side-combined
+    global aggregate (15 sums + a count, one 1-row shuffle); the six corr
+    doubles derive from identical operands in identical order on both
+    engines (same recipe as ``corr_quantity_price``, widened to a matrix).
+    Scale-flat: cost is one pass regardless of pair count, vs the naive
+    per-pair ``df.stat.corr`` loop that scans once PER PAIR."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [dec_sum(F.col(c)).alias(f"s_{c}") for c in _CORR_COLS]
+    aggs += [
+        dec_sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}")
+        for a, b in _CORR_PAIRS
+    ]
+    s = li.agg(*aggs)
+    n = F.col("n")
+    pairs = None
+    for a, b in _CORR_PAIRS:
+        if a == b:
+            continue
+        num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        row = s.select(
+            F.lit(a).alias("feature_x"),
+            F.lit(b).alias("feature_y"),
+            F.round(num / den, 6).alias("corr"),
+        )
+        pairs = row if pairs is None else pairs.unionAll(row)
+    return pairs.orderBy("feature_x", "feature_y")
+
+
+# Poisson(1) CDF * 1e6, rounded once in Python and embedded as integer
+# literals in BOTH engines (the bootstrap needs a fixed weight law, not a
+# perfect one): P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699, P(<=3)=.981012.
+_BOOT_CDF = (367879, 735759, 919699, 981012)
+_BOOT_B = 100
+
+
+@register(
+    "poisson_bootstrap_ci",
+    tags=("analytics", "scale"),
+    defer=True,
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+    weighted AS (
+        SELECT r.b, o.o_totalprice,
+               CASE
+                 WHEN u < {_BOOT_CDF[0]} THEN 0
+                 WHEN u < {_BOOT_CDF[1]} THEN 1
+                 WHEN u < {_BOOT_CDF[2]} THEN 2
+                 WHEN u < {_BOOT_CDF[3]} THEN 3
+                 ELSE 4
+               END AS w
+        FROM orders o CROSS JOIN reps r
+        CROSS JOIN LATERAL (SELECT
+            {oracle_h60("'boot:' || r.b || ':' || o.o_orderkey")}
+            % 1000000 AS u) h
+    ),
+    means AS (
+        SELECT b,
+               round(CAST({oracle_dec_sum('w * o_totalprice')} AS DOUBLE)
+                     / sum(w), 6) AS m
+        FROM weighted GROUP BY b
+    ),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
+    ),
+    point AS (
+        SELECT round(CAST({oracle_dec_sum('o_totalprice')} AS DOUBLE)
+                     / count(*), 6) AS point_mean
+        FROM orders
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           point.point_mean,
+           max(CASE WHEN rn = 5 THEN m END) AS ci_lo_p05,
+           max(CASE WHEN rn = 50 THEN m END) AS boot_median,
+           max(CASE WHEN rn = 96 THEN m END) AS ci_hi_p95
+    FROM ranked CROSS JOIN point
+    GROUP BY point.point_mean
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean(o_totalprice): the ONLY bootstrap that
+    works at 100 TB. Classic resampling needs B full shuffled copies of the
+    data; the Poisson trick (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) replaces sampling-with-replacement
+    by an independent Poisson(1) weight per (row, replica) — computed
+    INLINE from a content hash, so the whole procedure is one scan: the
+    100x row expansion is pipelined through a map-side partial aggregate
+    and only B=100 partial rows per partition ever reach the shuffle.
+
+    Weights are deterministic (h60-derived uniform vs fixed CDF literals),
+    so the replica means — and therefore the CI — are partition-invariant
+    and cross-engine exact: this demo's CI is hash-verified, not just
+    plausible. Output: point estimate + rank-based 5th/50th/96th replica
+    means (percentile CI at B=100)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = h60(
+        F.concat(
+            F.lit("boot:"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("o_orderkey").cast("string"),
+        )
+    ) % 1000000
+    w = (
+        F.when(u < _BOOT_CDF[0], 0)
+        .when(u < _BOOT_CDF[1], 1)
+        .when(u < _BOOT_CDF[2], 2)
+        .when(u < _BOOT_CDF[3], 3)
+        .otherwise(4)
+    )
+    means = (
+        o.crossJoin(F.broadcast(reps))
+        .select("b", w.alias("w"), "o_totalprice")
+        .groupBy("b")
+        .agg(
+            F.round(
+                dec_sum(F.col("w") * F.col("o_totalprice")) / F.sum("w"), 6
+            ).alias("m")
+        )
+    )
+    w_rank = Window.orderBy("m", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w_rank))
+    point = o.agg(
+        F.round(dec_sum("o_totalprice") / F.count("*"), 6).alias("point_mean")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("point_mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 5, F.col("m"))).alias("ci_lo_p05"),
+            F.max(F.when(F.col("rn") == 50, F.col("m"))).alias("boot_median"),
+            F.max(F.when(F.col("rn") == 96, F.col("m"))).alias("ci_hi_p95"),
+        )
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            "point_mean",
+            "ci_lo_p05",
+            "boot_median",
+            "ci_hi_p95",
+        )
+    )
+
+
+@register(
+    "seasonal_decompose_daily",
+    tags=("analytics", "timeseries"),
+    defer=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               round(CAST({oracle_dec_sum('value')} AS DOUBLE), 6) AS total
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, total,
+               CASE WHEN count(*) OVER w = 7 THEN
+                   round(CAST(sum(CAST(total AS DECIMAL(38,6))) OVER w
+                              AS DOUBLE) / 7, 6)
+               END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT d, total, trend,
+               round(total - trend, 6) AS detrended,
+               isodow(d) AS dow
+        FROM tr
+    ),
+    seas AS (
+        SELECT dow,
+               round(CAST({oracle_dec_sum('detrended')} AS DOUBLE)
+                     / count(detrended), 6) AS seasonal
+        FROM detr WHERE detrended IS NOT NULL GROUP BY dow
+    )
+    SELECT strftime(detr.d, '%Y-%m-%d') AS day,
+           detr.total, detr.trend, seas.seasonal,
+           round(detr.detrended - seas.seasonal, 6) AS remainder
+    FROM detr JOIN seas ON detr.dow = seas.dow
+    ORDER BY day
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event-value
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = mean detrended value per ISO weekday, remainder = the rest.
+    The heavy step is the daily aggregation (map-side combined, one small
+    shuffle); every window after it runs over the AGGREGATED ~30-row
+    series, so the decomposition itself is scale-free no matter how many
+    raw events feed a day. Frame sums go through decimal(38,6) so the
+    moving average is order-independent (float frame folds are not)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(dec_sum("value"), 6).alias("total")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.withColumn(
+        "trend",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.round(
+                F.sum(F.col("total").cast("decimal(38,6)")).over(w7).cast(
+                    "double"
+                )
+                / 7,
+                6,
+            ),
+        ),
+    )
+    detr = tr.select(
+        "d",
+        "total",
+        "trend",
+        F.round(F.col("total") - F.col("trend"), 6).alias("detrended"),
+        (F.expr("weekday(d)") + 1).alias("dow"),
+    )
+    seas = (
+        detr.where(F.col("detrended").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(
+                dec_sum("detrended") / F.count("detrended"), 6
+            ).alias("seasonal")
+        )
+    )
+    return (
+        detr.join(seas, "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "total",
+            "trend",
+            "seasonal",
+            F.round(F.col("detrended") - F.col("seasonal"), 6).alias(
+                "remainder"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_OLS_MOMS = f"""
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               {oracle_dec_sum('l_quantity')} AS s1,
+               {oracle_dec_sum('l_discount')} AS s2,
+               {oracle_dec_sum('l_extendedprice')} AS sy,
+               {oracle_dec_sum('l_quantity * l_quantity')} AS s11,
+               {oracle_dec_sum('l_quantity * l_discount')} AS s12,
+               {oracle_dec_sum('l_discount * l_discount')} AS s22,
+               {oracle_dec_sum('l_quantity * l_extendedprice')} AS s1y,
+               {oracle_dec_sum('l_discount * l_extendedprice')} AS s2y,
+               {oracle_dec_sum('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem
+"""
+
+
+@register(
+    "ols_regression_coeffs",
+    tags=("analytics", "mlprep"),
+    defer=True,
+    oracle=f"""
+    WITH m AS (
+{_OLS_MOMS}
+    ),
+    det AS (
+        SELECT *,
+               n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS d
+        FROM m
+    ),
+    beta AS (
+        SELECT *,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) / d AS b0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) / d AS b1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) / d AS b2
+        FROM det
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b0, 6) AS beta0,
+           round(b1, 6) AS beta_quantity,
+           round(b2, 6) AS beta_discount,
+           round(1 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM beta
+    """,
+)
+def ols_regression_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression (l_extendedprice ~ quantity
+    + discount) trained in ONE scan: the 3x3 normal equations are solved
+    by Cramer's rule over ten decimal-exact moments — the way linear
+    models are actually fit on 100 TB (a single map-side-combined
+    aggregate; no gradient iterations, no driver-side matrix library).
+    R² comes from the same moments (SSE = y'y − β'X'y).
+
+    Determinant expansions evaluate identical double operands in
+    identical order on both engines (the ``corr_quantity_price`` recipe
+    scaled up to a 3-variable solve), so coefficients are hash-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum(x1).alias("s1"),
+        dec_sum(x2).alias("s2"),
+        dec_sum(y).alias("sy"),
+        dec_sum(x1 * x1).alias("s11"),
+        dec_sum(x1 * x2).alias("s12"),
+        dec_sum(x2 * x2).alias("s22"),
+        dec_sum(x1 * y).alias("s1y"),
+        dec_sum(x2 * y).alias("s2y"),
+        dec_sum(y * y).alias("syy"),
+    )
+    c = {k: F.col(k) for k in
+         ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")}
+    det = (
+        c["n"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+        - c["s1"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+        + c["s2"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"])
+    )
+    b0 = (
+        c["sy"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+        - c["s1"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
+        + c["s2"] * (c["s1y"] * c["s12"] - c["s11"] * c["s2y"])
+    ) / det
+    b1 = (
+        c["n"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
+        - c["sy"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+        + c["s2"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"])
+    ) / det
+    b2 = (
+        c["n"] * (c["s11"] * c["s2y"] - c["s1y"] * c["s12"])
+        - c["s1"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"])
+        + c["sy"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"])
+    ) / det
+    sse = c["syy"] - b0 * c["sy"] - b1 * c["s1y"] - b2 * c["s2y"]
+    sst = c["syy"] - c["sy"] * c["sy"] / c["n"]
+    return m.select(
+        c["n"].cast("long").alias("n"),
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(1 - sse / sst, 6).alias("r2"),
     )

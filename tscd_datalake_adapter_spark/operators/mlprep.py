@@ -1338,3 +1338,113 @@ def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("diff_cents", "custkey_a", "custkey_b")
         .limit(20)
     )
+
+
+@register(
+    "er_match_scores",
+    tags=("tpch", "dedup"),
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               c_custkey % 97 AS branch,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM customer
+    ),
+    blocked AS (
+        SELECT *, cents // 1000 AS block FROM c
+    ),
+    probes AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment, branch, cents,
+               block + d.d AS probe
+        FROM blocked CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               abs(a.cents - b.cents) AS diff_cents,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 12 ELSE -3 END AS seg_score,
+               CASE WHEN a.branch = b.branch THEN 8 ELSE -2 END AS branch_score,
+               CASE WHEN abs(a.cents - b.cents) <= 100 THEN 10
+                    WHEN abs(a.cents - b.cents) <= 500 THEN 4
+                    ELSE 0 END AS bal_score
+        FROM probes a JOIN blocked b
+          ON a.probe = b.block
+         AND a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE abs(a.cents - b.cents) <= 500
+    )
+    SELECT custkey_a, custkey_b, diff_cents,
+           CAST(seg_score + branch_score + bal_score AS BIGINT) AS score,
+           (seg_score + branch_score + bal_score) >= 18 AS is_match
+    FROM pairs
+    ORDER BY score DESC, diff_cents, custkey_a, custkey_b LIMIT 20
+    """,
+)
+def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style match scoring on the blocked candidate pairs
+    of ``er_blocking_candidates``: each field comparison contributes a
+    fixed integer log-odds-like weight (market segment +12/−3, branch
+    code +8/−2, balance proximity +10/+4/0) and pairs at or above
+    the decision threshold (18) classify as matches. Integer weights keep
+    the score — and the classification boundary — cross-engine exact.
+
+    Scale shape inherits from the blocking stage: scoring is a projection
+    over the (nation, balance-block) equi-join's survivors, so total cost
+    is blocking cost + O(candidates); no all-pairs comparison exists
+    anywhere in the plan."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 97).alias("branch"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    blocked = c.withColumn("block", F.floor(F.col("cents") / 1000))
+    probes = blocked.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_nationkey").alias("nk_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("branch").alias("branch_a"),
+        F.col("cents").alias("cents_a"),
+        F.explode(
+            F.array(F.col("block") - 1, F.col("block"), F.col("block") + 1)
+        ).alias("probe"),
+    )
+    diff = F.abs(F.col("cents_a") - F.col("cents"))
+    pairs = (
+        probes.join(
+            blocked,
+            (F.col("probe") == F.col("block"))
+            & (F.col("nk_a") == F.col("c_nationkey"))
+            & (F.col("custkey_a") < F.col("c_custkey")),
+        )
+        .where(diff <= 500)
+        .select(
+            "custkey_a",
+            F.col("c_custkey").alias("custkey_b"),
+            diff.alias("diff_cents"),
+            F.when(F.col("seg_a") == F.col("c_mktsegment"), 12)
+            .otherwise(-3)
+            .alias("seg_score"),
+            F.when(F.col("branch_a") == F.col("branch"), 8)
+            .otherwise(-2)
+            .alias("branch_score"),
+            F.when(diff <= 100, 10)
+            .when(diff <= 500, 4)
+            .otherwise(0)
+            .alias("bal_score"),
+        )
+    )
+    total = F.col("seg_score") + F.col("branch_score") + F.col("bal_score")
+    return (
+        pairs.select(
+            "custkey_a",
+            "custkey_b",
+            "diff_cents",
+            total.cast("long").alias("score"),
+            (total >= 18).alias("is_match"),
+        )
+        .orderBy(F.col("score").desc(), "diff_cents", "custkey_a", "custkey_b")
+        .limit(20)
+    )

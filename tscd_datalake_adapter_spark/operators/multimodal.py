@@ -114,9 +114,9 @@ def _wav_payload(doc_id: int) -> bytes:
     )
 
 
-def _parse_wav(payload: bytes) -> dict:
-    """REAL RIFF/WAVE parse: chunk walk to fmt + data, 8-bit PCM samples as
-    the intensity stream. Raises ``ValueError`` on malformed/unsupported
+def _wav_samples(payload: bytes) -> "np.ndarray":
+    """REAL RIFF/WAVE parse: chunk walk to fmt + data, returning the raw
+    8-bit PCM sample array. Raises ``ValueError`` on malformed/unsupported
     payloads like any decoder (struct truncation included — ``struct.error``
     is not a ValueError and would escape the drop-row handlers)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -142,6 +142,13 @@ def _parse_wav(payload: bytes) -> dict:
     samples = np.frombuffer(data, dtype=np.uint8)
     if samples.size == 0:
         raise ValueError("empty WAV data chunk")
+    return samples
+
+
+def _parse_wav(payload: bytes) -> dict:
+    """Decode-dispatch dict form of :func:`_wav_samples` (the feature tier
+    consumes metadata + an 8-sample fingerprint, not the full stream)."""
+    samples = _wav_samples(payload)
     return {
         "width": None,
         "height": None,
@@ -830,3 +837,89 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return sample_frames(media).orderBy("doc_id")
+
+
+_FRAME_LEN = 16
+
+
+@register(
+    "wav_frame_energy",
+    tags=("llm", "multimodal"),
+    defer=True,
+    oracle=f"""
+    WITH aud AS (
+        SELECT doc_id, 50 + doc_id % 20 AS n FROM documents
+        WHERE doc_id < 60 AND doc_id % 3 = 1
+    ),
+    samp AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM aud
+    ),
+    framed AS (
+        SELECT doc_id, i // {_FRAME_LEN} AS frame_id,
+               ((11 * doc_id + 5 * i) % 256) - 128 AS dev
+        FROM samp
+        WHERE i < (n // {_FRAME_LEN}) * {_FRAME_LEN}
+    )
+    SELECT doc_id, frame_id,
+           CAST({_FRAME_LEN} AS BIGINT) AS n_samples,
+           CAST(sum(dev * dev) AS BIGINT) AS energy
+    FROM framed GROUP BY doc_id, frame_id
+    ORDER BY doc_id, frame_id
+    """,
+)
+def wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame signal energy over ACTUALLY DECODED audio: the RIFF/PCM
+    payloads built by ``build_media_table`` are parsed back to samples
+    (``_parse_wav`` — real chunk walk, not metadata trust), split into
+    16-sample frames (tail dropped), and each frame reports its integer
+    energy Σ(s−128)². This is the media analog of text quality scoring —
+    a computation over decoded CONTENT, with the oracle re-deriving the
+    energies from the sample-generating formula, so a hash match verifies
+    the whole encode→decode→frame→energy path. Integer energies make the
+    match exact.
+
+    Scale shape: decode + framing run per Arrow batch in ``mapInPandas``
+    (payload bytes never leave the executor, frames are a numpy reshape);
+    the output is one bounded row per frame, shuffled only by the final
+    presentation sort. Undecodable payloads drop rows, like every decode
+    operator here."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    media = build_media_table(d).where(F.col("media_type") == "audio")
+
+    def _energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples = _wav_samples(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    continue
+                k = samples.size // _FRAME_LEN
+                if k == 0:
+                    continue
+                dev = (
+                    samples[: k * _FRAME_LEN].astype(np.int64) - 128
+                ).reshape(k, _FRAME_LEN)
+                energy = (dev * dev).sum(axis=1)
+                rows.extend(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_id": int(f),
+                        "n_samples": _FRAME_LEN,
+                        "energy": int(e),
+                    }
+                    for f, e in enumerate(energy)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_id", "n_samples", "energy"]
+            )
+
+    out = media.select("doc_id", "payload").mapInPandas(
+        _energies,
+        "doc_id long, frame_id long, n_samples long, energy long",
+    )
+    return out.orderBy("doc_id", "frame_id")

@@ -1449,3 +1449,100 @@ def token_graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    tags=("llm", "text"),
+    defer=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2
+    ),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c
+        FROM idx GROUP BY 1, 2
+    ),
+    w1a AS (
+        SELECT w1 AS w1k, CAST(sum(c) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n_follow
+        FROM bg GROUP BY w1
+    ),
+    w2a AS (
+        SELECT w2 AS w2k, CAST(count(*) AS BIGINT) AS n_prec
+        FROM bg GROUP BY w2
+    ),
+    t_types AS (SELECT CAST(count(*) AS DOUBLE) AS t_total FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.c AS BIGINT) AS c,
+           round(greatest(bg.c - 0.75, 0) / w1a.c1
+                 + (0.75 * w1a.n_follow / w1a.c1)
+                   * (w2a.n_prec / t_types.t_total), 6) AS p_kn
+    FROM bg
+    JOIN w1a ON bg.w1 = w1a.w1k
+    JOIN w2a ON bg.w2 = w2a.w2k
+    CROSS JOIN t_types
+    ORDER BY c DESC, w1, w2 LIMIT 30
+    """,
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram language model estimated over the corpus
+    — the classic cluster-scale n-gram LM job (Brants et al., "Large
+    Language Models in Machine Translation", 2007, ran exactly this shape
+    on MapReduce). Absolute discount d=0.75; the lower-order distribution
+    is the proper KN continuation probability N1+(·w2)/|bigram types|,
+    not the raw unigram frequency.
+
+    Every model quantity is an integer count aggregated from ONE bigram
+    extraction pass (bigram counts; per-w1 totals and follower-type
+    counts derive from the COUNTED pair table, never a second corpus
+    scan); the only doubles are final divisions of those integers in
+    identical order on both engines, so the smoothed probabilities are
+    hash-exact. Scale shape: bigram generation is a per-document array
+    transform (no shuffle), then one groupBy(w1,w2); the three model
+    tables join back on w1/w2 — all equi-joins on the (small) type
+    vocabulary, with the type-total crossed in as a broadcast 1-row
+    frame. Top-30 by raw count via TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
+    ).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    w1a = bg.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n_follow"),
+    )
+    w2a = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n_prec"))
+    t_types = bg.agg(F.count("*").cast("double").alias("t_total"))
+    return (
+        bg.join(w1a, "w1")
+        .join(w2a, "w2")
+        .crossJoin(F.broadcast(t_types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c"),
+            F.round(
+                F.greatest(F.col("c") - 0.75, F.lit(0)) / F.col("c1")
+                + (0.75 * F.col("n_follow") / F.col("c1"))
+                * (F.col("n_prec") / F.col("t_total")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(30)
+    )
