@@ -2065,3 +2065,107 @@ def ols_regression_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 6).alias("beta_discount"),
         F.round(1 - sse / sst, 6).alias("r2"),
     )
+
+
+@register(
+    "ab_test_zscore",
+    tags=("analytics", "experiment"),
+    defer=True,
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               {oracle_h60("'ab:' || user_id")} % 2 AS arm,
+               CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS pv
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, arm,
+               round(CAST({oracle_dec_sum('pv')} AS DOUBLE), 6) AS total
+        FROM assigned GROUP BY user_id, arm
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(count(*) AS DOUBLE) AS n,
+               {oracle_dec_sum('total')} AS s,
+               {oracle_dec_sum('total * total')} AS s2
+        FROM per_user GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN arm = 0 THEN n END) AS n0,
+            max(CASE WHEN arm = 0 THEN s END) AS s0,
+            max(CASE WHEN arm = 0 THEN s2 END) AS s20,
+            max(CASE WHEN arm = 1 THEN n END) AS n1,
+            max(CASE WHEN arm = 1 THEN s END) AS s1,
+            max(CASE WHEN arm = 1 THEN s2 END) AS s21
+        FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           round(s0 / n0, 6) AS mean_control,
+           round(s1 / n1, 6) AS mean_treatment,
+           round((s1 / n1 - s0 / n0)
+                 / sqrt(((s20 - s0 * s0 / n0) / (n0 - 1)) / n0
+                        + ((s21 - s1 * s1 / n1) / (n1 - 1)) / n1), 6)
+               AS welch_z,
+           abs((s1 / n1 - s0 / n0)
+               / sqrt(((s20 - s0 * s0 / n0) / (n0 - 1)) / n0
+                      + ((s21 - s1 * s1 / n1) / (n1 - 1)) / n1)) > 1.959964
+               AS significant_05
+    FROM wide
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout — the query every experimentation
+    platform runs at scale: deterministic hash assignment of users to
+    arms (h60, so assignment is reproducible and partition-invariant,
+    never a stored lookup), per-user total purchase value as the metric,
+    and a Welch z-statistic from decimal-exact per-arm moments. Two
+    map-side-combined aggregations (events→user, user→arm) and a 2-row
+    pivot; scale-flat regardless of event volume.
+
+    The per-user totals are rounded once (6dp) before the second-moment
+    aggregation so Σx² sees identical operands on both engines; the z
+    derivation then evaluates identical doubles in identical order."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select(
+        "user_id",
+        (h60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2).alias(
+            "arm"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0)
+        .alias("pv"),
+    )
+    per_user = assigned.groupBy("user_id", "arm").agg(
+        F.round(dec_sum("pv"), 6).alias("total")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum("total").alias("s"),
+        dec_sum(F.col("total") * F.col("total")).alias("s2"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("s20"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("s21"),
+    )
+    m0, m1 = F.col("s0") / F.col("n0"), F.col("s1") / F.col("n1")
+    se = F.sqrt(
+        ((F.col("s20") - F.col("s0") * F.col("s0") / F.col("n0"))
+         / (F.col("n0") - 1)) / F.col("n0")
+        + ((F.col("s21") - F.col("s1") * F.col("s1") / F.col("n1"))
+           / (F.col("n1") - 1)) / F.col("n1")
+    )
+    z = (m1 - m0) / se
+    return wide.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.round(m0, 6).alias("mean_control"),
+        F.round(m1, 6).alias("mean_treatment"),
+        F.round(z, 6).alias("welch_z"),
+        (F.abs(z) > 1.959964).alias("significant_05"),
+    )

@@ -844,3 +844,155 @@ def pit_scd2_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("value", 6).alias("value"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "kaplan_meier_sessions",
+    tags=("history", "analytics"),
+    defer=True,
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    sess AS (
+        SELECT user_id, session_no,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS t,
+               max(ts) > h - INTERVAL 30 MINUTE AS censored
+        FROM s CROSS JOIN horizon GROUP BY user_id, session_no, h
+    ),
+    by_t AS (
+        SELECT t,
+               CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                   AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM sess GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               (SELECT count(*) FROM sess) 
+               - coalesce(sum(leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n_risk
+        FROM by_t
+    ),
+    km AS (
+        SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+               sum(CASE WHEN d = n_risk THEN NULL
+                        ELSE round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 12)
+                   END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lns
+        FROM risk WHERE d > 0
+    )
+    SELECT t AS t_minutes, n_risk, d AS n_deaths,
+           round(coalesce(lns, '-infinity'::DOUBLE), 6) AS log_survival,
+           CASE WHEN lns IS NULL THEN 0.0
+                ELSE round(exp(lns), 6) END AS survival
+    FROM km ORDER BY t_minutes
+    """,
+)
+def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over SESSION durations (whole minutes),
+    right-censored: a session whose last event lies within one gap-width
+    (30 min) of the stream horizon may still be ongoing, so it leaves the
+    risk set without counting as a "death". S(t) = Π_{t_j<=t} (1−d_j/n_j)
+    over death times — the product accumulates as a running sum of
+    round-12 natural logs (the repo's libm determinism recipe), with the
+    terminal d==n step mapped to S=0 explicitly (ln 0 is −inf).
+
+    Scale shape: sessionization windows are per-user (same derivation as
+    ``sessionize_events_batch``); everything after the session table is
+    aggregated-by-duration — the KM recursion runs over the ~tens-of-rows
+    death-time table, never the raw stream. ``log_survival`` is the
+    bit-stable column; ``survival`` adds one ``exp`` of an identical
+    operand (correctly rounded on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = g.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    sess = (
+        s.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "session_no", "h")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 60000000
+            )
+            .cast("long")
+            .alias("t"),
+            (
+                F.unix_micros(F.max("ts"))
+                > F.unix_micros(F.first("h")) - 1800 * 1000000
+            ).alias("censored"),
+        )
+    )
+    by_t = sess.groupBy("t").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("long")
+        .alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    total = sess.agg(F.count("*").cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.withColumn(
+        "lns",
+        F.sum(
+            F.when(F.col("d") == F.col("n_risk"), None).otherwise(
+                F.round(
+                    F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+                    12,
+                )
+            )
+        ).over(w_cum),
+    )
+    return km.select(
+        F.col("t").alias("t_minutes"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_deaths"),
+        F.round(
+            F.coalesce(F.col("lns"), F.lit(float("-inf"))), 6
+        ).alias("log_survival"),
+        F.when(F.col("lns").isNull(), 0.0)
+        .otherwise(F.round(F.exp("lns"), 6))
+        .alias("survival"),
+    ).orderBy("t_minutes")

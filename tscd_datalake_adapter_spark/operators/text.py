@@ -1546,3 +1546,153 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "naive_bayes_lang_confusion",
+    tags=("llm", "text", "mlprep"),
+    defer=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    langs AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS c_lang FROM cnt GROUP BY lang
+    ),
+    nl AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM langs),
+    vocab AS (SELECT DISTINCT tok FROM cnt),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    priors AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1
+    ),
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+    probs AS (
+        SELECT l.lang, vo.tok,
+               round(ln((coalesce(c.c, 0) + 1.0) / (l.c_lang + v.v)), 12)
+                   AS lp
+        FROM vocab vo
+        CROSS JOIN langs l
+        CROSS JOIN vsize v
+        LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = vo.tok
+    ),
+    dtc AS (
+        SELECT doc_id, lang AS true_lang, tok, CAST(count(*) AS BIGINT) AS tc
+        FROM toks GROUP BY 1, 2, 3
+    ),
+    scores AS (
+        SELECT d.doc_id, d.true_lang, p.lang,
+               round(CAST(
+                   sum(CAST(round(d.tc * p.lp, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE)
+                   + round(ln((pr.nd + 1.0) / (nd2.nn + nl.k)), 12),
+                   9) AS score
+        FROM dtc d
+        JOIN probs p ON d.tok = p.tok
+        JOIN priors pr ON p.lang = pr.lang
+        CROSS JOIN ndocs nd2
+        CROSS JOIN nl
+        GROUP BY d.doc_id, d.true_lang, p.lang, pr.nd, nd2.nn, nl.k
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rk
+        FROM scores
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier TRAINED IN-ENGINE
+    (add-1 smoothing over the corpus vocabulary, log-space scoring) and
+    evaluated on the corpus as a confusion matrix — the trained-model
+    counterpart of the heuristic ``language_id``/``langid_confusion``
+    pair, and the canonical "train a counts-based model with a groupBy"
+    job. Training is two aggregations (token counts per lang, totals);
+    scoring joins each document's token-count vector against the dense
+    (vocab x lang) log-probability table — an equi-join on tok, the
+    shuffle bounded by corpus token count x n_langs.
+
+    Determinism: every ln() term is rounded to 12dp and decimal-summed
+    (the repo's libm recipe); per-document argmax ranks on the rounded
+    score with the language as tiebreak. Self-evaluation on the training
+    corpus is intentional (no split) — the query demonstrates the
+    train/score shape, not generalization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "tok"
+        ),
+    )
+    cnt = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    langs = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("c_lang"))
+    nl = langs.agg(F.count("*").cast("double").alias("k"))
+    vocab = cnt.select("tok").distinct()
+    vsize = vocab.agg(F.count("*").cast("long").alias("v"))
+    priors = d.groupBy("lang").agg(F.count("*").cast("long").alias("nd"))
+    ndocs = d.agg(F.count("*").cast("long").alias("nn"))
+    probs = (
+        vocab.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("c_lang") + F.col("v"))
+                ),
+                12,
+            ).alias("lp"),
+        )
+    )
+    dtc = toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "tok").agg(
+        F.count("*").cast("long").alias("tc")
+    )
+    scores = (
+        dtc.join(probs.withColumnRenamed("lang", "cand_lang"), "tok")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(
+            F.sum(
+                F.round(F.col("tc") * F.col("lp"), 12).cast("decimal(38,12)")
+            ).alias("tok_lp")
+        )
+        .join(F.broadcast(priors.withColumnRenamed("lang", "cand_lang")),
+              "cand_lang")
+        .crossJoin(F.broadcast(ndocs))
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            F.round(
+                F.col("tok_lp").cast("double")
+                + F.round(
+                    F.log((F.col("nd") + 1.0) / (F.col("nn") + F.col("k"))),
+                    12,
+                ),
+                9,
+            ).alias("score"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "cand_lang"
+    )
+    pred = scores.withColumn("rk", F.row_number().over(w_doc)).where(
+        F.col("rk") == 1
+    )
+    return (
+        pred.groupBy("true_lang", F.col("cand_lang").alias("pred_lang"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
