@@ -2169,3 +2169,274 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("welch_z"),
         (F.abs(z) > 1.959964).alias("significant_05"),
     )
+
+
+@register(
+    "theil_sen_daily_trend",
+    tags=("analytics", "timeseries"),
+    defer=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS idx,
+               round(CAST({oracle_dec_sum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS DOUBLE), 6) AS v
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.idx AS i1, b.idx AS i2,
+               round((b.v - a.v) / (b.idx - a.idx), 12) AS slope
+        FROM daily a JOIN daily b ON a.idx < b.idx
+    ),
+    ranked AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope, i1, i2) AS rn,
+               count(*) OVER () AS n
+        FROM pairs
+    ),
+    med AS (SELECT slope FROM ranked WHERE rn = (n + 1) // 2),
+    resid AS (
+        SELECT round(d.v - m.slope * d.idx, 12) AS r
+        FROM daily d CROSS JOIN med m
+    ),
+    rr AS (
+        SELECT r, row_number() OVER (ORDER BY r) AS rn,
+               count(*) OVER () AS n
+        FROM resid
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+           round((SELECT slope FROM med), 6) AS ts_slope,
+           round((SELECT r FROM rr WHERE rn = (n + 1) // 2), 6)
+               AS ts_intercept
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate over the daily purchase-revenue
+    series: slope = median of all pairwise day-to-day slopes, intercept =
+    median residual at that slope — the outlier-resistant alternative to
+    OLS (``ols_regression_coeffs``) for monitoring drifting daily totals.
+
+    Scale shape: the pair join runs over the DAILY AGGREGATE (bounded by
+    the calendar — ~366 rows and ~67k pairs regardless of event volume),
+    never over raw events; the only corpus-sized work is one map-side-
+    combined groupBy(day). Medians rank on round-12 slopes with the day
+    pair as tiebreak, so the selected element is identical cross-engine
+    (lower median: rank (n+1) DIV 2)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("idx")
+        )
+        .agg(
+            F.round(
+                dec_sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("v")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.idx") < F.col("b.idx")).select(
+        F.col("a.idx").alias("i1"),
+        F.col("b.idx").alias("i2"),
+        F.round(
+            (F.col("b.v") - F.col("a.v")) / (F.col("b.idx") - F.col("a.idx")),
+            12,
+        ).alias("slope"),
+    )
+    w_all = Window.orderBy("slope", "i1", "i2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w_all).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select("slope")
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        F.round(F.col("v") - F.col("slope") * F.col("idx"), 12).alias("r")
+    )
+    w_r = Window.orderBy("r")
+    rr = resid.select(
+        "r",
+        F.row_number().over(w_r).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    intercept = rr.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select(F.col("r").alias("ts_intercept"))
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    n_pairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        n_days.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(intercept))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("ts_slope"),
+            F.round("ts_intercept", 6).alias("ts_intercept"),
+        )
+    )
+
+
+@register(
+    "bh_fdr_event_metrics",
+    tags=("analytics", "experiment"),
+    defer=True,
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type,
+               {oracle_h60("'ab:' || user_id")} % 2 AS arm,
+               value
+        FROM events
+    ),
+    arms AS (
+        SELECT event_type, arm,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST({oracle_dec_sum('value')} AS DOUBLE) AS s,
+               CAST({oracle_dec_sum('value * value')} AS DOUBLE) AS s2
+        FROM assigned GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT event_type,
+               max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 0 THEN s END) AS s0,
+               max(CASE WHEN arm = 0 THEN s2 END) AS s20,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 1 THEN s END) AS s1,
+               max(CASE WHEN arm = 1 THEN s2 END) AS s21
+        FROM arms GROUP BY event_type
+        HAVING n0 > 1 AND n1 > 1
+    ),
+    z AS (
+        SELECT event_type,
+               round((s1 / n1 - s0 / n0)
+                     / sqrt(((s20 - s0 * s0 / n0) / (n0 - 1)) / n0
+                            + ((s21 - s1 * s1 / n1) / (n1 - 1)) / n1), 9)
+                   AS welch_z
+        FROM wide
+    ),
+    p AS (
+        SELECT event_type, welch_z,
+               round(2.0 / (1.0 + exp(1.702 * abs(welch_z))), 9) AS p_approx
+        FROM z
+    ),
+    ranked AS (
+        SELECT event_type, welch_z, p_approx,
+               row_number() OVER (ORDER BY p_approx, event_type) AS rk,
+               count(*) OVER () AS m
+        FROM p
+    ),
+    kstar AS (
+        SELECT coalesce(max(CASE WHEN p_approx * m <= 0.10 * rk
+                                 THEN rk END), 0) AS k
+        FROM ranked
+    )
+    SELECT event_type, round(welch_z, 6) AS welch_z,
+           round(p_approx, 6) AS p_approx,
+           CAST(rk AS BIGINT) AS p_rank,
+           rk <= (SELECT k FROM kstar) AS bh_significant_10
+    FROM ranked ORDER BY p_rank
+    """,
+)
+def bh_fdr_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control for a metric sweep: one Welch z per
+    event_type (deterministic h60 arm split, decimal-exact moments), a
+    sigmoid normal-tail approximation for the two-sided p-value
+    (p = 2/(1+exp(1.702|z|)) — both engines evaluate identical operands,
+    so the approximation choice costs nothing in determinism), and
+    Benjamini-Hochberg step-up at FDR 0.10: reject the k* smallest
+    p-values where k* = max{{k : p_(k) <= alpha*k/m}}.
+
+    Scale shape: one corpus pass into a (event_type x arm) aggregate;
+    every window thereafter runs over the ~5-row metric table. The BH
+    threshold comparison is rearranged to ``p*m <= alpha*k`` (integer
+    multiplier on the rank side) to avoid a division's ulp wobble."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select(
+        "event_type",
+        (h60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2).alias(
+            "arm"
+        ),
+        "value",
+    )
+    arms = assigned.groupBy("event_type", "arm").agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum("value").cast("double").alias("s"),
+        dec_sum(F.col("value") * F.col("value")).cast("double").alias("s2"),
+    )
+    wide = (
+        arms.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+            F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("s20"),
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+            F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("s21"),
+        )
+        .where((F.col("n0") > 1) & (F.col("n1") > 1))
+    )
+    m0, m1 = F.col("s0") / F.col("n0"), F.col("s1") / F.col("n1")
+    se = F.sqrt(
+        ((F.col("s20") - F.col("s0") * F.col("s0") / F.col("n0"))
+         / (F.col("n0") - 1)) / F.col("n0")
+        + ((F.col("s21") - F.col("s1") * F.col("s1") / F.col("n1"))
+           / (F.col("n1") - 1)) / F.col("n1")
+    )
+    z = wide.select(
+        "event_type", F.round((m1 - m0) / se, 9).alias("welch_z")
+    )
+    p = z.select(
+        "event_type",
+        "welch_z",
+        F.round(
+            2.0 / (1.0 + F.exp(1.702 * F.abs(F.col("welch_z")))), 9
+        ).alias("p_approx"),
+    )
+    w_rk = Window.orderBy("p_approx", "event_type")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = p.select(
+        "event_type",
+        "welch_z",
+        "p_approx",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_all).alias("m"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_approx") * F.col("m") <= 0.10 * F.col("rk"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            F.round("welch_z", 6).alias("welch_z"),
+            F.round("p_approx", 6).alias("p_approx"),
+            F.col("rk").cast("long").alias("p_rank"),
+            (F.col("rk") <= F.col("k")).alias("bh_significant_10"),
+        )
+        .orderBy("p_rank")
+    )

@@ -1448,3 +1448,60 @@ def er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "diff_cents", "custkey_a", "custkey_b")
         .limit(20)
     )
+
+
+@register(
+    "k_anonymity_audit",
+    tags=("mlprep", "privacy"),
+    defer=True,
+    oracle="""
+    WITH q AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+               CAST(count(*) AS BIGINT) AS gsize
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT seg AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_combos,
+           CAST(sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_combos,
+           CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows,
+           min(gsize) AS min_group_size,
+           max(gsize) AS max_group_size
+    FROM q GROUP BY seg ORDER BY mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    check a training-data release pipeline runs before publishing rows
+    that could be joined back to individuals. Quasi-identifiers here:
+    (market segment, nation, account-balance bucket of width 1000); a
+    combination with fewer than k=5 members is re-identifiable, and the
+    rows inside it are "exposed".
+
+    Scale shape: two stacked map-side-combined aggregations (rows ->
+    combos -> segments); no joins, no windows. The bucket boundary uses
+    floor(x/1000.0) on the raw double — identical operands both engines,
+    so bucket membership is cross-engine exact."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    ).agg(F.count("*").cast("long").alias("gsize"))
+    return (
+        q.groupBy(F.col("seg").alias("mktsegment"))
+        .agg(
+            F.count("*").cast("long").alias("n_combos"),
+            F.sum(F.when(F.col("gsize") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_risky_combos"),
+            F.sum(F.when(F.col("gsize") < 5, F.col("gsize")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed_rows"),
+            F.min("gsize").alias("min_group_size"),
+            F.max("gsize").alias("max_group_size"),
+        )
+        .orderBy("mktsegment")
+    )

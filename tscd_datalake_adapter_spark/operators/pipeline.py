@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import oracle_dec_sum, oracle_h60
+from tscd_datalake_adapter_spark.functions import (
+    dec_sum,
+    oracle_dec_sum,
+    oracle_h60,
+)
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.operators.text import STOPWORDS
 from tscd_datalake_adapter_spark.sources import load_table
@@ -1157,4 +1161,96 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mask_ratio"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "dataset_card_summary",
+    tags=("llm", "pipeline"),
+    defer=True,
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source, lang,
+               coalesce(text, '') AS t,
+               CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                    x -> x != '')) AS BIGINT) AS toks,
+               n_chars,
+               round(CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                 '[A-Za-z]')) AS DOUBLE)
+                     / greatest(1, len(coalesce(text, ''))), 9)
+                   AS alpha_ratio
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT sha256(t)) AS BIGINT) AS n_distinct_texts,
+           round(1.0 - CAST(count(DISTINCT sha256(t)) AS DOUBLE)
+                 / count(*), 6) AS dup_rate,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           round(CAST(sum(toks) AS DOUBLE) / count(*), 6)
+               AS avg_doc_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS frac_short,
+           round(CAST({oracle_dec_sum('alpha_ratio')} AS DOUBLE)
+                 / count(*), 6) AS avg_alpha_ratio
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-screen summary a data release
+    ships alongside the parquet: volume (docs, tokens), exact-duplicate
+    rate (sha256 distinct vs total), language spread, short-document
+    fraction, and alphabetic-character ratio (the crudest quality
+    signal). Composes the corpus-health numbers that the curation/dedup
+    tiers act on into a single audited artifact.
+
+    Scale shape: one pass over documents computing per-row features in
+    codegen, then one groupBy(source) whose count(DISTINCT sha) expands
+    to the standard two-phase partial-distinct aggregate — no joins, no
+    windows; NULL text is coalesced to '' before every length/split (the
+    Spark size(NULL) = -1 trap)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    per_doc = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.sha2(t, 256).alias("sha"),
+        F.size(F.filter(F.split(t, " "), lambda x: x != "")).cast(
+            "long"
+        ).alias("toks"),
+        F.round(
+            F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), 0)).cast(
+                "double"
+            )
+            / F.greatest(F.lit(1), F.length(t)),
+            9,
+        ).alias("alpha_ratio"),
+    )
+    n = F.count("*")
+    nd = F.countDistinct("sha")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            nd.cast("long").alias("n_distinct_texts"),
+            F.round(1.0 - nd.cast("double") / n, 6).alias("dup_rate"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.round(F.sum("toks").cast("double") / n, 6).alias(
+                "avg_doc_tokens"
+            ),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(
+                F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / n,
+                6,
+            ).alias("frac_short"),
+            F.round(dec_sum("alpha_ratio").cast("double") / n, 6).alias(
+                "avg_alpha_ratio"
+            ),
+        )
+        .orderBy("source")
     )

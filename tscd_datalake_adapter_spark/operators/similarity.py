@@ -1628,3 +1628,86 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@register(
+    "matryoshka_truncation_eval",
+    tags=("llm", "similarity"),
+    defer=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest([8, 16, 32]) AS d),
+    per AS (
+        SELECT d.d, b.vec_id,
+               round(sqrt(
+                   list_sum(list_transform(b.e[1:d.d], x -> x * x))
+                   / list_sum(list_transform(b.e, x -> x * x))), 12)
+                   AS cos_retained
+        FROM base b CROSS JOIN dims d
+        WHERE list_sum(list_transform(b.e, x -> x * x)) > 0
+    )
+    SELECT CAST(d AS BIGINT) AS trunc_dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST({oracle_dec_sum('cos_retained')} AS DOUBLE)
+                 / count(*), 6) AS avg_cos_retained,
+           round(min(cos_retained), 6) AS min_cos_retained,
+           round(CAST(sum(CASE WHEN cos_retained >= 0.9 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS frac_ge_090
+    FROM per GROUP BY d ORDER BY trunc_dim
+    """,
+)
+def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much of each embedding's
+    signal survives keeping only the first d dimensions? For a vector v,
+    cos(v, v[:d] zero-padded) = ||v[:d]|| / ||v||, so the retained-cosine
+    distribution per truncation width (8/16/32 of 64) tells a retrieval
+    pipeline which storage tier it can afford — the decision behind
+    shipping truncated embeddings to an ANN index (``ann_*_topk``) while
+    keeping full vectors for rerank (``pq_adc_topk`` quantizes the same
+    trade).
+
+    Scale shape: one pass over embeddings fanned x3 by a literal dim
+    array, all inside codegen (in-order HOF folds per row, no UDF, no
+    shuffle beyond the 3-group aggregate). Per-row ratios are round-12
+    (identical fold order both engines), means decimal-summed."""
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        )
+        .where(sq_norm(F.col("e")) > 0)
+    )
+    per = base.select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("d"),
+        F.round(
+            F.sqrt(
+                sq_norm(F.slice(F.col("e"), F.lit(1), F.col("d")))
+                / sq_norm(F.col("e"))
+            ),
+            12,
+        ).alias("cos_retained"),
+    )
+    n = F.count("*")
+    return (
+        per.groupBy(F.col("d").cast("long").alias("trunc_dim"))
+        .agg(
+            n.cast("long").alias("n_vecs"),
+            F.round(dec_sum("cos_retained").cast("double") / n, 6).alias(
+                "avg_cos_retained"
+            ),
+            F.round(F.min("cos_retained"), 6).alias("min_cos_retained"),
+            F.round(
+                F.sum(
+                    F.when(F.col("cos_retained") >= 0.9, 1).otherwise(0)
+                ).cast("double")
+                / n,
+                6,
+            ).alias("frac_ge_090"),
+        )
+        .orderBy("trunc_dim")
+    )

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import H60_SQLEXPR, oracle_h60
+from tscd_datalake_adapter_spark.functions import (
+    H60_SQLEXPR,
+    dec_sum,
+    oracle_dec_sum,
+    oracle_h60,
+)
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -1695,4 +1700,97 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.groupBy("true_lang", F.col("cand_lang").alias("pred_lang"))
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("true_lang", "pred_lang")
+    )
+
+
+@register(
+    "flesch_readability_by_lang",
+    tags=("llm", "text", "quality"),
+    defer=True,
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                    AS BIGINT) AS w,
+               greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                                AS BIGINT)) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syl
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, w, s, syl,
+               round(CAST(w AS DOUBLE) / s, 9) AS wps,
+               round(CAST(syl AS DOUBLE) / w, 9) AS spw,
+               round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                     - 84.6 * (CAST(syl AS DOUBLE) / w), 9) AS fre
+        FROM per_doc WHERE w > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST({oracle_dec_sum('wps')} AS DOUBLE) / count(*), 6)
+               AS avg_words_per_sentence,
+           round(CAST({oracle_dec_sum('spw')} AS DOUBLE) / count(*), 6)
+               AS avg_syllables_per_word,
+           round(CAST({oracle_dec_sum('fre')} AS DOUBLE) / count(*), 6)
+               AS avg_flesch,
+           CAST(sum(CASE WHEN fre < 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_very_hard
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def flesch_readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the classic readability heuristic a
+    text-quality tier runs beside Gopher rules: per document, words =
+    non-empty whitespace tokens, sentences = runs of terminal punctuation
+    (clamped to >= 1), syllables = vowel-group count (the standard
+    dictionary-free approximation), FRE = 206.835 − 1.015·(W/S) −
+    84.6·(Syl/W); aggregated per language with a "very hard" (< 30)
+    tally.
+
+    Scale shape: one corpus pass (three regex/split counts per row, all
+    JVM codegen — no UDF), one map-side-combined groupBy(lang). Per-doc
+    ratios are round-9 then decimal-summed so the per-lang means are
+    cross-engine exact; the Java-vs-RE2 regex dialects agree on these
+    character-class patterns by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')")).cast(
+            "long"
+        ).alias("w"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+            .cast("long"),
+        ).alias("s"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        ).cast("long").alias("syl"),
+    )
+    wps = F.col("w").cast("double") / F.col("s")
+    spw = F.col("syl").cast("double") / F.col("w")
+    scored = per_doc.where(F.col("w") > 0).select(
+        "lang",
+        F.round(wps, 9).alias("wps"),
+        F.round(spw, 9).alias("spw"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 9).alias("fre"),
+    )
+    n = F.count("*")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.round(dec_sum("wps").cast("double") / n, 6).alias(
+                "avg_words_per_sentence"
+            ),
+            F.round(dec_sum("spw").cast("double") / n, 6).alias(
+                "avg_syllables_per_word"
+            ),
+            F.round(dec_sum("fre").cast("double") / n, 6).alias("avg_flesch"),
+            F.sum(F.when(F.col("fre") < 30.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_very_hard"),
+        )
+        .orderBy("lang")
     )
