@@ -379,3 +379,36 @@ def test_funnel_stream_matches_batch_twin_and_finalizes(
         for r in emissions
         if r.user_id in final_seq and r.seq > final_seq[r.user_id]
     ]
+
+
+def test_scd2_stream_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The incremental SCD2 stream's final state must reproduce the
+    oracle-checked batch SCD2 exactly (same collapse + stamping), across
+    multiple micro-batches, and must actually be incremental: every
+    version after the first must carry closed rows forward."""
+    import os
+
+    from tscd_datalake_adapter_spark.operators.history import (
+        scd2_user_event_history,
+    )
+
+    src = jobs.stage_stream_source_ordered(
+        spark, sf_dir, str(tmp_path / "ordered_src")
+    )
+    state_dir = str(tmp_path / "scd2_state")
+    live = jobs.run_scd2_stream(spark, src, str(tmp_path / "ckpt"), state_dir)
+    live_rows = sorted(
+        map(tuple, live.where("user_id < 50").collect())
+    )
+    batch_rows = sorted(
+        map(tuple, scd2_user_event_history(spark, sf_dir).collect())
+    )
+    assert live_rows == batch_rows
+    # multiple micro-batches actually ran (one version per non-empty batch)
+    versions = sorted(
+        d for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    assert len(versions) >= 2
+    # incrementality: an intermediate version already holds closed rows
+    mid = spark.read.parquet(os.path.join(state_dir, versions[-2]))
+    assert mid.where("is_current = 0").count() > 0

@@ -820,3 +820,112 @@ def run_funnel_stream(
         f"max(CAST(final AS INT)) = 1 AS finalized "
         f"FROM {query_name} GROUP BY user_id"
     )
+
+
+def run_scd2_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, state_dir: str
+) -> DataFrame:
+    """Incremental SCD Type-2 maintenance: per micro-batch, merge the
+    batch's change events into a persistent dimension-history table —
+    the streaming counterpart of ``history.scd2_user_event_history``
+    (same collapse-consecutive-repeats + valid_from/valid_to stamping),
+    maintained without ever re-scanning history.
+
+    Merge recipe per batch: load the state's OPEN rows (is_current=1),
+    turn each into a pseudo-event at its valid_from (event_id −1, so it
+    sorts before any real event at the same timestamp), union the batch's
+    events, and run the standard per-user collapse window over that tiny
+    union. The first collapsed row per user re-emits the open row —
+    extended in place if the batch continues the same state, or closed
+    with a valid_to if the batch moved on. Closed rows and untouched
+    users pass through unchanged. State lands copy-on-write in versioned
+    subdirs (the ``run_incremental_rollup`` pattern — vN is never read
+    while vN+1 writes; with Delta/Iceberg this is ``MERGE INTO``).
+
+    Correctness requires batches to arrive per-user time-ordered — stage
+    with ``stage_stream_source_ordered`` (non-overlapping ranges replayed
+    oldest-first); the hash-partitioned stager would interleave past and
+    future and corrupt the open rows. State size is bounded by users ×
+    state changes, never event volume; every window is partitioned by
+    user_id. Tests pin stream-final state == the batch twin across
+    multiple micro-batches.
+    """
+    from pyspark.sql import Window
+
+    def _latest_version(path: str) -> tuple[int, str | None]:
+        if not os.path.isdir(path):
+            return 0, None
+        vs = sorted(d for d in os.listdir(path) if d.startswith("v"))
+        return (int(vs[-1][1:]), os.path.join(path, vs[-1])) if vs else (0, None)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        ev = batch_df.select("user_id", "event_type", "ts", "event_id")
+        if ev.isEmpty():
+            return
+        ver, cur_path = _latest_version(state_dir)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        if cur_path is not None:
+            state = sp.read.parquet(cur_path)
+            affected = ev.select("user_id").distinct()
+            # untouched users + already-closed rows pass through verbatim
+            keep = state.join(affected, "user_id", "left_anti").unionByName(
+                state.join(affected, "user_id", "left_semi").where(
+                    F.col("is_current") == 0
+                )
+            )
+            open_rows = state.join(affected, "user_id", "left_semi").where(
+                F.col("is_current") == 1
+            )
+            pseudo = open_rows.select(
+                "user_id",
+                F.col("state").alias("event_type"),
+                F.col("valid_from").alias("ts"),
+                F.lit(-1).cast("long").alias("event_id"),
+            )
+            combined = pseudo.unionByName(ev)
+        else:
+            keep = None
+            combined = ev
+        changes = (
+            combined.withColumn("prev", F.lag("event_type").over(w))
+            .where(
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("event_type"))
+            )
+            .withColumn("next_ts", F.lead("ts").over(w))
+        )
+        fresh = changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.col("next_ts").alias("valid_to"),
+            F.when(F.col("next_ts").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_current"),
+        )
+        merged = fresh if keep is None else keep.unionByName(fresh)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{ver + 1:06d}")
+        )
+
+    q = (
+        read_event_stream(spark, source_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _, final_path = _latest_version(state_dir)
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return spark.read.parquet(final_path).select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", ts_fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", ts_fmt), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        "is_current",
+    )
