@@ -218,3 +218,129 @@ def ecdf_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "range_partition_balance",
+    tags=("export", "layout"),
+    defer=True,
+    oracle=f"""
+    WITH smp AS (
+        SELECT o_totalprice AS p
+        FROM orders
+        WHERE {oracle_h60("'rp:' || o_orderkey")} % 100 < 3
+    ),
+    hist AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM smp GROUP BY p),
+    ranked AS (
+        SELECT p, c,
+               sum(c) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER () AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT i.i, r.p AS b
+        FROM (SELECT unnest(range(1, 16)) AS i) i
+        JOIN ranked r ON r.cum - r.c < (i.i * r.n) // 16
+                     AND (i.i * r.n) // 16 <= r.cum
+    ),
+    ivals AS (
+        SELECT i AS pid,
+               lag(b) OVER (ORDER BY i) AS lo,
+               b AS hi
+        FROM bounds
+        UNION ALL
+        SELECT 16, max(b), NULL FROM bounds
+    ),
+    assigned AS (
+        SELECT v.pid, CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders o
+        JOIN ivals v
+          ON (v.lo IS NULL OR o.o_totalprice > v.lo)
+         AND (v.hi IS NULL OR o.o_totalprice <= v.hi)
+        GROUP BY v.pid
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders)
+    SELECT CAST(a.pid AS BIGINT) AS partition_id, a.n_rows,
+           round(a.n_rows * 16.0 / t.t, 6) AS balance_ratio
+    FROM assigned a CROSS JOIN tot t
+    ORDER BY partition_id
+    """,
+)
+def range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner planning audit — the global-sort primitive: pick
+    16 partition boundaries from a deterministic 3% hash sample's exact
+    sample-percentiles (rank (i·n) DIV 16), then measure how many real
+    rows each (lo, hi] range receives and its balance ratio (1.0 =
+    perfectly even). This is what ``orderBy`` does internally at scale
+    (RangePartitioner reservoir sample → boundaries); making it a
+    registered query turns "would the 100 TB sort be balanced?" into an
+    auditable artifact, the same move as ``join_key_skew_audit`` for
+    shuffle keys.
+
+    Scale shape: the sample is a pushed-down filter (h60 mod — no
+    shuffle); boundary ranks are read off a per-VALUE histogram of the
+    sample (the ``length_percentile_filter`` exact-percentile pattern:
+    the cumulative-count window runs over the aggregated value domain,
+    never sample rows — rank R lives at the value whose cumulative range
+    covers it); the assignment is a 16-row BROADCAST interval join
+    against the fact table (one pass, no repartition of orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    smp = o.where(
+        h60(F.concat(F.lit("rp:"), F.col("o_orderkey").cast("string"))) % 100
+        < 3
+    ).select(F.col("o_totalprice").alias("p"))
+    hist = smp.groupBy("p").agg(F.count("*").cast("long").alias("c"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = hist.select(
+        "p",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    idx = spark.range(1, 16).select(F.col("id").alias("i"))
+    rk = F.floor((F.col("i") * F.col("n")) / 16).cast("long")
+    bounds = idx.join(
+        ranked,
+        (F.col("cum") - F.col("c") < rk) & (rk <= F.col("cum")),
+    ).select("i", F.col("p").alias("b"))
+    ivals = (
+        bounds.select(
+            F.col("i").alias("pid"),
+            F.lag("b").over(Window.orderBy("i")).alias("lo"),
+            F.col("b").alias("hi"),
+        )
+        .unionByName(
+            bounds.agg(
+                F.lit(16).alias("pid"),
+                F.max("b").alias("lo"),
+                F.lit(None).cast("double").alias("hi"),
+            )
+        )
+    )
+    assigned = (
+        o.join(
+            F.broadcast(ivals),
+            (F.col("lo").isNull() | (F.col("o_totalprice") > F.col("lo")))
+            & (F.col("hi").isNull() | (F.col("o_totalprice") <= F.col("hi"))),
+        )
+        .groupBy("pid")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    tot = o.agg(F.count("*").cast("long").alias("t"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pid").cast("long").alias("partition_id"),
+            "n_rows",
+            F.round(F.col("n_rows") * 16.0 / F.col("t"), 6).alias(
+                "balance_ratio"
+            ),
+        )
+        .orderBy("partition_id")
+    )

@@ -923,3 +923,120 @@ def wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_id long, n_samples long, energy long",
     )
     return out.orderBy("doc_id", "frame_id")
+
+
+@register(
+    "wav_dft_band_magnitudes",
+    tags=("llm", "multimodal"),
+    defer=True,
+    oracle="""
+    WITH aud AS (
+        SELECT doc_id, 50 + doc_id % 20 AS n FROM documents
+        WHERE doc_id < 60 AND doc_id % 3 = 1
+    ),
+    samp AS (
+        SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        FROM aud
+    ),
+    dev AS (
+        SELECT doc_id, n, i,
+               ((11 * doc_id + 5 * i) % 256) - 128 AS s
+        FROM samp
+    ),
+    terms AS (
+        SELECT d.doc_id, d.n, k.k,
+               round(d.s * cos(-6.283185307179586 * k.k * d.i / d.n), 12)
+                   AS tre,
+               round(d.s * sin(-6.283185307179586 * k.k * d.i / d.n), 12)
+                   AS tim
+        FROM dev d CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+    ),
+    sums AS (
+        SELECT doc_id, k, CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(CAST(tre AS DECIMAL(38,12))) AS DOUBLE) AS re,
+               CAST(SUM(CAST(tim AS DECIMAL(38,12))) AS DOUBLE) AS im
+        FROM terms GROUP BY doc_id, k, n
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS band, n_samples,
+           round(re, 6) AS re, round(im, 6) AS im,
+           round(sqrt(re * re + im * im), 6) AS magnitude
+    FROM sums ORDER BY doc_id, band
+    """,
+)
+def wav_dft_band_magnitudes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-band DFT magnitudes over ACTUALLY DECODED audio — the spectral
+    sibling of ``wav_frame_energy``: each RIFF/PCM payload is parsed back
+    to integer samples executor-side, and bins k=1..3 of the discrete
+    Fourier transform are evaluated as X_k = Σ_n s_n·e^(−2πikn/N) — the
+    feature a speech-data curation pass thresholds on (a near-zero
+    spectrum is silence/tone, not speech).
+
+    Split of labor is the determinism recipe applied to trig: the decode
+    (mapInPandas) emits only INTEGERS (doc, index, centered sample), so
+    the Arrow hop carries nothing float; cos/sin run JVM-side on operands
+    both engines construct identically (the 2π literal is spelled out —
+    never ``pi()`` — so the angle doubles are bit-equal), each term is
+    round-12 and decimal-summed. The oracle re-derives samples from the
+    generator formula, so a hash match proves encode→parse→transform
+    end-to-end. Per-doc fan-out is N×3 bounded rows; one shuffle to the
+    (doc, band) aggregate."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    media = build_media_table(d).where(F.col("media_type") == "audio")
+
+    def _samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples = _wav_samples(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    continue
+                n = int(samples.size)
+                if n == 0:
+                    continue
+                dev = samples.astype(np.int64) - 128
+                rows.extend(
+                    {"doc_id": int(doc_id), "n": n, "i": i, "s": int(s)}
+                    for i, s in enumerate(dev)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n", "i", "s"])
+
+    dev = media.select("doc_id", "payload").mapInPandas(
+        _samples, "doc_id long, n long, i long, s long"
+    )
+    ks = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    angle = (
+        F.lit(-6.283185307179586)
+        * F.col("k")
+        * F.col("i")
+        / F.col("n")
+    )
+    terms = dev.select(
+        "doc_id",
+        "n",
+        ks,
+        "i",
+        "s",
+    ).select(
+        "doc_id",
+        "n",
+        "k",
+        F.round(F.col("s") * F.cos(angle), 12).alias("tre"),
+        F.round(F.col("s") * F.sin(angle), 12).alias("tim"),
+    )
+    sums = terms.groupBy("doc_id", "k", "n").agg(
+        F.sum(F.col("tre").cast("decimal(38,12)")).cast("double").alias("re"),
+        F.sum(F.col("tim").cast("decimal(38,12)")).cast("double").alias("im"),
+    )
+    return sums.select(
+        "doc_id",
+        F.col("k").cast("long").alias("band"),
+        F.col("n").cast("long").alias("n_samples"),
+        F.round("re", 6).alias("re"),
+        F.round("im", 6).alias("im"),
+        F.round(
+            F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im")), 6
+        ).alias("magnitude"),
+    ).orderBy("doc_id", "band")

@@ -1794,3 +1794,235 @@ def flesch_readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "graph_degree_distribution",
+    tags=("llm", "text", "graph"),
+    defer=True,
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 100
+    ),
+    deg AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT ta AS t FROM edges UNION ALL SELECT tb FROM edges
+        ) GROUP BY t
+    ),
+    bucketed AS (
+        SELECT t, d,
+               CASE WHEN d <= 1 THEN 1 WHEN d <= 2 THEN 2
+                    WHEN d <= 4 THEN 4 WHEN d <= 8 THEN 8
+                    WHEN d <= 16 THEN 16 WHEN d <= 32 THEN 32
+                    WHEN d <= 64 THEN 64 WHEN d <= 128 THEN 128
+                    WHEN d <= 256 THEN 256 WHEN d <= 512 THEN 512
+                    WHEN d <= 1024 THEN 1024 WHEN d <= 2048 THEN 2048
+                    WHEN d <= 4096 THEN 4096 WHEN d <= 8192 THEN 8192
+                    ELSE 16384 END AS bucket
+        FROM deg
+    )
+    SELECT CAST(bucket AS BIGINT) AS degree_le,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           min(d) AS min_degree, max(d) AS max_degree
+    FROM bucketed GROUP BY bucket ORDER BY degree_le
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the token co-occurrence graph (same >= 100
+    shared-docs edge list as ``token_graph_triangles``), bucketed into
+    powers of two — the heavy-tail profile that decides whether a graph
+    algorithm needs skew mitigation (a max-degree node thousands of times
+    the median is exactly what the ordered-edge triangle trick and
+    PageRank salting defend against; this query measures the threat).
+
+    Scale shape: the edge list is the proven inverted-index join; degrees
+    are one groupBy over the (symmetrized via UNION ALL) endpoints; the
+    pow2 bucket is a literal CASE chain — NEVER ceil(log2(d)), whose libm
+    form mis-buckets exact powers (the ``length_bucketed_batching``
+    lesson)."""
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("tok").alias("ta"))
+    b = dt.select("doc_id", F.col("tok").alias("tb"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 100)
+        .select("ta", "tb")
+    )
+    deg = (
+        edges.select(F.col("ta").alias("t"))
+        .unionAll(edges.select(F.col("tb").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    bucket = F.lit(16384)
+    for p in (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        bucket = F.when(F.col("d") <= p, p).otherwise(bucket)
+    return (
+        deg.withColumn("bucket", bucket)
+        .groupBy(F.col("bucket").cast("long").alias("degree_le"))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+        .orderBy("degree_le")
+    )
+
+
+@register(
+    "cross_entropy_between_sources",
+    tags=("llm", "text"),
+    defer=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS tok
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1
+    ),
+    vsize AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+    lnq AS (
+        SELECT c.source, c.tok,
+               round(ln((c.c + 1.0) / (t.ct + v.v)), 12) AS lq,
+               round(ln(1.0 / (t.ct + v.v)), 12) AS lq0
+        FROM cnt c JOIN totals t ON c.source = t.source CROSS JOIN vsize v
+    ),
+    ln0 AS (
+        SELECT source, round(ln(1.0 / (ct + (SELECT v FROM vsize))), 12)
+                   AS lq0
+        FROM totals
+    ),
+    overlap AS (
+        SELECT a.source AS src_a, q.source AS src_b,
+               {oracle_dec_sum('round(a.c * (q.lq - q.lq0), 12)')} AS s
+        FROM cnt a JOIN lnq q ON a.tok = q.tok AND a.source != q.source
+        GROUP BY 1, 2
+    )
+    SELECT o.src_a, o.src_b,
+           round(-(CAST(o.s AS DOUBLE) + ta.ct * z.lq0) / ta.ct, 6)
+               AS cross_entropy
+    FROM overlap o
+    JOIN totals ta ON o.src_a = ta.source
+    JOIN ln0 z ON o.src_b = z.source
+    ORDER BY src_a, src_b
+    """,
+)
+def cross_entropy_between_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise unigram cross-entropy H(P_A, Q_B) between source corpora
+    — the distributional-similarity matrix behind data-mixture design
+    (a source whose text is cheap to predict under another's language
+    model is redundant; ``source_overlap_matrix`` measures vocabulary
+    overlap, this measures the full distribution). Q_B is add-1 smoothed
+    over the corpus vocabulary, so H is finite even for disjoint sources.
+
+    The sum over A's vocabulary decomposes as ct_A·ln q0_B (the
+    all-tokens-unseen floor) plus corrections only where A and B overlap
+    — so the join is cnt_A ⋈ cnt_B on token (bounded by n_sources² rows
+    per token), never vocab × sources. Every ln term is round-12 and the
+    corrections decimal-summed (the libm recipe)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "tok"
+        ),
+    )
+    cnt = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("ct"))
+    vsize = cnt.agg(F.countDistinct("tok").cast("long").alias("v"))
+    lnq = (
+        cnt.join(totals, "source")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("ct") + F.col("v"))), 12
+            ).alias("lq"),
+            F.round(F.log(1.0 / (F.col("ct") + F.col("v"))), 12).alias(
+                "lq0"
+            ),
+        )
+    )
+    ln0 = totals.crossJoin(F.broadcast(vsize)).select(
+        "source",
+        F.round(F.log(1.0 / (F.col("ct") + F.col("v"))), 12).alias("lq0"),
+    )
+    a = cnt.select(
+        F.col("source").alias("src_a"),
+        F.col("tok").alias("tok_a"),
+        F.col("c").alias("ca"),
+    )
+    q = lnq.select(
+        F.col("source").alias("src_b"), "tok", "lq", "lq0"
+    )
+    overlap = (
+        a.join(
+            q,
+            (F.col("tok_a") == F.col("tok"))
+            & (F.col("src_a") != F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            dec_sum(
+                F.round(F.col("ca") * (F.col("lq") - F.col("lq0")), 12)
+            ).alias("s")
+        )
+    )
+    return (
+        overlap.join(
+            F.broadcast(
+                totals.select(F.col("source").alias("src_a"), "ct")
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                ln0.select(F.col("source").alias("src_b"), "lq0")
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                -(F.col("s").cast("double") + F.col("ct") * F.col("lq0"))
+                / F.col("ct"),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("src_a", "src_b")
+    )
