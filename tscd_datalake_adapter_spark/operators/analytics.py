@@ -2440,3 +2440,163 @@ def bh_fdr_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_rank")
     )
+
+
+def _logreg_sums_sql(beta_cte: str) -> str:
+    """One IRLS pass's nine moment sums (X'WX upper triangle + X'(y−p)),
+    each term round-12 then decimal-summed — shared between both unrolled
+    iterations of the ``logistic_regression_returnflag`` oracle."""
+    z = f"(b.b0 + b.b1 * f.x1 + b.b2 * f.x2)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    wgt = f"({p} * (1.0 - {p}))"
+    r = f"(f.y - {p})"
+
+    def s(expr: str, name: str) -> str:
+        return (
+            f"CAST(SUM(CAST(round({expr}, 12) AS DECIMAL(38,12)))"
+            f" AS DOUBLE) AS {name}"
+        )
+
+    return f"""
+        SELECT {s(wgt, 'a11')}, {s(f'{wgt} * f.x1', 'a12')},
+               {s(f'{wgt} * f.x2', 'a13')},
+               {s(f'{wgt} * f.x1 * f.x1', 'a22')},
+               {s(f'{wgt} * f.x1 * f.x2', 'a23')},
+               {s(f'{wgt} * f.x2 * f.x2', 'a33')},
+               {s(r, 'g1')}, {s(f'{r} * f.x1', 'g2')},
+               {s(f'{r} * f.x2', 'g3')}
+        FROM feats f CROSS JOIN {beta_cte} b"""
+
+
+_LOGREG_SOLVE_SQL = """
+        SELECT
+            round(b.b0 + (m.g1 * (m.a22 * m.a33 - m.a23 * m.a23)
+                   - m.a12 * (m.g2 * m.a33 - m.a23 * m.g3)
+                   + m.a13 * (m.g2 * m.a23 - m.a22 * m.g3))
+                  / (m.a11 * (m.a22 * m.a33 - m.a23 * m.a23)
+                   - m.a12 * (m.a12 * m.a33 - m.a23 * m.a13)
+                   + m.a13 * (m.a12 * m.a23 - m.a22 * m.a13)), 9) AS b0,
+            round(b.b1 + (m.a11 * (m.g2 * m.a33 - m.a23 * m.g3)
+                   - m.g1 * (m.a12 * m.a33 - m.a23 * m.a13)
+                   + m.a13 * (m.a12 * m.g3 - m.g2 * m.a13))
+                  / (m.a11 * (m.a22 * m.a33 - m.a23 * m.a23)
+                   - m.a12 * (m.a12 * m.a33 - m.a23 * m.a13)
+                   + m.a13 * (m.a12 * m.a23 - m.a22 * m.a13)), 9) AS b1,
+            round(b.b2 + (m.a11 * (m.a22 * m.g3 - m.g2 * m.a23)
+                   - m.a12 * (m.a12 * m.g3 - m.g2 * m.a13)
+                   + m.g1 * (m.a12 * m.a23 - m.a22 * m.a13))
+                  / (m.a11 * (m.a22 * m.a33 - m.a23 * m.a23)
+                   - m.a12 * (m.a12 * m.a33 - m.a23 * m.a13)
+                   + m.a13 * (m.a12 * m.a23 - m.a22 * m.a13)), 9) AS b2"""
+
+
+@register(
+    "logistic_regression_returnflag",
+    tags=("analytics", "mlprep"),
+    defer=True,
+    oracle=f"""
+    WITH feats AS MATERIALIZED (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+               l_quantity / 50.0 AS x1,
+               l_discount * 10.0 AS x2
+        FROM lineitem
+    ),
+    bz AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    m1 AS MATERIALIZED ({_logreg_sums_sql('bz')}),
+    bt1 AS MATERIALIZED ({_LOGREG_SOLVE_SQL} FROM m1 m CROSS JOIN bz b),
+    m2 AS MATERIALIZED ({_logreg_sums_sql('bt1')}),
+    bt2 AS ({_LOGREG_SOLVE_SQL} FROM m2 m CROSS JOIN bt1 b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM feats) AS n_rows,
+           round(b0, 6) AS beta_intercept,
+           round(b1, 6) AS beta_quantity,
+           round(b2, 6) AS beta_discount
+    FROM bt2
+    """,
+)
+def logistic_regression_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Logistic regression TRAINED IN-ENGINE: two unrolled IRLS/Newton
+    steps for P(returnflag = 'R' | quantity, discount) — the glm sibling
+    of ``ols_regression_coeffs`` (closed-form) and
+    ``naive_bayes_lang_confusion`` (counting), completing the
+    train-a-model-with-aggregations tier. Each step is one corpus pass
+    producing the nine weighted moments (X'WX upper triangle, X'(y−p)),
+    solved 3×3 by Cramer's rule; β starts at 0 (where p is exactly 0.5
+    in both engines) and is round-9 after every step, so the float
+    recursion is bit-identical cross-engine — the ``pagerank`` recipe
+    applied to model training.
+
+    Scale shape: 2 passes × one map-side-combined aggregate each; the
+    solve runs on a 1-row table. More iterations = more passes — the
+    honest distributed-GLM trade, noted rather than hidden."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+
+    def s(expr, name):
+        return (
+            F.sum(F.round(expr, 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    for _ in range(2):
+        j = feats.crossJoin(F.broadcast(beta))
+        z = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        wgt = p * (1.0 - p)
+        r = F.col("y") - p
+        x1, x2 = F.col("x1"), F.col("x2")
+        m = j.agg(
+            s(wgt, "a11"),
+            s(wgt * x1, "a12"),
+            s(wgt * x2, "a13"),
+            s(wgt * x1 * x1, "a22"),
+            s(wgt * x1 * x2, "a23"),
+            s(wgt * x2 * x2, "a33"),
+            s(r, "g1"),
+            s(r * x1, "g2"),
+            s(r * x2, "g3"),
+        )
+        a11, a12, a13 = F.col("a11"), F.col("a12"), F.col("a13")
+        a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+        g1, g2, g3 = F.col("g1"), F.col("g2"), F.col("g3")
+        det = (
+            a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13)
+        )
+        d0 = (
+            g1 * (a22 * a33 - a23 * a23)
+            - a12 * (g2 * a33 - a23 * g3)
+            + a13 * (g2 * a23 - a22 * g3)
+        )
+        d1 = (
+            a11 * (g2 * a33 - a23 * g3)
+            - g1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * g3 - g2 * a13)
+        )
+        d2 = (
+            a11 * (a22 * g3 - g2 * a23)
+            - a12 * (a12 * g3 - g2 * a13)
+            + g1 * (a12 * a23 - a22 * a13)
+        )
+        beta = m.crossJoin(F.broadcast(beta)).select(
+            F.round(F.col("b0") + d0 / det, 9).alias("b0"),
+            F.round(F.col("b1") + d1 / det, 9).alias("b1"),
+            F.round(F.col("b2") + d2 / det, 9).alias("b2"),
+        )
+    n = feats.agg(F.count("*").cast("long").alias("n_rows"))
+    return n.crossJoin(F.broadcast(beta)).select(
+        "n_rows",
+        F.round("b0", 6).alias("beta_intercept"),
+        F.round("b1", 6).alias("beta_quantity"),
+        F.round("b2", 6).alias("beta_discount"),
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import oracle_dec_sum
+from tscd_datalake_adapter_spark.functions import dec_sum, oracle_dec_sum
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -996,3 +996,278 @@ def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lns"), 6))
         .alias("survival"),
     ).orderBy("t_minutes")
+
+
+def _markov_oracle() -> str:
+    """Chained power-iteration CTEs; every reused CTE is MATERIALIZED so
+    DuckDB doesn't inline the recursion into an exponential tree (the
+    ``mmr_diversified_topk`` lesson)."""
+    its = []
+    prev = "pi0"
+    for t in range(1, 6):
+        its.append(f"""
+    it{t} AS MATERIALIZED (
+        SELECT curr AS state, round(s / tot, 9) AS pi
+        FROM (
+            SELECT p.curr,
+                   CAST(SUM(CAST(round(x.pi * p.p, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS s
+            FROM {prev} x JOIN pm p ON x.state = p.prev
+            GROUP BY p.curr
+        )
+        CROSS JOIN (
+            SELECT CAST(SUM(CAST(round(x.pi * p.p, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE) AS tot
+            FROM {prev} x JOIN pm p ON x.state = p.prev
+        )
+    )""")
+        prev = f"it{t}"
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    counts AS MATERIALIZED (
+        SELECT prev, event_type AS curr, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT prev AS state FROM counts),
+    pm AS MATERIALIZED (
+        SELECT c.prev, c.curr,
+               round(CAST(c.n AS DOUBLE)
+                     / sum(c.n) OVER (PARTITION BY c.prev), 12) AS p
+        FROM counts c
+        WHERE c.curr IN (SELECT state FROM states)
+    ),
+    pi0 AS MATERIALIZED (
+        SELECT state,
+               round(1.0 / (SELECT count(*) FROM states), 9) AS pi
+        FROM states
+    ),{','.join(its)}
+    SELECT state, round(pi, 6) AS pi_stationary
+    FROM it5 ORDER BY state
+    """
+
+
+@register(
+    "markov_stationary_distribution",
+    tags=("history", "graph"),
+    defer=True,
+    oracle=_markov_oracle(),
+)
+def markov_stationary_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (the
+    long-run fraction of time a user's behavior spends in each state) —
+    the eigenvector companion of ``event_transition_matrix``, computed as
+    five unrolled power iterations π ← πP with per-step renormalization.
+    Same iterative-determinism recipe as ``pagerank_token_graph``:
+    round-12 transition probabilities, round-12 products decimal-summed,
+    round-9 after each renormalize — the float recursion is bit-identical
+    cross-engine at every step.
+
+    Scale shape: one corpus pass builds the |types|² transition counts;
+    every iteration thereafter joins a k-row vector with a k²-row matrix
+    (k = distinct event types). Transitions into states with no outgoing
+    edges are dropped and the vector renormalized, keeping the state
+    space closed."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("curr"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    states = counts.select(F.col("prev").alias("state")).distinct()
+    wp = Window.partitionBy("prev")
+    pm = (
+        counts.join(
+            F.broadcast(states.select(F.col("state").alias("curr"))), "curr"
+        )
+        .select(
+            "prev",
+            "curr",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wp), 12
+            ).alias("p"),
+        )
+    )
+    k = states.agg(F.count("*").alias("k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "state", F.round(1.0 / F.col("k"), 9).alias("pi")
+    )
+    for _ in range(5):
+        joined = pi.join(
+            pm, pi["state"] == pm["prev"]
+        ).select(
+            "curr", F.round(F.col("pi") * F.col("p"), 12).alias("t")
+        )
+        s = joined.groupBy(F.col("curr").alias("state")).agg(
+            F.sum(F.col("t").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s")
+        )
+        tot = joined.agg(
+            F.sum(F.col("t").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("tot")
+        )
+        pi = s.crossJoin(F.broadcast(tot)).select(
+            "state", F.round(F.col("s") / F.col("tot"), 9).alias("pi")
+        )
+    return pi.select(
+        "state", F.round("pi", 6).alias("pi_stationary")
+    ).orderBy("state")
+
+
+@register(
+    "gap_fill_interpolate_daily",
+    tags=("history",),
+    defer=True,
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value FROM events WHERE user_id < 100
+    ),
+    mt AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, max(epoch_us(ts)) AS m
+        FROM e GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT mt.user_id, mt.d, max(e.value) AS v
+        FROM mt JOIN e ON e.user_id = mt.user_id
+                      AND epoch_us(e.ts) = mt.m
+                      AND CAST(e.ts AS DATE) = mt.d
+        GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM rng
+    ),
+    j AS (
+        SELECT s.user_id, s.d, daily.v
+        FROM spine s LEFT JOIN daily USING (user_id, d)
+    ),
+    ctx AS (
+        SELECT user_id, d, v,
+               last_value(v IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER wb AS pd,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER wf AS nd
+        FROM j
+        WINDOW wb AS (PARTITION BY user_id ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY d
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    f AS (
+        SELECT user_id, d, v,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE pv + (nv - pv)
+                         * CAST(datediff('day', pd, d) AS DOUBLE)
+                         / datediff('day', pd, nd) END AS fv
+        FROM ctx
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(v) AS BIGINT) AS n_observed,
+           CAST(count(*) - count(v) AS BIGINT) AS n_interpolated,
+           round(CAST(sum(CAST(round(fv, 6) AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS checksum
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+)
+def gap_fill_interpolate_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar gap-fill by LINEAR INTERPOLATION — the numeric sibling of
+    ``gap_fill_locf_daily``: missing days between two observations get
+    the time-weighted blend pv + (nv−pv)·Δ/span instead of a carried-
+    forward step. The spine is bounded by each user's first/last observed
+    day, so every gap is interior and both anchors always exist.
+
+    Scale shape: identical to the LOCF form — per-user spine explode,
+    per-user backward/forward ignore-nulls windows (four context columns
+    in two frames), per-user aggregate; nothing global. Interpolated
+    values are round-6 into a decimal checksum; the blend's operands
+    (anchor values + integer day distances) are identical cross-engine,
+    so the division is too."""
+    from tscd_datalake_adapter_spark.functions import DEC
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    ed = e.select(
+        "user_id", "ts", "value", F.to_date("ts").alias("d"),
+        F.unix_micros("ts").alias("us"),
+    )
+    mt = ed.groupBy("user_id", "d").agg(F.max("us").alias("m"))
+    daily = (
+        mt.join(
+            ed.select(
+                F.col("user_id").alias("u2"), F.col("d").alias("d2"),
+                "us", "value",
+            ),
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("d") == F.col("d2"))
+            & (F.col("us") == F.col("m")),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.max("value").alias("v"))
+    )
+    rng = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = rng.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    ctx = j.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("nd"),
+    )
+    fv = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * F.datediff("d", "pd").cast("double")
+        / F.datediff("nd", "pd")
+    )
+    return (
+        ctx.withColumn("fv", fv)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.count("v").cast("long").alias("n_observed"),
+            (F.count("*") - F.count("v")).cast("long").alias(
+                "n_interpolated"
+            ),
+            F.round(
+                F.sum(F.round("fv", 6).cast(DEC)).cast("double"), 6
+            ).alias("checksum"),
+        )
+        .orderBy("user_id")
+    )
