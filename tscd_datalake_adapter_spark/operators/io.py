@@ -11,7 +11,7 @@ from __future__ import annotations
 import datetime as dt
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import dec_sum, oracle_dec_sum
@@ -342,3 +342,209 @@ def schema_evolution_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "storage_run_length_probe",
+    tags=("io", "layout"),
+    defer=True,
+    oracle="""
+    WITH seq AS (
+        SELECT l_returnflag, l_linestatus,
+               lag(l_returnflag) OVER w AS prf,
+               lag(l_linestatus) OVER w AS pls
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_returnflag, l_linestatus)
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN prf IS NULL OR prf != l_returnflag
+                             THEN 1 ELSE 0 END) AS BIGINT) AS runs_rf,
+               CAST(sum(CASE WHEN pls IS NULL OR pls != l_linestatus
+                             THEN 1 ELSE 0 END) AS BIGINT) AS runs_ls,
+               CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_rf,
+               CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nd_ls
+        FROM seq
+    )
+    SELECT col AS column_name, n_rows, n_distinct, n_runs,
+           round(CAST(n_rows AS DOUBLE) / n_runs, 6) AS avg_run_length,
+           n_distinct <= 1000 AS dict_friendly,
+           CAST(n_rows AS DOUBLE) / n_runs >= 2.0 AS rle_friendly
+    FROM (
+        SELECT 'l_returnflag' AS col, n_rows, nd_rf AS n_distinct,
+               runs_rf AS n_runs FROM agg
+        UNION ALL
+        SELECT 'l_linestatus', n_rows, nd_ls, runs_ls FROM agg
+    ) ORDER BY column_name
+    """,
+)
+def storage_run_length_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding planner: for candidate sort-order-sensitive
+    columns, measure the run structure the writer would see — runs are
+    counted along the table's NATURAL key order (within l_orderkey by
+    l_linenumber, the clustered write order), so ``avg_run_length``
+    predicts RLE efficiency and ``n_distinct`` predicts dictionary-page
+    viability. The storage sibling of ``zorder_write``'s file-skipping
+    audit: before choosing a layout at 100 TB you measure, not guess.
+
+    Scale shape: one pass — both lag columns share one entity-keyed
+    window — into a single global aggregate (count-distinct on enum-
+    cardinality columns); the per-column presentation rows are stacked
+    from that 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # the fixture holds duplicate (orderkey, linenumber) pairs — the
+    # probed columns join the sort key so any remaining ties carry
+    # identical values and the run count is order-independent
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    seq = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.lag("l_returnflag").over(w).alias("prf"),
+        F.lag("l_linestatus").over(w).alias("pls"),
+    )
+
+    def runs(col, prev):
+        return F.sum(
+            F.when(
+                F.col(prev).isNull() | (F.col(prev) != F.col(col)), 1
+            ).otherwise(0)
+        ).cast("long")
+
+    agg = seq.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        runs("l_returnflag", "prf").alias("runs_rf"),
+        runs("l_linestatus", "pls").alias("runs_ls"),
+        F.countDistinct("l_returnflag").cast("long").alias("nd_rf"),
+        F.countDistinct("l_linestatus").cast("long").alias("nd_ls"),
+    )
+    stacked = agg.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_returnflag").alias("col"),
+                    F.col("nd_rf").alias("n_distinct"),
+                    F.col("runs_rf").alias("n_runs"),
+                ),
+                F.struct(
+                    F.lit("l_linestatus").alias("col"),
+                    F.col("nd_ls").alias("n_distinct"),
+                    F.col("runs_ls").alias("n_runs"),
+                ),
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        F.col("s.col").alias("column_name"),
+        "n_rows",
+        F.col("s.n_distinct").alias("n_distinct"),
+        F.col("s.n_runs").alias("n_runs"),
+        F.round(F.col("n_rows").cast("double") / F.col("s.n_runs"), 6).alias(
+            "avg_run_length"
+        ),
+        (F.col("s.n_distinct") <= 1000).alias("dict_friendly"),
+        (F.col("n_rows").cast("double") / F.col("s.n_runs") >= 2.0).alias(
+            "rle_friendly"
+        ),
+    ).orderBy("column_name")
+
+
+@register(
+    "shuffle_partition_advisor",
+    tags=("io", "layout"),
+    defer=True,
+    oracle="""
+    WITH o AS (
+        SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) * (4 * 8 + 2 * 4) AS BIGINT)
+               + CAST(sum(len(coalesce(o_orderstatus, ''))
+                          + len(coalesce(o_orderpriority, ''))) AS BIGINT)
+                   AS est_bytes
+        FROM orders
+    ),
+    l AS (
+        SELECT 'lineitem', CAST(count(*) AS BIGINT),
+               CAST(count(*) * (9 * 8 + 2 * 4) AS BIGINT)
+               + CAST(sum(len(coalesce(l_returnflag, ''))
+                          + len(coalesce(l_linestatus, ''))) AS BIGINT)
+        FROM lineitem
+    ),
+    e AS (
+        SELECT 'events', CAST(count(*) AS BIGINT),
+               CAST(count(*) * (4 * 8 + 2 * 4) AS BIGINT)
+               + CAST(sum(len(coalesce(event_type, ''))
+                          + len(coalesce(props, ''))) AS BIGINT)
+        FROM events
+    ),
+    u AS (
+        SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e
+    )
+    SELECT tbl AS table_name, n_rows, est_bytes,
+           round(est_bytes / 1048576.0, 6) AS est_mib,
+           greatest(1, CAST(ceil(est_bytes / 134217728.0) AS BIGINT))
+               AS recommended_shuffle_partitions,
+           CAST(ceil(CAST(est_bytes AS DOUBLE) / greatest(1, n_rows))
+                AS BIGINT) AS est_bytes_per_row
+    FROM u ORDER BY table_name
+    """,
+)
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-sizing advisor: estimate each fact table's in-flight bytes
+    (fixed-width columns at engine width + measured string bytes) and
+    recommend a shuffle partition count targeting the classic 128 MiB
+    per-partition budget — the number that keeps a 100 TB shuffle's
+    partitions inside executor memory (``spark.sql.shuffle.partitions``
+    is a cluster-wide constant unless someone computes this; AQE coalesce
+    fixes too-many, nothing fixes too-few). Turns the NOTES sizing rule
+    into an auditable artifact, like ``join_key_skew_audit`` for key
+    balance.
+
+    Scale shape: one map-side-combined aggregate per table (integer byte
+    sums — no sampling needed since string length is the only variable
+    width), three single-row results stacked."""
+    tables = {
+        "orders": (["o_orderstatus", "o_orderpriority"], 4),
+        "lineitem": (["l_returnflag", "l_linestatus"], 9),
+        "events": (["event_type", "props"], 4),
+    }
+    parts = []
+    for tbl, (str_cols, n_fixed) in tables.items():
+        t = load_table(spark, sf_dir, tbl)
+        str_bytes = None
+        for c in str_cols:
+            term = F.length(F.coalesce(F.col(c), F.lit("")))
+            str_bytes = term if str_bytes is None else str_bytes + term
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("table_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                (
+                    F.count("*") * (n_fixed * 8 + len(str_cols) * 4)
+                    + F.sum(str_bytes)
+                )
+                .cast("long")
+                .alias("est_bytes"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.round(F.col("est_bytes") / 1048576.0, 6).alias("est_mib"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("est_bytes") / 134217728.0).cast("long"),
+        ).alias("recommended_shuffle_partitions"),
+        F.ceil(
+            F.col("est_bytes").cast("double")
+            / F.greatest(F.lit(1).cast("long"), F.col("n_rows"))
+        )
+        .cast("long")
+        .alias("est_bytes_per_row"),
+    ).orderBy("table_name")

@@ -925,3 +925,84 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("join_key")
+
+
+@register(
+    "trigram_novelty_daily",
+    tags=("mining", "events", "timeseries"),
+    defer=True,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3,
+               lead(CAST(ts AS DATE), 2) OVER w AS d3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts, event_id)
+    ),
+    tri AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               event_type || '>' || e2 || '>' || e3 AS g
+        FROM seq WHERE e3 IS NOT NULL
+    ),
+    per_day AS (
+        SELECT day, g, CAST(count(*) AS BIGINT) AS n
+        FROM tri GROUP BY 1, 2
+    ),
+    firsts AS (
+        SELECT g, min(day) AS first_day FROM per_day GROUP BY g
+    )
+    SELECT p.day,
+           CAST(count(*) AS BIGINT) AS n_distinct_trigrams,
+           CAST(sum(CASE WHEN f.first_day = p.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_day = p.day THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty_rate
+    FROM per_day p JOIN firsts f USING (g)
+    GROUP BY p.day ORDER BY p.day
+    """,
+)
+def trigram_novelty_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution freshness over time: per day, the fraction of distinct
+    behavioral trigrams (3-step within-user-day event sequences) never
+    seen on any earlier day — the drift metric a training-data pipeline
+    watches to decide when yesterday's model no longer matches today's
+    traffic (novelty decays toward zero as the pattern space saturates;
+    a spike flags a behavior change).
+
+    Scale shape: per-(user, day) lead windows (entity-keyed), one
+    aggregate to the (day, trigram) grid, one tiny min-per-trigram
+    aggregate joined back on the trigram key. The day×trigram grid is
+    bounded by |types|³ × days, never event volume."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = seq.where(F.col("e3").isNotNull()).select(
+        "day",
+        F.concat_ws(">", "event_type", "e2", "e3").alias("g"),
+    )
+    per_day = tri.groupBy("day", "g").agg(F.count("*").cast("long").alias("n"))
+    firsts = per_day.groupBy("g").agg(F.min("day").alias("first_day"))
+    novel = F.sum(
+        F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        per_day.join(firsts, "g")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_trigrams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("day")
+    )
