@@ -31,6 +31,16 @@ RISKY = [
     "stable_row_ids",             # bucket-offset global sequence
     "poisson_bootstrap_ci",       # hash-derived weights, decimal replica sums
     "feature_corr_matrix",        # 15 decimal moments in one pass
+    # session-4 waves (11-15): every float-recursion / libm-adjacent shape
+    "theil_sen_daily_trend",      # rank-selected median over pair slopes
+    "bh_fdr_event_metrics",       # sigmoid p-approx + step-up threshold
+    "matryoshka_truncation_eval", # in-order HOF folds per row
+    "cross_entropy_between_sources",  # round-12 ln sums, floor decomposition
+    "wav_dft_band_magnitudes",    # trig terms round-12 decimal-summed
+    "markov_stationary_distribution",  # unrolled renormalized iteration
+    "logistic_regression_returnflag",  # IRLS moments + Cramer solve
+    "gap_fill_interpolate_daily", # ignore-nulls anchors + blend
+    "activity_entropy_per_user",  # round-12 -p ln p decimal sums
 ]
 
 

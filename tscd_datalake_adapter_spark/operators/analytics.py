@@ -2600,3 +2600,168 @@ def logistic_regression_returnflag(
         F.round("b1", 6).alias("beta_quantity"),
         F.round("b2", 6).alias("beta_discount"),
     )
+
+
+@register(
+    "did_event_effect",
+    tags=("analytics", "experiment"),
+    defer=True,
+    oracle=f"""
+    WITH per_cell AS (
+        SELECT {oracle_h60("'did:' || user_id")} % 2 AS treated,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                   AS post,
+               CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS pv
+        FROM events
+    ),
+    cells AS (
+        SELECT treated, post,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST({oracle_dec_sum('pv')} AS DOUBLE) / count(*), 9)
+                   AS mean_pv
+        FROM per_cell GROUP BY treated, post
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN treated = 0 AND post = 0 THEN mean_pv END) AS c0,
+            max(CASE WHEN treated = 0 AND post = 1 THEN mean_pv END) AS c1,
+            max(CASE WHEN treated = 1 AND post = 0 THEN mean_pv END) AS t0,
+            max(CASE WHEN treated = 1 AND post = 1 THEN mean_pv END) AS t1,
+            max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS nc0,
+            max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS nc1,
+            max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS nt0,
+            max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS nt1
+        FROM cells
+    )
+    SELECT CAST(nc0 AS BIGINT) AS n_control_pre,
+           CAST(nc1 AS BIGINT) AS n_control_post,
+           CAST(nt0 AS BIGINT) AS n_treated_pre,
+           CAST(nt1 AS BIGINT) AS n_treated_post,
+           round(c0, 6) AS mean_control_pre,
+           round(c1, 6) AS mean_control_post,
+           round(t0, 6) AS mean_treated_pre,
+           round(t1, 6) AS mean_treated_post,
+           round((t1 - t0) - (c1 - c0), 6) AS did_estimate
+    FROM wide
+    """,
+)
+def did_event_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    companion of ``ab_test_zscore`` for launches without a holdout: a
+    deterministic h60 "treated" split, a mid-stream cutover date, and
+    DiD = (treated_post − treated_pre) − (control_post − control_pre)
+    over per-event purchase value, which nets out both the group baseline
+    and the common time trend.
+
+    Scale shape: one corpus pass into the 2×2 cell aggregate (decimal
+    sums), then a single-row pivot — scale-flat. Cell means are round-9
+    before the DiD arithmetic so both engines subtract identical
+    doubles."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.select(
+        (
+            h60(F.concat(F.lit("did:"), F.col("user_id").cast("string"))) % 2
+        ).alias("treated"),
+        F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0)
+        .alias("pv"),
+    )
+    cells = per.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(dec_sum("pv").cast("double") / F.count("*"), 9).alias(
+            "mean_pv"
+        ),
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(0, 0, "mean_pv").alias("c0"),
+        cell(0, 1, "mean_pv").alias("c1"),
+        cell(1, 0, "mean_pv").alias("t0"),
+        cell(1, 1, "mean_pv").alias("t1"),
+        cell(0, 0, "n").alias("nc0"),
+        cell(0, 1, "n").alias("nc1"),
+        cell(1, 0, "n").alias("nt0"),
+        cell(1, 1, "n").alias("nt1"),
+    )
+    return wide.select(
+        F.col("nc0").cast("long").alias("n_control_pre"),
+        F.col("nc1").cast("long").alias("n_control_post"),
+        F.col("nt0").cast("long").alias("n_treated_pre"),
+        F.col("nt1").cast("long").alias("n_treated_post"),
+        F.round("c0", 6).alias("mean_control_pre"),
+        F.round("c1", 6).alias("mean_control_post"),
+        F.round("t0", 6).alias("mean_treated_pre"),
+        F.round("t1", 6).alias("mean_treated_post"),
+        F.round(
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "activity_entropy_per_user",
+    tags=("analytics", "events"),
+    defer=True,
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    withn AS (
+        SELECT user_id, event_type, c,
+               sum(c) OVER (PARTITION BY user_id) AS n
+        FROM counts
+    ),
+    ent AS (
+        SELECT user_id,
+               CAST(max(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               round(CAST(SUM(CAST(
+                   round(-(CAST(c AS DOUBLE) / n)
+                         * ln(CAST(c AS DOUBLE) / n), 12)
+                   AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy
+        FROM withn GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types, entropy
+    FROM ent
+    ORDER BY entropy DESC, user_id
+    LIMIT 20
+    """,
+)
+def activity_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity score: Shannon entropy of each user's
+    event-type distribution, top 20 — flat-profile users (every action
+    equally likely) score near ln(k) and are the classic bot signature;
+    single-action users score 0. The per-entity companion of the
+    corpus-level ``token_entropy_quality``.
+
+    Scale shape: one (user, type) aggregate, a per-user window over that
+    bounded grid (≤ |types| rows per user), per-user entropy as round-12
+    decimal-summed −p·ln p terms, TakeOrdered top-20. Never a shuffle
+    wider than users × types."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    withn = counts.withColumn("n", F.sum("c").over(wu))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = withn.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.sum(
+                F.round(-p * F.log(p), 12).cast("decimal(38,12)")
+            ).cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+    return ent.orderBy(F.col("entropy").desc(), "user_id").limit(20)

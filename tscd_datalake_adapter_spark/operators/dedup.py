@@ -1468,3 +1468,64 @@ def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dup(spark, corpus, batch).orderBy(
         "batch_id", "corpus_id"
     )
+
+
+@register(
+    "cross_source_dup_rate",
+    tags=("llm", "dedup"),
+    defer=True,
+    oracle="""
+    WITH shas AS (
+        SELECT doc_id, source, sha256(coalesce(text, '')) AS sha
+        FROM documents
+    ),
+    spread AS (
+        SELECT sha, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM shas GROUP BY sha
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_source_dups,
+           round(CAST(sum(CASE WHEN p.n_sources > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS cross_dup_rate
+    FROM shas s JOIN spread p USING (sha)
+    GROUP BY s.source ORDER BY s.source
+    """,
+)
+def cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination ledger: per source, the fraction of its
+    documents whose exact content hash also appears under ANOTHER source
+    — the signal that two crawls overlap and one should be dropped from
+    the mixture before training (within-source dups are already priced by
+    ``dataset_card_summary``'s dup_rate; this isolates the cross-feed
+    kind that silently double-weights content).
+
+    Scale shape: sha-keyed aggregate (count-distinct source per content
+    hash) joined back on sha — both shuffles keyed on the uniform hash;
+    NULL text coalesced into the one shared hash class, mirroring
+    ``exact_dedup``'s convention."""
+    d = load_table(spark, sf_dir, "documents")
+    shas = d.select(
+        "doc_id",
+        "source",
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha"),
+    )
+    spread = shas.groupBy("sha").agg(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    cross = F.sum(
+        F.when(F.col("n_sources") > 1, 1).otherwise(0)
+    ).cast("long")
+    return (
+        shas.join(spread, "sha")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            cross.alias("n_cross_source_dups"),
+            F.round(cross.cast("double") / F.count("*"), 6).alias(
+                "cross_dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
