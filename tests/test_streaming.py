@@ -412,3 +412,33 @@ def test_scd2_stream_matches_batch_twin(spark, sf_dir, tmp_path):
     # incrementality: an intermediate version already holds closed rows
     mid = spark.read.parquet(os.path.join(state_dir, versions[-2]))
     assert mid.where("is_current = 0").count() > 0
+
+
+def test_dataset_card_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental card state folded across micro-batches must equal the
+    batch dataset card's volume/dup columns exactly, and must actually
+    run more than one batch."""
+    import os
+
+    from tscd_datalake_adapter_spark.operators.pipeline import (
+        dataset_card_summary,
+    )
+
+    src = jobs.stage_documents_source(
+        spark, sf_dir, str(tmp_path / "docs_src")
+    )
+    state_dir = str(tmp_path / "card_state")
+    live = jobs.run_dataset_card_stream(
+        spark, src, str(tmp_path / "ckpt"), state_dir
+    )
+    live_rows = {
+        r.source: (r.n_docs, r.n_distinct_texts, r.total_tokens)
+        for r in live.collect()
+    }
+    batch_rows = {
+        r.source: (r.n_docs, r.n_distinct_texts, r.total_tokens)
+        for r in dataset_card_summary(spark, sf_dir).collect()
+    }
+    assert live_rows == batch_rows
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
+    assert len(versions) >= 2

@@ -1529,3 +1529,100 @@ def cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    tags=("llm", "dedup"),
+    defer=True,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                  x -> x != '')) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE)
+               / CAST(sa.n + sb.n - inter AS DOUBLE) AS j
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE)
+              / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7
+    ),
+    taus AS (SELECT unnest(['0.70', '0.80', '0.90']) AS tau),
+    per AS (
+        SELECT t.tau,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM taus t LEFT JOIN pairs p
+          ON p.j >= CAST(t.tau AS DOUBLE)
+        GROUP BY t.tau
+    ),
+    docs_per AS (
+        SELECT tau, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_dup
+        FROM (
+            SELECT t.tau, p.doc_a AS d FROM taus t
+            JOIN pairs p ON p.j >= CAST(t.tau AS DOUBLE)
+            UNION
+            SELECT t.tau, p.doc_b FROM taus t
+            JOIN pairs p ON p.j >= CAST(t.tau AS DOUBLE)
+        ) GROUP BY tau
+    )
+    SELECT p.tau,
+           p.n_pairs,
+           coalesce(d.n_docs_dup, 0) AS n_docs_dup
+    FROM per p LEFT JOIN docs_per d USING (tau)
+    ORDER BY p.tau
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity curve for near-dup removal: exact Jaccard
+    pairs computed ONCE at the loosest threshold (0.7, prefix-filtered —
+    lossless for every tighter τ), then pair and affected-document counts
+    at τ ∈ {0.70, 0.80, 0.90} — the sweep a curation team runs to pick
+    how aggressive dedup should be before committing a 100 TB pass
+    (each 0.1 of τ changes how much of the corpus is declared
+    duplicate; this makes the elbow visible).
+
+    Scale shape: one prefix-filtered candidate+verify pass (the proven
+    hot-token-safe shape); the sweep itself re-aggregates the bounded
+    pair list three ways via a 3-row broadcast, never re-joining the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = jaccard_pairs_prefix_filtered(distinct_tokens(d), 0.7)
+    taus = spark.createDataFrame(
+        [("0.70", 0.70), ("0.80", 0.80), ("0.90", 0.90)], "tau string, tv double"
+    )
+    matched = F.broadcast(taus).join(
+        pairs, F.col("jaccard") >= F.col("tv"), "left"
+    )
+    per = matched.groupBy("tau").agg(
+        F.count("doc_a").cast("long").alias("n_pairs")
+    )
+    hits = F.broadcast(taus).join(pairs, F.col("jaccard") >= F.col("tv"))
+    docs_per = (
+        hits.select("tau", F.col("doc_a").alias("d"))
+        .unionByName(hits.select("tau", F.col("doc_b").alias("d")))
+        .distinct()
+        .groupBy(F.col("tau").alias("tau2"))
+        .agg(F.countDistinct("d").cast("long").alias("n_docs_dup"))
+    )
+    return (
+        per.join(docs_per, F.col("tau") == F.col("tau2"), "left")
+        .select(
+            "tau",
+            "n_pairs",
+            F.coalesce(F.col("n_docs_dup"), F.lit(0).cast("long")).alias(
+                "n_docs_dup"
+            ),
+        )
+        .orderBy("tau")
+    )

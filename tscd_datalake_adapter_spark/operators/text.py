@@ -2026,3 +2026,126 @@ def cross_entropy_between_sources(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "vocab_growth_heaps_law",
+    tags=("llm", "text"),
+    defer=True,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    firsts AS (SELECT tok, min(doc_id) AS fo FROM tok GROUP BY tok),
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    cuts AS (
+        SELECT i, (SELECT m FROM mx) * i // 10 AS cut
+        FROM (SELECT unnest(range(1, 11)) AS i)
+    ),
+    curve AS (
+        SELECT c.i AS decile, c.cut,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents d
+                WHERE d.doc_id <= c.cut) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM firsts f
+                WHERE f.fo <= c.cut) AS vocab_size
+        FROM cuts c
+    ),
+    pts AS (
+        SELECT round(ln(CAST(n_docs AS DOUBLE)), 12) AS x,
+               round(ln(CAST(vocab_size AS DOUBLE)), 12) AS y
+        FROM curve WHERE n_docs > 0 AND vocab_size > 0
+    ),
+    fit AS (
+        SELECT (sum(x * y) - sum(x) * sum(y) / count(*))
+               / (sum(x * x) - sum(x) * sum(x) / count(*)) AS beta,
+               (sum(y) - (sum(x * y) - sum(x) * sum(y) / count(*))
+                / (sum(x * x) - sum(x) * sum(x) / count(*)) * sum(x))
+               / count(*) AS lnk
+        FROM pts
+    )
+    SELECT CAST(c.decile AS BIGINT) AS decile, c.n_docs, c.vocab_size,
+           round(f.beta, 6) + 0.0 AS heaps_beta,
+           round(exp(f.lnk), 6) AS heaps_k
+    FROM curve c CROSS JOIN fit f
+    ORDER BY decile
+    """,
+)
+def vocab_growth_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve + Heaps' law fit (V ≈ K·Nᵝ): distinct
+    vocabulary size at each decile of the corpus (in doc_id order), with
+    the log-log OLS exponent — the corpus statistic that predicts how a
+    tokenizer's OOV rate and an index's term dictionary scale from a 1%
+    sample to the full 100 TB crawl (β≈0.5 typical for natural text; β
+    near 1 flags an id-like token leak, β near 0 a closed vocabulary).
+
+    Scale shape: vocabulary first-occurrences are one (token → min doc)
+    aggregate; each decile's vocab count joins the 10-row cutoff table
+    against that bounded vocab table (broadcast, ≤10× vocab fan-out) —
+    never a rescan of documents per decile. The fit runs over 10 points
+    with round-12 log coordinates."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr("filter(split(text, ' '), x -> x != '')"))
+        ).alias("tok"),
+    )
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("fo"))
+    mx = d.agg(F.max("doc_id").alias("m"))
+    cuts = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "decile",
+            F.floor(F.col("m") * F.col("decile") / 10).cast("long").alias(
+                "cut"
+            ),
+        )
+    )
+    n_docs = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .where(F.col("doc_id") <= F.col("cut"))
+        .groupBy("decile", "cut")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(cuts))
+        .where(F.col("fo") <= F.col("cut"))
+        .groupBy(F.col("decile").alias("vd"))
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    curve = n_docs.join(vocab, F.col("decile") == F.col("vd")).select(
+        "decile", "n_docs", "vocab_size"
+    )
+    pts = curve.where(
+        (F.col("n_docs") > 0) & (F.col("vocab_size") > 0)
+    ).select(
+        F.round(F.log(F.col("n_docs").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("vocab_size").cast("double")), 12).alias("y"),
+    )
+    n = F.count("*")
+    beta = (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / n) / (
+        F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / n
+    )
+    fit = pts.agg(
+        beta.alias("beta"),
+        ((F.sum("y") - beta * F.sum("x")) / n).alias("lnk"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "vocab_size",
+            # + 0.0 canonicalizes IEEE negative zero (a saturated
+            # vocabulary fits beta = -0.0 in one engine, +0.0 in the other)
+            (F.round("beta", 6) + F.lit(0.0)).alias("heaps_beta"),
+            F.round(F.exp("lnk"), 6).alias("heaps_k"),
+        )
+        .orderBy("decile")
+    )

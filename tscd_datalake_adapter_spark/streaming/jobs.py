@@ -929,3 +929,98 @@ def run_scd2_stream(
         ).alias("valid_to"),
         "is_current",
     )
+
+
+def stage_documents_source(
+    spark: SparkSession, sf_dir: str, source_dir: str
+) -> str:
+    """Stage the documents table as a multi-file stream source (4 splits —
+    corpus order is irrelevant to the card maintenance below, so the
+    plain hash split is fine here, unlike the watermark jobs)."""
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(source_dir)
+    return source_dir
+
+
+def run_dataset_card_stream(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, state_dir: str
+) -> DataFrame:
+    """Incremental dataset-card maintenance: as document batches arrive,
+    keep the per-source release card (doc count, token count, exact
+    distinct-content count) current without re-scanning the corpus — the
+    streaming twin of ``pipeline.dataset_card_summary``'s volume/dup
+    columns, and the continuous-ingestion counterpart every data-release
+    dashboard needs.
+
+    State per version (copy-on-write dirs, the ``run_incremental_rollup``
+    pattern): an additive counts table (source → n_docs, total_tokens)
+    folded per batch, and a distinct (source, sha) ledger union-merged
+    per batch — ASSOCIATIVE state, so any batch split yields the same
+    final card (pinned in tests against the batch query). The sha ledger
+    is exact and bounded by distinct corpus content; at 100 TB the same
+    plumbing takes the mergeable HLL sketch (``operators/sketches.py``)
+    when an estimated dup rate is acceptable — counts stay exact either
+    way.
+    """
+    def _latest_version(path: str) -> tuple[int, str | None]:
+        if not os.path.isdir(path):
+            return 0, None
+        vs = sorted(d for d in os.listdir(path) if d.startswith("v"))
+        return (int(vs[-1][1:]), os.path.join(path, vs[-1])) if vs else (0, None)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        t = F.coalesce(F.col("text"), F.lit(""))
+        per = batch_df.select(
+            "source",
+            F.sha2(t, 256).alias("sha"),
+            F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+            .cast("long")
+            .alias("toks"),
+        )
+        inc_counts = per.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+        inc_shas = per.select("source", "sha").distinct()
+        ver, cur_path = _latest_version(state_dir)
+        if cur_path is not None:
+            cur_counts = sp.read.parquet(os.path.join(cur_path, "counts"))
+            cur_shas = sp.read.parquet(os.path.join(cur_path, "shas"))
+            counts = (
+                cur_counts.unionByName(inc_counts)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_tokens").cast("long").alias("total_tokens"),
+                )
+            )
+            shas = cur_shas.unionByName(inc_shas).distinct()
+        else:
+            counts, shas = inc_counts, inc_shas
+        nxt = os.path.join(state_dir, f"v{ver + 1:06d}")
+        counts.write.mode("overwrite").parquet(os.path.join(nxt, "counts"))
+        shas.write.mode("overwrite").parquet(os.path.join(nxt, "shas"))
+
+    schema = spark.read.parquet(source_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _, final_path = _latest_version(state_dir)
+    counts = spark.read.parquet(os.path.join(final_path, "counts"))
+    nd = (
+        spark.read.parquet(os.path.join(final_path, "shas"))
+        .groupBy("source")
+        .agg(F.countDistinct("sha").cast("long").alias("n_distinct_texts"))
+    )
+    return counts.join(nd, "source").select(
+        "source", "n_docs", "n_distinct_texts", "total_tokens"
+    )
