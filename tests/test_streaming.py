@@ -442,3 +442,35 @@ def test_dataset_card_stream_matches_batch(spark, sf_dir, tmp_path):
     assert live_rows == batch_rows
     versions = [d for d in os.listdir(state_dir) if d.startswith("v")]
     assert len(versions) >= 2
+
+
+def test_anomaly_stream_matches_batch_twin(spark, sf_dir, source_dir, tmp_path):
+    """The streaming anomaly detector's freshest-seq emission must equal
+    the oracle-checked batch twin exactly — across real micro-batches
+    whose staging repartition delivers events out of time order, so a
+    late-arriving early event must re-score its successors."""
+    from tscd_datalake_adapter_spark.streaming.batch_twins import (
+        stream_anomaly_zscore,
+    )
+
+    live = jobs.run_anomaly_stream(
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt_anom"),
+        "anomaly_smoke",
+        max_files_per_trigger=1,
+    )
+    live_rows = {
+        (r.event_type, r.event_id): (r.cents, r.z) for r in live.collect()
+    }
+    batch_rows = {
+        (r.event_type, r.event_id): (r.cents, r.z)
+        for r in stream_anomaly_zscore(spark, sf_dir).collect()
+    }
+    assert live_rows == batch_rows
+    assert len(batch_rows) > 0
+    # multiple micro-batches really happened (re-scoring was exercised)
+    n_seqs = spark.sql(
+        "SELECT count(DISTINCT seq) FROM anomaly_smoke"
+    ).first()[0]
+    assert n_seqs > 1

@@ -2765,3 +2765,184 @@ def activity_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy"),
     )
     return ent.orderBy(F.col("entropy").desc(), "user_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Wave 17: PCA top component via unrolled power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_STEPS = 16
+_PCA_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_revenue"]
+_PCA_PAIRS = [
+    (a, b) for i, a in enumerate(_PCA_COLS) for b in _PCA_COLS[i:]
+]
+
+
+def _pca_formula_sqls():
+    """Build the shared formula text once; both engines parse the SAME
+    strings (Spark ``F.expr``/``selectExpr`` and the DuckDB oracle), so
+    every double op runs on identical operands in identical order.
+
+    Returns (corr exprs, per-step (w exprs, v exprs) pairs, (sign-sum
+    expr, Rayleigh expr)) — all as lists of ``<formula> AS <name>``
+    fragments safe to pass one-per-selectExpr-argument."""
+    cols = _PCA_COLS
+    k = len(cols)
+
+    def cname(i: int, j: int) -> str:
+        a, b = (cols[i], cols[j]) if i <= j else (cols[j], cols[i])
+        return f"s_{a}_{b}"
+
+    def cov(i: int, j: int) -> str:
+        return f"(({cname(i, j)} - s_{cols[i]} * s_{cols[j]} / n) / n)"
+
+    corr = [
+        f"round({cov(i, j)} / sqrt({cov(i, i)} * {cov(j, j)}), 12)"
+        f" AS c_{i}_{j}"
+        for i in range(k)
+        for j in range(k)
+        if i <= j
+    ]
+
+    def centry(i: int, j: int) -> str:
+        return f"c_{min(i, j)}_{max(i, j)}"
+
+    ws = [
+        "(" + " + ".join(f"{centry(i, j)} * v{j}" for j in range(k)) + ")"
+        for i in range(k)
+    ]
+    nrm = "sqrt(" + " + ".join(f"w{i} * w{i}" for i in range(k)) + ")"
+    step = (
+        [f"round({w}, 12) AS w{i}" for i, w in enumerate(ws)],
+        [f"round(w{i} / {nrm}, 12) AS v{i}" for i in range(k)],
+    )
+    steps = [step] * _PCA_STEPS
+
+    vsum = " + ".join(f"v{i}" for i in range(k))
+    us = [
+        "round("
+        + " + ".join(f"{centry(i, j)} * v{j}" for j in range(k))
+        + ", 12)"
+        for i in range(k)
+    ]
+    rayleigh = (
+        "round("
+        + " + ".join(f"v{i} * {u}" for i, u in enumerate(us))
+        + ", 6) + 0.0"
+    )
+    return corr, steps, (vsum, rayleigh)
+
+
+def _pca_oracle() -> str:
+    cols = _PCA_COLS
+    k = len(cols)
+    sums = ",\n           ".join(f"{oracle_dec_sum(c)} AS s_{c}" for c in cols)
+    cross = ",\n           ".join(
+        f"{oracle_dec_sum(f'{a} * {b}')} AS s_{a}_{b}" for a, b in _PCA_PAIRS
+    )
+    corr, steps, (vsum, rayleigh) = _pca_formula_sqls()
+    init = ", ".join(f"0.5 AS v{i}" for i in range(k))
+    ctes = [
+        "src AS (SELECT l_quantity, l_extendedprice, l_discount,"
+        " l_extendedprice * (1 - l_discount) AS l_revenue FROM lineitem)",
+        f"s AS (SELECT CAST(count(*) AS DOUBLE) AS n,\n           {sums},\n"
+        f"           {cross} FROM src)",
+        "c AS (SELECT n,\n           " + ",\n           ".join(corr) + " FROM s)",
+        f"it0 AS (SELECT *, {init} FROM c)",
+    ]
+    prev = "it0"
+    for t, (w_sel, v_sel) in enumerate(steps, 1):
+        ctes.append(f"raw{t} AS (SELECT *, {', '.join(w_sel)} FROM {prev})")
+        ctes.append(
+            f"it{t} AS (SELECT * EXCLUDE (v0, v1, v2, v3, w0, w1, w2, w3),"
+            f" {', '.join(v_sel)} FROM raw{t})"
+        )
+        prev = f"it{t}"
+    ctes.append(
+        f"fin AS (SELECT *, CASE WHEN {vsum} < 0 THEN -1.0 ELSE 1.0 END"
+        f" AS sgn, {rayleigh} AS eigenvalue FROM {prev})"
+    )
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS feature, round(sgn * v{i}, 6) + 0.0 AS loading,"
+        f" eigenvalue, CAST(n AS BIGINT) AS n FROM fin"
+        for i, c in enumerate(cols)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM (\n    {rows}"
+        "\n    ) ORDER BY feature"
+    )
+
+
+@register(
+    "pca_top_component_power",
+    tags=("analytics", "mlprep"),
+    defer=True,
+    oracle=_pca_oracle(),
+)
+def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of a 4-feature lineitem correlation
+    matrix (quantity, extendedprice, discount, and the DERIVED revenue =
+    extendedprice·(1−discount), which plants a genuinely collinear
+    direction) via 16 unrolled power-iteration steps — the one-pass,
+    driver-math-free PCA a feature pipeline uses to spot a dominant
+    redundant direction. Fixture spectrum: λ1 ≈ 2.0 vs λ2 ≈ 1.01, so 16
+    steps converge the loadings to ~1e-5 ((λ2/λ1)^16); a gapless matrix
+    would need more steps — the test pins accuracy against numpy eigh.
+
+    Determinism: the correlation entries derive from the decimal moment
+    sums (order-free); every iteration is a fixed-order 4-term double
+    dot product round-12 per component, normalized by an IEEE-exact sqrt.
+    Both engines parse the IDENTICAL formula strings (built once by
+    ``_pca_formula_sqls``), so the float recursion is bit-stable — the
+    pagerank/IRLS unrolling recipe applied to an eigenproblem. The sign is
+    canonicalized by the loading-sum direction.
+
+    Scale shape: ONE scan accumulating 15 decimal sums (map-side combine,
+    1-row shuffle); the 16 iterations are scalar expressions over that one
+    row — zero extra jobs, zero driver loops. At 100 TB cost equals the
+    moment scan; a d-feature version shuffles d(d+3)/2 decimals."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "l_revenue"
+        ),
+    )
+    cols = _PCA_COLS
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [dec_sum(F.col(c)).alias(f"s_{c}") for c in cols]
+    aggs += [
+        dec_sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}")
+        for a, b in _PCA_PAIRS
+    ]
+    s = li.agg(*aggs)
+    corr, steps, (vsum, rayleigh) = _pca_formula_sqls()
+    cur = s.selectExpr("n", *corr)
+    cur = cur.selectExpr("*", *(f"0.5 AS v{i}" for i in range(len(cols))))
+    keep = [f"c_{i}_{j}" for i in range(4) for j in range(4) if i <= j]
+    # The one-row iteration state is localCheckpoint-ed per step (the MMR /
+    # k-hop-BFS lineage recipe): each v_i inlines nrm's four w terms, so a
+    # single collapsed plan grows ~20x per step and costs >10 s of optimizer
+    # time by step 8; eight sub-millisecond one-row jobs are free.
+    cur = cur.localCheckpoint()
+    for t, (w_sel, v_sel) in enumerate(steps, 1):
+        cur = cur.selectExpr("*", *w_sel)
+        cur = cur.selectExpr("n", *keep, *v_sel)
+        if t % 2 == 0:  # ~400 inlined terms per cut — cheap for Catalyst
+            cur = cur.localCheckpoint()
+    fin = cur.selectExpr(
+        "*",
+        f"CASE WHEN {vsum} < 0 THEN -1.0 ELSE 1.0 END AS sgn",
+        f"{rayleigh} AS eigenvalue",
+    )
+    out = None
+    for i, c in enumerate(cols):
+        row = fin.selectExpr(
+            f"'{c}' AS feature",
+            f"round(sgn * v{i}, 6) + 0.0 AS loading",
+            "eigenvalue",
+            "CAST(n AS BIGINT) AS n",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("feature")

@@ -1505,3 +1505,450 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 17: model-evaluation + governance operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "roc_auc_eval",
+    tags=("mlprep", "eval"),
+    defer=True,
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS score_bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    hist AS (
+        SELECT grp, score_bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM base GROUP BY grp, score_bin
+    ),
+    ghist AS (
+        SELECT score_bin, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS pos
+        FROM hist GROUP BY score_bin
+    ),
+    per AS (
+        SELECT grp, score_bin, n, pos,
+               COALESCE(sum(n) OVER (PARTITION BY grp ORDER BY score_bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM hist
+    ),
+    gper AS (
+        SELECT score_bin, n, pos,
+               COALESCE(sum(n) OVER (ORDER BY score_bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM ghist
+    ),
+    stats AS (
+        SELECT grp,
+               CAST(sum(pos) AS BIGINT) AS npos,
+               CAST(sum(n - pos) AS BIGINT) AS nneg,
+               CAST(sum(pos * (2 * cum_before + n + 1)) AS BIGINT) AS r2
+        FROM per GROUP BY grp
+        UNION ALL
+        SELECT 'ALL' AS grp,
+               CAST(sum(pos) AS BIGINT) AS npos,
+               CAST(sum(n - pos) AS BIGINT) AS nneg,
+               CAST(sum(pos * (2 * cum_before + n + 1)) AS BIGINT) AS r2
+        FROM gper
+    )
+    SELECT grp, npos, nneg,
+           round(CAST(r2 - npos * (npos + 1) AS DOUBLE)
+                 / CAST(2 * npos * nneg AS DOUBLE), 6) + 0.0 AS auc
+    FROM stats ORDER BY grp
+    """,
+)
+def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney ROC AUC of a scorer (order value predicting fulfilled
+    status), global and per priority group — the standard offline-eval
+    metric a quality-classifier pipeline reports per data slice.
+
+    Ties are handled exactly via average ranks on the *binned* score
+    histogram: for a score value with ``n`` rows after ``cum_before``
+    predecessors, every row's average rank is ``cum_before + (n+1)/2``, so
+    ``2 * sum(rank of positives) = sum(pos * (2*cum_before + n + 1))`` stays
+    a BIGINT and AUC = (R - npos(npos+1)) / (2*npos*nneg) divides once at
+    output.
+
+    Scale shape: rows -> (group, bin) histogram (map-side combine), windows
+    run over the bounded histogram (never base rows — the
+    ``range_partition_balance`` recipe), so the global AUC costs one
+    aggregated pass no matter the row count. The ``+ 0.0`` canonicalizes a
+    would-be IEEE ``-0.0``."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("score_bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    hist = base.groupBy("grp", "score_bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    ghist = hist.groupBy("score_bin").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+
+    def _stats(h: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols).orderBy("score_bin")
+            if part_cols
+            else Window.orderBy("score_bin")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        per = h.withColumn(
+            "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+        )
+        grp = (
+            per.groupBy(*part_cols)
+            if part_cols
+            else per.groupBy(F.lit("ALL").alias("grp"))
+        )
+        return grp.agg(
+            F.sum("pos").cast("long").alias("npos"),
+            F.sum(F.col("n") - F.col("pos")).cast("long").alias("nneg"),
+            F.sum(
+                F.col("pos")
+                * (2 * F.col("cum_before") + F.col("n") + 1)
+            )
+            .cast("long")
+            .alias("r2"),
+        )
+
+    stats = _stats(hist, ["grp"]).unionByName(_stats(ghist, []))
+    return stats.select(
+        "grp",
+        "npos",
+        "nneg",
+        (
+            F.round(
+                (F.col("r2") - F.col("npos") * (F.col("npos") + 1)).cast(
+                    "double"
+                )
+                / (2 * F.col("npos") * F.col("nneg")).cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("auc"),
+    ).orderBy("grp")
+
+
+@register(
+    "calibration_reliability_bins",
+    tags=("mlprep", "eval"),
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               round(1.0 / (1.0 + exp(-((o_totalprice - 150000.0)
+                                        / 100000.0))), 12) AS p
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(9, CAST(floor(p * 10.0) AS BIGINT)) AS bin, y, p
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               {oracle_dec_sum('p')} AS sum_p,
+               {oracle_dec_sum('round((p - y) * (p - y), 12)')} AS sum_sq
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               round({oracle_dec_sum('''round(abs(sum_p / n
+                     - CAST(n_pos AS DOUBLE) / n) * n, 12)''')}
+                     / sum(n), 6) + 0.0 AS ece,
+               round({oracle_dec_sum('sum_sq')} / sum(n), 6) + 0.0 AS brier
+        FROM per_bin
+    )
+    SELECT bin, n, n_pos,
+           round(sum_p / n, 6) + 0.0 AS mean_pred,
+           round(CAST(n_pos AS DOUBLE) / n, 6) + 0.0 AS frac_pos,
+           ece, brier
+    FROM per_bin, tot ORDER BY bin
+    """,
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score + expected calibration error for a
+    fixed logistic scorer — the calibration readout a filtering-model
+    pipeline publishes next to its AUC.
+
+    Determinism: the sigmoid argument is plain IEEE arithmetic on literals
+    (identical operands both engines) and ``exp`` has proven
+    correctly-rounded-identical across JVM/DuckDB on round-12 inputs (the
+    kaplan_meier / logistic_regression precedent); ``p`` is round-12 before
+    binning so bin membership can't straddle an ulp. Per-bin sums use the
+    round-12 + DECIMAL(38,6) order-free recipe.
+
+    Scale shape: one scan -> 10-bin histogram (map-side combine); the ECE
+    fold runs over the 10-row bin table. No joins, no windows over base
+    rows; the tiny totals row is a broadcast cross join."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(-((F.col("o_totalprice") - 150000.0) / 100000.0))
+            ),
+            12,
+        ).alias("p"),
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("p") * 10.0)).cast("long").alias("bin"),
+        "y",
+        "p",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        dec_sum("p").alias("sum_p"),
+        dec_sum(
+            F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 12)
+        ).alias("sum_sq"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        (
+            F.round(
+                dec_sum(
+                    F.round(
+                        F.abs(
+                            F.col("sum_p") / F.col("n")
+                            - F.col("n_pos").cast("double") / F.col("n")
+                        )
+                        * F.col("n"),
+                        12,
+                    )
+                )
+                / F.sum("n"),
+                6,
+            )
+            + 0.0
+        ).alias("ece"),
+        (F.round(dec_sum("sum_sq") / F.sum("n"), 6) + 0.0).alias("brier"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.round(F.col("sum_p") / F.col("n"), 6) + 0.0).alias("mean_pred"),
+            (
+                F.round(F.col("n_pos").cast("double") / F.col("n"), 6) + 0.0
+            ).alias("frac_pos"),
+            "ece",
+            "brier",
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "item_item_cosine_recs",
+    tags=("mlprep", "recs"),
+    defer=True,
+    oracle="""
+    WITH ratings AS (
+        SELECT o_custkey AS cust, l_partkey AS part,
+               CAST(count(*) AS BIGINT) AS r
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey < 1000
+        GROUP BY 1, 2
+    ),
+    kept AS (
+        SELECT cust, part, r FROM (
+            SELECT cust, part, r,
+                   count(*) OVER (PARTITION BY cust) AS basket
+            FROM ratings
+        ) WHERE basket <= 50
+    ),
+    pairs AS (
+        SELECT a.part AS part_a, b.part AS part_b,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(a.r * b.r) AS BIGINT) AS dotsum
+        FROM kept a JOIN kept b
+          ON a.cust = b.cust AND a.part < b.part
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT part, CAST(sum(r * r) AS BIGINT) AS sq
+        FROM kept GROUP BY part
+    )
+    SELECT part_a, part_b, n_common, dotsum,
+           round(CAST(dotsum AS DOUBLE)
+                 / sqrt(CAST(na.sq AS DOUBLE) * CAST(nb.sq AS DOUBLE)),
+                 6) AS cos
+    FROM pairs
+    JOIN norms na ON na.part = part_a
+    JOIN norms nb ON nb.part = part_b
+    WHERE n_common >= 2
+    ORDER BY cos DESC, part_a, part_b LIMIT 20
+    """,
+)
+def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering cosine similarity (top-20 part
+    pairs by co-purchase cosine, >= 2 shared customers) — the classic
+    "customers who bought X also bought Y" candidate generator.
+
+    Scale shape: the pair blow-up is bounded IN CODE by the per-customer
+    basket cap (<= 50 distinct parts; a window count over the per-customer
+    slice, then filter) — the standard hot-user guard in production CF: a
+    crawler account with 10^5 items would otherwise contribute 10^10 pairs.
+    With the cap, co-occurrence is an equi-join on the customer key
+    (shuffle-partitioned, never all-pairs), pairs aggregate map-side, and
+    the norms join is a broadcast of the bounded part table. sqrt on
+    integer operands is IEEE-exactly-rounded, hence cross-engine."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 1000)
+    l = load_table(spark, sf_dir, "lineitem")
+    ratings = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .agg(F.count("*").cast("long").alias("r"))
+    )
+    kept = (
+        ratings.withColumn(
+            "basket", F.count("*").over(Window.partitionBy("cust"))
+        )
+        .where(F.col("basket") <= 50)
+        .drop("basket")
+    )
+    a = kept.select(
+        F.col("cust"), F.col("part").alias("part_a"), F.col("r").alias("ra")
+    )
+    b = kept.select(
+        F.col("cust"), F.col("part").alias("part_b"), F.col("r").alias("rb")
+    )
+    pairs = (
+        a.join(b, ["cust"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.col("ra") * F.col("rb")).cast("long").alias("dotsum"),
+        )
+        .where(F.col("n_common") >= 2)
+    )
+    norms = kept.groupBy("part").agg(
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sq")
+    )
+    na = norms.select(F.col("part").alias("part_a"), F.col("sq").alias("sqa"))
+    nb = norms.select(F.col("part").alias("part_b"), F.col("sq").alias("sqb"))
+    return (
+        pairs.join(F.broadcast(na), ["part_a"])
+        .join(F.broadcast(nb), ["part_b"])
+        .select(
+            "part_a",
+            "part_b",
+            "n_common",
+            "dotsum",
+            F.round(
+                F.col("dotsum").cast("double")
+                / F.sqrt(
+                    F.col("sqa").cast("double") * F.col("sqb").cast("double")
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "forget_user_cascade_audit",
+    tags=("mlprep", "privacy"),
+    defer=True,
+    oracle="""
+    WITH forget AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    cust AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gone
+        FROM customer
+    ),
+    ord AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gone
+        FROM orders
+    ),
+    li AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gone
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ev AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gone
+        FROM events
+    )
+    SELECT * FROM (
+        SELECT 'customer' AS table_name, gone AS n_forgotten,
+               total - gone AS n_retained FROM cust
+        UNION ALL
+        SELECT 'orders', gone, total - gone FROM ord
+        UNION ALL
+        SELECT 'lineitem', gone, total - gone FROM li
+        UNION ALL
+        SELECT 'events', gone, total - gone FROM ev
+    ) ORDER BY table_name
+    """,
+)
+def forget_user_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: for a deterministic forget-set
+    (custkey % 97 == 0; events keyed independently by user_id), count the
+    rows each table would delete vs retain — customer directly, orders via
+    the foreign key, lineitem transitively through its order, events by
+    user id. The pre-deletion impact report a GDPR/CCPA erasure pipeline
+    emits before rewriting partitions.
+
+    Scale shape: the cascade membership is a *predicate* on the local key
+    (customer, orders, events — no join at all), and lineitem's transitive
+    membership rides the existing orderkey equi-join with the flag computed
+    on the orders side (at 100 TB: broadcast the forgotten-order bloom
+    instead of joining full orders; the repo's bloom sketch is the drop-in).
+    Four map-side-combined aggregates, one row each, unioned."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    def _audit(df: DataFrame, name: str, flag) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("total"),
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("gone"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            F.col("gone").alias("n_forgotten"),
+            (F.col("total") - F.col("gone")).alias("n_retained"),
+        )
+
+    li = l.join(o, l.l_orderkey == o.o_orderkey)
+    return (
+        _audit(c, "customer", F.col("c_custkey") % 97 == 0)
+        .unionByName(_audit(o, "orders", F.col("o_custkey") % 97 == 0))
+        .unionByName(_audit(li, "lineitem", F.col("o_custkey") % 97 == 0))
+        .unionByName(_audit(e, "events", F.col("user_id") % 97 == 0))
+        .orderBy("table_name")
+    )

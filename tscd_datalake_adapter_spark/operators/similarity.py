@@ -1711,3 +1711,327 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trunc_dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 17: Johnson-Lindenstrauss distortion audit + silhouette eval
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_SLICE = 80
+
+
+def _jl_signs(k: int = _JL_K, dim: int = DIM) -> list[list[int]]:
+    """±1 Rademacher projection matrix derived from md5 (the h60 family),
+    computed with hashlib so it is a shared Python constant both the Spark
+    exprs and the oracle SQL embed as literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{p}:{d}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(k)
+    ]
+
+
+def _jl_proj_exprs(one_based: bool) -> list[str]:
+    """``round(±x_0 ±x_1 ..., 12) / 4.0 AS y{p}`` — identical formula text
+    for both engines modulo the engine's array base; /4.0 = 1/sqrt(16) is a
+    power of two, so the scaling is exact."""
+    signs = _jl_signs()
+    base = 1 if one_based else 0
+    out = []
+    for p, row in enumerate(signs):
+        terms = []
+        for d, s in enumerate(row):
+            t = f"CAST(embedding[{d + base}] AS DOUBLE)"
+            terms.append(("+ " if s > 0 else "- ") + t)
+        body = " ".join(terms).lstrip("+ ").strip()
+        if row[0] < 0:
+            body = "- " + f"CAST(embedding[{base}] AS DOUBLE) " + " ".join(
+                terms[1:]
+            )
+        out.append(f"round({body}, 12) / 4.0 AS y{p}")
+    return out
+
+
+def _jl_pair_dist_exprs() -> tuple[str, str]:
+    d2p = " + ".join(
+        f"(a.y{p} - b.y{p}) * (a.y{p} - b.y{p})" for p in range(_JL_K)
+    )
+    return (
+        "(a.n2 + b.n2 - 2 * dab)",
+        f"round({d2p}, 12)",
+    )
+
+
+@register(
+    "jl_projection_distortion",
+    tags=("llm", "similarity"),
+    defer=True,
+    oracle=f"""
+    WITH sl AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])), 12) AS n2,
+               {", ".join(_jl_proj_exprs(one_based=True))}
+        FROM embeddings WHERE vec_id < {_JL_SLICE}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_jl_pair_dist_exprs()[0].replace("dab",
+                   "round(list_dot_product(a.v, b.v), 12)")} AS d2_orig,
+               {_jl_pair_dist_exprs()[1]} AS d2_proj
+        FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+    ),
+    ratios AS MATERIALIZED (
+        SELECT round(d2_proj / d2_orig, 6) AS ratio
+        FROM pairs WHERE d2_orig > 1e-9
+    ),
+    hist AS (
+        SELECT CAST(floor(ratio * 10.0) AS BIGINT) AS ratio_bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM ratios GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               round({oracle_dec_sum('round(ratio, 12)')} / count(*), 6)
+                   + 0.0 AS mean_ratio
+        FROM ratios
+    )
+    SELECT ratio_bin, n_pairs, n_total, mean_ratio
+    FROM hist CROSS JOIN tot ORDER BY ratio_bin
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project 64-d embeddings to 16-d with a
+    deterministic ±1 Rademacher matrix (scale 1/√16 = exact /4.0) and
+    histogram the pairwise squared-distance ratio d²_proj/d²_orig over a
+    bounded slice — the empirical-distortion readout that justifies running
+    ANN/dedup candidate generation in the cheap projected space at 100 TB
+    (JL: ratios concentrate near 1 independent of corpus size).
+
+    Determinism: projections are round-12 fixed-order ±sums; original
+    distances use the polarization identity on round-12 dot products
+    (matching ``list_dot_product``'s left-to-right fold); ratios round-6.
+
+    Scale shape: the projection is one narrow map (16 doubles/row replaces
+    64) — at 100 TB this runs corpus-wide. Only the *audit histogram* needs
+    pairs, so it runs on a fixed slice (here id<80 -> 3 160 pairs;
+    production: a deterministic h60 sample), and the distribution estimate
+    is sample-size-, not corpus-size-, bound."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _JL_SLICE
+    )
+    sl = e.selectExpr(
+        "vec_id",
+        "embedding",
+        "round(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 12)"
+        " AS n2",
+        *_jl_proj_exprs(one_based=False),
+    )
+    # 80 rows; cut the 16x64-term projection exprs out of the pair-join
+    # codegen (they would otherwise inline TWICE into a multi-MB stage).
+    sl = sl.localCheckpoint()
+    a = sl.alias("a")
+    b = sl.alias("b")
+    d2o_tpl, d2p = _jl_pair_dist_exprs()
+    dab = (
+        "round(aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 12)"
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.expr("a.vec_id < b.vec_id"))
+        .selectExpr(
+            "a.vec_id AS id_a",
+            "b.vec_id AS id_b",
+            f"{d2o_tpl.replace('dab', dab)} AS d2_orig",
+            f"{d2p} AS d2_proj",
+        )
+    )
+    ratios = pairs.where(F.col("d2_orig") > 1e-9).select(
+        F.round(F.col("d2_proj") / F.col("d2_orig"), 6).alias("ratio")
+    )
+    hist = ratios.groupBy(
+        F.floor(F.col("ratio") * 10.0).cast("long").alias("ratio_bin")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    tot = ratios.agg(
+        F.count("*").cast("long").alias("n_total"),
+        (
+            F.round(dec_sum(F.round(F.col("ratio"), 12)) / F.count("*"), 6)
+            + 0.0
+        ).alias("mean_ratio"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select("ratio_bin", "n_pairs", "n_total", "mean_ratio")
+        .orderBy("ratio_bin")
+    )
+
+
+def _silhouette_centroid_sums(one_based: bool) -> list[str]:
+    """Per-dimension decimal centroid sums; the oracle reads the already
+    DOUBLE[]-cast column ``v`` (1-based), Spark the raw float array
+    ``embedding`` (0-based, cast per element) — identical values."""
+    if one_based:
+        return [
+            f"CAST(SUM(CAST(v[{d + 1}] AS DECIMAL(20,6))) AS DOUBLE) AS s{d}"
+            for d in range(DIM)
+        ]
+    return [
+        f"CAST(SUM(CAST(CAST(embedding[{d}] AS DOUBLE)"
+        f" AS DECIMAL(20,6))) AS DOUBLE) AS s{d}"
+        for d in range(DIM)
+    ]
+
+
+@register(
+    "clustering_silhouette_eval",
+    tags=("llm", "similarity", "eval"),
+    defer=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+        SELECT label AS clabel, CAST(count(*) AS BIGINT) AS cn,
+               {", ".join(_silhouette_centroid_sums(one_based=True))}
+        FROM e GROUP BY label
+    ),
+    carr AS MATERIALIZED (
+        SELECT clabel, cn,
+               [{", ".join(f"round(s{d} / cn, 12)" for d in range(DIM))}] AS c
+        FROM cent
+    ),
+    dists AS MATERIALIZED (
+        SELECT e.vec_id, e.label, carr.clabel,
+               sqrt(greatest(
+                   round(list_dot_product(e.v, e.v), 12)
+                   - 2 * round(list_dot_product(e.v, carr.c), 12)
+                   + round(list_dot_product(carr.c, carr.c), 12), 0.0))
+                   AS dist
+        FROM e CROSS JOIN carr
+    ),
+    per_vec AS MATERIALIZED (
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN dist END) AS a_own,
+               min(CASE WHEN clabel != label THEN dist END) AS b_other
+        FROM dists GROUP BY vec_id, label
+    ),
+    sil AS MATERIALIZED (
+        SELECT label,
+               round((b_other - a_own) / greatest(a_own, b_other), 12) AS s,
+               round(a_own, 12) AS a12
+        FROM per_vec
+    )
+    SELECT * FROM (
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round({oracle_dec_sum('s')} / count(*), 6) + 0.0
+                   AS mean_silhouette,
+               round({oracle_dec_sum('a12')} / count(*), 6) + 0.0
+                   AS mean_own_dist
+        FROM sil GROUP BY label
+        UNION ALL
+        SELECT -1 AS label, CAST(count(*) AS BIGINT) AS n,
+               round({oracle_dec_sum('s')} / count(*), 6) + 0.0,
+               round({oracle_dec_sum('a12')} / count(*), 6) + 0.0
+        FROM sil
+    ) ORDER BY label
+    """,
+)
+def clustering_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label and overall
+    (label -1) — the clustering-quality readout an embedding pipeline
+    publishes to decide whether label/topic assignments are separable
+    enough to drive curation. Uses the medoid-free simplified silhouette
+    s = (b - a)/max(a, b) with a = distance to own centroid, b = nearest
+    other centroid, which needs only n·k distances (never the O(n²)
+    pairwise form — THE difference between a metric that runs at 100 TB
+    and one that doesn't).
+
+    Determinism: centroid components are decimal-mean round-12 doubles;
+    distances use round-12 dot products (left-to-right fold ==
+    ``list_dot_product``) under an IEEE-exact sqrt; per-vector s rounds-12
+    before the order-free decimal mean.
+
+    Scale shape: one groupBy(label) pass builds k centroids (map-side
+    combine over 64 decimal sums), the k-row centroid table broadcasts,
+    and one more pass scores every vector — shuffle volume is k rows plus
+    the final k-row aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding"),
+    )
+    cent = e.groupBy(F.col("label").alias("clabel")).agg(
+        F.count("*").cast("long").alias("cn"),
+        *[
+            F.expr(x)
+            for x in [
+                s.replace(" AS s", " AS s")
+                for s in _silhouette_centroid_sums(one_based=False)
+            ]
+        ],
+    )
+    carr = cent.selectExpr(
+        "clabel",
+        "cn",
+        "array("
+        + ", ".join(f"round(s{d} / cn, 12)" for d in range(DIM))
+        + ") AS c",
+    ).localCheckpoint()
+    dvc = dot(F.col("embedding"), F.col("c"))
+    d2 = (
+        F.round(sq_norm(F.col("embedding")), 12)
+        - 2 * F.round(dvc, 12)
+        + F.round(dot(F.col("c"), F.col("c")), 12)
+    )
+    dists = e.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.sqrt(F.greatest(d2, F.lit(0.0))).alias("dist"),
+    )
+    per_vec = dists.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dist"))
+        ).alias("a_own"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dist"))
+        ).alias("b_other"),
+    )
+    sil = per_vec.select(
+        "label",
+        F.round(
+            (F.col("b_other") - F.col("a_own"))
+            / F.greatest(F.col("a_own"), F.col("b_other")),
+            12,
+        ).alias("s"),
+        F.round(F.col("a_own"), 12).alias("a12"),
+    )
+
+    def _agg(g):
+        return g.agg(
+            F.count("*").cast("long").alias("n"),
+            (F.round(dec_sum("s") / F.count("*"), 6) + 0.0).alias(
+                "mean_silhouette"
+            ),
+            (F.round(dec_sum("a12") / F.count("*"), 6) + 0.0).alias(
+                "mean_own_dist"
+            ),
+        )
+
+    per_label = _agg(sil.groupBy("label"))
+    overall = _agg(sil.groupBy(F.lit(-1).cast("long").alias("label")))
+    return per_label.unionByName(overall).orderBy("label")

@@ -438,3 +438,103 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unsupported — so the serving-layer rewrite IS the production
     pattern). Tests assert live == this twin."""
     return windowed_topk(_events(spark, sf_dir)).orderBy("window_start", "rk")
+
+
+def anomaly_scores(e: DataFrame) -> DataFrame:
+    """Per-event prior-window z-scores: for each event, z against the mean/
+    std of all SAME-TYPE events strictly earlier in (ts, event_id) order,
+    scored once >= 30 priors exist. Shared by the registered batch query
+    and the live streaming job's test twin.
+
+    Integer-cents cumulative sums keep the prior stats exact and
+    order-free; mean/var/σ derive from them with fixed-formula double ops
+    (population variance; sqrt is IEEE-exact). At 100 TB the cents²
+    running sum approaches int64 bounds around ~10¹⁸ — promote the s2
+    accumulator to decimal(38,0) there; the fixture stays far below."""
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = e.select("event_id", "event_type", "ts", cents.alias("cents"))
+    pri = base.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.coalesce(F.count("cents").over(w), F.lit(0)).alias("n_prior"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0))
+        .alias("s2"),
+    )
+    n = F.col("n_prior").cast("double")
+    mean = F.col("s").cast("double") / n
+    # operand order mirrors the oracle text: s promotes to double BEFORE
+    # the multiply (exact anyway below 2^53, but identical is identical)
+    var = (F.col("s2") - F.col("s").cast("double") * F.col("s") / n) / n
+    return pri.where(F.col("n_prior") >= 30).select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.when(
+            F.sqrt(var) > 0,
+            F.round((F.col("cents") - mean) / F.sqrt(var), 6),
+        ).alias("z"),
+    )
+
+
+_ANOMALY_ORACLE_SCORES = """
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS cents, ts
+        FROM events
+    ),
+    pri AS (
+        SELECT event_id, event_type, cents,
+               COALESCE(count(cents) OVER w, 0) AS n_prior,
+               COALESCE(sum(cents) OVER w, 0) AS s,
+               COALESCE(sum(cents * cents) OVER w, 0) AS s2
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT event_id, event_type, cents,
+               CASE WHEN sqrt((s2 - CAST(s AS DOUBLE) * s / n_prior)
+                              / n_prior) > 0
+                    THEN round((cents - CAST(s AS DOUBLE) / n_prior)
+                               / sqrt((s2 - CAST(s AS DOUBLE) * s / n_prior)
+                                      / n_prior), 6)
+               END AS z
+        FROM pri WHERE n_prior >= 30
+    )
+"""
+
+
+@register(
+    "stream_anomaly_zscore",
+    tags=("streaming", "analytics"),
+    defer=True,
+    oracle=_ANOMALY_ORACLE_SCORES
+    + """
+    SELECT event_id, event_type, cents, z
+    FROM scored WHERE abs(z) > 3.0
+    ORDER BY event_type, event_id
+    """,
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly detection, batch twin: events whose value sits more
+    than 3σ from the running mean of all prior same-type events (>= 30
+    priors) — the metric-guardrail job a streaming ingest pipeline runs to
+    quarantine corrupt feeds. Live form:
+    :func:`tscd_datalake_adapter_spark.streaming.jobs.run_anomaly_stream`
+    (applyInPandasWithState; pytest pins live final state == this twin).
+
+    Scale shape: one cumulative window per event_type partition (no global
+    window), integer-exact prefix sums, output bounded by the anomaly
+    rate."""
+    return (
+        anomaly_scores(_events(spark, sf_dir))
+        .where(F.abs(F.col("z")) > 3.0)
+        .orderBy("event_type", "event_id")
+    )

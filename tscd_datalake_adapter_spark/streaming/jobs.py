@@ -1024,3 +1024,128 @@ def run_dataset_card_stream(
     return counts.join(nd, "source").select(
         "source", "n_docs", "n_distinct_texts", "total_tokens"
     )
+
+
+def run_anomaly_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING anomaly detection via ``applyInPandasWithState``: per
+    event_type, flag events whose integer-cents value deviates more than
+    3σ from the running mean/std of all strictly-earlier (ts, event_id)
+    same-type events with >= 30 priors — the live form of the
+    oracle-checked ``stream_anomaly_zscore`` batch twin.
+
+    OUT-OF-ORDER TOLERANT the same way ``run_asof_stream`` is: because a
+    late-arriving earlier event changes the prior-statistics of every
+    later event, the state buffers the full (ts, id, cents) history per
+    type and each batch re-scores and re-emits the current anomaly list
+    with a monotonically increasing ``seq``; the highest-seq emission per
+    type is the correct answer over everything seen so far (pytest pins
+    final state == batch twin). A per-type SENTINEL row (event_id = -1,
+    cents = current anomaly count) is emitted every batch so consumers can
+    identify the freshest seq even when the anomaly list shrinks to empty.
+
+    At 100 TB with ordered-enough arrival + a watermark, the buffered
+    history collapses to three longs per type (n, Σcents, Σcents²) updated
+    Welford-style — the eviction twin of this job, exactly as
+    ``run_asof_stream_evicting`` bounds the as-of buffer. z rounds
+    half-up-6 (decimal quantize) to mirror Spark's HALF_UP round."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_event_stream(spark, source_dir, max_files_per_trigger)
+
+    def _r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            e_ts, e_id, e_cents, seq = state.get
+            e_ts, e_id, e_cents = list(e_ts), list(e_id), list(e_cents)
+        else:
+            e_ts, e_id, e_cents, seq = [], [], [], 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            micros = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+            )
+            cents = (
+                (pdf["value"] * 100.0).round(0).astype("int64")
+            )
+            e_ts.extend(int(t) for t in micros)
+            e_id.extend(int(i) for i in pdf["event_id"])
+            e_cents.extend(int(c) for c in cents)
+        seq += 1
+        state.update((e_ts, e_id, e_cents, seq))
+
+        order = np.lexsort((np.asarray(e_id), np.asarray(e_ts)))
+        sc = np.asarray(e_cents, dtype="int64")[order]
+        sid = np.asarray(e_id, dtype="int64")[order]
+        out_id, out_cents, out_z = [], [], []
+        s = s2 = 0
+        for k in range(len(sc)):
+            c = int(sc[k])
+            if k >= 30:
+                n = float(k)
+                mean = float(s) / n
+                var = (s2 - float(s) * s / n) / n
+                std = math.sqrt(var)
+                if std > 0:
+                    z = _r6((c - mean) / std)
+                    if abs(z) > 3.0:
+                        out_id.append(int(sid[k]))
+                        out_cents.append(c)
+                        out_z.append(z)
+            s += c
+            s2 += c * c
+        et = str(key[0])
+        yield pd.DataFrame(
+            {
+                "event_type": [et] * (len(out_id) + 1),
+                "event_id": out_id + [-1],
+                "cents": out_cents + [len(out_id)],
+                "z": out_z + [None],
+                "seq": [seq] * (len(out_id) + 1),
+            }
+        )
+
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "event_type string, event_id long, cents long, z double, "
+            "seq long"
+        ),
+        stateStructType=(
+            "e_ts array<long>, e_id array<long>, e_cents array<long>, "
+            "seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # freshest seq per type; drop sentinels for the anomaly view
+    return spark.sql(
+        f"WITH latest AS (SELECT event_type, max(seq) AS seq "
+        f"FROM {query_name} GROUP BY event_type) "
+        f"SELECT t.event_type, t.event_id, t.cents, t.z "
+        f"FROM {query_name} t JOIN latest USING (event_type, seq) "
+        f"WHERE t.event_id >= 0"
+    )
