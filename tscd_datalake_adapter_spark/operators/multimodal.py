@@ -10,13 +10,17 @@ them in the same DataFrame. The decode tier dispatches on magic bytes:
   deterministic pixel formula, so a DuckDB oracle that re-derives the same
   formula verifies the whole encode→decode→feature path end to end.
 - **WAV payloads parse for REAL** — RIFF chunk walk + 8-bit PCM samples.
+- **Animated GIF payloads decode for REAL** — ``gif_codec`` (from-scratch
+  LZW, variable 9→12-bit codes, frame compositing): the video arm's
+  multi-frame payloads round-trip through an actual animation container,
+  so n_frames, per-frame pixels, and frame sampling are decoded facts.
 - Anything else falls back to ``_fake_decode``, the clearly-declared
   deterministic stand-in for codecs genuinely absent in this container
-  (JPEG, video/ffmpeg). Only the video tier still uses it.
+  (JPEG, ffmpeg-grade video). No registered query depends on it anymore.
 
 - ``multimodal_metadata`` — binary-column metadata extraction, oracle-checked.
 - ``media_feature_extract`` — the mapInPandas decode/feature pipeline:
-  real PNG + WAV decode, fake only for the video arm.
+  real PNG + WAV + animated-GIF decode on all three arms.
 """
 
 from __future__ import annotations
@@ -32,6 +36,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.operators.gif_codec import (
+    GIF_SIGNATURES,
+    gif_decode,
+    gif_encode,
+)
 from tscd_datalake_adapter_spark.operators.png_codec import (
     PNG_SIGNATURE,
     png_decode,
@@ -92,6 +101,20 @@ def _png_pixels(doc_id: int) -> np.ndarray:
     x = np.arange(w, dtype=np.int64)
     y = np.arange(h, dtype=np.int64)
     return ((7 * x[None, :] + 13 * y[:, None] + doc_id) % 256).astype(np.uint8)
+
+
+def _gif_frames(doc_id: int) -> list[np.ndarray]:
+    """The deterministic grayscale animation for ``doc_id``: dims reuse the
+    image-arm formula, n_frames = 2 + id mod 7, pixel (f, y, x) =
+    (doc_id + 7x + 13y + 31f) mod 256. The oracle re-derives this formula
+    in SQL, so any LZW/compositing defect breaks the hash match."""
+    w = 8 + doc_id % 9
+    h = 6 + doc_id % 7
+    nf = 2 + doc_id % 7
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    base = (7 * x[None, :] + 13 * y[:, None] + doc_id) % 256
+    return [((base + 31 * f) % 256).astype(np.uint8) for f in range(nf)]
 
 
 def _wav_payload(doc_id: int) -> bytes:
@@ -180,16 +203,27 @@ def _decode_media(payload: bytes) -> dict:
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _parse_wav(payload)
+    if payload[:6] in GIF_SIGNATURES:
+        frames, w, h = gif_decode(payload)
+        total = sum(int(f.astype(np.int64).sum()) for f in frames)
+        row0 = frames[0][0]
+        return {
+            "width": w,
+            "height": h,
+            "n_frames": len(frames),
+            "mean_intensity": total / (len(frames) * w * h * 256),
+            "feature": [(int(b) / 256.0) * 2.0 - 1.0 for b in row0[:8]],
+        }
     return _fake_decode(payload)
 
 
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for a real media decoder.
 
-    STUB (video/JPEG arm only — PNG and WAV payloads decode for real via
-    ``_decode_media``): a real deployment replaces this with ffmpeg/
-    torchaudio decode (not installed in this container — SURVEY.md build
-    constraints). The fake
+    STUB (non-PNG/WAV/GIF payloads only — every registered query now
+    decodes for real): a real deployment replaces this with ffmpeg/
+    torchaudio decode for the codecs genuinely absent here (JPEG, MP4).
+    The fake
     derives stable pseudo-metadata from the payload's sha256 so tests can pin
     exact outputs. Raises on empty payload like a real decoder would.
 
@@ -313,27 +347,28 @@ _MEDIA_FEATURE_ORACLE = f"""
              )}) AS feature_csv
       FROM documents WHERE doc_id < 100 AND doc_id % 3 = 1
     ),
-    vh AS (
-      SELECT doc_id, sha256(text) AS hx
-      FROM documents
-      WHERE doc_id < 100 AND doc_id % 3 = 2
-        AND octet_length(CAST(text AS BLOB)) > 0
-    ), vb AS (
-      SELECT doc_id,
-             {", ".join(f"{_sha_byte(i)} AS b{i}" for i in range(8))}
-      FROM vh
-    ),
     vid AS (
+      -- video arm = REAL animated GIF round-trip: the Spark side decodes
+      -- LZW frames back to pixels; this CTE re-derives the generating
+      -- formula pixel (f, y, x) = (doc_id + 7x + 13y + 31f) % 256 over
+      -- n_frames = 2 + doc_id % 7 full frames, so the hash match proves
+      -- the codec moved every frame's bytes correctly.
       SELECT doc_id, 'video' AS media_type,
-             CAST(64 + b0 % 192 AS INTEGER) AS width,
-             CAST(64 + b1 % 192 AS INTEGER) AS height,
-             CAST(1 + b2 % 16 AS INTEGER) AS n_frames,
-             b3 / 256.0 AS mean_intensity,
+             CAST({_IMG_W} AS INTEGER) AS width,
+             CAST({_IMG_H} AS INTEGER) AS height,
+             CAST(2 + doc_id % 7 AS INTEGER) AS n_frames,
+             CAST(list_sum(flatten(list_transform(range(0, 2 + doc_id % 7),
+                  f -> flatten(list_transform(range(0, {_IMG_H}), y ->
+                    list_transform(range(0, {_IMG_W}), x ->
+                      (7*x + 13*y + doc_id + 31*f) % 256)))))) AS DOUBLE)
+               / ((2 + doc_id % 7) * {_IMG_W} * {_IMG_H} * 256.0)
+               AS mean_intensity,
              concat_ws(',', {", ".join(
-                 f"printf('%.7f', (b{i} / 256.0) * 2.0 - 1.0)"
-                 for i in range(8)
+                 f"printf('%.7f', ((7*{i} + doc_id) % 256)"
+                 "/256.0*2.0-1.0)" for i in range(8)
              )}) AS feature_csv
-      FROM vb
+      FROM documents
+      WHERE doc_id < 100 AND doc_id % 3 = 2 AND text IS NOT NULL
     )
     SELECT * FROM img
     UNION ALL SELECT * FROM aud
@@ -345,8 +380,8 @@ _MEDIA_FEATURE_ORACLE = f"""
 def build_media_table(d: DataFrame) -> DataFrame:
     """Attach REAL media payloads to a documents frame: byte-correct PNGs
     (deterministic pixel formula) for image rows, real 8-bit PCM WAVs for
-    audio rows, and raw text bytes for video rows (the arm whose codec this
-    container lacks — decoded by the declared fake). Payload construction
+    audio rows, and real multi-frame animated GIFs for video rows
+    (``gif_codec``: from-scratch LZW). Payload construction
     is an Arrow-batched pandas UDF: binaries are built executor-side and
     never pass through the driver."""
 
@@ -363,10 +398,8 @@ def build_media_table(d: DataFrame) -> DataFrame:
                 out.append(_wav_payload(did))
             elif tx is None:
                 out.append(None)
-            elif isinstance(tx, str):
-                out.append(tx.encode("utf-8"))
             else:
-                out.append(bytes(tx))
+                out.append(gif_encode(_gif_frames(did)))
         return pd.Series(out)
 
     typed = d.select(
@@ -391,10 +424,11 @@ def build_media_table(d: DataFrame) -> DataFrame:
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a media table with REAL payloads (byte-correct PNGs for image
-    rows, real 8-bit PCM WAVs for audio rows, text bytes for the video arm)
-    and run the decode/feature pipeline. Image features come from ACTUALLY
-    DECODED pixels (``png_codec``: inflate + unfilter), audio features from
-    parsed PCM samples; only the video arm uses the declared fake decoder.
+    rows, real 8-bit PCM WAVs for audio rows, real animated GIFs for video
+    rows) and run the decode/feature pipeline. Image features come from
+    ACTUALLY DECODED pixels (``png_codec``: inflate + unfilter), audio
+    features from parsed PCM samples, and video metadata/means from
+    LZW-decoded GIF frames — all three arms decode for real.
 
     The registered output serializes the ``feature`` vector to a CSV string
     (all other columns are scalar) so result canonicalizers that sort rows
@@ -757,39 +791,63 @@ MEDIA_FRAME_SAMPLE_SCHEMA = T.StructType(
         T.StructField("n_frames", T.IntegerType(), True),
         T.StructField("n_sampled", T.IntegerType(), True),
         T.StructField("frame_idx_csv", T.StringType(), True),
+        T.StructField("frame_pixel_sum_csv", T.StringType(), True),
     ]
 )
 
 
 def sample_frames(media_df: DataFrame, k: int = 4) -> DataFrame:
-    """Arrow-batched frame sampling for video payloads: decode the frame
-    count (stub), pick ``min(k, n_frames)`` evenly-spaced frame indices
-    (``(i * n) div kept`` — strictly increasing integers, no dedup needed).
-    A real pipeline would then seek-decode exactly those frames; the index
-    arithmetic and the Spark plumbing here are that pipeline's skeleton."""
+    """Arrow-batched frame sampling for video payloads: decode the REAL
+    frame count (animated GIF via ``gif_codec``; other payload types
+    through ``_decode_media``), pick ``min(k, n_frames)`` evenly-spaced
+    frame indices (``(i * n) div kept`` — strictly increasing integers, no
+    dedup needed), and for GIF payloads emit each sampled frame's decoded
+    pixel sum — the proof the sampled frames were actually extracted, not
+    just indexed. Undecodable payloads drop, per the real-decoder
+    contract."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pay = bytes(payload) if payload is not None else b""
+                frames = None
                 try:
-                    meta = _fake_decode(bytes(payload) if payload is not None else b"")
+                    if pay[:6] in GIF_SIGNATURES:
+                        frames, _, _ = gif_decode(pay)
+                        n = len(frames)
+                    else:
+                        n = _decode_media(pay)["n_frames"]
                 except ValueError:
                     continue
-                n = meta["n_frames"]
                 kept = min(k, n)
                 idx = [(i * n) // kept for i in range(kept)]
+                sums = (
+                    ",".join(
+                        str(int(frames[i].astype(np.int64).sum()))
+                        for i in idx
+                    )
+                    if frames is not None
+                    else None
+                )
                 rows.append(
                     {
                         "doc_id": int(doc_id),
                         "n_frames": n,
                         "n_sampled": kept,
                         "frame_idx_csv": ",".join(str(i) for i in idx),
+                        "frame_pixel_sum_csv": sums,
                     }
                 )
             out = pd.DataFrame(
                 rows,
-                columns=["doc_id", "n_frames", "n_sampled", "frame_idx_csv"],
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_sampled",
+                    "frame_idx_csv",
+                    "frame_pixel_sum_csv",
+                ],
             ).astype(
                 {"doc_id": "int64", "n_frames": "int32", "n_sampled": "int32"}
             )
@@ -799,22 +857,22 @@ def sample_frames(media_df: DataFrame, k: int = 4) -> DataFrame:
 
 
 _MEDIA_FRAME_SAMPLE_ORACLE = f"""
-    WITH h AS (
-      SELECT doc_id, sha256(text) AS hx
+    WITH s AS (
+      SELECT doc_id, 2 + doc_id % 7 AS nf, least(4, 2 + doc_id % 7) AS kept
       FROM documents
-      WHERE doc_id < 100 AND doc_id % 3 = 2
-        AND octet_length(CAST(text AS BLOB)) > 0
-    ), b AS (
-      SELECT doc_id, 1 + {_sha_byte(2)} % 16 AS nf FROM h
-    ), s AS (
-      SELECT doc_id, nf, least(4, nf) AS kept FROM b
+      WHERE doc_id < 100 AND doc_id % 3 = 2 AND text IS NOT NULL
     )
     SELECT doc_id,
            CAST(nf AS INTEGER) AS n_frames,
            CAST(kept AS INTEGER) AS n_sampled,
            array_to_string(list_transform(range(0, kept),
                            i -> CAST((i * nf) // kept AS VARCHAR)), ',')
-               AS frame_idx_csv
+               AS frame_idx_csv,
+           array_to_string(list_transform(range(0, kept), i ->
+               CAST(list_sum(flatten(list_transform(range(0, {_IMG_H}), y ->
+                    list_transform(range(0, {_IMG_W}), x ->
+                      (7*x + 13*y + doc_id + 31*((i * nf) // kept)) % 256))))
+                    AS VARCHAR)), ',') AS frame_pixel_sum_csv
     FROM s ORDER BY doc_id
     """
 
@@ -826,16 +884,13 @@ _MEDIA_FRAME_SAMPLE_ORACLE = f"""
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered frame-sampling query over the video slice (doc_id%3==2,
-    matching the media fixture's type cycling): pure-integer frame index
-    selection, bit-equal to the sha256-re-deriving oracle."""
-    d = load_table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 100) & (F.col("doc_id") % 3 == 2)
-    )
-    media = d.select(
-        "doc_id",
-        F.lit("video").alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
-    )
+    matching the media fixture's type cycling): REAL animated-GIF payloads
+    are built executor-side, LZW-decoded back to frames, and the sampled
+    frames' pixel sums emitted — the oracle re-derives frame counts,
+    indices, AND every sampled frame's pixel sum from the generating
+    formula, so a hash match proves actual frame extraction."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = build_media_table(d).where(F.col("media_type") == "video")
     return sample_frames(media).orderBy("doc_id")
 
 
