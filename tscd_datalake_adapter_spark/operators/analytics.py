@@ -2946,3 +2946,125 @@ def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("feature")
+
+
+@register(
+    "holt_linear_forecast_eval",
+    tags=("analytics", "forecast"),
+    defer=True,
+    oracle="""
+    WITH RECURSIVE m AS MATERIALIZED (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS y,
+               CAST(row_number() OVER (
+                   ORDER BY date_trunc('month', o_orderdate)) AS BIGINT) AS t
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ),
+    n AS (SELECT CAST(max(t) AS BIGINT) AS n FROM m),
+    rec AS (
+        SELECT 1 AS t,
+               CAST(m1.y AS DOUBLE) AS l,
+               CAST(m2.y AS DOUBLE) - m1.y AS b,
+               CAST(NULL AS DOUBLE) AS f
+        FROM (SELECT y FROM m WHERE t = 1) m1,
+             (SELECT y FROM m WHERE t = 2) m2
+        UNION ALL
+        SELECT m.t,
+               0.5 * m.y + 0.5 * (rec.l + rec.b),
+               0.3 * ((0.5 * m.y + 0.5 * (rec.l + rec.b)) - rec.l)
+                   + 0.7 * rec.b,
+               rec.l + rec.b
+        FROM rec JOIN m ON m.t = rec.t + 1
+    ),
+    horizon AS MATERIALIZED (
+        SELECT m.month, m.y AS actual, rec.f
+        FROM rec JOIN m ON m.t = rec.t CROSS JOIN n
+        WHERE rec.t >= 2 AND rec.t > n.n - 12
+    ),
+    tot AS (
+        SELECT round(CAST(SUM(CAST(round(abs(actual - f), 12)
+                   AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) + 0.0 AS mae
+        FROM horizon
+    )
+    SELECT month, actual,
+           round(f, 6) + 0.0 AS forecast,
+           round(abs(actual - f), 6) + 0.0 AS abs_err,
+           mae
+    FROM horizon CROSS JOIN tot ORDER BY month
+    """,
+)
+def holt_linear_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over the monthly order
+    count with a one-step-ahead backtest on the last 12 months — the
+    trend-aware capacity-forecast job a platform runs on ingest volume
+    (seasonal_naive_forecast_eval's trended sibling). α = 0.5, β = 0.3;
+    l₁ = y₁, b₁ = y₂ − y₁.
+
+    Determinism WITHOUT per-step rounding: the recursion is pure IEEE
+    +/×— no libm — and both engines (and the Python fold) evaluate the
+    IDENTICAL formula text in identical order, so every intermediate is
+    bit-equal; rounding happens once at output (the Spark plan's
+    F.round, per the ewma lesson — never Python's banker's round).
+
+    Scale shape: rows → month histogram (map-side combine, ~10² rows at
+    any SF — the series length is calendar-, not data-, bound); the fold
+    runs in one applyInPandas over that bounded series; MAE folds over
+    12 rows. The oracle twin is a recursive CTE over the same series."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        ys = [float(v) for v in pdf["y"]]
+        n = len(ys)
+        out = []
+        if n >= 2:
+            l, b = ys[0], ys[1] - ys[0]
+            for t in range(1, n):
+                f = l + b
+                l_new = 0.5 * ys[t] + 0.5 * (l + b)
+                b = 0.3 * (l_new - l) + 0.7 * b
+                l = l_new
+                if t + 1 > n - 12:
+                    out.append(
+                        {
+                            "month": pdf["month"][t],
+                            "actual": int(pdf["y"][t]),
+                            "f": f,
+                        }
+                    )
+        return pd.DataFrame(out, columns=["month", "actual", "f"])
+
+    horizon = monthly.groupBy(F.lit(1).alias("g")).applyInPandas(
+        _holt, "month string, actual long, f double"
+    )
+    tot = horizon.agg(
+        (
+            F.round(
+                dec_sum(F.round(F.abs(F.col("actual") - F.col("f")), 12))
+                / F.count("*"),
+                6,
+            )
+            + 0.0
+        ).alias("mae")
+    )
+    return (
+        horizon.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "actual",
+            (F.round(F.col("f"), 6) + 0.0).alias("forecast"),
+            (F.round(F.abs(F.col("actual") - F.col("f")), 6) + 0.0).alias(
+                "abs_err"
+            ),
+            "mae",
+        )
+        .orderBy("month")
+    )

@@ -2035,3 +2035,142 @@ def clustering_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_label = _agg(sil.groupBy("label"))
     overall = _agg(sil.groupBy(F.lit(-1).cast("long").alias("label")))
     return per_label.unionByName(overall).orderBy("label")
+
+
+def _ari_plane_sqls(bits: int = 6) -> tuple[list[str], list[str]]:
+    """Per-plane dot-product sign exprs for Spark (0-based ``aggregate``
+    fold) and DuckDB (``list_dot_product`` over a literal plane array) —
+    both left-to-right folds over identical double literals, so the sign
+    decision is bit-identical even adjacent to zero."""
+    planes = _lsh_plane_matrix(1, bits)
+    spark_exprs, duck_exprs = [], []
+    for b in range(bits):
+        lits = ", ".join(f"{c!r}D" for c in planes[b])
+        dlits = ", ".join(repr(c) for c in planes[b])
+        spark_exprs.append(
+            f"CASE WHEN aggregate(zip_with(embedding, array({lits}),"
+            " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + v) >= 0.0 THEN {1 << b} ELSE 0 END"
+        )
+        duck_exprs.append(
+            f"CASE WHEN list_dot_product(v, [{dlits}]) >= 0.0"
+            f" THEN {1 << b} ELSE 0 END"
+        )
+    return spark_exprs, duck_exprs
+
+
+@register(
+    "cluster_label_ari",
+    tags=("llm", "similarity", "eval"),
+    defer=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    assign AS (
+        SELECT label, {" + ".join(_ari_plane_sqls()[1])} AS cluster
+        FROM e
+    ),
+    cont AS (
+        SELECT cluster, label, CAST(count(*) AS BIGINT) AS nij
+        FROM assign GROUP BY cluster, label
+    ),
+    parts AS (
+        SELECT CAST(sum(nij) AS BIGINT) AS n,
+               CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+               CAST(sum(nij * (nij - 1) / 2) AS BIGINT) AS s_ij
+        FROM cont
+    ),
+    marg AS (
+        SELECT
+            (SELECT CAST(sum(ai * (ai - 1) / 2) AS BIGINT) FROM (
+                SELECT sum(nij) AS ai FROM cont GROUP BY cluster)) AS s_a,
+            (SELECT CAST(sum(bj * (bj - 1) / 2) AS BIGINT) FROM (
+                SELECT sum(nij) AS bj FROM cont GROUP BY label)) AS s_b
+    )
+    SELECT n, n_clusters, n_labels, s_ij, s_a, s_b,
+           round((s_ij - CAST(s_a AS DOUBLE) * s_b / (n * (n - 1) / 2))
+                 / ((CAST(s_a AS DOUBLE) + s_b) / 2
+                    - CAST(s_a AS DOUBLE) * s_b / (n * (n - 1) / 2)), 6)
+               + 0.0 AS ari
+    FROM parts CROSS JOIN marg
+    """,
+)
+def cluster_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between a deterministic sign-LSH clustering
+    (one 6-bit table -> up to 64 buckets) and the embedding labels — the
+    external-validity readout a curation pipeline uses to decide whether
+    cheap hash clusters track semantic labels well enough to drive
+    stratification. ARI = (Σ C(n_ij,2) − E) / (½(Σ C(a_i,2) + Σ C(b_j,2))
+    − E) with E the permutation expectation; everything except the final
+    division stays BIGINT (pair counts from the contingency table).
+
+    Scale shape: one scan -> (cluster, label) contingency (map-side
+    combine; ≤ 64·k cells regardless of corpus size), then scalar math on
+    the tiny table. The sign bits come from fixed-order fold dot products
+    against literal planes, bit-identical cross-engine."""
+    spark_exprs, _ = _ari_plane_sqls()
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = e.selectExpr(
+        "CAST(label AS BIGINT) AS label",
+        " + ".join(spark_exprs) + " AS cluster",
+    )
+    cont = assign.groupBy("cluster", "label").agg(
+        F.count("*").cast("long").alias("nij")
+    )
+    parts = cont.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.sum(F.col("nij") * (F.col("nij") - 1) / 2)
+        .cast("long")
+        .alias("s_ij"),
+    )
+    s_a = (
+        cont.groupBy("cluster")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(
+            F.sum(F.col("ai") * (F.col("ai") - 1) / 2)
+            .cast("long")
+            .alias("s_a")
+        )
+    )
+    s_b = (
+        cont.groupBy("label")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(
+            F.sum(F.col("bj") * (F.col("bj") - 1) / 2)
+            .cast("long")
+            .alias("s_b")
+        )
+    )
+    exp = (
+        F.col("s_a").cast("double") * F.col("s_b")
+        / (F.col("n") * (F.col("n") - 1) / 2)
+    )
+    return (
+        parts.crossJoin(F.broadcast(s_a))
+        .crossJoin(F.broadcast(s_b))
+        .select(
+            "n",
+            "n_clusters",
+            "n_labels",
+            "s_ij",
+            "s_a",
+            "s_b",
+            (
+                F.round(
+                    (F.col("s_ij") - exp)
+                    / (
+                        (F.col("s_a").cast("double") + F.col("s_b")) / 2
+                        - exp
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("ari"),
+        )
+    )

@@ -2149,3 +2149,131 @@ def vocab_growth_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "rake_keyword_extraction",
+    tags=("llm", "text"),
+    defer=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w,
+               generate_subscripts(string_split_regex(lower(text),
+                                   '[^a-z]+'), 1) AS pos
+        FROM documents WHERE doc_id < 300
+    ),
+    nt AS MATERIALIZED (
+        SELECT doc_id, w, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM tok WHERE w != '' AND w NOT IN ({_RAKE_STOP_SQL})
+    ),
+    ph AS MATERIALIZED (
+        SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+               string_agg(w, ' ' ORDER BY pos) AS phrase
+        FROM nt GROUP BY doc_id, grp
+    ),
+    wstat AS MATERIALIZED (
+        SELECT nt.w,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(ph.plen) AS BIGINT) AS deg
+        FROM nt JOIN ph ON nt.doc_id = ph.doc_id AND nt.grp = ph.grp
+        GROUP BY nt.w
+    ),
+    scored AS (
+        SELECT ph.doc_id, ph.phrase, ph.plen AS n_words,
+               round({oracle_dec_sum(
+                   "round(CAST(deg AS DOUBLE) / freq, 12)")}, 6)
+                   AS score
+        FROM nt
+        JOIN ph ON nt.doc_id = ph.doc_id AND nt.grp = ph.grp
+        JOIN wstat ON wstat.w = nt.w
+        GROUP BY ph.doc_id, ph.grp, ph.phrase, ph.plen
+    )
+    SELECT doc_id, phrase, n_words, score FROM scored
+    ORDER BY score DESC, doc_id, phrase LIMIT 20
+    """,
+)
+def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction): candidate phrases are
+    maximal stopword-free token runs (punctuation treated as whitespace —
+    the documented simplification); each word scores deg(w)/freq(w) with
+    deg(w) = Σ length of phrases containing each occurrence, and a phrase
+    scores the sum of its words' scores. Top-20 phrases corpus-wide —
+    the cheap unsupervised keyword tier a curation pipeline runs where a
+    model-based extractor is too expensive.
+
+    Determinism: per-word scores round-12 then decimal-sum per phrase
+    (order-free), output round-6; ranking ties break on (doc_id, phrase).
+
+    Scale shape: tokenization explodes map-side; the phrase islands come
+    from a per-document window (gaps-and-islands: pos − row_number);
+    word stats aggregate with map-side combine; the phrase-score join is
+    token→(broadcastable) word-stat table. Output is TakeOrdered-bounded.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "w"
+        ),
+    )
+    nt = (
+        tok.where(
+            (F.col("w") != "") & ~F.col("w").isin(*STOPWORDS)
+        )
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    ph = nt.groupBy("doc_id", "grp").agg(
+        F.count("*").cast("long").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.getField("w"),
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        nt.join(ph, ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    scored = (
+        nt.join(ph, ["doc_id", "grp"])
+        .join(F.broadcast(wstat), ["w"])
+        .groupBy("doc_id", "grp", "phrase", "plen")
+        .agg(
+            F.round(
+                dec_sum(
+                    F.round(
+                        F.col("deg").cast("double") / F.col("freq"), 12
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "phrase",
+            F.col("plen").alias("n_words"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), "doc_id", "phrase")
+        .limit(20)
+    )
