@@ -474,3 +474,40 @@ def test_anomaly_stream_matches_batch_twin(spark, sf_dir, source_dir, tmp_path):
         "SELECT count(DISTINCT seq) FROM anomaly_smoke"
     ).first()[0]
     assert n_seqs > 1
+
+
+def test_heavy_hitters_stream_misra_gries_guarantees(
+    spark, sf_dir, source_dir, tmp_path
+):
+    """Misra-Gries bounds vs exact batch counts: every counter
+    underestimates by at most n/k, every true-frequency > n/k type is
+    present, and state is genuinely bounded (<= k counters)."""
+    from tscd_datalake_adapter_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    k = 4
+    live = jobs.run_heavy_hitters_stream(
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt_hh"),
+        "hh_smoke",
+        k=k,
+        max_files_per_trigger=1,
+    ).collect()
+    assert 0 < len(live) <= k
+    truth = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n = sum(truth.values())
+    assert live[0].n_processed == n
+    est = {r.event_type: r.est_count for r in live}
+    for t, c in truth.items():
+        e = est.get(t, 0)
+        assert e <= c, (t, e, c)
+        assert c - e <= n / k, (t, e, c, n / k)
+        if c > n / k:
+            assert t in est, f"heavy hitter {t} missing"

@@ -3068,3 +3068,99 @@ def holt_linear_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+_SPRT_LLR_POS = "0.4054651081081642"  # ln(0.3/0.2)
+_SPRT_LLR_NEG = "-0.13353139262452274"  # ln(0.7/0.8)
+_SPRT_BOUND = "2.9444389791664403"  # ln(19) — alpha = beta = 0.05
+
+
+@register(
+    "sprt_sequential_ab",
+    tags=("analytics", "experiment"),
+    defer=True,
+    oracle=f"""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purch
+        FROM events GROUP BY 1
+    ),
+    cum AS MATERIALIZED (
+        SELECT day, n_events, n_purch,
+               CAST(SUM(CAST(round(n_purch * {_SPRT_LLR_POS}
+                        + (n_events - n_purch) * {_SPRT_LLR_NEG}, 12)
+                    AS DECIMAL(38,12))) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS cum_llr
+        FROM daily
+    ),
+    flagged AS MATERIALIZED (
+        SELECT day, n_events, n_purch, round(cum_llr, 6) + 0.0 AS cum_llr,
+               CASE WHEN cum_llr >= {_SPRT_BOUND} THEN 'accept_h1'
+                    WHEN cum_llr <= -{_SPRT_BOUND} THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM cum
+    ),
+    first_dec AS (
+        SELECT coalesce(min(day), '') AS first_decision_day
+        FROM flagged WHERE decision != 'continue'
+    )
+    SELECT day, n_events, n_purch, cum_llr, decision, first_decision_day
+    FROM flagged CROSS JOIN first_dec ORDER BY day
+    """,
+)
+def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the daily purchase
+    conversion stream — H0: p = 0.2 vs H1: p = 0.3, α = β = 0.05 — the
+    always-valid monitoring readout that lets an experiment stop the day
+    the evidence crosses ln(19), instead of waiting for a fixed horizon
+    (``ab_test_zscore``'s sequential sibling). Each day contributes
+    n_purch·ln(p1/p0) + n_other·ln((1−p1)/(1−p0)); the cumulative LLR and
+    a per-day decision are emitted, plus the first crossing day.
+
+    Determinism: the two log-likelihood increments are shared decimal
+    literals (identical doubles in both engines); per-day terms round-12
+    into a DECIMAL(38,12) running-sum window over the bounded daily
+    histogram (never base rows).
+
+    Scale shape: rows → day histogram (map-side combine, calendar-bound),
+    one ordered window over it, a 1-row broadcast for the crossing day."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purch"),
+    )
+    term = F.round(
+        F.col("n_purch") * F.expr(_SPRT_LLR_POS)
+        + (F.col("n_events") - F.col("n_purch")) * F.expr(_SPRT_LLR_NEG),
+        12,
+    ).cast("decimal(38,12)")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn(
+        "cum_llr_raw", F.sum(term).over(w).cast("double")
+    )
+    flagged = cum.select(
+        "day",
+        "n_events",
+        "n_purch",
+        (F.round(F.col("cum_llr_raw"), 6) + 0.0).alias("cum_llr"),
+        F.when(
+            F.col("cum_llr_raw") >= F.expr(_SPRT_BOUND), "accept_h1"
+        )
+        .when(F.col("cum_llr_raw") <= -F.expr(_SPRT_BOUND), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+    first_dec = flagged.where(F.col("decision") != "continue").agg(
+        F.coalesce(F.min("day"), F.lit("")).alias("first_decision_day")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(first_dec))
+        .orderBy("day")
+    )

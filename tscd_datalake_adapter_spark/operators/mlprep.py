@@ -1952,3 +1952,111 @@ def forget_user_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_audit(e, "events", F.col("user_id") % 97 == 0))
         .orderBy("table_name")
     )
+
+
+@register(
+    "offline_policy_ips_eval",
+    tags=("mlprep", "experiment"),
+    defer=True,
+    oracle=f"""
+    WITH logged AS (
+        SELECT event_id, user_id,
+               CASE WHEN user_id % 2 = 0 THEN 700 ELSE 300 END AS p1m,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100.0, 0) AS BIGINT)
+                    ELSE 0 END AS r
+        FROM events
+    ),
+    acts AS (
+        SELECT event_id, user_id, r,
+               CASE WHEN {oracle_h60("'pol:' || CAST(event_id AS VARCHAR)")}
+                         % 1000 < p1m THEN 1 ELSE 0 END AS a,
+               CASE WHEN {oracle_h60("'pol:' || CAST(event_id AS VARCHAR)")}
+                         % 1000 < p1m THEN p1m ELSE 1000 - p1m END AS pm,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS pi_a
+        FROM logged
+    ),
+    terms AS (
+        SELECT r, a, pi_a,
+               CASE WHEN a = pi_a THEN 1 ELSE 0 END AS matched,
+               CASE WHEN a = pi_a
+                    THEN round(CAST(r AS DOUBLE) / (pm / 1000.0), 12)
+                    ELSE 0.0 END AS wr,
+               CASE WHEN a = pi_a
+                    THEN round(1.0 / (pm / 1000.0), 12)
+                    ELSE 0.0 END AS w
+        FROM acts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(matched) AS BIGINT) AS n_matched,
+           round({oracle_dec_sum('wr')} / count(*), 6) + 0.0
+               AS ips_value_cents,
+           round({oracle_dec_sum('wr')} / {oracle_dec_sum('w')}, 6) + 0.0
+               AS snips_value_cents
+    FROM terms
+    """,
+)
+def offline_policy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse-propensity scoring: estimate the
+    value of a DETERMINISTIC target policy (serve arm 1 to every third
+    user) from logs generated by a stochastic logging policy (arm 1 with
+    probability 0.7 for even users, 0.3 for odd — arms drawn via h60, so
+    the "randomization" replays identically in both engines). IPS =
+    mean(1{{π(u)=a}} · r / p(a|u)); SNIPS divides by the summed weights
+    instead of n (lower variance, the production default). Rewards are
+    purchase values in integer cents.
+
+    This is how recommendation / curation policies are evaluated before
+    an online test at 100 TB: one scan over logs, no simulator.
+
+    Scale shape: pure map-side arithmetic (h60, CASE, division by a
+    2-valued propensity) then one global aggregate of round-12 decimal
+    sums. No joins, no windows."""
+    e = load_table(spark, sf_dir, "events")
+    logged = e.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, 700).otherwise(300).alias("p1m"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100.0, 0).cast("long"),
+        )
+        .otherwise(0)
+        .alias("r"),
+    )
+    hv = h60(F.concat(F.lit("pol:"), F.col("event_id").cast("string"))) % 1000
+    acts = logged.select(
+        "r",
+        F.when(hv < F.col("p1m"), 1).otherwise(0).alias("a"),
+        F.when(hv < F.col("p1m"), F.col("p1m"))
+        .otherwise(1000 - F.col("p1m"))
+        .alias("pm"),
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("pi_a"),
+    )
+    terms = acts.select(
+        F.when(F.col("a") == F.col("pi_a"), 1).otherwise(0).alias("matched"),
+        F.when(
+            F.col("a") == F.col("pi_a"),
+            F.round(
+                F.col("r").cast("double") / (F.col("pm") / 1000.0), 12
+            ),
+        )
+        .otherwise(0.0)
+        .alias("wr"),
+        F.when(
+            F.col("a") == F.col("pi_a"),
+            F.round(1.0 / (F.col("pm") / 1000.0), 12),
+        )
+        .otherwise(0.0)
+        .alias("w"),
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("matched").cast("long").alias("n_matched"),
+        (F.round(dec_sum("wr") / F.count("*"), 6) + 0.0).alias(
+            "ips_value_cents"
+        ),
+        (F.round(dec_sum("wr") / dec_sum("w"), 6) + 0.0).alias(
+            "snips_value_cents"
+        ),
+    )

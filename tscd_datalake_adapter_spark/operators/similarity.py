@@ -2174,3 +2174,101 @@ def cluster_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ari"),
         )
     )
+
+
+@register(
+    "ivf_list_balance_audit",
+    tags=("llm", "similarity", "ops"),
+    defer=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (
+        SELECT p, list(comp ORDER BY d) AS plane FROM (
+            SELECT pp.p, dd.d,
+                   (({oracle_h60("'ivfplane:' || pp.p || ':' || dd.d")}
+                     % 2001) - 1000) / 1000.0 AS comp
+            FROM (SELECT unnest(range(0, {IVF_PLANES})) AS p) pp
+            CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dd
+        ) GROUP BY p
+    ),
+    assigned AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+                             THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS cell
+        FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+    ),
+    lists AS MATERIALIZED (
+        SELECT cell, CAST(count(*) AS BIGINT) AS list_size
+        FROM assigned GROUP BY cell
+    ),
+    ranked AS (
+        SELECT list_size,
+               row_number() OVER (ORDER BY list_size DESC, cell)
+                   AS rk
+        FROM lists
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(sum(list_size) AS BIGINT) AS n_vectors,
+           CAST(min(list_size) AS BIGINT) AS min_list,
+           CAST(max(list_size) AS BIGINT) AS max_list,
+           round(CAST(max(list_size) AS DOUBLE)
+                 / (CAST(sum(list_size) AS DOUBLE) / count(*)), 6)
+               AS imbalance,
+           CAST((SELECT sum(list_size) FROM ranked
+                 WHERE rk <= {IVF_NPROBE}) AS BIGINT)
+               AS worst_probe_scan
+    FROM lists
+    """,
+)
+def ivf_list_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-build introspection for the IVF quantizer: inverted-list size
+    distribution, imbalance factor (max/mean), and the worst-case probe
+    scan cost (sum of the NPROBE largest lists) — the report an ANN
+    index-build job publishes to decide whether to add planes before
+    serving. A skewed quantizer silently turns "probe 6 of 16 lists" into
+    "scan half the corpus"; this query is the guard.
+
+    Scale shape: assignment is the same 4-literal-plane codegen map as
+    ``ann_ivf_topk`` (no training pass), then one groupBy(cell) with
+    map-side combine — 2^planes rows of shuffle regardless of corpus
+    size; the ranked window runs over that tiny aggregated table."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cell = F.lit(0).cast("long")
+    for p in range(IVF_PLANES):
+        plane = F.array(*[F.lit(c) for c in _ivf_plane_components(p)])
+        cell = cell + F.when(
+            dot(F.col("embedding"), plane) >= 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    lists = (
+        e.select(cell.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("list_size"))
+    )
+    ranked = lists.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("list_size").desc(), F.col("cell"))
+        ),
+    )
+    probe_cost = ranked.where(F.col("rk") <= IVF_NPROBE).agg(
+        F.sum("list_size").cast("long").alias("worst_probe_scan")
+    )
+    stats = lists.agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.sum("list_size").cast("long").alias("n_vectors"),
+        F.min("list_size").cast("long").alias("min_list"),
+        F.max("list_size").cast("long").alias("max_list"),
+        F.round(
+            F.max("list_size").cast("double")
+            / (F.sum("list_size").cast("double") / F.count("*")),
+            6,
+        ).alias("imbalance"),
+    )
+    return stats.crossJoin(F.broadcast(probe_cost)).select(
+        "n_lists",
+        "n_vectors",
+        "min_list",
+        "max_list",
+        "imbalance",
+        "worst_probe_scan",
+    )

@@ -1149,3 +1149,107 @@ def run_anomaly_stream(
         f"FROM {query_name} t JOIN latest USING (event_type, seq) "
         f"WHERE t.event_id >= 0"
     )
+
+
+def run_heavy_hitters_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    k: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING heavy hitters via the Misra-Gries summary: O(k) state
+    TOTAL (k (type, count) counters + the processed-row count), unlike the
+    history-buffering jobs — this is the bounded-state end of the
+    spectrum, the shape that survives unbounded streams at 100 TB.
+
+    Guarantee (pytest-pinned): after processing n rows, every event_type
+    with true frequency > n/k is present in the summary, and each
+    counter underestimates its true count by at most n/k. The summary
+    itself is arrival-order-dependent (inherent to MG — two equally
+    correct runs can differ inside the error band), so the test checks
+    the GUARANTEES against exact batch counts rather than row equality;
+    within each micro-batch rows fold in (ts, event_id) order so a given
+    staged source replays identically.
+
+    Each trigger emits the full current summary with a seq; the
+    highest-seq rows are the live answer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger
+    ).withColumn("g", F.lit(1))
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            keys, counts, total, seq = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary, total, seq = {}, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            order = np.lexsort(
+                (
+                    pdf["event_id"].to_numpy(),
+                    pdf["ts"].astype("datetime64[us]").astype("int64"),
+                )
+            )
+            for et in pdf["event_type"].to_numpy()[order]:
+                et = str(et)
+                total += 1
+                if et in summary:
+                    summary[et] += 1
+                elif len(summary) < k:
+                    summary[et] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    summary = {
+                        t: c - 1 for t, c in summary.items() if c > 1
+                    }
+        seq += 1
+        items = sorted(summary.items())
+        state.update(
+            (
+                [t for t, _ in items],
+                [int(c) for _, c in items],
+                int(total),
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [t for t, _ in items],
+                "est_count": [int(c) for _, c in items],
+                "n_processed": [int(total)] * len(items),
+                "seq": [seq] * len(items),
+            }
+        )
+
+    out = stream.groupBy("g").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "event_type string, est_count long, n_processed long, seq long"
+        ),
+        stateStructType=(
+            "keys array<string>, counts array<long>, total long, seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT event_type, est_count, n_processed FROM {query_name} "
+        f"WHERE seq = (SELECT max(seq) FROM {query_name})"
+    )
