@@ -2060,3 +2060,239 @@ def offline_policy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snips_value_cents"
         ),
     )
+
+
+@register(
+    "conformal_interval_coverage",
+    tags=("mlprep", "eval"),
+    defer=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT o.o_orderkey, o.o_totalprice AS y,
+               CAST(count(*) AS BIGINT) AS x,
+               {oracle_h60("'cf:' || CAST(o.o_orderkey AS VARCHAR)")} % 10
+                   AS split
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               {oracle_dec_sum('x')} AS sx,
+               {oracle_dec_sum('y')} AS sy,
+               {oracle_dec_sum('x * x')} AS sxx,
+               {oracle_dec_sum('x * y')} AS sxy
+        FROM base WHERE split <= 5
+    ),
+    beta AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS b0,
+               CAST(n AS BIGINT) AS n_train
+        FROM m
+    ),
+    cal AS MATERIALIZED (
+        SELECT CAST(floor(abs(y - (b0 + b1 * x))) AS BIGINT) AS score_bin
+        FROM base CROSS JOIN beta WHERE split IN (6, 7)
+    ),
+    calhist AS (
+        SELECT score_bin, CAST(count(*) AS BIGINT) AS c
+        FROM cal GROUP BY score_bin
+    ),
+    caln AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    qhat AS (
+        SELECT min(score_bin) + 1 AS q_upper FROM (
+            SELECT score_bin,
+                   sum(c) OVER (ORDER BY score_bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM calhist
+        ) CROSS JOIN caln
+        WHERE cum >= ceil(0.9 * (n_cal + 1))
+    ),
+    test AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(y - (b0 + b1 * x)) <= q_upper
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM base CROSS JOIN beta CROSS JOIN qhat WHERE split >= 8
+    )
+    SELECT beta.n_train, caln.n_cal, test.n_test,
+           round(beta.b0, 6) + 0.0 AS beta0,
+           round(beta.b1, 6) + 0.0 AS beta_nitems,
+           CAST(qhat.q_upper AS BIGINT) AS q_upper,
+           round(CAST(test.n_covered AS DOUBLE) / test.n_test, 6) + 0.0
+               AS coverage
+    FROM beta CROSS JOIN caln CROSS JOIN qhat CROSS JOIN test
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction: fit a 1-feature linear model (order
+    value ~ item count) on an h60 train split, take the 90th-percentile
+    calibration residual as the interval half-width, and report empirical
+    coverage on a held-out test split — the distribution-free uncertainty
+    wrapper production models ship with. Split-conformal guarantees
+    coverage >= 90% in expectation; binning residual scores to integer
+    dollars and taking the bin's UPPER edge keeps the guarantee (only
+    widens the interval) while making the quantile an exact integer
+    cumulative-count over a bounded histogram — the
+    ``range_partition_balance`` percentile recipe, so no global sort of
+    raw residuals at 100 TB.
+
+    Scale shape: one orders⋈lineitem count aggregate; OLS from 4 decimal
+    moments; residual pass is map-side vs broadcast betas; the quantile
+    window runs over the aggregated score histogram."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").cast("long").alias("x"))
+        .select(
+            F.col("o_totalprice").alias("y"),
+            "x",
+            (
+                h60(
+                    F.concat(
+                        F.lit("cf:"), F.col("o_orderkey").cast("string")
+                    )
+                )
+                % 10
+            ).alias("split"),
+        )
+    )
+    m = base.where(F.col("split") <= 5).agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum("x").alias("sx"),
+        dec_sum("y").alias("sy"),
+        dec_sum(F.col("x") * F.col("x")).alias("sxx"),
+        dec_sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    beta = m.select(
+        b1.alias("b1"),
+        ((F.col("sy") - b1 * F.col("sx")) / F.col("n")).alias("b0"),
+        F.col("n").cast("long").alias("n_train"),
+    )
+    resid = F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+    cal = (
+        base.where(F.col("split").isin(6, 7))
+        .crossJoin(F.broadcast(beta.select("b0", "b1")))
+        .select(F.floor(resid).cast("long").alias("score_bin"))
+    )
+    calhist = cal.groupBy("score_bin").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    caln = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    w = Window.orderBy("score_bin").rowsBetween(Window.unboundedPreceding, 0)
+    qhat = (
+        calhist.withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(caln))
+        .where(
+            F.col("cum") >= F.ceil(0.9 * (F.col("n_cal") + 1))
+        )
+        .agg((F.min("score_bin") + 1).alias("q_upper"))
+    )
+    test = (
+        base.where(F.col("split") >= 8)
+        .crossJoin(F.broadcast(beta.select("b0", "b1")))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.when(resid <= F.col("q_upper"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        beta.crossJoin(F.broadcast(caln))
+        .crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            (F.round(F.col("b0"), 6) + 0.0).alias("beta0"),
+            (F.round(F.col("b1"), 6) + 0.0).alias("beta_nitems"),
+            F.col("q_upper").cast("long").alias("q_upper"),
+            (
+                F.round(
+                    F.col("n_covered").cast("double") / F.col("n_test"), 6
+                )
+                + 0.0
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "dp_laplace_histogram",
+    tags=("mlprep", "privacy"),
+    defer=True,
+    oracle=f"""
+    WITH hist AS (
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS true_n
+        FROM orders GROUP BY 1
+    ),
+    noise AS (
+        SELECT priority, true_n,
+               ({oracle_h60("'dp:' || priority")} % 999999 + 1)
+                   / 1000000.0 AS u
+        FROM hist
+    ),
+    drawn AS (
+        SELECT priority, true_n,
+               round(-2.0 * (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+                     * ln(1.0 - 2.0 * abs(u - 0.5)), 12) AS lap
+        FROM noise
+    )
+    SELECT priority, true_n,
+           CAST(greatest(0, round(true_n + lap, 0)) AS BIGINT)
+               AS released_n,
+           round(abs(lap), 6) + 0.0 AS abs_noise,
+           round(abs(lap) / true_n, 6) + 0.0 AS rel_error,
+           0.5 AS epsilon
+    FROM drawn ORDER BY priority
+    """,
+)
+def dp_laplace_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release audit: the order-priority
+    counts with Laplace(Δ/ε = 1/0.5 = 2.0) noise drawn by inverse-CDF from
+    an h60-derived uniform — a DETERMINISTIC replay of the mechanism, which
+    is what a privacy-engineering team audits before turning on true
+    randomness (the released value, clamp-to-zero post-processing, and the
+    utility loss per cell are all mechanism-faithful). True counts appear
+    alongside ONLY because this is the utility-audit view, not the public
+    release.
+
+    Completes the governance tier: [[k_anonymity_audit]] (risk),
+    [[forget_user_cascade_audit]] (erasure), this (noised release).
+
+    Determinism: u ∈ [1e-6, 0.999999] (never 0/1, so ln stays finite);
+    the single ln per cell rounds-12 (libm recipe). Scale shape: one
+    map-side-combined histogram; noise is per-cell scalar math."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    u = (
+        h60(F.concat(F.lit("dp:"), F.col("priority"))) % 999999 + 1
+    ) / 1000000.0
+    t = u - 0.5
+    lap = F.round(
+        -2.0
+        * F.when(t >= 0, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(t)),
+        12,
+    )
+    return hist.select(
+        "priority",
+        "true_n",
+        F.greatest(F.lit(0), F.round(F.col("true_n") + lap, 0))
+        .cast("long")
+        .alias("released_n"),
+        (F.round(F.abs(lap), 6) + 0.0).alias("abs_noise"),
+        (F.round(F.abs(lap) / F.col("true_n"), 6) + 0.0).alias("rel_error"),
+        F.lit(0.5).alias("epsilon"),
+    ).orderBy("priority")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from tscd_datalake_adapter_spark.functions import (
     H60_SQLEXPR,
     dec_sum,
+    h60,
     oracle_dec_sum,
     oracle_h60,
 )
@@ -2276,4 +2277,135 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "doc_id", "phrase")
         .limit(20)
+    )
+
+
+@register(
+    "skipgram_training_pairs",
+    tags=("llm", "text"),
+    defer=True,
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, w, pos FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS w,
+                   generate_subscripts(string_split_regex(lower(text),
+                                       '[^a-z]+'), 1) AS pos
+            FROM documents WHERE doc_id < 120
+        ) WHERE w != ''
+    ),
+    vocab AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, w)
+                    AS BIGINT) - 1 AS widx
+        FROM tok GROUP BY w
+    ),
+    vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    pairs AS MATERIALIZED (
+        SELECT c.doc_id, c.w AS center, o.w AS context,
+               o.pos - c.pos AS offset
+        FROM tok c JOIN tok o
+          ON c.doc_id = o.doc_id
+         AND o.pos BETWEEN c.pos - 2 AND c.pos + 2
+         AND o.pos != c.pos
+    ),
+    neg AS (
+        SELECT p.center, p.context,
+               nv.w AS negative
+        FROM pairs p
+        CROSS JOIN vn
+        JOIN vocab nv
+          ON nv.widx = {oracle_h60(
+              "'neg:' || p.center || ':' || p.context || ':'"
+              " || CAST(p.offset AS VARCHAR) || ':' || p.doc_id")} % vn.v
+    )
+    SELECT center, context, negative,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM neg GROUP BY center, context, negative
+    ORDER BY n_pairs DESC, center, context, negative LIMIT 25
+    """,
+)
+def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram-with-negative-sampling training-pair generation (the
+    word2vec/embedding-pretraining data shape): (center, context) pairs
+    from a ±2 token window, each assigned a deterministic negative drawn
+    from the frequency-ranked vocabulary by h60 — "random" negatives that
+    replay identically in both engines and across retries, which is
+    exactly what a resumable 100 TB pair-generation job needs. Output is
+    the top-25 most frequent triples.
+
+    Scale shape: the context join is an equi-join on doc_id with a ±2
+    band predicate (positions are dense per document, so the band rides
+    the join — never a cross join); the vocabulary (bounded) broadcasts
+    for the negative lookup; pair counts aggregate map-side."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+    # DuckDB generate_subscripts is 1-based; Spark posexplode 0-based —
+    # offsets and windows are position-difference-based, so the base
+    # cancels everywhere (offset = o.pos - c.pos in both engines).
+    vocab = tok.groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+    vocab = vocab.select(
+        "w",
+        "freq",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("w"))
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("widx"),
+    )
+    c = tok.select(
+        "doc_id", F.col("w").alias("center"), F.col("pos").alias("cpos")
+    )
+    o = tok.select(
+        "doc_id", F.col("w").alias("context"), F.col("pos").alias("opos")
+    )
+    pairs = c.join(o, ["doc_id"]).where(
+        (F.col("opos") >= F.col("cpos") - 2)
+        & (F.col("opos") <= F.col("cpos") + 2)
+        & (F.col("opos") != F.col("cpos"))
+    ).select(
+        "doc_id",
+        "center",
+        "context",
+        (F.col("opos") - F.col("cpos")).alias("offset"),
+    )
+    vn = vocab.agg(F.count("*").cast("long").alias("v"))
+    keyed = pairs.crossJoin(F.broadcast(vn)).select(
+        "center",
+        "context",
+        (
+            h60(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("center"),
+                    F.lit(":"),
+                    F.col("context"),
+                    F.lit(":"),
+                    F.col("offset").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            % F.col("v")
+        ).alias("widx"),
+    )
+    neg = keyed.join(
+        F.broadcast(vocab.select("widx", F.col("w").alias("negative"))),
+        ["widx"],
+    )
+    return (
+        neg.groupBy("center", "context", "negative")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy(
+            F.col("n_pairs").desc(), "center", "context", "negative"
+        )
+        .limit(25)
     )
