@@ -1719,7 +1719,9 @@ def feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (same recipe as ``corr_quantity_price``, widened to a matrix).
     Scale-flat: cost is one pass regardless of pair count, vs the naive
     per-pair ``df.stat.corr`` loop that scans once PER PAIR."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     aggs = [F.count("*").cast("double").alias("n")]
     aggs += [dec_sum(F.col(c)).alias(f"s_{c}") for c in _CORR_COLS]
     aggs += [
@@ -1751,6 +1753,13 @@ def feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # perfect one): P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699, P(<=3)=.981012.
 _BOOT_CDF = (367879, 735759, 919699, 981012)
 _BOOT_B = 100
+_BOOT_P = 999983
+"""Prime modulus for the per-replica uniform: one md5 per ROW (not per
+(row, replica) — that costs B× the hash work and dominated the sf0.1
+runtime at ~15 M md5 calls), mixed across replicas by the mod-prime affine
+scatter u_b = (h·(b+1) + b) mod p. The CDF thresholds are against p, so
+weight probabilities shift by p/10^6 − 1 ≈ −0.002% — immaterial to a
+bootstrap, and the mixing stays bit-exact cross-engine (pure BIGINT)."""
 
 
 @register(
@@ -1759,6 +1768,11 @@ _BOOT_B = 100
     defer=True,
     oracle=f"""
     WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+    hashed AS (
+        SELECT o_totalprice,
+               {oracle_h60("'boot:' || o_orderkey")} % {_BOOT_P} AS hm
+        FROM orders
+    ),
     weighted AS (
         SELECT r.b, o.o_totalprice,
                CASE
@@ -1768,10 +1782,9 @@ _BOOT_B = 100
                  WHEN u < {_BOOT_CDF[3]} THEN 3
                  ELSE 4
                END AS w
-        FROM orders o CROSS JOIN reps r
+        FROM hashed o CROSS JOIN reps r
         CROSS JOIN LATERAL (SELECT
-            {oracle_h60("'boot:' || r.b || ':' || o.o_orderkey")}
-            % 1000000 AS u) h
+            (o.hm * (r.b + 1) + r.b) % {_BOOT_P} AS u) h
     ),
     means AS (
         SELECT b,
@@ -1811,16 +1824,21 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cross-engine exact: this demo's CI is hash-verified, not just
     plausible. Output: point estimate + rank-based 5th/50th/96th replica
     means (percentile CI at B=100)."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        (
+            h60(F.concat(F.lit("boot:"), F.col("o_orderkey").cast("string")))
+            % _BOOT_P
+        ).alias("hm"),
+    )
+    # Spark sizes scan partitions by INPUT bytes; a B=100 fan-out needs its
+    # parallelism sized to the EXPANDED data or the whole expansion runs on
+    # as many threads as the source has files (1 at small SF). One cheap
+    # narrow-row shuffle before the crossJoin fixes it; on a real cluster
+    # with thousands of input splits this is a no-op-sized safeguard.
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
-    u = h60(
-        F.concat(
-            F.lit("boot:"),
-            F.col("b").cast("string"),
-            F.lit(":"),
-            F.col("o_orderkey").cast("string"),
-        )
-    ) % 1000000
+    u = (F.col("hm") * (F.col("b") + 1) + F.col("b")) % _BOOT_P
     w = (
         F.when(u < _BOOT_CDF[0], 0)
         .when(u < _BOOT_CDF[1], 1)
@@ -2020,7 +2038,9 @@ def ols_regression_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinant expansions evaluate identical double operands in
     identical order on both engines (the ``corr_quantity_price`` recipe
     scaled up to a 3-variable solve), so coefficients are hash-exact."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # spread the 10-decimal-moment agg (file-count scans)
     x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
     m = li.agg(
         F.count("*").cast("double").alias("n"),
@@ -2536,6 +2556,11 @@ def logistic_regression_returnflag(
         (F.col("l_quantity") / 50.0).alias("x1"),
         (F.col("l_discount") * 10.0).alias("x2"),
     )
+    # the decimal-moment aggregate is CPU-bound: spread it over every core
+    # (scan parallelism = source file count, 1-3 at local SFs; no-op-sized
+    # on a real cluster) and keep the projected features resident so each
+    # IRLS pass re-reads 3 narrow columns, not the parquet scan lineage
+    feats = feats.repartition(spark.sparkContext.defaultParallelism)
     beta = spark.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
     )
@@ -2593,6 +2618,9 @@ def logistic_regression_returnflag(
             F.round(F.col("b1") + d1 / det, 9).alias("b1"),
             F.round(F.col("b2") + d2 / det, 9).alias("b2"),
         )
+        # one-row eager cut: without it pass k's broadcast(beta) lineage
+        # re-runs every earlier pass, turning 2 IRLS passes into 3 scans
+        beta = beta.localCheckpoint()
     n = feats.agg(F.count("*").cast("long").alias("n_rows"))
     return n.crossJoin(F.broadcast(beta)).select(
         "n_rows",
@@ -2909,6 +2937,9 @@ def pca_top_component_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_revenue"
         ),
     )
+    # spread the 15-decimal-sum moment aggregate over every core (scan
+    # parallelism = file count at local SFs; no-op-sized on a cluster)
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     cols = _PCA_COLS
     aggs = [F.count("*").cast("double").alias("n")]
     aggs += [dec_sum(F.col(c)).alias(f"s_{c}") for c in cols]

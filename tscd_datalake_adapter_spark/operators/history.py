@@ -1097,6 +1097,11 @@ def markov_stationary_distribution(
             ).alias("p"),
         )
     )
+    # the transition matrix and the iterate are tiny (k and k^2 rows for
+    # k event types): eager one-shot cuts keep iteration t from re-running
+    # the full scan+window lineage of iterations 1..t-1 (and the s/tot
+    # double reference from evaluating `joined` twice per step)
+    pm = pm.localCheckpoint()
     k = states.agg(F.count("*").alias("k"))
     pi = states.crossJoin(F.broadcast(k)).select(
         "state", F.round(1.0 / F.col("k"), 9).alias("pi")
@@ -1119,7 +1124,7 @@ def markov_stationary_distribution(
         )
         pi = s.crossJoin(F.broadcast(tot)).select(
             "state", F.round(F.col("s") / F.col("tot"), 9).alias("pi")
-        )
+        ).localCheckpoint()
     return pi.select(
         "state", F.round("pi", 6).alias("pi_stationary")
     ).orderBy("state")
