@@ -344,3 +344,115 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest_id.alias("nearest_view_id"),
         delta.cast("long").alias("micros_delta"),
     ).orderBy("user_id", "purchase_id")
+
+
+@register(
+    "asof_join_interpolate",
+    tags=("join", "streaming"),
+    defer=True,
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           b.event_id AS prev_view_id,
+           f.event_id AS next_view_id,
+           round(CASE
+             WHEN b.event_id IS NOT NULL AND f.event_id IS NOT NULL THEN
+               CASE WHEN date_diff('microsecond', b.ts, f.ts) = 0
+                    THEN b.value
+                    ELSE b.value + (f.value - b.value)
+                         * (CAST(date_diff('microsecond', b.ts, p.ts)
+                                 AS DOUBLE)
+                            / CAST(date_diff('microsecond', b.ts, f.ts)
+                                   AS DOUBLE))
+               END
+             WHEN b.event_id IS NOT NULL THEN b.value
+             ELSE f.value
+           END, 6) + 0.0 AS interp_value
+    FROM p
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts, value FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) b ON TRUE
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts, value FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts >= p.ts
+        ORDER BY v.ts ASC, v.event_id ASC LIMIT 1
+    ) f ON TRUE
+    ORDER BY p.user_id, purchase_id
+    """,
+)
+def asof_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATING as-of join — the fourth member of the as-of family
+    (backward / forward / nearest / interpolate, the pandas+QuestDB
+    surface): each purchase gets the surrounding views' values LINEARLY
+    INTERPOLATED at its timestamp, (t−t₀)/(t₁−t₀)-weighted in integer
+    microseconds — the sensor-fusion shape (align a sparse series onto
+    another clock) a telemetry lake needs constantly. One-sided
+    neighborhoods fall back to the available side (LOCF/NOCB at the
+    edges); a same-instant bracket degenerates to the backward value
+    (0/0 guard).
+
+    Composed from one backward + one forward union+window pass joined on
+    the left key — two key shuffles, no pair materialization, same plan
+    family as ``asof_join_nearest``. The weight and the blend evaluate
+    identical double operands in identical order cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    common = dict(
+        on="ts",
+        by="user_id",
+        left_id="event_id",
+        right_id="event_id",
+        right_payload=("view_ts", "view_value"),
+    )
+    b = asof_join(purchases, views, **common).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.col("asof_event_id").alias("prev_view_id"),
+        F.col("asof_view_ts").alias("b_ts"),
+        F.col("asof_view_value").alias("b_v"),
+    )
+    f = asof_join(purchases, views, direction="forward", **common).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("asof_event_id").alias("next_view_id"),
+        F.col("asof_view_ts").alias("f_ts"),
+        F.col("asof_view_value").alias("f_v"),
+    )
+    j = b.join(f, "purchase_id", "left")
+    span = F.unix_micros("f_ts") - F.unix_micros("b_ts")
+    w = (
+        (F.unix_micros("pts") - F.unix_micros("b_ts")).cast("double")
+        / span.cast("double")
+    )
+    both = F.col("prev_view_id").isNotNull() & F.col(
+        "next_view_id"
+    ).isNotNull()
+    interp = F.when(
+        both,
+        F.when(span == 0, F.col("b_v")).otherwise(
+            F.col("b_v") + (F.col("f_v") - F.col("b_v")) * w
+        ),
+    ).otherwise(
+        F.when(F.col("prev_view_id").isNotNull(), F.col("b_v")).otherwise(
+            F.col("f_v")
+        )
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        "prev_view_id",
+        "next_view_id",
+        (F.round(interp, 6) + 0.0).alias("interp_value"),
+    ).orderBy("user_id", "purchase_id")

@@ -1276,3 +1276,146 @@ def gap_fill_interpolate_daily(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_pattern_match_regex",
+    tags=("history", "mining"),
+    defer=True,
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS init
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, init,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, init, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM g
+    ),
+    traces AS MATERIALIZED (
+        SELECT user_id, session_id,
+               string_agg(init, '' ORDER BY ts, event_id) AS trace
+        FROM s GROUP BY user_id, session_id
+    ),
+    flagged AS MATERIALIZED (
+        SELECT trace,
+               CASE WHEN regexp_matches(trace, 'v[^e]*c[^e]*p')
+                    THEN 1 ELSE 0 END AS m,
+               CASE WHEN regexp_matches(trace, 'e') THEN 1 ELSE 0 END
+                   AS has_err
+        FROM traces
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(m) AS BIGINT) AS n_matched,
+               CAST(sum(has_err) AS BIGINT) AS n_with_error,
+               round(CAST(sum(m) AS DOUBLE) / count(*), 6) + 0.0
+                   AS match_rate
+        FROM flagged
+    ),
+    top AS (
+        SELECT trace, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(m) AS BIGINT) AS matches_funnel
+        FROM flagged GROUP BY trace
+        ORDER BY n DESC, trace LIMIT 10
+    )
+    SELECT t.trace, t.n, t.matches_funnel,
+           tot.n_sessions, tot.n_matched, tot.n_with_error, tot.match_rate
+    FROM top t CROSS JOIN tot ORDER BY t.n DESC, t.trace
+    """,
+)
+def event_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern matching, emulated with
+    session traces + regex: each 30-minute session becomes a compact
+    string of event-type initials in (ts, event_id) order, and the funnel
+    pattern "view, later click, later purchase, with NO error in between"
+    is the regex ``v[^e]*c[^e]*p`` — row-pattern recognition (SQL:2016
+    MATCH_RECOGNIZE, Flink CEP) expressed with operators Spark already
+    has. Emits the 10 most common traces plus global funnel-match stats.
+
+    Regex parity: Java regex (Spark) and RE2 (DuckDB) agree on character
+    classes, `*`, and unanchored search — the flesch/langid precedent.
+
+    Scale shape: sessionization is the standard per-user window; traces
+    aggregate one row per session (bounded by the session cap a real
+    deployment enforces); pattern evaluation is a map over session rows,
+    embarrassingly parallel. No cross-session state."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("init"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    traces = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "init"))
+                ),
+                lambda r: r.getField("init"),
+            ),
+            "",
+        ).alias("trace")
+    )
+    flagged = traces.select(
+        "trace",
+        F.when(F.col("trace").rlike("v[^e]*c[^e]*p"), 1)
+        .otherwise(0)
+        .alias("m"),
+        F.when(F.col("trace").rlike("e"), 1).otherwise(0).alias("has_err"),
+    )
+    tot = flagged.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("m").cast("long").alias("n_matched"),
+        F.sum("has_err").cast("long").alias("n_with_error"),
+        (F.round(F.sum("m").cast("double") / F.count("*"), 6) + 0.0).alias(
+            "match_rate"
+        ),
+    )
+    top = (
+        flagged.groupBy("trace")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("m").cast("long").alias("matches_funnel"),
+        )
+        .orderBy(F.col("n").desc(), "trace")
+        .limit(10)
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "trace",
+            "n",
+            "matches_funnel",
+            "n_sessions",
+            "n_matched",
+            "n_with_error",
+            "match_rate",
+        )
+        .orderBy(F.col("n").desc(), "trace")
+    )

@@ -1305,7 +1305,12 @@ def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Balances are converted to integer cents once (round-to-cent is
     engine-identical on 2-decimal money), so blocks, the distance
-    band, and the ranking are all integer-exact. Scale: the join is an
+    band, and the ranking are all integer-exact. (The oracle's `//`
+    truncates toward zero on negative cents where Spark's floor() does
+    not — benign HERE because the ±5.00 band is narrower than a block
+    under either convention, so no qualifying pair can land more than one
+    block apart in either engine; `er_blocking_eval` spells out floor()
+    instead.) Scale: the join is an
     equi-join on (nation, block); each qualifying pair matches exactly
     once per probe construction."""
     c = load_table(spark, sf_dir, "customer").select(
@@ -2296,3 +2301,148 @@ def dp_laplace_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.abs(lap) / F.col("true_n"), 6) + 0.0).alias("rel_error"),
         F.lit(0.5).alias("epsilon"),
     ).orderBy("priority")
+
+
+@register(
+    "er_blocking_eval",
+    tags=("mlprep", "er", "eval"),
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               c_custkey % 97 AS branch,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+               CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                          / 10000.0) AS BIGINT) AS block
+        FROM customer WHERE c_custkey < 400
+    ),
+    allp AS MATERIALIZED (
+        SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+               (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                     THEN 12 ELSE -3 END
+                + CASE WHEN a.branch = b.branch THEN 8 ELSE -2 END
+                + CASE WHEN abs(a.cents - b.cents) <= 100 THEN 10
+                       WHEN abs(a.cents - b.cents) <= 500 THEN 4
+                       ELSE 0 END) AS score,
+               CASE WHEN a.c_nationkey = b.c_nationkey
+                     AND abs(a.block - b.block) <= 1
+                    THEN 1 ELSE 0 END AS blocked
+        FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_entities,
+           CAST(count(*) AS BIGINT) AS n_all_pairs,
+           CAST(sum(blocked) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN score >= 18 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_matches,
+           CAST(sum(CASE WHEN score >= 18 AND blocked = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           round(1.0 - CAST(sum(blocked) AS DOUBLE) / count(*), 6) + 0.0
+               AS reduction_ratio,
+           round(CAST(sum(CASE WHEN score >= 18 AND blocked = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(1, sum(CASE WHEN score >= 18
+                                        THEN 1 ELSE 0 END)), 6) + 0.0
+               AS pairs_completeness,
+           round(CAST(sum(CASE WHEN score >= 18 AND blocked = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(1, sum(blocked)), 6) + 0.0
+               AS blocking_precision
+    FROM allp
+    """,
+)
+def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation for the entity-resolution tier: on a
+    bounded entity slice, compute ALL pairs (the ground truth a blocking
+    scheme is supposed to approximate), score them with the same integer
+    Fellegi-Sunter weights as ``er_match_scores``, and report the three
+    standard blocking metrics — reduction ratio (pairs eliminated),
+    pairs completeness (recall of true matches: the (nation, balance
+    block ±1) scheme CANNOT catch cross-nation duplicates, and this query
+    measures exactly that loss), and blocking precision.
+
+    Scale shape: the all-pairs truth join is restricted to the bounded
+    audit slice (custkey < 400 → ~80k comparisons) — at 100 TB you run
+    this on a deterministic h60 sample, never the full corpus; the
+    production candidate path stays the equi-join blocking of
+    ``er_blocking_candidates``. One aggregated pass over the pair list."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 400
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 97).alias("branch"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    ).withColumn(
+        # $100 audit blocks (wider than the production $10 blocking so the
+        # tiny slice still yields candidates); floor() spelled out so the
+        # bucket edge is negative-balance-safe in BOTH engines (DuckDB //
+        # truncates toward zero, floor(x/10000.0) does not)
+        "block",
+        F.floor(F.col("cents") / 10000.0).cast("long"),
+    )
+    a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
+    pairs = a.join(
+        F.broadcast(c), F.col("c_custkey_a") < F.col("c_custkey")
+    )
+    diff = F.abs(F.col("cents_a") - F.col("cents"))
+    score = (
+        F.when(F.col("c_mktsegment_a") == F.col("c_mktsegment"), 12)
+        .otherwise(-3)
+        + F.when(F.col("branch_a") == F.col("branch"), 8).otherwise(-2)
+        + F.when(diff <= 100, 10).when(diff <= 500, 4).otherwise(0)
+    )
+    blocked = F.when(
+        (F.col("c_nationkey_a") == F.col("c_nationkey"))
+        & (F.abs(F.col("block_a") - F.col("block")) <= 1),
+        1,
+    ).otherwise(0)
+    n_ent = c.agg(F.count("*").cast("long").alias("n_entities"))
+    agg = pairs.select(score.alias("score"), blocked.alias("blocked")).agg(
+        F.count("*").cast("long").alias("n_all_pairs"),
+        F.sum("blocked").cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("score") >= 18, 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_matches"),
+        F.sum(
+            F.when((F.col("score") >= 18) & (F.col("blocked") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_caught"),
+    )
+    return (
+        n_ent.crossJoin(F.broadcast(agg))
+        .select(
+            "n_entities",
+            "n_all_pairs",
+            "n_candidates",
+            "n_true_matches",
+            "n_caught",
+            (
+                F.round(
+                    1.0
+                    - F.col("n_candidates").cast("double")
+                    / F.col("n_all_pairs"),
+                    6,
+                )
+                + 0.0
+            ).alias("reduction_ratio"),
+            (
+                F.round(
+                    F.col("n_caught").cast("double")
+                    / F.greatest(F.lit(1), F.col("n_true_matches")),
+                    6,
+                )
+                + 0.0
+            ).alias("pairs_completeness"),
+            (
+                F.round(
+                    F.col("n_caught").cast("double")
+                    / F.greatest(F.lit(1), F.col("n_candidates")),
+                    6,
+                )
+                + 0.0
+            ).alias("blocking_precision"),
+        )
+    )
