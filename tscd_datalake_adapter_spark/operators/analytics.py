@@ -3195,3 +3195,253 @@ def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.crossJoin(F.broadcast(first_dec))
         .orderBy("day")
     )
+
+
+@register(
+    "ks_test_two_sample",
+    tags=("analytics", "experiment"),
+    defer=True,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    hist AS (
+        SELECT v, CAST(sum(is_f) AS BIGINT) AS nf_bin,
+               CAST(sum(1 - is_f) AS BIGINT) AS no_bin
+        FROM base GROUP BY v
+    ),
+    cum AS MATERIALIZED (
+        SELECT sum(nf_bin) OVER w AS cum_f, sum(no_bin) OVER w AS cum_o
+        FROM hist
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT CAST(sum(nf_bin) AS BIGINT) AS nf,
+               CAST(sum(no_bin) AS BIGINT) AS no FROM hist
+    ),
+    d AS (
+        SELECT CAST(max(abs(cum_f * tot.no - cum_o * tot.nf)) AS BIGINT)
+                   AS dnum
+        FROM cum CROSS JOIN tot GROUP BY tot.nf, tot.no
+    )
+    SELECT tot.nf, tot.no,
+           round(CAST(dnum AS DOUBLE) / (tot.nf * tot.no), 6) + 0.0
+               AS d_stat,
+           round(1.358 * sqrt(CAST(tot.nf + tot.no AS DOUBLE)
+                              / (tot.nf * tot.no)), 6) + 0.0
+               AS d_crit_05,
+           CAST(dnum AS DOUBLE) / (tot.nf * tot.no)
+               > 1.358 * sqrt(CAST(tot.nf + tot.no AS DOUBLE)
+                              / (tot.nf * tot.no)) AS reject_h0
+    FROM d CROSS JOIN tot
+    """,
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (fulfilled vs open orders'
+    value distributions): D = sup|F̂₁ − F̂₂| computed EXACTLY as a pure
+    integer maximum — |cumF·n_O − cumO·n_F| over the merged dollar-binned
+    histogram — divided once at output; compared against the α = 0.05
+    asymptotic critical value c(α)·√((n+m)/nm). The
+    distribution-drift gate a data-quality pipeline runs between
+    snapshots, next to [[psi_drift_totalprice]] (PSI is binned/smoothed;
+    KS is the sup-norm with a significance threshold).
+
+    Scale shape: rows → value histogram (map-side combine), one window
+    over the bounded histogram, integer max. No sort of raw values."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    hist = o.select(
+        F.floor("o_totalprice").cast("long").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_f"),
+    ).groupBy("v").agg(
+        F.sum("is_f").cast("long").alias("nf_bin"),
+        F.sum(1 - F.col("is_f")).cast("long").alias("no_bin"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("nf_bin").over(w).alias("cum_f"),
+        F.sum("no_bin").over(w).alias("cum_o"),
+    )
+    tot = hist.agg(
+        F.sum("nf_bin").cast("long").alias("nf"),
+        F.sum("no_bin").cast("long").alias("no"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("nf", "no")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_f") * F.col("no")
+                    - F.col("cum_o") * F.col("nf")
+                )
+            )
+            .cast("long")
+            .alias("dnum")
+        )
+    )
+    dstat = F.col("dnum").cast("double") / (F.col("nf") * F.col("no"))
+    dcrit = 1.358 * F.sqrt(
+        (F.col("nf") + F.col("no")).cast("double")
+        / (F.col("nf") * F.col("no"))
+    )
+    return d.select(
+        "nf",
+        "no",
+        (F.round(dstat, 6) + 0.0).alias("d_stat"),
+        (F.round(dcrit, 6) + 0.0).alias("d_crit_05"),
+        (dstat > dcrit).alias("reject_h0"),
+    )
+
+
+@register(
+    "decision_stump_train",
+    tags=("analytics", "mlprep"),
+    defer=True,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    hist AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM base GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(pos) AS BIGINT) AS pt FROM hist),
+    cum AS MATERIALIZED (
+        SELECT bin,
+               sum(n) OVER w AS nl, sum(pos) OVER w AS pl
+        FROM hist
+        WINDOW w AS (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT bin, nl, pl, tot.nt - nl AS nr, tot.pt - pl AS pr,
+               round(
+                 (nl - (CAST(pl AS DOUBLE) * pl
+                        + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl)
+                 + (tot.nt - nl
+                    - (CAST(tot.pt - pl AS DOUBLE) * (tot.pt - pl)
+                       + CAST((tot.nt - nl) - (tot.pt - pl) AS DOUBLE)
+                         * ((tot.nt - nl) - (tot.pt - pl)))
+                      / (tot.nt - nl)), 12) AS gini_num
+        FROM cum CROSS JOIN tot WHERE nl < tot.nt
+    ),
+    best AS (
+        SELECT bin, nl, pl, nr, pr, gini_num,
+               row_number() OVER (ORDER BY gini_num, bin) AS rk
+        FROM scored
+    )
+    SELECT b.bin AS split_bin, b.nl AS n_left, b.pl AS pos_left,
+           b.nr AS n_right, b.pr AS pos_right,
+           round(b.gini_num / tot.nt, 6) + 0.0 AS weighted_gini,
+           round((CAST(greatest(b.pl, b.nl - b.pl) AS DOUBLE)
+                  + greatest(b.pr, b.nr - b.pr)) / tot.nt, 6) + 0.0
+               AS train_accuracy
+    FROM best b CROSS JOIN tot WHERE rk = 1
+    """,
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A depth-1 decision tree (stump) TRAINED IN-ENGINE: the Gini-optimal
+    split of the binned order-value feature predicting fulfilled status —
+    the exact histogram-split search every distributed GBDT (XGBoost/
+    LightGBM hist mode) runs per node, reduced to one cumulative window
+    over the value histogram. Completes the train-with-aggregations tier
+    (OLS, IRLS logistic, NB, KMeans-free IVF, k-NN): split search is
+    aggregation, not iteration.
+
+    Weighted Gini impurity stays a round-12 double of integer operands
+    (nl − (pl² + (nl−pl)²)/nl, summed for both sides, ÷ n once at
+    output); the argmin tie-breaks on the split bin. Majority-vote
+    train accuracy comes from the same four counts.
+
+    Scale shape: rows → histogram → bounded window → argmin row. The
+    full-tree extension recurses on filtered histograms — each level one
+    more aggregated pass, the standard distributed-tree cost model."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.select(
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    ).groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("pos").cast("long").alias("pt"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("nt") - nl
+    pr = F.col("pt") - pl
+    gini_num = F.round(
+        (
+            nl
+            - (
+                pl.cast("double") * pl
+                + (nl - pl).cast("double") * (nl - pl)
+            )
+            / nl
+        )
+        + (
+            nr
+            - (
+                pr.cast("double") * pr
+                + (nr - pr).cast("double") * (nr - pr)
+            )
+            / nr
+        ),
+        12,
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(nl < F.col("nt"))
+        .select(
+            "bin",
+            "nl",
+            "pl",
+            nr.alias("nr"),
+            pr.alias("pr"),
+            "nt",
+            gini_num.alias("gini_num"),
+        )
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("gini_num", "bin")),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        F.col("bin").alias("split_bin"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"),
+        F.col("pr").alias("pos_right"),
+        (F.round(F.col("gini_num") / F.col("nt"), 6) + 0.0).alias(
+            "weighted_gini"
+        ),
+        (
+            F.round(
+                (
+                    F.greatest(
+                        F.col("pl"), F.col("nl") - F.col("pl")
+                    ).cast("double")
+                    + F.greatest(F.col("pr"), F.col("nr") - F.col("pr"))
+                )
+                / F.col("nt"),
+                6,
+            )
+            + 0.0
+        ).alias("train_accuracy"),
+    )

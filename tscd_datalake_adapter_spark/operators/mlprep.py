@@ -2446,3 +2446,216 @@ def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("blocking_precision"),
         )
     )
+
+
+@register(
+    "average_precision_eval",
+    tags=("mlprep", "eval"),
+    defer=True,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS score_bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    hist AS (
+        SELECT score_bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM base GROUP BY score_bin
+    ),
+    cum AS MATERIALIZED (
+        SELECT score_bin, n, pos,
+               sum(n) OVER w AS cum_n,
+               sum(pos) OVER w AS cum_pos
+        FROM hist
+        WINDOW w AS (ORDER BY score_bin DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS npos,
+                   CAST(sum(n) AS BIGINT) AS ntot FROM hist)
+    SELECT tot.npos, tot.ntot,
+           round(CAST(SUM(CAST(round(
+                   pos * (CAST(cum_pos AS DOUBLE) / cum_n), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) / tot.npos, 6) + 0.0
+               AS average_precision,
+           round(CAST(tot.npos AS DOUBLE) / tot.ntot, 6) + 0.0
+               AS baseline_prevalence
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.npos, tot.ntot
+    """,
+)
+def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-interpolated form rankers report): descending-score sweep over
+    the binned score histogram, where each score bin contributes
+    pos_bin · precision@bin and AP = Σ/npos — the right metric when
+    positives are rare and ROC AUC flatters (the ``roc_auc_eval``
+    companion; baseline = prevalence).
+
+    Ties (whole bins) contribute their bin-end precision, the standard
+    tie-aware AP. Scale shape: rows → histogram, one window over the
+    bounded bins, round-12 decimal-summed terms."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.select(
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias(
+            "score_bin"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    ).groupBy("score_bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy(F.col("score_bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    tot = hist.agg(
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum("n").cast("long").alias("ntot"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("npos", "ntot")
+        .agg(
+            (
+                F.round(
+                    dec_sum(
+                        F.round(
+                            F.col("pos")
+                            * (
+                                F.col("cum_pos").cast("double")
+                                / F.col("cum_n")
+                            ),
+                            12,
+                        )
+                    )
+                    / F.col("npos"),
+                    6,
+                )
+                + 0.0
+            ).alias("average_precision"),
+            (
+                F.round(F.col("npos").cast("double") / F.col("ntot"), 6)
+                + 0.0
+            ).alias("baseline_prevalence"),
+        )
+        .select("npos", "ntot", "average_precision", "baseline_prevalence")
+    )
+
+
+@register(
+    "lift_gain_deciles",
+    tags=("mlprep", "eval"),
+    defer=True,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS score_bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    hist AS (
+        SELECT score_bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM base GROUP BY score_bin
+    ),
+    cum AS MATERIALIZED (
+        SELECT score_bin, n, pos,
+               sum(n) OVER w AS cum_n, sum(pos) OVER w AS cum_pos
+        FROM hist
+        WINDOW w AS (ORDER BY score_bin DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+                   CAST(sum(pos) AS BIGINT) AS npos FROM hist),
+    deciled AS (
+        SELECT CAST(least(9, (cum_n - 1) * 10 // ntot) AS BIGINT)
+                   AS decile,
+               max(cum_n) AS cum_n, max(cum_pos) AS cum_pos
+        FROM cum CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT decile,
+           CAST(cum_n AS BIGINT) AS cum_targeted,
+           CAST(cum_pos AS BIGINT) AS cum_captured,
+           round(CAST(cum_pos AS DOUBLE) / tot.npos, 6) + 0.0 AS gain,
+           round((CAST(cum_pos AS DOUBLE) / cum_n)
+                 / (CAST(tot.npos AS DOUBLE) / tot.ntot), 6) + 0.0
+               AS lift
+    FROM deciled CROSS JOIN tot ORDER BY decile
+    """,
+)
+def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by score decile — "target the top
+    k% by model score; what fraction of positives do you capture, and at
+    what multiple of random?" — the campaign-targeting readout. Deciles
+    are cut on the CUMULATIVE count of the descending-score histogram
+    (bin granularity; each decile row reports its last bin's cumulative
+    stats), so no per-row ntile window exists anywhere.
+
+    Scale shape: rows → histogram → one bounded window → 10-row output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.select(
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias(
+            "score_bin"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    ).groupBy("score_bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy(F.col("score_bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("ntot"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    deciled = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.least(
+                F.lit(9), F.floor((F.col("cum_n") - 1) * 10 / F.col("ntot"))
+            )
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.max("cum_n").cast("long").alias("cum_targeted"),
+            F.max("cum_pos").cast("long").alias("cum_captured"),
+        )
+    )
+    return (
+        deciled.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "cum_targeted",
+            "cum_captured",
+            (
+                F.round(
+                    F.col("cum_captured").cast("double") / F.col("npos"), 6
+                )
+                + 0.0
+            ).alias("gain"),
+            (
+                F.round(
+                    (
+                        F.col("cum_captured").cast("double")
+                        / F.col("cum_targeted")
+                    )
+                    / (F.col("npos").cast("double") / F.col("ntot")),
+                    6,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
