@@ -511,3 +511,38 @@ def test_heavy_hitters_stream_misra_gries_guarantees(
         assert c - e <= n / k, (t, e, c, n / k)
         if c > n / k:
             assert t in est, f"heavy hitter {t} missing"
+
+
+def test_sprt_stream_matches_batch_twin(spark, sf_dir, source_dir, tmp_path):
+    """The streaming SPRT's final emission must agree with the batch
+    twin's crossing day, decision, and final cumulative LLR."""
+    from tscd_datalake_adapter_spark.operators.analytics import (
+        sprt_sequential_ab,
+    )
+
+    live = jobs.run_sprt_stream(
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt_sprt"),
+        "sprt_smoke",
+        max_files_per_trigger=1,
+    ).collect()
+    assert len(live) == 1
+    lv = live[0]
+    batch = sorted(sprt_sequential_ab(spark, sf_dir).collect(),
+                   key=lambda r: r.day)
+    assert lv.n_days == len(batch)
+    assert lv.first_decision_day == batch[0].first_decision_day
+    assert lv.cum_llr_final == batch[-1].cum_llr
+    # decision at the last day: recompute from the twin's columns
+    last = batch[-1]
+    want = last.decision if lv.first_decision_day == "" else (
+        "accept_h1"
+        if any(r.decision == "accept_h1" and r.day == lv.first_decision_day
+               for r in batch)
+        else "accept_h0"
+    )
+    assert lv.decision == want
+    assert spark.sql(
+        "SELECT count(DISTINCT seq) FROM sprt_smoke"
+    ).first()[0] > 1

@@ -694,3 +694,45 @@ def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "file_metadata_audit",
+    tags=("io", "ops"),
+    defer=True,
+    oracle="""
+    -- the fixture ships exactly one physical file per table at every SF,
+    -- so the per-file manifest collapses to one literal-named row; the
+    -- Spark side still derives it from the real _metadata struct
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file manifest audit via Spark's hidden ``_metadata``
+    struct (file provenance without a custom reader): rows, distinct and
+    min/max order keys PER PHYSICAL FILE — the small-files / clustering /
+    lineage report a lake maintenance job emits, and the zone-map raw
+    material ``zone_map_skipping_audit`` simulates. The oracle sees the
+    same physical layout through ``read_parquet(..., filename=true)``.
+
+    Scale shape: ``_metadata.file_name`` is generated at the scan (no
+    join against a listing); one map-side-combined aggregate keyed by
+    file — output rows = file count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("_metadata.file_name").alias("file_name"), "l_orderkey"
+    )
+    return (
+        li.groupBy("file_name")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.min("l_orderkey").cast("long").alias("min_orderkey"),
+            F.max("l_orderkey").cast("long").alias("max_orderkey"),
+        )
+        .orderBy("file_name")
+    )

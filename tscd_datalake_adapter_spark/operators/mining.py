@@ -1006,3 +1006,156 @@ def trigram_novelty_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_BURST_GAMMA = "3.0"
+
+
+@register(
+    "burst_detection_viterbi",
+    tags=("mining", "analytics"),
+    defer=True,
+    oracle=f"""
+    WITH RECURSIVE daily0 AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ),
+    daily AS MATERIALIZED (
+        SELECT day, k,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily0
+    ),
+    n AS (SELECT CAST(max(t) AS BIGINT) AS n,
+                 CAST(sum(k) AS BIGINT) AS total FROM daily),
+    rates AS (
+        SELECT CAST(total AS DOUBLE) / n AS r0,
+               2.0 * (CAST(total AS DOUBLE) / n) AS r1,
+               round(ln(CAST(total AS DOUBLE) / n), 12) AS lr0,
+               round(ln(2.0 * (CAST(total AS DOUBLE) / n)), 12) AS lr1,
+               n FROM n
+    ),
+    emit AS MATERIALIZED (
+        SELECT d.day, d.k, d.t,
+               round(r.r0 - d.k * r.lr0, 12) AS e0,
+               round(r.r1 - d.k * r.lr1, 12) AS e1
+        FROM daily d CROSS JOIN rates r
+    ),
+    fwd AS (
+        SELECT t, day, k, e0 AS v0, e1 + {_BURST_GAMMA} AS v1
+        FROM emit WHERE t = 1
+        UNION ALL
+        SELECT e.t, e.day, e.k,
+               e.e0 + least(f.v0, f.v1),
+               e.e1 + least(f.v1, f.v0 + {_BURST_GAMMA})
+        FROM fwd f JOIN emit e ON e.t = f.t + 1
+    ),
+    fm AS MATERIALIZED (SELECT * FROM fwd),
+    bwd AS (
+        SELECT t, day, k, v0, v1,
+               CASE WHEN v1 < v0 THEN 1 ELSE 0 END AS state
+        FROM fm WHERE t = (SELECT n FROM n)
+        UNION ALL
+        SELECT f.t, f.day, f.k, f.v0, f.v1,
+               CASE WHEN b.state = 1
+                    THEN CASE WHEN f.v1 <= f.v0 + {_BURST_GAMMA}
+                              THEN 1 ELSE 0 END
+                    ELSE CASE WHEN f.v1 < f.v0 THEN 1 ELSE 0 END
+               END AS state
+        FROM bwd b JOIN fm f ON f.t = b.t - 1
+    ),
+    tot AS (
+        SELECT CAST(sum(state) AS BIGINT) AS n_burst_days,
+               round(least(max(CASE WHEN t = (SELECT n FROM n)
+                                    THEN v0 END),
+                           max(CASE WHEN t = (SELECT n FROM n)
+                                    THEN v1 END)), 6) + 0.0
+                   AS total_cost
+        FROM bwd
+    )
+    SELECT b.day, b.k AS n_events, CAST(b.state AS BIGINT) AS burst,
+           tot.n_burst_days, tot.total_cost
+    FROM bwd b CROSS JOIN tot ORDER BY b.day
+    """,
+)
+def burst_detection_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst detection on the daily event stream: a
+    two-state automaton (base rate r₀ = mean daily count, burst rate
+    r₁ = 2r₀, cost γ = 3 to ENTER the burst state) decoded by exact
+    Viterbi — the trend/burst labeling a feed-monitoring pipeline runs
+    over ingest volumes. Emissions are Poisson negative log-likelihoods
+    with the state-independent ln k! dropped (argmin-invariant).
+
+    Determinism: the only libm terms (ln r₀, ln r₁) round-12 once; the
+    forward min-sum recursion and the backward argmin traversal are pure
+    IEEE +/min with identical formula order in the Python fold and the
+    oracle's two recursive CTEs (the holt recipe, plus backtracking).
+    Tie rule: staying in the current state wins ties.
+
+    Scale shape: rows → day histogram (calendar-bound); the fold runs in
+    one applyInPandas over that bounded series."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    gamma = float(_BURST_GAMMA)
+
+    def _r12(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("k"))
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ks = [int(x) for x in pdf["k"]]
+        n = len(ks)
+        total = sum(ks)
+        r0 = float(total) / n
+        r1 = 2.0 * r0
+        lr0, lr1 = _r12(math.log(r0)), _r12(math.log(r1))
+        e0 = [_r12(r0 - k * lr0) for k in ks]
+        e1 = [_r12(r1 - k * lr1) for k in ks]
+        v0 = [0.0] * n
+        v1 = [0.0] * n
+        v0[0], v1[0] = e0[0], e1[0] + gamma
+        for t in range(1, n):
+            v0[t] = e0[t] + min(v0[t - 1], v1[t - 1])
+            v1[t] = e1[t] + min(v1[t - 1], v0[t - 1] + gamma)
+        states = [0] * n
+        states[n - 1] = 1 if v1[n - 1] < v0[n - 1] else 0
+        for t in range(n - 2, -1, -1):
+            if states[t + 1] == 1:
+                states[t] = 1 if v1[t] <= v0[t] + gamma else 0
+            else:
+                states[t] = 1 if v1[t] < v0[t] else 0
+        total_cost = min(v0[n - 1], v1[n - 1])
+        return pd.DataFrame(
+            {
+                "day": pdf["day"],
+                "n_events": ks,
+                "burst": states,
+                "total_cost_raw": [total_cost] * n,
+            }
+        )
+
+    decoded = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        _viterbi,
+        "day string, n_events long, burst long, total_cost_raw double",
+    )
+    tot = decoded.agg(
+        F.sum("burst").cast("long").alias("n_burst_days"),
+        (F.round(F.max("total_cost_raw"), 6) + 0.0).alias("total_cost"),
+    )
+    return (
+        decoded.crossJoin(F.broadcast(tot))
+        .select("day", "n_events", "burst", "n_burst_days", "total_cost")
+        .orderBy("day")
+    )

@@ -1253,3 +1253,124 @@ def run_heavy_hitters_stream(
         f"SELECT event_type, est_count, n_processed FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
     )
+
+
+def run_sprt_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING sequential test: the live form of the oracle-checked
+    ``sprt_sequential_ab`` batch twin — the whole point of a sequential
+    test is to run WHILE data arrives and stop at first boundary
+    crossing. State is the per-day (events, purchases) count map
+    (calendar-bound, ~O(days)); each batch re-derives the cumulative LLR
+    walk over the day-ordered counts, so the result is exact under
+    arbitrary out-of-order arrival (late events for an early day shift
+    the whole downstream walk — same re-derivation argument as
+    ``run_anomaly_stream``). Emits one summary row per batch with seq;
+    pytest pins the final row against the batch twin's constants.
+
+    Per-day LLR terms quantize half-up-12 via Decimal and accumulate as
+    exact Decimals — mirroring the twin's round-12 + DECIMAL(38,12)
+    window sum bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tscd_datalake_adapter_spark.operators.analytics import (
+        _SPRT_BOUND,
+        _SPRT_LLR_NEG,
+        _SPRT_LLR_POS,
+    )
+
+    lp, ln_, bound = (
+        float(_SPRT_LLR_POS),
+        float(_SPRT_LLR_NEG),
+        float(_SPRT_BOUND),
+    )
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger
+    ).withColumn("g", F.lit(1))
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            days, n_ev, n_pu, seq = state.get
+            counts = {
+                d: [int(a), int(b)] for d, a, b in zip(days, n_ev, n_pu)
+            }
+        else:
+            counts, seq = {}, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            day_s = pdf["ts"].dt.strftime("%Y-%m-%d")
+            purch = (pdf["event_type"] == "purchase").astype(int)
+            for d, p in zip(day_s, purch):
+                c = counts.setdefault(str(d), [0, 0])
+                c[0] += 1
+                c[1] += int(p)
+        seq += 1
+        items = sorted(counts.items())
+        state.update(
+            (
+                [d for d, _ in items],
+                [c[0] for _, c in items],
+                [c[1] for _, c in items],
+                seq,
+            )
+        )
+        cum = Decimal(0)
+        q12 = Decimal("1e-12")
+        first_day, decision = "", "continue"
+        last_cum = 0.0
+        for d, (n, p) in items:
+            term = Decimal(repr(p * lp + (n - p) * ln_)).quantize(
+                q12, rounding=ROUND_HALF_UP
+            )
+            cum += term
+            last_cum = float(cum)
+            if decision == "continue":
+                if last_cum >= bound:
+                    first_day, decision = d, "accept_h1"
+                elif last_cum <= -bound:
+                    first_day, decision = d, "accept_h0"
+        yield pd.DataFrame(
+            {
+                "first_decision_day": [first_day],
+                "decision": [decision],
+                "cum_llr_final": [round(last_cum, 6) + 0.0],
+                "n_days": [len(items)],
+                "seq": [seq],
+            }
+        )
+
+    out = stream.groupBy("g").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "first_decision_day string, decision string, "
+            "cum_llr_final double, n_days long, seq long"
+        ),
+        stateStructType=(
+            "days array<string>, n_ev array<long>, n_pu array<long>, "
+            "seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT * FROM {query_name} "
+        f"WHERE seq = (SELECT max(seq) FROM {query_name})"
+    )
