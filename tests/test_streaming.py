@@ -546,3 +546,23 @@ def test_sprt_stream_matches_batch_twin(spark, sf_dir, source_dir, tmp_path):
     assert spark.sql(
         "SELECT count(DISTINCT seq) FROM sprt_smoke"
     ).first()[0] > 1
+
+
+def test_checkpoint_restart_is_idempotent(spark, sf_dir, source_dir, tmp_path):
+    """Exactly-once over restarts: re-starting an availableNow query on
+    the SAME checkpoint and unchanged source must not reprocess or
+    duplicate anything — the twin-equality still holds and the second run
+    adds no new batches."""
+    ckpt = str(tmp_path / "ckpt_idem")
+    r1 = jobs.run_tumbling_stream(
+        spark, source_dir, ckpt, "idem_a"
+    ).collect()
+    batch = stream_tumbling_window(spark, sf_dir).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, batch))
+    # restart on the same checkpoint with an unchanged source: the commit
+    # log says everything is processed, so the fresh memory sink receives
+    # ZERO batches — nothing is reprocessed, nothing duplicated
+    r2 = jobs.run_tumbling_stream(
+        spark, source_dir, ckpt, "idem_b"
+    ).collect()
+    assert r2 == []
