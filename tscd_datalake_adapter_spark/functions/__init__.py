@@ -116,3 +116,20 @@ H60_SQLEXPR = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 def oracle_h60(expr: str) -> str:
     """DuckDB twin of :func:`h60` (bit-identical)."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def spread(df):
+    """Repartition a narrow projection to the session's full parallelism.
+
+    Spark sizes scan tasks by INPUT bytes, so a small-file table (the
+    local fixtures are one parquet file each) reads as 1-3 partitions and
+    any CPU-heavy map stage built on it — Arrow mapInPandas batches, big
+    explodes, md5/exp/decimal folds — runs on that many threads no matter
+    how many cores the session has. One round-robin shuffle of the narrow
+    input restores parallelism; on a production cluster with thousands of
+    input splits the same call is a no-op-sized safeguard. Use AFTER
+    projecting/filtering to the columns the hot stage needs, and only on
+    ops whose results are partition-invariant (this repo's determinism
+    recipes guarantee that by construction)."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import h60, oracle_h60
+from tscd_datalake_adapter_spark.functions import (
+    h60,
+    oracle_h60,
+    spread as _spread,
+)
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -36,11 +40,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def distinct_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, tok) with per-document distinct whitespace tokens."""
-    return docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    ).where(F.col("tok") != "")
+    """(doc_id, tok) with per-document distinct whitespace tokens. The
+    text column is spread to full parallelism before the explode
+    (``functions.spread``): tokenization is the hot map of every dedup
+    pipeline and must not inherit a 1-file scan's partitioning."""
+    return (
+        _spread(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
 
 
 def exact_jaccard_pairs(

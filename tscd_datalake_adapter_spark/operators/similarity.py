@@ -23,6 +23,7 @@ from tscd_datalake_adapter_spark.functions import (
     dec_sum,
     oracle_dec_sum,
     oracle_h60,
+    spread,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
@@ -183,7 +184,9 @@ def _lsh_signatures(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    # file-count-parallelism guard (functions.spread): the matmul batches
+    # must not inherit the 1-file fixture's single scan partition
+    return spread(df.select(id_col, vec_col)).mapInPandas(
         gen, f"{id_col} long, tbl long, bucket long"
     )
 
@@ -590,7 +593,7 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["query_id", "neighbor_id", "cos"]
             )
 
-    scored = e.mapInPandas(score_batches, out_schema)
+    scored = spread(e).mapInPandas(score_batches, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -1017,7 +1020,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["query_id", "neighbor_id", "nlabel", "cos"]
             )
 
-    scored = e.mapInPandas(
+    scored = spread(e).mapInPandas(
         score_batches,
         "query_id long, neighbor_id long, nlabel long, cos double",
     )
@@ -1384,7 +1387,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal 4-term sum; rerank touches ``PQ_CANDS`` vectors per query.
     At 100 TB the point is the 2-byte code table: the whole corpus'
     codes fit in memory where raw embeddings cannot."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = spread(  # cell assignment = 64 interpreted dot products/row
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     inv_norm = F.lit(1.0) / F.sqrt(sq_norm(F.col("embedding")))
     ev = e.select(
         "vec_id",
