@@ -3445,3 +3445,390 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("train_accuracy"),
     )
+
+
+_RANSAC_K = 16
+_RANSAC_TAU = 8.0
+
+
+@register(
+    "ransac_line_fit",
+    tags=("analytics", "robust"),
+    defer=True,
+    oracle=f"""
+    WITH daily0 AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    daily AS MATERIALIZED (
+        SELECT day, y,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily0
+    ),
+    n AS (SELECT CAST(max(t) AS BIGINT) AS n FROM daily),
+    cand AS MATERIALIZED (
+        SELECT k.k,
+               1 + {oracle_h60("'ransac:a:' || k.k")} % n.n AS i,
+               1 + ({oracle_h60("'ransac:a:' || k.k")} % n.n
+                    + 1 + {oracle_h60("'ransac:b:' || k.k")} % (n.n - 1))
+                   % n.n AS j
+        FROM (SELECT unnest(range(0, {_RANSAC_K})) AS k) k CROSS JOIN n
+    ),
+    models AS MATERIALIZED (
+        SELECT c.k,
+               (CAST(dj.y AS DOUBLE) - di.y) / (dj.t - di.t) AS slope,
+               di.y - (CAST(dj.y AS DOUBLE) - di.y) / (dj.t - di.t) * di.t
+                   AS icept
+        FROM cand c
+        JOIN daily di ON di.t = c.i
+        JOIN daily dj ON dj.t = c.j
+    ),
+    scored AS (
+        SELECT m.k, m.slope, m.icept,
+               CAST(sum(CASE WHEN abs(d.y - (m.icept + m.slope * d.t))
+                                  <= {_RANSAC_TAU}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+        FROM models m CROSS JOIN daily d
+        GROUP BY m.k, m.slope, m.icept
+    ),
+    best AS MATERIALIZED (
+        SELECT k, slope, icept, n_inliers,
+               row_number() OVER (ORDER BY n_inliers DESC, k) AS rk
+        FROM scored
+    ),
+    refit AS (
+        SELECT b.k, b.slope, b.icept, b.n_inliers,
+               CAST(count(*) AS DOUBLE) AS rn,
+               {oracle_dec_sum('d.t')} AS sx,
+               {oracle_dec_sum('d.y')} AS sy,
+               {oracle_dec_sum('d.t * d.t')} AS sxx,
+               {oracle_dec_sum('d.t * d.y')} AS sxy
+        FROM best b CROSS JOIN daily d
+        WHERE b.rk = 1
+          AND abs(d.y - (b.icept + b.slope * d.t)) <= {_RANSAC_TAU}
+        GROUP BY b.k, b.slope, b.icept, b.n_inliers
+    )
+    SELECT CAST(k AS BIGINT) AS best_candidate,
+           n_inliers,
+           round(slope, 6) + 0.0 AS cand_slope,
+           round(icept, 6) + 0.0 AS cand_intercept,
+           round((rn * sxy - sx * sy) / (rn * sxx - sx * sx), 6) + 0.0
+               AS refit_slope,
+           round((sy - (rn * sxy - sx * sy) / (rn * sxx - sx * sx) * sx)
+                 / rn, 6) + 0.0 AS refit_intercept
+    FROM refit
+    """,
+)
+def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit of the daily event-count trend: 16
+    h60-chosen candidate point pairs (deterministic "random" sampling —
+    the repo's replayable-randomness recipe), each scored by its inlier
+    count at ±8 events, winner refit by OLS over its inliers — the
+    outlier-immune alternative to [[theil_sen_daily_trend]] when the
+    series has gross corruption (a backfill day, an outage day).
+
+    The j-index draw is offset-from-i modulo n, so i ≠ j by construction
+    (no degenerate model, no rejection loop). Every stage is bounded:
+    candidates × days is a K·n scalar grid over the calendar-bound daily
+    histogram, and the refit is 4 decimal moments over the inlier rows.
+    At 100 TB the daily aggregate is the only corpus-scale pass."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("long").alias("y"))
+        .withColumn(
+            "t",
+            F.row_number().over(Window.orderBy("day")).cast("long"),
+        )
+    )
+    n = daily.agg(F.max("t").cast("long").alias("n"))
+    ks = spark.range(_RANSAC_K).select(F.col("id").cast("long").alias("k"))
+    ha = h60(F.concat(F.lit("ransac:a:"), F.col("k").cast("string")))
+    hb = h60(F.concat(F.lit("ransac:b:"), F.col("k").cast("string")))
+    cand = ks.crossJoin(F.broadcast(n)).select(
+        "k",
+        (1 + ha % F.col("n")).alias("i"),
+        (
+            1
+            + (ha % F.col("n") + 1 + hb % (F.col("n") - 1)) % F.col("n")
+        ).alias("j"),
+    )
+    di = daily.select(
+        F.col("t").alias("i"), F.col("y").alias("yi"), F.col("t").alias("ti")
+    )
+    dj = daily.select(
+        F.col("t").alias("j"), F.col("y").alias("yj"), F.col("t").alias("tj")
+    )
+    slope = (F.col("yj").cast("double") - F.col("yi")) / (
+        F.col("tj") - F.col("ti")
+    )
+    models = (
+        cand.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "k",
+            slope.alias("slope"),
+            (F.col("yi") - slope * F.col("ti")).alias("icept"),
+        )
+    )
+    resid_ok = (
+        F.abs(
+            F.col("y") - (F.col("icept") + F.col("slope") * F.col("t"))
+        )
+        <= _RANSAC_TAU
+    )
+    scored = (
+        models.crossJoin(F.broadcast(daily))
+        .groupBy("k", "slope", "icept")
+        .agg(
+            F.sum(F.when(resid_ok, 1).otherwise(0))
+            .cast("long")
+            .alias("n_inliers")
+        )
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("n_inliers").desc(), F.col("k"))
+        ),
+    ).where(F.col("rk") == 1)
+    refit = (
+        best.crossJoin(F.broadcast(daily))
+        .where(resid_ok)
+        .groupBy("k", "slope", "icept", "n_inliers")
+        .agg(
+            F.count("*").cast("double").alias("rn"),
+            dec_sum("t").alias("sx"),
+            dec_sum("y").alias("sy"),
+            dec_sum(F.col("t") * F.col("t")).alias("sxx"),
+            dec_sum(F.col("t") * F.col("y")).alias("sxy"),
+        )
+    )
+    b1 = (F.col("rn") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("rn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return refit.select(
+        F.col("k").alias("best_candidate"),
+        "n_inliers",
+        (F.round(F.col("slope"), 6) + 0.0).alias("cand_slope"),
+        (F.round(F.col("icept"), 6) + 0.0).alias("cand_intercept"),
+        (F.round(b1, 6) + 0.0).alias("refit_slope"),
+        (
+            F.round(
+                (F.col("sy") - b1 * F.col("sx")) / F.col("rn"), 6
+            )
+            + 0.0
+        ).alias("refit_intercept"),
+    )
+
+
+@register(
+    "binary_segmentation_changepoints",
+    tags=("analytics", "changepoint"),
+    defer=True,
+    oracle="""
+    WITH daily0 AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    daily AS MATERIALIZED (
+        SELECT day, y,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(sum(y) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM daily0
+    ),
+    n AS (SELECT CAST(max(t) AS BIGINT) AS n,
+                 CAST(max(cum) AS BIGINT) AS s FROM daily),
+    l1 AS MATERIALIZED (
+        SELECT d.t, d.day, abs(n.n * d.cum - d.t * n.s) AS stat
+        FROM daily d CROSS JOIN n WHERE d.t < n.n
+        ORDER BY stat DESC, d.t LIMIT 1
+    ),
+    scopes AS (
+        SELECT 'full' AS scope, 1 AS a, n.n AS b FROM n
+        UNION ALL
+        SELECT 'left', 1, l1.t FROM l1
+        UNION ALL
+        SELECT 'right', l1.t + 1, n.n FROM l1 CROSS JOIN n
+    ),
+    bounds AS MATERIALIZED (
+        SELECT s.scope, s.a, s.b,
+               b.b - s.a + 1 AS nl,
+               (SELECT cum FROM daily WHERE t = s.b)
+                 - coalesce((SELECT cum FROM daily WHERE t = s.a - 1), 0)
+                 AS sl
+        FROM scopes s JOIN scopes b
+          ON b.scope = s.scope AND b.a = s.a AND b.b = s.b
+        WHERE s.b - s.a >= 2
+    ),
+    cps AS (
+        SELECT sc.scope, sc.a, sc.b, d.t, d.day,
+               abs(sc.nl * (d.cum
+                     - coalesce((SELECT cum FROM daily
+                                 WHERE t = sc.a - 1), 0))
+                   - (d.t - sc.a + 1) * sc.sl) AS stat,
+               row_number() OVER (PARTITION BY sc.scope
+                   ORDER BY abs(sc.nl * (d.cum
+                       - coalesce((SELECT cum FROM daily
+                                   WHERE t = sc.a - 1), 0))
+                     - (d.t - sc.a + 1) * sc.sl) DESC, d.t) AS rk
+        FROM bounds sc JOIN daily d ON d.t >= sc.a AND d.t < sc.b
+    )
+    SELECT c.scope,
+           (SELECT day FROM daily WHERE t = c.a) AS seg_start,
+           (SELECT day FROM daily WHERE t = c.b) AS seg_end,
+           c.day AS changepoint_day,
+           CAST(c.stat AS BIGINT) AS stat_num,
+           round(CAST(c.stat AS DOUBLE)
+                 / ((c.b - c.a + 1) * (c.b - c.a + 1)), 6) + 0.0
+               AS stat_norm
+    FROM cps c WHERE c.rk = 1 ORDER BY c.scope
+    """,
+)
+def binary_segmentation_changepoints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary segmentation on the daily event-count series: the top CUSUM
+    changepoint over the full range, then the best changepoint inside
+    each resulting half — the standard recursive changepoint detector,
+    unrolled one level the way a monitoring pipeline reports "the regime
+    shifted HERE, and within each regime the next-strongest shift is
+    THERE" ([[cusum_changepoint_daily]]'s recursive extension).
+
+    The statistic stays a pure integer through every comparison
+    (|n'·cumΔ − k'·totalΔ|, the cusum recipe localized to a scope via
+    prefix-sum differences); only the normalized readout divides.
+    Ties break to the earliest day in both engines.
+
+    Scale shape: one pass builds the prefix-summed day histogram
+    (calendar-bound); every scope statistic derives from that table with
+    scalar subqueries on the bounded index — no re-scan per segment. A
+    k-level tree is k more bounded passes."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("long").alias("y"))
+        .select(
+            "day",
+            "y",
+            F.row_number().over(Window.orderBy("day")).cast("long").alias(
+                "t"
+            ),
+        )
+        .withColumn(
+            "cum",
+            F.sum("y")
+            .over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("long"),
+        )
+        .localCheckpoint()
+    )
+    n = daily.agg(
+        F.max("t").cast("long").alias("n"),
+        F.max("cum").cast("long").alias("s"),
+    )
+    l1 = (
+        daily.crossJoin(F.broadcast(n))
+        .where(F.col("t") < F.col("n"))
+        .select(
+            "t",
+            F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("s")).alias(
+                "stat"
+            ),
+        )
+        .orderBy(F.col("stat").desc(), "t")
+        .limit(1)
+    )
+    scopes = (
+        n.select(F.lit("full").alias("scope"), F.lit(1).cast("long").alias("a"), F.col("n").alias("b"))
+        .unionByName(
+            l1.select(
+                F.lit("left").alias("scope"),
+                F.lit(1).cast("long").alias("a"),
+                F.col("t").alias("b"),
+            )
+        )
+        .unionByName(
+            l1.crossJoin(F.broadcast(n)).select(
+                F.lit("right").alias("scope"),
+                (F.col("t") + 1).alias("a"),
+                F.col("n").alias("b"),
+            )
+        )
+        .where(F.col("b") - F.col("a") >= 2)
+    )
+    pre = daily.select(
+        F.col("t").alias("pt"), F.col("cum").alias("pre_cum")
+    )
+    endc = daily.select(
+        F.col("t").alias("bt"), F.col("cum").alias("end_cum")
+    )
+    bounds = (
+        scopes.join(
+            F.broadcast(pre), F.col("pt") == F.col("a") - 1, "left"
+        )
+        .join(F.broadcast(endc), F.col("bt") == F.col("b"))
+        .select(
+            "scope",
+            "a",
+            "b",
+            (F.col("b") - F.col("a") + 1).alias("nl"),
+            (
+                F.col("end_cum") - F.coalesce(F.col("pre_cum"), F.lit(0))
+            ).alias("sl"),
+            F.coalesce(F.col("pre_cum"), F.lit(0)).alias("base_cum"),
+        )
+    )
+    stat = F.abs(
+        F.col("nl") * (F.col("cum") - F.col("base_cum"))
+        - (F.col("t") - F.col("a") + 1) * F.col("sl")
+    )
+    cps = (
+        bounds.join(
+            F.broadcast(daily),
+            (F.col("t") >= F.col("a")) & (F.col("t") < F.col("b")),
+        )
+        .select("scope", "a", "b", "t", "day", stat.alias("stat"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("scope").orderBy(
+                    F.col("stat").desc(), F.col("t")
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    sd = daily.select(F.col("t").alias("at"), F.col("day").alias("seg_start"))
+    ed = daily.select(F.col("t").alias("et"), F.col("day").alias("seg_end"))
+    return (
+        cps.join(F.broadcast(sd), F.col("at") == F.col("a"))
+        .join(F.broadcast(ed), F.col("et") == F.col("b"))
+        .select(
+            "scope",
+            "seg_start",
+            "seg_end",
+            F.col("day").alias("changepoint_day"),
+            F.col("stat").cast("long").alias("stat_num"),
+            (
+                F.round(
+                    F.col("stat").cast("double")
+                    / (
+                        (F.col("b") - F.col("a") + 1)
+                        * (F.col("b") - F.col("a") + 1)
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("stat_norm"),
+        )
+        .orderBy("scope")
+    )

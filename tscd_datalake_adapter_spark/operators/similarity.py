@@ -2279,3 +2279,103 @@ def ivf_list_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "imbalance",
         "worst_probe_scan",
     )
+
+
+@register(
+    "embedding_source_drift",
+    tags=("llm", "similarity", "eval"),
+    defer=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+        SELECT label, CAST(count(*) AS BIGINT) AS cn,
+               {", ".join(_silhouette_centroid_sums(one_based=True))}
+        FROM e WHERE vec_id % 2 = 0 GROUP BY label
+    ),
+    c1 AS MATERIALIZED (
+        SELECT label, CAST(count(*) AS BIGINT) AS cn,
+               {", ".join(_silhouette_centroid_sums(one_based=True))}
+        FROM e WHERE vec_id % 2 = 1 GROUP BY label
+    ),
+    a0 AS (
+        SELECT label, cn AS n0,
+               [{", ".join(f"round(s{d} / cn, 12)" for d in range(DIM))}]
+                   AS c
+        FROM c0
+    ),
+    a1 AS (
+        SELECT label, cn AS n1,
+               [{", ".join(f"round(s{d} / cn, 12)" for d in range(DIM))}]
+                   AS c
+        FROM c1
+    )
+    SELECT a0.label, a0.n0, a1.n1,
+           round(list_dot_product(a0.c, a1.c)
+                 / sqrt(list_dot_product(a0.c, a0.c)
+                        * list_dot_product(a1.c, a1.c)), 6) + 0.0
+               AS centroid_cosine,
+           round(list_max(list_transform(range(1, {DIM} + 1),
+                 i -> abs(a0.c[i] - a1.c[i]))), 6) + 0.0
+               AS max_dim_shift
+    FROM a0 JOIN a1 USING (label) ORDER BY a0.label
+    """,
+)
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift readout between two snapshots (vec_id parity
+    stands in for "last week's embedding run vs this week's"): per-label
+    centroid cosine and the largest per-dimension centroid shift — the
+    guard an embedding pipeline runs after a model or corpus update
+    before trusting cached ANN indexes (cosine ≈ 1 and small shifts →
+    indexes stay valid; a drifted label → re-embed/re-index that slice).
+
+    Centroids are decimal-mean round-12 doubles; the cosine rides the
+    fixed-order dot fold (== list_dot_product). Scale shape: two
+    groupBy(label) centroid passes (map-side combined, k rows out) and a
+    k-row join — corpus size only enters the scans."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+    )
+
+    def _cents(parity: int, n_name: str, c_name: str) -> DataFrame:
+        cent = (
+            e.where(F.col("vec_id") % 2 == parity)
+            .groupBy("label")
+            .agg(
+                F.count("*").cast("long").alias("cn"),
+                *[
+                    F.expr(x)
+                    for x in _silhouette_centroid_sums(one_based=False)
+                ],
+            )
+        )
+        return cent.selectExpr(
+            "label",
+            f"cn AS {n_name}",
+            "array("
+            + ", ".join(f"round(s{d} / cn, 12)" for d in range(DIM))
+            + f") AS {c_name}",
+        )
+
+    a0 = _cents(0, "n0", "c0")
+    a1 = _cents(1, "n1", "c1")
+    cos = dot(F.col("c0"), F.col("c1")) / F.sqrt(
+        sq_norm(F.col("c0")) * sq_norm(F.col("c1"))
+    )
+    shift = F.array_max(
+        F.zip_with(F.col("c0"), F.col("c1"), lambda x, y: F.abs(x - y))
+    )
+    return (
+        a0.join(a1, "label")
+        .select(
+            "label",
+            "n0",
+            "n1",
+            (F.round(cos, 6) + 0.0).alias("centroid_cosine"),
+            (F.round(shift, 6) + 0.0).alias("max_dim_shift"),
+        )
+        .orderBy("label")
+    )
