@@ -566,3 +566,44 @@ def test_checkpoint_restart_is_idempotent(spark, sf_dir, source_dir, tmp_path):
         spark, source_dir, ckpt, "idem_b"
     ).collect()
     assert r2 == []
+
+
+def test_drift_monitor_stream_matches_batch_recompute(
+    spark, sf_dir, source_dir, tmp_path
+):
+    """The streaming PSI's final emission must equal the same formula
+    applied to the exact batch histograms (even-id reference vs odd-id
+    current), and the state must stay O(bins)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    live = jobs.run_drift_monitor_stream(
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt_drift"),
+        "drift_smoke",
+        max_files_per_trigger=1,
+    ).collect()
+    assert len(live) == 1
+    lv = live[0]
+    ev = load_table(spark, sf_dir, "events").collect()
+    ref = [0] * 10
+    cur = [0] * 10
+    for r in ev:
+        b = min(9, max(0, int(r.value / 35.0)))
+        (cur if r.event_id % 2 else ref)[b] += 1
+    assert lv.n_ref == sum(ref) and lv.n_cur == sum(cur)
+    q12 = Decimal("1e-12")
+    total = Decimal(0)
+    for a, b in zip(ref, cur):
+        p = a / sum(ref) + 1e-6
+        q = b / sum(cur) + 1e-6
+        total += Decimal(repr((p - q) * math.log(p / q))).quantize(
+            q12, rounding=ROUND_HALF_UP
+        )
+    assert lv.psi == round(float(total), 6) + 0.0
+    assert spark.sql(
+        "SELECT count(DISTINCT seq) FROM drift_smoke"
+    ).first()[0] > 1

@@ -1419,3 +1419,77 @@ def event_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "trace")
     )
+
+
+@register(
+    "snapshot_diff_cdc",
+    tags=("history", "lakehouse"),
+    defer=True,
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 50 != 0
+    ),
+    v2 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 41 != 0
+    ),
+    d AS (
+        SELECT coalesce(v1.k, v2.k) AS k,
+               CASE
+                 WHEN v1.k IS NULL THEN 'insert'
+                 WHEN v2.k IS NULL THEN 'delete'
+                 WHEN v1.st != v2.st OR v1.price != v2.price THEN 'update'
+                 ELSE 'unchanged'
+               END AS op
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT op, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY op ORDER BY op
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC derivation: when an upstream system can only
+    hand over FULL dumps, the change feed is recovered by diffing
+    consecutive snapshots on the primary key — insert / delete / update /
+    unchanged per key (full outer join + column compare). The fixture
+    simulates the two snapshots deterministically from orders (a slice
+    missing from v1 = inserts, a slice missing from v2 = deletes, a
+    price-bumped slice = updates). The derived op stream is exactly what
+    [[cdc_merge_apply]] then applies downstream.
+
+    Scale shape: ONE full-outer shuffle join on the key (both sides
+    key-partitioned; at 100 TB this is the canonical sort-merge diff) and
+    a map-side-combined count by op. With bucketed snapshot tables the
+    shuffle disappears entirely — the documented production layout."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 50 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("st1"),
+        F.col("o_totalprice").alias("price1"),
+    )
+    v2 = o.where(F.col("o_orderkey") % 41 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("st2"),
+        F.when(
+            F.col("o_orderkey") % 37 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price2"),
+    )
+    d = v1.join(v2, v1.k1 == v2.k2, "full_outer").select(
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .when(
+            (F.col("st1") != F.col("st2"))
+            | (F.col("price1") != F.col("price2")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("op")
+    )
+    return (
+        d.groupBy("op").agg(F.count("*").cast("long").alias("n")).orderBy("op")
+    )

@@ -935,3 +935,178 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_is_lossless"),
         )
     )
+
+
+_BPJ_BITS = 16384
+_BPJ_K = 3
+
+
+@register(
+    "bloom_pruned_join_count",
+    tags=("sketch", "join", "scale"),
+    defer=True,
+    oracle=f"""
+    WITH dim_keys AS (
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    ks AS (SELECT unnest(range(0, {_BPJ_K})) AS k),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT
+               {oracle_h60(
+                   "concat('bpj', CAST(k AS VARCHAR), ':',"
+                   " CAST(o_orderkey AS VARCHAR))")}
+                   % {_BPJ_BITS} AS pos
+        FROM dim_keys CROSS JOIN ks
+    ),
+    fact_keys AS MATERIALIZED (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    probed AS MATERIALIZED (
+        SELECT f.l_orderkey, f.n_rows,
+               CAST(count(b.pos) AS BIGINT) AS n_hit
+        FROM fact_keys f
+        CROSS JOIN ks
+        LEFT JOIN bits b
+          ON b.pos = {oracle_h60(
+                 "concat('bpj', CAST(ks.k AS VARCHAR), ':',"
+                 " CAST(f.l_orderkey AS VARCHAR))")}
+                 % {_BPJ_BITS}
+        GROUP BY f.l_orderkey, f.n_rows
+    ),
+    truth AS (
+        SELECT p.l_orderkey, p.n_rows, p.n_hit,
+               CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END
+                   AS in_dim
+        FROM probed p LEFT JOIN dim_keys d ON d.o_orderkey = p.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fact_keys,
+           CAST(sum(CASE WHEN n_hit = {_BPJ_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keys_kept,
+           CAST(sum(in_dim) AS BIGINT) AS n_keys_true,
+           CAST(sum(CASE WHEN n_hit = {_BPJ_K} AND in_dim = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN n_hit = {_BPJ_K} THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_kept,
+           CAST(sum(CASE WHEN in_dim = 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_exact,
+           round(1.0 - CAST(sum(CASE WHEN n_hit = {_BPJ_K}
+                                     THEN n_rows ELSE 0 END) AS DOUBLE)
+                 / sum(n_rows), 6) + 0.0 AS prune_fraction,
+           round(CAST(sum(CASE WHEN n_hit = {_BPJ_K} AND in_dim = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(1, sum(CASE WHEN in_dim = 0
+                                        THEN 1 ELSE 0 END)), 6) + 0.0
+               AS false_pos_rate
+    FROM truth
+    """,
+)
+def bloom_pruned_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, measured: build a Bloom (16384 bits,
+    k = 3, the repo's h60 bit family) over the FILTERED dimension keys
+    (urgent orders) and probe the fact side's key histogram — the
+    runtime-filter pattern (Spark's own runtime row-group skipping /
+    "sideways information passing") that turns a 100 TB fact⋈dim join
+    into a pre-pruned scan. Reports keys and ROWS kept vs the exact semi
+    join, the prune fraction, and the realized false-positive rate
+    (theory: ≈ (1 − e^{{-kn/m}})^k).
+
+    Scale shape: the Bloom is ≤ m DISTINCT bit positions (broadcast
+    table, the bloom_probe recipe); probing joins the fact KEY histogram
+    (not fact rows) against it; everything else is one aggregate."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    dim_keys = o.select("o_orderkey").distinct()
+    ks = spark.range(_BPJ_K).select(F.col("id").cast("int").alias("k"))
+    bits = (
+        dim_keys.crossJoin(F.broadcast(ks))
+        .select(
+            (
+                h60(
+                    F.concat(
+                        F.lit("bpj"),
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                )
+                % _BPJ_BITS
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    fact_keys = l.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    probe_pos = (
+        h60(
+            F.concat(
+                F.lit("bpj"),
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("l_orderkey").cast("string"),
+            )
+        )
+        % _BPJ_BITS
+    )
+    probed = (
+        fact_keys.crossJoin(F.broadcast(ks))
+        .select("l_orderkey", "n_rows", probe_pos.alias("pos"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), ["pos"], "left")
+        .groupBy("l_orderkey", "n_rows")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    truth = probed.join(
+        F.broadcast(dim_keys.withColumn("in_dim", F.lit(1))),
+        probed.l_orderkey == dim_keys.o_orderkey,
+        "left",
+    ).select(
+        "n_rows", "n_hit", F.coalesce(F.col("in_dim"), F.lit(0)).alias("in_dim")
+    )
+    kept = F.when(F.col("n_hit") == _BPJ_K, 1).otherwise(0)
+    return truth.agg(
+        F.count("*").cast("long").alias("n_fact_keys"),
+        F.sum(kept).cast("long").alias("n_keys_kept"),
+        F.sum("in_dim").cast("long").alias("n_keys_true"),
+        F.sum(F.when((F.col("n_hit") == _BPJ_K) & (F.col("in_dim") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("n_hit") == _BPJ_K, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_kept"),
+        F.sum(F.when(F.col("in_dim") == 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_exact"),
+        (
+            F.round(
+                1.0
+                - F.sum(
+                    F.when(
+                        F.col("n_hit") == _BPJ_K, F.col("n_rows")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("n_rows"),
+                6,
+            )
+            + 0.0
+        ).alias("prune_fraction"),
+        (
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("n_hit") == _BPJ_K) & (F.col("in_dim") == 0),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.greatest(
+                    F.lit(1),
+                    F.sum(F.when(F.col("in_dim") == 0, 1).otherwise(0)),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("false_pos_rate"),
+    )

@@ -1374,3 +1374,99 @@ def run_sprt_stream(
         f"SELECT * FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
     )
+
+
+def run_drift_monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING distribution-drift monitor with O(bins) state: maintain
+    two additive value histograms (reference = even event ids, current =
+    odd — an arrival-order-free split, so the monitor is exact under any
+    delivery order) and emit the PSI between them every micro-batch —
+    the live sibling of the batch ``psi_drift_totalprice`` readout and
+    the third bounded-state example beside the Misra-Gries summary and
+    the SPRT day map.
+
+    PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over 10 fixed-width value bins with ε
+    smoothing; ln terms quantize half-up-12 (Decimal) and accumulate
+    exactly, so the emitted number is a deterministic function of the
+    final counts (pytest recomputes it from the batch table)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_bins, width, eps = 10, 35.0, 1e-6
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger
+    ).withColumn("g", F.lit(1))
+
+    def _psi(ref, cur):
+        q12 = Decimal("1e-12")
+        nr, nc = max(1, sum(ref)), max(1, sum(cur))
+        total = Decimal(0)
+        for r, c in zip(ref, cur):
+            p = r / nr + eps
+            q = c / nc + eps
+            term = (p - q) * math.log(p / q)
+            total += Decimal(repr(term)).quantize(
+                q12, rounding=ROUND_HALF_UP
+            )
+        return float(total)
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            ref, cur, seq = state.get
+            ref, cur = list(ref), list(cur)
+        else:
+            ref, cur, seq = [0] * n_bins, [0] * n_bins, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            bins = (
+                (pdf["value"] / width)
+                .astype("int64")
+                .clip(0, n_bins - 1)
+            )
+            parity = (pdf["event_id"] % 2).astype(int)
+            for b, pa in zip(bins, parity):
+                (cur if pa else ref)[int(b)] += 1
+        seq += 1
+        state.update((ref, cur, seq))
+        yield pd.DataFrame(
+            {
+                "psi": [round(_psi(ref, cur), 6) + 0.0],
+                "n_ref": [sum(ref)],
+                "n_cur": [sum(cur)],
+                "seq": [seq],
+            }
+        )
+
+    out = stream.groupBy("g").applyInPandasWithState(
+        _update,
+        outputStructType="psi double, n_ref long, n_cur long, seq long",
+        stateStructType=(
+            "ref array<long>, cur array<long>, seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT * FROM {query_name} "
+        f"WHERE seq = (SELECT max(seq) FROM {query_name})"
+    )
