@@ -43,6 +43,29 @@ def _cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _probe_work(_):
+    x = 0
+    for i in range(6_000_000):
+        x += i
+    return x
+
+
+def _cpu_probe_parallel(n_procs: int = 16) -> float:
+    """Wall seconds for n_procs fork-parallel copies of a fixed loop —
+    the MULTI-core calibration (processes, not threads: the GIL would
+    serialize threads and measure nothing new). The single-thread probe
+    missed the r5 intra-day finding: two idle runs of identical headline
+    code differed by a uniform 1.28x while the 1-thread probe moved <2%
+    — socket-level throttling/co-scheduling is visible only under
+    concurrency. Compare bench JSONs via BOTH probes."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.get_context("fork").Pool(n_procs) as pool:
+        pool.map(_probe_work, range(n_procs))
+    return round(time.time() - t0, 3)
+
+
 def _timings(spark, sf_dir, specs, runs):
     """{name: sorted [t_1 <= t_2 <= ...]} over `runs` noop-sink executions."""
     out = {}
@@ -106,6 +129,8 @@ def main() -> int:
             "queries": queries,
             "n_queries": len(queries),
             "cpu_probe_sec": _cpu_probe(),
+        "cpu_probe_parallel_sec": _cpu_probe_parallel(),
+            "cpu_probe_parallel_sec": _cpu_probe_parallel(),
             "sf": _sf_val(sf_dir),
         }
         print(json.dumps(result))
@@ -130,6 +155,7 @@ def main() -> int:
         "queries": timings,
         "queries_p2": second_best,
         "cpu_probe_sec": _cpu_probe(),
+        "cpu_probe_parallel_sec": _cpu_probe_parallel(),
         "sf": _sf_val(sf_dir),
     }
     print(json.dumps(result))

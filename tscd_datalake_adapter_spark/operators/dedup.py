@@ -26,11 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import (
-    h60,
-    oracle_h60,
-    spread as _spread,
-)
+from tscd_datalake_adapter_spark.functions import h60, oracle_h60
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -40,13 +36,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def distinct_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, tok) with per-document distinct whitespace tokens. The
-    text column is spread to full parallelism before the explode
-    (``functions.spread``): tokenization is the hot map of every dedup
-    pipeline and must not inherit a 1-file scan's partitioning."""
+    """(doc_id, tok) with per-document distinct whitespace tokens.
+
+    Deliberately NOT pre-spread (``functions.spread``): every consumer
+    shuffles on tok/doc right after the explode, so parallelism recovers
+    at that exchange anyway, and an extra text shuffle up front measured
+    ~35% SLOWER on jaccard_near_dup at sf0.1. spread() pays off only when
+    the heavy work sits in the map stage BEFORE any exchange (LSH
+    matmuls, fan-out expansions, map-side-combined moment folds)."""
     return (
-        _spread(docs.select("doc_id", "text"))
-        .select(
+        docs.select(
             "doc_id",
             F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
         )
