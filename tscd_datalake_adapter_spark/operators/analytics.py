@@ -3832,3 +3832,474 @@ def binary_segmentation_changepoints(
         )
         .orderBy("scope")
     )
+
+
+@register(
+    "revenue_waterfall_pvm",
+    tags=("analytics", "finance"),
+    defer=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS grp,
+               CAST(year(l_shipdate) AS BIGINT) AS yr,
+               l_quantity AS qty,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+    ),
+    g AS (
+        SELECT grp,
+               {oracle_dec_sum("CASE WHEN yr = 1996 THEN qty ELSE 0 END")}
+                   AS v0,
+               {oracle_dec_sum("CASE WHEN yr = 1997 THEN qty ELSE 0 END")}
+                   AS v1,
+               {oracle_dec_sum("CASE WHEN yr = 1996 THEN rev ELSE 0 END")}
+                   AS r0,
+               {oracle_dec_sum("CASE WHEN yr = 1997 THEN rev ELSE 0 END")}
+                   AS r1
+        FROM base GROUP BY grp
+    ),
+    eff AS (
+        SELECT
+            round(CAST(SUM(CAST(round(
+                CASE WHEN v0 > 0 AND v1 > 0
+                     THEN (r0 / v0) * (v1 - v0) ELSE 0 END, 12)
+                AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS volume_effect,
+            round(CAST(SUM(CAST(round(
+                CASE WHEN v0 > 0 AND v1 > 0
+                     THEN v1 * (r1 / v1 - r0 / v0) ELSE 0 END, 12)
+                AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS price_effect,
+            round(CAST(SUM(CAST(round(
+                CASE WHEN v0 = 0 THEN r1 ELSE 0 END, 12)
+                AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS new_groups,
+            round(CAST(SUM(CAST(round(
+                CASE WHEN v1 = 0 THEN -r0 ELSE 0 END, 12)
+                AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS lost_groups,
+            round({oracle_dec_sum('r1')} - {oracle_dec_sum('r0')}, 6) + 0.0
+                AS total_delta
+        FROM g
+    )
+    SELECT * FROM (
+        SELECT 'volume' AS effect, volume_effect AS amount FROM eff
+        UNION ALL SELECT 'price', price_effect FROM eff
+        UNION ALL SELECT 'new_groups', new_groups FROM eff
+        UNION ALL SELECT 'lost_groups', lost_groups FROM eff
+        UNION ALL SELECT 'total_delta', total_delta FROM eff
+        UNION ALL
+        SELECT 'residual_check',
+               round(total_delta - (volume_effect + price_effect
+                     + new_groups + lost_groups), 6) + 0.0
+        FROM eff
+    ) ORDER BY effect
+    """,
+)
+def revenue_waterfall_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue waterfall between 1996 and 1997 (grouped
+    by return flag): Δrevenue decomposed into volume effect
+    (p₀·Δv per continuing group), price effect (v₁·Δp), and new/lost
+    group contributions — the FP&A "why did revenue move" bridge, plus a
+    residual_check row that must come out 0.000000 exactly (this
+    decomposition is additive by construction), which doubles as an
+    internal-consistency proof in the hash gate.
+
+    Determinism: per-group aggregates are decimal sums; the per-group
+    effect terms round-12 then decimal-sum (order-free); divisions p =
+    r/v run on identical operands. Scale: one scan with map-side combine
+    to |groups| rows; the waterfall is scalar math over that table."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    g = base.groupBy("grp").agg(
+        dec_sum(F.when(F.col("yr") == 1996, F.col("qty")).otherwise(0)).alias(
+            "v0"
+        ),
+        dec_sum(F.when(F.col("yr") == 1997, F.col("qty")).otherwise(0)).alias(
+            "v1"
+        ),
+        dec_sum(F.when(F.col("yr") == 1996, F.col("rev")).otherwise(0)).alias(
+            "r0"
+        ),
+        dec_sum(F.when(F.col("yr") == 1997, F.col("rev")).otherwise(0)).alias(
+            "r1"
+        ),
+    )
+    both = (F.col("v0") > 0) & (F.col("v1") > 0)
+
+    def dsum(col):
+        return F.sum(F.round(col, 12).cast("decimal(38,6)")).cast("double")
+
+    eff = g.agg(
+        (
+            F.round(
+                dsum(
+                    F.when(
+                        both,
+                        (F.col("r0") / F.col("v0"))
+                        * (F.col("v1") - F.col("v0")),
+                    ).otherwise(0.0)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("volume_effect"),
+        (
+            F.round(
+                dsum(
+                    F.when(
+                        both,
+                        F.col("v1")
+                        * (
+                            F.col("r1") / F.col("v1")
+                            - F.col("r0") / F.col("v0")
+                        ),
+                    ).otherwise(0.0)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("price_effect"),
+        (
+            F.round(
+                dsum(F.when(F.col("v0") == 0, F.col("r1")).otherwise(0.0)), 6
+            )
+            + 0.0
+        ).alias("new_groups"),
+        (
+            F.round(
+                dsum(F.when(F.col("v1") == 0, -F.col("r0")).otherwise(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("lost_groups"),
+        (F.round(dec_sum("r1") - dec_sum("r0"), 6) + 0.0).alias(
+            "total_delta"
+        ),
+    )
+    # one-row eager cut: the 6 unioned readout branches each reference
+    # eff — uncut, every branch re-runs the whole scan+aggregate
+    eff = eff.localCheckpoint()
+    rows = None
+    for name, col in (
+        ("volume", F.col("volume_effect")),
+        ("price", F.col("price_effect")),
+        ("new_groups", F.col("new_groups")),
+        ("lost_groups", F.col("lost_groups")),
+        ("total_delta", F.col("total_delta")),
+        (
+            "residual_check",
+            F.round(
+                F.col("total_delta")
+                - (
+                    F.col("volume_effect")
+                    + F.col("price_effect")
+                    + F.col("new_groups")
+                    + F.col("lost_groups")
+                ),
+                6,
+            )
+            + 0.0,
+        ),
+    ):
+        r = eff.select(F.lit(name).alias("effect"), col.alias("amount"))
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("effect")
+
+
+@register(
+    "tail_contribution_audit",
+    tags=("analytics", "ops"),
+    defer=True,
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    hist AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY cents
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM hist),
+    thresh AS (
+        SELECT min(cents) AS p95_cents FROM (
+            SELECT cents,
+                   sum(n) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM hist
+        ) CROSS JOIN tot
+        WHERE cum >= CAST(ceil(0.95 * nt) AS BIGINT)
+    ),
+    flagged AS MATERIALIZED (
+        SELECT b.event_type,
+               CASE WHEN b.cents >= t.p95_cents THEN 1 ELSE 0 END AS tail
+        FROM base b CROSS JOIN thresh t
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(tail) AS BIGINT) AS n_tail
+        FROM flagged GROUP BY event_type
+    ),
+    g AS (
+        SELECT CAST(sum(n_total) AS BIGINT) AS all_total,
+               CAST(sum(n_tail) AS BIGINT) AS all_tail
+        FROM per_type
+    )
+    SELECT p.event_type, p.n_total, p.n_tail,
+           round(CAST(p.n_tail AS DOUBLE) / g.all_tail, 6) + 0.0
+               AS tail_share,
+           round(CAST(p.n_total AS DOUBLE) / g.all_total, 6) + 0.0
+               AS overall_share,
+           round((CAST(p.n_tail AS DOUBLE) / g.all_tail)
+                 / (CAST(p.n_total AS DOUBLE) / g.all_total), 6) + 0.0
+               AS tail_lift
+    FROM per_type p CROSS JOIN g ORDER BY p.event_type
+    """,
+)
+def tail_contribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail attribution: which event types over-index above the global
+    P95 of value — "who drives the P99" for latency/cost dashboards.
+    ``tail_lift`` > 1 means the type contributes more of the tail than
+    its volume share predicts (the slice to optimize first). The P95
+    threshold comes from the integer-cent value histogram's cumulative
+    count (the exact-percentile-without-sorting recipe).
+
+    Scale shape: rows → value histogram; one bounded cumulative window
+    for the threshold; one flagged aggregate by type. No sort of raw
+    values, no per-row windows."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    hist = base.groupBy("cents").agg(F.count("*").cast("long").alias("n"))
+    tot = hist.agg(F.sum("n").cast("long").alias("nt"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    thresh = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .crossJoin(F.broadcast(tot))
+        .where(
+            F.col("cum") >= F.ceil(0.95 * F.col("nt")).cast("long")
+        )
+        .agg(F.min("cents").alias("p95_cents"))
+    )
+    flagged = base.crossJoin(F.broadcast(thresh)).select(
+        "event_type",
+        F.when(F.col("cents") >= F.col("p95_cents"), 1)
+        .otherwise(0)
+        .alias("tail"),
+    )
+    per_type = flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("tail").cast("long").alias("n_tail"),
+    )
+    g = per_type.agg(
+        F.sum("n_total").cast("long").alias("all_total"),
+        F.sum("n_tail").cast("long").alias("all_tail"),
+    )
+    ts = F.col("n_tail").cast("double") / F.col("all_tail")
+    os_ = F.col("n_total").cast("double") / F.col("all_total")
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_total",
+            "n_tail",
+            (F.round(ts, 6) + 0.0).alias("tail_share"),
+            (F.round(os_, 6) + 0.0).alias("overall_share"),
+            (F.round(ts / os_, 6) + 0.0).alias("tail_lift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ohlc_daily_value",
+    tags=("analytics", "timeseries"),
+    defer=True,
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, value
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, day, ts, value,
+               min(ts) OVER (PARTITION BY event_type, day) AS t0,
+               max(ts) OVER (PARTITION BY event_type, day) AS t1
+        FROM b
+    )
+    SELECT event_type, day,
+           min(CASE WHEN ts = t0 THEN value END) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           min(CASE WHEN ts = t1 THEN value END) AS close_v,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round({oracle_dec_sum('value')}, 6) + 0.0 AS day_total
+    FROM w
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resample of the event value stream per (type, day)
+    — the market-data/metrics downsampling shape: open = value at the
+    day's first timestamp, close = at the last, plus high/low/volume. Ties
+    (several events on the exact first/last timestamp) resolve to the MIN
+    value at that instant, a stated total order so the result is engine-
+    independent without an event-id tiebreak column.
+
+    Scale shape: one window pass partitioned by (type, day) — never a
+    global window — then one groupBy with map-side combine; output
+    cardinality is types x days, independent of row count. The day key is
+    emitted as an ISO string (driver canonicalization can't sort raw
+    DATE cells)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day")
+    b = e.select(
+        "event_type",
+        "day",
+        "ts",
+        "value",
+        F.min("ts").over(w).alias("t0"),
+        F.max("ts").over(w).alias("t1"),
+    )
+    return (
+        b.groupBy("event_type", "day")
+        .agg(
+            F.min(
+                F.when(F.col("ts") == F.col("t0"), F.col("value"))
+            ).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.min(
+                F.when(F.col("ts") == F.col("t1"), F.col("value"))
+            ).alias("close_v"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.round(dec_sum("value"), 6) + 0.0).alias("day_total"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_HBOS_TOPK = 20
+
+
+@register(
+    "hbos_outlier_scores",
+    tags=("analytics", "anomaly"),
+    defer=True,
+    oracle=f"""
+    WITH b AS (
+        SELECT o_orderkey, o_orderpriority, o_orderstatus,
+               CAST(floor(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                          / 1000000.0) AS BIGINT) AS price_bucket,
+               CAST(month(o_orderdate) AS BIGINT) AS mth
+        FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+    h_pb AS (SELECT price_bucket, CAST(count(*) AS BIGINT) AS c
+             FROM b GROUP BY 1),
+    h_pr AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS c
+             FROM b GROUP BY 1),
+    h_st AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS c
+             FROM b GROUP BY 1),
+    h_m AS (SELECT mth, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    scored AS (
+        SELECT b.o_orderkey, b.price_bucket, b.o_orderpriority,
+               b.o_orderstatus, b.mth,
+               round(round(ln(n.n / h_pb.c), 12)
+                     + round(ln(n.n / h_pr.c), 12)
+                     + round(ln(n.n / h_st.c), 12)
+                     + round(ln(n.n / h_m.c), 12), 6) + 0.0 AS hbos_score
+        FROM b
+        CROSS JOIN n
+        JOIN h_pb USING (price_bucket)
+        JOIN h_pr USING (o_orderpriority)
+        JOIN h_st USING (o_orderstatus)
+        JOIN h_m USING (mth)
+    )
+    SELECT * FROM scored
+    ORDER BY hbos_score DESC, o_orderkey LIMIT {_HBOS_TOPK}
+    """,
+)
+def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS anomaly scores (Goldstein & Dengel 2012): per-feature histogram
+    densities over orders — $10k price bucket, priority, status, order
+    month — summed as log-inverse-densities; high score = the order sits in
+    rare bins across independent features, the linear-time unsupervised
+    outlier detector that scales where pairwise/kNN methods can't. Reports
+    the top-20 most anomalous orders (rounded-score desc, orderkey
+    tiebreak, the deterministic-cutoff recipe).
+
+    Determinism: each ln(n/c) runs on bit-identical bigint-division
+    operands and is rounded to 12 dp (the repo's libm recipe); the 4-term
+    sum has a fixed expression order, so it is bit-identical too.
+
+    Scale shape: 4 bounded histograms (broadcast joins — feature
+    cardinality, not row count), one row-local score expression, and a
+    TakeOrderedAndProject for the top-k; nothing shuffles the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+            / 1000000.0
+        )
+        .cast("long")
+        .alias("price_bucket"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+    )
+    n = b.agg(F.count("*").cast("long").alias("n"))
+    h_pb = b.groupBy("price_bucket").agg(
+        F.count("*").cast("long").alias("c_pb")
+    )
+    h_pr = b.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("c_pr")
+    )
+    h_st = b.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("c_st")
+    )
+    h_m = b.groupBy("mth").agg(F.count("*").cast("long").alias("c_m"))
+
+    def lterm(cc):
+        return F.round(F.log(F.col("n") / F.col(cc)), 12)
+
+    scored = (
+        b.crossJoin(F.broadcast(n))
+        .join(F.broadcast(h_pb), "price_bucket")
+        .join(F.broadcast(h_pr), "o_orderpriority")
+        .join(F.broadcast(h_st), "o_orderstatus")
+        .join(F.broadcast(h_m), "mth")
+        .select(
+            "o_orderkey",
+            "price_bucket",
+            "o_orderpriority",
+            "o_orderstatus",
+            "mth",
+            (
+                F.round(
+                    lterm("c_pb")
+                    + lterm("c_pr")
+                    + lterm("c_st")
+                    + lterm("c_m"),
+                    6,
+                )
+                + 0.0
+            ).alias("hbos_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("hbos_score").desc(), "o_orderkey"
+    ).limit(_HBOS_TOPK)

@@ -2659,3 +2659,85 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_FD_CANDIDATES = (
+    ("c_nationkey", "c_mktsegment"),
+    ("c_mktsegment", "c_nationkey"),
+    ("c_custkey", "c_mktsegment"),
+    ("c_nationkey", "c_custkey"),
+)
+
+
+def _fd_oracle() -> str:
+    arms = []
+    for lhs, rhs in _FD_CANDIDATES:
+        arms.append(f"""
+        SELECT '{lhs} -> {rhs}' AS dependency,
+               CAST(count(DISTINCT {lhs}) AS BIGINT) AS n_keys,
+               CAST(sum(grp_n) AS BIGINT) AS n_rows,
+               CAST(sum(grp_n) - sum(grp_max) AS BIGINT) AS n_violations,
+               round(1.0 - CAST(sum(grp_max) AS DOUBLE) / sum(grp_n), 6)
+                   + 0.0 AS violation_rate
+        FROM (
+            SELECT {lhs}, CAST(sum(val_n) AS BIGINT) AS grp_n,
+                   CAST(max(val_n) AS BIGINT) AS grp_max
+            FROM (
+                SELECT {lhs}, {rhs}, count(*) AS val_n
+                FROM customer GROUP BY {lhs}, {rhs}
+            ) GROUP BY {lhs}
+        )""")
+    return ("SELECT * FROM (" + "\n    UNION ALL\n".join(arms)
+            + ") ORDER BY dependency")
+
+
+@register(
+    "functional_dependency_audit",
+    tags=("mlprep", "dq"),
+    defer=True,
+    oracle=_fd_oracle(),
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (the TANE/metanome
+    profiling primitive, g₃-style error): for each candidate A → B, the
+    violation rate is the fraction of rows that would need deleting for
+    the dependency to hold exactly — 1 − Σ_A max_B count / n. Exact FDs
+    (rate 0) become enforced constraints; near-FDs flag denormalization
+    or dirty data. Candidates here span key→attr (holds trivially),
+    attr→attr (should fail), and attr→key (fails hard) so the metric's
+    whole range is exercised.
+
+    Scale shape: per candidate one (A, B) count aggregate then an A-level
+    max — two map-side-combined groupBys, no joins; all integers until
+    the final rate."""
+    c = load_table(spark, sf_dir, "customer")
+    out = None
+    for lhs, rhs in _FD_CANDIDATES:
+        pair = c.groupBy(lhs, rhs).agg(F.count("*").alias("val_n"))
+        grp = pair.groupBy(lhs).agg(
+            F.sum("val_n").cast("long").alias("grp_n"),
+            F.max("val_n").cast("long").alias("grp_max"),
+        )
+        row = grp.agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("grp_n").cast("long").alias("n_rows"),
+            (F.sum("grp_n") - F.sum("grp_max")).cast("long").alias(
+                "n_violations"
+            ),
+            (
+                F.round(
+                    1.0
+                    - F.sum("grp_max").cast("double") / F.sum("grp_n"),
+                    6,
+                )
+                + 0.0
+            ).alias("violation_rate"),
+        ).select(
+            F.lit(f"{lhs} -> {rhs}").alias("dependency"),
+            "n_keys",
+            "n_rows",
+            "n_violations",
+            "violation_rate",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dependency")

@@ -1110,3 +1110,250 @@ def bloom_pruned_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("false_pos_rate"),
     )
+
+
+# ln((1+alpha)/(1-alpha)) for alpha = 0.01, rounded to 12 dp and shared as a
+# LITERAL by both engines: the bucket width of the DDSketch below. Keeping it
+# a fixed literal (not an in-engine ln()) makes every downstream multiply
+# bit-identical; the only per-row libm call left is ln(x), whose <=1-ulp
+# cross-engine difference faces a ceil() with UNIT grid spacing (flip
+# probability ~1e-13 per row — see docstring).
+_DD_LN_GAMMA = "0.020000666707"
+_DD_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "ddsketch_quantiles",
+    tags=("sketch", "quantile"),
+    defer=True,
+    oracle=f"""
+    WITH x AS (SELECT o_totalprice AS x FROM orders),
+    hb AS (
+        SELECT CAST(ceil(ln(x) / {_DD_LN_GAMMA}) AS BIGINT) AS bidx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM x GROUP BY 1
+    ),
+    hc AS (
+        SELECT CAST(round(x * 100.0, 0) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS c
+        FROM x GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hb),
+    cb AS (
+        SELECT bidx, sum(c) OVER (ORDER BY bidx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hb
+    ),
+    cc AS (
+        SELECT cents, sum(c) OVER (ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hc
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _DD_QS)}]) AS q),
+    pb AS (
+        SELECT q, min(bidx) AS bidx, CAST(min(n) AS BIGINT) AS n
+        FROM qs CROSS JOIN n
+        JOIN cb ON cum >= CAST(ceil(q * n) AS BIGINT)
+        GROUP BY q
+    ),
+    pc AS (
+        SELECT q, min(cents) AS cents
+        FROM qs CROSS JOIN n
+        JOIN cc ON cum >= CAST(ceil(q * n) AS BIGINT)
+        GROUP BY q
+    ),
+    est AS (
+        SELECT pb.q, pb.bidx, pb.n,
+               round(2.0 * exp(pb.bidx * {_DD_LN_GAMMA})
+                     / (exp({_DD_LN_GAMMA}) + 1.0), 6) + 0.0 AS est_q,
+               round(pc.cents / 100.0, 6) + 0.0 AS exact_q
+        FROM pb JOIN pc ON pb.q = pc.q
+    )
+    SELECT q, bidx, n, est_q, exact_q,
+           round(abs(est_q - exact_q) / exact_q, 6) + 0.0 AS rel_err,
+           round(abs(est_q - exact_q) / exact_q, 6) <= 0.0101
+               AS within_bound
+    FROM est ORDER BY q
+    """,
+)
+def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (Masson et al., VLDB'19 shape): log-spaced buckets
+    ``i = ceil(ln(x)/ln(gamma))`` with gamma = 1.01/0.99 give a RELATIVE
+    accuracy guarantee — any quantile estimate is within alpha = 1% of the
+    true value, regardless of the value distribution's range, which is what
+    latency/price telemetry needs (a fixed-width histogram can't promise
+    that). Estimates for p50/p90/p99 of ``o_totalprice`` are checked against
+    the exact quantile (integer-cent histogram recipe) and the
+    ``within_bound`` column asserts the <= 1.01% guarantee inside the hash
+    gate itself — midpoint ``2*gamma^i/(gamma+1)`` has max relative error
+    exactly (gamma-1)/(gamma+1) = alpha at either bucket edge.
+
+    Determinism: ln(gamma) is a shared 12-dp literal, so bucket arithmetic
+    and the exp()-based midpoint run on bit-identical operands (exp has
+    proven correctly-rounded-identical across engines in this repo); the
+    one per-row libm call ln(x) faces a unit-grid ceil, flip odds ~1e-13/row.
+
+    Scale shape: the sketch is a ~320-cell histogram whatever the data size
+    (fixed-width shuffle, mergeable by cell addition); the cumulative
+    window runs over CELLS, never rows; the exact side exists only to
+    exhibit the guarantee."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x")
+    )
+    L = _DD_LN_GAMMA
+    hb = (
+        o.select(
+            F.ceil(F.log("x") / F.expr(L)).cast("long").alias("bidx")
+        )
+        .groupBy("bidx")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hc = (
+        o.select(F.round(F.col("x") * 100.0, 0).cast("long").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = hb.agg(F.sum("c").cast("long").alias("n"))
+    w_b = Window.orderBy("bidx").rowsBetween(Window.unboundedPreceding, 0)
+    w_c = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cb = hb.select("bidx", F.sum("c").over(w_b).alias("cum"))
+    cc = hc.select("cents", F.sum("c").over(w_c).alias("cum"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _DD_QS])).alias("q")
+    )
+    rank = F.ceil(F.col("q") * F.col("n")).cast("long")
+    pb = (
+        qs.crossJoin(F.broadcast(n))
+        .join(cb, cb.cum >= rank)
+        .groupBy("q")
+        .agg(F.min("bidx").alias("bidx"), F.min("n").cast("long").alias("n"))
+    )
+    pc = (
+        qs.crossJoin(F.broadcast(n))
+        .join(cc, cc.cum >= rank)
+        .groupBy("q")
+        .agg(F.min("cents").alias("cents"))
+    )
+    est_q = F.round(
+        2.0 * F.exp(F.col("bidx") * F.expr(L)) / (F.exp(F.expr(L)) + 1.0), 6
+    ) + 0.0
+    exact_q = F.round(F.col("cents") / 100.0, 6) + 0.0
+    est = pb.join(pc, "q").select(
+        "q", "bidx", "n", est_q.alias("est_q"), exact_q.alias("exact_q")
+    )
+    rel = F.round(
+        F.abs(F.col("est_q") - F.col("exact_q")) / F.col("exact_q"), 6
+    )
+    return est.select(
+        "q",
+        "bidx",
+        "n",
+        "est_q",
+        "exact_q",
+        (rel + 0.0).alias("rel_err"),
+        (rel <= 0.0101).alias("within_bound"),
+    ).orderBy("q")
+
+
+_AMS_S = 8  # independent +/-1 estimators
+
+
+@register(
+    "ams_f2_moment",
+    tags=("sketch", "stream"),
+    defer=True,
+    oracle=f"""
+    WITH cnt AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x != '')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    ),
+    js AS (SELECT unnest(generate_series(0, {_AMS_S - 1})) AS j),
+    z AS (
+        SELECT j,
+               CAST(sum((2 * ({oracle_h60(
+                   "'ams' || CAST(j AS VARCHAR) || ':' || tok"
+               )} % 2) - 1) * c) AS BIGINT) AS z
+        FROM cnt CROSS JOIN js GROUP BY j
+    ),
+    agg AS (
+        SELECT CAST(sum(z * z) AS BIGINT) AS zz,
+               CAST(min(z * z) AS BIGINT) AS zmin,
+               CAST(max(z * z) AS BIGINT) AS zmax
+        FROM z
+    ),
+    ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c * c) AS BIGINT) AS f2_exact
+        FROM cnt
+    )
+    SELECT n_tokens, f2_exact,
+           round(zz / {_AMS_S}.0, 6) + 0.0 AS f2_ams,
+           zmin AS f2_min_est, zmax AS f2_max_est,
+           round(abs(zz / {_AMS_S}.0 - f2_exact) / f2_exact, 6) + 0.0
+               AS rel_err
+    FROM agg CROSS JOIN ex
+    """,
+)
+def ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" sketch (Alon-Matias-Szegedy, STOC'96) for the second
+    frequency moment F2 = sum(f_tok^2) — the self-join size of the token
+    stream, the quantity that prices a dedup or co-occurrence join before
+    running it. Each of 8 estimators folds every token count with an
+    h60-derived +/-1 sign; E[Z^2] = F2 exactly, and the report compares the
+    mean-of-8 estimate (plus the min/max estimator spread) against
+    exact F2.
+
+    Determinism: signs, counts, and Z are ALL integers — the sketch is
+    hash-gate exact by construction, the one division happens at output.
+
+    Scale shape: token counts are one map-side-combined groupBy; the sign
+    fold collapses to 8 integers (a fixed-width, mergeable state —
+    at 100 TB each partition folds locally and the combine is 8
+    additions)."""
+    toks = _tokens(spark, sf_dir)
+    cnt = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    js = spark.range(_AMS_S).select(F.col("id").cast("int").alias("j"))
+    sign = 2 * (
+        h60(
+            F.concat(
+                F.lit("ams"), F.col("j").cast("string"), F.lit(":"),
+                F.col("tok"),
+            )
+        )
+        % 2
+    ) - 1
+    z = (
+        cnt.crossJoin(F.broadcast(js))
+        .select("j", (sign * F.col("c")).alias("t"))
+        .groupBy("j")
+        .agg(F.sum("t").cast("long").alias("z"))
+    )
+    agg = z.agg(
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("zz"),
+        F.min(F.col("z") * F.col("z")).cast("long").alias("zmin"),
+        F.max(F.col("z") * F.col("z")).cast("long").alias("zmax"),
+    )
+    ex = cnt.agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+    )
+    s = float(_AMS_S)
+    return agg.crossJoin(F.broadcast(ex)).select(
+        "n_tokens",
+        "f2_exact",
+        (F.round(F.col("zz") / s, 6) + 0.0).alias("f2_ams"),
+        F.col("zmin").alias("f2_min_est"),
+        F.col("zmax").alias("f2_max_est"),
+        (
+            F.round(
+                F.abs(F.col("zz") / s - F.col("f2_exact"))
+                / F.col("f2_exact"),
+                6,
+            )
+            + 0.0
+        ).alias("rel_err"),
+    )
