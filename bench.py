@@ -129,7 +129,6 @@ def main() -> int:
             "queries": queries,
             "n_queries": len(queries),
             "cpu_probe_sec": _cpu_probe(),
-        "cpu_probe_parallel_sec": _cpu_probe_parallel(),
             "cpu_probe_parallel_sec": _cpu_probe_parallel(),
             "sf": _sf_val(sf_dir),
         }

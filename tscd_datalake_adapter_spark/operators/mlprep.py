@@ -2164,6 +2164,11 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("split"),
         )
     )
+    # one eager cut of the orders⋈lineitem aggregate: beta/cal/test each
+    # reference base (and beta's lineage re-embeds it in every broadcast),
+    # so uncut the join re-executes up to 7x — the MMR localCheckpoint
+    # recipe; the checkpointed frame is |orders| rows x 3 narrow columns
+    base = base.localCheckpoint()
     m = base.where(F.col("split") <= 5).agg(
         F.count("*").cast("double").alias("n"),
         dec_sum("x").alias("sx"),

@@ -35,6 +35,7 @@ from tscd_datalake_adapter_spark.functions import (
     oracle_dec_var_samp,
     r2,
     r6,
+    spread,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
@@ -223,7 +224,14 @@ def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample stddev/variance from exact decimal moments — engine-independent
     (built-in ``stddev_samp`` is order-dependent on doubles and would not
     hash-match any other engine)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # ~10 decimal-cast folds per row: repartition the 3-column projection
+    # first or the whole map-side combine runs at scan file-count
+    # parallelism (functions.spread docstring; decimal sums are order-free)
+    li = spread(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_discount"
+        )
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(

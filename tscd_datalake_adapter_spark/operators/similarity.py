@@ -841,15 +841,18 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     The fixture has no embedding near-dups (max pairwise cosine ~0.51), so
     the query PLANTS them deterministically: each vec_id < 25 gets a twin
     (id + 100000) with component 1 shifted by +0.05 — cosine ~0.9999,
-    built identically by both engines. Candidates: 12 LSH tables x 8 sign
-    bits over the shared hyperplanes; at cosine 0.99 the per-table band
-    match probability is ~0.9, so the 12-table miss probability is
-    < 1e-12 per true pair (and the DuckDB oracle is BRUTE-FORCE all-pairs,
-    so any miss would fail the hash gate; recall is additionally pinned in
-    tests). Scale: the only corpus-sized shuffles are the signature
+    built identically by both engines. Candidates: 24 LSH tables x 16 sign
+    bits over the shared hyperplanes — at cosine 0.99 the per-table band
+    match probability is 0.955^16 ~ 0.48, so the 24-table miss probability
+    is < 2e-7 per threshold pair (and ~1e-28 for the planted ~0.9999
+    twins; the DuckDB oracle is BRUTE-FORCE all-pairs, so any miss would
+    fail the hash gate; recall is additionally pinned in tests). 16-bit
+    buckets keep RANDOM collisions at ~n^2*T/2^17 (measured ~100x fewer
+    verify pairs than the earlier 8-bit/12-table shape for the same
+    recall). Scale: the only corpus-sized shuffles are the signature
     groupBy and the bucket self-join — candidate pairs per bucket are
-    corpus/2^8 sized, uniform by hash construction."""
-    n_tables, bits, thresh = 12, 8, 0.99
+    corpus/2^16 sized, uniform by hash construction."""
+    n_tables, bits, thresh = 24, 16, 0.99
     base = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -890,13 +893,24 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
+    # squared norms once per VECTOR (corpus-sized), not per candidate
+    # pair — cuts the interpreted-HOF verify work to the dot product only
+    withn = corpus.select("vec_id", "e", sq_norm(F.col("e")).alias("n2"))
     scored = (
         cand.join(
-            corpus.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")),
+            withn.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("e").alias("ea"),
+                F.col("n2").alias("na"),
+            ),
             "vec_a",
         )
         .join(
-            corpus.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")),
+            withn.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("e").alias("eb"),
+                F.col("n2").alias("nb"),
+            ),
             "vec_b",
         )
         .select(
@@ -904,7 +918,7 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
             "vec_b",
             (
                 dot(F.col("ea"), F.col("eb"))
-                / F.sqrt(sq_norm(F.col("ea")) * sq_norm(F.col("eb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
             ).alias("c"),
         )
     )

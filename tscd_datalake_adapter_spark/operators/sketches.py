@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import h60, oracle_h60
+from tscd_datalake_adapter_spark.functions import h60, oracle_h60, spread
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -87,7 +87,16 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch + a candidate set. Oracle: DuckDB rebuilds the identical cells
     from the identical hashes — the estimate itself is hash-verified.
     """
-    toks = _tokens(spark, sf_dir)
+    # 4 md5s per token + the map-side combine to 1024 cells all run
+    # BEFORE any exchange — spread the narrow text projection first
+    # (functions.spread docstring: the file-count-parallelism trap)
+    toks = spread(
+        load_table(spark, sf_dir, "documents").select("text")
+    ).select(
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("tok")
+    )
     rows = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("r"))
     cell_key = (
         h60(
@@ -213,6 +222,8 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 100 TB when ±2% error is acceptable; ``count_distinct_by_status``
     is the exact-but-shuffle-heavy alternative.
     """
+    # NOT spread: both unit branches re-read the token arrays, so a
+    # pre-shuffle of text is paid twice and measured slower (A/B r5)
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         F.expr("filter(split(text, ' '), x -> x != '')").alias("t")

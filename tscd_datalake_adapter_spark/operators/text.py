@@ -20,6 +20,7 @@ from tscd_datalake_adapter_spark.functions import (
     h60,
     oracle_dec_sum,
     oracle_h60,
+    spread,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
@@ -371,7 +372,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence → transform → explode → groupBy. The shingle hash is the
     cross-engine ``functions.h60``, so the full fingerprint set is
     oracle-checked bit-exactly (not just determinism-tested)."""
-    d = load_table(spark, sf_dir, "documents")
+    # per-shingle md5 is ~1us/row-token of map work ahead of the doc_id
+    # exchange — spread the narrow projection or the whole hash stage runs
+    # on the scan's file-count partitions (functions.spread docstring)
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.split("text", " ")
     # hash each 5-token shingle: h60 of the joined shingle
     shingle_h = H60_SQLEXPR.format(
