@@ -607,3 +607,64 @@ def test_drift_monitor_stream_matches_batch_recompute(
     assert spark.sql(
         "SELECT count(DISTINCT seq) FROM drift_smoke"
     ).first()[0] > 1
+
+
+def test_ddsketch_stream_matches_batch_recompute_and_alpha_bound(
+    spark, sf_dir, source_dir, tmp_path
+):
+    """The streaming DDSketch's final p50/p90/p99 must equal the same
+    estimator applied to the exact batch bucket counts (state is a pure
+    additive function of the value multiset), every estimate must honor
+    the 1.01% relative-error guarantee against the true quantile, and the
+    state must stay O(buckets) — several micro-batches must have fired."""
+    import math
+
+    import numpy as np
+
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    live = jobs.run_ddsketch_stream(
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt_dds"),
+        "dds_smoke",
+        max_files_per_trigger=1,
+    ).collect()
+    assert len(live) == 1
+    lv = live[0]
+
+    vals = np.array(
+        [r.value for r in load_table(spark, sf_dir, "events").collect()]
+    )
+    cents = np.round(vals * 100.0).astype("int64").clip(min=0)
+    assert lv.n == len(cents)
+    zero = int((cents == 0).sum())
+    pos = cents[cents > 0]
+    ln_g = 0.020000666707
+    idx = np.ceil(np.log(pos) / ln_g).astype("int64").clip(0, 599)
+    counts = np.bincount(idx, minlength=600)
+    srt = np.sort(cents)
+    for qf, got in ((0.5, lv.p50), (0.9, lv.p90), (0.99, lv.p99)):
+        rank = math.ceil(qf * len(cents))
+        if rank <= zero:
+            expect = 0.0
+        else:
+            cum, expect = zero, 0.0
+            for i, c in enumerate(counts):
+                cum += int(c)
+                if c and cum >= rank:
+                    expect = round(
+                        2.0
+                        * math.exp(i * ln_g)
+                        / (math.exp(ln_g) + 1.0)
+                        / 100.0,
+                        6,
+                    ) + 0.0
+                    break
+        assert got == expect
+        exact = srt[rank - 1] / 100.0
+        if exact > 0:
+            assert abs(got - exact) / exact <= 0.0101
+    assert spark.sql(
+        "SELECT count(DISTINCT seq) FROM dds_smoke"
+    ).first()[0] > 1

@@ -2746,3 +2746,221 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dependency")
+
+
+@register(
+    "brier_murphy_decomposition",
+    tags=("mlprep", "eval"),
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               round(1.0 / (1.0 + exp(-((o_totalprice - 150000.0)
+                                        / 100000.0))), 12) AS p
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(9, CAST(floor(p * 10.0) AS BIGINT)) AS bin, y, p
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               {oracle_dec_sum('p')} AS sum_p,
+               {oracle_dec_sum('round((p - y) * (p - y), 12)')} AS sum_sq
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(n_pos) AS BIGINT) AS pt,
+               {oracle_dec_sum('sum_sq')} AS raw_sq
+        FROM per_bin
+    ),
+    terms AS (
+        SELECT
+            {oracle_dec_sum("round(n * ((sum_p / n - CAST(n_pos AS DOUBLE) / n) * (sum_p / n - CAST(n_pos AS DOUBLE) / n)), 12)")}
+                AS rel_num,
+            {oracle_dec_sum("round(n * ((CAST(n_pos AS DOUBLE) / n - CAST(pt AS DOUBLE) / nt) * (CAST(n_pos AS DOUBLE) / n - CAST(pt AS DOUBLE) / nt)), 12)")}
+                AS res_num,
+            {oracle_dec_sum("round(n * ((sum_p / n) * (sum_p / n)) - 2 * (sum_p / n) * n_pos + n_pos, 12)")}
+                AS bb_num,
+            CAST(min(nt) AS BIGINT) AS nt, CAST(min(pt) AS BIGINT) AS pt,
+            CAST(min(raw_sq) AS DOUBLE) AS raw_sq
+        FROM per_bin CROSS JOIN tot
+    ),
+    o AS (
+        SELECT nt AS n_total,
+               round(CAST(pt AS DOUBLE) / nt, 6) + 0.0 AS base_rate,
+               round(raw_sq / nt, 6) + 0.0 AS brier_raw,
+               round(bb_num / nt, 9) AS bb,
+               round(rel_num / nt, 9) AS rel,
+               round(res_num / nt, 9) AS res,
+               round((CAST(pt AS DOUBLE) / nt)
+                     * (1.0 - CAST(pt AS DOUBLE) / nt), 9) AS unc
+        FROM terms
+    )
+    SELECT n_total, base_rate, brier_raw,
+           round(bb, 6) + 0.0 AS brier_binned,
+           round(rel, 6) + 0.0 AS reliability,
+           round(res, 6) + 0.0 AS resolution,
+           round(unc, 6) + 0.0 AS uncertainty,
+           round(bb - (rel - res + unc), 6) + 0.0 AS murphy_residual
+    FROM o
+    """,
+)
+def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the fixed
+    logistic scorer ``calibration_reliability_bins`` evaluates: over the
+    10-bin forecast discretization, brier_binned = RELIABILITY (calibration
+    gap) - RESOLUTION (how much the forecast separates outcomes) +
+    UNCERTAINTY (base-rate variance) — the standard answer to "is my
+    filtering model's Brier bad because it's miscalibrated or because it
+    can't discriminate". The identity holds exactly for binned forecasts,
+    and ``murphy_residual`` asserts it INSIDE the hash gate (0.000000);
+    ``brier_raw`` (unbinned) is reported alongside for the binning loss.
+
+    Determinism: per-bin means come from decimal sums over round-12 terms
+    (order-free); every cross-engine division runs on bit-identical
+    operands; the three decomposition terms round-9 before the residual is
+    formed so the identity check subtracts identical doubles.
+
+    Scale shape: one scan -> 10-bin histogram with map-side combine; the
+    decomposition is arithmetic over the 10-row bin table."""
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.round(
+            1.0
+            / (1.0 + F.exp(-((F.col("o_totalprice") - 150000.0) / 100000.0))),
+            12,
+        ).alias("p"),
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("p") * 10.0)).cast("long").alias("bin"),
+        "y",
+        "p",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        dec_sum("p").alias("sum_p"),
+        dec_sum(
+            F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 12)
+        ).alias("sum_sq"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("n_pos").cast("long").alias("pt"),
+        dec_sum("sum_sq").alias("raw_sq"),
+    )
+    pbar = F.col("sum_p") / F.col("n")
+    ybar_k = F.col("n_pos").cast("double") / F.col("n")
+    ybar = F.col("pt").cast("double") / F.col("nt")
+    terms = (
+        per_bin.crossJoin(F.broadcast(tot))
+        .agg(
+            dec_sum(
+                F.round(F.col("n") * ((pbar - ybar_k) * (pbar - ybar_k)), 12)
+            ).alias("rel_num"),
+            dec_sum(
+                F.round(F.col("n") * ((ybar_k - ybar) * (ybar_k - ybar)), 12)
+            ).alias("res_num"),
+            dec_sum(
+                F.round(
+                    F.col("n") * (pbar * pbar)
+                    - 2 * pbar * F.col("n_pos")
+                    + F.col("n_pos"),
+                    12,
+                )
+            ).alias("bb_num"),
+            F.min("nt").cast("long").alias("nt"),
+            F.min("pt").cast("long").alias("pt"),
+            F.min("raw_sq").cast("double").alias("raw_sq"),
+        )
+    )
+    base = F.col("pt").cast("double") / F.col("nt")
+    out = terms.select(
+        F.col("nt").alias("n_total"),
+        (F.round(base, 6) + 0.0).alias("base_rate"),
+        (F.round(F.col("raw_sq") / F.col("nt"), 6) + 0.0).alias("brier_raw"),
+        F.round(F.col("bb_num") / F.col("nt"), 9).alias("bb"),
+        F.round(F.col("rel_num") / F.col("nt"), 9).alias("rel"),
+        F.round(F.col("res_num") / F.col("nt"), 9).alias("res"),
+        F.round(base * (1.0 - base), 9).alias("unc"),
+    )
+    return out.select(
+        "n_total",
+        "base_rate",
+        "brier_raw",
+        (F.round(F.col("bb"), 6) + 0.0).alias("brier_binned"),
+        (F.round(F.col("rel"), 6) + 0.0).alias("reliability"),
+        (F.round(F.col("res"), 6) + 0.0).alias("resolution"),
+        (F.round(F.col("unc"), 6) + 0.0).alias("uncertainty"),
+        (
+            F.round(
+                F.col("bb")
+                - (F.col("rel") - F.col("res") + F.col("unc")),
+                6,
+            )
+            + 0.0
+        ).alias("murphy_residual"),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    tags=("mlprep", "privacy"),
+    defer=True,
+    oracle="""
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(count(DISTINCT sens) AS BIGINT) AS l
+        FROM b GROUP BY 1, 2
+    )
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_group_size,
+           CAST(max(k) AS BIGINT) AS max_group_size
+    FROM g GROUP BY l ORDER BY l
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the companion to
+    ``k_anonymity_audit``: within each quasi-identifier group (nation,
+    market segment), how many DISTINCT sensitive values ($1k account-
+    balance bucket) appear? A group that is k-anonymous but 1-diverse
+    still leaks the sensitive attribute outright; the histogram over l
+    (with group-size bounds per l) is the release-readiness readout.
+    floor(x/1000.0) is spelled identically in both engines because
+    acctbal can be NEGATIVE and integer `//` truncates toward zero in
+    DuckDB while floor() floors (the er_blocking_candidates lesson).
+
+    Scale shape: one two-level aggregate (exact distinct per group rides
+    the same shuffle), then a bounded histogram over groups."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("sens"),
+    )
+    g = b.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct("sens").cast("long").alias("l"),
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("min_group_size"),
+            F.max("k").cast("long").alias("max_group_size"),
+        )
+        .orderBy("l")
+    )

@@ -2415,3 +2415,189 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+@register(
+    "macro_f1_language_id",
+    tags=("llm", "text", "eval"),
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT d.doc_id, d.lang AS actual,
+               CAST({{s_en}} AS BIGINT) AS s_en,
+               CAST({{s_de}} AS BIGINT) AS s_de,
+               CAST({{s_es}} AS BIGINT) AS s_es,
+               CAST({{s_fr}} AS BIGINT) AS s_fr
+        FROM documents d WHERE doc_id < 100
+    ),
+    pred AS (
+        SELECT actual,
+               CASE
+                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr'
+               END AS predicted
+        FROM scored
+    ),
+    langs AS (
+        SELECT DISTINCT actual AS lang FROM pred
+        UNION
+        SELECT DISTINCT predicted FROM pred
+    ),
+    nt AS (SELECT actual AS lang, CAST(count(*) AS BIGINT) AS n_true
+           FROM pred GROUP BY 1),
+    np AS (SELECT predicted AS lang, CAST(count(*) AS BIGINT) AS n_pred
+           FROM pred GROUP BY 1),
+    tps AS (SELECT actual AS lang, CAST(count(*) AS BIGINT) AS tp
+            FROM pred WHERE actual = predicted GROUP BY 1),
+    per0 AS (
+        SELECT l.lang,
+               COALESCE(nt.n_true, 0) AS n_true,
+               COALESCE(np.n_pred, 0) AS n_pred,
+               COALESCE(tps.tp, 0) AS tp
+        FROM langs l
+        LEFT JOIN nt USING (lang)
+        LEFT JOIN np USING (lang)
+        LEFT JOIN tps USING (lang)
+    ),
+    per AS (
+        SELECT lang, n_true, n_pred, tp,
+               round(CASE WHEN n_pred = 0 THEN 0.0
+                          ELSE CAST(tp AS DOUBLE) / n_pred END, 6) + 0.0
+                   AS precision_v,
+               round(CASE WHEN n_true = 0 THEN 0.0
+                          ELSE CAST(tp AS DOUBLE) / n_true END, 6) + 0.0
+                   AS recall_v,
+               round(CASE WHEN n_pred + n_true = 0 THEN 0.0
+                          ELSE 2.0 * tp / (n_pred + n_true) END, 6) + 0.0
+                   AS f1
+        FROM per0
+    )
+    SELECT * FROM (
+        SELECT lang, n_true, n_pred, tp, precision_v, recall_v, f1 FROM per
+        UNION ALL
+        SELECT '__macro__',
+               CAST(sum(n_true) AS BIGINT), CAST(sum(n_pred) AS BIGINT),
+               CAST(sum(tp) AS BIGINT),
+               round(CAST(SUM(CAST(precision_v AS DECIMAL(38,6)))
+                          AS DOUBLE) / count(*), 6) + 0.0,
+               round(CAST(SUM(CAST(recall_v AS DECIMAL(38,6)))
+                          AS DOUBLE) / count(*), 6) + 0.0,
+               round(CAST(SUM(CAST(f1 AS DECIMAL(38,6)))
+                          AS DOUBLE) / count(*), 6) + 0.0
+        FROM per
+    ) ORDER BY lang
+    """.format(
+        s_en=_lang_score_sql("en"),
+        s_de=_lang_score_sql("de"),
+        s_es=_lang_score_sql("es"),
+        s_fr=_lang_score_sql("fr"),
+    ),
+)
+def macro_f1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 plus macro averages for the bigram
+    language-ID classifier — the summary-metric face of
+    ``langid_confusion`` (which emits the raw matrix). Classes are the
+    UNION of actual and predicted labels, so systematically-missed
+    classes (zh: never predictable by the latin-only profiles) appear
+    with recall 0 and drag macro-F1 down — exactly what macro averaging
+    is for. The ``__macro__`` row carries count SUMS and UNWEIGHTED means
+    of the per-class metrics (means of the round-6 values via exact
+    decimal sums, so the average is order-free).
+
+    Scale shape: composition of the verified scorer with three bounded
+    groupBys and a |classes|-row join — evaluation cost is classifier
+    cost."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100
+    ).select("doc_id", F.col("lang").alias("actual"))
+    pred = (
+        language_id(spark, sf_dir)
+        .select("doc_id", F.col("predicted_lang").alias("predicted"))
+        .join(d, "doc_id")
+        .select("actual", "predicted")
+    )
+    # tiny frame referenced by four aggregations below — one eager cut
+    # (the conformal/MMR recipe) instead of four scorer re-executions
+    pred = pred.localCheckpoint()
+    langs = (
+        pred.select(F.col("actual").alias("lang"))
+        .union(pred.select("predicted"))
+        .distinct()
+    )
+    nt = pred.groupBy(F.col("actual").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    np_ = pred.groupBy(F.col("predicted").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    tps = (
+        pred.where(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("lang"))
+        .agg(F.count("*").cast("long").alias("tp"))
+    )
+    per0 = (
+        langs.join(nt, "lang", "left")
+        .join(np_, "lang", "left")
+        .join(tps, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    per = per0.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        (
+            F.round(
+                F.when(F.col("n_pred") == 0, 0.0).otherwise(
+                    F.col("tp").cast("double") / F.col("n_pred")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("precision_v"),
+        (
+            F.round(
+                F.when(F.col("n_true") == 0, 0.0).otherwise(
+                    F.col("tp").cast("double") / F.col("n_true")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("recall_v"),
+        (
+            F.round(
+                F.when(F.col("n_pred") + F.col("n_true") == 0, 0.0).otherwise(
+                    2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("f1"),
+    )
+
+    def dmean(c):
+        return (
+            F.round(
+                F.sum(F.col(c).cast("decimal(38,6)")).cast("double")
+                / F.count("*"),
+                6,
+            )
+            + 0.0
+        ).alias(c)
+
+    macro = per.agg(
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.sum("tp").cast("long").alias("tp"),
+        dmean("precision_v"),
+        dmean("recall_v"),
+        dmean("f1"),
+    ).select(F.lit("__macro__").alias("lang"), "*")
+    return per.unionByName(macro).orderBy("lang")

@@ -1470,3 +1470,110 @@ def run_drift_monitor_stream(
         f"SELECT * FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
     )
+
+
+def run_ddsketch_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING DDSketch quantile telemetry: maintain the log-bucket count
+    array of the event value stream (the same gamma = 1.01/0.99 sketch as
+    the batch ``ddsketch_quantiles`` query) and emit p50/p90/p99 estimates
+    every micro-batch — live latency/price percentiles with the 1% relative
+    -error guarantee, O(buckets) state forever. The bucket array MERGES BY
+    ADDITION (the sketch's defining property), which is exactly why this
+    state shape survives repartitioning, backfill, and any arrival order:
+    the final sketch is a deterministic function of the multiset of values
+    seen, pinned in pytest against a batch recompute plus the alpha bound
+    against the exact quantile.
+
+    Values are bucketed on integer cents: cents >= 1 go to
+    ``ceil(ln(cents)/ln_gamma)`` (estimates divide back by 100), cents = 0
+    to a dedicated zero bucket (DDSketch's standard zero handling)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ln_g = 0.020000666707  # ln((1+0.01)/(1-0.01)), 12 dp — batch twin's literal
+    n_buckets = 600  # covers cents up to exp(600*ln_g) ~ 1.6e5 dollars
+    qs = (0.5, 0.9, 0.99)
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger
+    ).withColumn("g", F.lit(1))
+
+    def _estimate(counts, zero, qf):
+        n = zero + sum(counts)
+        if n == 0:
+            return 0.0
+        rank = math.ceil(qf * n)
+        if rank <= zero:
+            return 0.0
+        cum = zero
+        for i, c in enumerate(counts):
+            cum += c
+            if c and cum >= rank:
+                est_cents = 2.0 * math.exp(i * ln_g) / (math.exp(ln_g) + 1.0)
+                return round(est_cents / 100.0, 6) + 0.0
+        return 0.0
+
+    def _update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            counts, zero, seq = state.get
+            counts = list(counts)
+        else:
+            counts, zero, seq = [0] * n_buckets, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cents = (
+                (pdf["value"].astype("float64") * 100.0)
+                .round()
+                .astype("int64")
+                .clip(lower=0)
+            )
+            zero += int((cents == 0).sum())
+            pos = cents[cents > 0].to_numpy()
+            if len(pos):
+                idx = np.ceil(np.log(pos) / ln_g).astype("int64").clip(
+                    0, n_buckets - 1
+                )
+                binned = np.bincount(idx, minlength=n_buckets)
+                counts = [a + int(b) for a, b in zip(counts, binned)]
+        seq += 1
+        state.update((counts, zero, seq))
+        yield pd.DataFrame(
+            {
+                "p50": [_estimate(counts, zero, qs[0])],
+                "p90": [_estimate(counts, zero, qs[1])],
+                "p99": [_estimate(counts, zero, qs[2])],
+                "n": [zero + sum(counts)],
+                "seq": [seq],
+            }
+        )
+
+    out = stream.groupBy("g").applyInPandasWithState(
+        _update,
+        outputStructType="p50 double, p90 double, p99 double, n long, seq long",
+        stateStructType="counts array<long>, zero long, seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT * FROM {query_name} "
+        f"WHERE seq = (SELECT max(seq) FROM {query_name})"
+    )
