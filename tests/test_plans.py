@@ -528,3 +528,64 @@ def test_analytics_operators_plan_shapes(spark, sf_dir):
 
     p = plans.formatted_plan(weighted_sample_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_r5_session6_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-5 sixth-session wave: HBOS scores the fact
+    table via BROADCAST feature histograms (no fact shuffle before the
+    top-k, which is TakeOrdered); the sketch queries keep their shuffles
+    bounded; the embedding near-dup candidate join is an equi hash join
+    (never a nested loop); the spread()-repartitioned aggregates carry a
+    RoundRobinPartitioning exchange so the map-heavy stage runs at session
+    parallelism, not scan file count."""
+    from tscd_datalake_adapter_spark.operators.analytics import (
+        hbos_outlier_scores,
+        weighted_median_by_flag,
+    )
+    from tscd_datalake_adapter_spark.operators.relational import (
+        stats_by_returnflag,
+    )
+    from tscd_datalake_adapter_spark.operators.similarity import (
+        embedding_cosine_near_dup_lsh,
+    )
+    from tscd_datalake_adapter_spark.operators.sketches import (
+        bitmap_distinct_rollup,
+        ddsketch_quantiles,
+    )
+    from tscd_datalake_adapter_spark.operators.text import doc_fingerprints
+
+    p = plans.formatted_plan(hbos_outlier_scores(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+    p = plans.formatted_plan(embedding_cosine_near_dup_lsh(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    for q in (stats_by_returnflag, doc_fingerprints):
+        p = plans.formatted_plan(q(spark, sf_dir))
+        assert "RoundRobinPartitioning" in p, q.__name__
+
+    # ddsketch: both histograms are single-scan bounded aggregations; the
+    # quantile pick joins ~320-cell tables, so a nested loop there is fine
+    # but the BASE data must never cross-join
+    p = plans.formatted_plan(ddsketch_quantiles(spark, sf_dir))
+    assert p.count("Exchange (") <= 14
+
+    p = plans.formatted_plan(bitmap_distinct_rollup(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # weighted median: one scan, cumulative windows over the bounded
+    # (flag, cents) HISTOGRAM — a HashAggregate must sit below the Window
+    p = plans.formatted_plan(weighted_median_by_flag(spark, sf_dir))
+    n_scans = len(
+        [ln for ln in p.splitlines() if "Location" in ln and "parquet" in ln]
+    )
+    assert n_scans == 1
+    assert "Window" in p and "HashAggregate" in p
+    # formatted plans print top-down: the final readout aggregate sits
+    # above the Window, and the (flag, cents) HISTOGRAM aggregate must sit
+    # below it (= the window's input is pre-aggregated, never raw rows)
+    assert p.rindex("HashAggregate") > p.index("Window")

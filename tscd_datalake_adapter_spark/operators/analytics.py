@@ -4303,3 +4303,84 @@ def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("hbos_score").desc(), "o_orderkey"
     ).limit(_HBOS_TOPK)
+
+
+@register(
+    "weighted_median_by_flag",
+    tags=("analytics", "quantile"),
+    defer=True,
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT flag, cents, CAST(sum(w) AS BIGINT) AS w
+        FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, cents, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               sum(w) OVER (PARTITION BY flag) AS tot
+        FROM hist
+    )
+    SELECT flag,
+           CAST(min(tot) AS BIGINT) AS total_weight,
+           round(min(CASE WHEN c >= (tot + 1) // 2 THEN cents END)
+                 / 100.0, 6) + 0.0 AS weighted_median_price
+    FROM cum GROUP BY flag ORDER BY flag
+    """,
+)
+def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile every pricing/inventory readout wants ("the median UNIT
+    ships at what price", not "the median line item"): lower weighted
+    median at integer rank (W+1)/2 over the integer-cent value histogram,
+    so no sort of raw rows and no floating cumulative — the exact-
+    percentile recipe extended with weights.
+
+    Scale shape: one (flag, cents) histogram with map-side combine
+    (bounded by the price domain), partitioned cumulative windows over
+    histogram cells only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    hist = b.groupBy("flag", "cents").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    wc = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wc).alias("c"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    half = ((F.col("tot") + 1) / 2).cast("long")
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.min("tot").cast("long").alias("total_weight"),
+            (
+                F.round(
+                    F.min(
+                        F.when(F.col("c") >= half, F.col("cents"))
+                    )
+                    / 100.0,
+                    6,
+                )
+                + 0.0
+            ).alias("weighted_median_price"),
+        )
+        .orderBy("flag")
+    )

@@ -1493,3 +1493,126 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("op").agg(F.count("*").cast("long").alias("n")).orderBy("op")
     )
+
+
+_IVM_CUTOFF = "1999-01-01"
+
+
+@register(
+    "ivm_agg_delta_merge",
+    tags=("history", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS s,
+               min(strftime(o_orderdate, '%Y-%m-%d')) AS d0,
+               max(strftime(o_orderdate, '%Y-%m-%d')) AS d1
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_IVM_CUTOFF}'
+        GROUP BY 1
+    ),
+    delta AS (
+        SELECT o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS s,
+               min(strftime(o_orderdate, '%Y-%m-%d')) AS d0,
+               max(strftime(o_orderdate, '%Y-%m-%d')) AS d1
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_IVM_CUTOFF}'
+        GROUP BY 1
+    ),
+    merged AS (
+        SELECT COALESCE(b.pri, d.pri) AS pri,
+               COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+               COALESCE(b.s, 0) + COALESCE(d.s, 0) AS s,
+               least(COALESCE(b.d0, d.d0), COALESCE(d.d0, b.d0)) AS d0,
+               greatest(COALESCE(b.d1, d.d1), COALESCE(d.d1, b.d1)) AS d1
+        FROM base b FULL OUTER JOIN delta d ON b.pri = d.pri
+    ),
+    full_v AS (
+        SELECT o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS s,
+               min(strftime(o_orderdate, '%Y-%m-%d')) AS d0,
+               max(strftime(o_orderdate, '%Y-%m-%d')) AS d1
+        FROM orders GROUP BY 1
+    )
+    SELECT m.pri,
+           CAST(m.n AS BIGINT) AS n_orders,
+           CAST(m.s AS DOUBLE) AS total_price,
+           m.d0 AS first_date, m.d1 AS last_date,
+           m.n = f.n AND m.s = f.s AND m.d0 = f.d0 AND m.d1 = f.d1
+               AS merge_matches_full
+    FROM merged m JOIN full_v f USING (pri) ORDER BY m.pri
+    """,
+)
+def ivm_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an aggregate materialization: the
+    standing view (orders before 1999-01-01) merges a delta batch (orders
+    since) by ALGEBRA — counts add, DECIMAL sums add, min/max take
+    least/greatest — instead of recomputing from facts, the pattern every
+    lakehouse rollup table runs on each ingest cycle (count/sum/min/max
+    are the self-maintainable aggregates; AVG derives from (sum, n);
+    MEDIAN is not and needs the histogram recipes). The
+    ``merge_matches_full`` column proves merged == full-recompute INSIDE
+    the hash gate — exactly true because sums stay DECIMAL through the
+    merge and only cast to double at output.
+
+    Scale shape: the delta aggregate touches only new partitions; the
+    merge is a |groups|-row full-outer join. Fixture cutoff 1999-01-01
+    splits the 1995-2001 order range so both sides are non-empty at
+    every SF."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+
+    def agg(df):
+        return df.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("s"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("d0"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("d1"),
+        )
+
+    base = agg(o.where(F.col("o_orderdate") < cutoff))
+    delta = agg(o.where(F.col("o_orderdate") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.pri") == F.col("d.pri"), "full_outer").select(
+        F.coalesce(F.col("b.pri"), F.col("d.pri")).alias("pri"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n"),
+        (
+            F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(38,6)"))
+            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(38,6)"))
+        ).alias("s"),
+        F.least(
+            F.coalesce(F.col("b.d0"), F.col("d.d0")),
+            F.coalesce(F.col("d.d0"), F.col("b.d0")),
+        ).alias("d0"),
+        F.greatest(
+            F.coalesce(F.col("b.d1"), F.col("d.d1")),
+            F.coalesce(F.col("d.d1"), F.col("b.d1")),
+        ).alias("d1"),
+    )
+    full_v = agg(o)
+    m, f = merged.alias("m"), full_v.alias("f")
+    return (
+        m.join(f, F.col("m.pri") == F.col("f.pri"))
+        .select(
+            F.col("m.pri").alias("pri"),
+            F.col("m.n").alias("n_orders"),
+            F.col("m.s").cast("double").alias("total_price"),
+            F.col("m.d0").alias("first_date"),
+            F.col("m.d1").alias("last_date"),
+            (
+                (F.col("m.n") == F.col("f.n"))
+                & (F.col("m.s") == F.col("f.s"))
+                & (F.col("m.d0") == F.col("f.d0"))
+                & (F.col("m.d1") == F.col("f.d1"))
+            ).alias("merge_matches_full"),
+        )
+        .orderBy("pri")
+    )

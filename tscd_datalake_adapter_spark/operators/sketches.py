@@ -1368,3 +1368,125 @@ def ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("rel_err"),
     )
+
+
+@register(
+    "bitmap_distinct_rollup",
+    tags=("sketch", "rollup"),
+    defer=True,
+    oracle="""
+    WITH b AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS epoch_day,
+               user_id
+        FROM events
+    ),
+    daily AS (
+        SELECT epoch_day // 7 AS week, epoch_day,
+               user_id // 32 AS word,
+               CAST(bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER))
+                    AS BIGINT) AS bits
+        FROM b GROUP BY 1, 2, 3
+    ),
+    per_day AS (
+        SELECT week, epoch_day,
+               CAST(sum(bit_count(bits)) AS BIGINT) AS d
+        FROM daily GROUP BY 1, 2
+    ),
+    weekly AS (
+        SELECT week,
+               CAST(sum(bit_count(merged)) AS BIGINT) AS distinct_bitmap
+        FROM (
+            SELECT week, word, CAST(bit_or(bits) AS BIGINT) AS merged
+            FROM daily GROUP BY 1, 2
+        ) GROUP BY week
+    ),
+    exact AS (
+        SELECT epoch_day // 7 AS week,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_exact
+        FROM b GROUP BY 1
+    ),
+    dsum AS (
+        SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(d) AS BIGINT) AS sum_daily_distinct
+        FROM per_day GROUP BY week
+    )
+    SELECT w.week, s.n_days, s.sum_daily_distinct,
+           w.distinct_bitmap, e.distinct_exact,
+           w.distinct_bitmap = e.distinct_exact AS bitmap_matches_exact
+    FROM weekly w JOIN exact e USING (week) JOIN dsum s USING (week)
+    ORDER BY w.week
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count rollup via BITMAP OR-merge (the roaring-bitmap
+    warehouse trick, fixed-width form): pack user ids into 64-bit words
+    (word = id/64, bit = id%64), bit_or per (day, word), popcount-sum per
+    day — and because bitmaps merge by OR, the WEEKLY distinct comes from
+    OR-ing the daily word bitmaps, never rescanning facts. This is the
+    exact counterpart of the HLL merge property (``hll_merge_by_source``):
+    additive rollups double-count (``sum_daily_distinct`` > exact when
+    users repeat), bitmap/HLL rollups don't — ``bitmap_matches_exact``
+    asserts it against count(DISTINCT) inside the hash gate.
+
+    Determinism: pure integer bit arithmetic — every word value is a
+    non-negative BIGINT < 2^32, identical in both engines.
+
+    Scale shape: state is |id-space|/32 words per grain — for 10^9 users
+    ~250 MB per day TOTAL, shuffled by (day, word) with map-side bit_or;
+    the rollup reads bitmaps, not events. Sparse id spaces want roaring
+    compression; the algebra is identical."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day"),
+        "user_id",
+    )
+    daily = (
+        b.select(
+            (F.col("epoch_day") / 7).cast("long").alias("week"),
+            "epoch_day",
+            (F.col("user_id") / 32).cast("long").alias("word"),
+            # F.shiftleft only takes a literal shift — expr form for a
+            # column shift
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("week", "epoch_day", "word")
+        .agg(F.bit_or("bit").cast("long").alias("bits"))
+    )
+    per_day = daily.groupBy("week", "epoch_day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("d")
+    )
+    weekly = (
+        daily.groupBy("week", "word")
+        .agg(F.bit_or("bits").cast("long").alias("merged"))
+        .groupBy("week")
+        .agg(
+            F.sum(F.bit_count("merged")).cast("long").alias("distinct_bitmap")
+        )
+    )
+    exact = b.groupBy(
+        (F.col("epoch_day") / 7).cast("long").alias("week")
+    ).agg(F.countDistinct("user_id").cast("long").alias("distinct_exact"))
+    dsum = per_day.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("d").cast("long").alias("sum_daily_distinct"),
+    )
+    return (
+        weekly.join(exact, "week")
+        .join(dsum, "week")
+        .select(
+            "week",
+            "n_days",
+            "sum_daily_distinct",
+            "distinct_bitmap",
+            "distinct_exact",
+            (F.col("distinct_bitmap") == F.col("distinct_exact")).alias(
+                "bitmap_matches_exact"
+            ),
+        )
+        .orderBy("week")
+    )
