@@ -668,3 +668,37 @@ def test_ddsketch_stream_matches_batch_recompute_and_alpha_bound(
     assert spark.sql(
         "SELECT count(DISTINCT seq) FROM dds_smoke"
     ).first()[0] > 1
+
+
+def test_bitmap_distinct_stream_exact_and_monotone(
+    spark, sf_dir, source_dir, tmp_path
+):
+    """The streaming bitmap's final count must equal batch
+    count(DISTINCT user_id) exactly (OR-merge is order/duplication-proof),
+    several micro-batches must have fired, and the emitted series must be
+    non-decreasing (bits only turn on)."""
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    live = jobs.run_bitmap_distinct_stream(
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt_bm"),
+        "bm_smoke",
+        max_files_per_trigger=1,
+    ).collect()
+    assert len(live) == 1
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert live[0].distinct_users == exact
+    series = [
+        r.distinct_users
+        for r in spark.sql(
+            "SELECT distinct_users FROM bm_smoke ORDER BY seq"
+        ).collect()
+    ]
+    assert len(series) > 1
+    assert all(a <= b for a, b in zip(series, series[1:]))
