@@ -4384,3 +4384,88 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "groupwise_ols_slopes",
+    tags=("analytics", "ml"),
+    defer=True,
+    oracle=f"""
+    WITH b AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS DOUBLE) AS x,
+               l_extendedprice * (1 - l_discount) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT flag,
+               CAST(count(*) AS BIGINT) AS n,
+               {oracle_dec_sum('x')} AS sx,
+               {oracle_dec_sum('y')} AS sy,
+               {oracle_dec_sum('x * x')} AS sxx,
+               {oracle_dec_sum('round(x * y, 6)')} AS sxy,
+               {oracle_dec_sum('round(y * y, 6)')} AS syy
+        FROM b GROUP BY flag
+    ),
+    fit AS (
+        SELECT flag, n, sx, sy,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (n * sxy - sx * sy) AS cov_n,
+               (n * sxx - sx * sx) AS var_x_n,
+               (n * syy - sy * sy) AS var_y_n
+        FROM m
+    )
+    SELECT flag, n,
+           round(slope, 6) + 0.0 AS slope,
+           round(sy / n - slope * sx / n, 6) + 0.0 AS intercept,
+           round((cov_n * cov_n) / (var_x_n * var_y_n), 6) + 0.0 AS r2
+    FROM fit ORDER BY flag
+    """,
+)
+def groupwise_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS — one simple regression (revenue ~ quantity) PER
+    return flag, fitted from the 5 decimal moments inside a single
+    groupBy: the many-small-models pattern (per-store demand curves,
+    per-segment elasticities — thousands of fits in one shuffle, no
+    per-group driver loop, no ML library). Slope/intercept/R² all derive
+    from (n, Σx, Σy, Σx², Σxy, Σy²), which is also WHY this parallelizes:
+    moments are order-free decimal sums, the fit is row-local arithmetic
+    on the |groups|-row table.
+
+    Determinism: x*y and y*y terms round-6 before the decimal fold
+    (products of price-scale doubles exceed 6dp); all divisions run on
+    bit-identical operands.
+
+    Scale shape: one map-side-combined groupBy to |groups| rows; nothing
+    else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    m = b.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("x").alias("sx"),
+        dec_sum("y").alias("sy"),
+        dec_sum(F.col("x") * F.col("x")).alias("sxx"),
+        dec_sum(F.round(F.col("x") * F.col("y"), 6)).alias("sxy"),
+        dec_sum(F.round(F.col("y") * F.col("y"), 6)).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x_n
+    return m.select(
+        "flag",
+        "n",
+        (F.round(slope, 6) + 0.0).alias("slope"),
+        (
+            F.round(
+                F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"),
+                6,
+            )
+            + 0.0
+        ).alias("intercept"),
+        (F.round((cov_n * cov_n) / (var_x_n * var_y_n), 6) + 0.0).alias("r2"),
+    ).orderBy("flag")
