@@ -1136,6 +1136,7 @@ _DD_QS = (0.5, 0.9, 0.99)
 @register(
     "ddsketch_quantiles",
     tags=("sketch", "quantile"),
+    headline=True,
     defer=True,
     oracle=f"""
     WITH x AS (SELECT o_totalprice AS x FROM orders),
@@ -1373,6 +1374,7 @@ def ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bitmap_distinct_rollup",
     tags=("sketch", "rollup"),
+    headline=True,
     defer=True,
     oracle="""
     WITH b AS (
