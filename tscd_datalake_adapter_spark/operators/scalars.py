@@ -368,3 +368,64 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").alias("missing_key"),
         F.expr("try_parse_json(props) IS NOT NULL").alias("is_valid"),
     ).orderBy("event_id")
+
+
+@register(
+    "variant_shredded_agg",
+    tags=("scalars", "json"),
+    defer=True,
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS ok,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(sum(ok) AS BIGINT) AS n_valid,
+           CAST(count(*) - sum(ok) AS BIGINT) AS n_invalid,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS distinct_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+)
+def variant_shredded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type: parse
+    the raw JSON once with ``try_parse_json`` (malformed rows become NULL,
+    never a task failure) and extract the typed field with
+    ``variant_get(v, '$.k', 'bigint')`` — the open-schema path for
+    payloads whose shape isn't known at write time, complementing
+    ``json_functions``'s schema'd ``from_json`` (use from_json when the
+    schema is fixed: it vectorizes and prunes; use VARIANT when it isn't).
+    The aggregate shreds the variant into per-type stats, which is exactly
+    what a lakehouse "shredding" materialization would persist.
+
+    Scale shape: parse + extract are row-local expressions in the scan
+    stage; one map-side-combined groupBy by type. The binary variant
+    encoding decodes fields without re-tokenizing the JSON text per
+    access, which is the point of the type at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.expr("try_parse_json(props)").alias("v"),
+    ).select(
+        "event_type",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("ok"),
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.sum("ok").cast("long").alias("n_valid"),
+            (F.count("*") - F.sum("ok")).cast("long").alias("n_invalid"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("distinct_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
