@@ -702,3 +702,17 @@ def test_bitmap_distinct_stream_exact_and_monotone(
     ]
     assert len(series) > 1
     assert all(a <= b for a, b in zip(series, series[1:]))
+    # offline state inspection: Spark 4's statestore reader opens the
+    # checkpoint WITHOUT the running query — the ops path for debugging /
+    # auditing streaming state at scale. The persisted bitmap's popcount
+    # must equal the emitted exact count.
+    st = (
+        spark.read.format("statestore")
+        .load(str(tmp_path / "ckpt_bm"))
+        .selectExpr(
+            "aggregate(value.groupState.words, 0L,"
+            " (acc, w) -> acc + bit_count(w)) AS pop"
+        )
+        .collect()
+    )
+    assert len(st) == 1 and st[0].pop == exact
