@@ -716,3 +716,47 @@ def test_bitmap_distinct_stream_exact_and_monotone(
         .collect()
     )
     assert len(st) == 1 and st[0].pop == exact
+
+
+def test_type_stats_tws_stream_matches_batch(spark, sf_dir, source_dir, tmp_path):
+    """The transformWithStateInPandas job's final per-type (n, mean) must
+    equal a batch recompute exactly — state keeps integer cents, so the
+    running mean is a pure function of the multiset — and multiple
+    micro-batches must have fired. SKIPS where google.protobuf is absent
+    (the TWS python worker's state protocol needs it; the job raises its
+    documented feature gate there — asserted below so the gate can't rot
+    silently)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            jobs.run_type_stats_tws_stream(
+                spark, source_dir, str(tmp_path / "ckpt_tws"), "tws_gate"
+            )
+        pytest.skip("google.protobuf absent: transformWithState gated")
+    live = {
+        r.event_type: r
+        for r in jobs.run_type_stats_tws_stream(
+            spark,
+            source_dir,
+            str(tmp_path / "ckpt_tws"),
+            "tws_smoke",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    agg = {}
+    for r in ev:
+        n, c = agg.get(r.event_type, (0, 0))
+        agg[r.event_type] = (n + 1, c + int(round(r.value * 100)))
+    assert set(live) == set(agg)
+    for t, (n, cents) in agg.items():
+        assert live[t].n == n
+        assert live[t].mean_value == round(cents / n / 100.0, 6) + 0.0
+    assert spark.sql(
+        "SELECT max(seq) FROM tws_smoke"
+    ).first()[0] > 1
