@@ -1159,3 +1159,134 @@ def burst_detection_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_events", "burst", "n_burst_days", "total_cost")
         .orderBy("day")
     )
+
+
+_TRAJ_MAX_UID = 60
+_TRAJ_TOPK = 10
+
+
+@register(
+    "user_trajectory_topk_pairs",
+    tags=("mining", "similarity"),
+    defer=True,
+    oracle=f"""
+    WITH traj AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE user_id < {_TRAJ_MAX_UID}
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT user_id, CAST(sum(cents * cents) AS BIGINT) AS n2,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM traj GROUP BY user_id
+    ),
+    dots AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(sum(a.cents * b.cents) AS BIGINT) AS dot
+        FROM traj a JOIN traj b
+          ON a.day = b.day AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    ),
+    dist AS (
+        SELECT na.user_id AS user_a, nb.user_id AS user_b,
+               na.n_days AS days_a, nb.n_days AS days_b,
+               na.n2 + nb.n2 - 2 * COALESCE(d.dot, 0) AS d2
+        FROM norms na
+        JOIN norms nb ON na.user_id < nb.user_id
+        LEFT JOIN dots d ON d.ua = na.user_id AND d.ub = nb.user_id
+    )
+    SELECT user_a, user_b, days_a, days_b, CAST(d2 AS BIGINT) AS d2,
+           round(sqrt(CAST(d2 AS DOUBLE)) / 100.0, 6) + 0.0
+               AS l2_distance
+    FROM dist ORDER BY d2, user_a, user_b LIMIT {_TRAJ_TOPK}
+    """,
+)
+def user_trajectory_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar user value trajectories (the distributed
+    trajectory-similarity shape of REPOSE, ICDE'21, on the time-grid
+    representation): each user's trajectory is their daily spend vector
+    (integer cents, absent days = 0), and pair distance comes from the
+    SPARSE identity d² = ‖a‖² + ‖b‖² − 2⟨a,b⟩ — norms are one groupBy,
+    dot products only touch (user, user) pairs that SHARE a day (the
+    day-keyed self-join is the blocking step; all-pairs zero-overlap
+    never materializes beyond the bounded norm join). All integer until
+    the final sqrt (IEEE-correctly-rounded, so cross-engine safe on
+    identical operands).
+
+    The user slice (< 60) bounds the quadratic norm join at every SF —
+    at production scale the same query blocks by LSH over the trajectory
+    vectors first (the embedding_cosine_near_dup_lsh machinery).
+
+    Scale shape: day-keyed equi self-join (shared-day pairs only), two
+    bounded aggregates, TakeOrdered top-k."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < _TRAJ_MAX_UID
+    )
+    traj = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+            F.round(F.col("value") * 100.0, 0).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    norms = traj.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("n2"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    a, b = traj.alias("a"), traj.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.sum(F.col("a.cents") * F.col("b.cents")).cast("long").alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    dist = (
+        na.join(nb, F.col("na.user_id") < F.col("nb.user_id"))
+        .join(
+            dots,
+            (F.col("ua") == F.col("na.user_id"))
+            & (F.col("ub") == F.col("nb.user_id")),
+            "left",
+        )
+        .select(
+            F.col("na.user_id").alias("user_a"),
+            F.col("nb.user_id").alias("user_b"),
+            F.col("na.n_days").alias("days_a"),
+            F.col("nb.n_days").alias("days_b"),
+            (
+                F.col("na.n2")
+                + F.col("nb.n2")
+                - 2 * F.coalesce(F.col("dot"), F.lit(0))
+            )
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+    return (
+        dist.orderBy("d2", "user_a", "user_b")
+        .limit(_TRAJ_TOPK)
+        .select(
+            "user_a",
+            "user_b",
+            "days_a",
+            "days_b",
+            "d2",
+            (
+                F.round(F.sqrt(F.col("d2").cast("double")) / 100.0, 6) + 0.0
+            ).alias("l2_distance"),
+        )
+    )

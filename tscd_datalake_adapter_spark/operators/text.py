@@ -2601,3 +2601,108 @@ def macro_f1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         dmean("f1"),
     ).select(F.lit("__macro__").alias("lang"), "*")
     return per.unionByName(macro).orderBy("lang")
+
+
+_SENT_POS = ("fast", "big")
+_SENT_NEG = ("slow", "dup")
+
+
+@register(
+    "sentiment_lexicon_by_source",
+    tags=("llm", "text"),
+    defer=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               CAST(len(t) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(t, x -> x IN
+                   ({", ".join(repr(w) for w in _SENT_POS)}))) AS BIGINT)
+                   AS n_pos,
+               CAST(len(list_filter(t, x -> x IN
+                   ({", ".join(repr(w) for w in _SENT_NEG)}))) AS BIGINT)
+                   AS n_neg
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_pos) AS BIGINT) AS pos_hits,
+           CAST(sum(n_neg) AS BIGINT) AS neg_hits,
+           round(CAST(SUM(CAST(round(
+                     CAST(n_pos - n_neg AS DOUBLE) / n_tok, 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) + 0.0
+               AS mean_sentiment,
+           CAST(sum(CASE WHEN n_pos > n_neg THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive_docs,
+           CAST(sum(CASE WHEN n_neg > n_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative_docs
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def sentiment_lexicon_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring aggregated by source — the
+    classic distributed-sentiment shape (EDBT'16 "Large Scale Sentiment
+    Analysis on Twitter with Spark"): per-document score =
+    (pos_hits − neg_hits) / tokens against a fixed lexicon, rolled up to
+    per-source means and polarity counts. The lexicon here is a toy
+    domain pair (fast/big vs slow/dup — the words this synthetic corpus
+    actually contains); a real run swaps in VADER/AFINN terms, the plan
+    is identical.
+
+    Determinism: per-doc ratios round-12 then decimal-sum (order-free);
+    counts are integers. Scale shape: row-local array filters in the
+    scan (no explode, no join against the lexicon — it's a literal
+    IN-list), one groupBy by source."""
+    d = load_table(spark, sf_dir, "documents")
+    pos_list = ", ".join(repr(w) for w in _SENT_POS)
+    neg_list = ", ".join(repr(w) for w in _SENT_NEG)
+    scored = d.select(
+        "source",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("long")
+        .alias("n_tok"),
+        F.expr(
+            f"size(filter(split(text, ' '), x -> x IN ({pos_list})))"
+        )
+        .cast("long")
+        .alias("n_pos"),
+        F.expr(
+            f"size(filter(split(text, ' '), x -> x IN ({neg_list})))"
+        )
+        .cast("long")
+        .alias("n_neg"),
+    ).where(F.col("n_tok") > 0)
+    ratio = F.round(
+        (F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("n_tok"), 12
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_pos").cast("long").alias("pos_hits"),
+            F.sum("n_neg").cast("long").alias("neg_hits"),
+            (
+                F.round(
+                    F.sum(ratio.cast("decimal(38,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + 0.0
+            ).alias("mean_sentiment"),
+            F.sum(
+                F.when(F.col("n_pos") > F.col("n_neg"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_positive_docs"),
+            F.sum(
+                F.when(F.col("n_neg") > F.col("n_pos"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_negative_docs"),
+        )
+        .orderBy("source")
+    )
