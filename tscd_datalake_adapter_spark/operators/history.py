@@ -1616,3 +1616,293 @@ def ivm_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+_MRA_CHANNELS = ("click", "error", "signup", "view")
+_MRA_ITERS = 12
+
+
+def _mra_oracle() -> str:
+    """Absorbing-chain power iteration over a (scenario, state) vector —
+    the ``_markov_oracle`` recipe extended with a scenario dimension
+    (full + one removal per channel). Every reused CTE MATERIALIZED."""
+    its = []
+    prev = "p0"
+    for t in range(1, _MRA_ITERS + 1):
+        its.append(f"""
+    it{t} AS MATERIALIZED (
+        SELECT sc.scenario, tm.f AS state,
+               round(CAST(SUM(CAST(round(tm.p *
+                   (CASE WHEN x.state = sc.removed THEN 0.0 ELSE x.p END),
+                   12) AS DECIMAL(38,12))) AS DOUBLE), 9) AS p
+        FROM scenarios sc
+        JOIN {prev} x ON x.scenario = sc.scenario
+        JOIN tm ON tm.t = x.state
+        GROUP BY sc.scenario, tm.f
+        UNION ALL
+        SELECT scenario, 'CONV', 1.0 FROM scenarios
+        UNION ALL
+        SELECT scenario, 'NULL', 0.0 FROM scenarios
+    )""")
+        prev = f"it{t}"
+    chans = ", ".join(f"('{c}', '{c}')" for c in _MRA_CHANNELS)
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    firstp AS (
+        SELECT user_id, min(rn) AS prn FROM seq
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS MATERIALIZED (
+        SELECT s.user_id, s.event_type,
+               row_number() OVER (PARTITION BY s.user_id ORDER BY s.rn)
+                   AS tn,
+               count(*) OVER (PARTITION BY s.user_id) AS nt,
+               CASE WHEN f.prn IS NULL THEN 0 ELSE 1 END AS conv
+        FROM seq s LEFT JOIN firstp f USING (user_id)
+        WHERE s.event_type != 'purchase'
+          AND (f.prn IS NULL OR s.rn < f.prn)
+    ),
+    edges AS MATERIALIZED (
+        SELECT 'START' AS f, event_type AS t FROM touches WHERE tn = 1
+        UNION ALL
+        SELECT a.event_type, b.event_type
+        FROM touches a JOIN touches b
+          ON a.user_id = b.user_id AND b.tn = a.tn + 1
+        UNION ALL
+        SELECT event_type, CASE WHEN conv = 1 THEN 'CONV' ELSE 'NULL' END
+        FROM touches WHERE tn = nt
+        UNION ALL
+        SELECT 'START', 'CONV'
+        FROM firstp f
+        WHERE NOT EXISTS (SELECT 1 FROM touches t
+                          WHERE t.user_id = f.user_id)
+    ),
+    counts AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+               FROM edges GROUP BY 1, 2),
+    tm AS MATERIALIZED (
+        SELECT f, t,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY f), 12) AS p
+        FROM counts
+    ),
+    scenarios AS MATERIALIZED (
+        SELECT * FROM (VALUES ('full', '__none__'), {chans})
+            s(scenario, removed)
+    ),
+    p0 AS MATERIALIZED (
+        SELECT sc.scenario, st.state,
+               CASE WHEN st.state = 'CONV' THEN 1.0 ELSE 0.0 END AS p
+        FROM scenarios sc CROSS JOIN (
+            SELECT DISTINCT f AS state FROM tm
+            UNION SELECT 'CONV' UNION SELECT 'NULL'
+        ) st
+    ),{','.join(its)},
+    readout AS MATERIALIZED (
+        SELECT x.scenario, x.p AS p_start
+        FROM it{_MRA_ITERS} x WHERE x.state = 'START'
+    ),
+    re AS MATERIALIZED (
+        SELECT r.scenario AS channel,
+               (SELECT p_start FROM readout WHERE scenario = 'full')
+                   AS p_full,
+               r.p_start AS p_removed,
+               round(1.0 - r.p_start /
+                   (SELECT p_start FROM readout WHERE scenario = 'full'),
+                   9) AS re
+        FROM readout r WHERE r.scenario != 'full'
+    )
+    SELECT channel,
+           round(p_full, 6) + 0.0 AS p_conv_full,
+           round(p_removed, 6) + 0.0 AS p_conv_removed,
+           round(re, 6) + 0.0 AS removal_effect,
+           round(re / (SELECT CAST(SUM(CAST(re AS DECIMAL(38,12)))
+                                   AS DOUBLE) FROM re), 6) + 0.0
+               AS attribution_share
+    FROM re ORDER BY channel
+    """
+
+
+@register(
+    "markov_removal_attribution",
+    tags=("history", "attribution"),
+    defer=True,
+    oracle=_mra_oracle(),
+)
+def markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    data-driven alternative to last-touch/time-decay: model journeys
+    (per-user touch sequence up to the first purchase) as an absorbing
+    Markov chain (START → channels → CONV/NULL), compute the conversion
+    probability from START, then re-compute it with each channel REMOVED
+    (its probability mass forced to 0, i.e. every visit to it becomes a
+    NULL absorption); a channel's credit is how much conversion
+    probability disappears without it, normalized across channels.
+    Absorption probabilities come from 12 unrolled iterations of
+    p ← T·p over a (scenario × state) vector — 5 scenarios advance in the
+    SAME tiny joins, and the per-step round-12-product / decimal-sum /
+    round-9 recipe keeps the recursion bit-identical cross-engine
+    (the ``markov_stationary_distribution`` / ``pagerank_token_graph``
+    family).
+
+    Scale shape: journeys and edges are two window passes over events;
+    the chain is |states|² rows and every iteration joins a ~35-row
+    vector with a ~36-row matrix — iteration cost is independent of data
+    size, the whole point of fitting a chain instead of replaying
+    journeys per scenario."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    wt = Window.partitionBy("user_id").orderBy("rn")
+    wn = Window.partitionBy("user_id")
+    touches = (
+        seq.join(firstp, "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("prn").isNull() | (F.col("rn") < F.col("prn")))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(wt).alias("tn"),
+            F.count("*").over(wn).alias("nt"),
+            F.when(F.col("prn").isNull(), 0).otherwise(1).alias("conv"),
+        )
+    )
+    a, b = touches.alias("a"), touches.alias("b")
+    edges = (
+        touches.where(F.col("tn") == 1)
+        .select(F.lit("START").alias("f"), F.col("event_type").alias("t"))
+        .unionAll(
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("b.tn") == F.col("a.tn") + 1),
+            ).select(
+                F.col("a.event_type").alias("f"),
+                F.col("b.event_type").alias("t"),
+            )
+        )
+        .unionAll(
+            touches.where(F.col("tn") == F.col("nt")).select(
+                F.col("event_type").alias("f"),
+                F.when(F.col("conv") == 1, "CONV")
+                .otherwise("NULL")
+                .alias("t"),
+            )
+        )
+        .unionAll(
+            firstp.join(
+                touches.select("user_id").distinct(), "user_id", "left_anti"
+            ).select(F.lit("START").alias("f"), F.lit("CONV").alias("t"))
+        )
+    )
+    counts = edges.groupBy("f", "t").agg(F.count("*").cast("long").alias("n"))
+    wf = Window.partitionBy("f")
+    tm = counts.select(
+        "f",
+        "t",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 12).alias(
+            "tp"
+        ),
+    )
+    # The state space is COMPILE-TIME fixed (START + the 4 channel types +
+    # the two absorbers), so the whole (scenario x state) recursion can run
+    # as column expressions over ONE pivoted row — iterations cost ~nothing
+    # instead of one cluster job each (the holt/pca expression recipe; a
+    # DataFrame-per-iteration variant measured ~10s/step from checkpoint
+    # overhead alone). Pivot the matrix: one column per (f, t) cell.
+    froms = ("START",) + _MRA_CHANNELS
+    tos = _MRA_CHANNELS + ("CONV", "NULL")
+    row = tm.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("f") == f) & (F.col("t") == t), F.col("tp")
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"tp_{f}_{t}")
+            for f in froms
+            for t in tos
+        ]
+    ).localCheckpoint()
+    scenarios = ("full",) + _MRA_CHANNELS
+    # init + iterations as ONE selectExpr STRING per step, parsed JVM-side:
+    # nested Column objects here cost ~15s of py4j round-trips for the
+    # 12 x 25 updates (the pq_adc literal-matrix lesson, NOTES r5 item 4)
+    tp_cols = [f"tp_{f}_{t}" for f in froms for t in tos]
+    init = [
+        f"{'1.0D' if st == 'CONV' else '0.0D'} AS p_{sc}_{st}"
+        for sc in scenarios
+        for st in froms + ("CONV", "NULL")
+    ]
+    row = row.selectExpr("*", *init)
+    for it in range(_MRA_ITERS):
+        exprs = list(tp_cols)
+        for sc in scenarios:
+            removed = sc if sc != "full" else None
+            for st in ("CONV", "NULL"):
+                exprs.append(f"p_{sc}_{st}")
+            for f in froms:
+                # round-12 each product, exact decimal adds, round-9 —
+                # identical to the oracle's SUM over the same <=6 terms
+                # (zero tp cells add exact decimal zeros)
+                terms = []
+                for t in tos:
+                    mp = "0.0D" if t == removed else f"p_{sc}_{t}"
+                    terms.append(
+                        f"CAST(round(tp_{f}_{t} * {mp}, 12)"
+                        f" AS DECIMAL(38,12))"
+                    )
+                exprs.append(
+                    f"round(CAST({' + '.join(terms)} AS DOUBLE), 9)"
+                    f" AS p_{sc}_{f}"
+                )
+        row = row.selectExpr(*exprs)
+        if it % 2 == 1:  # CollapseProject re-inlines ~6x per step: cut
+            row = row.localCheckpoint()
+    row = row.localCheckpoint()
+    out = None
+    for c in _MRA_CHANNELS:
+        re_c = F.round(
+            1.0 - F.col(f"p_{c}_START") / F.col("p_full_START"), 9
+        )
+        r = row.select(
+            F.lit(c).alias("channel"),
+            F.col("p_full_START").alias("p_full"),
+            F.col(f"p_{c}_START").alias("p_removed"),
+            re_c.alias("re"),
+        )
+        out = r if out is None else out.unionByName(r)
+    out = out.localCheckpoint()
+    tot = out.agg(
+        F.sum(F.col("re").cast("decimal(38,12)")).cast("double").alias("tot")
+    )
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            (F.round(F.col("p_full"), 6) + 0.0).alias("p_conv_full"),
+            (F.round(F.col("p_removed"), 6) + 0.0).alias("p_conv_removed"),
+            (F.round(F.col("re"), 6) + 0.0).alias("removal_effect"),
+            (F.round(F.col("re") / F.col("tot"), 6) + 0.0).alias(
+                "attribution_share"
+            ),
+        )
+        .orderBy("channel")
+    )
