@@ -1906,3 +1906,200 @@ def markov_removal_attribution(
         )
         .orderBy("channel")
     )
+
+
+def _shapley_pairs():
+    """(channel, mask_without, mask_with, w24) for every channel and every
+    subset S of the OTHER channels: w24 = |S|!·(3−|S|)! — the exact
+    4-player Shapley weight times 24, kept integer so the only float is
+    the marginal v-difference. Shared by the Spark side and the oracle."""
+    import math
+
+    chans = list(_MRA_CHANNELS)
+    rows = []
+    for ci, c in enumerate(chans):
+        others = [i for i in range(4) if i != ci]
+        for sub in range(8):
+            mask = 0
+            size = 0
+            for bi, oi in enumerate(others):
+                if sub >> bi & 1:
+                    mask |= 1 << oi
+                    size += 1
+            w24 = math.factorial(size) * math.factorial(3 - size)
+            rows.append((c, mask, mask | (1 << ci), w24))
+    return rows
+
+
+def _shapley_oracle() -> str:
+    pairs = ",\n            ".join(
+        f"('{c}', {m0}, {m1}, {w})" for c, m0, m1, w in _shapley_pairs()
+    )
+    bits = " + ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(_MRA_CHANNELS)
+    )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    firstp AS (
+        SELECT user_id, min(rn) AS prn FROM seq
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    journeys AS MATERIALIZED (
+        SELECT s.user_id,
+               CAST({bits} AS BIGINT) AS mask,
+               CAST(max(CASE WHEN f.prn IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS conv
+        FROM seq s LEFT JOIN firstp f USING (user_id)
+        WHERE s.event_type != 'purchase'
+          AND (f.prn IS NULL OR s.rn < f.prn)
+        GROUP BY s.user_id
+    ),
+    v AS MATERIALIZED (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS n_conv,
+               round(CAST(sum(conv) AS DOUBLE) / count(*), 12) AS v
+        FROM journeys WHERE mask > 0 GROUP BY mask
+    ),
+    pairs AS (
+        SELECT * FROM (VALUES
+            {pairs}
+        ) p(channel, m0, m1, w24)
+    ),
+    terms AS MATERIALIZED (
+        SELECT p.channel,
+               CAST(SUM(CAST(round(p.w24 *
+                   (COALESCE(v1.v, 0.0) - COALESCE(v0.v, 0.0)), 12)
+                   AS DECIMAL(38,12))) AS DOUBLE) / 24.0 AS phi
+        FROM pairs p
+        LEFT JOIN v v0 ON v0.mask = p.m0
+        LEFT JOIN v v1 ON v1.mask = p.m1
+        GROUP BY p.channel
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(round(phi, 9) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS tot
+        FROM terms
+    )
+    SELECT channel,
+           round(phi, 6) + 0.0 AS shapley_value,
+           round(round(phi, 9) / tot, 6) + 0.0 AS attribution_share
+    FROM terms CROSS JOIN tot ORDER BY channel
+    """
+
+
+@register(
+    "shapley_attribution",
+    tags=("history", "attribution"),
+    defer=True,
+    oracle=_shapley_oracle(),
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over channel COALITIONS (Zhao et
+    al. 2018's simplified game) — the order-free counterpart of
+    ``markov_removal_attribution``: a journey's value v(S) is the
+    conversion rate of users whose touched-channel SET is exactly S
+    (unobserved coalitions contribute 0, and v(∅) := 0 — the
+    direct-to-purchase journeys carry no channel credit by convention);
+    channel credit is the Shapley average of marginal contributions over
+    all 2³ orderings, with the 4-player weights kept as exact integers
+    (|S|!·(3−|S|)!, denominator 24 applied once) so the only float work
+    is the v-differences, round-12 decimal-summed.
+
+    Scale shape: journeys collapse to ≤15 coalition rows in one
+    bitmask groupBy (map-side combine); the Shapley sum is a 32-row
+    literal join — constant cost at any data size, like the Markov
+    chain's pivoted recursion."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    bits = None
+    for i, c in enumerate(_MRA_CHANNELS):
+        b = F.max(
+            F.when(F.col("event_type") == c, 1 << i).otherwise(0)
+        )
+        bits = b if bits is None else bits + b
+    journeys = (
+        seq.join(firstp, "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("prn").isNull() | (F.col("rn") < F.col("prn")))
+        )
+        .groupBy("user_id")
+        .agg(
+            bits.cast("long").alias("mask"),
+            F.max(
+                F.when(F.col("prn").isNull(), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    v = (
+        journeys.where(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+        .select(
+            "mask",
+            F.round(
+                F.col("n_conv").cast("double") / F.col("n"), 12
+            ).alias("v"),
+        )
+    )
+    pairs = spark.createDataFrame(
+        _shapley_pairs(), "channel string, m0 long, m1 long, w24 long"
+    )
+    v0 = v.select(F.col("mask").alias("m0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("mask").alias("m1"), F.col("v").alias("vb"))
+    terms = (
+        pairs.join(F.broadcast(v0), "m0", "left")
+        .join(F.broadcast(v1), "m1", "left")
+        .groupBy("channel")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("w24")
+                        * (
+                            F.coalesce(F.col("vb"), F.lit(0.0))
+                            - F.coalesce(F.col("va"), F.lit(0.0))
+                        ),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / 24.0
+            ).alias("phi")
+        )
+        .localCheckpoint()
+    )
+    tot = terms.agg(
+        F.sum(F.round(F.col("phi"), 9).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("tot")
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            (F.round(F.col("phi"), 6) + 0.0).alias("shapley_value"),
+            (
+                F.round(F.round(F.col("phi"), 9) / F.col("tot"), 6) + 0.0
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
