@@ -589,3 +589,35 @@ def test_r5_session6_operator_plan_shapes(spark, sf_dir):
     # above the Window, and the (flag, cents) HISTOGRAM aggregate must sit
     # below it (= the window's input is pre-aggregated, never raw rows)
     assert p.rindex("HashAggregate") > p.index("Window")
+
+
+def test_attribution_operator_plan_shapes(spark, sf_dir):
+    """Attribution pair pins: neither plans a nested-loop/cartesian join
+    of base data; the Markov chain's 12 iterations are plan-side column
+    expressions over a checkpointed one-row pivot, so the physical plan
+    contains NO per-iteration exchanges (iteration cost must not scale
+    with the data); Shapley's coalition join is a broadcast of the
+    <=15-row v table against the 32-row literal pair table."""
+    from tscd_datalake_adapter_spark.operators.history import (
+        markov_removal_attribution,
+        shapley_attribution,
+    )
+
+    p = plans.formatted_plan(markov_removal_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the returned frame is the readout over checkpointed one-row scans:
+    # its plan must be exchange-light (the journey lineage was cut) — a
+    # per-iteration implementation would show dozens of exchanges here
+    # (count includes BroadcastExchange mentions in the formatted text)
+    assert p.count("Exchange") <= 8
+
+    p = plans.formatted_plan(shapley_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the coalition join ran inside the eager cut (localCheckpoint), so
+    # the returned plan is just the tiny readout: the only nested-loop is
+    # the 4-row x 1-row totals cross join, and no journey-scale operator
+    # (scan/window/sort-merge) may appear here
+    # formatted plans print each node twice (tree line + detail header)
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" not in p
+    assert "Location" not in p or "parquet" not in p
