@@ -19,6 +19,7 @@ from tscd_datalake_adapter_spark.functions import (
     dec_sum,
     h60,
     oracle_h60,
+    spread,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
@@ -4438,11 +4439,16 @@ def groupwise_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combined groupBy to |groups| rows; nothing
     else."""
-    li = load_table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").cast("double").alias("x"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    # 6 decimal folds per row: repartition the narrow projection first
+    # (the stats_by_returnflag file-count-trap fix; order-free sums)
+    b = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("double").alias("x"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "y"
+            ),
+        )
     )
     m = b.groupBy("flag").agg(
         F.count("*").cast("long").alias("n"),
