@@ -736,3 +736,40 @@ def file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@register(
+    "xml_roundtrip_agg",
+    tags=("io",),
+    defer=True,
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           {oracle_dec_sum('value')} AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML (rowTag records, Spark 4's built-in XML source) →
+    re-read with explicit schema → aggregate; completes the text-format
+    round-trip family (CSV/JSON/ORC/XML). Doubles survive because the
+    writer emits round-trippable repr, same as the CSV/JSON paths; the
+    oracle aggregates the original parquet directly, so any parse or
+    type-inference loss would break the hash."""
+    path = _tmp("xml")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    e.write.mode("overwrite").format("xml").option("rowTag", "event").save(
+        path
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, event_type string, value double")
+        .load(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value").alias("total_value"))
+        .orderBy("event_type")
+    )
