@@ -2706,3 +2706,113 @@ def sentiment_lexicon_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "cohens_kappa_langid",
+    tags=("llm", "text", "eval"),
+    defer=True,
+    oracle=f"""
+    WITH scored AS (
+        SELECT d.doc_id, d.lang AS actual,
+               CAST({{s_en}} AS BIGINT) AS s_en,
+               CAST({{s_de}} AS BIGINT) AS s_de,
+               CAST({{s_es}} AS BIGINT) AS s_es,
+               CAST({{s_fr}} AS BIGINT) AS s_fr
+        FROM documents d WHERE doc_id < 100
+    ),
+    pred AS (
+        SELECT actual,
+               CASE
+                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr'
+               END AS predicted
+        FROM scored
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                      AS BIGINT) AS agree
+          FROM pred),
+    m AS (
+        SELECT COALESCE(a.lang, p.lang) AS lang,
+               COALESCE(a.na, 0) AS na, COALESCE(p.np, 0) AS np
+        FROM (SELECT actual AS lang, CAST(count(*) AS BIGINT) AS na
+              FROM pred GROUP BY 1) a
+        FULL OUTER JOIN
+             (SELECT predicted AS lang, CAST(count(*) AS BIGINT) AS np
+              FROM pred GROUP BY 1) p
+        ON a.lang = p.lang
+    ),
+    pe AS (SELECT CAST(sum(na * np) AS BIGINT) AS chance_num FROM m)
+    SELECT n.n AS n_docs, n.agree AS n_agree,
+           round(CAST(n.agree AS DOUBLE) / n.n, 6) + 0.0 AS p_observed,
+           round(CAST(pe.chance_num AS DOUBLE) / (n.n * n.n), 6) + 0.0
+               AS p_chance,
+           round((CAST(n.agree AS DOUBLE) / n.n
+                  - CAST(pe.chance_num AS DOUBLE) / (n.n * n.n))
+                 / (1.0 - CAST(pe.chance_num AS DOUBLE) / (n.n * n.n)), 6)
+               + 0.0 AS kappa
+    FROM n CROSS JOIN pe
+    """.format(
+        s_en=_lang_score_sql("en"),
+        s_de=_lang_score_sql("de"),
+        s_es=_lang_score_sql("es"),
+        s_fr=_lang_score_sql("fr"),
+    ),
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID classifier against the gold
+    labels — chance-corrected agreement, the honest headline number when
+    classes are imbalanced (raw accuracy flatters any classifier that
+    parrots the majority class; kappa subtracts the agreement the
+    marginals alone would produce). Chance agreement comes from the
+    exact integer marginal products (Σ n_actual·n_predicted / n²), so the
+    whole statistic is three integer counts and row-local arithmetic.
+
+    Scale shape: classifier pass + two bounded marginal groupBys; the
+    kappa formula runs on a single joined row."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 100
+    ).select("doc_id", F.col("lang").alias("actual"))
+    pred = (
+        language_id(spark, sf_dir)
+        .select("doc_id", F.col("predicted_lang").alias("predicted"))
+        .join(d, "doc_id")
+        .select("actual", "predicted")
+        .localCheckpoint()
+    )
+    n = pred.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    na = pred.groupBy(F.col("actual").alias("lang")).agg(
+        F.count("*").cast("long").alias("na")
+    )
+    np_ = pred.groupBy(F.col("predicted").alias("lang")).agg(
+        F.count("*").cast("long").alias("np")
+    )
+    m = na.join(np_, "lang", "full_outer").select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("np", F.lit(0)).alias("np"),
+    )
+    pe = m.agg(
+        F.sum(F.col("na") * F.col("np")).cast("long").alias("chance_num")
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    pc = F.col("chance_num").cast("double") / (F.col("n") * F.col("n"))
+    return (
+        n.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            (F.round(po, 6) + 0.0).alias("p_observed"),
+            (F.round(pc, 6) + 0.0).alias("p_chance"),
+            (F.round((po - pc) / (1.0 - pc), 6) + 0.0).alias("kappa"),
+        )
+    )
