@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         asof,
         dedup,
         export,
+        hierarchy,
         history,
         mining,
         mlprep,
@@ -72,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         sampling,
         similarity,
         sketches,
+        stats_tests,
         subqueries,
         text,
         tpch_more,

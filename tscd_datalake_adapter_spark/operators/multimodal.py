@@ -1095,3 +1095,196 @@ def wav_dft_band_magnitudes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im")), 6
         ).alias("magnitude"),
     ).orderBy("doc_id", "band")
+
+
+# --- perceptual image hashing (aHash) near-dup -----------------------------
+
+_PHASH_ORACLE = """
+    WITH img AS (
+        SELECT doc_id FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+    ),
+    sides AS (
+        SELECT doc_id, 2 * doc_id AS uid, 0 AS pert FROM img
+        UNION ALL
+        SELECT doc_id, 2 * doc_id + 1 AS uid, 1 AS pert FROM img
+    ),
+    dims AS (
+        SELECT uid, doc_id, pert,
+               8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+               (doc_id * 3) % (8 + doc_id % 9) AS x0,
+               (doc_id * 5) % (6 + doc_id % 7) AS y0
+        FROM sides
+    ),
+    samp AS (
+        SELECT d.uid, g.k,
+               (7 * (((g.k // 8) * d.w) // 8)
+                + 13 * (((g.k % 8) * d.h) // 8) + d.doc_id
+                + CASE WHEN d.pert = 1
+                            AND (((g.k // 8) * d.w) // 8) = d.x0
+                            AND (((g.k % 8) * d.h) // 8) = d.y0
+                       THEN 128 ELSE 0 END) % 256 AS p
+        FROM dims d
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) g
+    ),
+    stats AS (
+        SELECT uid, CAST(sum(p) AS BIGINT) AS s FROM samp GROUP BY uid
+    ),
+    bands AS (
+        SELECT sa.uid, CAST(sa.k // 16 AS BIGINT) AS b,
+               CAST(sum(CASE WHEN 64 * sa.p >= st.s
+                        THEN 1 << CAST(sa.k % 16 AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS v
+        FROM samp sa JOIN stats st ON sa.uid = st.uid
+        GROUP BY sa.uid, sa.k // 16
+    ),
+    cand AS (
+        SELECT DISTINCT a.uid AS ua, b.uid AS ub
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.v = b.v AND a.uid < b.uid
+    ),
+    ham AS (
+        SELECT c.ua, c.ub,
+               CAST(sum(bit_count(xor(ba.v, bb.v))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bands ba ON ba.uid = c.ua
+        JOIN bands bb ON bb.uid = c.ub AND bb.b = ba.b
+        GROUP BY c.ua, c.ub
+    )
+    SELECT ua AS uid_a, ub AS uid_b, hamming
+    FROM ham WHERE hamming <= 3
+    ORDER BY uid_a, uid_b
+"""
+
+
+@register(
+    "image_phash_near_dup",
+    tags=("llm", "multimodal", "dedup"),
+    defer=True,
+    oracle=_PHASH_ORACLE,
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: every image-typed document gets TWO
+    byte-level-different PNG payloads (the original formula image and a
+    one-pixel-perturbed re-encode — the planted-twin pattern of
+    ``embedding_cosine_near_dup_lsh``); both are DECODED for real
+    (``png_codec``), reduced to a 64-bit average hash (8×8
+    nearest-neighbor sample grid, bit = 64·p >= Σp so the mean compare
+    stays integer), and near-dup pairs are found by LSH-style band
+    blocking: the hash splits into four 16-bit bands, pairs sharing any
+    band become candidates, and candidates verify exact Hamming distance
+    ≤ 3 via bit_count(xor). Four bands make the ≤3 gate lossless by
+    pigeonhole (a pair within Hamming 3 has at least one untouched band).
+
+    The oracle re-derives samples, mean, bands, candidates, and Hamming
+    from the generating formula — so a hash match proves the full PNG
+    encode→inflate→unfilter→sample→hash path over REAL bytes, per image
+    TWICE (clean + perturbed). Fixture fact: aHash is brightness-
+    invariant by construction (adding a constant to every pixel shifts
+    each sample and the mean threshold equally, leaving every bit
+    unchanged), so formula images sharing dimensions and differing mainly
+    in their ``doc_id`` offset collapse into the same perceptual bucket —
+    the query surfaces ~800 pairs, not just the 67 planted twins, which
+    is exactly the collapse-re-encodes-and-brightness-edits behavior
+    perceptual dedup exists for (a few twins land at Hamming > 3 when
+    the one-pixel edit shifts the mean across borderline samples).
+
+    Scale shape: hashing is embarrassingly parallel (Arrow-batched decode
+    emitting 4 fixed-width band rows per image); the candidate join is a
+    uniform equi-join on (band_index, band_value) — 16-bit bands keep the
+    random-collision rate at ~4/65536 per pair (the NOTES.md
+    more-bits-beats-wide-buckets rule) — and the verify join touches only
+    candidates. No all-pairs stage anywhere."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0))
+        .select("doc_id")
+    )
+    sides = d.select(
+        "doc_id", (2 * F.col("doc_id")).alias("uid"), F.lit(0).alias("pert")
+    ).unionAll(
+        d.select(
+            "doc_id",
+            (2 * F.col("doc_id") + 1).alias("uid"),
+            F.lit(1).alias("pert"),
+        )
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def payload_of(doc_id: pd.Series, pert: pd.Series) -> pd.Series:
+        out = []
+        for did, pe in zip(doc_id, pert):
+            did = int(did)
+            px = _png_pixels(did).copy()
+            if int(pe):
+                w, h = px.shape[1], px.shape[0]
+                x0, y0 = (did * 3) % w, (did * 5) % h
+                px[y0, x0] = (int(px[y0, x0]) + 128) % 256
+            out.append(png_encode(px))
+        return pd.Series(out)
+
+    media = sides.select(
+        "uid", payload_of("doc_id", "pert").alias("payload")
+    )
+
+    band_schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+
+    def hash_bands(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uids, bs, vs = [], [], []
+            for uid, payload in zip(pdf["uid"], pdf["payload"]):
+                arr = png_decode(bytes(payload))
+                h, w = arr.shape[0], arr.shape[1]
+                xi = (np.arange(8, dtype=np.int64) * w) // 8
+                yj = (np.arange(8, dtype=np.int64) * h) // 8
+                # k = 8*i + j, matching the oracle's index convention
+                samples = arr[yj[None, :], xi[:, None]].astype(np.int64)
+                flat = samples.reshape(-1)
+                s = int(flat.sum())
+                bits = (64 * flat >= s).astype(np.int64)
+                for b in range(4):
+                    v = int(
+                        (bits[16 * b : 16 * (b + 1)] << np.arange(16)).sum()
+                    )
+                    uids.append(int(uid))
+                    bs.append(b)
+                    vs.append(v)
+            yield pd.DataFrame({"uid": uids, "b": bs, "v": vs})
+
+    bands = media.mapInPandas(hash_bands, band_schema)
+    a = bands.select(F.col("uid").alias("ua"), "b", "v")
+    bb = bands.select(F.col("uid").alias("ub"), "b", "v")
+    cand = (
+        a.join(bb, ["b", "v"])
+        .where(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    ba = bands.select(F.col("uid").alias("ua"), "b", F.col("v").alias("xa"))
+    bbv = bands.select(F.col("uid").alias("ub"), "b", F.col("v").alias("xb"))
+    ham = (
+        cand.join(ba, "ua")
+        .join(bbv, ["ub", "b"])
+        .groupBy("ua", "ub")
+        .agg(
+            F.sum(F.bit_count(F.col("xa").bitwiseXOR(F.col("xb"))))
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    return (
+        ham.where(F.col("hamming") <= 3)
+        .select(
+            F.col("ua").alias("uid_a"),
+            F.col("ub").alias("uid_b"),
+            "hamming",
+        )
+        .orderBy("uid_a", "uid_b")
+    )

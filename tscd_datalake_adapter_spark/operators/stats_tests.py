@@ -1,0 +1,688 @@
+"""Classical statistical tests as distributed queries: rank correlations
+(Spearman, Kendall tau-b), the Mann-Whitney U rank-sum test, McNemar's
+paired-classifier test, Cramér's V association, and a t-closeness EMD
+privacy audit.
+
+These are the hypothesis-test / association-measure face of the eval tier
+(ROC/AUC, KS, chi² keyness, Cohen's kappa live elsewhere). The common
+determinism recipe: every statistic is reduced to INTEGER sufficient
+statistics first (rank sums via the value-histogram cumulative trick,
+concordant/discordant pair counts, contingency cells), so the only
+floating-point steps are final IEEE divisions/sqrts on exact integers —
+bit-identical across engines without any rounding gymnastics. Where a
+float sum over many cells is unavoidable (chi² cell terms), the repo's
+round-12 + DECIMAL(38,12) order-free sum recipe applies.
+
+Scale shapes, per operator, are in the docstrings; the common theme is
+that every test statistic aggregates a BOUNDED intermediate (a calendar
+of days, a value histogram, a 25-cell contingency grid) — the corpus-
+sized work is always one map-side-combined groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.functions import dec_sum, oracle_dec_sum
+from tscd_datalake_adapter_spark.operators import register
+from tscd_datalake_adapter_spark.operators.text import LANG_PROFILES
+from tscd_datalake_adapter_spark.sources import load_table
+
+# Word-marker profiles for the SECOND language classifier (McNemar needs
+# two classifiers that sometimes disagree; the fixture corpus shares one
+# vocabulary across langs, so marker words fire on every lang — a
+# deliberately-different error profile from the bigram classifier).
+WORD_PROFILES = {
+    "en": ((" the ", 3), (" and ", 1)),
+    "de": ((" und ", 3), (" der ", 1)),
+    "es": ((" los ", 3), (" una ", 1)),
+    "fr": ((" les ", 3), (" une ", 1)),
+}
+
+_LANGS = ("en", "de", "es", "fr")
+
+
+def _daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event count + decimal-exact purchase revenue — the bounded
+    (calendar-sized) series both rank correlations run on."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("idx")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.round(
+            dec_sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("y"),
+    )
+
+
+_ORACLE_DAILY = f"""
+    SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS idx,
+           CAST(count(*) AS BIGINT) AS x,
+           round({oracle_dec_sum(
+               "CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END"
+           )}, 6) AS y
+    FROM events GROUP BY 1
+"""
+
+
+@register(
+    "spearman_corr_daily",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH daily AS ({_ORACLE_DAILY}),
+    ranked AS (
+        SELECT
+            2 * rank() OVER (ORDER BY x)
+              + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+            2 * rank() OVER (ORDER BY y)
+              + count(*) OVER (PARTITION BY y) - 1 AS ry2
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx2) AS BIGINT) AS sx,
+               CAST(sum(ry2) AS BIGINT) AS sy,
+               CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+               CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+        FROM ranked
+    )
+    SELECT n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event volume and daily
+    purchase revenue. Ties take average ranks via the integer trick
+    ``2·avgrank = 2·minrank + tiecount − 1``, so every sufficient
+    statistic (rank sums, squares, cross products) is an exact BIGINT and
+    the only floats are the final Pearson-on-ranks divisions — identical
+    IEEE operations on identical operands in both engines.
+
+    Scale shape: ranks are windows over the DAILY AGGREGATE (bounded by
+    the calendar regardless of event volume — the exempt global-window
+    class); the corpus-sized work is one map-side-combined groupBy(day).
+    The two sqrt factors are taken separately so no intermediate exceeds
+    2^53 (n·Sxx ≲ 1e14 for a century of days)."""
+    daily = _daily_events(spark, sf_dir)
+    rx = Window.orderBy("x")
+    ry = Window.orderBy("y")
+    ranked = daily.select(
+        (
+            2 * F.rank().over(rx)
+            + F.count("*").over(Window.partitionBy("x"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(ry)
+            + F.count("*").over(Window.partitionBy("y"))
+            - 1
+        ).alias("ry2"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return s.select(
+        n.alias("n_days"), F.round(num / den, 6).alias("spearman_rho")
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH daily AS ({_ORACLE_DAILY}),
+    p AS (
+        SELECT
+            CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+                            OR (b.x < a.x AND b.y < a.y)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+                            OR (b.x < a.x AND b.y > a.y)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            CAST(sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+            CAST(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2
+        FROM daily a JOIN daily b ON a.idx < b.idx
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT nn.n AS n_days, p.c AS concordant, p.d AS discordant,
+           round(CAST(p.c - p.d AS DOUBLE)
+                 / sqrt(CAST((nn.n * (nn.n - 1) / 2 - p.n1)
+                             * (nn.n * (nn.n - 1) / 2 - p.n2)
+                        AS DOUBLE)), 6) AS kendall_tau_b
+    FROM p CROSS JOIN nn
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (tie-corrected) between daily event volume and daily
+    purchase revenue: concordant/discordant/tied pair counts over the
+    day-pair join, all integers until one final division and sqrt.
+
+    Scale shape: the pair join is over the daily aggregate — bounded by
+    the calendar (~366 days → ~67k pairs at every SF), the same deliberate
+    bounded-nested-loop shape as ``theil_sen_daily_trend``; raw events are
+    touched exactly once by the groupBy. The tie-corrected denominator
+    factors stay BIGINT (≤ n²/2 each) and their product ≲ 4.5e9 for a
+    year of days — exact in the double that feeds sqrt."""
+    daily = _daily_events(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    p = a.join(b, F.col("a.idx") < F.col("b.idx")).agg(
+        one((bx > ax) & (by > ay) | (bx < ax) & (by < ay)).alias("c"),
+        one((bx > ax) & (by < ay) | (bx < ax) & (by > ay)).alias("d"),
+        one(bx == ax).alias("n1"),
+        one(by == ay).alias("n2"),
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    n = F.col("n")
+    n0 = (n * (n - 1) / 2).cast("long")
+    tau = F.round(
+        (F.col("c") - F.col("d")).cast("double")
+        / F.sqrt(((n0 - F.col("n1")) * (n0 - F.col("n2"))).cast("double")),
+        6,
+    )
+    return (
+        p.crossJoin(F.broadcast(nn))
+        .select(
+            n.alias("n_days"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            tau.alias("kendall_tau_b"),
+        )
+    )
+
+
+@register(
+    "mann_whitney_u_segments",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(c_acctbal) AS BIGINT) AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ),
+    hist AS (
+        SELECT v, CAST(sum(isa) AS BIGINT) AS na_v,
+               CAST(count(*) AS BIGINT) AS n_v
+        FROM c GROUP BY v
+    ),
+    cum AS (
+        SELECT na_v, n_v,
+               sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - n_v
+                   AS cum_before
+        FROM hist
+    ),
+    s AS (
+        SELECT CAST(sum(na_v * (2 * cum_before + n_v + 1)) AS BIGINT)
+                   AS two_ra,
+               CAST(sum(na_v) AS BIGINT) AS na,
+               CAST(sum(n_v - na_v) AS BIGINT) AS nb,
+               CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term
+        FROM cum
+    )
+    SELECT na AS n_building, nb AS n_automobile,
+           CAST(two_ra - na * (na + 1) AS BIGINT) AS two_u_a,
+           round(CAST(two_ra - na * (na + 1) - na * nb AS DOUBLE)
+                 / (2.0 * sqrt(CAST(na * nb AS DOUBLE)
+                     * ((CAST(na + nb AS DOUBLE) + 1.0)
+                        - CAST(tie_term AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * (CAST(na + nb AS DOUBLE) - 1.0)))
+                     / 12.0)), 6) AS z_score
+    FROM s
+    """,
+)
+def mann_whitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do BUILDING and AUTOMOBILE customers
+    draw account balances from the same distribution? Rank sums come from
+    the value-histogram cumulative trick (the ``roc_auc_eval`` recipe):
+    per distinct whole-dollar balance, ``2·avgrank = 2·cum_before + n_v
+    + 1`` keeps the doubled rank sum an exact BIGINT; the normal
+    approximation applies the standard tie correction
+    ``σ² = na·nb/12·((N+1) − Σ(t³−t)/(N(N−1)))``.
+
+    Scale shape: one map-side-combined groupBy onto the whole-dollar
+    histogram (bounded by the balance domain, ~11k bins, NOT by customer
+    count), one ordered window over that bounded histogram, one global
+    fold. No per-row ranks are ever materialized."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(
+            F.floor("c_acctbal").cast("long").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("isa"),
+        )
+    )
+    hist = c.groupBy("v").agg(
+        F.sum("isa").cast("long").alias("na_v"),
+        F.count("*").cast("long").alias("n_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "na_v",
+        "n_v",
+        (F.sum("n_v").over(w) - F.col("n_v")).alias("cum_before"),
+    )
+    nv = F.col("n_v")
+    s = cum.agg(
+        F.sum(F.col("na_v") * (2 * F.col("cum_before") + nv + 1))
+        .cast("long")
+        .alias("two_ra"),
+        F.sum("na_v").cast("long").alias("na"),
+        F.sum(nv - F.col("na_v")).cast("long").alias("nb"),
+        F.sum(nv * nv * nv - nv).cast("long").alias("tie_term"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    two_ua = (F.col("two_ra") - na * (na + 1)).cast("long")
+    nd = (na + nb).cast("double")
+    var_u = (
+        (na * nb).cast("double")
+        * ((nd + 1.0) - F.col("tie_term").cast("double") / (nd * (nd - 1.0)))
+        / 12.0
+    )
+    z = F.round(
+        (two_ua - na * nb).cast("double") / (2.0 * F.sqrt(var_u)), 6
+    )
+    return s.select(
+        na.alias("n_building"),
+        nb.alias("n_automobile"),
+        two_ua.alias("two_u_a"),
+        z.alias("z_score"),
+    )
+
+
+def _score_sql(profiles: dict, lang: str) -> str:
+    terms = [
+        f"(length(text) - length(replace(text, '{ng}', ''))) / {len(ng)}"
+        f" * {w}"
+        for ng, w in profiles[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _pred_sql(profiles: dict) -> str:
+    s = {lg: f"({_score_sql(profiles, lg)})" for lg in _LANGS}
+    return f"""CASE
+        WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['es']}
+             AND {s['en']} >= {s['fr']} THEN 'en'
+        WHEN {s['de']} >= {s['es']} AND {s['de']} >= {s['fr']} THEN 'de'
+        WHEN {s['es']} >= {s['fr']} THEN 'es'
+        ELSE 'fr' END"""
+
+
+def _pred_col(profiles: dict):
+    def score(lang: str):
+        total = F.lit(0)
+        for ng, w in profiles[lang]:
+            total = total + (
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit(ng), F.lit("")))
+                )
+                / len(ng)
+            ) * w
+        return total
+
+    s = {lg: score(lg) for lg in _LANGS}
+    return (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+@register(
+    "mcnemar_langid_classifiers",
+    tags=("llm", "text", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang,
+               {_pred_sql(LANG_PROFILES)} AS pa,
+               {_pred_sql(WORD_PROFILES)} AS pb
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN pa = lang THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a_correct,
+               CAST(sum(CASE WHEN pb = lang THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b_correct,
+               CAST(sum(CASE WHEN pa = lang AND pb != lang
+                        THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+               CAST(sum(CASE WHEN pa != lang AND pb = lang
+                        THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+        FROM pred
+    )
+    SELECT n_docs, a_correct, b_correct, only_a, only_b,
+           CASE WHEN only_a + only_b = 0 THEN 0.0
+                ELSE round(CAST((only_a - only_b) * (only_a - only_b)
+                                AS DOUBLE)
+                           / CAST(only_a + only_b AS DOUBLE), 6)
+           END AS mcnemar_chi2
+    FROM s
+    """,
+)
+def mcnemar_langid_classifiers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar's test for PAIRED classifiers: the bigram-profile language
+    classifier (``language_id``) vs a word-marker classifier on the same
+    documents. Only the discordant cells matter — ``only_a`` (bigram
+    right, marker wrong) vs ``only_b`` — and the statistic
+    ``(b−c)²/(b+c)`` is integer arithmetic until one division.
+
+    Scale shape: embarrassingly parallel per-document scoring (pure
+    length/replace integer arithmetic, whole-stage codegen) into one
+    global fold; no shuffle wider than the 1-row aggregate."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pred = d.select(
+        "lang",
+        _pred_col(LANG_PROFILES).alias("pa"),
+        _pred_col(WORD_PROFILES).alias("pb"),
+    )
+    lang = F.col("lang")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    s = pred.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt(F.col("pa") == lang).alias("a_correct"),
+        cnt(F.col("pb") == lang).alias("b_correct"),
+        cnt((F.col("pa") == lang) & (F.col("pb") != lang)).alias("only_a"),
+        cnt((F.col("pa") != lang) & (F.col("pb") == lang)).alias("only_b"),
+    )
+    oa, ob = F.col("only_a"), F.col("only_b")
+    stat = F.when(oa + ob == 0, F.lit(0.0)).otherwise(
+        F.round(
+            ((oa - ob) * (oa - ob)).cast("double") / (oa + ob).cast("double"),
+            6,
+        )
+    )
+    return s.select(
+        "n_docs",
+        "a_correct",
+        "b_correct",
+        "only_a",
+        "only_b",
+        stat.alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "cramers_v_priority_segment",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT seg, pri, CAST(count(*) AS BIGINT) AS o
+        FROM j GROUP BY seg, pri
+    ),
+    grid AS (
+        SELECT s.seg, p.pri, COALESCE(c.o, 0) AS o
+        FROM (SELECT DISTINCT seg FROM j) s
+        CROSS JOIN (SELECT DISTINCT pri FROM j) p
+        LEFT JOIN cells c ON c.seg = s.seg AND c.pri = p.pri
+    ),
+    rc AS (
+        SELECT CAST(count(DISTINCT seg) AS BIGINT) AS r,
+               CAST(count(DISTINCT pri) AS BIGINT) AS c
+        FROM grid
+    ),
+    m AS (
+        SELECT o,
+               sum(o) OVER (PARTITION BY seg) AS rt,
+               sum(o) OVER (PARTITION BY pri) AS ct,
+               sum(o) OVER () AS n
+        FROM grid
+    ),
+    terms AS (
+        SELECT n,
+               round(CAST(CAST(o * n - rt * ct AS DECIMAL(38,0))
+                          * CAST(o * n - rt * ct AS DECIMAL(38,0))
+                     AS DOUBLE)
+                     / CAST(rt AS DOUBLE) / CAST(ct AS DOUBLE)
+                     / CAST(n AS DOUBLE), 12) AS term
+        FROM m
+    )
+    SELECT CAST(max(t.n) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(t.term AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS chi2,
+           round(sqrt(CAST(sum(CAST(t.term AS DECIMAL(38,12))) AS DOUBLE)
+                      / (CAST(max(t.n) AS DOUBLE)
+                         * least(max(rc.r) - 1, max(rc.c) - 1))), 6)
+               AS cramers_v
+    FROM terms t CROSS JOIN rc
+    """,
+)
+def cramers_v_priority_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramér's V association between customer market segment and order
+    priority: chi² over the full (including empty-cell) contingency grid,
+    normalized to [0,1]. Each cell term uses the cross-multiplied integer
+    form ``(o·n − rt·ct)²/(rt·ct·n)`` with the square taken in
+    DECIMAL(38,0) — BIGINT would overflow at ~2e10 observed counts, and
+    Spark wraps silently where DuckDB raises, so the decimal square is
+    the 100-TB-safe form. Cell terms are round-12 + DECIMAL(38,12)
+    summed (order-free).
+
+    Scale shape: one shuffle for the orders⋈customer key join, one
+    map-side-combined groupBy onto the r×c cell grid (25 rows); every
+    window thereafter is over that bounded grid."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    cells = j.groupBy("seg", "pri").agg(F.count("*").cast("long").alias("o"))
+    segs = j.select("seg").distinct()
+    pris = j.select("pri").distinct()
+    grid = (
+        segs.crossJoin(pris)
+        .join(cells, ["seg", "pri"], "left")
+        .select("seg", "pri", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    rc = grid.agg(
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("pri").cast("long").alias("c"),
+    )
+    m = grid.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast(
+        "decimal(38,0)"
+    )
+    term = F.round(
+        (num * num).cast("double")
+        / F.col("rt").cast("double")
+        / F.col("ct").cast("double")
+        / F.col("n").cast("double"),
+        12,
+    )
+    terms = m.select("n", term.alias("term")).crossJoin(F.broadcast(rc))
+    chi2 = F.sum(F.col("term").cast("decimal(38,12)")).cast("double")
+    agg = terms.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        chi2.alias("chi2_raw"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+    )
+    return agg.select(
+        "n_orders",
+        F.round(F.col("chi2_raw"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (
+                    F.col("n_orders").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "t_closeness_emd_audit",
+    tags=("pipeline", "privacy", "stats"),
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nat,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bin
+        FROM customer
+    ),
+    gb AS (SELECT bin, CAST(count(*) AS BIGINT) AS gcount
+           FROM c GROUP BY bin),
+    tot AS (SELECT CAST(sum(gcount) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS m FROM gb),
+    nats AS (SELECT nat, CAST(count(*) AS BIGINT) AS ng
+             FROM c GROUP BY nat),
+    cell AS (SELECT nat, bin, CAST(count(*) AS BIGINT) AS g
+             FROM c GROUP BY nat, bin),
+    grid AS (
+        SELECT n.nat, n.ng, b.bin, b.gcount, COALESCE(cl.g, 0) AS g
+        FROM nats n CROSS JOIN gb b
+        LEFT JOIN cell cl ON cl.nat = n.nat AND cl.bin = b.bin
+    ),
+    cums AS (
+        SELECT nat, ng,
+               sum(g) OVER (PARTITION BY nat ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cg,
+               sum(gcount) OVER (PARTITION BY nat ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS cgl
+        FROM grid
+    ),
+    emd AS (
+        SELECT nat, ng,
+               CAST(sum(abs(cg * t.n - cgl * ng)) AS BIGINT) AS s,
+               CAST(max(t.n) AS BIGINT) AS n, CAST(max(t.m) AS BIGINT) AS m
+        FROM cums CROSS JOIN tot t
+        GROUP BY nat, ng
+    )
+    SELECT na.n_name AS nation, e.ng AS n_customers,
+           round(CAST(e.s AS DOUBLE)
+                 / (CAST(e.ng * e.n AS DOUBLE) * (e.m - 1.0)), 6) AS emd
+    FROM emd e JOIN nation na ON na.n_nationkey = e.nat
+    ORDER BY emd DESC, nation LIMIT 10
+    """,
+)
+def t_closeness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness privacy audit: for each nation (the quasi-identifier
+    group), the Earth Mover's Distance between its account-balance
+    distribution and the global one over ordered $1000 bins — the
+    sensitive-attribute-skew measure k-anonymity and l-diversity
+    (``k_anonymity_audit``/``l_diversity_audit``) cannot see. Ordered-bin
+    EMD is the cumulative-difference sum, cross-multiplied so every term
+    is an exact integer: ``Σ_bins |cum_g·N − cum_G·n_g| / (n_g·N·(m−1))``.
+
+    Scale shape: two map-side-combined groupBys onto (bin) and (nation,
+    bin) histograms bounded by the value domain × 25 nations; the grid,
+    windows, and fold all run over those bounded aggregates. The nation
+    name join is a broadcast dim join."""
+    nation = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bin"),
+    )
+    gb = c.groupBy("bin").agg(F.count("*").cast("long").alias("gcount"))
+    tot = gb.agg(
+        F.sum("gcount").cast("long").alias("n"),
+        F.count("*").cast("long").alias("m"),
+    )
+    nats = c.groupBy("nat").agg(F.count("*").cast("long").alias("ng"))
+    cell = c.groupBy("nat", "bin").agg(F.count("*").cast("long").alias("g"))
+    grid = (
+        nats.crossJoin(gb)
+        .join(cell, ["nat", "bin"], "left")
+        .select(
+            "nat",
+            "ng",
+            "bin",
+            "gcount",
+            F.coalesce(F.col("g"), F.lit(0)).alias("g"),
+        )
+    )
+    w = Window.partitionBy("nat").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = grid.select(
+        "nat",
+        "ng",
+        F.sum("g").over(w).alias("cg"),
+        F.sum("gcount").over(w).alias("cgl"),
+    )
+    emd = (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("nat", "ng")
+        .agg(
+            F.sum(
+                F.abs(F.col("cg") * F.col("n") - F.col("cgl") * F.col("ng"))
+            )
+            .cast("long")
+            .alias("s"),
+            F.max("n").cast("long").alias("n"),
+            F.max("m").cast("long").alias("m"),
+        )
+    )
+    out = emd.join(
+        F.broadcast(nation), nation.n_nationkey == emd.nat
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("ng").alias("n_customers"),
+        F.round(
+            F.col("s").cast("double")
+            / (
+                (F.col("ng") * F.col("n")).cast("double")
+                * (F.col("m") - 1.0)
+            ),
+            6,
+        ).alias("emd"),
+    )
+    return out.orderBy(F.col("emd").desc(), "nation").limit(10)
