@@ -4475,3 +4475,272 @@ def groupwise_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         (F.round((cov_n * cov_n) / (var_x_n * var_y_n), 6) + 0.0).alias("r2"),
     ).orderBy("flag")
+
+
+# --- Croston intermittent-demand forecast (recursive CTE, both engines) ----
+
+_CROSTON_ORACLE = """
+    WITH RECURSIVE d0 AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS q,
+               (('0x' || substr(md5('croston:'
+                    || strftime(CAST(ts AS DATE), '%Y-%m-%d')), 1, 15))
+                    ::BIGINT) % 3 AS hk
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+    ),
+    s AS (
+        SELECT row_number() OVER (ORDER BY day_idx) AS rn, day_idx, q
+        FROM d0 WHERE hk = 0
+    ),
+    sc AS (SELECT * FROM s WHERE rn <= 40),
+    c AS (
+        SELECT rn, day_idx, q, CAST(q AS DOUBLE) AS z,
+               CAST(NULL AS DOUBLE) AS p
+        FROM sc WHERE rn = 1
+        UNION ALL
+        SELECT sc.rn, sc.day_idx, sc.q,
+               0.2 * sc.q + 0.8 * c.z AS z,
+               CASE WHEN c.p IS NULL
+                    THEN CAST(sc.day_idx - c.day_idx AS DOUBLE)
+                    ELSE 0.2 * (sc.day_idx - c.day_idx) + 0.8 * c.p
+               END AS p
+        FROM c JOIN sc ON sc.rn = c.rn + 1
+    )
+    SELECT CAST(rn AS BIGINT) AS n_demand_days,
+           round(z, 6) AS croston_size,
+           round(p, 6) AS croston_interval,
+           round(z / p, 6) AS forecast_per_day
+    FROM c WHERE rn = (SELECT max(rn) FROM c)
+"""
+
+
+@register(
+    "croston_intermittent_forecast",
+    tags=("analytics", "timeseries", "recursive"),
+    defer=True,
+    oracle=_CROSTON_ORACLE,
+)
+def croston_intermittent_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (sparse series with many
+    zero days, where plain exponential smoothing biases toward zero):
+    separate EWMAs of the nonzero demand SIZE (z) and the INTERVAL
+    between demands (p), forecast = z/p per day. The demand series is a
+    deterministic day-hash sample of purchase days (h60 % 3 — scale-free
+    sparsity: the calendar is fixed, so a plain value cutoff is dense at
+    one SF and empty at another).
+
+    Both engines run the SAME data-driven recurrence as a native
+    ``WITH RECURSIVE`` (Spark 4) — the first recursive CTE in the repo
+    whose recursion consumes a table row per step rather than a derived
+    key. Alpha=0.2 literals and libm-free arithmetic make the fold
+    bit-exact with NO per-step rounding (the ``holt_linear_forecast``
+    lesson); rounding happens once at output.
+
+    Scale shape: the recursion is capped at the first 40 demand events
+    (``rn <= 40``) — Croston is inherently sequential, so the bounded
+    series IS the scale story; the corpus-sized work is one map-side-
+    combined groupBy(day) ahead of it. The tiny series is materialized
+    once (coalesce(1) + localCheckpoint) before the recursion so the
+    engine's per-step jobs iterate a 1-partition local relation instead
+    of re-deriving the aggregate (measured ~2x on the recursion cost;
+    each recursive step is its own job by construction)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias(
+                "day_idx"
+            ),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("q"))
+        .where(h60(F.concat(F.lit("croston:"), F.col("day"))) % 3 == 0)
+        .select("day_idx", "q")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE s AS (
+            SELECT row_number() OVER (ORDER BY day_idx) AS rn, day_idx, q
+            FROM {daily}
+        ),
+        sc AS (SELECT * FROM s WHERE rn <= 40),
+        c AS (
+            SELECT rn, day_idx, q, CAST(q AS DOUBLE) AS z,
+                   CAST(NULL AS DOUBLE) AS p
+            FROM sc WHERE rn = 1
+            UNION ALL
+            SELECT sc.rn, sc.day_idx, sc.q,
+                   0.2 * sc.q + 0.8 * c.z AS z,
+                   CASE WHEN c.p IS NULL
+                        THEN CAST(sc.day_idx - c.day_idx AS DOUBLE)
+                        ELSE 0.2 * (sc.day_idx - c.day_idx) + 0.8 * c.p
+                   END AS p
+            FROM c JOIN sc ON sc.rn = c.rn + 1
+        )
+        SELECT CAST(rn AS BIGINT) AS n_demand_days,
+               round(z, 6) AS croston_size,
+               round(p, 6) AS croston_interval,
+               round(z / p, 6) AS forecast_per_day
+        FROM c WHERE rn = (SELECT max(rn) FROM c)
+        """,
+        daily=daily,
+    )
+
+
+# --- partial autocorrelation (Durbin-Levinson to lag 3) --------------------
+
+_PACF_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    led AS (
+        SELECT y,
+               lead(y, 1) OVER (ORDER BY d) AS y1,
+               lead(y, 2) OVER (ORDER BY d) AS y2,
+               lead(y, 3) OVER (ORDER BY d) AS y3
+        FROM daily
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS p0,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN y * y1 ELSE 0 END)
+                    AS BIGINT) AS p1,
+               CAST(sum(CASE WHEN y1 IS NOT NULL THEN y ELSE 0 END)
+                    AS BIGINT) AS a1,
+               CAST(sum(COALESCE(y1, 0)) AS BIGINT) AS b1,
+               CAST(sum(CASE WHEN y2 IS NOT NULL THEN y * y2 ELSE 0 END)
+                    AS BIGINT) AS p2,
+               CAST(sum(CASE WHEN y2 IS NOT NULL THEN y ELSE 0 END)
+                    AS BIGINT) AS a2,
+               CAST(sum(COALESCE(y2, 0)) AS BIGINT) AS b2,
+               CAST(sum(CASE WHEN y3 IS NOT NULL THEN y * y3 ELSE 0 END)
+                    AS BIGINT) AS p3,
+               CAST(sum(CASE WHEN y3 IS NOT NULL THEN y ELSE 0 END)
+                    AS BIGINT) AS a3,
+               CAST(sum(COALESCE(y3, 0)) AS BIGINT) AS b3
+        FROM led
+    ),
+    rs AS (
+        SELECT n,
+               CAST(n * n * p1 - n * s * (a1 + b1) + (n - 1) * s * s
+                    AS DOUBLE)
+               / CAST(n * n * p0 - n * s * (s + s) + n * s * s AS DOUBLE)
+                   AS r1,
+               CAST(n * n * p2 - n * s * (a2 + b2) + (n - 2) * s * s
+                    AS DOUBLE)
+               / CAST(n * n * p0 - n * s * (s + s) + n * s * s AS DOUBLE)
+                   AS r2,
+               CAST(n * n * p3 - n * s * (a3 + b3) + (n - 3) * s * s
+                    AS DOUBLE)
+               / CAST(n * n * p0 - n * s * (s + s) + n * s * s AS DOUBLE)
+                   AS r3
+        FROM sums
+    ),
+    dl2 AS (
+        SELECT n, r1, r2, r3,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+        FROM rs
+    ),
+    dl2b AS (
+        SELECT n, r1, r2, r3, phi22, r1 - phi22 * r1 AS phi21 FROM dl2
+    )
+    SELECT n AS n_days,
+           round(r1, 6) AS pacf1,
+           round(phi22, 6) AS pacf2,
+           round((r3 - phi21 * r2 - phi22 * r1)
+                 / (1.0 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+    FROM dl2b
+"""
+
+
+@register(
+    "pacf_daily_events",
+    tags=("analytics", "timeseries"),
+    defer=True,
+    oracle=_PACF_ORACLE,
+)
+def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1-3 via Durbin-Levinson — the AR-order-selection companion to
+    ``autocorr_daily_events`` (PACF cutting off after lag k is the
+    classic AR(k) signature). Autocovariances are cross-multiplied to
+    INTEGER sufficient statistics: ``n²·c_k = n²·Σy_t·y_{t+k} −
+    n·S·(A_k+B_k) + (n−k)·S²`` (A_k/B_k = head/tail partial sums), so
+    r_k = c_k/c_0 is one exact-integer division and the D-L recursion is
+    a handful of IEEE ops spelled identically in both engines — no
+    rounding until output.
+
+    Scale shape: one map-side-combined groupBy(day), three leads over
+    the bounded calendar aggregate, one global fold. BIGINT headroom:
+    n²·Σyy ≈ 7e16 at sf1-equivalent daily volumes, within the 9.2e18
+    BIGINT range; beyond that the sums should widen to DECIMAL(38,0)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    w = Window.orderBy("d")
+    led = daily.select(
+        "y",
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+        F.lead("y", 3).over(w).alias("y3"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("p0"),
+    ]
+    for k in (1, 2, 3):
+        yk = F.col(f"y{k}")
+        aggs += [
+            F.sum(
+                F.when(yk.isNotNull(), F.col("y") * yk).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"p{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"a{k}"),
+            F.sum(F.coalesce(yk, F.lit(0))).cast("long").alias(f"b{k}"),
+        ]
+    sums = led.agg(*aggs)
+    n, s = F.col("n"), F.col("s")
+    c0 = (n * n * F.col("p0") - n * s * (s + s) + n * s * s).cast("double")
+
+    def rk(k: int):
+        return (
+            n * n * F.col(f"p{k}")
+            - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + (n - k) * s * s
+        ).cast("double") / c0
+
+    rs = sums.select(n.alias("n"), rk(1).alias("r1"), rk(2).alias("r2"), rk(3).alias("r3"))
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl2 = rs.select(
+        "n", "r1", "r2", "r3",
+        ((r2 - r1 * r1) / (1.0 - r1 * r1)).alias("phi22"),
+    )
+    phi22 = F.col("phi22")
+    dl2b = dl2.select(
+        "n", "r1", "r2", "r3", "phi22", (r1 - phi22 * r1).alias("phi21")
+    )
+    phi21 = F.col("phi21")
+    return dl2b.select(
+        F.col("n").alias("n_days"),
+        F.round(r1, 6).alias("pacf1"),
+        F.round(phi22, 6).alias("pacf2"),
+        F.round(
+            (r3 - phi21 * r2 - phi22 * r1)
+            / (1.0 - phi21 * r1 - phi22 * r2),
+            6,
+        ).alias("pacf3"),
+    )

@@ -2816,3 +2816,118 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round((po - pc) / (1.0 - pc), 6) + 0.0).alias("kappa"),
         )
     )
+
+
+@register(
+    "local_clustering_coefficient",
+    tags=("llm", "text", "graph"),
+    defer=True,
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.tok AS ta, b.tok AS tb
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 100
+    ),
+    tri AS (
+        SELECT e1.ta AS x, e1.tb AS y, e2.tb AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.tb = e2.ta
+        JOIN edges e3 ON e3.ta = e1.ta AND e3.tb = e2.tb
+    ),
+    tcount AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS tn FROM (
+            SELECT x AS t FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY t
+    ),
+    deg AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT ta AS t FROM edges UNION ALL SELECT tb FROM edges
+        ) GROUP BY t
+    )
+    SELECT deg.t AS tok, deg.d AS degree,
+           COALESCE(tc.tn, 0) AS n_triangles,
+           round(CAST(2 * COALESCE(tc.tn, 0) AS DOUBLE)
+                 / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS lcc
+    FROM deg LEFT JOIN tcount tc ON tc.t = deg.t
+    WHERE deg.d >= 2
+    ORDER BY lcc DESC, tok LIMIT 20
+    """,
+)
+def local_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient on the token co-occurrence
+    graph: ``lcc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1))`` — the
+    node-level density measure behind community detection, built from the
+    SAME ordered-edge triangle enumeration as ``token_graph_triangles``
+    (each a<b<c triangle credits all three corners via UNION ALL, so no
+    corner is double-counted and no unordered edge list is ever joined).
+
+    Scale shape: inherits the forward-adjacency skew mitigation of the
+    ordered triangle join; degree and triangle counts are integer
+    groupBys; the final ratio of exact integers is correctly-rounded
+    IEEE division (identical cross-engine), with a round-6 + token
+    tiebreak TakeOrdered top-20."""
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("tok").alias("ta"))
+    b = dt.select("doc_id", F.col("tok").alias("tb"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 100)
+        .select("ta", "tb")
+    )
+    e1 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("y"))
+    e2 = edges.select(F.col("ta").alias("y"), F.col("tb").alias("z"))
+    e3 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tcount = (
+        tri.select(F.col("x").alias("t"))
+        .unionAll(tri.select(F.col("y").alias("t")))
+        .unionAll(tri.select(F.col("z").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("tn"))
+    )
+    deg = (
+        edges.select(F.col("ta").alias("t"))
+        .unionAll(edges.select(F.col("tb").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    d = F.col("d")
+    out = (
+        deg.join(tcount, "t", "left")
+        .where(d >= 2)
+        .select(
+            F.col("t").alias("tok"),
+            d.alias("degree"),
+            F.coalesce(F.col("tn"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce(F.col("tn"), F.lit(0))).cast("double")
+                / (d * (d - 1)).cast("double"),
+                6,
+            ).alias("lcc"),
+        )
+    )
+    return out.orderBy(F.col("lcc").desc(), "tok").limit(20)
