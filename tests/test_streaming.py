@@ -760,3 +760,36 @@ def test_type_stats_tws_stream_matches_batch(spark, sf_dir, source_dir, tmp_path
     assert spark.sql(
         "SELECT max(seq) FROM tws_smoke"
     ).first()[0] > 1
+
+
+def test_image_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming perceptual-dedup's DISTINCT pair set must equal the
+    batch image_phash_near_dup pairs over the same payloads (band-keyed
+    state + pigeonhole make arrival order irrelevant), across several
+    micro-batches."""
+    from tscd_datalake_adapter_spark.operators.multimodal import (
+        image_phash_near_dup,
+        phash_media,
+    )
+
+    src = str(tmp_path / "img_src")
+    phash_media(spark, sf_dir).repartition(6).write.parquet(src)
+    live = jobs.run_image_dedup_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt_img"),
+        "img_dedup_smoke",
+        max_files_per_trigger=2,
+    ).collect()
+    got = {(r.uid_a, r.uid_b, r.hamming) for r in live}
+    expected = {
+        (r.uid_a, r.uid_b, r.hamming)
+        for r in image_phash_near_dup(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0
+    # several micro-batches actually fired (progress rows accumulate)
+    n_updates = spark.sql(
+        "SELECT count(*) AS n FROM img_dedup_smoke"
+    ).collect()[0].n
+    assert n_updates >= len(expected)

@@ -1099,6 +1099,96 @@ def wav_dft_band_magnitudes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- perceptual image hashing (aHash) near-dup -----------------------------
 
+
+def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-dedup media table: (uid, payload) with TWO real PNG
+    payloads per image-typed document — the clean formula image (uid =
+    2·doc_id) and a one-pixel-perturbed re-encode (uid = 2·doc_id + 1).
+    Shared by the batch near-dup query and the streaming dedup job."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0))
+        .select("doc_id")
+    )
+    sides = d.select(
+        "doc_id", (2 * F.col("doc_id")).alias("uid"), F.lit(0).alias("pert")
+    ).unionAll(
+        d.select(
+            "doc_id",
+            (2 * F.col("doc_id") + 1).alias("uid"),
+            F.lit(1).alias("pert"),
+        )
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def payload_of(doc_id: pd.Series, pert: pd.Series) -> pd.Series:
+        out = []
+        for did, pe in zip(doc_id, pert):
+            did = int(did)
+            px = _png_pixels(did).copy()
+            if int(pe):
+                w, h = px.shape[1], px.shape[0]
+                x0, y0 = (did * 3) % w, (did * 5) % h
+                px[y0, x0] = (int(px[y0, x0]) + 128) % 256
+            out.append(png_encode(px))
+        return pd.Series(out)
+
+    return sides.select("uid", payload_of("doc_id", "pert").alias("payload"))
+
+
+def _ahash_band_values(payload: bytes) -> list[int]:
+    """Decode a PNG payload and reduce it to the four 16-bit aHash bands
+    (8×8 nearest-neighbor sample grid; bit = 64·p >= Σp). k = 8·i + j
+    indexing, matching the registered oracle's convention."""
+    arr = png_decode(bytes(payload))
+    h, w = arr.shape[0], arr.shape[1]
+    xi = (np.arange(8, dtype=np.int64) * w) // 8
+    yj = (np.arange(8, dtype=np.int64) * h) // 8
+    samples = arr[yj[None, :], xi[:, None]].astype(np.int64)
+    flat = samples.reshape(-1)
+    s = int(flat.sum())
+    bits = (64 * flat >= s).astype(np.int64)
+    return [
+        int((bits[16 * b : 16 * (b + 1)] << np.arange(16)).sum())
+        for b in range(4)
+    ]
+
+
+def phash_bands(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode → four (uid, b, v, h0..h3) band rows per image.
+    ``(b, v)`` is the LSH blocking key; ``h0..h3`` ride along so a
+    stateful consumer keyed on one band can verify exact Hamming distance
+    without a second lookup. Works on batch AND streaming DataFrames."""
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("h0", T.LongType()),
+            T.StructField("h1", T.LongType()),
+            T.StructField("h2", T.LongType()),
+            T.StructField("h3", T.LongType()),
+        ]
+    )
+
+    def hash_bands(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("uid", "b", "v", "h0", "h1", "h2", "h3")}
+            for uid, payload in zip(pdf["uid"], pdf["payload"]):
+                hs = _ahash_band_values(payload)
+                for b in range(4):
+                    rows["uid"].append(int(uid))
+                    rows["b"].append(b)
+                    rows["v"].append(hs[b])
+                    for j in range(4):
+                        rows[f"h{j}"].append(hs[j])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(hash_bands, schema)
+
+
 _PHASH_ORACLE = """
     WITH img AS (
         SELECT doc_id FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
@@ -1194,71 +1284,7 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-collision rate at ~4/65536 per pair (the NOTES.md
     more-bits-beats-wide-buckets rule) — and the verify join touches only
     candidates. No all-pairs stage anywhere."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0))
-        .select("doc_id")
-    )
-    sides = d.select(
-        "doc_id", (2 * F.col("doc_id")).alias("uid"), F.lit(0).alias("pert")
-    ).unionAll(
-        d.select(
-            "doc_id",
-            (2 * F.col("doc_id") + 1).alias("uid"),
-            F.lit(1).alias("pert"),
-        )
-    )
-
-    @F.pandas_udf(T.BinaryType())
-    def payload_of(doc_id: pd.Series, pert: pd.Series) -> pd.Series:
-        out = []
-        for did, pe in zip(doc_id, pert):
-            did = int(did)
-            px = _png_pixels(did).copy()
-            if int(pe):
-                w, h = px.shape[1], px.shape[0]
-                x0, y0 = (did * 3) % w, (did * 5) % h
-                px[y0, x0] = (int(px[y0, x0]) + 128) % 256
-            out.append(png_encode(px))
-        return pd.Series(out)
-
-    media = sides.select(
-        "uid", payload_of("doc_id", "pert").alias("payload")
-    )
-
-    band_schema = T.StructType(
-        [
-            T.StructField("uid", T.LongType()),
-            T.StructField("b", T.LongType()),
-            T.StructField("v", T.LongType()),
-        ]
-    )
-
-    def hash_bands(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            uids, bs, vs = [], [], []
-            for uid, payload in zip(pdf["uid"], pdf["payload"]):
-                arr = png_decode(bytes(payload))
-                h, w = arr.shape[0], arr.shape[1]
-                xi = (np.arange(8, dtype=np.int64) * w) // 8
-                yj = (np.arange(8, dtype=np.int64) * h) // 8
-                # k = 8*i + j, matching the oracle's index convention
-                samples = arr[yj[None, :], xi[:, None]].astype(np.int64)
-                flat = samples.reshape(-1)
-                s = int(flat.sum())
-                bits = (64 * flat >= s).astype(np.int64)
-                for b in range(4):
-                    v = int(
-                        (bits[16 * b : 16 * (b + 1)] << np.arange(16)).sum()
-                    )
-                    uids.append(int(uid))
-                    bs.append(b)
-                    vs.append(v)
-            yield pd.DataFrame({"uid": uids, "b": bs, "v": vs})
-
-    bands = media.mapInPandas(hash_bands, band_schema)
+    bands = phash_bands(phash_media(spark, sf_dir)).select("uid", "b", "v")
     a = bands.select(F.col("uid").alias("ua"), "b", "v")
     bb = bands.select(F.col("uid").alias("ub"), "b", "v")
     cand = (

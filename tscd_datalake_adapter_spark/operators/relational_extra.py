@@ -434,3 +434,44 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= 0.5)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "pipe_syntax_returnflag_rollup",
+    tags=("relational", "sql"),
+    defer=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pipe_syntax_returnflag_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The discounted-revenue rollup written in Spark 4's SQL PIPE syntax
+    (``|>`` stages: WHERE → AGGREGATE...GROUP BY → SELECT → ORDER BY) —
+    the linear-dataflow SQL dialect. Same Catalyst plan as the
+    equivalent nested SELECT (pipe stages are sugar, not a different
+    executor), which the matching classic-SQL oracle verifies; money
+    folds through the repo's DECIMAL(38,6) overflow-safe sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM {li}
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items,
+                  round(revenue, 6) AS revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """,
+        li=li,
+    )

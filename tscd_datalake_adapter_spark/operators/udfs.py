@@ -270,3 +270,56 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "udtf_polymorphic_first_tokens",
+    tags=("udf", "llm"),
+    defer=True,
+    oracle="""
+    SELECT doc_id, l[1] AS w1, l[2] AS w2, l[3] AS w3
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id < 50
+    ) ORDER BY doc_id
+    """,
+)
+def udtf_polymorphic_first_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark ≥ 3.5 ``analyze()``): the output
+    schema is computed at plan time from a constant argument — here
+    ``FirstTokens(text, 3)`` derives columns ``w1..w3`` from the literal
+    3, the dynamic-schema table-function face the fixed-``returnType``
+    UDTFs (``udtf_chunk_documents``) cannot express. Out-of-range
+    positions yield NULL, mirroring DuckDB's out-of-bounds list index.
+
+    Scale shape: embarrassingly parallel row expansion; the plan-time
+    schema derivation costs one driver-side ``analyze()`` call, not a
+    job."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(text, n):  # noqa: ANN001
+            k = int(n.value)
+            st = StructType()
+            for i in range(1, k + 1):
+                st = st.add(f"w{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):  # noqa: D401
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(int(n))
+            )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        d.lateralJoin(FirstTokens(F.col("text").outer(), lit(3)))
+        .select("doc_id", "w1", "w2", "w3")
+        .orderBy("doc_id")
+    )

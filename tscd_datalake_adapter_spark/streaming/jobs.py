@@ -1770,3 +1770,111 @@ def run_type_stats_tws_stream(
         f"             WHERE t2.event_type = t.event_type) "
         f"ORDER BY event_type"
     )
+
+
+def run_image_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING perceptual-image dedup: a stream of (uid, PNG payload)
+    rows is decoded on arrival (real ``png_codec`` inflate+unfilter inside
+    ``phash_bands``), reduced to the 64-bit aHash as four 16-bit bands,
+    and matched ONLINE against previously-seen images — state is keyed by
+    the LSH blocking key ``(band_index, band_value)``, so each stateful
+    task holds only its bucket's members (uid + full hash per member),
+    the same distribution model as the batch ``image_phash_near_dup``
+    candidate join. An arriving image compares against its bucket's
+    members only; pairs at Hamming <= 3 are emitted as they are
+    discovered (a pair can surface from several buckets — the returned
+    result is the DISTINCT pair set, which pytest pins equal to the
+    batch query over the same payloads).
+
+    Scale shape: per-bucket state is bounded by bucket occupancy (16-bit
+    bands keep random collisions ~4/65536 per pair); the four-band
+    explode is a constant factor; no task ever sees the full corpus. The
+    pigeonhole guarantee carries over from the batch form: any pair
+    within Hamming 3 shares at least one intact band, so arrival order
+    cannot lose a pair — every pair has a later member that probes the
+    shared bucket."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tscd_datalake_adapter_spark.operators.multimodal import phash_bands
+    from tscd_datalake_adapter_spark.sources import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(source_dir)
+    bands = phash_bands(stream)
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            uids, m0, m1, m2, m3 = state.get
+            members = [
+                list(t) for t in zip(uids, m0, m1, m2, m3)
+            ]
+        else:
+            members = []
+        out_a, out_b, out_h = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            order = pdf["uid"].to_numpy().argsort(kind="stable")
+            for idx in order:
+                uid = int(pdf["uid"].iloc[idx])
+                hs = [int(pdf[f"h{j}"].iloc[idx]) for j in range(4)]
+                for mu, a0, a1, a2, a3 in members:
+                    ham = (
+                        (hs[0] ^ a0).bit_count()
+                        + (hs[1] ^ a1).bit_count()
+                        + (hs[2] ^ a2).bit_count()
+                        + (hs[3] ^ a3).bit_count()
+                    )
+                    if ham <= 3:
+                        out_a.append(min(uid, mu))
+                        out_b.append(max(uid, mu))
+                        out_h.append(ham)
+                members.append([uid, *hs])
+        state.update(
+            (
+                [m[0] for m in members],
+                [m[1] for m in members],
+                [m[2] for m in members],
+                [m[3] for m in members],
+                [m[4] for m in members],
+            )
+        )
+        yield pd.DataFrame(
+            {"uid_a": out_a, "uid_b": out_b, "hamming": out_h}
+        )
+
+    out = bands.groupBy("b", "v").applyInPandasWithState(
+        _update,
+        outputStructType="uid_a long, uid_b long, hamming long",
+        stateStructType=(
+            "uids array<long>, m0 array<long>, m1 array<long>, "
+            "m2 array<long>, m3 array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT DISTINCT uid_a, uid_b, hamming FROM {query_name}"
+    )
