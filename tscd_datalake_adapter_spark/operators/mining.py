@@ -1290,3 +1290,107 @@ def user_trajectory_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l2_distance"),
         )
     )
+
+
+@register(
+    "prefixspan_topk_patterns",
+    tags=("history", "mining"),
+    defer=True,
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE user_id < 300
+    ),
+    g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ),
+    r AS (
+        SELECT user_id * 100000 + session_no AS skey, event_type,
+               row_number() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY ts, event_id) AS rn
+        FROM s
+    ),
+    rb AS (SELECT * FROM r WHERE rn <= 8),
+    pat AS (
+        SELECT DISTINCT a.skey,
+               a.event_type || '>' || b.event_type || '>' || c.event_type
+                   AS pattern
+        FROM rb a
+        JOIN rb b ON b.skey = a.skey AND b.rn > a.rn
+        JOIN rb c ON c.skey = a.skey AND c.rn > b.rn
+    )
+    SELECT pattern, CAST(count(*) AS BIGINT) AS support
+    FROM pat GROUP BY pattern
+    ORDER BY support DESC, pattern LIMIT 15
+    """,
+)
+def prefixspan_topk_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent SUBSEQUENCE mining (PrefixSpan's output for fixed length
+    3): the most common event-type patterns occurring in order — but not
+    necessarily contiguously — within a session, the gap-tolerant
+    complement of ``session_path_topk``'s contiguous paths. Support
+    counts SESSIONS containing the pattern at least once (the DISTINCT
+    before the count), the standard sequential-pattern-mining semantics.
+
+    Scale shape: sessionization windows are per-user; the subsequence
+    expansion is two self-equi-joins on the session key with rank
+    inequalities — bounded by C(8,3)=56 combinations per session because
+    the join input is truncated to each session's first 8 events (the
+    basket-cap pattern of ``item_item_cosine_recs``); the final count
+    groups by pattern with a TakeOrdered top-15."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn("session_no", F.sum("is_new").over(run))
+    r = s.select(
+        (F.col("user_id") * 100000 + F.col("session_no")).alias("skey"),
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "session_no").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") <= 8)
+    a = r.select("skey", F.col("event_type").alias("t1"), F.col("rn").alias("r1"))
+    b = r.select("skey", F.col("event_type").alias("t2"), F.col("rn").alias("r2"))
+    c = r.select("skey", F.col("event_type").alias("t3"), F.col("rn").alias("r3"))
+    pat = (
+        a.join(b, "skey")
+        .where(F.col("r2") > F.col("r1"))
+        .join(c, "skey")
+        .where(F.col("r3") > F.col("r2"))
+        .select(
+            "skey",
+            F.concat_ws(">", "t1", "t2", "t3").alias("pattern"),
+        )
+        .distinct()
+    )
+    return (
+        pat.groupBy("pattern")
+        .agg(F.count("*").cast("long").alias("support"))
+        .orderBy(F.col("support").desc(), "pattern")
+        .limit(15)
+    )

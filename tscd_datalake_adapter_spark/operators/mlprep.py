@@ -2964,3 +2964,116 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+@register(
+    "isotonic_calibration_bins",
+    tags=("mlprep", "eval"),
+    defer=True,
+    oracle="""
+    WITH b AS (
+        SELECT least(19, greatest(0,
+                   CAST(floor(o_totalprice / 30000.0) AS BIGINT))) AS b,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS u
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT b, n, u,
+               sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cn,
+               sum(u) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cu
+        FROM b
+    ),
+    inner_min AS (
+        SELECT i.b AS bi, j.b AS bj,
+               min(CAST(k.cu - (j.cu - j.u) AS DOUBLE)
+                   / CAST(k.cn - (j.cn - j.n) AS DOUBLE)) AS mn
+        FROM c i JOIN c j ON j.b <= i.b JOIN c k ON k.b >= i.b
+        GROUP BY i.b, j.b
+    ),
+    iso AS (SELECT bi AS b, max(mn) AS iso_rate FROM inner_min GROUP BY bi)
+    SELECT c.b, c.n, c.u,
+           round(CAST(c.u AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS raw_rate,
+           round(iso.iso_rate, 6) AS iso_rate
+    FROM c JOIN iso ON iso.b = c.b
+    ORDER BY c.b
+    """,
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression (the calibration method behind
+    isotonic probability calibration) on the binned urgent-order rate by
+    total-price bucket — declared, not iterated: instead of the
+    sequential pool-adjacent-violators loop, the fit uses the minimax
+    characterization ``iso(i) = max_{j<=i} min_{k>=i} avg(y[j..k])``
+    (weighted), which is pure relational algebra over prefix sums. Every
+    candidate average is one exact-integer IEEE division, so min/max
+    aggregates are bit-identical cross-engine with no rounding until
+    output; pytest additionally pins equality to an independent Python
+    PAVA implementation.
+
+    Scale shape: the corpus-sized work is one map-side-combined groupBy
+    into 20 buckets; the O(bins³) minimax join (~1.5k rows) runs on the
+    bounded bucket table — the same histogram-first pattern as
+    ``roc_auc_eval``/``median_ship_delay_histogram``."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.least(
+            F.lit(19),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.col("o_totalprice") / 30000.0).cast("long"),
+            ),
+        ).alias("b")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select(
+        "b",
+        "n",
+        "u",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("u").over(w).alias("cu"),
+    )
+    i = c.select(F.col("b").alias("bi"))
+    j = c.select(
+        F.col("b").alias("bj"),
+        (F.col("cu") - F.col("u")).alias("pu"),
+        (F.col("cn") - F.col("n")).alias("pn"),
+    )
+    k = c.select(
+        F.col("b").alias("bk"),
+        F.col("cu").alias("ku"),
+        F.col("cn").alias("kn"),
+    )
+    inner = (
+        i.join(j, F.col("bj") <= F.col("bi"))
+        .join(k, F.col("bk") >= F.col("bi"))
+        .groupBy("bi", "bj")
+        .agg(
+            F.min(
+                (F.col("ku") - F.col("pu")).cast("double")
+                / (F.col("kn") - F.col("pn")).cast("double")
+            ).alias("mn")
+        )
+    )
+    iso = inner.groupBy("bi").agg(F.max("mn").alias("iso_rate"))
+    return (
+        c.join(iso, c.b == iso.bi)
+        .select(
+            "b",
+            "n",
+            "u",
+            F.round(
+                F.col("u").cast("double") / F.col("n").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round("iso_rate", 6).alias("iso_rate"),
+        )
+        .orderBy("b")
+    )

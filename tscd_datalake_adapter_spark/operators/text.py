@@ -2931,3 +2931,152 @@ def local_clustering_coefficient(
         )
     )
     return out.orderBy(F.col("lcc").desc(), "tok").limit(20)
+
+
+def tfidf_cosine_pairs(
+    spark: SparkSession, sf_dir: str, max_doc_id: int = 120, df_cap: int = 90
+) -> DataFrame:
+    """TF-IDF document-pair cosine via the inverted-index join, with the
+    hot-token guard IN CODE: tokens with document frequency above
+    ``df_cap`` are dropped from index, dot products, AND norms (a
+    consistent "rare-term cosine" definition), so the candidate join
+    fans out only from discriminative tokens — the same doc-frequency
+    cap the Jaccard prefix filter and ``item_item_cosine_recs`` apply.
+    Weights are ``round(tf·ln(N/df), 12)``; products and squared norms
+    round-12 then DECIMAL(38,12)-summed (order-free), so the oracle hash
+    is exact despite the ln."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < max_doc_id
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = (
+        tok.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= df_cap)
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df")
+                ),
+                12,
+            ).alias("w"),
+        )
+    )
+    norms = (
+        w.select(
+            "doc_id", F.round(F.col("w") * F.col("w"), 12).alias("w2")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.col("w2").cast("decimal(38,12)")).cast("double")
+            ).alias("norm")
+        )
+    )
+    wa = w.select(
+        F.col("doc_id").alias("da"), "tok", F.col("w").alias("woa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("db"), "tok", F.col("w").alias("wob")
+    )
+    dots = (
+        wa.join(wb, "tok")
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.round(F.col("woa") * F.col("wob"), 12).alias("p"),
+        )
+        .groupBy("da", "db")
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(
+                F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "tfidf_cosine_pairs_topk",
+    tags=("llm", "text", "similarity"),
+    defer=True,
+    oracle="""
+    WITH d AS (SELECT * FROM documents WHERE doc_id < 120),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM tok
+        WHERE tok != '' GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        WHERE tok != '' GROUP BY tok HAVING count(DISTINCT doc_id) <= 90
+    ),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    w AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 12) AS w
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ),
+    norms AS (
+        SELECT doc_id,
+               sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE)) AS norm
+        FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(sum(CAST(round(a.w * b.w, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT dots.da AS doc_a, dots.db AS doc_b,
+           round(dots.dot / (na.norm * nb.norm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.da
+    JOIN norms nb ON nb.doc_id = dots.db
+    ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar document pairs by TF-IDF cosine over the
+    capped (rare-term) vocabulary — the classic sparse-vector IR
+    similarity, complementing the dense-embedding ``cosine_topk`` family.
+    Fixture fact: the corpus shares one small vocabulary, so most tokens
+    sit near df = N and carry ~zero idf; the df-cap both mitigates the
+    hot-token fan-out AND drops only near-zero-weight terms here.
+
+    Scale shape: see :func:`tfidf_cosine_pairs` — inverted-index join
+    fanning out only from df-capped tokens, decimal-summed dot products,
+    TakeOrdered top-20 on the rounded score with id tiebreaks."""
+    return (
+        tfidf_cosine_pairs(spark, sf_dir)
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
