@@ -130,3 +130,95 @@ def test_tfidf_cosine_matches_numpy(spark, sf_dir):
     for (gc, ga, gb), (ec, ea, eb) in zip(got, best[:20]):
         assert (ga, gb) == (ea, eb)
         assert abs(gc - ec) < 1e-5
+
+
+def test_cuped_matches_numpy(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.analytics import (
+        cuped_variance_reduction,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 300)
+        .select("user_id", "event_type", "ts", "value")
+        .collect()
+    )
+    import datetime
+
+    split = datetime.datetime(2024, 1, 16)
+    xs: dict[int, int] = {}
+    ys: dict[int, float] = {}
+    for r in e:
+        u = int(r.user_id)
+        xs.setdefault(u, 0)
+        ys.setdefault(u, 0.0)
+        if r.event_type == "view" and r.ts < split:
+            xs[u] += 1
+        if r.event_type == "purchase" and r.ts >= split:
+            ys[u] += r.value
+    users = sorted(xs)
+    x = np.array([xs[u] for u in users], dtype=float)
+    y = np.array([round(ys[u], 6) for u in users], dtype=float)
+    theta = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    y_adj = y - theta * (x - x.mean())
+    r = cuped_variance_reduction(spark, sf_dir).collect()[0]
+    assert r.n_users == len(users)
+    assert abs(r.theta - theta) < 1e-4
+    assert abs(r.var_y - np.var(y, ddof=1)) < 1e-3
+    assert abs(r.var_y_adj - np.var(y_adj, ddof=1)) < 1e-3
+    assert 0.0 <= r.variance_reduction <= 1.0
+    assert r.var_y_adj <= r.var_y + 1e-9
+
+
+def test_jackknife_matches_bruteforce(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.analytics import (
+        jackknife_ratio_by_nation,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_nationkey", "o_totalprice")
+        .collect()
+    )
+    from collections import defaultdict
+
+    t_i = defaultdict(float)
+    n_i = defaultdict(int)
+    for r in rows:
+        t_i[r.c_nationkey] += r.o_totalprice
+        n_i[r.c_nationkey] += 1
+    t = sum(t_i.values())
+    n = sum(n_i.values())
+    g = len(t_i)
+    thetas = [(t - t_i[k]) / (n - n_i[k]) for k in sorted(t_i)]
+    theta_dot = sum(thetas) / g
+    ssd = sum((th - theta_dot) ** 2 for th in thetas)
+    se = math.sqrt((g - 1) / g * ssd)
+    r = jackknife_ratio_by_nation(spark, sf_dir).collect()[0]
+    assert r.n_groups == g and r.n_orders == n
+    assert abs(r.theta - t / n) < 1e-3
+    assert abs(r.theta_jack_mean - theta_dot) < 1e-3
+    assert abs(r.jack_se - se) < 1e-4
+
+
+def test_image_clusters_pair_both_sides(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.multimodal import (
+        image_dedup_clusters,
+    )
+
+    rows = image_dedup_clusters(spark, sf_dir).collect()
+    assert rows, "must emit clusters"
+    # member counts conserve and sizes are sorted
+    sizes = [r.n_members for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        assert r.n_members == r.n_clean + r.n_perturbed
+        # the cluster label is the minimum uid, so it's a member — the
+        # top cluster must be multi-member (planted twins guarantee pairs)
+    assert rows[0].n_members >= 2

@@ -4744,3 +4744,265 @@ def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pacf3"),
     )
+
+
+# --- CUPED variance reduction ----------------------------------------------
+
+
+@register(
+    "cuped_variance_reduction",
+    tags=("analytics", "experiment"),
+    defer=True,
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view'
+                              AND ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               round(CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                                    AND ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+                     AS DOUBLE), 6) AS y
+        FROM events WHERE user_id < 300 GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS syy,
+               CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sxy
+        FROM per_user
+    ),
+    t AS (
+        SELECT n,
+               (sxy - CAST(sx AS DOUBLE) * sy / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE) / n) AS theta,
+               (syy - sy * sy / n) / (n - 1) AS var_y,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / n AS ssx,
+               sxy - CAST(sx AS DOUBLE) * sy / n AS ssxy,
+               syy - sy * sy / n AS ssy
+        FROM m
+    )
+    SELECT n AS n_users, round(theta, 6) AS theta,
+           round(var_y, 6) AS var_y,
+           round((ssy - ssxy * ssxy / ssx) / (n - 1), 6) AS var_y_adj,
+           round(1.0 - (ssy - ssxy * ssxy / ssx) / ssy, 6)
+               AS variance_reduction
+    FROM t
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): reduce
+    outcome variance with the pre-period covariate — per user, X =
+    pre-period view count, Y = post-period purchase revenue, adjusted
+    outcome Y − θ(X − X̄) with θ = cov(X,Y)/var(X). The adjusted variance
+    has the closed form SSY − SSXY²/SSX (no second pass over users), and
+    the reported ``variance_reduction`` is the squared X-Y correlation —
+    the exact theoretical CUPED gain.
+
+    Determinism: X integer; Y a round-6 decimal sum; the cross moments
+    round-12 + DECIMAL(38,12) summed (order-free); everything after the
+    fold is IEEE arithmetic spelled identically in both engines.
+
+    Scale shape: one map-side-combined groupBy(user) then a 1-row fold —
+    the experiment-analytics shape that runs unchanged on billions of
+    units."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    split = "2024-01-16"
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts") < F.lit(split).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(
+            dec_sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.lit(split).cast("timestamp")),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(F.round(y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(y * y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(x * y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    sxd = F.col("sx").cast("double")
+    ssx = F.col("sxx").cast("double") - sxd * sxd / n
+    ssxy = F.col("sxy") - sxd * F.col("sy") / n
+    ssy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    t = m.select(
+        n.alias("n"),
+        (ssxy / ssx).alias("theta"),
+        (ssy / (n - 1)).alias("var_y"),
+        ssx.alias("ssx"),
+        ssxy.alias("ssxy"),
+        ssy.alias("ssy"),
+    )
+    adj = F.col("ssy") - F.col("ssxy") * F.col("ssxy") / F.col("ssx")
+    return t.select(
+        F.col("n").alias("n_users"),
+        F.round("theta", 6).alias("theta"),
+        F.round("var_y", 6).alias("var_y"),
+        F.round(adj / (F.col("n") - 1), 6).alias("var_y_adj"),
+        F.round(1.0 - adj / F.col("ssy"), 6).alias("variance_reduction"),
+    )
+
+
+# --- delete-one-group jackknife for a ratio estimator -----------------------
+
+
+@register(
+    "jackknife_ratio_by_nation",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH j AS (
+        SELECT c.c_nationkey AS nat, o.o_totalprice AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_nat AS (
+        SELECT nat,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS ti,
+               CAST(count(*) AS BIGINT) AS ni
+        FROM j GROUP BY nat
+    ),
+    tot AS (
+        SELECT CAST(sum(CAST(ti AS DECIMAL(38,6))) AS DOUBLE) AS t,
+               CAST(sum(ni) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS g
+        FROM per_nat
+    ),
+    loo AS (
+        SELECT p.nat,
+               round((tot.t - p.ti) / (tot.n - p.ni), 12) AS theta_i,
+               tot.t AS t, tot.n AS n, tot.g AS g
+        FROM per_nat p CROSS JOIN tot
+    ),
+    mean_loo AS (
+        SELECT CAST(max(g) AS BIGINT) AS g, max(t) AS t,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(CAST(theta_i AS DECIMAL(38,12))) AS DOUBLE)
+                   / max(g) AS theta_dot
+        FROM loo
+    ),
+    dev AS (
+        SELECT m.g, m.t, m.n, m.theta_dot,
+               CAST(sum(CAST(round((l.theta_i - m.theta_dot)
+                                   * (l.theta_i - m.theta_dot), 12)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS ssd
+        FROM loo l CROSS JOIN mean_loo m
+        GROUP BY m.g, m.t, m.n, m.theta_dot
+    )
+    SELECT g AS n_groups, CAST(n AS BIGINT) AS n_orders,
+           round(t / n, 6) AS theta,
+           round(theta_dot, 6) AS theta_jack_mean,
+           round(sqrt((g - 1.0) / g * ssd), 6) AS jack_se
+    FROM dev
+    """,
+)
+def jackknife_ratio_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the mean-order-value
+    ratio estimator: recompute θ = ΣT/ΣN with each nation's orders left
+    out, then SE = sqrt((g−1)/g · Σ(θ_(i) − θ̄)²) — the resampling-free
+    uncertainty estimate that respects cluster structure (nations are the
+    sampling clusters), complementing ``poisson_bootstrap_ci``'s
+    replicate-based interval.
+
+    Determinism: totals are decimal sums; each leave-one-out ratio is a
+    round-12 division of exact aggregates; the 25 θ_(i) fold through
+    DECIMAL(38,12) (order-free) for both the mean and squared
+    deviations.
+
+    Scale shape: corpus work is one key join + one groupBy(nation); the
+    jackknife itself runs on the g-row group table — delete-one-group
+    needs only (T−T_i, N−N_i) per group, never a second data pass."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    per_nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(
+            dec_sum("o_totalprice").alias("ti"),
+            F.count("*").cast("long").alias("ni"),
+        )
+    )
+    tot = per_nat.agg(
+        F.sum(F.col("ti").cast("decimal(38,6)")).cast("double").alias("t"),
+        F.sum("ni").cast("long").alias("n"),
+        F.count("*").cast("long").alias("g"),
+    )
+    loo = per_nat.crossJoin(F.broadcast(tot)).select(
+        "nat",
+        F.round(
+            (F.col("t") - F.col("ti")) / (F.col("n") - F.col("ni")), 12
+        ).alias("theta_i"),
+        "t",
+        "n",
+        "g",
+    )
+    mean_loo = loo.agg(
+        F.max("g").cast("long").alias("g"),
+        F.max("t").alias("t"),
+        F.max("n").cast("long").alias("n"),
+        (
+            F.sum(F.col("theta_i").cast("decimal(38,12)")).cast("double")
+            / F.max("g")
+        ).alias("theta_dot"),
+    )
+    dev = (
+        loo.select("theta_i")
+        .crossJoin(F.broadcast(mean_loo))
+        .groupBy("g", "t", "n", "theta_dot")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("theta_i") - F.col("theta_dot"))
+                    * (F.col("theta_i") - F.col("theta_dot")),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("ssd")
+        )
+    )
+    return dev.select(
+        F.col("g").alias("n_groups"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("t") / F.col("n"), 6).alias("theta"),
+        F.round("theta_dot", 6).alias("theta_jack_mean"),
+        F.round(
+            F.sqrt((F.col("g") - 1.0) / F.col("g") * F.col("ssd")), 6
+        ).alias("jack_se"),
+    )

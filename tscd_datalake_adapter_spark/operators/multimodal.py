@@ -1189,8 +1189,7 @@ def phash_bands(media: DataFrame) -> DataFrame:
     return media.mapInPandas(hash_bands, schema)
 
 
-_PHASH_ORACLE = """
-    WITH img AS (
+_PHASH_CTES = """img AS (
         SELECT doc_id FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
     ),
     sides AS (
@@ -1239,7 +1238,10 @@ _PHASH_ORACLE = """
         JOIN bands ba ON ba.uid = c.ua
         JOIN bands bb ON bb.uid = c.ub AND bb.b = ba.b
         GROUP BY c.ua, c.ub
-    )
+    )"""
+
+_PHASH_ORACLE = f"""
+    WITH {_PHASH_CTES}
     SELECT ua AS uid_a, ub AS uid_b, hamming
     FROM ham WHERE hamming <= 3
     ORDER BY uid_a, uid_b
@@ -1313,4 +1315,124 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hamming",
         )
         .orderBy("uid_a", "uid_b")
+    )
+
+
+_PHASH_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_PHASH_CTES},
+    pairs AS (SELECT ua, ub FROM ham WHERE hamming <= 3),
+    alledges AS (
+        SELECT ua AS src, ub AS dst FROM pairs
+        UNION SELECT ub, ua FROM pairs
+        UNION SELECT uid, uid FROM dims
+    ),
+    reach AS (
+        SELECT src, dst FROM alledges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN alledges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS uid, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN uid % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean,
+           CAST(sum(uid % 2) AS BIGINT) AS n_perturbed
+    FROM labels GROUP BY cluster_id
+    ORDER BY n_members DESC, cluster_id LIMIT 20
+"""
+
+
+@register(
+    "image_dedup_clusters",
+    tags=("llm", "multimodal", "dedup"),
+    defer=True,
+    oracle=_PHASH_CLUSTER_ORACLE,
+)
+def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the PERCEPTUAL near-dup graph: transitive
+    closure of the ``image_phash_near_dup`` pairs, each image labeled with
+    its component's minimum uid — the keep-one-per-cluster step a real
+    image-dedup pipeline runs after pair generation, composed end-to-end
+    from decoded PNG bytes (near-dup is not transitive: A~B and B~C at
+    Hamming 3 can put A,C at Hamming 6, so clustering — not pair removal
+    — is what deduplicates exactly once).
+
+    Spark side: the same iterative min-label propagation as
+    ``dedup_clusters`` (labels only shrink; localCheckpoint per round
+    keeps lineage flat; raises on non-convergence) over the band-blocked
+    pair set; the oracle is the recursive-CTE transitive closure over the
+    formula-derived pairs. Output is the bounded per-cluster summary
+    (top-20 by size), split into clean/perturbed membership — the planted
+    twins guarantee every cluster pairs both sides of each image.
+
+    Scale shape: pair generation inherits the LSH band join; propagation
+    runs O(diameter) rounds over the PAIR set (brightness-collapsed
+    cliques have diameter ~1-2 here), each round one equi-join — the
+    ``dedup_clusters`` scale story unchanged."""
+    pairs = image_phash_near_dup(spark, sf_dir).select("uid_a", "uid_b")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0))
+        .select("doc_id")
+    )
+    nodes = d.select((2 * F.col("doc_id")).alias("uid")).unionAll(
+        d.select((2 * F.col("doc_id") + 1).alias("uid"))
+    )
+    edges = (
+        pairs.select(F.col("uid_a").alias("src"), F.col("uid_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("uid_b").alias("src"), F.col("uid_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col("uid").alias("src"), F.col("uid").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("src").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 20 rounds")
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.when(F.col("src") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean"),
+            F.sum(F.col("src") % 2).cast("long").alias("n_perturbed"),
+        )
+        .orderBy(F.col("n_members").desc(), "cluster_id")
+        .limit(20)
     )
