@@ -1,0 +1,109 @@
+"""Wave-40 invariants: Hill estimator vs a direct numpy computation, CvM
+vs brute force over raw values, ALS ridge solve vs numpy lstsq-with-ridge
+per user."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.sources import load_table
+
+
+def test_hill_matches_numpy(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        hill_tail_index,
+    )
+
+    v = np.array(
+        [
+            r.o_totalprice
+            for r in load_table(spark, sf_dir, "orders")
+            .select("o_totalprice")
+            .collect()
+        ]
+    )
+    top = np.sort(v)[::-1][:101]
+    x_ref = top.min()
+    terms = [math.log(x / x_ref) for x in top if x > x_ref]
+    alpha = len(terms) / sum(terms)
+    r = hill_tail_index(spark, sf_dir).collect()[0]
+    assert r.k == len(terms)
+    assert abs(r.x_ref - x_ref) < 1e-6
+    assert abs(r.hill_alpha - alpha) < 1e-5
+
+
+def test_cvm_matches_bruteforce(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        cramer_von_mises_segments,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(
+            F.floor("c_acctbal").cast("long").alias("v"), "c_mktsegment"
+        )
+        .collect()
+    )
+    a = sorted(r.v for r in cust if r.c_mktsegment == "BUILDING")
+    b = sorted(r.v for r in cust if r.c_mktsegment == "AUTOMOBILE")
+    na, nb = len(a), len(b)
+    pooled = sorted(a + b)
+    t = 0.0
+    for x in pooled:  # one term per OBSERVATION (weights = multiplicity)
+        fa = sum(1 for y in a if y <= x) / na
+        fb = sum(1 for y in b if y <= x) / nb
+        t += (fa - fb) ** 2
+    t *= na * nb / (na + nb) ** 2
+    r = cramer_von_mises_segments(spark, sf_dir).collect()[0]
+    assert (r.n_building, r.n_automobile) == (na, nb)
+    assert abs(r.t_cvm - t) < 1e-6
+
+
+def test_als_matches_numpy_ridge(spark, sf_dir):
+    from tscd_datalake_adapter_spark.functions import h60
+    from tscd_datalake_adapter_spark.operators.mlprep import (
+        als_user_factors_step,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_quantity").cast("long").alias("q"),
+            (
+                h60(F.concat(F.lit("alsf1:"), F.col("l_partkey").cast("string")))
+                % 2001
+                - 1000
+            ).alias("ix1"),
+            (
+                h60(F.concat(F.lit("alsf2:"), F.col("l_partkey").cast("string")))
+                % 2001
+                - 1000
+            ).alias("ix2"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.u, []).append((r.ix1 / 1000, r.ix2 / 1000, r.q))
+    got = {
+        r.custkey: r for r in als_user_factors_step(spark, sf_dir).collect()
+    }
+    lam = 1e-3
+    for ck, row in got.items():
+        fs = by_user[ck]
+        fmat = np.array([[f1, f2] for f1, f2, _ in fs])
+        rv = np.array([q for _, _, q in fs], dtype=float)
+        a = fmat.T @ fmat + lam * np.eye(2)
+        u = np.linalg.solve(a, fmat.T @ rv)
+        assert abs(row.u1 - u[0]) < 1e-4
+        assert abs(row.u2 - u[1]) < 1e-4
+        assert row.n_items == len(fs)

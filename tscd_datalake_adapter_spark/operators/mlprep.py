@@ -3077,3 +3077,149 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+_ALS_IX1 = ("(('0x' || substr(md5('alsf1:' || CAST(l_partkey AS VARCHAR)),"
+            " 1, 15))::BIGINT) % 2001 - 1000")
+_ALS_IX2 = ("(('0x' || substr(md5('alsf2:' || CAST(l_partkey AS VARCHAR)),"
+            " 1, 15))::BIGINT) % 2001 - 1000")
+
+
+@register(
+    "als_user_factors_step",
+    tags=("mlprep", "recsys"),
+    defer=True,
+    oracle=f"""
+    WITH r AS (
+        SELECT c.c_custkey AS u, l.l_partkey,
+               CAST(l.l_quantity AS BIGINT) AS q,
+               {_ALS_IX1} AS ix1,
+               {_ALS_IX2} AS ix2
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT u,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(ix1 * ix1) AS BIGINT) AS a11,
+               CAST(sum(ix1 * ix2) AS BIGINT) AS a12,
+               CAST(sum(ix2 * ix2) AS BIGINT) AS a22,
+               CAST(sum(ix1 * q) AS BIGINT) AS b1,
+               CAST(sum(ix2 * q) AS BIGINT) AS b2
+        FROM r GROUP BY u
+    ),
+    solved AS (
+        SELECT u, n_items,
+               1000.0 * CAST(b1 * (a22 + 1000) - b2 * a12 AS DOUBLE)
+               / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12 AS DOUBLE)
+                   AS u1,
+               1000.0 * CAST(b2 * (a11 + 1000) - b1 * a12 AS DOUBLE)
+               / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12 AS DOUBLE)
+                   AS u2
+        FROM m
+    )
+    SELECT u AS custkey, n_items,
+           round(u1, 6) AS u1, round(u2, 6) AS u2,
+           round(sqrt(u1 * u1 + u2 * u2), 6) AS factor_norm
+    FROM solved
+    ORDER BY factor_norm DESC, custkey LIMIT 15
+    """,
+)
+def als_user_factors_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS half-step of implicit-feedback matrix factorization (k=2):
+    given fixed deterministic item factors (h60-derived integer
+    thousandths — the ``ann_ivf`` trick), solve each user's ridge
+    least-squares ``(FᵀF + λI)u = Fᵀr`` with r = purchased quantity, via
+    the 2×2 Cramer rule — the many-small-models pattern of
+    ``groupwise_ols_slopes`` applied to recommender bootstrapping.
+
+    Determinism: item factors are INTEGER numerators (f = ix/1000), so
+    every normal-equation moment is an exact BIGINT; the scale factors
+    cancel into one final ``1000·adj(A_s)b_s / det(A_s)`` integer ratio
+    per user (λ = 1000/1e6 = 1e-3) — IEEE-exact division, no rounding
+    until output. BIGINT headroom: per-user moments carry ~|items|·1e6,
+    det ~ (that)² — fine to ~3e3 items/user; beyond that widen to
+    DECIMAL(38,0) like the chi² squares.
+
+    Scale shape: two key equi-joins (lineitem⋈orders⋈customer), one
+    map-side-combined groupBy(user), a per-row Cramer solve, TakeOrdered
+    top-15 on the rounded norm. At 100 TB the alternating iteration
+    would checkpoint factors per pass (the IRLS lesson)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("u"),
+            F.col("l_quantity").cast("long").alias("q"),
+            (
+                h60(
+                    F.concat(
+                        F.lit("alsf1:"), F.col("l_partkey").cast("string")
+                    )
+                )
+                % 2001
+                - 1000
+            ).alias("ix1"),
+            (
+                h60(
+                    F.concat(
+                        F.lit("alsf2:"), F.col("l_partkey").cast("string")
+                    )
+                )
+                % 2001
+                - 1000
+            ).alias("ix2"),
+        )
+    )
+    m = r.groupBy("u").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("ix1") * F.col("ix1")).cast("long").alias("a11"),
+        F.sum(F.col("ix1") * F.col("ix2")).cast("long").alias("a12"),
+        F.sum(F.col("ix2") * F.col("ix2")).cast("long").alias("a22"),
+        F.sum(F.col("ix1") * F.col("q")).cast("long").alias("b1"),
+        F.sum(F.col("ix2") * F.col("q")).cast("long").alias("b2"),
+    )
+    det = (
+        (F.col("a11") + 1000) * (F.col("a22") + 1000)
+        - F.col("a12") * F.col("a12")
+    ).cast("double")
+    u1 = (
+        1000.0
+        * (
+            F.col("b1") * (F.col("a22") + 1000) - F.col("b2") * F.col("a12")
+        ).cast("double")
+        / det
+    )
+    u2 = (
+        1000.0
+        * (
+            F.col("b2") * (F.col("a11") + 1000) - F.col("b1") * F.col("a12")
+        ).cast("double")
+        / det
+    )
+    solved = m.select(
+        F.col("u").alias("custkey"),
+        "n_items",
+        u1.alias("u1"),
+        u2.alias("u2"),
+    )
+    return (
+        solved.select(
+            "custkey",
+            "n_items",
+            F.round("u1", 6).alias("u1"),
+            F.round("u2", 6).alias("u2"),
+            F.round(
+                F.sqrt(F.col("u1") * F.col("u1") + F.col("u2") * F.col("u2")),
+                6,
+            ).alias("factor_norm"),
+        )
+        .orderBy(F.col("factor_norm").desc(), "custkey")
+        .limit(15)
+    )

@@ -686,3 +686,175 @@ def t_closeness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emd"),
     )
     return out.orderBy(F.col("emd").desc(), "nation").limit(10)
+
+
+@register(
+    "hill_tail_index",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH topk AS (
+        SELECT o_totalprice AS v
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 101
+    ),
+    ref AS (SELECT min(v) AS x_ref FROM topk),
+    terms AS (
+        SELECT round(ln(t.v / r.x_ref), 12) AS term
+        FROM topk t CROSS JOIN ref r
+        WHERE t.v > r.x_ref
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS ssum
+        FROM terms
+    )
+    SELECT s.k, round(r.x_ref, 6) AS x_ref,
+           round(CAST(s.k AS DOUBLE) / s.ssum, 6) AS hill_alpha
+    FROM s CROSS JOIN ref r
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index for order values:
+    ``α̂ = k / Σ ln(X_(i)/X_(k+1))`` over the top k=100 order statistics —
+    the heavy-tail diagnostic that decides whether means/variances of a
+    value column are even finite-sample-stable (α ≤ 2 means variance
+    blow-ups; a skew warning for any Σvalue aggregate at 100 TB).
+
+    Determinism: the top-101 VALUE multiset is engine-independent (ties
+    beyond position 101 cannot change the multiset of kept values when
+    ranked value-first), each ln term is round-12 and the sum decimal
+    (order-free). Ties equal to the reference value contribute ln(1)=0
+    and are excluded symmetrically on both sides.
+
+    Scale shape: one TakeOrderedAndProject(101) over the scan — the
+    bounded-order-statistics pattern; no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    topk = (
+        o.select(F.col("o_totalprice").alias("v"), "o_orderkey")
+        .orderBy(F.col("v").desc(), "o_orderkey")
+        .limit(101)
+        .select("v")
+    )
+    ref = topk.agg(F.min("v").alias("x_ref"))
+    terms = (
+        topk.crossJoin(F.broadcast(ref))
+        .where(F.col("v") > F.col("x_ref"))
+        .select(F.round(F.log(F.col("v") / F.col("x_ref")), 12).alias("term"))
+    )
+    s = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("term").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ssum"),
+    )
+    return s.crossJoin(F.broadcast(ref)).select(
+        "k",
+        F.round("x_ref", 6).alias("x_ref"),
+        F.round(F.col("k").cast("double") / F.col("ssum"), 6).alias(
+            "hill_alpha"
+        ),
+    )
+
+
+@register(
+    "cramer_von_mises_segments",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(c_acctbal) AS BIGINT) AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ),
+    hist AS (
+        SELECT v, CAST(sum(isa) AS BIGINT) AS na_v,
+               CAST(count(*) AS BIGINT) AS n_v
+        FROM c GROUP BY v
+    ),
+    cum AS (
+        SELECT n_v,
+               sum(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+               sum(n_v - na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cb
+        FROM hist
+    ),
+    tot AS (
+        SELECT CAST(sum(na_v) AS BIGINT) AS na,
+               CAST(sum(n_v - na_v) AS BIGINT) AS nb
+        FROM hist
+    ),
+    s AS (
+        SELECT CAST(sum(CAST(n_v AS DECIMAL(38,0))
+                        * CAST(ca * t.nb - cb * t.na AS DECIMAL(38,0))
+                        * CAST(ca * t.nb - cb * t.na AS DECIMAL(38,0)))
+                    AS DOUBLE) AS num,
+               CAST(max(t.na) AS BIGINT) AS na,
+               CAST(max(t.nb) AS BIGINT) AS nb
+        FROM cum CROSS JOIN tot t
+    )
+    SELECT na AS n_building, nb AS n_automobile,
+           round(num / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                        * CAST(na + nb AS DOUBLE)
+                        * CAST(na + nb AS DOUBLE)), 6) AS t_cvm
+    FROM s
+    """,
+)
+def cramer_von_mises_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic between BUILDING and
+    AUTOMOBILE balances: ``T = (nm/N²)·Σ w_i (F_i − G_i)²`` over the
+    pooled whole-dollar histogram — the integrated-squared companion of
+    ``ks_test_two_sample``'s max statistic (KS sees the worst point; CvM
+    sees the whole ECDF gap). Cross-multiplied so every term is the
+    integer ``w·(cumA·nb − cumB·na)²`` (squared in DECIMAL(38,0) —
+    BIGINT would overflow beyond ~3e9 such cross terms), one division
+    at output.
+
+    Scale shape: identical to the Mann-Whitney recipe — one map-side-
+    combined groupBy onto the bounded value histogram, one ordered
+    window over it, one global fold."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(
+            F.floor("c_acctbal").cast("long").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("isa"),
+        )
+    )
+    hist = c.groupBy("v").agg(
+        F.sum("isa").cast("long").alias("na_v"),
+        F.count("*").cast("long").alias("n_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_v",
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum(F.col("n_v") - F.col("na_v")).over(w).alias("cb"),
+    )
+    tot = hist.agg(
+        F.sum("na_v").cast("long").alias("na"),
+        F.sum(F.col("n_v") - F.col("na_v")).cast("long").alias("nb"),
+    )
+    diff = (
+        F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    ).cast("decimal(38,0)")
+    s = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.col("n_v").cast("decimal(38,0)") * diff * diff)
+            .cast("double")
+            .alias("num"),
+            F.max("na").cast("long").alias("na"),
+            F.max("nb").cast("long").alias("nb"),
+        )
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    return s.select(
+        F.col("na").alias("n_building"),
+        F.col("nb").alias("n_automobile"),
+        F.round(
+            F.col("num") / (na * nb * (na + nb) * (na + nb)), 6
+        ).alias("t_cvm"),
+    )
