@@ -107,3 +107,80 @@ def test_als_matches_numpy_ridge(spark, sf_dir):
         assert abs(row.u1 - u[0]) < 1e-4
         assert abs(row.u2 - u[1]) < 1e-4
         assert row.n_items == len(fs)
+
+
+def test_permutation_test_properties(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        permutation_test_signflip,
+    )
+
+    r = permutation_test_signflip(spark, sf_dir).collect()[0]
+    assert r.n_perm == 199
+    # valid Monte-Carlo p-value bounds: 1/(B+1) <= p <= 1
+    assert 1 / 200 <= r.p_value <= 1.0
+    assert abs(r.p_value - (1 + r.n_ge) / 200) < 1e-9
+    assert 0 <= r.n_ge <= r.n_perm
+
+
+def test_g_test_matches_python(spark, sf_dir):
+    import collections
+
+    from tscd_datalake_adapter_spark.operators.text import (
+        g_test_keyness_topk,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .collect()
+    )
+    a_cnt: collections.Counter = collections.Counter()
+    b_cnt: collections.Counter = collections.Counter()
+    for r in docs:
+        toks = [t for t in r.text.split(" ") if t]
+        (a_cnt if r.lang == "en" else b_cnt).update(toks)
+    ta = sum(a_cnt.values())
+    tb = sum(b_cnt.values())
+    n = ta + tb
+    expected = {}
+    for tok in set(a_cnt) | set(b_cnt):
+        a, b = a_cnt[tok], b_cnt[tok]
+        if a + b < 50:
+            continue
+        c2, d2 = ta - a, tb - b
+        r1, r2 = a + b, c2 + d2
+        g = 0.0
+        for o, rt, ct in ((a, r1, ta), (b, r1, tb), (c2, r2, ta), (d2, r2, tb)):
+            if o:
+                g += round(o * math.log(o / (rt * ct / n)), 12)
+        expected[tok] = round(2 * g, 6)
+    got = {
+        r.tok: r.g_stat for r in g_test_keyness_topk(spark, sf_dir).collect()
+    }
+    for tok, g in got.items():
+        assert abs(g - expected[tok]) < 1e-6
+        assert g >= -1e-9  # LLR statistic is nonnegative
+    # top-20 really are the largest
+    floor_g = min(got.values())
+    bigger = [t for t, g in expected.items() if g > floor_g + 1e-9]
+    assert len(bigger) <= 20
+
+
+def test_wav_zcr_matches_formula(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.multimodal import (
+        wav_zero_crossing_features,
+    )
+
+    rows = wav_zero_crossing_features(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:10]:
+        did = r.doc_id
+        nvals = 50 + did % 20
+        s = [((11 * did + 5 * i) % 256) - 128 for i in range(nvals)]
+        zc = sum(1 for x, y in zip(s, s[1:]) if x * y < 0)
+        energy = sum(x * x for x in s)
+        assert r.n_samples == nvals
+        assert r.zero_crossings == zc
+        assert r.energy == energy
+        assert r.peak == max(abs(x) for x in s)
+        assert abs(r.rms - math.sqrt(energy / nvals)) < 1e-6

@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import dec_sum, oracle_dec_sum
+from tscd_datalake_adapter_spark.functions import (
+    dec_sum,
+    h60,
+    oracle_dec_sum,
+)
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.operators.text import LANG_PROFILES
 from tscd_datalake_adapter_spark.sources import load_table
@@ -857,4 +861,136 @@ def cramer_von_mises_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("num") / (na * nb * (na + nb) * (na + nb)), 6
         ).alias("t_cvm"),
+    )
+
+
+@register(
+    "permutation_test_signflip",
+    tags=("analytics", "stats", "experiment"),
+    defer=True,
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                                   AND ts >= TIMESTAMP '2024-01-16'
+                             THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+                    - SUM(CAST(CASE WHEN event_type = 'purchase'
+                                     AND ts < TIMESTAMP '2024-01-16'
+                               THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+                    AS DECIMAL(38,6)) AS d
+        FROM events WHERE user_id < 300 GROUP BY user_id
+    ),
+    obs AS (
+        SELECT CAST(sum(d) AS DOUBLE) AS t_obs,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM per_user
+    ),
+    flips AS (
+        SELECT b.b,
+               CAST(sum(CASE WHEN
+                   (('0x' || substr(md5('perm:' || CAST(b.b AS VARCHAR)
+                        || ':' || CAST(p.user_id AS VARCHAR)), 1, 15))
+                        ::BIGINT) % 2 = 0
+                   THEN p.d ELSE -p.d END) AS DOUBLE) AS t_b
+        FROM per_user p
+        CROSS JOIN (SELECT unnest(generate_series(1, 199)) AS b) b
+        GROUP BY b.b
+    ),
+    cnt AS (
+        SELECT CAST(sum(CASE WHEN abs(f.t_b) >= abs(o.t_obs)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+               CAST(count(*) AS BIGINT) AS n_perm
+        FROM flips f CROSS JOIN obs o
+    )
+    SELECT o.n_users, round(o.t_obs, 6) AS t_obs, c.n_perm, c.n_ge,
+           round(CAST(1 + c.n_ge AS DOUBLE) / (c.n_perm + 1), 6)
+               AS p_value
+    FROM obs o CROSS JOIN cnt c
+    """,
+)
+def permutation_test_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-flip randomization test for the paired pre/post purchase
+    uplift: per user, d = post-period − pre-period purchase value; under
+    H0 (no period effect, symmetric d) each d's sign is exchangeable, so
+    the null distribution is T_b = Σ s_{b,u}·d_u over deterministic h60
+    sign patterns, and the Monte-Carlo p-value is (1 + #{|T_b| ≥
+    |T_obs|})/(B+1) — exact-level inference with NO distributional
+    assumptions, complementing the parametric ``ab_test_zscore``.
+
+    Determinism: d is a decimal difference; each T_b is a decimal sum of
+    ±d (order-free, exactly representable), signs from the cross-engine
+    h60 — the flip table is the ``poisson_bootstrap_ci`` pattern: the
+    B=199 crossJoin PIPELINES through the map-side partial aggregate, so
+    the expansion never materializes.
+
+    Scale shape: one groupBy(user), one pipelined replicate aggregate
+    (B·users partial rows folded map-side), two 1-row folds."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    split = F.lit("2024-01-16").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= split),
+                    F.col("value"),
+                )
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            )
+            - F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < split),
+                    F.col("value"),
+                )
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("d")
+    )
+    obs = per_user.agg(
+        F.sum("d").cast("double").alias("t_obs"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    bs = spark.range(1, 200).select(F.col("id").alias("b"))
+    sign_key = h60(
+        F.concat(
+            F.lit("perm:"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    flips = (
+        per_user.crossJoin(bs)
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.when(sign_key % 2 == 0, F.col("d")).otherwise(-F.col("d"))
+            )
+            .cast("double")
+            .alias("t_b")
+        )
+    )
+    cnt = flips.crossJoin(F.broadcast(obs.select("t_obs"))).agg(
+        F.sum(
+            F.when(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_ge"),
+        F.count("*").cast("long").alias("n_perm"),
+    )
+    return obs.crossJoin(F.broadcast(cnt)).select(
+        "n_users",
+        F.round("t_obs", 6).alias("t_obs"),
+        "n_perm",
+        "n_ge",
+        F.round(
+            (1 + F.col("n_ge")).cast("double") / (F.col("n_perm") + 1), 6
+        ).alias("p_value"),
     )

@@ -3080,3 +3080,125 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@register(
+    "g_test_keyness_topk",
+    tags=("llm", "text", "stats"),
+    defer=True,
+    oracle="""
+    WITH toks AS (
+        SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS grp,
+               unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN grp = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN grp = 'rest' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM toks GROUP BY tok
+    ),
+    totals AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+        FROM counts
+    ),
+    cells AS (
+        SELECT c.tok, c.a, c.b,
+               t.ta - c.a AS c2, t.tb - c.b AS d2,
+               CAST(t.ta AS DOUBLE) AS ta, CAST(t.tb AS DOUBLE) AS tb,
+               CAST(c.a + c.b AS DOUBLE) AS r1,
+               CAST(t.ta + t.tb - c.a - c.b AS DOUBLE) AS r2,
+               CAST(t.ta + t.tb AS DOUBLE) AS n
+        FROM counts c CROSS JOIN totals t
+        WHERE c.a + c.b >= 50
+    )
+    SELECT tok, a AS n_en, b AS n_rest,
+           round(2.0 * (
+             (CASE WHEN a = 0 THEN 0.0
+              ELSE round(a * ln(a / (r1 * ta / n)), 12) END)
+           + (CASE WHEN b = 0 THEN 0.0
+              ELSE round(b * ln(b / (r1 * tb / n)), 12) END)
+           + (CASE WHEN c2 = 0 THEN 0.0
+              ELSE round(c2 * ln(c2 / (r2 * ta / n)), 12) END)
+           + (CASE WHEN d2 = 0 THEN 0.0
+              ELSE round(d2 * ln(d2 / (r2 * tb / n)), 12) END)
+           ), 6) AS g_stat
+    FROM cells ORDER BY g_stat DESC, tok LIMIT 20
+    """,
+)
+def g_test_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood-ratio (G-test / Dunning LLR) keyness: the corpus-
+    linguistics standard for keyword extraction between subcorpora (en vs
+    rest), more reliable than χ² at small expected counts — G = 2·Σ
+    o·ln(o/e) over the same 2×2 token table as ``chi2_keyness_topk``.
+    Zero cells contribute 0 (the o·ln o → 0 limit), handled identically
+    in both engines; each ln term is round-12 and the four-term sum is
+    row-local fixed-order arithmetic.
+
+    Scale shape: identical to the χ² twin — one token groupBy, a
+    broadcast 1-row totals crossJoin, TakeOrdered top-20 on the rounded
+    statistic with a token tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.when(F.col("lang") == "en", "en").otherwise("rest").alias("grp"),
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("grp") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("grp") == "rest", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    cells = (
+        counts.crossJoin(F.broadcast(totals))
+        .where(F.col("a") + F.col("b") >= 50)
+        .select(
+            "tok",
+            "a",
+            "b",
+            (F.col("ta") - F.col("a")).alias("c2"),
+            (F.col("tb") - F.col("b")).alias("d2"),
+            F.col("ta").cast("double").alias("tad"),
+            F.col("tb").cast("double").alias("tbd"),
+            (F.col("a") + F.col("b")).cast("double").alias("r1"),
+            (F.col("ta") + F.col("tb") - F.col("a") - F.col("b"))
+            .cast("double")
+            .alias("r2"),
+            (F.col("ta") + F.col("tb")).cast("double").alias("n"),
+        )
+    )
+
+    def term(o, row_tot, col_tot):
+        return F.when(o == 0, F.lit(0.0)).otherwise(
+            F.round(
+                o * F.log(o / (row_tot * col_tot / F.col("n"))), 12
+            )
+        )
+
+    g = 2.0 * (
+        term(F.col("a"), F.col("r1"), F.col("tad"))
+        + term(F.col("b"), F.col("r1"), F.col("tbd"))
+        + term(F.col("c2"), F.col("r2"), F.col("tad"))
+        + term(F.col("d2"), F.col("r2"), F.col("tbd"))
+    )
+    return (
+        cells.select(
+            "tok",
+            F.col("a").alias("n_en"),
+            F.col("b").alias("n_rest"),
+            F.round(g, 6).alias("g_stat"),
+        )
+        .orderBy(F.col("g_stat").desc(), "tok")
+        .limit(20)
+    )
