@@ -184,3 +184,105 @@ def test_wav_zcr_matches_formula(spark, sf_dir):
         assert r.energy == energy
         assert r.peak == max(abs(x) for x in s)
         assert abs(r.rms - math.sqrt(energy / nvals)) < 1e-6
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_randomized_response_exact_mechanism(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.pipeline import (
+        randomized_response_debias,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .collect()
+    )
+    n = len(ev)
+    n_true = sum(1 for r in ev if r.event_type == "purchase")
+    n_rep = 0
+    for r in ev:
+        truth = 1 if r.event_type == "purchase" else 0
+        if _h60(f"rr1:{r.event_id}") % 3 != 0:
+            n_rep += truth
+        else:
+            n_rep += _h60(f"rr2:{r.event_id}") % 2
+    got = randomized_response_debias(spark, sf_dir).collect()[0]
+    assert (got.n, got.n_true, got.n_reported) == (n, n_true, n_rep)
+    assert abs(got.debiased_rate - (1.5 * n_rep / n - 0.25)) < 1e-6
+    # debiasing brings the estimate near truth (mechanism noise is
+    # bounded: |err| <= |1.5(obs - E[obs])| + 0 with obs within the
+    # deterministic draw; just require better than the raw perturbed gap)
+    raw_gap = abs(got.reported_rate - got.true_rate)
+    assert abs(got.estimate_error) <= raw_gap + 0.05
+
+
+def test_jsd_matches_python_and_bounds(spark, sf_dir):
+    from collections import Counter
+
+    from tscd_datalake_adapter_spark.operators.text import (
+        jsd_source_divergence_topk,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    cnt: dict[str, Counter] = {}
+    for r in docs:
+        cnt.setdefault(r.source, Counter()).update(
+            t for t in r.text.split(" ") if t
+        )
+    tots = {s: sum(c.values()) for s, c in cnt.items()}
+    vocab = set().union(*cnt.values())
+
+    def jsd(sa: str, sb: str) -> float:
+        t = 0.0
+        for tok in vocab:
+            ca, cb = cnt[sa][tok], cnt[sb][tok]
+            ta, tb = tots[sa], tots[sb]
+            if ca:
+                t += round(
+                    (ca / ta) * math.log(2 * ca * tb / (ca * tb + cb * ta)),
+                    12,
+                )
+            if cb:
+                t += round(
+                    (cb / tb) * math.log(2 * cb * ta / (ca * tb + cb * ta)),
+                    12,
+                )
+        return round(t / 2, 6)
+
+    got = jsd_source_divergence_topk(spark, sf_dir).collect()
+    for r in got:
+        expected = jsd(r.src_a, r.src_b)
+        assert abs(r.jsd_nats - expected) < 1e-6
+        assert -1e-9 <= r.jsd_nats <= math.log(2) + 1e-9
+
+
+def test_nelson_aalen_consistency(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.history import (
+        kaplan_meier_sessions,
+        nelson_aalen_hazard,
+    )
+
+    na = nelson_aalen_hazard(spark, sf_dir).collect()
+    km = {r.t_minutes: r for r in kaplan_meier_sessions(spark, sf_dir).collect()}
+    assert na
+    # same event-time table as KM (risk sets and death counts agree)
+    for r in na:
+        k = km[r.t_minutes]
+        assert (r.n_risk, r.n_deaths) == (k.n_risk, k.n_deaths)
+    # cumulative hazard is nondecreasing, and H >= -ln(S) pointwise
+    # (ln(1-x) <= -x), with equality only as d/n -> 0
+    hs = [r.cum_hazard for r in na]
+    assert hs == sorted(hs)
+    for r in na:
+        k = km[r.t_minutes]
+        if k.survival > 0:
+            assert r.cum_hazard <= -math.log(k.survival) + 1e-6

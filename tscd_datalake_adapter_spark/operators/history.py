@@ -2103,3 +2103,157 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "nelson_aalen_hazard",
+    tags=("history", "analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    sess AS (
+        SELECT user_id, session_no,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS t,
+               max(ts) > h - INTERVAL 30 MINUTE AS censored
+        FROM s CROSS JOIN horizon GROUP BY user_id, session_no, h
+    ),
+    by_t AS (
+        SELECT t,
+               CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                   AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM sess GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               (SELECT count(*) FROM sess)
+               - coalesce(sum(leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n_risk
+        FROM by_t
+    ),
+    na AS (
+        SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+               sum(CAST(round(CAST(d AS DOUBLE) / n_risk, 12)
+                   AS DECIMAL(38,12)))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hsum,
+               sum(CAST(round(CAST(d AS DOUBLE) / (n_risk * n_risk), 12)
+                   AS DECIMAL(38,12)))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS vsum
+        FROM risk WHERE d > 0
+    )
+    SELECT t AS t_minutes, n_risk, d AS n_deaths,
+           round(CAST(hsum AS DOUBLE), 6) AS cum_hazard,
+           round(sqrt(CAST(vsum AS DOUBLE)), 6) AS hazard_se
+    FROM na ORDER BY t_minutes
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the same right-censored session
+    durations as ``kaplan_meier_sessions``: ``H(t) = Σ_{t_j≤t} d_j/n_j``
+    with the standard variance ``Σ d_j/n_j²`` — the hazard-scale
+    companion to KM's survival scale (H = −ln S only asymptotically;
+    reporting both is how survival tooling cross-checks). Each increment
+    is an exact-integer division, round-12 + DECIMAL(38,12) through the
+    cumulative window (doubles are never window-summed, per the repo
+    rule).
+
+    Scale shape: identical to KM — per-user sessionization windows, then
+    every survival computation runs over the bounded duration table."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = g.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    sess = (
+        s.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "session_no", "h")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 60000000
+            )
+            .cast("long")
+            .alias("t"),
+            (
+                F.unix_micros(F.max("ts"))
+                > F.unix_micros(F.first("h")) - 1800 * 1000000
+            ).alias("censored"),
+        )
+    )
+    by_t = sess.groupBy("t").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("long")
+        .alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    total = sess.agg(F.count("*").cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    na = risk.select(
+        "t",
+        "d",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.sum(
+            F.round(
+                F.col("d").cast("double") / F.col("n_risk"), 12
+            ).cast("decimal(38,12)")
+        )
+        .over(w_cum)
+        .alias("hsum"),
+        F.sum(
+            F.round(
+                F.col("d").cast("double")
+                / (F.col("n_risk") * F.col("n_risk")),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .over(w_cum)
+        .alias("vsum"),
+    )
+    return na.select(
+        F.col("t").alias("t_minutes"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.round(F.col("hsum").cast("double"), 6).alias("cum_hazard"),
+        F.round(F.sqrt(F.col("vsum").cast("double")), 6).alias("hazard_se"),
+    ).orderBy("t_minutes")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import (
     dec_sum,
+    h60,
     oracle_dec_sum,
     oracle_h60,
 )
@@ -1253,4 +1254,84 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "randomized_response_debias",
+    tags=("pipeline", "privacy"),
+    defer=True,
+    oracle="""
+    WITH ev AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
+               (('0x' || substr(md5('rr1:' || CAST(event_id AS VARCHAR)),
+                    1, 15))::BIGINT) % 3 AS keep_coin,
+               (('0x' || substr(md5('rr2:' || CAST(event_id AS VARCHAR)),
+                    1, 15))::BIGINT) % 2 AS rand_bit
+        FROM events
+    ),
+    rr AS (
+        SELECT truth,
+               CASE WHEN keep_coin != 0 THEN truth ELSE rand_bit END
+                   AS reported
+        FROM ev
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(truth) AS BIGINT) AS n_true,
+               CAST(sum(reported) AS BIGINT) AS n_reported
+        FROM rr
+    )
+    SELECT n, n_true, n_reported,
+           round(CAST(n_true AS DOUBLE) / n, 6) AS true_rate,
+           round(CAST(n_reported AS DOUBLE) / n, 6) AS reported_rate,
+           round(1.5 * (CAST(n_reported AS DOUBLE) / n) - 0.25, 6)
+               AS debiased_rate,
+           round(1.5 * (CAST(n_reported AS DOUBLE) / n) - 0.25
+                 - CAST(n_true AS DOUBLE) / n, 6) AS estimate_error
+    FROM s
+    """,
+)
+def randomized_response_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner) with debiasing: each event reports its
+    true purchase flag with probability 2/3 and a fair random bit
+    otherwise (both coins deterministic h60 draws, so the mechanism is
+    replayable cross-engine), giving plausible deniability per row; the
+    unbiased estimator inverts the mixture: E[obs] = (2/3)π + (1/3)(1/2)
+    → π̂ = 1.5·obs − 0.25. The query reports the true rate, perturbed
+    rate, debiased estimate, and realized estimator error — the
+    local-DP collection pattern complementing ``dp_laplace_histogram``'s
+    central-DP release.
+
+    Scale shape: embarrassingly parallel per-row coins, one global
+    integer fold."""
+    e = load_table(spark, sf_dir, "events")
+    keep = h60(F.concat(F.lit("rr1:"), F.col("event_id").cast("string"))) % 3
+    rand_bit = (
+        h60(F.concat(F.lit("rr2:"), F.col("event_id").cast("string"))) % 2
+    )
+    truth = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    rr = e.select(
+        truth.alias("truth"),
+        F.when(keep != 0, truth).otherwise(rand_bit).alias("reported"),
+    )
+    s = rr.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum("reported").cast("long").alias("n_reported"),
+    )
+    nd = F.col("n").cast("double")
+    true_rate = F.col("n_true").cast("double") / nd
+    rep_rate = F.col("n_reported").cast("double") / nd
+    return s.select(
+        "n",
+        "n_true",
+        "n_reported",
+        F.round(true_rate, 6).alias("true_rate"),
+        F.round(rep_rate, 6).alias("reported_rate"),
+        F.round(1.5 * rep_rate - 0.25, 6).alias("debiased_rate"),
+        F.round(1.5 * rep_rate - 0.25 - true_rate, 6).alias(
+            "estimate_error"
+        ),
     )

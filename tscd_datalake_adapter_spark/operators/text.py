@@ -3202,3 +3202,127 @@ def g_test_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("g_stat").desc(), "tok")
         .limit(20)
     )
+
+
+@register(
+    "jsd_source_divergence_topk",
+    tags=("llm", "text", "stats"),
+    defer=True,
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x != '')) AS tok
+        FROM documents
+    ),
+    cnts AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, tok
+    ),
+    vocab AS (SELECT DISTINCT tok FROM cnts),
+    srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+             FROM cnts GROUP BY source),
+    grid AS (
+        SELECT s.source, s.tot, v.tok, COALESCE(c.c, 0) AS c
+        FROM srcs s CROSS JOIN vocab v
+        LEFT JOIN cnts c ON c.source = s.source AND c.tok = v.tok
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum(CAST(
+                 (CASE WHEN a.c = 0 THEN 0.0
+                  ELSE round((CAST(a.c AS DOUBLE) / a.tot)
+                       * ln(CAST(2 * a.c * b.tot AS DOUBLE)
+                            / (a.c * b.tot + b.c * a.tot)), 12) END)
+               + (CASE WHEN b.c = 0 THEN 0.0
+                  ELSE round((CAST(b.c AS DOUBLE) / b.tot)
+                       * ln(CAST(2 * b.c * a.tot AS DOUBLE)
+                            / (a.c * b.tot + b.c * a.tot)), 12) END)
+               AS DECIMAL(38,12))) AS DOUBLE) AS twice_jsd
+        FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, round(twice_jsd / 2.0, 6) AS jsd_nats
+    FROM pairs ORDER BY jsd_nats DESC, src_a, src_b LIMIT 10
+    """,
+)
+def jsd_source_divergence_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon divergence between source unigram distributions —
+    the SYMMETRIC, bounded (≤ ln 2) divergence data-mixture tooling
+    prefers over the asymmetric ``cross_entropy_between_sources``; the
+    top-10 most-divergent source pairs are the mixture-rebalancing
+    candidates. Each token term keeps the probability RATIOS inside ln
+    as exact integer cross-products (``2·c_a·t_b / (c_a·t_b +
+    c_b·t_a)``), round-12, DECIMAL(38,12)-summed; zero-count tokens
+    contribute the defined 0 limit on their side only.
+
+    Scale shape: one token groupBy per source, a bounded
+    sources×vocabulary grid (the ``t_closeness`` grid trick), and the
+    pair join fans out over that bounded grid — never over raw rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x != '')")
+        ).alias("tok"),
+    )
+    cnts = tok.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    vocab = cnts.select("tok").distinct()
+    srcs = cnts.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    grid = (
+        srcs.crossJoin(vocab)
+        .join(cnts, ["source", "tok"], "left")
+        .select(
+            "source", "tot", "tok", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"),
+        F.col("tot").alias("ta"),
+        "tok",
+        F.col("c").alias("ca"),
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"),
+        F.col("tot").alias("tb"),
+        "tok",
+        F.col("c").alias("cb"),
+    )
+    ca, cb, ta, tb = F.col("ca"), F.col("cb"), F.col("ta"), F.col("tb")
+    denom = (ca * tb + cb * ta).cast("double")
+    term_a = F.when(ca == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (ca.cast("double") / ta)
+            * F.log((2 * ca * tb).cast("double") / denom),
+            12,
+        )
+    )
+    term_b = F.when(cb == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (cb.cast("double") / tb)
+            * F.log((2 * cb * ta).cast("double") / denom),
+            12,
+        )
+    )
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum((term_a + term_b).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("twice_jsd")
+        )
+    )
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            F.round(F.col("twice_jsd") / 2.0, 6).alias("jsd_nats"),
+        )
+        .orderBy(F.col("jsd_nats").desc(), "src_a", "src_b")
+        .limit(10)
+    )
