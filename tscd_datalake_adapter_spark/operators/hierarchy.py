@@ -33,6 +33,7 @@ from tscd_datalake_adapter_spark.sources import load_table
 
 @register(
     "recursive_part_hierarchy_rollup",
+    headline=True,
     tags=("relational", "recursive"),
     defer=True,
     oracle="""

@@ -1251,6 +1251,7 @@ _PHASH_ORACLE = f"""
 
 @register(
     "image_phash_near_dup",
+    headline=True,
     tags=("llm", "multimodal", "dedup"),
     defer=True,
     oracle=_PHASH_ORACLE,

@@ -323,3 +323,93 @@ def udtf_polymorphic_first_tokens(
         .select("doc_id", "w1", "w2", "w3")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "arrow_scalar_udf_tokens",
+    tags=("udf",),
+    defer=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_split_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
+def arrow_scalar_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (Spark ≥ 3.5 ``useArrow=True``):
+    same logical signature as a classic pickled-row UDF but the exchange
+    is Arrow record batches — the migration path for row-at-a-time UDFs
+    that can't be rewritten as pandas_udfs. The oracle recomputes the
+    token count relationally, so the hash gate proves the Arrow codec
+    round-trips values exactly.
+
+    Scale note: still Python-per-row work inside the batch — prefer
+    built-ins or pandas_udfs in hot paths (repo rule); this query exists
+    to pin the API surface and serialization correctness."""
+    count_tokens = F.udf(
+        lambda s: len(s.split(" ")) if s is not None else None,
+        "long",
+        useArrow=True,
+    )
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        count_tokens("text").alias("n_split_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mapinarrow_token_stats",
+    tags=("udf", "llm"),
+    defer=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                              x -> x != '')))
+                AS BIGINT) AS n_distinct
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
+def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-pandas Arrow batch iterator — token
+    counts computed entirely with ``pyarrow.compute`` kernels (split,
+    list lengths, per-row distinct via hashing on the flattened values),
+    no pandas materialization. Completes the Python-execution surface:
+    classic UDF, Arrow UDF, pandas_udf, grouped map/agg, UDTF
+    (+polymorphic), mapInPandas, applyInPandas(WithState), mapInArrow.
+
+    Scale note: mapInArrow skips the Arrow↔pandas conversion both ways —
+    the right tool when the kernel is already columnar (as here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            # drop empty tokens, count, and count distinct per row
+            n_tok, n_dist = [], []
+            for lst in toks.to_pylist():
+                kept = [t for t in lst if t != ""]
+                n_tok.append(len(kept))
+                n_dist.append(len(set(kept)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("doc_id"), pa.int64()),
+                    pa.array(n_tok, pa.int64()),
+                    pa.array(n_dist, pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "n_distinct"],
+            )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    return d.mapInArrow(
+        stats, "doc_id long, n_tokens long, n_distinct long"
+    ).orderBy("doc_id")
