@@ -621,3 +621,83 @@ def test_attribution_operator_plan_shapes(spark, sf_dir):
     assert p.count("BroadcastNestedLoopJoin") <= 2
     assert "SortMergeJoin" not in p
     assert "Location" not in p or "parquet" not in p
+
+
+def test_r5_session7_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-5 seventh-session waves: the perceptual-hash
+    candidate join and the subsequence-mining joins are equi hash joins
+    (no nested loop / Cartesian over scaling inputs); the tf-idf pair
+    cosine fans out only through the df-capped token equi-join; the
+    statistical tests fold corpus-sized scans into bounded histograms
+    before any window; the recursive hierarchy rollup terminates in a
+    TakeOrdered and a UnionLoop-free final aggregate shape (recursion is
+    engine-internal)."""
+    from tscd_datalake_adapter_spark.operators.hierarchy import (
+        recursive_part_hierarchy_rollup,
+    )
+    from tscd_datalake_adapter_spark.operators.mining import (
+        prefixspan_topk_patterns,
+    )
+    from tscd_datalake_adapter_spark.operators.mlprep import (
+        als_user_factors_step,
+        isotonic_calibration_bins,
+    )
+    from tscd_datalake_adapter_spark.operators.multimodal import (
+        image_phash_near_dup,
+    )
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        mann_whitney_u_segments,
+    )
+    from tscd_datalake_adapter_spark.operators.text import (
+        tfidf_cosine_pairs_topk,
+    )
+
+    # LSH band blocking: candidates and verify joins are equi joins
+    p = plans.formatted_plan(image_phash_near_dup(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # subsequence mining: both rank-inequality stages ride the skey
+    # equi-join (inequality as post-filter), never a nested loop
+    p = plans.formatted_plan(prefixspan_topk_patterns(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+    # tf-idf pair cosine: token equi-join fan-out, top-k bounded; the one
+    # allowed nested loop is the broadcast 1-ROW n_docs crossJoin (the
+    # scalar-subquery pattern every tf-idf query uses)
+    # (the w-CTE's 1-row n_docs crossJoin appears as a BNLJ once per
+    # re-embedding, so only Cartesian absence + an equi pair join is
+    # pinned — formatted_plan repeats node names, NOTES.md gotcha)
+    p = plans.formatted_plan(tfidf_cosine_pairs_topk(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+    assert "TakeOrderedAndProject" in p
+
+    # rank-sum test: the only window runs over the bounded histogram
+    # (input to the window is an aggregated relation)
+    p = plans.formatted_plan(mann_whitney_u_segments(spark, sf_dir))
+    assert plans.unpartitioned_windows_over_unaggregated_input(
+        mann_whitney_u_segments(spark, sf_dir)
+    ) == []
+
+    # isotonic minimax: the bins^3 join runs over the ONE materialized
+    # 20-row cumulative table — the corpus scan never re-embeds (it runs
+    # once inside the eager localCheckpoint, so the final plan has no
+    # parquet scan at all)
+    p = plans.formatted_plan(isotonic_calibration_bins(spark, sf_dir))
+    assert p.count("Location") <= 1
+
+    # ALS: one groupBy(user) then row-local Cramer; top-k bounded
+    p = plans.formatted_plan(als_user_factors_step(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+    # recursive rollup: ends in a bounded top-k
+    p = plans.formatted_plan(recursive_part_hierarchy_rollup(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p

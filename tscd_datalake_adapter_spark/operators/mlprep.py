@@ -3034,13 +3034,16 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u"),
     )
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # materialize the ~20-row cumulative table ONCE: it feeds the i/j/k
+    # projections AND the final join, and each re-embedding would repeat
+    # the full corpus scan + groupBy (4 scans observed before this)
     c = b.select(
         "b",
         "n",
         "u",
         F.sum("n").over(w).alias("cn"),
         F.sum("u").over(w).alias("cu"),
-    )
+    ).localCheckpoint(eager=True)
     i = c.select(F.col("b").alias("bi"))
     j = c.select(
         F.col("b").alias("bj"),
