@@ -286,3 +286,98 @@ def test_nelson_aalen_consistency(spark, sf_dir):
         k = km[r.t_minutes]
         if k.survival > 0:
             assert r.cum_hazard <= -math.log(k.survival) + 1e-6
+
+
+def test_anova_matches_numpy(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        anova_oneway_segments,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    groups: dict[str, list[float]] = {}
+    for r in cust:
+        groups.setdefault(r.c_mktsegment, []).append(r.c_acctbal)
+    allv = np.array([v for g in groups.values() for v in g])
+    m = allv.mean()
+    ssb = sum(len(g) * (np.mean(g) - m) ** 2 for g in groups.values())
+    ssw = sum(((np.array(g) - np.mean(g)) ** 2).sum() for g in groups.values())
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    r = anova_oneway_segments(spark, sf_dir).collect()[0]
+    assert (r.n_groups, r.n_customers) == (k, n)
+    assert abs(r.ss_between - ssb) < 1e-2
+    assert abs(r.ss_within - ssw) < 1e-1
+    assert abs(r.f_stat - f) < 1e-5
+    assert abs(r.eta_squared - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_kruskal_wallis_matches_bruteforce(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        kruskal_wallis_segments,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.floor("c_acctbal").cast("long").alias("v"), "c_mktsegment"
+        )
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in cust:
+        groups.setdefault(r.c_mktsegment, []).append(r.v)
+    allv = np.array([v for g in groups.values() for v in g], dtype=float)
+    order = np.argsort(allv, kind="stable")
+    rk = np.empty(len(allv))
+    i = 0
+    sv = allv[order]
+    while i < len(allv):
+        j = i
+        while j < len(allv) and sv[j] == sv[i]:
+            j += 1
+        rk[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(allv)
+    h = 0.0
+    pos = 0
+    for g in groups.values():
+        rg = rk[pos : pos + len(g)].sum()
+        h += rg * rg / len(g)
+        pos += len(g)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(allv, return_counts=True)
+    tie = float((counts.astype(np.int64) ** 3 - counts).sum())
+    h_adj = h / (1 - tie / (n**3 - n))
+    r = kruskal_wallis_segments(spark, sf_dir).collect()[0]
+    assert r.n_customers == n
+    assert abs(r.h_stat - h) < 1e-5
+    assert abs(r.h_stat_tie_adj - h_adj) < 1e-5
+
+
+def test_benford_gof_matches_python(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        _BENFORD_P,
+        benford_gof_chi2,
+    )
+
+    vals = [
+        r.o_totalprice
+        for r in load_table(spark, sf_dir, "orders").collect()
+        if r.o_totalprice >= 1
+    ]
+    from collections import Counter
+
+    digs = Counter(int(str(int(v))[0]) for v in vals)
+    n = sum(digs.values())
+    chi2 = sum(
+        (digs.get(d, 0) - n * float(p)) ** 2 / (n * float(p))
+        for d, p in _BENFORD_P.items()
+    )
+    r = benford_gof_chi2(spark, sf_dir).collect()[0]
+    assert r.n_orders == n
+    assert abs(r.chi2_gof - chi2) < 1e-4
+    assert r.reject_benford_05 == (chi2 > 15.507)

@@ -994,3 +994,320 @@ def permutation_test_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 + F.col("n_ge")).cast("double") / (F.col("n_perm") + 1), 6
         ).alias("p_value"),
     )
+
+
+@register(
+    "anova_oneway_segments",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sg,
+               CAST(sum(CAST(round(c_acctbal * c_acctbal, 12)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS sg2
+        FROM customer GROUP BY c_mktsegment
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(CAST(sg AS DECIMAL(38,6))) AS DOUBLE) AS s
+        FROM g
+    ),
+    terms AS (
+        SELECT t.k, t.n,
+               round(g.ng * (g.sg / g.ng - t.s / t.n)
+                          * (g.sg / g.ng - t.s / t.n), 6) AS tb,
+               round(g.sg2 - g.sg * g.sg / g.ng, 6) AS tw
+        FROM g CROSS JOIN t
+    ),
+    f AS (
+        SELECT max(k) AS k, max(n) AS n,
+               CAST(sum(CAST(tb AS DECIMAL(38,6))) AS DOUBLE) AS ssb,
+               CAST(sum(CAST(tw AS DECIMAL(38,6))) AS DOUBLE) AS ssw
+        FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_customers,
+           round(ssb, 6) AS ss_between,
+           round(ssw, 6) AS ss_within,
+           round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM f
+    """,
+)
+def anova_oneway_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five market segments on account balance:
+    F = (SSB/(k−1))/(SSW/(N−k)) with effect size η² = SSB/SST — the
+    parametric k-group mean comparison completing the two-group tests
+    (``ab_test_zscore``, ``mann_whitney_u_segments``). Sums of squares
+    use the GROUP-MEAN form ``SSB = Σ n_g(m_g − m)²`` rather than the
+    raw-moment form ``Σ S_g²/n_g − S²/N``: the latter subtracts ~1e13
+    quantities to get a ~1e7 answer, and round-12 is no longer a
+    determinism no-op at 1e13 magnitudes (value·10¹² overflows the exact
+    double range) — the cancellation amplified the per-engine rounding
+    ulps straight into the output. Group terms are small, round-6-exact,
+    and DECIMAL(38,6)-summed; SST = SSB + SSW by construction.
+
+    Scale shape: one map-side-combined groupBy(segment) then a k-row
+    fold — the ANOVA never sees rows twice."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sg"),
+        F.sum(
+            F.round(F.col("c_acctbal") * F.col("c_acctbal"), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sg2"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("sg").cast("decimal(38,6)")).cast("double").alias("s"),
+    )
+    dev = F.col("sg") / F.col("ng") - F.col("s") / F.col("n")
+    terms = g.crossJoin(F.broadcast(t)).select(
+        "k",
+        "n",
+        F.round(F.col("ng") * dev * dev, 6).alias("tb"),
+        F.round(
+            F.col("sg2") - F.col("sg") * F.col("sg") / F.col("ng"), 6
+        ).alias("tw"),
+    )
+    f = terms.agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(F.col("tb").cast("decimal(38,6)")).cast("double").alias("ssb"),
+        F.sum(F.col("tw").cast("decimal(38,6)")).cast("double").alias("ssw"),
+    )
+    return f.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.round("ssb", 6).alias("ss_between"),
+        F.round("ssw", 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(
+            F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6
+        ).alias("eta_squared"),
+    )
+
+
+@register(
+    "kruskal_wallis_segments",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(c_acctbal) AS BIGINT) AS v, c_mktsegment AS seg
+        FROM customer
+    ),
+    hist AS (
+        SELECT v, seg, CAST(count(*) AS BIGINT) AS n_gv
+        FROM c GROUP BY v, seg
+    ),
+    vt AS (
+        SELECT v, CAST(sum(n_gv) AS BIGINT) AS n_v FROM hist GROUP BY v
+    ),
+    cum AS (
+        SELECT v, n_v,
+               sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - n_v
+                   AS cum_before
+        FROM vt
+    ),
+    rg AS (
+        SELECT h.seg,
+               CAST(sum(h.n_gv * (2 * c.cum_before + c.n_v + 1))
+                    AS BIGINT) AS two_r,
+               CAST(sum(h.n_gv) AS BIGINT) AS ng
+        FROM hist h JOIN cum c ON h.v = c.v
+        GROUP BY h.seg
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(CAST(round(
+                   CAST(CAST(two_r AS DECIMAL(38,0))
+                        * CAST(two_r AS DECIMAL(38,0)) AS DOUBLE)
+                   / (4.0 * ng), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sr2
+        FROM rg
+    ),
+    ties AS (
+        SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term
+        FROM vt
+    )
+    SELECT t.k AS n_groups, t.n AS n_customers,
+           round(12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * t.sr2
+                 - 3.0 * (t.n + 1), 6) AS h_stat,
+           round((12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * t.sr2
+                  - 3.0 * (t.n + 1))
+                 / (1.0 - CAST(ti.tie_term AS DOUBLE)
+                    / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 6)
+               AS h_stat_tie_adj
+    FROM tot t CROSS JOIN ties ti
+    """,
+)
+def kruskal_wallis_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA across all five market segments — the
+    nonparametric companion of ``anova_oneway_segments`` (H is the
+    rank-variance statistic; with k=2 it reduces to Mann-Whitney). Rank
+    sums come from the pooled whole-dollar value histogram (the
+    2·avgrank integer trick per distinct value), each group's Rg² taken
+    in DECIMAL(38,0) before the /4ng division ((2R)² exceeds 2^53 on
+    ~100k-row groups), with the standard tie correction
+    1 − Σ(t³−t)/(N³−N).
+
+    Scale shape: one groupBy onto the (value, segment) histogram, one
+    ordered window over the bounded value spine, one k-row fold."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.floor("c_acctbal").cast("long").alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    hist = c.groupBy("v", "seg").agg(
+        F.count("*").cast("long").alias("n_gv")
+    )
+    vt = hist.groupBy("v").agg(F.sum("n_gv").cast("long").alias("n_v"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vt.select(
+        "v",
+        "n_v",
+        (F.sum("n_v").over(w) - F.col("n_v")).alias("cum_before"),
+    )
+    rg = (
+        hist.join(cum, "v")
+        .groupBy("seg")
+        .agg(
+            F.sum(
+                F.col("n_gv") * (2 * F.col("cum_before") + F.col("n_v") + 1)
+            )
+            .cast("long")
+            .alias("two_r"),
+            F.sum("n_gv").cast("long").alias("ng"),
+        )
+    )
+    two_r_dec = F.col("two_r").cast("decimal(38,0)")
+    tot = rg.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(
+            F.round(
+                (two_r_dec * two_r_dec).cast("double") / (4.0 * F.col("ng")),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sr2"),
+    )
+    ties = vt.agg(
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("long")
+        .alias("tie_term")
+    )
+    nd = F.col("n").cast("double")
+    h = 12.0 / (nd * (F.col("n") + 1)) * F.col("sr2") - 3.0 * (F.col("n") + 1)
+    corr = 1.0 - F.col("tie_term").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_customers"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_stat_tie_adj"),
+    )
+
+
+_BENFORD_P = {
+    1: "0.301029995664", 2: "0.176091259056", 3: "0.124938736608",
+    4: "0.096910013008", 5: "0.079181246048", 6: "0.066946789631",
+    7: "0.057991946978", 8: "0.051152522447", 9: "0.045757490561",
+}
+
+
+def _benford_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+    )
+    return f"CASE d {whens} END"
+
+
+@register(
+    "benford_gof_chi2",
+    tags=("tpch", "analytics", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS o FROM digits GROUP BY d
+    ),
+    grid AS (
+        SELECT g.d, COALESCE(c.o, 0) AS o, {_benford_case_sql().replace('CASE d', 'CASE g.d')} AS p
+        FROM (SELECT unnest(generate_series(1, 9)) AS d) g
+        LEFT JOIN counts c ON c.d = g.d
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM grid),
+    terms AS (
+        SELECT round((o - t.n * p) * (o - t.n * p) / (t.n * p), 12)
+                   AS term, t.n
+        FROM grid CROSS JOIN tot t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS chi2_gof,
+           CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) > 15.507
+               AS reject_benford_05
+    FROM terms
+    """,
+)
+def benford_gof_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of order-value first digits to
+    Benford's law — the decision-rule companion of
+    ``benford_first_digit``'s descriptive profile: χ² = Σ_d (o_d −
+    n·p_d)²/(n·p_d) over all nine digits (zero-count digits included via
+    the digit grid) against the df=8, α=0.05 critical value 15.507. The
+    p_d are shared 12-dp literals (no per-engine log10 calls), so every
+    term is deterministic IEEE arithmetic, round-12 + decimal-summed.
+
+    Scale shape: one string-extracted digit groupBy (9 rows) and a 9-row
+    fold."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").cast("long").alias("o"))
+    grid_base = spark.range(1, 10).select(F.col("id").alias("d"))
+    p_expr = F.lit(None).cast("double")
+    for dd, pp in _BENFORD_P.items():
+        p_expr = F.when(F.col("d") == dd, F.lit(float(pp))).otherwise(p_expr)
+    grid = grid_base.join(counts, "d", "left").select(
+        "d", F.coalesce(F.col("o"), F.lit(0)).alias("o"), p_expr.alias("p")
+    )
+    tot = grid.agg(F.sum("o").cast("long").alias("n"))
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.round(
+            (F.col("o") - F.col("n") * F.col("p"))
+            * (F.col("o") - F.col("n") * F.col("p"))
+            / (F.col("n") * F.col("p")),
+            12,
+        ).alias("term"),
+    )
+    chi2 = F.sum(F.col("term").cast("decimal(38,12)")).cast("double")
+    return terms.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.round(chi2, 6).alias("chi2_gof"),
+        (chi2 > 15.507).alias("reject_benford_05"),
+    )
