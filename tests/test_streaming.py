@@ -793,3 +793,33 @@ def test_image_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
         "SELECT count(*) AS n FROM img_dedup_smoke"
     ).collect()[0].n
     assert n_updates >= len(expected)
+
+
+def test_croston_stream_matches_batch(spark, sf_dir, source_dir, tmp_path):
+    """The streaming Croston's final emission must equal the batch
+    recursive-CTE operator exactly (the day-count map is additive, so
+    micro-batch splits cannot change the fold), across several
+    micro-batches."""
+    from tscd_datalake_adapter_spark.operators.analytics import (
+        croston_intermittent_forecast,
+    )
+
+    live = jobs.run_croston_stream(
+        spark,
+        source_dir,
+        str(tmp_path / "ckpt_croston"),
+        "croston_smoke",
+        max_files_per_trigger=1,
+    ).collect()
+    assert len(live) == 1
+    batch = croston_intermittent_forecast(spark, sf_dir).collect()[0]
+    got = live[0]
+    assert got.n_demand_days == batch.n_demand_days
+    assert abs(got.croston_size - batch.croston_size) < 1e-9
+    assert abs(got.croston_interval - batch.croston_interval) < 1e-9
+    assert abs(got.forecast_per_day - batch.forecast_per_day) < 1e-9
+    seqs = [
+        r.seq
+        for r in spark.sql("SELECT seq FROM croston_smoke").collect()
+    ]
+    assert len(set(seqs)) > 1  # multiple micro-batches fired

@@ -1311,3 +1311,175 @@ def benford_gof_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_gof"),
         (chi2 > 15.507).alias("reject_benford_05"),
     )
+
+
+@register(
+    "partial_correlation_daily",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH daily AS ({_ORACLE_DAILY.replace("AS y", "AS y")}),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS syy,
+               CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sxy,
+               CAST(sum(idx) AS BIGINT) AS sz,
+               CAST(sum(idx * idx) AS BIGINT) AS szz,
+               CAST(sum(x * idx) AS BIGINT) AS sxz,
+               CAST(sum(CAST(round(y * idx, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS syz
+        FROM daily
+    ),
+    r AS (
+        SELECT n,
+               (n * sxy - sx * sy)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(n * syy - sy * sy)) AS rxy,
+               CAST(n * sxz - sx * sz AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz,
+               (n * syz - sy * sz)
+               / (sqrt(n * syy - sy * sy)
+                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
+        FROM m
+    )
+    SELECT n AS n_days,
+           round(rxy, 6) AS r_xy,
+           round(rxz, 6) AS r_xtime,
+           round(ryz, 6) AS r_ytime,
+           round((rxy - rxz * ryz)
+                 / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz)), 6)
+               AS partial_r_xy_given_time
+    FROM r
+    """,
+)
+def partial_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily event volume and purchase revenue
+    CONTROLLING FOR TIME (the day index): ``r_xy·z = (r_xy − r_xz·r_zy) /
+    √((1−r_xz²)(1−r_zy²))`` — the de-trended association, separating "busy
+    days earn more" from "both just grew over the month". Every Pearson r
+    comes from the same exact integer/decimal moments as
+    ``spearman_corr_daily``'s machinery; the partial-r formula is a
+    handful of IEEE ops spelled identically in both engines.
+
+    Scale shape: one map-side-combined groupBy(day) and a 1-row fold."""
+    daily = _daily_events(spark, sf_dir)
+    x, y, z = F.col("x"), F.col("y"), F.col("idx")
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(F.round(y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(y * y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(x * y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(z).cast("long").alias("sz"),
+        F.sum(z * z).cast("long").alias("szz"),
+        F.sum(x * z).cast("long").alias("sxz"),
+        F.sum(F.round(y * z, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syz"),
+    )
+    n = F.col("n")
+    sxx_c = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    syy_c = F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    szz_c = F.sqrt((n * F.col("szz") - F.col("sz") * F.col("sz")).cast("double"))
+    rxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (sxx_c * syy_c)
+    rxz = (n * F.col("sxz") - F.col("sx") * F.col("sz")).cast("double") / (
+        sxx_c * szz_c
+    )
+    ryz = (n * F.col("syz") - F.col("sy") * F.col("sz")) / (syy_c * szz_c)
+    r = m.select(
+        n.alias("n"),
+        rxy.alias("rxy"),
+        rxz.alias("rxz"),
+        ryz.alias("ryz"),
+    )
+    part = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / (
+        F.sqrt(1.0 - F.col("rxz") * F.col("rxz"))
+        * F.sqrt(1.0 - F.col("ryz") * F.col("ryz"))
+    )
+    return r.select(
+        F.col("n").alias("n_days"),
+        F.round("rxy", 6).alias("r_xy"),
+        F.round("rxz", 6).alias("r_xtime"),
+        F.round("ryz", 6).alias("r_ytime"),
+        F.round(part, 6).alias("partial_r_xy_given_time"),
+    )
+
+
+@register(
+    "two_proportion_ztest_weekend",
+    tags=("analytics", "stats", "experiment"),
+    defer=True,
+    oracle="""
+    WITH e AS (
+        SELECT CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END
+                   AS is_weekend,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    s AS (
+        SELECT CAST(sum(is_weekend) AS BIGINT) AS n1,
+               CAST(sum(is_weekend * conv) AS BIGINT) AS c1,
+               CAST(sum(1 - is_weekend) AS BIGINT) AS n2,
+               CAST(sum((1 - is_weekend) * conv) AS BIGINT) AS c2
+        FROM e
+    )
+    SELECT n1 AS n_weekend, c1 AS conv_weekend,
+           n2 AS n_weekday, c2 AS conv_weekday,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS p_weekend,
+           round(CAST(c2 AS DOUBLE) / n2, 6) AS p_weekday,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                 / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+    FROM s
+    """,
+)
+def two_proportion_ztest_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion z-test: is the purchase-event rate different on
+    weekends? Pooled-variance z on exact integer counts — the
+    proportion-metric member of the test family (means:
+    ``ab_test_zscore``; ranks: ``mann_whitney_u_segments``; paired:
+    ``mcnemar_langid_classifiers``). ``weekday()+1`` mirrors DuckDB's
+    isodow (the ``seasonal_decompose_daily`` lesson).
+
+    Scale shape: one global integer fold; no shuffle wider than 1 row."""
+    e = load_table(spark, sf_dir, "events")
+    is_we = F.when(F.weekday(F.to_date("ts")) + 1 >= 6, 1).otherwise(0)
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s = e.select(is_we.alias("w"), conv.alias("c")).agg(
+        F.sum("w").cast("long").alias("n1"),
+        F.sum(F.col("w") * F.col("c")).cast("long").alias("c1"),
+        F.sum(1 - F.col("w")).cast("long").alias("n2"),
+        F.sum((1 - F.col("w")) * F.col("c")).cast("long").alias("c2"),
+    )
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    n2, c2 = F.col("n2").cast("double"), F.col("c2").cast("double")
+    pool = (c1 + c2) / (n1 + n2)
+    z = (c1 / n1 - c2 / n2) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / n1 + 1.0 / n2)
+    )
+    return s.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("c1").alias("conv_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.col("c2").alias("conv_weekday"),
+        F.round(c1 / n1, 6).alias("p_weekend"),
+        F.round(c2 / n2, 6).alias("p_weekday"),
+        F.round(z, 6).alias("z_score"),
+    )

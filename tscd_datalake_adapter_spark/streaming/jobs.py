@@ -1878,3 +1878,125 @@ def run_image_dedup_stream(
     return spark.sql(
         f"SELECT DISTINCT uid_a, uid_b, hamming FROM {query_name}"
     )
+
+
+def run_croston_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING Croston intermittent-demand forecast: purchase events
+    fold into a per-day count MAP held as state (additive and therefore
+    order- and split-proof — a day's rows may straddle micro-batches),
+    and each trigger re-runs the bounded Croston recursion over the
+    completed map (demand days = the h60 day-hash sample, capped at 40,
+    exactly the batch operator's series). Emissions carry a seq; the
+    highest-seq row is the live forecast, pinned equal to
+    ``croston_intermittent_forecast`` in pytest.
+
+    Scale shape: state is the day→count map — bounded by the CALENDAR,
+    not the stream (the ``run_dataset_card_stream`` pattern); the
+    re-fold is O(40) Python-float steps per trigger, bit-identical to
+    the engines' recursion because the arithmetic is libm-free."""
+    import datetime
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        read_event_stream(spark, source_dir, max_files_per_trigger)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias(
+                "day_idx"
+            )
+        )
+        .withColumn("g", F.lit(1))
+    )
+
+    def _fold(day_counts: dict[int, int]):
+        epoch = datetime.date(1970, 1, 1)
+        series = []
+        for day in sorted(day_counts):
+            iso = (epoch + datetime.timedelta(days=day)).isoformat()
+            hk = int(
+                hashlib.md5(f"croston:{iso}".encode()).hexdigest()[:15], 16
+            )
+            if hk % 3 == 0:
+                series.append((day, day_counts[day]))
+        series = series[:40]
+        if not series:
+            return 0, None, None
+        z = float(series[0][1])
+        p = None
+        for (d_prev, _), (d, q) in zip(series, series[1:]):
+            i = float(d - d_prev)
+            p = i if p is None else 0.2 * i + 0.8 * p
+            z = 0.2 * q + 0.8 * z
+        return len(series), z, p
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            days, counts, seq = state.get
+            day_counts = dict(zip(days, counts))
+        else:
+            day_counts, seq = {}, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for day, cnt in pdf["day_idx"].value_counts().items():
+                day = int(day)
+                day_counts[day] = day_counts.get(day, 0) + int(cnt)
+        seq += 1
+        items = sorted(day_counts.items())
+        state.update(
+            (
+                [d for d, _ in items],
+                [int(c) for _, c in items],
+                seq,
+            )
+        )
+        n, z, p = _fold(day_counts)
+        yield pd.DataFrame(
+            {
+                "n_demand_days": [n],
+                "croston_size": [z],
+                "croston_interval": [p],
+                "forecast_per_day": [
+                    (z / p) if (z is not None and p) else None
+                ],
+                "seq": [seq],
+            }
+        )
+
+    out = stream.groupBy("g").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "n_demand_days long, croston_size double, "
+            "croston_interval double, forecast_per_day double, seq long"
+        ),
+        stateStructType=(
+            "days array<long>, counts array<long>, seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT n_demand_days, round(croston_size, 6) AS croston_size, "
+        f"round(croston_interval, 6) AS croston_interval, "
+        f"round(forecast_per_day, 6) AS forecast_per_day "
+        f"FROM {query_name} "
+        f"WHERE seq = (SELECT max(seq) FROM {query_name})"
+    )
