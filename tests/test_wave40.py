@@ -381,3 +381,102 @@ def test_benford_gof_matches_python(spark, sf_dir):
     assert r.n_orders == n
     assert abs(r.chi2_gof - chi2) < 1e-4
     assert r.reject_benford_05 == (chi2 > 15.507)
+
+
+def test_moods_median_matches_bruteforce(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        moods_median_test_segments,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.floor("c_acctbal").cast("long").alias("v"), "c_mktsegment")
+        .collect()
+    )
+    vals = sorted(r.v for r in cust)
+    n = len(vals)
+    med = vals[(n + 1) // 2 - 1]  # lower median, rank (n+1) DIV 2
+    groups: dict[str, list[int]] = {}
+    for r in cust:
+        groups.setdefault(r.c_mktsegment, []).append(r.v)
+    ta = sum(1 for v in vals if v > med)
+    chi2 = 0.0
+    for g in groups.values():
+        ng, ag = len(g), sum(1 for v in g if v > med)
+        # 2-cell (above/not-above) chi2 row in closed form
+        chi2 += round(n * (ag * n - ng * ta) ** 2 / (ng * ta * (n - ta)), 12)
+    r = moods_median_test_segments(spark, sf_dir).collect()[0]
+    assert r.pooled_median == med
+    assert abs(r.chi2_median_test - chi2) < 1e-5
+
+
+def test_cochran_q_matches_bruteforce(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        WORD_PROFILES,
+        cochran_q_classifiers,
+    )
+    from tscd_datalake_adapter_spark.operators.text import LANG_PROFILES
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("lang", "text")
+        .collect()
+    )
+
+    def pred(profiles, text):
+        scores = {
+            lg: sum(text.count(ng) * w for ng, w in profiles[lg])
+            for lg in ("en", "de", "es", "fr")
+        }
+        if scores["en"] >= max(scores["de"], scores["es"], scores["fr"]):
+            return "en"
+        if scores["de"] >= max(scores["es"], scores["fr"]):
+            return "de"
+        return "es" if scores["es"] >= scores["fr"] else "fr"
+
+    xs = []
+    for row in docs:
+        xa = int(pred(LANG_PROFILES, row.text) == row.lang)
+        xb = int(pred(WORD_PROFILES, row.text) == row.lang)
+        xc = int(row.lang == "en")
+        xs.append((xa, xb, xc))
+    ga = sum(x[0] for x in xs)
+    gb = sum(x[1] for x in xs)
+    gc = sum(x[2] for x in xs)
+    sl = sum(sum(x) for x in xs)
+    sl2 = sum(sum(x) ** 2 for x in xs)
+    q = (
+        0.0
+        if 3 * sl - sl2 == 0
+        else 2.0 * (3 * (ga**2 + gb**2 + gc**2) - sl**2) / (3 * sl - sl2)
+    )
+    r = cochran_q_classifiers(spark, sf_dir).collect()[0]
+    assert (r.correct_bigram, r.correct_marker, r.correct_majority) == (
+        ga,
+        gb,
+        gc,
+    )
+    assert abs(r.cochran_q - q) < 1e-6
+    assert r.cochran_q >= 0
+
+
+def test_durbin_watson_matches_numpy(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        _daily_events,
+        durbin_watson_daily,
+    )
+
+    rows = sorted(
+        _daily_events(spark, sf_dir).collect(), key=lambda r: r.idx
+    )
+    t = np.array([r.idx for r in rows], dtype=float)
+    y = np.array([r.y for r in rows], dtype=float)
+    beta, alpha = np.polyfit(t, y, 1)
+    e = y - alpha - beta * t
+    dw = float(((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum())
+    r = durbin_watson_daily(spark, sf_dir).collect()[0]
+    assert r.n_days == len(rows)
+    assert abs(r.ols_slope - beta) < 1e-4
+    assert abs(r.durbin_watson - dw) < 1e-5
+    assert 0.0 <= r.durbin_watson <= 4.0

@@ -1483,3 +1483,311 @@ def two_proportion_ztest_weekend(
         F.round(c2 / n2, 6).alias("p_weekday"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "moods_median_test_segments",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(c_acctbal) AS BIGINT) AS v, c_mktsegment AS seg
+        FROM customer
+    ),
+    vt AS (SELECT v, CAST(count(*) AS BIGINT) AS n_v FROM c GROUP BY v),
+    tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n FROM vt),
+    med AS (
+        SELECT min(v) AS m FROM (
+            SELECT v,
+                   sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS cum
+            FROM vt
+        ) CROSS JOIN tot WHERE cum >= (n + 1) // 2
+    ),
+    cells AS (
+        SELECT seg,
+               CAST(sum(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS above,
+               CAST(count(*) AS BIGINT) AS ng
+        FROM c CROSS JOIN med GROUP BY seg
+    ),
+    m2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(above) AS BIGINT) AS ta
+        FROM cells
+    ),
+    terms AS (
+        SELECT m2.k, m2.n,
+               round(CAST(CAST(above * m2.n - ng * m2.ta AS DECIMAL(38,0))
+                          * CAST(above * m2.n - ng * m2.ta AS DECIMAL(38,0))
+                     AS DOUBLE)
+                     / CAST(ng AS DOUBLE) / m2.ta
+                     / (m2.n - m2.ta) * m2.n, 12) AS term
+        FROM cells CROSS JOIN m2
+    )
+    SELECT CAST(max(k) AS BIGINT) AS n_groups,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           (SELECT CAST(m AS BIGINT) FROM med) AS pooled_median,
+           round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS chi2_median_test
+    FROM terms
+    """,
+)
+def moods_median_test_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's median test: do the five market segments share one median
+    balance? The pooled (lower) median comes exactly from the value
+    histogram (rank ``(N+1) DIV 2`` — the ``length_percentile_filter``
+    recipe); each group's above-median count feeds the k×2 chi² in the
+    cross-multiplied integer form ``Σ_g n·(a_g·N − n_g·A)² / (n_g·A·(N−A))``
+    (squares in DECIMAL(38,0); algebraically the standard (o−e)²/e summed
+    over both columns of each group's row).
+
+    Scale shape: one histogram groupBy, one window over the bounded value
+    spine for the median, one groupBy(segment), a k-row fold."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.floor("c_acctbal").cast("long").alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    vt = c.groupBy("v").agg(F.count("*").cast("long").alias("n_v"))
+    tot = vt.agg(F.sum("n_v").cast("long").alias("n"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        vt.select("v", F.sum("n_v").over(w).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .agg(F.min("v").alias("m"))
+    )
+    cells = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy("seg")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.count("*").cast("long").alias("ng"),
+        )
+    )
+    m2 = cells.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("above").cast("long").alias("ta"),
+    )
+    num = (
+        F.col("above") * F.col("n") - F.col("ng") * F.col("ta")
+    ).cast("decimal(38,0)")
+    term = F.round(
+        (num * num).cast("double")
+        / F.col("ng").cast("double")
+        / F.col("ta")
+        / (F.col("n") - F.col("ta"))
+        * F.col("n"),
+        12,
+    )
+    terms = cells.crossJoin(F.broadcast(m2)).select(
+        "k", "n", term.alias("term")
+    )
+    chi2 = F.sum(F.col("term").cast("decimal(38,12)")).cast("double")
+    return (
+        terms.agg(
+            F.max("k").cast("long").alias("n_groups"),
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(chi2, 6).alias("chi2_median_test"),
+        )
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_groups",
+            "n_customers",
+            F.col("m").cast("long").alias("pooled_median"),
+            "chi2_median_test",
+        )
+        .select(
+            "n_groups", "n_customers", "pooled_median", "chi2_median_test"
+        )
+    )
+
+
+@register(
+    "cochran_q_classifiers",
+    tags=("llm", "text", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang,
+               CASE WHEN ({_pred_sql(LANG_PROFILES)}) = lang
+                    THEN 1 ELSE 0 END AS xa,
+               CASE WHEN ({_pred_sql(WORD_PROFILES)}) = lang
+                    THEN 1 ELSE 0 END AS xb,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS xc
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(xa) AS BIGINT) AS ga,
+               CAST(sum(xb) AS BIGINT) AS gb,
+               CAST(sum(xc) AS BIGINT) AS gc,
+               CAST(sum(xa + xb + xc) AS BIGINT) AS sl,
+               CAST(sum((xa + xb + xc) * (xa + xb + xc)) AS BIGINT) AS sl2
+        FROM pred
+    )
+    SELECT n_docs, ga AS correct_bigram, gb AS correct_marker,
+           gc AS correct_majority,
+           CASE WHEN 3 * sl - sl2 = 0 THEN 0.0
+                ELSE round(2.0 * CAST(3 * (ga * ga + gb * gb + gc * gc)
+                                      - sl * sl AS DOUBLE)
+                           / CAST(3 * sl - sl2 AS DOUBLE), 6)
+           END AS cochran_q
+    FROM s
+    """,
+)
+def cochran_q_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for k=3 PAIRED classifiers on the same documents — the
+    k-treatment generalization of McNemar (``mcnemar_langid_classifiers``):
+    bigram-profile vs word-marker vs the always-'en' majority baseline,
+    ``Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²)`` with G_j =
+    per-classifier correct totals and L_i = per-document correct counts —
+    every quantity an exact BIGINT, one division at output (the
+    all-classifiers-agree degenerate denominator maps to Q=0 in both
+    engines).
+
+    Scale shape: embarrassingly parallel scoring, one global integer
+    fold."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    lang = F.col("lang")
+    pred = d.select(
+        F.when(_pred_col(LANG_PROFILES) == lang, 1).otherwise(0).alias("xa"),
+        F.when(_pred_col(WORD_PROFILES) == lang, 1).otherwise(0).alias("xb"),
+        F.when(lang == "en", 1).otherwise(0).alias("xc"),
+    )
+    li = F.col("xa") + F.col("xb") + F.col("xc")
+    s = pred.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("xa").cast("long").alias("ga"),
+        F.sum("xb").cast("long").alias("gb"),
+        F.sum("xc").cast("long").alias("gc"),
+        F.sum(li).cast("long").alias("sl"),
+        F.sum(li * li).cast("long").alias("sl2"),
+    )
+    ga, gb, gc = F.col("ga"), F.col("gb"), F.col("gc")
+    sl, sl2 = F.col("sl"), F.col("sl2")
+    q = F.when(3 * sl - sl2 == 0, F.lit(0.0)).otherwise(
+        F.round(
+            2.0
+            * (3 * (ga * ga + gb * gb + gc * gc) - sl * sl).cast("double")
+            / (3 * sl - sl2).cast("double"),
+            6,
+        )
+    )
+    return s.select(
+        "n_docs",
+        ga.alias("correct_bigram"),
+        gb.alias("correct_marker"),
+        gc.alias("correct_majority"),
+        q.alias("cochran_q"),
+    )
+
+
+@register(
+    "durbin_watson_daily",
+    tags=("analytics", "stats", "timeseries"),
+    defer=True,
+    oracle=f"""
+    WITH daily AS ({_ORACLE_DAILY}),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(idx) AS BIGINT) AS st,
+               CAST(sum(idx * idx) AS BIGINT) AS stt,
+               CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(round(idx * y, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sty
+        FROM daily
+    ),
+    coef AS (
+        SELECT n,
+               (n * sty - st * sy)
+               / CAST(n * stt - st * st AS DOUBLE) AS beta,
+               (sy - (n * sty - st * sy)
+                     / CAST(n * stt - st * st AS DOUBLE) * st) / n
+                   AS alpha
+        FROM m
+    ),
+    resid AS (
+        SELECT d.idx, d.y - c.alpha - c.beta * d.idx AS e, c.n, c.beta
+        FROM daily d CROSS JOIN coef c
+    ),
+    lagged AS (
+        SELECT e, lag(e) OVER (ORDER BY idx) AS ep, n, beta
+        FROM resid
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           round(max(beta), 6) AS ols_slope,
+           round(CAST(sum(CASE WHEN ep IS NULL THEN NULL
+                          ELSE CAST(round((e - ep) * (e - ep), 12)
+                               AS DECIMAL(38,12)) END) AS DOUBLE)
+                 / CAST(sum(CAST(round(e * e, 12) AS DECIMAL(38,12)))
+                        AS DOUBLE), 6) AS durbin_watson
+    FROM lagged
+    """,
+)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson residual-autocorrelation statistic for the OLS trend
+    of daily purchase revenue: ``DW = Σ(e_t − e_{t−1})² / Σe_t²`` (≈2 means
+    uncorrelated residuals; <2 positive autocorrelation — the standard
+    check that a fitted daily trend hasn't left serial structure the
+    forecasting operators should model instead). The OLS fit comes from
+    exact integer/decimal moments; residuals are deterministic per-row
+    IEEE arithmetic against the broadcast 1-row coefficients; both
+    quadratic sums are round-12 + decimal (order-free).
+
+    Scale shape: one groupBy(day), a broadcast coefficient join, one lag
+    window over the bounded calendar aggregate, one fold."""
+    daily = _daily_events(spark, sf_dir)
+    t, y = F.col("idx"), F.col("y")
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(t).cast("long").alias("st"),
+        F.sum(t * t).cast("long").alias("stt"),
+        F.sum(F.round(y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(t * y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sty"),
+    )
+    n = F.col("n")
+    beta = (n * F.col("sty") - F.col("st") * F.col("sy")) / (
+        n * F.col("stt") - F.col("st") * F.col("st")
+    ).cast("double")
+    coef = m.select(
+        n.alias("n"),
+        beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("st")) / n).alias("alpha"),
+    )
+    resid = daily.crossJoin(F.broadcast(coef)).select(
+        "idx",
+        (y - F.col("alpha") - F.col("beta") * t).alias("e"),
+        "n",
+        "beta",
+    )
+    w = Window.orderBy("idx")
+    lagged = resid.select(
+        "e", F.lag("e").over(w).alias("ep"), "n", "beta"
+    )
+    num = F.sum(
+        F.when(F.col("ep").isNull(), None).otherwise(
+            F.round(
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")), 12
+            ).cast("decimal(38,12)")
+        )
+    ).cast("double")
+    den = F.sum(
+        F.round(F.col("e") * F.col("e"), 12).cast("decimal(38,12)")
+    ).cast("double")
+    return lagged.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.max("beta"), 6).alias("ols_slope"),
+        F.round(num / den, 6).alias("durbin_watson"),
+    )
