@@ -773,3 +773,71 @@ def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dec_sum("value").alias("total_value"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "csv_corrupt_record_handling",
+    tags=("io", "pipeline"),
+    defer=True,
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 100),
+    parsed AS (
+        SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS a,
+               CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS corrupt,
+               n_chars
+        FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(corrupt) AS BIGINT) AS n_corrupt,
+           CAST(sum(a) AS BIGINT) AS sum_good_ids,
+           CAST(sum(CASE WHEN corrupt = 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sum_good_chars
+    FROM parsed
+    """,
+)
+def csv_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode CSV parsing with a corrupt-record column — the
+    dirty-data ingestion contract: a crafted CSV where every 7th row has
+    a non-numeric id is read back with an explicit schema +
+    ``columnNameOfCorruptRecord``; bad rows land with NULL typed columns
+    and the raw line preserved in the corrupt column (quarantine-able,
+    the ``gutenberg_datasource`` pattern), good rows parse exactly. The
+    oracle re-derives the expected outcome from the generating rule, so
+    the hash gate proves the malformed-row semantics, not just the happy
+    path.
+
+    Scale shape: a line-level text write + schema'd CSV scan (both
+    splittable), one global fold."""
+    path = _tmp("csvcorrupt")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("bad_id,"), F.col("n_chars").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(","),
+                F.col("n_chars").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("a long, n_chars long, _bad string")
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum("a").cast("long").alias("sum_good_ids"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("sum_good_chars"),
+    )

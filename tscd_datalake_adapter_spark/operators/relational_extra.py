@@ -475,3 +475,65 @@ def pipe_syntax_returnflag_rollup(
         """,
         li=li,
     )
+
+
+@register(
+    "collation_case_insensitive_group",
+    tags=("relational", "sql"),
+    defer=True,
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE
+                 WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                 WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                 ELSE upper(substr(c_mktsegment, 1, 1))
+                      || lower(substr(c_mktsegment, 2, 100))
+               END AS seg
+        FROM customer
+    )
+    SELECT lower(seg) AS seg_norm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants
+    FROM mixed GROUP BY lower(seg) ORDER BY seg_norm
+    """,
+)
+def collation_case_insensitive_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 COLLATION: grouping under ``COLLATE UTF8_LCASE`` merges
+    case variants WITHOUT rewriting every expression through lower() —
+    the engine-level answer to case-insensitive business keys. The
+    fixture segments are single-case, so the query first derives three
+    deterministic case variants per row; the collated group then
+    reunifies them. The group representative under a collation is
+    engine-chosen, so the output key is normalized with lower() — the
+    pinned semantics are the GROUPING (counts merge) plus the variant
+    count per collated group.
+
+    Scale shape: one map-side-combined groupBy on the collated key —
+    identical shuffle shape to any string groupBy."""
+    c = load_table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment")
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_mktsegment"))
+        .otherwise(F.initcap(F.lower("c_mktsegment")))
+        .alias("seg")
+    )
+    collated = mixed.select(
+        F.expr("seg COLLATE UTF8_LCASE").alias("segc"), F.col("seg")
+    )
+    return (
+        collated.groupBy("segc")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("seg").cast("long").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("segc").cast("string")).alias("seg_norm"),
+            "n",
+            "n_case_variants",
+        )
+        .orderBy("seg_norm")
+    )
