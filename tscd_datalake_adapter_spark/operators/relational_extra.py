@@ -537,3 +537,50 @@ def collation_case_insensitive_group(
         )
         .orderBy("seg_norm")
     )
+
+
+@register(
+    "sql_sugar_groupall_lateral_alias",
+    tags=("relational", "sql"),
+    defer=True,
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                   AS qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n, qty,
+           round(qty / n, 6) AS avg_qty,
+           round(round(qty / n, 6) * 2.0, 6) AS double_avg_qty
+    FROM base ORDER BY l_returnflag, l_linestatus, n, qty
+    """,
+)
+def sql_sugar_groupall_lateral_alias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 3.4/4 SQL ergonomics pinned against a classic-SQL oracle:
+    ``GROUP BY ALL`` (group on every non-aggregate select item) +
+    ``ORDER BY ALL`` in the aggregate stage, then LATERAL COLUMN ALIAS
+    references (``avg_qty`` consumed by ``double_avg_qty`` in the same
+    SELECT) in the projection stage. (Referencing a lateral alias inside
+    GROUP BY ALL itself is still unsupported — kept as two stages.)
+    Same Catalyst plan as the explicit forms; sugar only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        WITH base AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       AS qty
+            FROM {li} GROUP BY ALL
+        )
+        SELECT l_returnflag, l_linestatus, n, qty,
+               round(qty / n, 6) AS avg_qty,
+               round(avg_qty * 2.0, 6) AS double_avg_qty
+        FROM base ORDER BY ALL
+        """,
+        li=li,
+    )

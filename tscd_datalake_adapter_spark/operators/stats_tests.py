@@ -1791,3 +1791,150 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("beta"), 6).alias("ols_slope"),
         F.round(num / den, 6).alias("durbin_watson"),
     )
+
+
+@register(
+    "mcc_binary_langid",
+    tags=("llm", "text", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH pred AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+               CASE WHEN ({_pred_sql(LANG_PROFILES)}) = 'en'
+                    THEN 1 ELSE 0 END AS p
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT CAST(sum(t * p) AS BIGINT) AS tp,
+               CAST(sum((1 - t) * (1 - p)) AS BIGINT) AS tn,
+               CAST(sum((1 - t) * p) AS BIGINT) AS fp,
+               CAST(sum(t * (1 - p)) AS BIGINT) AS fn
+        FROM pred
+    )
+    SELECT tp, tn, fp, fn,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+                THEN 0.0
+                ELSE round(CAST(tp * tn - fp * fn AS DOUBLE)
+                     / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))
+                        * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE))), 6)
+           END AS mcc
+    FROM s
+    """,
+)
+def mcc_binary_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient for the binary is-English
+    detection task (bigram classifier vs the fixture label) — the
+    class-imbalance-robust single-number binary metric the accuracy/F1
+    family lacks: MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)),
+    exactly the Pearson correlation of the two binary variables. All
+    confusion cells are exact integers; the four-factor product splits
+    into two sqrt factors so nothing exceeds 2^53; degenerate margins
+    map to 0 identically in both engines.
+
+    Scale shape: embarrassingly parallel scoring, one 1-row integer
+    fold."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    t = F.when(F.col("lang") == "en", 1).otherwise(0)
+    p = F.when(_pred_col(LANG_PROFILES) == "en", 1).otherwise(0)
+    s = d.select(t.alias("t"), p.alias("p")).agg(
+        F.sum(F.col("t") * F.col("p")).cast("long").alias("tp"),
+        F.sum((1 - F.col("t")) * (1 - F.col("p"))).cast("long").alias("tn"),
+        F.sum((1 - F.col("t")) * F.col("p")).cast("long").alias("fp"),
+        F.sum(F.col("t") * (1 - F.col("p"))).cast("long").alias("fn"),
+    )
+    tp, tn, fp, fn = F.col("tp"), F.col("tn"), F.col("fp"), F.col("fn")
+    mcc = F.when(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) == 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            (tp * tn - fp * fn).cast("double")
+            / (
+                F.sqrt(((tp + fp) * (tp + fn)).cast("double"))
+                * F.sqrt(((tn + fp) * (tn + fn)).cast("double"))
+            ),
+            6,
+        )
+    )
+    return s.select("tp", "tn", "fp", "fn", mcc.alias("mcc"))
+
+
+@register(
+    "cohens_d_weekend_value",
+    tags=("analytics", "stats", "experiment"),
+    defer=True,
+    oracle="""
+    WITH e AS (
+        SELECT CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END
+                   AS w,
+               value AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS s2
+        FROM e GROUP BY w
+    ),
+    sides AS (
+        SELECT max(CASE WHEN w = 1 THEN n END) AS n1,
+               max(CASE WHEN w = 1 THEN s END) AS s1,
+               max(CASE WHEN w = 1 THEN s2 END) AS s21,
+               max(CASE WHEN w = 0 THEN n END) AS n2,
+               max(CASE WHEN w = 0 THEN s END) AS s2_,
+               max(CASE WHEN w = 0 THEN s2 END) AS s22
+        FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+           round(s1 / n1 - s2_ / n2, 6) AS mean_diff,
+           round((s1 / n1 - s2_ / n2)
+                 / sqrt(((s21 - s1 * s1 / n1) + (s22 - s2_ * s2_ / n2))
+                        / (n1 + n2 - 2)), 6) AS cohens_d
+    FROM sides
+    """,
+)
+def cohens_d_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size for weekend vs weekday purchase
+    values — the practical-significance companion of the z/permutation
+    tests (a tiny p-value with d≈0 is a large-sample artifact, not an
+    effect). Pooled SD from per-group decimal moments, one division and
+    sqrt at output.
+
+    Scale shape: one map-side-combined groupBy(flag) then a 2-row
+    pivot fold."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = F.when(F.weekday(F.to_date("ts")) + 1 >= 6, 1).otherwise(0)
+    g = e.select(w.alias("w"), F.col("value").alias("v")).groupBy("w").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("v") * F.col("v"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    pick = lambda w_, c: F.max(F.when(F.col("w") == w_, F.col(c)))  # noqa: E731
+    sides = g.agg(
+        pick(1, "n").alias("n1"),
+        pick(1, "s").alias("s1"),
+        pick(1, "s2").alias("s21"),
+        pick(0, "n").alias("n2"),
+        pick(0, "s").alias("s2_"),
+        pick(0, "s2").alias("s22"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1") / n1
+    m2 = F.col("s2_") / n2
+    pooled = F.sqrt(
+        (
+            (F.col("s21") - F.col("s1") * F.col("s1") / n1)
+            + (F.col("s22") - F.col("s2_") * F.col("s2_") / n2)
+        )
+        / (n1 + n2 - 2)
+    )
+    return sides.select(
+        n1.cast("long").alias("n_weekend"),
+        n2.cast("long").alias("n_weekday"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round((m1 - m2) / pooled, 6).alias("cohens_d"),
+    )
