@@ -584,3 +584,48 @@ def sql_sugar_groupall_lateral_alias(
         """,
         li=li,
     )
+
+
+@register(
+    "window_nth_value_frames",
+    tags=("relational", "window"),
+    defer=True,
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_totalprice, 2) OVER w AS second_order_price,
+           first_value(o_orderkey) OVER w AS first_key,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS n_orders
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_nth_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` over a running frame — the analytic-window member the
+    lag/lead/first/last family left out: each order row sees its
+    customer's SECOND-ever order price once (and only once) that order
+    has entered the frame, NULL before — positional access into the
+    frame, not the partition. Ordered by (date, key) so ties are
+    deterministic cross-engine.
+
+    Scale shape: per-customer windows — the partitioned-window class; no
+    global window anywhere."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.count("*")
+        .over(Window.partitionBy("o_custkey"))
+        .cast("long")
+        .alias("n_orders"),
+    ).orderBy("o_custkey", "o_orderkey")

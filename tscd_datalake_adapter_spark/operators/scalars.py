@@ -429,3 +429,54 @@ def variant_shredded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "map_hof_functions",
+    tags=("scalar",),
+    defer=True,
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey,
+               n_name AS k1, CAST(n_regionkey AS VARCHAR) AS v1
+        FROM nation
+    )
+    SELECT n_nationkey,
+           lower(k1) || '=' || v1 || '0' AS transformed_entry,
+           CASE WHEN CAST(v1 AS BIGINT) >= 2 THEN 1 ELSE 0 END
+               AS kept_by_filter,
+           CAST(v1 AS BIGINT) + length(k1) AS zipped_value
+    FROM base ORDER BY n_nationkey
+    """,
+)
+def map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: ``transform_keys`` (lowercase the key),
+    ``transform_values`` (append a digit), ``map_filter`` (keep regionkey
+    >= 2), ``map_zip_with`` (combine two maps sharing keys) — the HOF
+    quartet the earlier map family (create/keys/values/element_at) left
+    out. Maps are not hashable output cells (repo scalar-only rule), so
+    each result map is reduced to a deterministic scalar; the oracle
+    states the expected entry algebraically.
+
+    Scale shape: per-row expressions, whole-stage codegen."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(F.col("n_name"), F.col("n_regionkey").cast("string"))
+    m2 = F.create_map(F.col("n_name"), F.length(F.col("n_name")))
+    transformed = F.transform_values(
+        F.transform_keys(m, lambda k, v: F.lower(k)),
+        lambda k, v: F.concat(v, F.lit("0")),
+    )
+    filtered = F.map_filter(m, lambda k, v: v.cast("long") >= 2)
+    zipped = F.map_zip_with(
+        m, m2, lambda k, v1, v2: v1.cast("long") + v2
+    )
+    return n.select(
+        "n_nationkey",
+        F.concat(
+            F.element_at(F.map_keys(transformed), 1),
+            F.lit("="),
+            F.element_at(F.map_values(transformed), 1),
+        ).alias("transformed_entry"),
+        F.size(filtered).cast("long").alias("kept_by_filter"),
+        F.element_at(F.map_values(zipped), 1).alias("zipped_value"),
+    ).orderBy("n_nationkey")
