@@ -1938,3 +1938,156 @@ def cohens_d_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m1 - m2, 6).alias("mean_diff"),
         F.round((m1 - m2) / pooled, 6).alias("cohens_d"),
     )
+
+
+@register(
+    "grubbs_outlier_daily",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle=f"""
+    WITH daily AS ({_ORACLE_DAILY}),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS syy
+        FROM daily
+    ),
+    dev AS (
+        SELECT d.idx, d.y, m.n,
+               abs(d.y - m.sy / m.n) AS adev,
+               sqrt((m.syy - m.sy * m.sy / m.n) / (m.n - 1)) AS s
+        FROM daily d CROSS JOIN m
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(idx AS BIGINT) AS outlier_day_idx,
+           round(y, 6) AS outlier_value,
+           round(adev / s, 6) AS grubbs_g
+    FROM dev ORDER BY round(adev / s, 6) DESC, idx LIMIT 1
+    """,
+)
+def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic for the single most extreme day of purchase
+    revenue: ``G = max|y − ȳ|/s`` — the classical single-outlier screen
+    (compare to the MAD-based ``mad_outlier_days``, which is robust to
+    the outlier inflating s itself). Mean and sample SD from round-12
+    decimal moments; the argmax day is a TakeOrdered(1) on the rounded
+    statistic with the day as tiebreak.
+
+    Scale shape: one groupBy(day), a broadcast moment join, a
+    TakeOrderedAndProject(1) over the bounded calendar aggregate."""
+    daily = _daily_events(spark, sf_dir)
+    y = F.col("y")
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(y * y, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "idx",
+        "y",
+        "n",
+        F.abs(y - F.col("sy") / F.col("n")).alias("adev"),
+        F.sqrt(
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s"),
+    )
+    g = F.round(F.col("adev") / F.col("s"), 6)
+    return (
+        dev.select(
+            F.col("n").alias("n_days"),
+            F.col("idx").cast("long").alias("outlier_day_idx"),
+            F.round("y", 6).alias("outlier_value"),
+            g.alias("grubbs_g"),
+        )
+        .orderBy(F.col("grubbs_g").desc(), "outlier_day_idx")
+        .limit(1)
+    )
+
+
+@register(
+    "markov_conditional_entropy",
+    tags=("history", "stats", "mining"),
+    defer=True,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS prev, nxt,
+               CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    margins AS (
+        SELECT prev, CAST(sum(c) AS BIGINT) AS cp FROM pairs GROUP BY prev
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pairs),
+    terms AS (
+        SELECT round((CAST(p.c AS DOUBLE) / t.n)
+                     * ln(CAST(m.cp AS DOUBLE) / p.c), 12) AS term
+        FROM pairs p
+        JOIN margins m ON m.prev = p.prev
+        CROSS JOIN tot t
+    )
+    SELECT (SELECT n FROM tot) AS n_transitions,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_observed_cells,
+           round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS conditional_entropy_nats
+    FROM terms
+    """,
+)
+def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | current) of the per-user event-type
+    chain — the entropy RATE of the empirical Markov process (how
+    predictable the next action is given the current one; 0 would mean
+    deterministic journeys, ln(k) a uniform walk). ``H = Σ (c_ij/N)·
+    ln(c_i·/c_ij)`` with every probability ratio an exact integer
+    quotient inside the round-12 ln terms, decimal-summed — the
+    information-theoretic companion of ``event_transition_matrix`` and
+    ``markov_stationary_distribution``.
+
+    Scale shape: per-user lead windows, one groupBy onto the k² pair
+    table, bounded joins thereafter."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("prev"), "nxt"
+    ).agg(F.count("*").cast("long").alias("c"))
+    margins = pairs.groupBy("prev").agg(F.sum("c").cast("long").alias("cp"))
+    tot = pairs.agg(F.sum("c").cast("long").alias("n"))
+    ncells = pairs.agg(F.count("*").cast("long").alias("n_observed_cells"))
+    terms = (
+        pairs.join(margins, "prev")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("cp").cast("double") / F.col("c")),
+                12,
+            ).alias("term"),
+            "n",
+        )
+    )
+    h = F.sum(F.col("term").cast("decimal(38,12)")).cast("double")
+    return (
+        terms.agg(
+            F.max("n").cast("long").alias("n_transitions"),
+            F.round(h, 6).alias("conditional_entropy_nats"),
+        )
+        .crossJoin(F.broadcast(ncells))
+        .select(
+            "n_transitions", "n_observed_cells", "conditional_entropy_nats"
+        )
+    )
