@@ -480,3 +480,98 @@ def test_durbin_watson_matches_numpy(spark, sf_dir):
     assert abs(r.ols_slope - beta) < 1e-4
     assert abs(r.durbin_watson - dw) < 1e-5
     assert 0.0 <= r.durbin_watson <= 4.0
+
+
+def test_tukey_hsd_matches_numpy(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        tukey_hsd_segments,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    groups: dict[str, list[float]] = {}
+    for r in cust:
+        groups.setdefault(r.c_mktsegment, []).append(r.c_acctbal)
+    k = len(groups)
+    n = sum(len(g) for g in groups.values())
+    ssw = sum(((np.array(g) - np.mean(g)) ** 2).sum() for g in groups.values())
+    msw = ssw / (n - k)
+    got = {
+        (r.seg_a, r.seg_b): (r.mean_diff, r.tukey_q)
+        for r in tukey_hsd_segments(spark, sf_dir).collect()
+    }
+    assert len(got) == k * (k - 1) // 2
+    for (sa, sb), (md, q) in got.items():
+        diff = np.mean(groups[sa]) - np.mean(groups[sb])
+        expect_q = diff / math.sqrt(
+            msw / 2 * (1 / len(groups[sa]) + 1 / len(groups[sb]))
+        )
+        assert abs(md - diff) < 1e-4
+        assert abs(q - expect_q) < 1e-4
+
+
+def test_brown_forsythe_matches_bruteforce(spark, sf_dir):
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        brown_forsythe_levene,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.floor("c_acctbal").cast("long").alias("v"), "c_mktsegment")
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in cust:
+        groups.setdefault(r.c_mktsegment, []).append(r.v)
+    zs = []
+    zg = {}
+    for seg, g in groups.items():
+        sv = sorted(g)
+        med = sv[(len(sv) + 1) // 2 - 1]  # lower median, same rank rule
+        z = [abs(v - med) for v in g]
+        zg[seg] = z
+        zs.extend(z)
+    n, k = len(zs), len(groups)
+    zbar = sum(zs) / n
+    ssb = sum(len(z) * (sum(z) / len(z) - zbar) ** 2 for z in zg.values())
+    ssw = sum(
+        sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zg.values()
+    )
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    r = brown_forsythe_levene(spark, sf_dir).collect()[0]
+    assert (r.n_groups, r.n_customers) == (k, n)
+    assert abs(r.levene_w - w) < 1e-5
+
+
+def test_friedman_matches_bruteforce(spark, sf_dir):
+    from collections import defaultdict
+
+    from tscd_datalake_adapter_spark.operators.stats_tests import (
+        friedman_test_event_types,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    by_day = defaultdict(dict)
+    for r in rows:
+        by_day[r.day][r.event_type] = r.c
+    rsum: dict[str, float] = defaultdict(float)
+    for counts in by_day.values():
+        vals = np.array(sorted(counts.values()), dtype=float)
+        for et, c in counts.items():
+            lo = int((vals < c).sum())
+            ties = int((vals == c).sum())
+            rsum[et] += lo + (ties + 1) / 2.0
+    n = len(by_day)
+    k = len(rsum)
+    chi2 = 12.0 / (n * k * (k + 1)) * sum(v * v for v in rsum.values()) - 3 * n * (k + 1)
+    r = friedman_test_event_types(spark, sf_dir).collect()[0]
+    assert (r.n_days, r.n_treatments) == (n, k)
+    assert abs(r.friedman_chi2 - chi2) < 1e-5

@@ -2091,3 +2091,313 @@ def markov_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_transitions", "n_observed_cells", "conditional_entropy_nats"
         )
     )
+
+
+@register(
+    "tukey_hsd_segments",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sg,
+               CAST(sum(CAST(round(c_acctbal * c_acctbal, 12)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS sg2
+        FROM customer GROUP BY c_mktsegment
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(CAST(round(sg2 - sg * sg / ng, 6)
+                        AS DECIMAL(38,6))) AS DOUBLE) AS ssw
+        FROM g
+    ),
+    pairs AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b,
+               a.sg / a.ng - b.sg / b.ng AS diff,
+               a.ng AS na, b.ng AS nb, t.ssw / (t.n - t.k) AS msw
+        FROM g a JOIN g b ON a.seg < b.seg CROSS JOIN t
+    )
+    SELECT seg_a, seg_b,
+           round(diff, 6) AS mean_diff,
+           round(diff / sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb)), 6)
+               AS tukey_q
+    FROM pairs ORDER BY seg_a, seg_b
+    """,
+)
+def tukey_hsd_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc q statistics for every segment pair — the step
+    after ``anova_oneway_segments`` rejects: which pairs actually differ?
+    ``q = (m_a − m_b)/√(MSW/2·(1/n_a + 1/n_b))`` (the Tukey-Kramer
+    unequal-n form) with MSW from the same round-6-exact within-group
+    sums of squares as the ANOVA. Ten pair rows over the 5-group
+    aggregate.
+
+    Scale shape: one groupBy(segment), a bounded k×k pair join, all
+    arithmetic row-local after one 1-row fold."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sg"),
+        F.sum(
+            F.round(F.col("c_acctbal") * F.col("c_acctbal"), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sg2"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(
+            F.round(
+                F.col("sg2") - F.col("sg") * F.col("sg") / F.col("ng"), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ssw"),
+    )
+    a = g.select(
+        F.col("seg").alias("seg_a"),
+        F.col("ng").alias("na"),
+        F.col("sg").alias("sa"),
+    )
+    b = g.select(
+        F.col("seg").alias("seg_b"),
+        F.col("ng").alias("nb"),
+        F.col("sg").alias("sb"),
+    )
+    pairs = (
+        a.join(b, F.col("seg_a") < F.col("seg_b"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "seg_a",
+            "seg_b",
+            (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")).alias(
+                "diff"
+            ),
+            "na",
+            "nb",
+            (F.col("ssw") / (F.col("n") - F.col("k"))).alias("msw"),
+        )
+    )
+    q = F.col("diff") / F.sqrt(
+        F.col("msw") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.round("diff", 6).alias("mean_diff"),
+        F.round(q, 6).alias("tukey_q"),
+    ).orderBy("seg_a", "seg_b")
+
+
+@register(
+    "brown_forsythe_levene",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(c_acctbal) AS BIGINT) AS v, c_mktsegment AS seg
+        FROM customer
+    ),
+    hist AS (
+        SELECT seg, v, CAST(count(*) AS BIGINT) AS n_v
+        FROM c GROUP BY seg, v
+    ),
+    gmed AS (
+        SELECT seg, min(v) AS med FROM (
+            SELECT seg, v,
+                   sum(n_v) OVER (PARTITION BY seg ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(n_v) OVER (PARTITION BY seg) AS ng
+            FROM hist
+        ) WHERE cum >= (ng + 1) // 2 GROUP BY seg
+    ),
+    z AS (
+        SELECT c.seg, abs(c.v - m.med) AS z
+        FROM c JOIN gmed m ON m.seg = c.seg
+    ),
+    g AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(z * z) AS BIGINT) AS sz2
+        FROM z GROUP BY seg
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(sz) AS BIGINT) AS s
+        FROM g
+    ),
+    terms AS (
+        SELECT t.k, t.n,
+               round(g.ng * (CAST(g.sz AS DOUBLE) / g.ng
+                             - CAST(t.s AS DOUBLE) / t.n)
+                          * (CAST(g.sz AS DOUBLE) / g.ng
+                             - CAST(t.s AS DOUBLE) / t.n), 6) AS tb,
+               round(CAST(g.sz2 AS DOUBLE)
+                     - CAST(g.sz AS DOUBLE) * g.sz / g.ng, 6) AS tw
+        FROM g CROSS JOIN t
+    )
+    SELECT CAST(max(k) AS BIGINT) AS n_groups,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round((CAST(sum(CAST(tb AS DECIMAL(38,6))) AS DOUBLE)
+                  / (max(k) - 1))
+                 / (CAST(sum(CAST(tw AS DECIMAL(38,6))) AS DOUBLE)
+                    / (max(n) - max(k))), 6) AS levene_w
+    FROM terms
+    """,
+)
+def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for variance
+    homogeneity across segments — the assumption check behind
+    ``anova_oneway_segments`` (ANOVA's F is only calibrated under equal
+    variances): one-way ANOVA on z = |v − median_g|, with each group's
+    median taken EXACTLY from its whole-dollar histogram and the
+    deviations therefore integers — every moment a BIGINT until the
+    final F ratio (group-mean SS form, per the ANOVA cancellation
+    lesson).
+
+    Scale shape: per-group histogram + median window over the bounded
+    value spine, one re-scan joined against the k-row medians, one k-row
+    fold."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.floor("c_acctbal").cast("long").alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    hist = c.groupBy("seg", "v").agg(F.count("*").cast("long").alias("n_v"))
+    wcum = Window.partitionBy("seg").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gmed = (
+        hist.select(
+            "seg",
+            "v",
+            F.sum("n_v").over(wcum).alias("cum"),
+            F.sum("n_v").over(Window.partitionBy("seg")).alias("ng"),
+        )
+        .where(F.col("cum") >= F.expr("(ng + 1) DIV 2"))
+        .groupBy("seg")
+        .agg(F.min("v").alias("med"))
+    )
+    z = c.join(F.broadcast(gmed), "seg").select(
+        "seg", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("seg").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("sz2"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sz").cast("long").alias("s"),
+    )
+    dev = F.col("sz").cast("double") / F.col("ng") - F.col("s").cast(
+        "double"
+    ) / F.col("n")
+    terms = g.crossJoin(F.broadcast(t)).select(
+        "k",
+        "n",
+        F.round(F.col("ng") * dev * dev, 6).alias("tb"),
+        F.round(
+            F.col("sz2").cast("double")
+            - F.col("sz").cast("double") * F.col("sz") / F.col("ng"),
+            6,
+        ).alias("tw"),
+    )
+    ssb = F.sum(F.col("tb").cast("decimal(38,6)")).cast("double")
+    ssw = F.sum(F.col("tw").cast("decimal(38,6)")).cast("double")
+    return terms.agg(
+        F.max("k").cast("long").alias("n_groups"),
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            (ssb / (F.max("k") - 1)) / (ssw / (F.max("n") - F.max("k"))), 6
+        ).alias("levene_w"),
+    )
+
+
+@register(
+    "friedman_test_event_types",
+    tags=("analytics", "stats"),
+    defer=True,
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT day, event_type,
+               2 * rank() OVER (PARTITION BY day ORDER BY c)
+                 + count(*) OVER (PARTITION BY day, c) - 1 AS r2
+        FROM cell
+    ),
+    rsum AS (
+        SELECT event_type, CAST(sum(r2) AS BIGINT) AS two_r
+        FROM ranked GROUP BY event_type
+    ),
+    dims AS (
+        SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        FROM cell
+    )
+    SELECT d.n AS n_days, d.k AS n_treatments,
+           round(12.0 / (CAST(d.n AS DOUBLE) * d.k * (d.k + 1))
+                 * sum(CAST(r.two_r AS DOUBLE) * r.two_r / 4.0)
+                 - 3.0 * d.n * (d.k + 1), 6) AS friedman_chi2
+    FROM rsum r CROSS JOIN dims d
+    GROUP BY d.n, d.k
+    """,
+)
+def friedman_test_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test for the blocked design days×event-types: within each
+    day (the block), the k event types are ranked by volume; χ²_F =
+    12/(nk(k+1))·ΣR_j² − 3n(k+1) detects systematic type ordering across
+    days — the repeated-measures nonparametric ANOVA completing the
+    family (independent groups: Kruskal-Wallis; two paired: sign/McNemar
+    variants). Average ranks via the 2·minrank+ties−1 integer trick
+    within each bounded block; (2R)² ≤ (2·30·10)² stays far inside exact
+    doubles here (widen to DECIMAL at ~1e8 blocks, the KW note).
+
+    Scale shape: one groupBy onto the days×types cell table (bounded by
+    calendar × type vocabulary); ranks partition by day."""
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("c"))
+    wr = Window.partitionBy("day").orderBy("c")
+    wt = Window.partitionBy("day", "c")
+    ranked = cell.select(
+        "day",
+        "event_type",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("r2"),
+    )
+    rsum = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("two_r")
+    )
+    dims = cell.agg(
+        F.countDistinct("day").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    chi2 = (
+        12.0
+        / (nd * F.col("k") * (F.col("k") + 1))
+        * F.sum(F.col("two_r").cast("double") * F.col("two_r") / 4.0)
+        - 3.0 * F.col("n") * (F.col("k") + 1)
+    )
+    return (
+        rsum.crossJoin(F.broadcast(dims))
+        .groupBy("n", "k")
+        .agg(F.round(chi2, 6).alias("friedman_chi2"))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("n_treatments"),
+            "friedman_chi2",
+        )
+    )
