@@ -2401,3 +2401,89 @@ def friedman_test_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "friedman_chi2",
         )
     )
+
+
+@register(
+    "sign_test_paired_uplift",
+    tags=("analytics", "stats", "experiment"),
+    defer=True,
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                                   AND ts >= TIMESTAMP '2024-01-16'
+                             THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+                    - SUM(CAST(CASE WHEN event_type = 'purchase'
+                                     AND ts < TIMESTAMP '2024-01-16'
+                               THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+                    AS DECIMAL(38,6)) AS d
+        FROM events WHERE user_id < 300 GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg,
+               CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM per_user
+    )
+    SELECT n_pos, n_neg, n_zero,
+           round(CAST(n_pos - n_neg AS DOUBLE)
+                 / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 6) AS sign_z
+    FROM s
+    """,
+)
+def sign_test_paired_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paired SIGN test on the pre/post purchase uplift — the
+    assumption-free floor of the paired family (uses only the SIGN of
+    each user's difference, so it is valid under any symmetric-or-not
+    continuous alternative; the sign-flip permutation test and CUPED use
+    the same pairs with more power under stronger assumptions). Exact
+    decimal differences make the zero class engine-identical; the normal
+    approximation z = (P−N)/√(P+N) is one integer division.
+
+    Scale shape: one groupBy(user), one 1-row integer fold."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    split = F.lit("2024-01-16").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= split),
+                    F.col("value"),
+                )
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            )
+            - F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < split),
+                    F.col("value"),
+                )
+                .otherwise(0.0)
+                .cast("decimal(38,6)")
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("d")
+    )
+    s = per_user.agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )
+    z = F.round(
+        (F.col("n_pos") - F.col("n_neg")).cast("double")
+        / F.sqrt((F.col("n_pos") + F.col("n_neg")).cast("double")),
+        6,
+    )
+    return s.select("n_pos", "n_neg", "n_zero", z.alias("sign_z"))
