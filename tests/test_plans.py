@@ -383,7 +383,6 @@ def test_registry_has_no_global_window_over_base_rows(spark, sf_dir):
 
     construction_side_effects = {
         "bucketed_join_agg",  # saveAsTable x2 during construction
-        "lm_perplexity_filter_scaled",  # documents.count() during construction
     }
     offenders = {}
     for name, spec in load_all().items():

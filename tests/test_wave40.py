@@ -27,10 +27,11 @@ def test_hill_matches_numpy(spark, sf_dir):
     )
     top = np.sort(v)[::-1][:101]
     x_ref = top.min()
-    terms = [math.log(x / x_ref) for x in top if x > x_ref]
-    alpha = len(terms) / sum(terms)
+    # Conventional Hill: k = 100 fixed; ties with X_(k+1) add ln(1)=0.
+    k = len(top) - 1
+    alpha = k / sum(math.log(x / x_ref) for x in top[:k])
     r = hill_tail_index(spark, sf_dir).collect()[0]
-    assert r.k == len(terms)
+    assert r.k == k
     assert abs(r.x_ref - x_ref) < 1e-6
     assert abs(r.hill_alpha - alpha) < 1e-5
 
@@ -400,11 +401,14 @@ def test_moods_median_matches_bruteforce(spark, sf_dir):
     for r in cust:
         groups.setdefault(r.c_mktsegment, []).append(r.v)
     ta = sum(1 for v in vals if v > med)
+    # Pearson chi2 straight from the k×2 observed/expected table — no
+    # shared closed form with the implementation under test.
     chi2 = 0.0
     for g in groups.values():
         ng, ag = len(g), sum(1 for v in g if v > med)
-        # 2-cell (above/not-above) chi2 row in closed form
-        chi2 += round(n * (ag * n - ng * ta) ** 2 / (ng * ta * (n - ta)), 12)
+        for obs, col_total in ((ag, ta), (ng - ag, n - ta)):
+            exp = ng * col_total / n
+            chi2 += (obs - exp) ** 2 / exp
     r = moods_median_test_segments(spark, sf_dir).collect()[0]
     assert r.pooled_median == med
     assert abs(r.chi2_median_test - chi2) < 1e-5

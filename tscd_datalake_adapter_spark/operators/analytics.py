@@ -3340,8 +3340,9 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (ORDER BY gini_num, bin) AS rk
         FROM scored
     )
-    SELECT b.bin AS split_bin, b.nl AS n_left, b.pl AS pos_left,
-           b.nr AS n_right, b.pr AS pos_right,
+    SELECT b.bin AS split_bin,
+           CAST(b.nl AS BIGINT) AS n_left, CAST(b.pl AS BIGINT) AS pos_left,
+           CAST(b.nr AS BIGINT) AS n_right, CAST(b.pr AS BIGINT) AS pos_right,
            round(b.gini_num / tot.nt, 6) + 0.0 AS weighted_gini,
            round((CAST(greatest(b.pl, b.nl - b.pl) AS DOUBLE)
                   + greatest(b.pr, b.nr - b.pr)) / tot.nt, 6) + 0.0

@@ -640,39 +640,113 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lm_perplexity_filter_scaled", tags=("llm", "text"))
+@register(
+    "lm_perplexity_filter_scaled",
+    tags=("llm", "text"),
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    ref AS (
+        SELECT doc_id
+        FROM documents
+        ORDER BY (('0x' || substr(md5(text), 1, 15))::BIGINT), doc_id
+        LIMIT 40
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) u(i)
+        WHERE len(t) >= 2
+    ),
+    train AS (
+        SELECT w1, w2 FROM bg WHERE doc_id IN (SELECT doc_id FROM ref)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY w1),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks
+              WHERE doc_id IN (SELECT doc_id FROM ref))
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               round(ln((coalesce(c2.c2, 0) + 0.5)
+                        / (coalesce(c1.c1, 0) + 0.5 * v)), 6) AS logp
+        FROM bg CROSS JOIN vocab
+        LEFT JOIN c2 USING (w1, w2)
+        LEFT JOIN c1 USING (w1)
+        WHERE bg.doc_id NOT IN (SELECT doc_id FROM ref)
+    ),
+    perdoc AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(logp AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    ),
+    cum AS (
+        SELECT avg_logprob,
+               sum(cnt) OVER (ORDER BY avg_logprob
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT avg_logprob, count(*) AS cnt
+              FROM perdoc GROUP BY avg_logprob)
+    ),
+    tot AS (SELECT count(*) AS n FROM perdoc),
+    cuts AS (
+        SELECT min(CASE WHEN cum >= (n + 2) // 3
+                        THEN avg_logprob END) AS q1,
+               min(CASE WHEN cum >= (2 * n + 2) // 3
+                        THEN avg_logprob END) AS q2
+        FROM cum CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_logprob,
+           round(exp(-avg_logprob), 6) AS ppl,
+           CASE WHEN avg_logprob >= q2 THEN 'head'
+                WHEN avg_logprob >= q1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM perdoc CROSS JOIN cuts
+    ORDER BY doc_id
+    """,
+)
 def lm_perplexity_filter_scaled_demo(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Registered (rows-only: sketch percentiles + bounded sampling are not
-    portably SQL-expressible) demo of the production perplexity form.
+    """Oracle-checkable demo of the production perplexity form — the exact
+    same scale shape as :func:`lm_perplexity_filter_scaled` (bounded top-N
+    reference set via TakeOrdered over the h60 content hash, broadcast
+    model tables, map-side scoring) with the one sketch swapped out: the
+    tercile cutoffs come from the integer rank-based value-histogram
+    recipe (the ``length_percentile_filter`` pattern — all-integer
+    thresholds, no interpolation) instead of ``approx_percentile``,
+    earning the full cross-engine hash gate. The sketch-cutoff production
+    variant stays pytest-pinned in
+    ``test_lm_perplexity_scaled_is_bounded_and_sketched``.
 
-    Single-DAG: the reference set is the ~10% of documents whose content
-    hash falls below the in-plan ``approx_percentile(hk, 0.1)`` cutoff — a
-    broadcast 1-row aggregate crossJoin (the ``tfidf_top_terms`` pattern),
-    so constructing the registered query performs NO driver-side action.
-    A real deployment passes an absolute N (e.g. 10k Wikipedia pages) to
-    :func:`lm_perplexity_filter_scaled`, whose TakeOrdered top-N bounds the
-    reference set independent of corpus size."""
+    Reference set = the 40 documents with the smallest h60(text) — an
+    absolute N exactly like a real deployment's fixed trusted slice, fully
+    deterministic and partition-invariant, planned as
+    TakeOrderedAndProject (per-partition top-N, no global sort)."""
     from tscd_datalake_adapter_spark.functions import h60
 
     d = load_table(spark, sf_dir, "documents")
-    hk = d.select("doc_id", h60(F.col("text")).alias("hk"))
-    cut = hk.agg(F.expr("approx_percentile(hk, 0.1, 10000)").alias("hcut"))
     ref_ids = (
-        hk.crossJoin(F.broadcast(cut))
-        .where(F.col("hk") <= F.col("hcut"))
+        d.select("doc_id", h60(F.col("text")).alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(40)
         .select("doc_id")
     )
-    return _lm_perplexity_scaled_body(spark, sf_dir, ref_ids)
+    return _lm_perplexity_scaled_body(
+        spark, sf_dir, ref_ids, exact_cuts=True
+    )
 
 
 def lm_perplexity_filter_scaled(
     spark: SparkSession, sf_dir: str, ref_docs: int = 10_000
 ) -> DataFrame:
-    """Production-scale form of :func:`lm_perplexity_filter` (not
-    oracle-registered — the bounded sampling and sketch percentiles are not
-    reproducible in portable SQL; pinned instead by plan + behavior tests).
+    """Production-scale form of :func:`lm_perplexity_filter` (this exact
+    sketch-cutoff variant is pinned by plan + behavior tests; the
+    registered ``lm_perplexity_filter_scaled`` entry is the same body with
+    exact-percentile cutoffs, which IS oracle-checked).
 
     Differences from the oracle form, both sized for 100 TB:
 
@@ -703,10 +777,16 @@ def lm_perplexity_filter_scaled(
 
 
 def _lm_perplexity_scaled_body(
-    spark: SparkSession, sf_dir: str, ref_ids: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    ref_ids: DataFrame,
+    exact_cuts: bool = False,
 ) -> DataFrame:
     """Shared scoring body: train bigram model on ``ref_ids`` (a bounded
-    doc_id set, broadcast), score the rest, bucket by sketch percentiles."""
+    doc_id set, broadcast), score the rest, bucket by percentile cutoffs —
+    ``approx_percentile``'s constant-size sketch by default (the 100 TB
+    path), exact ``percentile`` when ``exact_cuts`` (the oracle-checkable
+    registered demo)."""
     from tscd_datalake_adapter_spark.functions import DEC
 
     d = load_table(spark, sf_dir, "documents")
@@ -754,10 +834,44 @@ def _lm_perplexity_scaled_body(
             F.sum(F.col("logp").cast(DEC)).cast("double") / F.count("*"), 6
         ).alias("avg_logprob"),
     )
-    cuts = perdoc.agg(
-        F.expr("approx_percentile(avg_logprob, 1.0/3, 10000)").alias("q1"),
-        F.expr("approx_percentile(avg_logprob, 2.0/3, 10000)").alias("q2"),
-    )
+    if exact_cuts:
+        # Integer rank-based terciles over the value histogram (the
+        # length_percentile_filter recipe): q_j = smallest avg_logprob whose
+        # cumulative count reaches ceil(j*n/3). All-integer thresholds, no
+        # interpolation — interpolated percentile position arithmetic is
+        # NOT cross-engine stable when p*(n-1) lands on an integer boundary
+        # (Spark and DuckDB round the fractional position differently).
+        hist = perdoc.groupBy("avg_logprob").agg(F.count("*").alias("cnt"))
+        wcum = Window.orderBy("avg_logprob").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = hist.select(
+            "avg_logprob", F.sum("cnt").over(wcum).alias("cum")
+        )
+        tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+        cuts = cum.crossJoin(F.broadcast(tot)).agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) DIV 3"),
+                    F.col("avg_logprob"),
+                )
+            ).alias("q1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) DIV 3"),
+                    F.col("avg_logprob"),
+                )
+            ).alias("q2"),
+        )
+    else:
+        cuts = perdoc.agg(
+            F.expr("approx_percentile(avg_logprob, 1.0/3, 10000)").alias(
+                "q1"
+            ),
+            F.expr("approx_percentile(avg_logprob, 2.0/3, 10000)").alias(
+                "q2"
+            ),
+        )
     return (
         perdoc.crossJoin(F.broadcast(cuts))
         .select(

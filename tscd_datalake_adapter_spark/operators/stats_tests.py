@@ -701,19 +701,18 @@ def t_closeness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_totalprice AS v
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 101
     ),
-    ref AS (SELECT min(v) AS x_ref FROM topk),
+    ref AS (SELECT min(v) AS x_ref, count(*) - 1 AS k FROM topk),
     terms AS (
         SELECT round(ln(t.v / r.x_ref), 12) AS term
         FROM topk t CROSS JOIN ref r
         WHERE t.v > r.x_ref
     ),
     s AS (
-        SELECT CAST(count(*) AS BIGINT) AS k,
-               CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS ssum
+        SELECT CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS ssum
         FROM terms
     )
-    SELECT s.k, round(r.x_ref, 6) AS x_ref,
-           round(CAST(s.k AS DOUBLE) / s.ssum, 6) AS hill_alpha
+    SELECT CAST(r.k AS BIGINT) AS k, round(r.x_ref, 6) AS x_ref,
+           round(CAST(r.k AS DOUBLE) / s.ssum, 6) AS hill_alpha
     FROM s CROSS JOIN ref r
     """,
 )
@@ -727,8 +726,10 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the top-101 VALUE multiset is engine-independent (ties
     beyond position 101 cannot change the multiset of kept values when
     ranked value-first), each ln term is round-12 and the sum decimal
-    (order-free). Ties equal to the reference value contribute ln(1)=0
-    and are excluded symmetrically on both sides.
+    (order-free). k is FIXED at 100 = |top-101| − 1 (the conventional
+    estimator): top-100 values tied with the reference X_(101) contribute
+    ln(1)=0 to the sum but still count in k, so ties crossing the boundary
+    do not change the statistic's meaning.
 
     Scale shape: one TakeOrderedAndProject(101) over the scan — the
     bounded-order-statistics pattern; no global sort."""
@@ -739,14 +740,16 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(101)
         .select("v")
     )
-    ref = topk.agg(F.min("v").alias("x_ref"))
+    ref = topk.agg(
+        F.min("v").alias("x_ref"),
+        (F.count("*") - 1).cast("long").alias("k"),
+    )
     terms = (
         topk.crossJoin(F.broadcast(ref))
         .where(F.col("v") > F.col("x_ref"))
         .select(F.round(F.log(F.col("v") / F.col("x_ref")), 12).alias("term"))
     )
     s = terms.agg(
-        F.count("*").cast("long").alias("k"),
         F.sum(F.col("term").cast("decimal(38,12)"))
         .cast("double")
         .alias("ssum"),
@@ -1523,7 +1526,7 @@ def two_proportion_ztest_weekend(
                           * CAST(above * m2.n - ng * m2.ta AS DECIMAL(38,0))
                      AS DOUBLE)
                      / CAST(ng AS DOUBLE) / m2.ta
-                     / (m2.n - m2.ta) * m2.n, 12) AS term
+                     / (m2.n - m2.ta), 12) AS term
         FROM cells CROSS JOIN m2
     )
     SELECT CAST(max(k) AS BIGINT) AS n_groups,
@@ -1541,9 +1544,10 @@ def moods_median_test_segments(
     balance? The pooled (lower) median comes exactly from the value
     histogram (rank ``(N+1) DIV 2`` — the ``length_percentile_filter``
     recipe); each group's above-median count feeds the k×2 chi² in the
-    cross-multiplied integer form ``Σ_g n·(a_g·N − n_g·A)² / (n_g·A·(N−A))``
+    cross-multiplied integer form ``Σ_g (a_g·N − n_g·A)² / (n_g·A·(N−A))``
     (squares in DECIMAL(38,0); algebraically the standard (o−e)²/e summed
-    over both columns of each group's row).
+    over both columns of each group's row — collapsing both cells of row g
+    gives ((a_g·N − n_g·A)/N)² · N²/(n_g·A·(N−A)), the N² cancels).
 
     Scale shape: one histogram groupBy, one window over the bounded value
     spine for the median, one groupBy(segment), a k-row fold."""
@@ -1582,8 +1586,7 @@ def moods_median_test_segments(
         (num * num).cast("double")
         / F.col("ng").cast("double")
         / F.col("ta")
-        / (F.col("n") - F.col("ta"))
-        * F.col("n"),
+        / (F.col("n") - F.col("ta")),
         12,
     )
     terms = cells.crossJoin(F.broadcast(m2)).select(

@@ -15,21 +15,41 @@ the file-based stagers provide by file boundaries, here provided by the
 source protocol itself, with exactly-once delivery via
 ``readBetweenOffsets`` replay on recovery).
 
-Implementation notes: this uses ``SimpleDataSourceStreamReader`` — reads
-happen on the DRIVER, which is the right tool for bounded-rate replay and
-tests; a production-scale source would implement the partition-based
-``DataSourceStreamReader`` so each offset range fans out to executor
-tasks (the same registry exposes it; the batch ``gutenberg`` source shows
-the per-partition pattern). Trigger caveat discovered here:
-Python micro-batch streams do NOT support Trigger.AvailableNow (Spark
-falls back to one batch) — drive them with a processingTime trigger +
-``processAllAvailable()``.
+Two reader forms behind one format name:
+
+- default: ``SimpleDataSourceStreamReader`` — rows are prefetched on the
+  DRIVER (the engine's prefetch-cache wrapper), the right tool for
+  bounded-rate replay and tests. Exactly-once recovery comes from
+  ``readBetweenOffsets`` replay.
+- ``.option("mode", "partitioned")``: the production-shape
+  ``DataSourceStreamReader`` — each micro-batch's offset range is split
+  into ``rows_per_task``-sized :class:`InputPartition` s and the reads
+  run in EXECUTOR tasks (row-group-pruned parquet reads; the driver only
+  touches file METADATA). Requires the file to be (ts, event_id)-sorted
+  in file order — true of the events fixtures and of any time-partitioned
+  event log a lake writer produces; each task cheaply asserts its slice
+  is sorted so a violation fails loudly instead of reordering the replay.
+  Batch sequence is IDENTICAL to the simple reader's (same offset
+  arithmetic, same order), pinned by test. Restart caveat: the frontier
+  that ``latestOffset`` advances lives in reader memory; uncommitted
+  batches replay exactly (``partitions(start, end)`` is pure), but a cold
+  restart AFTER a commit re-plans from the last committed offset — same
+  rows, fresh batch boundaries — where the simple form's engine-side
+  cache handles it; production sources persist the frontier next to the
+  sink, which is out of scope for a replay source.
+
+Trigger caveat discovered here: Python micro-batch streams do NOT support
+Trigger.AvailableNow (Spark falls back to one batch) — drive them with a
+processingTime trigger + ``processAllAvailable()``.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
@@ -100,6 +120,107 @@ class EventReplayReader(SimpleDataSourceStreamReader):
         return iter(rows[int(start["pos"]) : int(end["pos"])])
 
 
+_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+class EventReplayPartition(InputPartition):
+    """One executor task's slice of a micro-batch: global row positions
+    [start, end) in file order. Plain picklable attributes only."""
+
+    def __init__(self, path: str, start: int, end: int, check_sorted: bool):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.check_sorted = check_sorted
+
+
+class EventReplayStreamReader(DataSourceStreamReader):
+    """Partition-based reader: offsets advance ``batch_rows`` per trigger;
+    ``partitions(start, end)`` fans the range out as fixed-size row slices
+    and ``read`` runs on executors, reading ONLY the parquet row groups
+    overlapping its slice (the driver reads metadata, never data)."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        self._batch_rows = int(options.get("batch_rows", "500"))
+        rpt = int(options.get("rows_per_task", "0"))
+        self._rows_per_task = rpt or max(1, -(-self._batch_rows // 4))
+        self._check_sorted = (
+            options.get("check_sorted", "true").lower() == "true"
+        )
+        self._total_cache: int | None = None
+        self._frontier = 0
+
+    def _total(self) -> int:
+        if self._total_cache is None:
+            import pyarrow.parquet as pq
+
+            self._total_cache = pq.ParquetFile(self._path).metadata.num_rows
+        return self._total_cache
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._frontier = min(self._frontier + self._batch_rows, self._total())
+        return {"pos": self._frontier}
+
+    def partitions(self, start, end):
+        s, e = int(start["pos"]), int(end["pos"])
+        # WAL replay after restart enters here with offsets ahead of the
+        # in-memory frontier — adopt them so latestOffset stays monotone.
+        self._frontier = max(self._frontier, e)
+        parts = []
+        p = s
+        while p < e:
+            q = min(p + self._rows_per_task, e)
+            parts.append(
+                EventReplayPartition(self._path, p, q, self._check_sorted)
+            )
+            p = q
+        return parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(partition.path)
+        md = f.metadata
+        # Row-group pruning: find the groups overlapping [start, end) from
+        # metadata, then read just those — at 100 TB each task touches a
+        # bounded byte range, never the whole file.
+        groups = []
+        base = None
+        row0 = 0
+        for i in range(md.num_row_groups):
+            n = md.row_group(i).num_rows
+            if row0 + n > partition.start and row0 < partition.end:
+                if base is None:
+                    base = row0
+                groups.append(i)
+            row0 += n
+        if not groups:
+            return iter(())
+        t = f.read_row_groups(groups, columns=_COLUMNS)
+        lo = partition.start - base
+        t = t.slice(lo, partition.end - partition.start)
+        rows = t.to_pylist()
+        if partition.check_sorted:
+            keys = [(r["ts"], r["event_id"]) for r in rows]
+            if keys != sorted(keys):
+                raise ValueError(
+                    "eventreplay partitioned mode requires a "
+                    "(ts, event_id)-sorted file; slice "
+                    f"[{partition.start}, {partition.end}) is not sorted"
+                )
+        return iter(
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+            for r in rows
+        )
+
+    def commit(self, end):
+        self._frontier = max(self._frontier, int(end["pos"]))
+
+
 class EventReplayDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -107,6 +228,19 @@ class EventReplayDataSource(DataSource):
 
     def schema(self):
         return SCHEMA
+
+    def streamReader(self, schema):
+        # Spark probes streamReader() first and falls back to
+        # simpleStreamReader() on PySparkNotImplementedError
+        # (pyspark/sql/datasource_internal.py::_streamReader) — raising
+        # here unless mode=partitioned keeps BOTH forms selectable by
+        # option under the one format name.
+        if self.options.get("mode", "simple").lower() == "partitioned":
+            return EventReplayStreamReader(self.options)
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "streamReader (use mode=partitioned)"},
+        )
 
     def simpleStreamReader(self, schema):
         return EventReplayReader(self.options)

@@ -21,6 +21,21 @@ from tscd_datalake_adapter_spark.sources import load_table
 from tscd_datalake_adapter_spark.streaming.batch_twins import tumbling_agg
 
 
+def _await_terminated(q, timeout_sec: int = 300) -> None:
+    """Block until the query terminates, raising on timeout.
+
+    ``StreamingQuery.awaitTermination(timeout)`` returns ``False`` when the
+    timeout elapses with the query still running; ignoring that bool would
+    let a slow run silently return partial results from the memory sink.
+    """
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not terminate within "
+            f"{timeout_sec}s; stopping it rather than reading a partial sink"
+        )
+
+
 def stage_stream_source(spark: SparkSession, sf_dir: str, source_dir: str) -> str:
     """Re-write the events table into a directory the file stream can tail.
 
@@ -90,7 +105,7 @@ def run_tumbling_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -115,7 +130,7 @@ def run_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.read.parquet(out_dir)
 
 
@@ -165,7 +180,7 @@ def run_stateful_user_counter(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     # Latest state per user (a user may emit once per micro-batch).
     latest = spark.sql(
         f"SELECT user_id, max_by(n_events, n_events) AS n_events, "
@@ -194,7 +209,7 @@ def run_append_file_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.read.parquet(out_dir)
 
 
@@ -238,7 +253,7 @@ def demo_watermark_late_drop(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_terminated(q)
 
     # batch 1: fresh events → watermark advances to 12:00:59 − 10 min
     spark.createDataFrame(fresh, schema).write.mode("overwrite").parquet(src)
@@ -283,7 +298,7 @@ def run_session_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -320,7 +335,7 @@ def run_stream_stream_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT v_user AS user_id, count(*) AS n_pairs FROM {query_name} "
         "GROUP BY v_user ORDER BY user_id"
@@ -394,7 +409,7 @@ def run_incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     _, final_path = _latest_version(state_dir)
     return spark.read.parquet(final_path).withColumn(
         "total_value", F.col("total_dec").cast("double")
@@ -443,7 +458,7 @@ def run_windowed_topk_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.read.parquet(out_dir)
 
 
@@ -562,7 +577,7 @@ def run_asof_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     # Highest-seq emission per purchase = match over the user's FULL history
     return spark.sql(
         f"SELECT user_id, purchase_id, "
@@ -702,7 +717,7 @@ def run_asof_stream_evicting(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     # finalized rows are authoritative; pending purchases resolve to their
     # highest-seq provisional emission
     return spark.sql(
@@ -811,7 +826,7 @@ def run_funnel_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT user_id, "
         f"max_by(first_view_us, seq) AS first_view_us, "
@@ -917,7 +932,7 @@ def run_scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     _, final_path = _latest_version(state_dir)
     ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return spark.read.parquet(final_path).select(
@@ -1013,7 +1028,7 @@ def run_dataset_card_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     _, final_path = _latest_version(state_dir)
     counts = spark.read.parquet(os.path.join(final_path, "counts"))
     nd = (
@@ -1140,7 +1155,7 @@ def run_anomaly_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     # freshest seq per type; drop sentinels for the anomaly view
     return spark.sql(
         f"WITH latest AS (SELECT event_type, max(seq) AS seq "
@@ -1248,7 +1263,7 @@ def run_heavy_hitters_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT event_type, est_count, n_processed FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
@@ -1369,7 +1384,7 @@ def run_sprt_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT * FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
@@ -1465,7 +1480,7 @@ def run_drift_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT * FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
@@ -1572,7 +1587,7 @@ def run_ddsketch_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT * FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
@@ -1643,7 +1658,7 @@ def run_bitmap_distinct_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT * FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
@@ -1763,7 +1778,7 @@ def run_type_stats_tws_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT event_type, n, mean_value FROM {query_name} t "
         f"WHERE seq = (SELECT max(seq) FROM {query_name} t2 "
@@ -1874,7 +1889,7 @@ def run_image_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT DISTINCT uid_a, uid_b, hamming FROM {query_name}"
     )
@@ -1992,7 +2007,7 @@ def run_croston_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_terminated(q)
     return spark.sql(
         f"SELECT n_demand_days, round(croston_size, 6) AS croston_size, "
         f"round(croston_interval, 6) AS croston_interval, "
