@@ -11,6 +11,8 @@ from tscd_datalake_adapter_spark.lake import LakeAdapter
 from tscd_datalake_adapter_spark.lake.adapter import BOOK_SCHEMA, InvalidBookId
 from tscd_datalake_adapter_spark.lake.api import IngestApi
 
+pytestmark = pytest.mark.smoke
+
 TS = dt.datetime(2026, 8, 13, 14, 30, 0)
 TS2 = dt.datetime(2026, 8, 14, 9, 0, 0)
 

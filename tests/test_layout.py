@@ -8,6 +8,10 @@ from tscd_datalake_adapter_spark import plans
 from tscd_datalake_adapter_spark.plans.layout import salted_join, write_bucketed
 from tscd_datalake_adapter_spark.sources import load_table
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")

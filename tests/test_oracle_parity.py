@@ -63,6 +63,25 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         assert a == b, f"{name}: first diff at sorted row {i}:\n {a}\n {b}"
 
 
+def _smoke_sample() -> list[str]:
+    """One oracle-backed query per operators module — the smoke tier's
+    parity cross-section (rotation may vary which query represents a
+    module round-to-round; any one exercises the module's import path,
+    fixture wiring, and an end-to-end Spark-vs-DuckDB comparison)."""
+    seen: dict[str, str] = {}
+    for n, s in REGISTRY.items():
+        if s.oracle is None:
+            continue
+        seen.setdefault(s.fn.__module__, n)
+    return sorted(seen.values())
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("name", _smoke_sample())
+def test_smoke_query_matches_oracle(spark, sf_dir, duck, name):
+    test_query_matches_oracle(spark, sf_dir, duck, name)
+
+
 @pytest.mark.parametrize("name", WEAK_NAMES)
 def test_weak_query_runs(spark, sf_dir, name):
     """Non-SQL-expressible operators: at minimum they run and return rows."""

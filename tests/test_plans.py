@@ -3,6 +3,8 @@ broadcast, top-k — the 100 TB contract, checked on the actual plans."""
 
 from __future__ import annotations
 
+import pytest
+
 from tscd_datalake_adapter_spark import plans
 from tscd_datalake_adapter_spark.operators.relational import (
     customers_per_region,
@@ -14,12 +16,14 @@ from tscd_datalake_adapter_spark.operators.relational import (
 )
 
 
+@pytest.mark.smoke
 def test_q6_filters_push_to_scan(spark, sf_dir):
     df = revenue_forecast(spark, sf_dir)
     pushed = " ".join(plans.pushed_filters(df))
     assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
 
 
+@pytest.mark.smoke
 def test_q1_prunes_columns(spark, sf_dir):
     df = pricing_summary(spark, sf_dir)
     cols = plans.read_schema_columns(df)
@@ -36,11 +40,13 @@ def test_q1_prunes_columns(spark, sf_dir):
     }
 
 
+@pytest.mark.smoke
 def test_dimension_joins_broadcast(spark, sf_dir):
     assert plans.has_broadcast_join(customers_per_region(spark, sf_dir))
     assert plans.has_broadcast_join(local_supplier_volume(spark, sf_dir))
 
 
+@pytest.mark.smoke
 def test_topk_uses_take_ordered(spark, sf_dir):
     assert plans.has_take_ordered(topk_orders_global(spark, sf_dir))
 
@@ -50,6 +56,7 @@ def test_exists_probe_pushes_key(spark, sf_dir):
     assert "o_orderkey" in pushed
 
 
+@pytest.mark.smoke
 def test_codegen_present(spark, sf_dir):
     assert plans.codegen_stage_count(pricing_summary(spark, sf_dir)) >= 1
 

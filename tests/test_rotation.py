@@ -3,6 +3,8 @@ spent on queries that can still produce new signal."""
 
 from __future__ import annotations
 
+import pytest
+
 from tscd_datalake_adapter_spark.operators import load_all
 from tscd_datalake_adapter_spark.operators._rotation import (
     _R1_GREEN,
@@ -12,6 +14,8 @@ from tscd_datalake_adapter_spark.operators._rotation import (
     _is_rows_only_record,
     _recorded_without_error,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def test_greens_parsed_from_correctness_files():

@@ -6,6 +6,10 @@ from __future__ import annotations
 
 from tscd_datalake_adapter_spark.session import env, int_env, resolve_conf
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_env_default_if_blank(monkeypatch):
     monkeypatch.delenv("TSCD_X", raising=False)

@@ -16,6 +16,8 @@ from tscd_datalake_adapter_spark.sources import (
     write_table,
 )
 
+pytestmark = pytest.mark.smoke
+
 
 def test_read_text_modes(spark, tmp_path):
     p = tmp_path / "t.txt"
