@@ -707,3 +707,88 @@ def test_r5_session7_operator_plan_shapes(spark, sf_dir):
     # recursive rollup: ends in a bounded top-k
     p = plans.formatted_plan(recursive_part_hierarchy_rollup(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_slowest_tier_plan_shapes(spark, sf_dir):
+    """Structural pins for the full-registry slowest tier (top-10 of
+    BENCH_FAMILIES; VERDICT r5 item 4) — each one's wall time is DAG depth
+    or honest per-row work, never an accidental nested loop or a global
+    window over base rows:
+
+    - pagerank_token_graph: 5 unrolled Pregel iterations, every join an
+      equi hash join over the bounded edge list;
+    - contrastive_pair_mining: broadcast <=30-row anchor set (its crossJoin
+      IS the one allowed broadcast nested loop), windows partitioned by
+      anchor;
+    - fuzzy_dedup_keep_longest / image_dedup_clusters: label propagation +
+      keep-policy stay on equi joins (no all-pairs anywhere);
+    - croston_intermittent_forecast: the recursion iterates the 1-partition
+      checkpointed series — NO parquet scan inside the recursive plan;
+    - pq_adc_topk: integer-key broadcast LUT join, bounded top-k;
+    - logistic_regression_returnflag: IRLS passes are map-side aggregates
+      with a 1-row broadcast beta, never a shuffle join;
+    - naive_bayes_lang_confusion: scoring rides the tok equi-join."""
+    from tscd_datalake_adapter_spark.operators.analytics import (
+        croston_intermittent_forecast,
+        logistic_regression_returnflag,
+    )
+    from tscd_datalake_adapter_spark.operators.dedup import (
+        fuzzy_dedup_keep_longest,
+    )
+    from tscd_datalake_adapter_spark.operators.multimodal import (
+        image_dedup_clusters,
+    )
+    from tscd_datalake_adapter_spark.operators.similarity import (
+        contrastive_pair_mining,
+        pq_adc_topk,
+    )
+    from tscd_datalake_adapter_spark.operators.text import (
+        naive_bayes_lang_confusion,
+        pagerank_token_graph,
+    )
+
+    p = plans.formatted_plan(pagerank_token_graph(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the only nested loops allowed are the 1-ROW n_nodes scalar
+    # broadcasts (one init + one per of 5 iterations; formatted plans
+    # print each node name twice — tree line + detail header)
+    assert p.count("BroadcastNestedLoopJoin") <= 12
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+    df = contrastive_pair_mining(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert plans.unpartitioned_windows_over_unaggregated_input(df) == []
+
+    p = plans.formatted_plan(fuzzy_dedup_keep_longest(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plans.formatted_plan(image_dedup_clusters(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plans.formatted_plan(croston_intermittent_forecast(spark, sf_dir))
+    assert "Scan parquet" not in p, "recursion re-reads the corpus"
+    assert "CartesianProduct" not in p
+
+    df = pq_adc_topk(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    # final presentation sort runs over the bounded (n_queries x k) frame;
+    # the pins are: ADC LUT join is a broadcast, ranking windows are
+    # per-query partitioned, nothing all-pairs
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert plans.unpartitioned_windows_over_unaggregated_input(df) == []
+
+    p = plans.formatted_plan(logistic_regression_returnflag(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = plans.formatted_plan(naive_bayes_lang_confusion(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )

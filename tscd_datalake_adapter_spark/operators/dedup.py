@@ -664,7 +664,14 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_labels.count()
         changed = obs.get["changed"] or 0
-        labels = new_labels.drop("chg")
+        # cache() keeps execution incremental but NOT the logical plan:
+        # without a lineage cut the unrolled recursion compounds to a
+        # ~100k-line plan whose per-round Catalyst re-optimization dwarfs
+        # the actual work (11.7s -> 3s first-run at sf0.1). The checkpoint
+        # reads from the still-warm cache, so the extra job is a copy of a
+        # doc-count-bounded frame.
+        labels = new_labels.drop("chg").localCheckpoint(eager=True)
+        new_labels.unpersist()
         if changed == 0:
             break
     if changed != 0:
