@@ -1119,14 +1119,27 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") >= 100)
         .select("ta", "tb")
     )
-    edges2 = edges.select(
-        F.col("ta").alias("src"), F.col("tb").alias("dst")
-    ).unionByName(
-        edges.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
+    # Materialize the edge list ONCE: every unrolled iteration (plus the
+    # node/degree derivations) would otherwise re-embed the token
+    # self-join subtree — 7 corpus-scale joins for 5 iterations instead
+    # of 1. The edge list is the bounded w>=100 co-occurrence graph, so
+    # the checkpoint is a small flat relation; iteration joins then scan
+    # it directly (the _cluster_labels lineage lesson applied to an
+    # unrolled — not driver-looped — recursion).
+    edges2 = (
+        edges.select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
+        .unionByName(
+            edges.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
-    nodes = edges2.select(F.col("src").alias("t")).distinct()
-    degs = edges2.groupBy(F.col("src").alias("t")).agg(
-        F.count("*").cast("double").alias("deg")
+    nodes = edges2.select(F.col("src").alias("t")).distinct().localCheckpoint(
+        eager=True
+    )
+    degs = (
+        edges2.groupBy(F.col("src").alias("t"))
+        .agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
     pr = (
