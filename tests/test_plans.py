@@ -526,7 +526,11 @@ def test_analytics_operators_plan_shapes(spark, sf_dir):
     assert n_scans(p) == 1
     p = plans.formatted_plan(corr_quantity_price(spark, sf_dir))
     assert n_scans(p) == 1
-    assert p.count("Exchange (") <= 2
+    # 3 exchanges: the spread() round-robin (lifts the five decimal folds
+    # off the file-count scan partitions), the 3-row agg hash exchange,
+    # and the presentation sort's range exchange
+    assert p.count("Exchange (") <= 3
+    assert "roundrobin" in p.lower()
 
     p = plans.formatted_plan(orders_in_flight_by_month(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p

@@ -119,17 +119,28 @@ def oracle_h60(expr: str) -> str:
 
 
 def spread(df):
-    """Repartition a narrow projection to the session's full parallelism.
+    """Repartition a narrow projection to the session's full parallelism —
+    but ONLY when the input is under-split.
 
     Spark sizes scan tasks by INPUT bytes, so a small-file table (the
     local fixtures are one parquet file each) reads as 1-3 partitions and
     any CPU-heavy map stage built on it — Arrow mapInPandas batches, big
     explodes, md5/exp/decimal folds — runs on that many threads no matter
     how many cores the session has. One round-robin shuffle of the narrow
-    input restores parallelism; on a production cluster with thousands of
-    input splits the same call is a no-op-sized safeguard. Use AFTER
-    projecting/filtering to the columns the hot stage needs, and only on
-    ops whose results are partition-invariant (this repo's determinism
-    recipes guarantee that by construction)."""
+    input restores parallelism.
+
+    Scale guard: an unconditional ``repartition`` would physically shuffle
+    the whole projection on a production cluster too, where a 100 TB scan
+    already yields ~10^5 splits and the map stage is fully parallel — pure
+    cost, no benefit. So the shuffle is inserted only when the pre-AQE
+    split count is below the session's parallelism (reading the partition
+    count plans the scan but runs no job); on a big cluster this makes
+    spread() a literal no-op, locally it is the 4-10x fold-stage win.
+    Use AFTER projecting/filtering to the columns the hot stage needs, and
+    only on ops whose results are partition-invariant (this repo's
+    determinism recipes guarantee that by construction)."""
     spark = df.sparkSession
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -521,8 +521,12 @@ def join_cardinality_cm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sketch(df: DataFrame) -> DataFrame:
+        # 4 md5 folds per input row: spread the 1-column projection off
+        # the file-count scan partitions first (h60 cells are per-row
+        # deterministic, the groupBy makes the sketch partition-invariant)
         return (
-            df.crossJoin(F.broadcast(rows))
+            spread(df)
+            .crossJoin(F.broadcast(rows))
             .select("r", key.alias("b"))
             .groupBy("r", "b")
             .agg(F.count("*").alias("cnt"))

@@ -1651,14 +1651,23 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is intentional (no split) — the query demonstrates the
     train/score shape, not generalization."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # tokenize ONCE: the explode is the CPU-heavy map stage, so spread the
+    # narrow projection first (file-count trap), fold to per-doc token
+    # counts, and derive the training counts from those — the corpus text
+    # is scanned and split exactly one time for both train and score.
+    toks = spread(d.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
         F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
             "tok"
         ),
     )
-    cnt = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    per_doc = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").cast("long").alias("tc")
+    )
+    cnt = per_doc.groupBy("lang", "tok").agg(
+        F.sum("tc").cast("long").alias("c")
+    )
     langs = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("c_lang"))
     nl = langs.agg(F.count("*").cast("double").alias("k"))
     vocab = cnt.select("tok").distinct()
@@ -1681,8 +1690,8 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    dtc = toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "tok").agg(
-        F.count("*").cast("long").alias("tc")
+    dtc = per_doc.select(
+        "doc_id", F.col("lang").alias("true_lang"), "tok", "tc"
     )
     scores = (
         dtc.join(probs.withColumnRenamed("lang", "cand_lang"), "tok")
