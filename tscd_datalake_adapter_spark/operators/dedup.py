@@ -507,8 +507,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Uses the cross-engine :func:`h60` (60 usable bits), so fingerprints are
     bit-identical in the DuckDB oracle. Wholly expression-based (no UDF):
-    tokens × 60 bit positions explode, a single groupBy(doc_id, bit) and a
-    bit-assembly aggregate.
+    the 60 per-bit signed sums are 60 conditional aggregates in ONE
+    groupBy(doc_id) — no tokens×60 row explosion and no per-bit shuffle.
     """
     return simhash_of(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -516,7 +516,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_of(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) for any DataFrame with doc_id + text columns —
     the shared pipeline behind ``simhash_fingerprints`` (also used directly
-    by tests on synthetic documents)."""
+    by tests on synthetic documents).
+
+    Shape: instead of exploding tokens × 60 bit positions (which pushes
+    60x the token volume through a (doc_id, bit) shuffle), each bit's
+    signed sum s_i = Σ ±cnt is its own conditional aggregate over the
+    token-count table — one map-side-combined shuffle of (doc_id, 60
+    longs), the per-row bit tests identical either way. The 60 agg
+    expressions are emitted as SQL strings (codegen'd JVM-side)."""
     tok_counts = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
@@ -524,27 +531,19 @@ def simhash_of(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", h60("tok"))
     )
-    bits = tok_counts.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-    ).withColumn(
-        "contrib",
-        F.when(
-            F.expr("shiftright(h, cast(bit as int)) & 1") == 1,
-            F.col("cnt"),
-        ).otherwise(-F.col("cnt")),
+    sums = tok_counts.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(case when (shiftright(h, {i}) & 1) = 1"
+                " then cnt else -cnt end)"
+            ).alias(f"s{i}")
+            for i in range(60)
+        ]
     )
-    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    bit_assembly = " + ".join(
+        f"(case when s{i} > 0 then {1 << i}L else 0L end)" for i in range(60)
     )
+    return sums.select("doc_id", F.expr(bit_assembly).alias("simhash"))
 
 
 @register(

@@ -21,6 +21,7 @@ from tscd_datalake_adapter_spark.functions import (
     h60,
     oracle_dec_sum,
     oracle_h60,
+    spread,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.operators.text import STOPWORDS
@@ -576,7 +577,9 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tscd_datalake_adapter_spark.functions import DEC
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # the bigram transform+explode is the CPU-heavy map stage — spread the
+    # narrow projection off the file-count scan partitions first
+    toks = spread(d.select("doc_id", "text")).select(
         "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
     )
     bg = (
@@ -620,6 +623,11 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("logp").cast(DEC)).cast("double") / F.count("*"), 6
         ).alias("avg_logprob"),
     )
+    # perdoc (one row per scored doc) feeds BOTH the cutoff aggregate and
+    # the final bucketing, and AQE's ReusedExchange does NOT cover the
+    # duplicated subtree here (measured: ~2x score-pipeline cost without
+    # this) — checkpoint the tiny table so it executes once
+    perdoc = perdoc.localCheckpoint()
     cuts = perdoc.agg(
         F.expr("percentile(avg_logprob, 1.0/3)").alias("q1"),
         F.expr("percentile(avg_logprob, 2.0/3)").alias("q2"),
@@ -790,7 +798,9 @@ def _lm_perplexity_scaled_body(
     from tscd_datalake_adapter_spark.functions import DEC
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # same file-count-trap fix as lm_perplexity_filter: spread before the
+    # bigram explode
+    toks = spread(d.select("doc_id", "text")).select(
         "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("t")
     )
     bg = (
@@ -834,6 +844,10 @@ def _lm_perplexity_scaled_body(
             F.sum(F.col("logp").cast(DEC)).cast("double") / F.count("*"), 6
         ).alias("avg_logprob"),
     )
+    # checkpoint: perdoc feeds the cutoff derivation AND the final
+    # bucketing — one execution of the score pipeline, not two (AQE
+    # ReusedExchange does not cover this shape; measured ~2x without)
+    perdoc = perdoc.localCheckpoint()
     if exact_cuts:
         # Integer rank-based terciles over the value histogram (the
         # length_percentile_filter recipe): q_j = smallest avg_logprob whose
