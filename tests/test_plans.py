@@ -587,18 +587,17 @@ def test_r5_session6_operator_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
-    # weighted median: one scan, cumulative windows over the bounded
-    # (flag, cents) HISTOGRAM — a HashAggregate must sit below the Window
+    # weighted median: the (flag, cents) histogram is checkpointed (it
+    # feeds the fine cumulative AND the block totals — no re-scan), the
+    # fine prefix sum partitions by (flag, coarse) — never one reducer per
+    # flag — and the block-offset join is a broadcast
     p = plans.formatted_plan(weighted_median_by_flag(spark, sf_dir))
     n_scans = len(
         [ln for ln in p.splitlines() if "Location" in ln and "parquet" in ln]
     )
-    assert n_scans == 1
-    assert "Window" in p and "HashAggregate" in p
-    # formatted plans print top-down: the final readout aggregate sits
-    # above the Window, and the (flag, cents) HISTOGRAM aggregate must sit
-    # below it (= the window's input is pre-aggregated, never raw rows)
-    assert p.rindex("HashAggregate") > p.index("Window")
+    assert n_scans == 0, "histogram must be checkpointed, not re-derived"
+    assert "Window" in p and "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
 def test_attribution_operator_plan_shapes(spark, sf_dir):

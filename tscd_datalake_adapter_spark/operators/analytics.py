@@ -1308,24 +1308,42 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def market_basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining: part pairs co-ordered in >= 3
     orders with support, confidence, and lift (the Apriori first rung) —
-    top-20 by lift. The basket self-join is keyed on order (pairs bounded
-    by per-order basket size squared, never catalog x catalog); part
-    frequencies join back at catalog cardinality; N arrives broadcast.
-    Integer products N·c_ab and c_a·c_b are exact longs, so the double
-    divisions see identical operands in both engines."""
+    top-20 by lift. Baskets are folded to per-order sorted part arrays in
+    ONE okey shuffle (collect_set both dedups and bounds state by basket
+    size), and the pair explode runs inside the array — bounded by basket
+    size squared per order, never catalog x catalog and never a basket
+    self-join shuffle. Part frequencies join back at catalog cardinality;
+    N arrives broadcast. Integer products N·c_ab and c_a·c_b are exact
+    longs, so the double divisions see identical operands in both engines.
+    The basket table feeds three consumers (N, frequencies, pairs), so it
+    is checkpointed — one fold, three cheap re-reads."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
-    n = baskets.agg(
-        F.countDistinct("okey").cast("long").alias("n_orders")
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("pkey"),
+        )
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("pkey")).alias("parts"))
+        .localCheckpoint()
     )
-    freq = baskets.groupBy("pkey").agg(F.count("*").cast("long").alias("c"))
-    a = baskets.select("okey", F.col("pkey").alias("part_a"))
-    b = baskets.select("okey", F.col("pkey").alias("part_b"))
+    n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
+    freq = (
+        baskets.select(F.explode("parts").alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> transform("
+                    "slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("c_ab"))
         .where(F.col("c_ab") >= 3)
@@ -4350,8 +4368,12 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile recipe extended with weights.
 
     Scale shape: one (flag, cents) histogram with map-side combine
-    (bounded by the price domain), partitioned cumulative windows over
-    histogram cells only."""
+    (bounded by the price domain), then a TWO-LEVEL cumulative sum — the
+    fine prefix sum runs per (flag, coarse-$10k-block) partition and each
+    block's offset comes from a tiny per-block window, so no single task
+    ever prefix-sums a whole flag's histogram (a per-flag window would be
+    one reducer per flag: ~10^7 cells at full price domain — fine-ish, but
+    the blocked form is embarrassingly parallel and exact)."""
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -4360,18 +4382,40 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    hist = b.groupBy("flag", "cents").agg(
-        F.sum("w").cast("long").alias("w")
+    # the histogram feeds BOTH the fine cumulative and the block totals;
+    # Spark does not reuse the exchange across the two branches (measured:
+    # two full scans+aggregations without this), so checkpoint the bounded
+    # table once
+    hist = (
+        b.groupBy("flag", "cents")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .withColumn("coarse", F.expr("cents DIV 1000000"))
+        .localCheckpoint()
     )
-    wc = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+    wf = Window.partitionBy("flag", "coarse").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    fine = hist.select(
+        "flag", "coarse", "cents", F.sum("w").over(wf).alias("cw")
+    )
+    blocks = hist.groupBy("flag", "coarse").agg(
+        F.sum("w").cast("long").alias("bw")
+    )
+    wb = Window.partitionBy("flag").orderBy("coarse").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     wt = Window.partitionBy("flag")
-    cum = hist.select(
+    off = blocks.select(
+        "flag",
+        "coarse",
+        F.coalesce(F.sum("bw").over(wb), F.lit(0)).cast("long").alias("off"),
+        F.sum("bw").over(wt).cast("long").alias("tot"),
+    )
+    cum = fine.join(F.broadcast(off), ["flag", "coarse"]).select(
         "flag",
         "cents",
-        F.sum("w").over(wc).alias("c"),
-        F.sum("w").over(wt).alias("tot"),
+        (F.col("cw") + F.col("off")).alias("c"),
+        "tot",
     )
     half = ((F.col("tot") + 1) / 2).cast("long")
     return (

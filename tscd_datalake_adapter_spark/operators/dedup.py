@@ -1613,7 +1613,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list three ways via a 3-row broadcast, never re-joining the
     corpus."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    pairs = jaccard_pairs_prefix_filtered(distinct_tokens(d), 0.7)
+    # the bounded pair list feeds both the pair-count and affected-doc
+    # branches — checkpoint so the candidate+verify pass runs once (Spark
+    # does not reuse exchanges across the two consumers)
+    pairs = jaccard_pairs_prefix_filtered(
+        distinct_tokens(d), 0.7
+    ).localCheckpoint()
     taus = spark.createDataFrame(
         [("0.70", 0.70), ("0.80", 0.80), ("0.90", 0.90)], "tau string, tv double"
     )

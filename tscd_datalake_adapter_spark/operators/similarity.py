@@ -81,14 +81,16 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ranking is on the *rounded* cosine with neighbor-id tiebreak, so ordering
     is engine-independent even at float boundaries. The query side is tiny and
-    broadcast; the corpus scan is a single pass (no shuffle before top-k)."""
+    broadcast; the corpus scan is a single pass (no shuffle before top-k).
+    The per-row cosine folds are the cost, so the corpus side is spread()
+    off the file-count scan partitions (no-op on a well-split cluster)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(e)
+        .crossJoin(spread(e))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1609,7 +1611,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(e)
+        .crossJoin(spread(e))
         .where(F.col("vec_id") != F.col("anchor_id"))
         .select(
             "anchor_id",
@@ -1622,8 +1624,12 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("anchor_id", "same").orderBy(
         F.col("cos").desc(), "vec_id"
     )
-    ranked = scored.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
+    # ranked (≤2 rows per anchor) feeds both the positive and negative
+    # branches — checkpoint so the corpus pass + window run once, not twice
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .localCheckpoint()
     )
     pos = ranked.where(F.col("same")).select(
         "anchor_id",
