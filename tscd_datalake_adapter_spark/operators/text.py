@@ -1662,12 +1662,16 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok"
         ),
     )
+    # per_doc feeds training (via cnt) and scoring; cnt feeds the language
+    # totals, the vocab, and the log-prob table. Branches that aggregate a
+    # shared parent differently re-execute it (no exchange reuse), so both
+    # bounded tables are checkpointed: the corpus is tokenized exactly once.
     per_doc = toks.groupBy("doc_id", "lang", "tok").agg(
         F.count("*").cast("long").alias("tc")
-    )
+    ).localCheckpoint()
     cnt = per_doc.groupBy("lang", "tok").agg(
         F.sum("tc").cast("long").alias("c")
-    )
+    ).localCheckpoint()
     langs = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("c_lang"))
     nl = langs.agg(F.count("*").cast("double").alias("k"))
     vocab = cnt.select("tok").distinct()
