@@ -649,7 +649,11 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d")
     )
-    hist = delays.groupBy("d").agg(F.count("*").alias("cnt"))
+    # the bounded delay histogram feeds three consumers (median walk,
+    # deviation histogram, outlier count) — checkpoint it so the
+    # lineitem⋈orders join really does run once (executed-plan audit:
+    # 7 scans of each table without, despite the docstring's claim)
+    hist = delays.groupBy("d").agg(F.count("*").alias("cnt")).localCheckpoint()
     wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     cum = hist.select(
@@ -2290,6 +2294,10 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("v")
         )
+        # the ~366-row daily series feeds both pair-join sides and the
+        # residual pass — checkpoint so events aggregates once (executed-
+        # plan audit: 5 scans without)
+        .localCheckpoint()
     )
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(b, F.col("a.idx") < F.col("b.idx")).select(
@@ -3574,6 +3582,10 @@ def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t",
             F.row_number().over(Window.orderBy("day")).cast("long"),
         )
+        # the calendar-bounded series feeds n, both model endpoints, the
+        # scoring grid, and the refit — checkpoint so events aggregates
+        # once (executed-plan audit: 5 scans without)
+        .localCheckpoint()
     )
     n = daily.agg(F.max("t").cast("long").alias("n"))
     ks = spark.range(_RANSAC_K).select(F.col("id").cast("long").alias("k"))

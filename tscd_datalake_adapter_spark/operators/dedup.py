@@ -415,7 +415,11 @@ def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, so a Zipfian hot token cannot dominate the join shuffle, and
     the result is provably identical to the unfiltered exact join."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    pairs = jaccard_pairs_prefix_filtered(distinct_tokens(docs), 0.9)
+    # the prefix-filter pipeline consumes the token table several times
+    # (df ranking, index sides, sizes, verify arrays) — checkpoint it so
+    # the corpus explodes once (executed-plan audit: 6 scans without)
+    toks = distinct_tokens(docs).localCheckpoint()
+    pairs = jaccard_pairs_prefix_filtered(toks, 0.9)
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -462,7 +466,10 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew. The exact verify touches only candidate pairs (LSH prunes the n²).
     """
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    tokens = distinct_tokens(docs)
+    # tokens feed the minhash chain AND the exact verify (sizes + both
+    # index sides) — checkpoint so the corpus tokenizes once (executed-
+    # plan audit: 6 scans of documents without)
+    tokens = distinct_tokens(docs).localCheckpoint()
 
     cand = lsh_candidate_pairs(minhash_bands(spark, tokens))
     exact = exact_jaccard_pairs(tokens).select(
@@ -1181,14 +1188,21 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + prefix-style inverted index); the PR join touches candidate
     pairs only."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
-    tokens = distinct_tokens(docs)
+    # tokens feed the minhash chain AND the exact-truth index (sizes +
+    # both join sides); cand/truth each feed a count and the hit join.
+    # Checkpoint all three bounded tables so nothing re-derives the corpus
+    # (the executed-plan audit measured 12 scans of documents without).
+    tokens = distinct_tokens(docs).localCheckpoint()
 
     mh = minhash_signatures(spark, tokens)
-    cand = lsh_candidate_pairs(minhash_bands(spark, tokens, mh=mh))
+    cand = lsh_candidate_pairs(
+        minhash_bands(spark, tokens, mh=mh)
+    ).localCheckpoint()
     truth = (
         exact_jaccard_pairs(tokens)
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     hit = cand.join(truth, ["doc_a", "doc_b"], "semi")
     counts = (
@@ -1268,8 +1282,12 @@ def minhash_jaccard_estimate_error(
     Scale: candidates only (never all pairs); the signature comparison
     joins 64-row signatures per candidate — bounded per pair."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 150)
-    tokens = distinct_tokens(docs)
-    mh = minhash_signatures(spark, tokens)
+    # tokens feed the minhash chain and the exact-truth pipeline; the
+    # signatures feed the bands and BOTH sides of the estimate join —
+    # checkpoint both so the corpus tokenizes and hashes exactly once
+    # (the executed-plan audit measured 8 scans of documents without)
+    tokens = distinct_tokens(docs).localCheckpoint()
+    mh = minhash_signatures(spark, tokens).localCheckpoint()
     cand = lsh_candidate_pairs(minhash_bands(spark, tokens, mh=mh))
     ma = mh.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a")
@@ -1340,7 +1358,10 @@ def incremental_near_dup(
     ).unionByName(
         batch.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
     )
-    tokens = distinct_tokens(tagged)
+    # tokens feed the band chain, the sizes, and both verify sides —
+    # checkpoint so corpus+batch tokenize once (executed-plan audit: 6
+    # scans of documents without; the band self-join itself reuses fine)
+    tokens = distinct_tokens(tagged).localCheckpoint()
     bands = minhash_bands(spark, tokens)
     is_b = F.col("doc_id") % 2 == 1
     cand = (
@@ -1617,7 +1638,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches — checkpoint so the candidate+verify pass runs once (Spark
     # does not reuse exchanges across the two consumers)
     pairs = jaccard_pairs_prefix_filtered(
-        distinct_tokens(d), 0.7
+        distinct_tokens(d).localCheckpoint(), 0.7
     ).localCheckpoint()
     taus = spark.createDataFrame(
         [("0.70", 0.70), ("0.80", 0.80), ("0.90", 0.90)], "tau string, tv double"

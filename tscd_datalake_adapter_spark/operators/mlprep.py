@@ -1827,12 +1827,16 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("r"))
     )
+    # kept feeds both co-occurrence sides and the norms — checkpoint the
+    # capped rating table so the orders⋈lineitem join runs once (executed-
+    # plan audit: 4 scans of each table without)
     kept = (
         ratings.withColumn(
             "basket", F.count("*").over(Window.partitionBy("cust"))
         )
         .where(F.col("basket") <= 50)
         .drop("basket")
+        .localCheckpoint()
     )
     a = kept.select(
         F.col("cust"), F.col("part").alias("part_a"), F.col("r").alias("ra")

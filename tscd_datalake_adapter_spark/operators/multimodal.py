@@ -1288,7 +1288,15 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-collision rate at ~4/65536 per pair (the NOTES.md
     more-bits-beats-wide-buckets rule) — and the verify join touches only
     candidates. No all-pairs stage anywhere."""
-    bands = phash_bands(phash_media(spark, sf_dir)).select("uid", "b", "v")
+    # the band table (4 fixed-width rows per image) feeds four consumers
+    # (both candidate sides + both verify sides); each re-evaluation would
+    # re-DECODE every PNG — checkpoint so the decode pass runs exactly
+    # once (executed-plan audit: 8 scans of documents without)
+    bands = (
+        phash_bands(phash_media(spark, sf_dir))
+        .select("uid", "b", "v")
+        .localCheckpoint()
+    )
     a = bands.select(F.col("uid").alias("ua"), "b", "v")
     bb = bands.select(F.col("uid").alias("ub"), "b", "v")
     cand = (

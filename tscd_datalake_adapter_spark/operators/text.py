@@ -939,6 +939,46 @@ def chi2_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, min_docs: int = 100
+) -> DataFrame:
+    """Ordered (ta < tb) token co-occurrence edge list — token pairs
+    sharing >= ``min_docs`` documents — shared by the graph operators
+    (triangles, local clustering coefficient). Ordering each edge
+    low<high means downstream triangle joins fan out from each node's
+    FORWARD adjacency only, the standard mitigation for high-degree skew.
+
+    Returned CHECKPOINTED: every caller consumes the bounded edge list
+    several times (triangle legs, degree unions, node counts), and
+    without the checkpoint each consumer re-executes the corpus explode +
+    co-occurrence self-join — the executed-plan audit measured 22 scans
+    of documents in local_clustering_coefficient before this (the
+    pagerank edge-list lesson)."""
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("filter(split(text, ' '), x -> x != '')")
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("tok").alias("ta"))
+    b = dt.select("doc_id", F.col("tok").alias("tb"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= min_docs)
+        .select("ta", "tb")
+        .localCheckpoint()
+    )
+
+
 @register(
     "token_graph_triangles",
     tags=("llm", "text", "graph"),
@@ -976,35 +1016,10 @@ def token_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing >= 100 documents, ordered ta < tb so each triangle is
     counted once as (a<b<c)) — the canonical distributed-graph primitive
     (clustering coefficient, community density) expressed as two
-    self-joins on the ordered edge list.
-
-    Scale: the classic trick applies — ordering each edge low<high means
-    the join fans out from each node's FORWARD adjacency only, the
-    standard mitigation for high-degree skew in triangle enumeration; the
-    doc-keyed co-occurrence join is the same inverted-index shape as the
-    PMI operator. Edge and triangle counts are integers — exact."""
-    dt = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr("filter(split(text, ' '), x -> x != '')")
-                )
-            ).alias("tok"),
-        )
-        .distinct()
-    )
-    a = dt.select("doc_id", F.col("tok").alias("ta"))
-    b = dt.select("doc_id", F.col("tok").alias("tb"))
-    edges = (
-        a.join(b, "doc_id")
-        .where(F.col("ta") < F.col("tb"))
-        .groupBy("ta", "tb")
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= 100)
-        .select("ta", "tb")
-    )
+    self-joins on the ordered edge list (``_cooccurrence_edges``,
+    checkpointed — six consumers below). Edge and triangle counts are
+    integers — exact."""
+    edges = _cooccurrence_edges(spark, sf_dir)
     e1 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("y"))
     e2 = edges.select(F.col("ta").alias("y"), F.col("tb").alias("z"))
     e3 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("z"))
@@ -1225,33 +1240,16 @@ def token_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-token list — the inverted-index candidate join keyed on the
     shared neighbor, sizes joined after, never all token pairs. The graph
     is vocabulary-bounded, so every stage after edge construction is
-    vocab²-bounded regardless of corpus size."""
+    vocab²-bounded regardless of corpus size. The edge list is the shared
+    checkpointed ``_cooccurrence_edges`` — the inverted-index pipeline
+    consumes the adjacency several times, and without the checkpoint each
+    consumption re-ran the corpus-scale edge build (measured 20 scans of
+    documents in the executed plan)."""
     from tscd_datalake_adapter_spark.operators.dedup import (
         exact_jaccard_pairs,
     )
 
-    dt = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr("filter(split(text, ' '), x -> x != '')")
-                )
-            ).alias("tok"),
-        )
-        .distinct()
-    )
-    a = dt.select("doc_id", F.col("tok").alias("ta"))
-    b = dt.select("doc_id", F.col("tok").alias("tb"))
-    edges = (
-        a.join(b, "doc_id")
-        .where(F.col("ta") < F.col("tb"))
-        .groupBy("ta", "tb")
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= 100)
-        .select("ta", "tb")
-    )
+    edges = _cooccurrence_edges(spark, sf_dir)
     adj = edges.select(
         F.col("ta").alias("doc_id"), F.col("tb").alias("tok")
     ).unionByName(
@@ -1880,29 +1878,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one groupBy over the (symmetrized via UNION ALL) endpoints; the
     pow2 bucket is a literal CASE chain — NEVER ceil(log2(d)), whose libm
     form mis-buckets exact powers (the ``length_bucketed_batching``
-    lesson)."""
-    dt = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr("filter(split(text, ' '), x -> x != '')")
-                )
-            ).alias("tok"),
-        )
-        .distinct()
-    )
-    a = dt.select("doc_id", F.col("tok").alias("ta"))
-    b = dt.select("doc_id", F.col("tok").alias("tb"))
-    edges = (
-        a.join(b, "doc_id")
-        .where(F.col("ta") < F.col("tb"))
-        .groupBy("ta", "tb")
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= 100)
-        .select("ta", "tb")
-    )
+    lesson). The edge list is the shared checkpointed
+    ``_cooccurrence_edges`` (the degree union consumes it twice)."""
+    edges = _cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("ta").alias("t"))
         .unionAll(edges.select(F.col("tb").alias("t")))
@@ -2898,32 +2876,12 @@ def local_clustering_coefficient(
     corner is double-counted and no unordered edge list is ever joined).
 
     Scale shape: inherits the forward-adjacency skew mitigation of the
-    ordered triangle join; degree and triangle counts are integer
+    ordered triangle join (shared checkpointed ``_cooccurrence_edges`` —
+    five consumers below); degree and triangle counts are integer
     groupBys; the final ratio of exact integers is correctly-rounded
     IEEE division (identical cross-engine), with a round-6 + token
     tiebreak TakeOrdered top-20."""
-    dt = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr("filter(split(text, ' '), x -> x != '')")
-                )
-            ).alias("tok"),
-        )
-        .distinct()
-    )
-    a = dt.select("doc_id", F.col("tok").alias("ta"))
-    b = dt.select("doc_id", F.col("tok").alias("tb"))
-    edges = (
-        a.join(b, "doc_id")
-        .where(F.col("ta") < F.col("tb"))
-        .groupBy("ta", "tb")
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= 100)
-        .select("ta", "tb")
-    )
+    edges = _cooccurrence_edges(spark, sf_dir)
     e1 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("y"))
     e2 = edges.select(F.col("ta").alias("y"), F.col("tb").alias("z"))
     e3 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("z"))
