@@ -4114,15 +4114,23 @@ def tail_contribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comes from the integer-cent value histogram's cumulative
     count (the exact-percentile-without-sorting recipe).
 
-    Scale shape: rows → value histogram; one bounded cumulative window
-    for the threshold; one flagged aggregate by type. No sort of raw
-    values, no per-row windows."""
+    Scale shape: ONE corpus pass builds the (event_type, cents) histogram
+    (checkpointed — it feeds the global threshold walk AND the per-type
+    tail counts; the executed-plan audit measured 4 scans of events when
+    the raw rows were re-flagged instead); everything downstream runs
+    over bounded histogram cells. No sort of raw values, no per-row
+    windows."""
     e = load_table(spark, sf_dir, "events")
-    base = e.select(
-        "event_type",
-        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    histc = (
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
     )
-    hist = base.groupBy("cents").agg(F.count("*").cast("long").alias("n"))
+    hist = histc.groupBy("cents").agg(F.sum("n").cast("long").alias("n"))
     tot = hist.agg(F.sum("n").cast("long").alias("nt"))
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     thresh = (
@@ -4133,15 +4141,18 @@ def tail_contribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("cents").alias("p95_cents"))
     )
-    flagged = base.crossJoin(F.broadcast(thresh)).select(
-        "event_type",
-        F.when(F.col("cents") >= F.col("p95_cents"), 1)
-        .otherwise(0)
-        .alias("tail"),
-    )
-    per_type = flagged.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_total"),
-        F.sum("tail").cast("long").alias("n_tail"),
+    per_type = (
+        histc.crossJoin(F.broadcast(thresh))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_total"),
+            F.sum(
+                F.when(F.col("cents") >= F.col("p95_cents"), F.col("n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tail"),
+        )
     )
     g = per_type.agg(
         F.sum("n_total").cast("long").alias("all_total"),

@@ -479,10 +479,13 @@ def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tscd_datalake_adapter_spark.functions import DEC
 
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    # ed feeds the max-timestamp aggregate AND the value lookup join;
+    # daily below feeds the spine range AND the spine join — checkpoint
+    # the bounded tables so events scans once (executed-plan audit)
     ed = e.select(
         "user_id", "ts", "value", F.to_date("ts").alias("d"),
         F.unix_micros("ts").alias("us"),
-    )
+    ).localCheckpoint()
     mt = ed.groupBy("user_id", "d").agg(F.max("us").alias("m"))
     daily = (
         mt.join(
@@ -496,6 +499,7 @@ def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "d")
         .agg(F.max("value").alias("v"))
+        .localCheckpoint()
     )
     rng = daily.groupBy("user_id").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
@@ -1209,10 +1213,13 @@ def gap_fill_interpolate_daily(
     from tscd_datalake_adapter_spark.functions import DEC
 
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    # ed feeds the max-timestamp aggregate AND the value lookup join;
+    # daily below feeds the spine range AND the spine join — checkpoint
+    # the bounded tables so events scans once (executed-plan audit)
     ed = e.select(
         "user_id", "ts", "value", F.to_date("ts").alias("d"),
         F.unix_micros("ts").alias("us"),
-    )
+    ).localCheckpoint()
     mt = ed.groupBy("user_id", "d").agg(F.max("us").alias("m"))
     daily = (
         mt.join(
@@ -1226,6 +1233,7 @@ def gap_fill_interpolate_daily(
         )
         .groupBy("user_id", "d")
         .agg(F.max("value").alias("v"))
+        .localCheckpoint()
     )
     rng = daily.groupBy("user_id").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")

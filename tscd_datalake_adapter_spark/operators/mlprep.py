@@ -464,10 +464,12 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls/ranges; this covers joinability, the property every downstream
     join silently depends on).
 
-    Scale shape: each edge is one anti-join keyed on the FK — the same
-    shuffle the production join would pay, with broadcast parents where
-    small — feeding 1-row aggregates unioned at the end; edges audit
-    independently (no barrier between them)."""
+    Scale shape: each edge is ONE pass over the child — a left join onto
+    the distinct parent keys feeding a single aggregate that counts total
+    rows and null-parent (orphan) rows together (a separate count +
+    anti-join pair scanned every child twice; executed-plan audit) — the
+    same shuffle the production join would pay, with broadcast parents
+    where small; edges audit independently (no barrier between them)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
@@ -476,14 +478,17 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
 
     def edge(name, child, child_key, parent, parent_key):
-        orphans = child.join(
-            parent, child[child_key] == parent[parent_key], "left_anti"
-        )
-        return child.agg(
-            F.lit(name).alias("edge"),
-            F.count("*").cast("long").alias("n_child"),
-        ).crossJoin(
-            orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+        pk = parent.select(F.col(parent_key).alias("_pk")).distinct()
+        return (
+            child.select(F.col(child_key).alias("_ck"))
+            .join(pk, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.lit(name).alias("edge"),
+                F.count("*").cast("long").alias("n_child"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
         )
 
     edges = [

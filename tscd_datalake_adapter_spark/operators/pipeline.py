@@ -1079,10 +1079,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tscd_datalake_adapter_spark.functions import DEC
 
     d = load_table(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("tok"),
+    # the exploded token stream feeds the vocab, target, raw, and scoring
+    # branches — spread the narrow projection before the explode (file-
+    # count trap) and checkpoint so the corpus tokenizes exactly once
+    # (executed-plan audit: 3 scans without)
+    ex = (
+        spread(d.select("doc_id", "lang", "text"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x != '')")
+            ).alias("tok"),
+        )
+        .localCheckpoint()
     )
     vocab = ex.agg(F.countDistinct("tok").cast("long").alias("v"))
     target = (

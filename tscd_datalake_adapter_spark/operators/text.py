@@ -800,6 +800,10 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
+        # dt feeds N, the doc frequencies, and both pair-join sides —
+        # checkpoint so the corpus tokenizes once (executed-plan audit:
+        # 3 scans without; the self-join pair already reuses)
+        .localCheckpoint()
     )
     n = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     dfreq = dt.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
