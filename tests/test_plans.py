@@ -816,3 +816,60 @@ def test_slowest_tier_plan_shapes(spark, sf_dir):
         or "ShuffledHashJoin" in p
         or "BroadcastHashJoin" in p
     )
+
+
+def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
+    """Regression net for the round-6 re-execution purge: each of these
+    queries once re-executed a shared intermediate's whole lineage (up to
+    22 scans of documents) because Spark only reuses exchanges across
+    IDENTICAL subtrees. After the checkpoint/single-pass fixes, the
+    EXECUTED plan (post-AQE — self-join reuse already folded in) must
+    scan any single parquet table at most twice (naive_bayes keeps two
+    tiny pruned doc-count scans; everything else is checkpoint-once) —
+    except referential_integrity_audit, where lineitem is the CHILD of
+    three different FK edges and each edge's single-pass audit genuinely
+    scans it once (down from twice per edge)."""
+    from collections import Counter
+
+    from tscd_datalake_adapter_spark.operators import load_all
+
+    registry = load_all()
+    allowed = {"referential_integrity_audit": 3}
+    fixed = (
+        "local_clustering_coefficient",
+        "token_neighbor_jaccard",
+        "token_graph_triangles",
+        "graph_degree_distribution",
+        "dedup_eval_pr",
+        "minhash_jaccard_estimate_error",
+        "minhash_lsh_near_dup",
+        "jaccard_near_dup",
+        "incremental_near_dup_batch",
+        "image_phash_near_dup",
+        "mad_outlier_days",
+        "item_item_cosine_recs",
+        "kmv_intersection_estimate",
+        "theil_sen_daily_trend",
+        "ransac_line_fit",
+        "naive_bayes_lang_confusion",
+        "feature_corr_matrix",
+        "pmi_cooccurrence_topk",
+        "dsir_importance_weights",
+        "tail_contribution_audit",
+        "referential_integrity_audit",
+        "gap_fill_interpolate_daily",
+        "gap_fill_locf_daily",
+    )
+    for name in fixed:
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        tables = Counter(
+            ln.rstrip("]").rsplit("/", 1)[-1].split(",")[0]
+            for ln in p.splitlines()
+            if "Location" in ln and "parquet" in ln
+        )
+        worst = max(tables.values(), default=0)
+        assert worst <= allowed.get(name, 2), (
+            f"{name}: duplicate executed scans returned: {dict(tables)}"
+        )
