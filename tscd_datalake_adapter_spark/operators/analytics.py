@@ -3113,9 +3113,11 @@ def holt_linear_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
         return pd.DataFrame(out, columns=["month", "actual", "f"])
 
+    # the ≤12-row backtest horizon feeds the MAE aggregate AND the final
+    # row readout — checkpoint so the fold pipeline runs once
     horizon = monthly.groupBy(F.lit(1).alias("g")).applyInPandas(
         _holt, "month string, actual long, f double"
-    )
+    ).localCheckpoint()
     tot = horizon.agg(
         (
             F.round(
@@ -3300,7 +3302,7 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v").agg(
         F.sum("is_f").cast("long").alias("nf_bin"),
         F.sum(1 - F.col("is_f")).cast("long").alias("no_bin"),
-    )
+    ).localCheckpoint()  # feeds the cumulative AND the totals — scan once
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         F.sum("nf_bin").over(w).alias("cum_f"),

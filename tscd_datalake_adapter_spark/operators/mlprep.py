@@ -664,11 +664,13 @@ def autocorr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens on the day-domain-sized series (~30 rows here, bounded by
     calendar span, not data volume)."""
     e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # the calendar-bounded series feeds both lag-join sides — checkpoint
+    # so events aggregates once (the x/y sides differ, so no reuse)
     daily = e.groupBy(
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("long")
         .alias("idx")
-    ).agg(F.count("*").cast("long").alias("c"))
+    ).agg(F.count("*").cast("long").alias("c")).localCheckpoint()
     lags = spark.range(1, 4).select(F.col("id").alias("lag"))
     a = daily.select(F.col("idx").alias("ia"), F.col("c").alias("x"))
     b = daily.select(F.col("idx").alias("ib"), F.col("c").alias("y"))
@@ -1729,7 +1731,7 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(
             F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 12)
         ).alias("sum_sq"),
-    )
+    ).localCheckpoint()  # bounded bin table feeds the totals AND the readout
     tot = per_bin.agg(
         F.sum("n").cast("long").alias("n_total"),
         (
@@ -2856,7 +2858,7 @@ def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(
             F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 12)
         ).alias("sum_sq"),
-    )
+    ).localCheckpoint()  # bounded bin table feeds the totals AND the readout
     tot = per_bin.agg(
         F.sum("n").cast("long").alias("nt"),
         F.sum("n_pos").cast("long").alias("pt"),
