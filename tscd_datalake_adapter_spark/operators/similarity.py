@@ -1441,6 +1441,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     structs = ",".join(_sub_struct_sql(m) for m in range(PQ_M))
+    # the 64-dot assignment pass feeds codebook training AND the encode
+    # distances; the codebook (cn, m x 256 cells) feeds the encode AND the
+    # query LUT — checkpoint both so the expensive pass runs once
     assigned = ev.select(
         "vec_id", F.expr(f"explode(array({structs}))").alias("ms")
     ).select(
@@ -1448,7 +1451,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ms.m").alias("m"),
         F.col("ms.sub").alias("sub"),
         F.col("ms.cell").alias("cell"),
-    )
+    ).localCheckpoint()
 
     cellmeans = (
         assigned.select(
@@ -1468,7 +1471,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cn = cents.select(
         "m", "k", "cent", dot(F.col("cent"), F.col("cent")).alias("cnorm")
-    )
+    ).localCheckpoint()
     sn = assigned.withColumn("snorm", dot(F.col("sub"), F.col("sub")))
     d2s = sn.join(F.broadcast(cn), "m").select(
         "vec_id",
