@@ -564,9 +564,12 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
+    # each stage table (one row per user) feeds the next stage's join AND
+    # the final counts — checkpoint all three so events scans exactly the
+    # three documented stage passes (executed-plan audit: 5 without)
     s1 = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv")
-    )
+    ).localCheckpoint()
     s2 = (
         e.join(s1.where(F.col("tv").isNotNull()), "user_id")
         .groupBy("user_id")
@@ -579,6 +582,7 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("tc")
         )
+        .localCheckpoint()
     )
     s3 = (
         e.join(s2.where(F.col("tc").isNotNull()), "user_id")

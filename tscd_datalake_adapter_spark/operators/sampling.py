@@ -191,7 +191,13 @@ def temperature_sampling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tscd_datalake_adapter_spark.functions import DEC
 
     d = load_table(spark, sf_dir, "documents")
-    stats = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # the |langs|-row stats table anchors the whole rate derivation chain
+    # (total, q, Z, rates, final readout) — checkpoint it so the corpus
+    # scans exactly twice: once for stats, once applying the rates
+    # (executed-plan audit: 7 scans without)
+    stats = (
+        d.groupBy("lang").agg(F.count("*").alias("n_docs")).localCheckpoint()
+    )
     tot = stats.agg(F.sum("n_docs").cast("long").alias("n"))
     langq = stats.crossJoin(F.broadcast(tot)).withColumn(
         "q",

@@ -1973,9 +1973,12 @@ def cross_entropy_between_sources(
             "tok"
         ),
     )
+    # the (source, tok) count table anchors totals, vocab size, the
+    # smoothed log-probs, and the overlap join's A side — checkpoint so
+    # the corpus tokenizes once (executed-plan audit: 5 scans without)
     cnt = toks.groupBy("source", "tok").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).localCheckpoint()
     totals = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("ct"))
     vsize = cnt.agg(F.countDistinct("tok").cast("long").alias("v"))
     lnq = (
@@ -2936,9 +2939,12 @@ def tfidf_cosine_pairs(
     d = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < max_doc_id
     )
+    # tok feeds the tf and df aggregations; w feeds the norms and both
+    # inverted-index sides — checkpoint both so the slice tokenizes once
+    # (executed-plan audit: 8 scans without)
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
+    ).where(F.col("tok") != "").localCheckpoint()
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = (
         tok.groupBy("tok")
@@ -2960,6 +2966,7 @@ def tfidf_cosine_pairs(
                 12,
             ).alias("w"),
         )
+        .localCheckpoint()
     )
     norms = (
         w.select(
