@@ -873,7 +873,7 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("tok"),
-    )
+    ).localCheckpoint()  # shingle once: sizes + both index sides consume it
     pairs = exact_jaccard_pairs(grams)
     return (
         pairs.where(F.col("jaccard") >= 0.5)

@@ -699,6 +699,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     domains², not documents². The distinct (source, token) projection is
     the only corpus-volume pass."""
     docs = load_table(spark, sf_dir, "documents")
+    # the distinct (source, token) projection is the only corpus-volume
+    # pass — checkpoint it so the sizes aggregate and both join sides
+    # consume the materialized table (executed-plan audit: 4 scans)
     st = (
         docs.select(
             "source",
@@ -706,6 +709,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("tok") != "")
         .distinct()
+        .localCheckpoint()
     )
     sizes = st.groupBy("source").agg(F.count("*").alias("n"))
     a, b = st.alias("a"), st.alias("b")
@@ -1236,11 +1240,15 @@ def user_trajectory_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "day")
         .agg(F.sum("c").cast("long").alias("cents"))
+        # traj feeds the norms and both dot-join sides; norms feed both
+        # theta-join sides — checkpoint so events aggregates once
+        # (executed-plan audit: 4 scans without)
+        .localCheckpoint()
     )
     norms = traj.groupBy("user_id").agg(
         F.sum(F.col("cents") * F.col("cents")).cast("long").alias("n2"),
         F.count("*").cast("long").alias("n_days"),
-    )
+    ).localCheckpoint()
     a, b = traj.alias("a"), traj.alias("b")
     dots = (
         a.join(

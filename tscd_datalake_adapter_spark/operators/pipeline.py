@@ -973,7 +973,15 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    hist = lens.groupBy("n_tokens").agg(F.count("*").cast("long").alias("cnt"))
+    # ONE corpus pass: the length histogram is checkpointed and feeds the
+    # cumulative cutoff walk, the total, AND the kept/dropped counts (the
+    # kept count is Σ cnt over in-range cells — no re-scan of raw lengths;
+    # executed-plan audit: 4 scans of documents without)
+    hist = (
+        lens.groupBy("n_tokens")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     wcum = Window.orderBy("n_tokens").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -996,7 +1004,7 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95"),
         )
     )
-    tagged = lens.join(F.broadcast(cuts))
+    tagged = hist.join(F.broadcast(cuts))
     return (
         tagged.join(F.broadcast(tot))
         .agg(
@@ -1007,15 +1015,21 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     (F.col("n_tokens") >= F.col("p5"))
                     & (F.col("n_tokens") <= F.col("p95")),
-                    1,
+                    F.col("cnt"),
                 ).otherwise(0)
             )
             .cast("long")
             .alias("n_kept"),
-            F.sum(F.when(F.col("n_tokens") < F.col("p5"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("n_tokens") < F.col("p5"), F.col("cnt"))
+                .otherwise(0)
+            )
             .cast("long")
             .alias("n_short"),
-            F.sum(F.when(F.col("n_tokens") > F.col("p95"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("n_tokens") > F.col("p95"), F.col("cnt"))
+                .otherwise(0)
+            )
             .cast("long")
             .alias("n_long"),
         )

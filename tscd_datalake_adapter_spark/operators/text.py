@@ -1548,7 +1548,10 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # the counted pair table anchors all three model tables AND the final
+    # join — checkpoint so the bigram extraction really is ONE pass (the
+    # docstring's claim; executed-plan audit: 4 scans without)
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c")).localCheckpoint()
     w1a = bg.groupBy("w1").agg(
         F.sum("c").cast("long").alias("c1"),
         F.count("*").cast("long").alias("n_follow"),
@@ -2137,9 +2140,11 @@ def vocab_growth_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("decile").alias("vd"))
         .agg(F.count("*").cast("long").alias("vocab_size"))
     )
+    # the 10-row curve feeds the OLS fit AND the final readout —
+    # checkpoint so the first-occurrence aggregation runs once
     curve = n_docs.join(vocab, F.col("decile") == F.col("vd")).select(
         "decile", "n_docs", "vocab_size"
-    )
+    ).localCheckpoint()
     pts = curve.where(
         (F.col("n_docs") > 0) & (F.col("vocab_size") > 0)
     ).select(
@@ -2240,6 +2245,9 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "w"
         ),
     )
+    # nt feeds the phrase fold and both score joins; ph feeds the word
+    # stats and the scoring — checkpoint both so the tokenize + islands
+    # window runs once (executed-plan audit: 4 scans without)
     nt = (
         tok.where(
             (F.col("w") != "") & ~F.col("w").isin(*STOPWORDS)
@@ -2251,6 +2259,7 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy("pos")
             ),
         )
+        .localCheckpoint()
     )
     ph = nt.groupBy("doc_id", "grp").agg(
         F.count("*").cast("long").alias("plen"),
@@ -2261,7 +2270,7 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("phrase"),
-    )
+    ).localCheckpoint()
     wstat = (
         nt.join(ph, ["doc_id", "grp"])
         .groupBy("w")
@@ -2356,12 +2365,15 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join — never a cross join); the vocabulary (bounded) broadcasts
     for the negative lookup; pair counts aggregate map-side."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    # tok feeds the vocab and both window-pair sides; vocab feeds its size
+    # and the negative lookup — checkpoint both so the slice tokenizes
+    # once (executed-plan audit: 4 scans without)
     tok = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
             "pos", "w"
         ),
-    ).where(F.col("w") != "")
+    ).where(F.col("w") != "").localCheckpoint()
     # DuckDB generate_subscripts is 1-based; Spark posexplode 0-based —
     # offsets and windows are position-difference-based, so the base
     # cancels everywhere (offset = o.pos - c.pos in both engines).
@@ -2377,7 +2389,7 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("widx"),
-    )
+    ).localCheckpoint()
     c = tok.select(
         "doc_id", F.col("w").alias("center"), F.col("pos").alias("cpos")
     )
@@ -3262,9 +3274,12 @@ def jsd_source_divergence_topk(
             F.expr("filter(split(text, ' '), x -> x != '')")
         ).alias("tok"),
     )
+    # the (source, tok) counts anchor the vocab, the per-source totals,
+    # and the grid join — checkpoint so the corpus tokenizes once
+    # (executed-plan audit: 4 scans without)
     cnts = tok.groupBy("source", "tok").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).localCheckpoint()
     vocab = cnts.select("tok").distinct()
     srcs = cnts.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
     grid = (
