@@ -1662,9 +1662,11 @@ def revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         dec_sum("o_totalprice").alias("rev")
     )
+    # the bounded bin table feeds both pair-join sides and the totals —
+    # checkpoint so the per-customer aggregation runs once
     binned = per_cust.groupBy(
         F.floor(F.col("rev") / 1000.0).cast("long").alias("kv")
-    ).agg(F.count("*").cast("long").alias("c"))
+    ).agg(F.count("*").cast("long").alias("c")).localCheckpoint()
     a = binned.select(F.col("kv").alias("ka"), F.col("c").alias("ca"))
     b = binned.select(F.col("kv").alias("kb"), F.col("c").alias("cb"))
     pairs = a.crossJoin(b).agg(

@@ -619,10 +619,15 @@ def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     column: the date-clustered layout should skip ~(1 − 1/n_months) of
     rows per point-month probe while insertion order skips ~none.
 
-    Scale shape: one pass builds both layouts' zone tables (map-side
-    combined groupBy; bucket counts, not row counts, leave the shuffle);
-    the probe evaluation is a tiny aggregated-table cross join. No
-    windows, no row-level joins."""
+    Scale shape: ONE pass builds both layouts' zone tables (each row
+    explodes into its two (layout, bucket) memberships — no union of two
+    scans — then a map-side combined groupBy; bucket counts, not row
+    counts, leave the shuffle); the zone table is checkpointed (it feeds
+    the probe evaluation and the size readout) and the probe months are
+    read off the date-clustered zones themselves (their buckets ARE the
+    observed months), so lineitem is scanned exactly once. The probe
+    evaluation is a tiny aggregated-table cross join. No windows, no
+    row-level joins."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         (
@@ -631,26 +636,33 @@ def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ym"),
     )
-    layouts = (
-        li.select(
-            F.lit("insertion_order").alias("layout"),
-            (F.col("l_orderkey") / 512).cast("long").alias("bucket"),
-            "ym",
-        )
-        .unionByName(
-            li.select(
-                F.lit("date_clustered").alias("layout"),
-                F.col("ym").alias("bucket"),
-                "ym",
+    layouts = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("insertion_order").alias("layout"),
+                    (F.col("l_orderkey") / 512).cast("long").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("date_clustered").alias("layout"),
+                    F.col("ym").alias("bucket"),
+                ),
             )
-        )
+        ).alias("lb"),
+        "ym",
+    ).select(
+        F.col("lb.layout").alias("layout"),
+        F.col("lb.bucket").alias("bucket"),
+        "ym",
     )
     zones = layouts.groupBy("layout", "bucket").agg(
         F.min("ym").cast("long").alias("min_ym"),
         F.max("ym").cast("long").alias("max_ym"),
         F.count("*").cast("long").alias("n_rows"),
+    ).localCheckpoint()
+    probes = zones.where(F.col("layout") == "date_clustered").select(
+        F.col("bucket").alias("probe_ym")
     )
-    probes = li.select(F.col("ym").alias("probe_ym")).distinct()
     skipped = F.when(
         (F.col("probe_ym") < F.col("min_ym"))
         | (F.col("probe_ym") > F.col("max_ym")),

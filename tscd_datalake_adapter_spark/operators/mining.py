@@ -1381,7 +1381,9 @@ def prefixspan_topk_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rn"),
-    ).where(F.col("rn") <= 8)
+    ).where(F.col("rn") <= 8).localCheckpoint()
+    # ^ the capped session table feeds all three subsequence-join sides —
+    # checkpoint so the sessionization windows run once (audit: 3 scans)
     a = r.select("skey", F.col("event_type").alias("t1"), F.col("rn").alias("r1"))
     b = r.select("skey", F.col("event_type").alias("t2"), F.col("rn").alias("r2"))
     c = r.select("skey", F.col("event_type").alias("t3"), F.col("rn").alias("r3"))

@@ -947,11 +947,13 @@ def seasonal_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation to the day domain, then self-joins on the ~30-row
     series."""
     e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # the ~30-row series feeds all three self-join sides — checkpoint so
+    # events aggregates once (executed-plan audit: 3 scans without)
     daily = e.groupBy(
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("long")
         .alias("idx")
-    ).agg(F.count("*").cast("long").alias("c"))
+    ).agg(F.count("*").cast("long").alias("c")).localCheckpoint()
     a = daily.select(F.col("idx"), F.col("c"))
     s = daily.select(F.col("idx").alias("is_"), F.col("c").alias("f_seasonal"))
     n1 = daily.select(F.col("idx").alias("in1"), F.col("c").alias("f_naive1"))

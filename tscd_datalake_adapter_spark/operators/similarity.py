@@ -2148,9 +2148,11 @@ def cluster_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(label AS BIGINT) AS label",
         " + ".join(spark_exprs) + " AS cluster",
     )
+    # the ≤64·k-cell contingency feeds three aggregates — checkpoint so
+    # the sign-plane scan runs once (executed-plan audit: 3 scans)
     cont = assign.groupBy("cluster", "label").agg(
         F.count("*").cast("long").alias("nij")
-    )
+    ).localCheckpoint()
     parts = cont.agg(
         F.sum("nij").cast("long").alias("n"),
         F.countDistinct("cluster").cast("long").alias("n_clusters"),

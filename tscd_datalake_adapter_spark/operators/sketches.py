@@ -1220,17 +1220,22 @@ def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("x")
     )
     L = _DD_LN_GAMMA
+    # both bounded histograms feed a total + a cumulative walk —
+    # checkpoint them so orders scans exactly twice (sketch + exact twin,
+    # the documented design; the exact side exists only for the guarantee)
     hb = (
         o.select(
             F.ceil(F.log("x") / F.expr(L)).cast("long").alias("bidx")
         )
         .groupBy("bidx")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
     )
     hc = (
         o.select(F.round(F.col("x") * 100.0, 0).cast("long").alias("cents"))
         .groupBy("cents")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
     )
     n = hb.agg(F.sum("c").cast("long").alias("n"))
     w_b = Window.orderBy("bidx").rowsBetween(Window.unboundedPreceding, 0)
@@ -1465,6 +1470,10 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("week", "epoch_day", "word")
         .agg(F.bit_or("bit").cast("long").alias("bits"))
+        # the word bitmaps feed the daily popcounts AND the weekly OR-merge
+        # — checkpoint so facts are read once for the bitmap side (the
+        # exact count(DISTINCT) twin keeps its own pass by design)
+        .localCheckpoint()
     )
     per_day = daily.groupBy("week", "epoch_day").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("d")

@@ -734,11 +734,14 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one TakeOrderedAndProject(101) over the scan — the
     bounded-order-statistics pattern; no global sort."""
     o = load_table(spark, sf_dir, "orders")
+    # the 101-row top-k feeds the reference aggregate and the term pass —
+    # checkpoint so the TakeOrdered scan runs once
     topk = (
         o.select(F.col("o_totalprice").alias("v"), "o_orderkey")
         .orderBy(F.col("v").desc(), "o_orderkey")
         .limit(101)
         .select("v")
+        .localCheckpoint()
     )
     ref = topk.agg(
         F.min("v").alias("x_ref"),
@@ -1174,10 +1177,17 @@ def kruskal_wallis_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("c_acctbal").cast("long").alias("v"),
         F.col("c_mktsegment").alias("seg"),
     )
+    # the (value, segment) histogram feeds the pooled spine AND the rank
+    # join; the spine feeds the ranks AND the tie term — checkpoint both
+    # so customer scans once (executed-plan audit: 3 scans without)
     hist = c.groupBy("v", "seg").agg(
         F.count("*").cast("long").alias("n_gv")
+    ).localCheckpoint()
+    vt = (
+        hist.groupBy("v")
+        .agg(F.sum("n_gv").cast("long").alias("n_v"))
+        .localCheckpoint()
     )
-    vt = hist.groupBy("v").agg(F.sum("n_gv").cast("long").alias("n_v"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = vt.select(
         "v",
