@@ -871,7 +871,10 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
             "concat(array(e[0] + 0.05d), slice(e, 2, size(e) - 1))"
         ).alias("e"),
     )
-    corpus = base.unionByName(planted)
+    # corpus feeds the signature stage and both verify sides — checkpoint
+    # so the planted-twin union builds once (executed-plan audit: 4 scans
+    # of embeddings without)
+    corpus = base.unionByName(planted).localCheckpoint()
     # Vectorized per-row signatures (numpy matmul in mapInPandas, no
     # shuffle; see _lsh_signatures) and a NARROW bucket self-join —
     # candidate ids dedupe without dragging 64-double arrays through the
