@@ -1045,7 +1045,10 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays the straightforward all-pairs formulation — identical output
     because the filter is lossless at the threshold."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    tokens = distinct_tokens(docs)
+    # tokens feed the prefix probes (df + rank), the pruned index, and the
+    # verify token sets — checkpoint so the corpus tokenizes once
+    # (executed-plan audit: 7 scans of documents without)
+    tokens = distinct_tokens(docs).localCheckpoint()
     # Threshold on the RAW ratio (inside the helper), round only for
     # output — same convention as the jaccard family; thresholding the
     # rounded value would keep pairs in [0.7999995, 0.8) that the oracle

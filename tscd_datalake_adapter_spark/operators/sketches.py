@@ -243,7 +243,12 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("bigram").alias("unit"), "u")
     )
-    units = unigrams.unionByName(bigrams)
+    # units feed the register sketch AND the exact count(DISTINCT) twin —
+    # each would re-run the unigram+bigram tokenization (4 corpus scans
+    # measured); checkpointing the unioned stream tokenizes once. (This is
+    # NOT the reverted spread() experiment above: no pre-exchange shuffle
+    # is added, the split work is simply not repeated.)
+    units = unigrams.unionByName(bigrams).localCheckpoint()
     h = h60(F.col("u"))
     hashed = units.select(
         "unit",

@@ -956,7 +956,7 @@ def permutation_test_signflip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("decimal(38,6)")
         .alias("d")
-    )
+    ).localCheckpoint()  # feeds T_obs AND the B=199 flip replicates
     obs = per_user.agg(
         F.sum("d").cast("double").alias("t_obs"),
         F.count("*").cast("long").alias("n_users"),
