@@ -798,7 +798,9 @@ def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("fp").isNotNull()
         & (F.col("fp") >= F.col("fv"))
     ).select(F.expr("(fp - fv) div 3600000000").alias("hours"))
-    hist = lat.groupBy("hours").agg(F.count("*").alias("n"))
+    # the bounded latency histogram feeds the total and the cumulative
+    # readout — checkpoint so events aggregates once
+    hist = lat.groupBy("hours").agg(F.count("*").alias("n")).localCheckpoint()
     tot = hist.agg(F.sum("n").alias("t"))
     w = Window.orderBy("hours").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

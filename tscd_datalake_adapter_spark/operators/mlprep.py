@@ -1213,10 +1213,14 @@ def winsorized_stats_by_priority(
     averaged — the robust-mean feature that tames heavy tails before
     model training, with the clipped fraction as the audit column.
 
-    Two passes over orders (histogram, then clip+mean with the 5-row
-    cuts broadcast), each a map-side-combined aggregation; the quantile
-    windows run over the bucket domain (~500 rows/group), never raw
-    rows. Clipping to the BUCKET boundary (k·1000) keeps the clipped
+    ONE pass over orders: the histogram carries each cell's decimal price
+    sum alongside its count (checkpointed — it feeds the quantile walk
+    AND the winsorized readout), so the clipped mean derives entirely
+    from cells: clipped-below cells contribute cnt·k05·1000, clipped-
+    above cnt·k95·1000, in-range cells their exact decimal sums —
+    associative decimal regrouping, bit-equal to the per-row clip. The
+    quantile windows run over the bucket domain (~500 rows/group), never
+    raw rows. Clipping to the BUCKET boundary (k·1000) keeps the clipped
     value integer-derived, so the winsorized sum stays decimal-exact
     cross-engine."""
     o = load_table(spark, sf_dir, "orders")
@@ -1226,8 +1230,9 @@ def winsorized_stats_by_priority(
         "o_totalprice",
     )
     hist = v.groupBy("priority", "kv").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
+        F.count("*").cast("long").alias("cnt"),
+        dec_sum("o_totalprice").alias("psum"),
+    ).localCheckpoint()
     wcum = (
         Window.partitionBy("priority")
         .orderBy("kv")
@@ -1250,21 +1255,36 @@ def winsorized_stats_by_priority(
         .cast("long")
         .alias("k95"),
     )
-    clipped = F.when(F.col("kv") < F.col("k05"), F.col("k05") * 1000.0).when(
-        F.col("kv") > F.col("k95"), F.col("k95") * 1000.0
-    ).otherwise(F.col("o_totalprice"))
-    out_frac = F.count(
+    # each cell's contribution re-enters DECIMAL for the outer fold (the
+    # per-cell double round-trip is exact — cell sums stay far below
+    # 2^53/1e6 — and a double re-sum of cells would be order-dependent);
+    # one final cast to double mirrors dec_sum exactly
+    cell_sum = (
         F.when(
-            (F.col("kv") < F.col("k05")) | (F.col("kv") > F.col("k95")), 1
+            F.col("kv") < F.col("k05"),
+            (F.col("cnt") * F.col("k05") * 1000).cast("decimal(38,6)"),
         )
+        .when(
+            F.col("kv") > F.col("k95"),
+            (F.col("cnt") * F.col("k95") * 1000).cast("decimal(38,6)"),
+        )
+        .otherwise(F.col("psum").cast("decimal(38,6)"))
+    )
+    out_cnt = F.sum(
+        F.when(
+            (F.col("kv") < F.col("k05")) | (F.col("kv") > F.col("k95")),
+            F.col("cnt"),
+        ).otherwise(0)
     )
     return (
-        v.join(F.broadcast(cuts), "priority")
+        hist.join(F.broadcast(cuts), "priority")
         .groupBy("priority", "k05", "k95")
         .agg(
-            F.count("*").cast("long").alias("n"),
-            (dec_sum(clipped) / F.count("*")).alias("winsorized_mean"),
-            F.round(out_frac / F.count("*").cast("double"), 6).alias(
+            F.sum("cnt").cast("long").alias("n"),
+            (F.sum(cell_sum).cast("double") / F.sum("cnt")).alias(
+                "winsorized_mean"
+            ),
+            F.round(out_cnt / F.sum("cnt").cast("double"), 6).alias(
                 "clipped_frac"
             ),
         )
