@@ -1042,6 +1042,10 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
+        # purch feeds the three stacked metric branches AND the final
+        # bucketing — checkpoint so the purchase aggregation runs once
+        # (executed-plan audit: 4 scans of events without)
+        .localCheckpoint()
     )
     metrics = (
         purch.select(F.lit("r").alias("m"), F.col("recency").alias("v"))

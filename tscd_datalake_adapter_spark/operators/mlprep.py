@@ -21,6 +21,7 @@ from tscd_datalake_adapter_spark.functions import (
     h60,
     oracle_dec_sum,
     oracle_h60,
+    spread,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
@@ -242,7 +243,9 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = (
         F.broadcast(q)
-        .crossJoin(e)
+        # the per-row cosine folds are the cost — spread the corpus side
+        # off the file-count scan partitions (cosine_topk pattern)
+        .crossJoin(spread(e))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

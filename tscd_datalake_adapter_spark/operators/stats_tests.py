@@ -520,13 +520,22 @@ def cramers_v_priority_segment(
         F.col("c_mktsegment").alias("seg"),
         F.col("o_orderpriority").alias("pri"),
     )
-    cells = j.groupBy("seg", "pri").agg(F.count("*").cast("long").alias("o"))
-    segs = j.select("seg").distinct()
-    pris = j.select("pri").distinct()
+    # the r×c cell grid anchors everything downstream; the axis domains
+    # come from the CELLS (every observed seg/pri appears in some cell),
+    # so the orders⋈customer join runs exactly once — checkpoint the
+    # bounded tables (executed-plan audit: 2 scans of each table without)
+    cells = (
+        j.groupBy("seg", "pri")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint()
+    )
+    segs = cells.select("seg").distinct()
+    pris = cells.select("pri").distinct()
     grid = (
         segs.crossJoin(pris)
         .join(cells, ["seg", "pri"], "left")
         .select("seg", "pri", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+        .localCheckpoint()
     )
     rc = grid.agg(
         F.countDistinct("seg").cast("long").alias("r"),
