@@ -903,6 +903,10 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         "pq_adc_topk",
         "permutation_test_signflip",
         "hll_distinct_tokens",
+        "rfm_segmentation",
+        "cramers_v_priority_segment",
+        "winsorized_stats_by_priority",
+        "view_to_purchase_latency",
     )
     for name in fixed:
         df = registry[name].fn(spark, sf_dir)
