@@ -2455,6 +2455,9 @@ def bh_fdr_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("s21"),
         )
         .where((F.col("n0") > 1) & (F.col("n1") > 1))
+        # the ~5-row metric table anchors the ranking AND the k* threshold
+        # — checkpoint so the corpus aggregate runs once
+        .localCheckpoint()
     )
     m0, m1 = F.col("s0") / F.col("n0"), F.col("s1") / F.col("n1")
     se = F.sqrt(

@@ -730,6 +730,9 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.unix_micros("p_ts") - 604800000000
         ),
     ).select("user_id", "purchase_id", "value", "view_id", w.alias("w"))
+    # touches feed the per-purchase normalizer AND the credit join —
+    # checkpoint so the range join runs once
+    touches = touches.localCheckpoint()
     norm = touches.groupBy("user_id", "purchase_id", "value").agg(
         F.sum("w").cast("double").alias("sw")
     )

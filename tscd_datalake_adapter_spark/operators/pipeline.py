@@ -147,9 +147,11 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on doc_id — never wider than the corpus's n-gram multiset,
     and embarrassingly parallel across docs."""
     d = load_table(spark, sf_dir, "documents")
+    # base feeds the bigram AND trigram branches — checkpoint the token
+    # arrays so the corpus splits once
     base = d.select("doc_id", F.split("text", " ").alias("t")).where(
         F.size("t") >= 3
-    )
+    ).localCheckpoint()
     bi = base.select(
         "doc_id",
         F.expr(

@@ -2368,19 +2368,20 @@ def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("label").cast("long").alias("label"), "embedding"
     )
 
-    def _cents(parity: int, n_name: str, c_name: str) -> DataFrame:
-        cent = (
-            e.where(F.col("vec_id") % 2 == parity)
-            .groupBy("label")
-            .agg(
-                F.count("*").cast("long").alias("cn"),
-                *[
-                    F.expr(x)
-                    for x in _silhouette_centroid_sums(one_based=False)
-                ],
-            )
+    # ONE corpus pass: centroids for both snapshots come from a single
+    # groupBy(label, parity) (checkpointed — each parity slice is then a
+    # filter over k·2 rows), instead of two full scans filtered by parity
+    centp = (
+        e.groupBy("label", (F.col("vec_id") % 2).alias("par"))
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            *[F.expr(x) for x in _silhouette_centroid_sums(one_based=False)],
         )
-        return cent.selectExpr(
+        .localCheckpoint()
+    )
+
+    def _cents(parity: int, n_name: str, c_name: str) -> DataFrame:
+        return centp.where(F.col("par") == parity).selectExpr(
             "label",
             f"cn AS {n_name}",
             "array("

@@ -896,9 +896,14 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants of ``hll_distinct_tokens``; the linear-counting branch is
     irrelevant to the equality (both arms see identical registers)."""
     d = load_table(spark, sf_dir, "documents")
+    # units feed the rho hashing, the source count, and the exact-distinct
+    # readout; rho feeds BOTH register arms. Checkpointing them tokenizes
+    # and hashes once — the property check itself stays honest because the
+    # two arms still GROUP the same per-row rho values independently
+    # (shard-then-merge vs direct), which is exactly the algebra under test.
     units = d.select(
         "source", F.explode(F.split("text", " ")).alias("u")
-    ).where(F.col("u") != "")
+    ).where(F.col("u") != "").localCheckpoint()
     h = h60(F.col("u"))
     rho_val = F.when(F.shiftright(h, _HLL_P) == 0, F.lit(53)).otherwise(
         F.lit(53)
@@ -908,7 +913,7 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rho = units.select(
         "source", (h % _HLL_M).alias("bucket"), rho_val.alias("r")
-    )
+    ).localCheckpoint()
     shard_regs = rho.groupBy("source", "bucket").agg(F.max("r").alias("rho"))
     merged_regs = shard_regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
     direct_regs = rho.groupBy("bucket").agg(F.max("r").alias("rho"))
