@@ -960,6 +960,9 @@ def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.unix_micros(F.first("h")) - 1800 * 1000000
             ).alias("censored"),
         )
+        # the session table feeds the death-time histogram AND the risk-set
+        # total — checkpoint so the sessionization windows run once
+        .localCheckpoint()
     )
     by_t = sess.groupBy("t").agg(
         F.sum(F.when(F.col("censored"), 0).otherwise(1))
@@ -2221,6 +2224,9 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.unix_micros(F.first("h")) - 1800 * 1000000
             ).alias("censored"),
         )
+        # the session table feeds the death-time histogram AND the risk-set
+        # total — checkpoint so the sessionization windows run once
+        .localCheckpoint()
     )
     by_t = sess.groupBy("t").agg(
         F.sum(F.when(F.col("censored"), 0).otherwise(1))

@@ -49,7 +49,11 @@ _LANGS = ("en", "de", "es", "fr")
 
 def _daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event count + decimal-exact purchase revenue — the bounded
-    (calendar-sized) series both rank correlations run on."""
+    (calendar-sized) series the rank/trend/outlier tests run on.
+
+    Returned CHECKPOINTED: every consumer feeds the series to a moment
+    aggregate AND a residual/deviation/pair pass, and each branch would
+    re-run the corpus aggregation (the exchange-reuse gap)."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy(
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("idx")
@@ -65,7 +69,7 @@ def _daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("y"),
-    )
+    ).localCheckpoint()
 
 
 _ORACLE_DAILY = f"""

@@ -903,6 +903,8 @@ def chi2_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(text, ' '), x -> x != '')")
         ).alias("tok"),
     )
+    # the vocab-bounded count table feeds the totals AND the scored
+    # readout — checkpoint so the corpus tokenizes once
     counts = toks.groupBy("tok").agg(
         F.sum(F.when(F.col("grp") == "en", 1).otherwise(0))
         .cast("long")
@@ -910,7 +912,7 @@ def chi2_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == "rest", 1).otherwise(0))
         .cast("long")
         .alias("b"),
-    )
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
     )
@@ -3155,6 +3157,8 @@ def g_test_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(text, ' '), x -> x != '')")
         ).alias("tok"),
     )
+    # the vocab-bounded count table feeds the totals AND the scored
+    # readout — checkpoint so the corpus tokenizes once
     counts = toks.groupBy("tok").agg(
         F.sum(F.when(F.col("grp") == "en", 1).otherwise(0))
         .cast("long")
@@ -3162,7 +3166,7 @@ def g_test_keyness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == "rest", 1).otherwise(0))
         .cast("long")
         .alias("b"),
-    )
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("a").cast("long").alias("ta"),
         F.sum("b").cast("long").alias("tb"),
