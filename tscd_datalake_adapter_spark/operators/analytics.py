@@ -913,9 +913,11 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's value down one. Bounded output (7 rows) from one daily
     aggregation."""
     e = load_table(spark, sf_dir, "events")
+    # the daily series feeds the weekday profile AND the grand mean —
+    # checkpoint so events aggregates once
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count("*").alias("c")
-    )
+    ).localCheckpoint()
     dow = daily.select(
         (F.dayofweek("d") - 1).alias("dw"), "c"
     )
@@ -1153,7 +1155,11 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d")
     )
-    counts = digits.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    # the 9-row digit table feeds the total AND the readout — checkpoint
+    # so orders scans once
+    counts = digits.groupBy("d").agg(
+        F.count("*").cast("long").alias("n")
+    ).localCheckpoint()
     tot = counts.agg(F.sum("n").cast("long").alias("total"))
     obs = F.col("n").cast("double") / F.col("total")
     ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
@@ -1992,7 +1998,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend",
         F.round(F.col("total") - F.col("trend"), 6).alias("detrended"),
         (F.expr("weekday(d)") + 1).alias("dow"),
-    )
+    ).localCheckpoint()  # feeds the seasonal means AND the final readout
     seas = (
         detr.where(F.col("detrended").isNotNull())
         .groupBy("dow")

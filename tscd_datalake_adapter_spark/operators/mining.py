@@ -995,7 +995,11 @@ def trigram_novelty_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.concat_ws(">", "event_type", "e2", "e3").alias("g"),
     )
-    per_day = tri.groupBy("day", "g").agg(F.count("*").cast("long").alias("n"))
+    # the (day, trigram) grid feeds the first-seen aggregate AND the
+    # novelty join — checkpoint so the lead windows run once
+    per_day = tri.groupBy("day", "g").agg(
+        F.count("*").cast("long").alias("n")
+    ).localCheckpoint()
     firsts = per_day.groupBy("g").agg(F.min("day").alias("first_day"))
     novel = F.sum(
         F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)

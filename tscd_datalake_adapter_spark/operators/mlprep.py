@@ -1056,7 +1056,7 @@ def psi_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("period") == "cur", 1))
         .cast("long")
         .alias("n_cur"),
-    )
+    ).localCheckpoint()  # feeds the totals AND the PSI terms
     tot = counts.agg(
         F.sum("n_ref").cast("long").alias("t_ref"),
         F.sum("n_cur").cast("long").alias("t_cur"),
@@ -1631,10 +1631,12 @@ def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("score_bin"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
+    # the (group, bin) histogram feeds the per-group stats AND the global
+    # rollup — checkpoint so orders scans once
     hist = base.groupBy("grp", "score_bin").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
-    )
+    ).localCheckpoint()
     ghist = hist.groupBy("score_bin").agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("pos").cast("long").alias("pos"),
@@ -2549,7 +2551,7 @@ def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("score_bin").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
-    )
+    ).localCheckpoint()  # feeds the cumulative walk AND the totals
     w = Window.orderBy(F.col("score_bin").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -2652,7 +2654,7 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("score_bin").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
-    )
+    ).localCheckpoint()  # feeds the cumulative walk AND the totals
     w = Window.orderBy(F.col("score_bin").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )

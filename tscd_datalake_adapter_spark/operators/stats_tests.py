@@ -1318,9 +1318,11 @@ def benford_gof_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_expr = F.lit(None).cast("double")
     for dd, pp in _BENFORD_P.items():
         p_expr = F.when(F.col("d") == dd, F.lit(float(pp))).otherwise(p_expr)
+    # the 9-row grid feeds the total AND the term fold — checkpoint so
+    # orders scans once
     grid = grid_base.join(counts, "d", "left").select(
         "d", F.coalesce(F.col("o"), F.lit(0)).alias("o"), p_expr.alias("p")
-    )
+    ).localCheckpoint()
     tot = grid.agg(F.sum("o").cast("long").alias("n"))
     terms = grid.crossJoin(F.broadcast(tot)).select(
         "n",
