@@ -648,13 +648,20 @@ def t_closeness_emd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nat"),
         F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bin"),
     )
-    gb = c.groupBy("bin").agg(F.count("*").cast("long").alias("gcount"))
+    # ONE corpus pass: the (nation, bin) cell table is checkpointed and
+    # the global-bin and per-nation histograms both derive from it
+    # (executed-plan audit: 3 scans of customer without)
+    cell = (
+        c.groupBy("nat", "bin")
+        .agg(F.count("*").cast("long").alias("g"))
+        .localCheckpoint()
+    )
+    gb = cell.groupBy("bin").agg(F.sum("g").cast("long").alias("gcount"))
     tot = gb.agg(
         F.sum("gcount").cast("long").alias("n"),
         F.count("*").cast("long").alias("m"),
     )
-    nats = c.groupBy("nat").agg(F.count("*").cast("long").alias("ng"))
-    cell = c.groupBy("nat", "bin").agg(F.count("*").cast("long").alias("g"))
+    nats = cell.groupBy("nat").agg(F.sum("g").cast("long").alias("ng"))
     grid = (
         nats.crossJoin(gb)
         .join(cell, ["nat", "bin"], "left")
@@ -849,7 +856,7 @@ def cramer_von_mises_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = c.groupBy("v").agg(
         F.sum("isa").cast("long").alias("na_v"),
         F.count("*").cast("long").alias("n_v"),
-    )
+    ).localCheckpoint()  # feeds the ECDF walk AND the group totals
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         "n_v",
@@ -1083,7 +1090,7 @@ def anova_oneway_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("sg2"),
-    )
+    ).localCheckpoint()  # the k-row moments feed the totals AND the terms
     t = g.agg(
         F.count("*").cast("long").alias("k"),
         F.sum("ng").cast("long").alias("n"),
@@ -2189,7 +2196,7 @@ def tukey_hsd_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("sg2"),
-    )
+    ).localCheckpoint()  # the k-row moments feed the totals AND the terms
     t = g.agg(
         F.count("*").cast("long").alias("k"),
         F.sum("ng").cast("long").alias("n"),
@@ -2419,7 +2426,8 @@ def friedman_test_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     cell = e.groupBy(
         F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count("*").cast("long").alias("c"))
+    ).agg(F.count("*").cast("long").alias("c")).localCheckpoint()
+    # ^ the bounded cell table feeds the rank pass AND the dims aggregate
     wr = Window.partitionBy("day").orderBy("c")
     wt = Window.partitionBy("day", "c")
     ranked = cell.select(
