@@ -195,3 +195,123 @@ def test_eventreplay_partitioned_read_prunes_row_groups(sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="not sorted"):
         list(rdr.read(EventReplayPartition(unsorted_path, 0, 10, True)))
+
+
+def test_eventreplay_frontier_survives_reader_restart(sf_dir, tmp_path):
+    """Protocol-level pin of the sidecar commit log: a fresh reader object
+    (simulated driver restart) adopts the committed frontier, so its first
+    latestOffset() CONTINUES instead of restarting at 0 — the offset that
+    would otherwise land behind Spark's WAL-restored start offset and
+    re-emit committed rows."""
+    from tscd_datalake_adapter_spark.sources.eventreplay_datasource import (
+        EventReplayStreamReader,
+    )
+
+    opts = {
+        "path": f"{sf_dir}/events.parquet",
+        "batch_rows": "300",
+        "frontier_dir": str(tmp_path / "frontier"),
+    }
+    r1 = EventReplayStreamReader(opts)
+    start = r1.initialOffset()
+    first = []
+    for _ in range(2):  # two committed batches
+        end = r1.latestOffset()
+        for p in r1.partitions(start, end):
+            first.extend(r1.read(p))
+        r1.commit(end)
+        start = end
+    assert start == {"pos": 600}
+
+    # restart: a brand-new reader object over the same frontier_dir
+    r2 = EventReplayStreamReader(opts)
+    nxt = r2.latestOffset()
+    assert nxt == {"pos": 900}, "restarted reader must resume, not replay"
+    resumed = [row for p in r2.partitions(start, nxt) for row in r2.read(p)]
+    assert [r[0] for r in resumed] and not (
+        set(r[0] for r in resumed) & set(r[0] for r in first)
+    ), "resumed batch re-emitted committed rows"
+
+    # an uncommitted WAL replay (engine calls partitions with offsets ahead
+    # of the commit log) still adopts the replayed end — monotone frontier
+    r3 = EventReplayStreamReader(opts)
+    replay = [
+        row
+        for p in r3.partitions({"pos": 600}, {"pos": 900})
+        for row in r3.read(p)
+    ]
+    assert replay == resumed, "partitions(start, end) must be pure"
+    # frontier advanced past the replayed end, capped at the file's total
+    assert r3.latestOffset() == {"pos": 1000}
+
+
+def test_eventreplay_partitioned_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Live job: stop mid-stream, restart from the SAME checkpoint dir and
+    frontier_dir, and pin the parquet sink's full row multiset equal to the
+    batch twin — exactly once, no replay-from-zero duplicates."""
+    import time
+
+    try:
+        spark.dataSource.register(EventReplayDataSource)
+    except Exception as e:
+        assert "already" in str(e).lower()
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    frontier = str(tmp_path / "frontier")
+
+    def start_query():
+        return (
+            spark.readStream.format("eventreplay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batch_rows", "100")
+            .option("rows_per_task", "50")
+            .option("mode", "partitioned")
+            .option("frontier_dir", frontier)
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    q = start_query()
+    # stop after at least one committed batch, ideally mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if done:
+            break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(30)
+
+    n_before = spark.read.parquet(sink).count()
+    total = load_table(spark, sf_dir, "events").count()
+    assert n_before >= 1
+
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+
+    got = (
+        spark.read.parquet(sink)
+        .groupBy("event_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert got == 0, "restart re-emitted committed rows (duplicates)"
+    final = spark.read.parquet(sink).select("event_id").distinct().count()
+    assert final == total, f"missing rows after restart: {final} != {total}"
+    # and values survive end-to-end: full multiset equality vs the table
+    sums = spark.read.parquet(sink).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("s")
+    ).collect()[0]["s"]
+    expected = load_table(spark, sf_dir, "events").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("s")
+    ).collect()[0]["s"]
+    assert sums == expected

@@ -168,6 +168,52 @@ def test_merge_upsert(lake, book_dir, spark):
     assert lake.list_books() == [11, 22, 33, 44]
 
 
+def test_merge_physically_drops_fully_superseded_partition(
+    lake, book_dir, spark
+):
+    """A partition whose EVERY row is updated away must physically
+    disappear (the r6 documented caveat, closed in r7): dynamic partition
+    overwrite alone would skip the now-empty partition; merge_books now
+    observes the surviving partition set during the rewrite and drops the
+    rest partition-level. read_latest output is unchanged by the delete."""
+    import os
+
+    # book 55 alone in its own partition; 11/22/33 together in another
+    lake.ingest_text(
+        55,
+        "Header 55\n*** START OF THE PROJECT GUTENBERG EBOOK X ***\n"
+        "old body\n*** END OF THE PROJECT GUTENBERG EBOOK X ***\n",
+        TS,
+    )
+    assert lake.exists(55)
+    lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS2)
+
+    solo_part = os.path.join(
+        lake.lake_root, "ingest_date=20260813", "ingest_hour=14"
+    )
+    assert os.path.isdir(solo_part)
+
+    updates = spark.createDataFrame(
+        [(55, "h55", "new body")], "book_id long, header string, body string"
+    )
+    ts3 = dt.datetime(2026, 8, 15, 10, 0, 0)
+    lake.merge_books(updates, ts3)
+
+    # the fully-superseded partition is physically gone (day dir pruned too)
+    assert not os.path.isdir(solo_part)
+    assert not os.path.isdir(os.path.dirname(solo_part))
+    # the other partition survives untouched; merge partition holds the new row
+    rows = lake.read().where(F.col("book_id") == 55).collect()
+    assert len(rows) == 1
+    assert rows[0].body == "new body" and rows[0].ingest_date == "20260815"
+    latest = lake.read_latest()
+    assert latest.count() == 4
+    by_id = {r.book_id: r for r in latest.collect()}
+    assert by_id[55].body == "new body"
+    assert by_id[11].ingest_date == TS2.strftime("%Y%m%d")
+    assert lake.list_books() == [11, 22, 33, 55]
+
+
 def test_read_latest_resolves_superseded_versions(lake, book_dir, spark):
     """read_latest() must show exactly one (the newest) version per book even
     when merge_books leaves stale physical rows behind (its documented

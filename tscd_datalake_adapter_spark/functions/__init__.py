@@ -138,9 +138,70 @@ def spread(df):
     spread() a literal no-op, locally it is the 4-10x fold-stage win.
     Use AFTER projecting/filtering to the columns the hot stage needs, and
     only on ops whose results are partition-invariant (this repo's
-    determinism recipes guarantee that by construction)."""
+    determinism recipes guarantee that by construction).
+
+    Constraint: call only on PRE-SHUFFLE scan projections. The guard reads
+    ``df.rdd.getNumPartitions()``; on a scan-only plan that merely plans
+    file splits, but on a frame with an upstream exchange the ``.rdd``
+    conversion materializes AQE query stages (runs real shuffle jobs) and
+    the pre-AQE count can differ from the executed one. The helper
+    enforces this itself: if the physical plan already contains an
+    Exchange it returns the frame untouched without reading ``.rdd`` —
+    post-shuffle parallelism is the shuffle-partition setting's job, not
+    spread()'s."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+
+    def _has_exchange(node) -> bool:
+        if "Exchange" in node.getClass().getSimpleName():
+            return True
+        kids = node.children()
+        return any(_has_exchange(kids.apply(i)) for i in range(kids.size()))
+
+    if _has_exchange(df._jdf.queryExecution().sparkPlan()):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def checkpoint_bounded(df, bound: str):
+    """``localCheckpoint`` with an explicit, recorded boundedness claim.
+
+    ``bound`` states WHY the materialized table cannot grow with corpus
+    volume (a value-domain histogram, a k-row moment table, a bounded
+    edge/pair list, a per-iteration loop state of fixed width). That claim
+    is what justifies truncating lineage and pinning the rows on
+    executor-local storage: a bounded table is cheap to pin and cheap to
+    lose. Corpus-volume multi-consumer intermediates (exploded token
+    streams, per-document score tables, shingle/signature tables) must use
+    :func:`persist_corpus` instead — persist keeps the lineage, spills to
+    disk instead of pinning, and stays recoverable after executor loss.
+
+    The plan lint (``plans.unpartitioned_windows_over_unaggregated_input``)
+    exempts checkpoint scans on the strength of this invariant;
+    ``tests/test_checkpoint_audit.py`` allowlists the audited raw
+    ``.localCheckpoint`` call sites so a new unaudited site fails loudly.
+    """
+    if not bound or not isinstance(bound, str):
+        raise ValueError("checkpoint_bounded requires a boundedness claim")
+    return df.localCheckpoint()
+
+
+def persist_corpus(df):
+    """Cache a corpus-volume multi-consumer intermediate without cutting
+    its lineage: ``persist(MEMORY_AND_DISK)``.
+
+    The alternative (``localCheckpoint``) pins the materialized rows on
+    executor-local block storage with NO recompute path — acceptable for
+    bounded tables (:func:`checkpoint_bounded`), but at the 100 TB design
+    target an exploded token stream checkpointed that way is O(corpus)
+    data pinned per executor, and an executor loss kills the job instead
+    of recomputing the lost partitions. persist keeps the plan's lineage
+    (recoverable, AQE-visible) and MEMORY_AND_DISK spills rather than
+    OOMing. Within one action the cached relation is still materialized
+    once and shared by every consuming branch, so the duplicate-scan
+    economics are the same as a checkpoint."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -440,16 +440,24 @@ class LakeAdapter:
         are discovered by join, rewritten via dynamic partition overwrite;
         untouched partitions are never read or written.
 
-        Caveat (inherent to partition-overwrite MERGE without a table
-        format): a partition whose every row is updated away would write zero
-        rows and therefore not be overwritten; its rows are superseded by the
-        newer ``ingest_ts`` rather than physically deleted. Readers that care
-        about versions must use :meth:`read_latest` (max-``ingest_ts``-per-
-        book view), which resolves every superseded row regardless of whether
-        its file was rewritten; ``exists``/``list_books`` are unaffected
-        (MERGE never removes a book id). A table format (Delta/Iceberg,
-        feature-gated in sources.write_table) removes the caveat physically.
+        Fully-superseded partitions are physically deleted: dynamic
+        partition overwrite only rewrites partitions PRESENT in the written
+        data, so a partition whose every row is updated away would write
+        zero rows and keep its stale files. The surviving partition set is
+        observed DURING the rewrite (Observation ``collect_set``, the
+        ``compact`` one-pass pattern — no second scan), and any affected
+        partition absent from it is dropped partition-level afterwards
+        (the ``expire`` delete primitive — the only safe physical delete on
+        a plain-parquet lake). The delete runs after the committer-atomic
+        overwrite, so a crash in between degrades to the old superseded-
+        rows state, which :meth:`read_latest` (max-``ingest_ts``-per-book
+        view) still resolves correctly; ``exists``/``list_books`` are
+        unaffected (MERGE never removes a book id). A table format
+        (Delta/Iceberg, feature-gated in sources.write_table) would do the
+        same rewrite inside its own transaction log.
         """
+        from pyspark.sql import Observation
+
         day, hour = partition_values(ts)
         ts_naive = naive_utc(ts)
         lake = self.read()
@@ -459,10 +467,16 @@ class LakeAdapter:
             .select("ingest_date", "ingest_hour")
             .distinct()
         )
-        target = self.spark.createDataFrame(
-            [(day, hour)], "ingest_date string, ingest_hour string"
+        # the affected-partition list is metadata-scale (bounded by the
+        # lake's partition count, never by row count) — collect it once and
+        # feed the literal back so the rewrite job doesn't re-derive it
+        part_rows = {
+            (r["ingest_date"], r["ingest_hour"]) for r in affected.collect()
+        }
+        part_rows.add((day, hour))
+        parts = self.spark.createDataFrame(
+            sorted(part_rows), "ingest_date string, ingest_hour string"
         )
-        parts = affected.unionByName(target).distinct()
         keep = lake.join(
             F.broadcast(parts), ["ingest_date", "ingest_hour"]
         ).join(F.broadcast(ids), "book_id", "left_anti")
@@ -475,7 +489,13 @@ class LakeAdapter:
             F.lit(hour).alias("ingest_hour"),
         )
         cols = [f.name for f in BOOK_SCHEMA.fields]
-        out = keep.select(*cols).unionByName(new_rows.select(*cols))
+        obs = Observation("merge_surviving_parts")
+        out = keep.select(*cols).unionByName(new_rows.select(*cols)).observe(
+            obs,
+            F.collect_set(
+                F.struct("ingest_date", "ingest_hour")
+            ).alias("parts"),
+        )
         prev = self.spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
@@ -488,6 +508,24 @@ class LakeAdapter:
             )
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        survivors = {
+            (p["ingest_date"], p["ingest_hour"]) for p in obs.get["parts"]
+        }
+        for pd, ph in sorted(part_rows - survivors):
+            self._drop_partition_dir(pd, ph)
+
+    def _drop_partition_dir(self, ingest_date: str, ingest_hour: str) -> None:
+        """Partition-level physical delete (``expire``'s primitive, one
+        partition): remove ``ingest_date=D/ingest_hour=H`` and, if that
+        leaves the day directory empty, the day directory too."""
+        import shutil
+
+        day_dir = os.path.join(self.lake_root, f"ingest_date={ingest_date}")
+        hour_dir = os.path.join(day_dir, f"ingest_hour={ingest_hour}")
+        if os.path.isdir(hour_dir):
+            shutil.rmtree(hour_dir)
+        if os.path.isdir(day_dir) and not os.listdir(day_dir):
+            os.rmdir(day_dir)
 
     # -- maintenance ---------------------------------------------------------
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import h60, oracle_h60
+from tscd_datalake_adapter_spark.functions import h60, oracle_h60, persist_corpus
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -418,7 +418,7 @@ def jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the prefix-filter pipeline consumes the token table several times
     # (df ranking, index sides, sizes, verify arrays) — checkpoint it so
     # the corpus explodes once (executed-plan audit: 6 scans without)
-    toks = distinct_tokens(docs).localCheckpoint()
+    toks = persist_corpus(distinct_tokens(docs))
     pairs = jaccard_pairs_prefix_filtered(toks, 0.9)
     return (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -469,7 +469,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens feed the minhash chain AND the exact verify (sizes + both
     # index sides) — checkpoint so the corpus tokenizes once (executed-
     # plan audit: 6 scans of documents without)
-    tokens = distinct_tokens(docs).localCheckpoint()
+    tokens = persist_corpus(distinct_tokens(docs))
 
     cand = lsh_candidate_pairs(minhash_bands(spark, tokens))
     exact = exact_jaccard_pairs(tokens).select(
@@ -873,7 +873,8 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("tok"),
-    ).localCheckpoint()  # shingle once: sizes + both index sides consume it
+    )
+    grams = persist_corpus(grams)  # shingle once: sizes + both index sides consume it
     pairs = exact_jaccard_pairs(grams)
     return (
         pairs.where(F.col("jaccard") >= 0.5)
@@ -1048,7 +1049,7 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens feed the prefix probes (df + rank), the pruned index, and the
     # verify token sets — checkpoint so the corpus tokenizes once
     # (executed-plan audit: 7 scans of documents without)
-    tokens = distinct_tokens(docs).localCheckpoint()
+    tokens = persist_corpus(distinct_tokens(docs))
     # Threshold on the RAW ratio (inside the helper), round only for
     # output — same convention as the jaccard family; thresholding the
     # rounded value would keep pairs in [0.7999995, 0.8) that the oracle
@@ -1195,7 +1196,7 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join sides); cand/truth each feed a count and the hit join.
     # Checkpoint all three bounded tables so nothing re-derives the corpus
     # (the executed-plan audit measured 12 scans of documents without).
-    tokens = distinct_tokens(docs).localCheckpoint()
+    tokens = persist_corpus(distinct_tokens(docs))
 
     mh = minhash_signatures(spark, tokens)
     cand = lsh_candidate_pairs(
@@ -1289,8 +1290,8 @@ def minhash_jaccard_estimate_error(
     # signatures feed the bands and BOTH sides of the estimate join —
     # checkpoint both so the corpus tokenizes and hashes exactly once
     # (the executed-plan audit measured 8 scans of documents without)
-    tokens = distinct_tokens(docs).localCheckpoint()
-    mh = minhash_signatures(spark, tokens).localCheckpoint()
+    tokens = persist_corpus(distinct_tokens(docs))
+    mh = persist_corpus(minhash_signatures(spark, tokens))
     cand = lsh_candidate_pairs(minhash_bands(spark, tokens, mh=mh))
     ma = mh.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("mh_a")
@@ -1364,7 +1365,7 @@ def incremental_near_dup(
     # tokens feed the band chain, the sizes, and both verify sides —
     # checkpoint so corpus+batch tokenize once (executed-plan audit: 6
     # scans of documents without; the band self-join itself reuses fine)
-    tokens = distinct_tokens(tagged).localCheckpoint()
+    tokens = persist_corpus(distinct_tokens(tagged))
     bands = minhash_bands(spark, tokens)
     is_b = F.col("doc_id") % 2 == 1
     cand = (
@@ -1641,7 +1642,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches — checkpoint so the candidate+verify pass runs once (Spark
     # does not reuse exchanges across the two consumers)
     pairs = jaccard_pairs_prefix_filtered(
-        distinct_tokens(d).localCheckpoint(), 0.7
+        persist_corpus(distinct_tokens(d)), 0.7
     ).localCheckpoint()
     taus = spark.createDataFrame(
         [("0.70", 0.70), ("0.80", 0.80), ("0.90", 0.90)], "tau string, tv double"

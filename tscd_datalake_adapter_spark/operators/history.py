@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import dec_sum, oracle_dec_sum
+from tscd_datalake_adapter_spark.functions import (
+    dec_sum,
+    oracle_dec_sum,
+    persist_corpus,
+)
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -480,12 +484,16 @@ def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
     # ed feeds the max-timestamp aggregate AND the value lookup join;
-    # daily below feeds the spine range AND the spine join — checkpoint
-    # the bounded tables so events scans once (executed-plan audit)
-    ed = e.select(
-        "user_id", "ts", "value", F.to_date("ts").alias("d"),
-        F.unix_micros("ts").alias("us"),
-    ).localCheckpoint()
+    # daily below feeds the spine range AND the spine join — cache both so
+    # events scans once (executed-plan audit). persist, not
+    # localCheckpoint: ed is raw event rows and daily is (user, day)
+    # keyed — both grow with the data, so keep a recompute path.
+    ed = persist_corpus(
+        e.select(
+            "user_id", "ts", "value", F.to_date("ts").alias("d"),
+            F.unix_micros("ts").alias("us"),
+        )
+    )
     mt = ed.groupBy("user_id", "d").agg(F.max("us").alias("m"))
     daily = (
         mt.join(
@@ -499,8 +507,8 @@ def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "d")
         .agg(F.max("value").alias("v"))
-        .localCheckpoint()
     )
+    daily = persist_corpus(daily)
     rng = daily.groupBy("user_id").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )
@@ -731,8 +739,9 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("user_id", "purchase_id", "value", "view_id", w.alias("w"))
     # touches feed the per-purchase normalizer AND the credit join —
-    # checkpoint so the range join runs once
-    touches = touches.localCheckpoint()
+    # cache so the range join runs once. persist, not localCheckpoint:
+    # touch rows are O(events).
+    touches = persist_corpus(touches)
     norm = touches.groupBy("user_id", "purchase_id", "value").agg(
         F.sum("w").cast("double").alias("sw")
     )
@@ -961,9 +970,10 @@ def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("censored"),
         )
         # the session table feeds the death-time histogram AND the risk-set
-        # total — checkpoint so the sessionization windows run once
-        .localCheckpoint()
+        # total — cache so the sessionization windows run once. persist,
+        # not localCheckpoint: one row per session grows with the data.
     )
+    sess = persist_corpus(sess)
     by_t = sess.groupBy("t").agg(
         F.sum(F.when(F.col("censored"), 0).otherwise(1))
         .cast("long")
@@ -1220,12 +1230,16 @@ def gap_fill_interpolate_daily(
 
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
     # ed feeds the max-timestamp aggregate AND the value lookup join;
-    # daily below feeds the spine range AND the spine join — checkpoint
-    # the bounded tables so events scans once (executed-plan audit)
-    ed = e.select(
-        "user_id", "ts", "value", F.to_date("ts").alias("d"),
-        F.unix_micros("ts").alias("us"),
-    ).localCheckpoint()
+    # daily below feeds the spine range AND the spine join — cache both so
+    # events scans once (executed-plan audit). persist, not
+    # localCheckpoint: ed is raw event rows and daily is (user, day)
+    # keyed — both grow with the data, so keep a recompute path.
+    ed = persist_corpus(
+        e.select(
+            "user_id", "ts", "value", F.to_date("ts").alias("d"),
+            F.unix_micros("ts").alias("us"),
+        )
+    )
     mt = ed.groupBy("user_id", "d").agg(F.max("us").alias("m"))
     daily = (
         mt.join(
@@ -1239,8 +1253,8 @@ def gap_fill_interpolate_daily(
         )
         .groupBy("user_id", "d")
         .agg(F.max("value").alias("v"))
-        .localCheckpoint()
     )
+    daily = persist_corpus(daily)
     rng = daily.groupBy("user_id").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )
@@ -2225,9 +2239,10 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("censored"),
         )
         # the session table feeds the death-time histogram AND the risk-set
-        # total — checkpoint so the sessionization windows run once
-        .localCheckpoint()
+        # total — cache so the sessionization windows run once. persist,
+        # not localCheckpoint: one row per session grows with the data.
     )
+    sess = persist_corpus(sess)
     by_t = sess.groupBy("t").agg(
         F.sum(F.when(F.col("censored"), 0).otherwise(1))
         .cast("long")

@@ -21,7 +21,7 @@ from tscd_datalake_adapter_spark.functions import (
     dec_sum,
     h60,
     oracle_dec_sum,
-    oracle_h60,
+    oracle_h60,    persist_corpus,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
@@ -1247,14 +1247,17 @@ def user_trajectory_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "day")
         .agg(F.sum("c").cast("long").alias("cents"))
         # traj feeds the norms and both dot-join sides; norms feed both
-        # theta-join sides — checkpoint so events aggregates once
-        # (executed-plan audit: 4 scans without)
-        .localCheckpoint()
+        # theta-join sides — cache so events aggregates once
+        # (executed-plan audit: 4 scans without). persist, not
+        # localCheckpoint: (user, day) and per-user tables grow with data.
     )
-    norms = traj.groupBy("user_id").agg(
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("n2"),
-        F.count("*").cast("long").alias("n_days"),
-    ).localCheckpoint()
+    traj = persist_corpus(traj)
+    norms = persist_corpus(
+        traj.groupBy("user_id").agg(
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("n2"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+    )
     a, b = traj.alias("a"), traj.alias("b")
     dots = (
         a.join(
@@ -1387,9 +1390,12 @@ def prefixspan_topk_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rn"),
-    ).where(F.col("rn") <= 8).localCheckpoint()
+    ).where(F.col("rn") <= 8)
+    r = persist_corpus(r)
     # ^ the capped session table feeds all three subsequence-join sides —
-    # checkpoint so the sessionization windows run once (audit: 3 scans)
+    # cache so the sessionization windows run once (audit: 3 scans).
+    # persist, not localCheckpoint: one row per session event is corpus
+    # volume.
     a = r.select("skey", F.col("event_type").alias("t1"), F.col("rn").alias("r1"))
     b = r.select("skey", F.col("event_type").alias("t2"), F.col("rn").alias("r2"))
     c = r.select("skey", F.col("event_type").alias("t3"), F.col("rn").alias("r3"))

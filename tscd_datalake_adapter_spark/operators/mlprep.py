@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import (
+    DEC_SUM,
     dec_sum,
     h60,
     oracle_dec_sum,
@@ -1232,9 +1233,14 @@ def winsorized_stats_by_priority(
         F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("kv"),
         "o_totalprice",
     )
+    # psum stays DECIMAL in the histogram (no dec_sum double readout): a
+    # double round-trip per cell is exact only while a cell's price sum
+    # stays under ~4.5e9 (half-ulp < 5e-7) — fine locally, violated by a
+    # 100 TB (priority, $1000-bucket) cell. The raw decimal sum regroups
+    # associatively in the outer fold and casts to double exactly once.
     hist = v.groupBy("priority", "kv").agg(
         F.count("*").cast("long").alias("cnt"),
-        dec_sum("o_totalprice").alias("psum"),
+        F.sum(F.col("o_totalprice").cast(DEC_SUM)).alias("psum"),
     ).localCheckpoint()
     wcum = (
         Window.partitionBy("priority")
@@ -1258,10 +1264,8 @@ def winsorized_stats_by_priority(
         .cast("long")
         .alias("k95"),
     )
-    # each cell's contribution re-enters DECIMAL for the outer fold (the
-    # per-cell double round-trip is exact — cell sums stay far below
-    # 2^53/1e6 — and a double re-sum of cells would be order-dependent);
-    # one final cast to double mirrors dec_sum exactly
+    # each cell's contribution is DECIMAL end-to-end (psum never left
+    # decimal); one final cast to double mirrors dec_sum exactly
     cell_sum = (
         F.when(
             F.col("kv") < F.col("k05"),

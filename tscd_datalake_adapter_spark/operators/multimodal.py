@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tscd_datalake_adapter_spark.functions import persist_corpus
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.operators.gif_codec import (
     GIF_SIGNATURES,
@@ -1292,11 +1293,9 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (both candidate sides + both verify sides); each re-evaluation would
     # re-DECODE every PNG — checkpoint so the decode pass runs exactly
     # once (executed-plan audit: 8 scans of documents without)
-    bands = (
-        phash_bands(phash_media(spark, sf_dir))
-        .select("uid", "b", "v")
-        .localCheckpoint()
-    )
+    bands = persist_corpus(
+        phash_bands(phash_media(spark, sf_dir)).select("uid", "b", "v")
+    )  # per-media band rows: O(corpus) — persist, keep the decode lineage
     a = bands.select(F.col("uid").alias("ua"), "b", "v")
     bb = bands.select(F.col("uid").alias("ub"), "b", "v")
     cand = (

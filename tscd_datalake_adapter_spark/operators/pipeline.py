@@ -21,6 +21,7 @@ from tscd_datalake_adapter_spark.functions import (
     h60,
     oracle_dec_sum,
     oracle_h60,
+    persist_corpus,
     spread,
 )
 from tscd_datalake_adapter_spark.operators import register
@@ -147,11 +148,14 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on doc_id — never wider than the corpus's n-gram multiset,
     and embarrassingly parallel across docs."""
     d = load_table(spark, sf_dir, "documents")
-    # base feeds the bigram AND trigram branches — checkpoint the token
-    # arrays so the corpus splits once
-    base = d.select("doc_id", F.split("text", " ").alias("t")).where(
-        F.size("t") >= 3
-    ).localCheckpoint()
+    # base feeds the bigram AND trigram branches — cache the token
+    # arrays so the corpus splits once. persist, not localCheckpoint:
+    # the token-array table is O(corpus) — keep a recompute path.
+    base = persist_corpus(
+        d.select("doc_id", F.split("text", " ").alias("t")).where(
+            F.size("t") >= 3
+        )
+    )
     bi = base.select(
         "doc_id",
         F.expr(
@@ -628,8 +632,9 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # perdoc (one row per scored doc) feeds BOTH the cutoff aggregate and
     # the final bucketing, and AQE's ReusedExchange does NOT cover the
     # duplicated subtree here (measured: ~2x score-pipeline cost without
-    # this) — checkpoint the tiny table so it executes once
-    perdoc = perdoc.localCheckpoint()
+    # this) — cache the per-doc table so it executes once. persist, not
+    # localCheckpoint: one row per doc is corpus volume.
+    perdoc = persist_corpus(perdoc)
     cuts = perdoc.agg(
         F.expr("percentile(avg_logprob, 1.0/3)").alias("q1"),
         F.expr("percentile(avg_logprob, 2.0/3)").alias("q2"),
@@ -860,8 +865,9 @@ def _lm_perplexity_scaled_body(
     # checkpoint: perdoc feeds the cutoff derivation AND the final
     # bucketing — one execution of the score pipeline, not two (AQE
     # ReusedExchange does not cover this shape; measured ~2x without).
-    # The pre-checkpoint pipeline shape stays pinned via _lm_perdoc_scores.
-    perdoc = _lm_perdoc_scores(spark, sf_dir, ref_ids).localCheckpoint()
+    # The pre-cache pipeline shape stays pinned via _lm_perdoc_scores.
+    # persist, not localCheckpoint: one row per doc is corpus volume.
+    perdoc = persist_corpus(_lm_perdoc_scores(spark, sf_dir, ref_ids))
     if exact_cuts:
         # Integer rank-based terciles over the value histogram (the
         # length_percentile_filter recipe): q_j = smallest avg_logprob whose
@@ -1108,8 +1114,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("filter(split(text, ' '), x -> x != '')")
             ).alias("tok"),
         )
-        .localCheckpoint()
     )
+    ex = persist_corpus(ex)  # exploded token stream: O(corpus tokens)
     vocab = ex.agg(F.countDistinct("tok").cast("long").alias("v"))
     target = (
         ex.where(F.col("lang") == "en")

@@ -23,6 +23,7 @@ from tscd_datalake_adapter_spark.functions import (
     dec_sum,
     oracle_dec_sum,
     oracle_h60,
+    persist_corpus,
     spread,
 )
 from tscd_datalake_adapter_spark.operators import register
@@ -871,10 +872,11 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
             "concat(array(e[0] + 0.05d), slice(e, 2, size(e) - 1))"
         ).alias("e"),
     )
-    # corpus feeds the signature stage and both verify sides — checkpoint
-    # so the planted-twin union builds once (executed-plan audit: 4 scans
-    # of embeddings without)
-    corpus = base.unionByName(planted).localCheckpoint()
+    # corpus feeds the signature stage and both verify sides — cache so
+    # the planted-twin union builds once (executed-plan audit: 4 scans of
+    # embeddings without). persist, not localCheckpoint: one embedding row
+    # per doc is corpus volume.
+    corpus = persist_corpus(base.unionByName(planted))
     # Vectorized per-row signatures (numpy matmul in mapInPandas, no
     # shuffle; see _lsh_signatures) and a NARROW bucket self-join —
     # candidate ids dedupe without dragging 64-double arrays through the
@@ -1446,15 +1448,19 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs = ",".join(_sub_struct_sql(m) for m in range(PQ_M))
     # the 64-dot assignment pass feeds codebook training AND the encode
     # distances; the codebook (cn, m x 256 cells) feeds the encode AND the
-    # query LUT — checkpoint both so the expensive pass runs once
-    assigned = ev.select(
-        "vec_id", F.expr(f"explode(array({structs}))").alias("ms")
-    ).select(
-        "vec_id",
-        F.col("ms.m").alias("m"),
-        F.col("ms.sub").alias("sub"),
-        F.col("ms.cell").alias("cell"),
-    ).localCheckpoint()
+    # query LUT — cache both so the expensive pass runs once. assigned is
+    # persist-ed, not checkpointed: one row per (vector, subspace) is
+    # corpus volume, so keep a recompute path.
+    assigned = persist_corpus(
+        ev.select(
+            "vec_id", F.expr(f"explode(array({structs}))").alias("ms")
+        ).select(
+            "vec_id",
+            F.col("ms.m").alias("m"),
+            F.col("ms.sub").alias("sub"),
+            F.col("ms.cell").alias("cell"),
+        )
+    )
 
     cellmeans = (
         assigned.select(
@@ -1631,11 +1637,11 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").desc(), "vec_id"
     )
     # ranked (≤2 rows per anchor) feeds both the positive and negative
-    # branches — checkpoint so the corpus pass + window run once, not twice
-    ranked = (
+    # branches — cache so the corpus pass + window run once, not twice.
+    # persist, not localCheckpoint: anchors grow with the corpus.
+    ranked = persist_corpus(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .localCheckpoint()
     )
     pos = ranked.where(F.col("same")).select(
         "anchor_id",

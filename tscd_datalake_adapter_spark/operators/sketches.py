@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tscd_datalake_adapter_spark.functions import h60, oracle_h60, spread
+from tscd_datalake_adapter_spark.functions import (
+    h60,
+    oracle_h60,
+    persist_corpus,
+    spread,
+)
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -245,10 +250,10 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # units feed the register sketch AND the exact count(DISTINCT) twin —
     # each would re-run the unigram+bigram tokenization (4 corpus scans
-    # measured); checkpointing the unioned stream tokenizes once. (This is
-    # NOT the reverted spread() experiment above: no pre-exchange shuffle
-    # is added, the split work is simply not repeated.)
-    units = unigrams.unionByName(bigrams).localCheckpoint()
+    # measured); caching the unioned stream tokenizes once. persist, not
+    # localCheckpoint: this is an O(corpus-tokens) stream, so it must keep
+    # a recompute path and spill instead of pinning executor storage.
+    units = persist_corpus(unigrams.unionByName(bigrams))
     h = h60(F.col("u"))
     hashed = units.select(
         "unit",
@@ -765,10 +770,11 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # each year's key set feeds its sketch, its exact count, and the exact
-    # intersection — checkpoint both so orders scans once per year
-    # (executed-plan audit: 5 scans without)
-    a_keys = keys("1995-01-01", "1996-01-01").localCheckpoint()
-    b_keys = keys("1996-01-01", "1997-01-01").localCheckpoint()
+    # intersection — cache both so orders scans once per year
+    # (executed-plan audit: 5 scans without). persist, not localCheckpoint:
+    # the key sets are O(customers) — they grow with the data.
+    a_keys = persist_corpus(keys("1995-01-01", "1996-01-01"))
+    b_keys = persist_corpus(keys("1996-01-01", "1997-01-01"))
 
     def sketch(kdf: DataFrame) -> DataFrame:
         return (
@@ -897,13 +903,17 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     irrelevant to the equality (both arms see identical registers)."""
     d = load_table(spark, sf_dir, "documents")
     # units feed the rho hashing, the source count, and the exact-distinct
-    # readout; rho feeds BOTH register arms. Checkpointing them tokenizes
-    # and hashes once — the property check itself stays honest because the
+    # readout; rho feeds BOTH register arms. Caching them tokenizes and
+    # hashes once — the property check itself stays honest because the
     # two arms still GROUP the same per-row rho values independently
     # (shard-then-merge vs direct), which is exactly the algebra under test.
-    units = d.select(
-        "source", F.explode(F.split("text", " ")).alias("u")
-    ).where(F.col("u") != "").localCheckpoint()
+    # persist, not localCheckpoint: both tables are the exploded
+    # O(corpus-tokens) stream — lineage must survive executor loss.
+    units = persist_corpus(
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("u")
+        ).where(F.col("u") != "")
+    )
     h = h60(F.col("u"))
     rho_val = F.when(F.shiftright(h, _HLL_P) == 0, F.lit(53)).otherwise(
         F.lit(53)
@@ -911,9 +921,11 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.shiftright(h, _HLL_P).cast("string"), 10, 2)
         )
     )
-    rho = units.select(
-        "source", (h % _HLL_M).alias("bucket"), rho_val.alias("r")
-    ).localCheckpoint()
+    rho = persist_corpus(
+        units.select(
+            "source", (h % _HLL_M).alias("bucket"), rho_val.alias("r")
+        )
+    )
     shard_regs = rho.groupBy("source", "bucket").agg(F.max("r").alias("rho"))
     merged_regs = shard_regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
     direct_regs = rho.groupBy("bucket").agg(F.max("r").alias("rho"))

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import (
+    persist_corpus,
     H60_SQLEXPR,
     dec_sum,
     h60,
@@ -800,11 +801,12 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
-        # dt feeds N, the doc frequencies, and both pair-join sides —
-        # checkpoint so the corpus tokenizes once (executed-plan audit:
-        # 3 scans without; the self-join pair already reuses)
-        .localCheckpoint()
     )
+    # dt feeds N, the doc frequencies, and both pair-join sides — cache so
+    # the corpus tokenizes once (executed-plan audit: 3 scans without; the
+    # self-join pair already reuses). persist, not localCheckpoint: the
+    # distinct (doc, token) table is O(corpus tokens).
+    dt = persist_corpus(dt)
     n = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     dfreq = dt.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
     a = dt.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
@@ -1673,9 +1675,11 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals, the vocab, and the log-prob table. Branches that aggregate a
     # shared parent differently re-execute it (no exchange reuse), so both
     # bounded tables are checkpointed: the corpus is tokenized exactly once.
-    per_doc = toks.groupBy("doc_id", "lang", "tok").agg(
-        F.count("*").cast("long").alias("tc")
-    ).localCheckpoint()
+    per_doc = persist_corpus(
+        toks.groupBy("doc_id", "lang", "tok").agg(
+            F.count("*").cast("long").alias("tc")
+        )
+    )  # doc-keyed: O(corpus tokens) — persist, keep lineage
     cnt = per_doc.groupBy("lang", "tok").agg(
         F.sum("tc").cast("long").alias("c")
     ).localCheckpoint()
@@ -2261,8 +2265,8 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy("pos")
             ),
         )
-        .localCheckpoint()
     )
+    nt = persist_corpus(nt)  # O(corpus tokens) — persist, keep lineage
     ph = nt.groupBy("doc_id", "grp").agg(
         F.count("*").cast("long").alias("plen"),
         F.array_join(
@@ -2272,7 +2276,8 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("phrase"),
-    ).localCheckpoint()
+    )
+    ph = persist_corpus(ph)  # doc-keyed phrase table: O(corpus)
     wstat = (
         nt.join(ph, ["doc_id", "grp"])
         .groupBy("w")
@@ -2375,7 +2380,8 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
             "pos", "w"
         ),
-    ).where(F.col("w") != "").localCheckpoint()
+    ).where(F.col("w") != "")
+    tok = persist_corpus(tok)  # exploded token stream: O(corpus tokens)
     # DuckDB generate_subscripts is 1-based; Spark posexplode 0-based —
     # offsets and windows are position-difference-based, so the base
     # cancels everywhere (offset = o.pos - c.pos in both engines).
@@ -2956,9 +2962,11 @@ def tfidf_cosine_pairs(
     # tok feeds the tf and df aggregations; w feeds the norms and both
     # inverted-index sides — checkpoint both so the slice tokenizes once
     # (executed-plan audit: 8 scans without)
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "").localCheckpoint()
+    tok = persist_corpus(
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        ).where(F.col("tok") != "")
+    )  # exploded token stream: O(corpus tokens)
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = (
         tok.groupBy("tok")
@@ -2980,8 +2988,8 @@ def tfidf_cosine_pairs(
                 12,
             ).alias("w"),
         )
-        .localCheckpoint()
     )
+    w = persist_corpus(w)  # (doc, token) weight table: O(corpus tokens)
     norms = (
         w.select(
             "doc_id", F.round(F.col("w") * F.col("w"), 12).alias("w2")

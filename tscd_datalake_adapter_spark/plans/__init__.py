@@ -127,21 +127,26 @@ def unpartitioned_windows_over_unaggregated_input(df: DataFrame) -> list[str]:
         if name == "RDDScanExec":
             # A localCheckpoint scan. In this repo a checkpoint is always a
             # deliberately materialized BOUNDED intermediate (a value
-            # histogram, an edge list, a pair list — each call site
-            # documents its bound), inserted exactly because several
-            # branches consume it; the aggregation that bounded it is on
-            # the far side of the checkpoint where this walk can't see it.
-            # Exempting it keeps the checker usable alongside the
-            # checkpoint-multi-consumer pattern; the residual risk (someone
-            # checkpoints raw base rows and windows over them globally) is
-            # accepted and reviewed at the checkpoint call sites.
+            # histogram, an edge list, a per-iteration loop state — each
+            # call site documents its bound), inserted exactly because
+            # several branches consume it; the aggregation that bounded it
+            # is on the far side of the checkpoint where this walk can't
+            # see it. The invariant is ENFORCED, not just claimed:
+            # corpus-volume multi-consumer intermediates (token streams,
+            # per-doc/session tables, signature tables) use
+            # functions.persist_corpus (an InMemoryTableScan, still flagged
+            # below), and tests/test_checkpoint_audit.py allowlists the
+            # audited raw localCheckpoint call sites so a new unaudited
+            # site fails loudly.
             return False
         if "Scan" in name:
-            # Includes InMemoryTableScan: a cached relation MIGHT hold an
-            # aggregate internally, but the plan can't show it — flagging
-            # is the conservative choice (a false positive fails loudly in
-            # a test; a false negative ships a 100 TB single-partition
-            # window). No registry query caches today.
+            # Includes InMemoryTableScan (functions.persist_corpus): a
+            # cached relation MIGHT hold an aggregate internally, but the
+            # plan can't show it — flagging is the conservative choice (a
+            # false positive fails loudly in a test; a false negative
+            # ships a 100 TB single-partition window). Registry queries
+            # persist only corpus-volume intermediates, which must never
+            # feed a global window without an intervening aggregate anyway.
             return True
         kids = node.children()
         for i in range(kids.size()):

@@ -30,13 +30,21 @@ Two reader forms behind one format name:
   event log a lake writer produces; each task cheaply asserts its slice
   is sorted so a violation fails loudly instead of reordering the replay.
   Batch sequence is IDENTICAL to the simple reader's (same offset
-  arithmetic, same order), pinned by test. Restart caveat: the frontier
-  that ``latestOffset`` advances lives in reader memory; uncommitted
-  batches replay exactly (``partitions(start, end)`` is pure), but a cold
-  restart AFTER a commit re-plans from the last committed offset — same
-  rows, fresh batch boundaries — where the simple form's engine-side
-  cache handles it; production sources persist the frontier next to the
-  sink, which is out of scope for a replay source.
+  arithmetic, same order), pinned by test. Restart contract: on a cold
+  restart against an existing checkpoint, Spark restores start offsets
+  from its OWN offset WAL and does NOT call ``initialOffset`` — it goes
+  straight to ``latestOffset``, so a frontier living only in reader
+  memory would restart at 0, hand the engine an end offset BEHIND the
+  restored start, and re-emit committed rows (duplicates). The reader
+  therefore persists its committed frontier to a sidecar commit log:
+  pass ``.option("frontier_dir", dir)`` (use a subdirectory next to the
+  sink/checkpoint) and every ``commit(end)`` atomically records the
+  offset; a restarted reader adopts it before the first ``latestOffset``,
+  so the stream RESUMES exactly-once instead of replaying from zero
+  (pinned live by ``tests/test_eventreplay_datasource.py``). Uncommitted
+  WAL batches replay exactly as before (``partitions(start, end)`` is
+  pure and adopts the replayed end offset). Without the option the
+  frontier is in-memory only, as a pure replay source.
 
 Trigger caveat discovered here: Python micro-batch streams do NOT support
 Trigger.AvailableNow (Spark falls back to one batch) — drive them with a
@@ -149,7 +157,39 @@ class EventReplayStreamReader(DataSourceStreamReader):
             options.get("check_sorted", "true").lower() == "true"
         )
         self._total_cache: int | None = None
-        self._frontier = 0
+        # Restart-safe resume: adopt the sidecar commit log's offset (if
+        # configured and present) so the first latestOffset() after a
+        # driver restart continues from the committed frontier instead
+        # of 0 — see the module docstring's restart contract.
+        self._frontier_dir = options.get("frontier_dir")
+        self._frontier = self._read_committed_frontier()
+
+    def _commit_log_path(self) -> str:
+        import os
+
+        return os.path.join(self._frontier_dir, "eventreplay-commit.json")
+
+    def _read_committed_frontier(self) -> int:
+        if not self._frontier_dir:
+            return 0
+        import json
+
+        try:
+            with open(self._commit_log_path(), encoding="utf-8") as f:
+                return int(json.load(f)["pos"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _write_committed_frontier(self, pos: int) -> None:
+        import json
+        import os
+
+        os.makedirs(self._frontier_dir, exist_ok=True)
+        path = self._commit_log_path()
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"pos": pos}, f)
+        os.replace(tmp, path)  # atomic on POSIX: never a torn commit log
 
     def _total(self) -> int:
         if self._total_cache is None:
@@ -219,6 +259,8 @@ class EventReplayStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         self._frontier = max(self._frontier, int(end["pos"]))
+        if self._frontier_dir:
+            self._write_committed_frontier(self._frontier)
 
 
 class EventReplayDataSource(DataSource):
