@@ -12,15 +12,44 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    conf = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.driver.memory": "6g",
+    }
+    # scripts/run_suite_parallel.py gives each worker process its own
+    # warehouse dir so concurrent saveAsTable calls never share a path
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+    if wh:
+        conf["spark.sql.warehouse.dir"] = wh
     s = get_spark(
         "tscd-tests",
-        conf={
-            "spark.sql.shuffle.partitions": "8",
-            "spark.driver.memory": "6g",
-        },
-        master="local[8]",
+        conf=conf,
+        master=f"local[{os.environ.get('SPARK_GRAFT_TEST_CPUS', '8')}]",
     )
     yield s
+
+
+def pytest_collection_modifyitems(config, items):
+    """Poor-man's pytest-xdist (not installed in this environment):
+    ``TEST_SHARD=i/N`` deselects every item whose stable nodeid hash isn't
+    congruent to i mod N. scripts/run_suite_parallel.py launches N pytest
+    processes (each with its own Spark session and warehouse dir) so the
+    full suite's wall time divides by ~N; the union of the N shards is
+    exactly the full collection (hash partition of nodeids, no overlap)."""
+    shard = os.environ.get("TEST_SHARD")
+    if not shard:
+        return
+    import zlib
+
+    idx, n = (int(x) for x in shard.split("/"))
+    keep, drop = [], []
+    for item in items:
+        if zlib.crc32(item.nodeid.encode()) % n == idx:
+            keep.append(item)
+        else:
+            drop.append(item)
+    items[:] = keep
+    config.hook.pytest_deselected(items=drop)
 
 
 @pytest.fixture(scope="session")

@@ -25,6 +25,73 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def executed_scan_counts(df: DataFrame) -> dict[str, int]:
+    """EXECUTED parquet scans per table file in the post-AQE physical plan
+    (run the query to a sink first) — the duplicate-scan audit primitive.
+
+    Walks the JVM plan TREE instead of the plan string, which matters for
+    the two node families whose string rendering lies about execution
+    counts:
+
+    - ``InMemoryTableScanExec`` (``functions.persist_corpus``): the string
+      inlines the cached plan's lineage at EVERY reference, but a cache
+      entry materializes its scan at most once — so each distinct cache
+      entry's internal scans count once, no matter how many branches read
+      it (cached plans are innerChildren, invisible to ``children()``;
+      we descend explicitly, deduplicated by canonicalized cached plan).
+    - ``ReusedExchangeExec`` / ``ReusedSubqueryExec``: references, not
+      executions — count zero.
+
+    AQE wrappers (``AdaptiveSparkPlanExec``, ``*QueryStageExec``) hold
+    their real plan as a field, not a child — descend through them, and
+    through every node's ``subqueries`` (scalar subqueries execute too).
+    """
+    from collections import Counter
+
+    counts: Counter = Counter()
+    seen_caches: set[str] = set()
+
+    def table_of(scan) -> str | None:
+        try:
+            paths = scan.relation().location().rootPaths()
+            if paths.size() == 0:
+                return None
+            return paths.apply(0).getName()
+        except Exception:
+            return None
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cls == "InMemoryTableScanExec":
+            rel = node.relation()
+            key = rel.cachedPlan().canonicalized().toString()
+            if key not in seen_caches:
+                seen_caches.add(key)
+                walk(rel.cachedPlan())
+            return
+        if cls.startswith("FileSourceScan"):
+            t = table_of(node)
+            if t:
+                counts[t] += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return dict(counts)
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
