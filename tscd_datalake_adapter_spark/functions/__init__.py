@@ -201,7 +201,13 @@ def persist_corpus(df):
     (recoverable, AQE-visible) and MEMORY_AND_DISK spills rather than
     OOMing. Within one action the cached relation is still materialized
     once and shared by every consuming branch, so the duplicate-scan
-    economics are the same as a checkpoint."""
+    economics are the same as a checkpoint.
+
+    Lifecycle: entries live until evicted (LRU under memory pressure) or
+    the session ends — fine for the query-registry pattern (bounded test
+    data, one session). A long-lived production pipeline should
+    ``df.unpersist()`` after the consuming action, exactly as it would
+    have had to clean up checkpoint files."""
     from pyspark import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -4318,9 +4318,17 @@ def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands and is rounded to 12 dp (the repo's libm recipe); the 4-term
     sum has a fixed expression order, so it is bit-identical too.
 
-    Scale shape: 4 bounded histograms (broadcast joins — feature
-    cardinality, not row count), one row-local score expression, and a
-    TakeOrderedAndProject for the top-k; nothing shuffles the fact table."""
+    Scale shape: ALL four bounded histograms plus the total come out of
+    ONE scan via GROUPING SETS (Expand multiplies rows 5x map-side but
+    partial aggregation collapses them before the shuffle, so the
+    exchange carries only feature-cardinality rows — vs the naive form's
+    five separate full passes over orders); the bounded grouped table is
+    checkpoint_bounded and splits into the per-feature broadcast sides;
+    one more scan feeds the row-local score expression and a
+    TakeOrderedAndProject for the top-k. Two scans of orders total,
+    nothing shuffles the fact table."""
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     o = load_table(spark, sf_dir, "orders")
     b = o.select(
         "o_orderkey",
@@ -4334,17 +4342,40 @@ def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_bucket"),
         F.month("o_orderdate").cast("long").alias("mth"),
     )
-    n = b.agg(F.count("*").cast("long").alias("n"))
-    h_pb = b.groupBy("price_bucket").agg(
-        F.count("*").cast("long").alias("c_pb")
+    hh = checkpoint_bounded(
+        b.groupingSets(
+            [
+                [],
+                [F.col("price_bucket")],
+                [F.col("o_orderpriority")],
+                [F.col("o_orderstatus")],
+                [F.col("mth")],
+            ],
+            "price_bucket",
+            "o_orderpriority",
+            "o_orderstatus",
+            "mth",
+        ).agg(
+            F.count("*").cast("long").alias("c"),
+            F.grouping_id().cast("long").alias("gid"),
+        ),
+        bound="sum of the four feature cardinalities + 1 global row",
     )
-    h_pr = b.groupBy("o_orderpriority").agg(
-        F.count("*").cast("long").alias("c_pr")
+    # grouping_id bit i is SET when column i is aggregated AWAY (cols in
+    # groupingSets order: price_bucket, priority, status, mth)
+    n = hh.where(F.col("gid") == 15).select(F.col("c").alias("n"))
+    h_pb = hh.where(F.col("gid") == 7).select(
+        "price_bucket", F.col("c").alias("c_pb")
     )
-    h_st = b.groupBy("o_orderstatus").agg(
-        F.count("*").cast("long").alias("c_st")
+    h_pr = hh.where(F.col("gid") == 11).select(
+        "o_orderpriority", F.col("c").alias("c_pr")
     )
-    h_m = b.groupBy("mth").agg(F.count("*").cast("long").alias("c_m"))
+    h_st = hh.where(F.col("gid") == 13).select(
+        "o_orderstatus", F.col("c").alias("c_st")
+    )
+    h_m = hh.where(F.col("gid") == 14).select(
+        "mth", F.col("c").alias("c_m")
+    )
 
     def lterm(cc):
         return F.round(F.log(F.col("n") / F.col(cc)), 12)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tscd_datalake_adapter_spark.functions import persist_corpus
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
 
@@ -307,9 +308,15 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's tiebreak only ranks BETWEEN arms, so the composed result
     is deterministic end-to-end."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.where(F.col("event_type") == "purchase")
-    views = e.where(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", F.col("ts").alias("view_ts")
+    # both arms (backward + forward) consume both sides — cache each
+    # filtered projection so events scans once per side, not once per
+    # side per arm (audited r7: 4 scans -> 2). persist, not checkpoint:
+    # event rows are corpus volume.
+    purchases = persist_corpus(e.where(F.col("event_type") == "purchase"))
+    views = persist_corpus(
+        e.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id", F.col("ts").alias("view_ts")
+        )
     )
     common = dict(
         on="ts",
@@ -401,13 +408,16 @@ def asof_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     family as ``asof_join_nearest``. The weight and the blend evaluate
     identical double operands in identical order cross-engine."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.where(F.col("event_type") == "purchase")
-    views = e.where(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.col("ts").alias("view_ts"),
-        F.col("value").alias("view_value"),
+    # same two-arm reuse as asof_join_nearest: one scan per cached side
+    purchases = persist_corpus(e.where(F.col("event_type") == "purchase"))
+    views = persist_corpus(
+        e.where(F.col("event_type") == "view").select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
     )
     common = dict(
         on="ts",

@@ -305,10 +305,15 @@ def range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = spark.range(1, 16).select(F.col("id").alias("i"))
     rk = F.floor((F.col("i") * F.col("n")) / 16).cast("long")
-    bounds = idx.join(
-        ranked,
-        (F.col("cum") - F.col("c") < rk) & (rk <= F.col("cum")),
-    ).select("i", F.col("p").alias("b"))
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
+    bounds = checkpoint_bounded(
+        idx.join(
+            ranked,
+            (F.col("cum") - F.col("c") < rk) & (rk <= F.col("cum")),
+        ).select("i", F.col("p").alias("b")),
+        bound="15 boundary rows (one per internal partition edge)",
+    )  # consumed by BOTH ivals branches — uncut, each re-ran the sample pass
     ivals = (
         bounds.select(
             F.col("i").alias("pid"),
@@ -332,15 +337,16 @@ def range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pid")
         .agg(F.count("*").cast("long").alias("n_rows"))
     )
-    tot = o.agg(F.count("*").cast("long").alias("t"))
+    # the 16 intervals PARTITION the value domain, so the total is the sum
+    # of the interval counts — a window over the 16-row aggregate, not a
+    # fourth scan of orders (audited r7: 4 scans -> 2, sample + fact)
     return (
-        assigned.crossJoin(F.broadcast(tot))
-        .select(
+        assigned.select(
             F.col("pid").cast("long").alias("partition_id"),
             "n_rows",
-            F.round(F.col("n_rows") * 16.0 / F.col("t"), 6).alias(
-                "balance_ratio"
-            ),
+            F.round(
+                F.col("n_rows") * 16.0 / F.sum("n_rows").over(w_all), 6
+            ).alias("balance_ratio"),
         )
         .orderBy("partition_id")
     )

@@ -268,10 +268,15 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("p_ts"),
         "value",
     )
-    v = e.where(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("v_ts"),
+    # views feed BOTH argmax steps (latest-ts join + id-at-ts join) —
+    # cache the projection so events scans once for the view side
+    # (audited r7: 3 scans -> 2). persist: event rows are corpus volume.
+    v = persist_corpus(
+        e.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
     )
     # Two-step portable argmax (DuckDB 1.0's max_by cannot take a tuple
     # sort key): latest view timestamp per purchase, then the max view_id

@@ -269,10 +269,15 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(38,12)"
     )
     rel = F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
-    scored = ranked.groupBy("query_id").agg(
-        F.sum(rel).cast("long").alias("n_rel"),
-        F.sum(F.when(rel == 1, term)).alias("dcg_d"),
-    )
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
+    scored = checkpoint_bounded(
+        ranked.groupBy("query_id").agg(
+            F.sum(rel).cast("long").alias("n_rel"),
+            F.sum(F.when(rel == 1, term)).alias("dcg_d"),
+        ),
+        bound="one row per query, <= 10 rows",
+    )  # feeds ideal AND the final join — uncut, each re-ran the corpus rank
     ranks = spark.range(1, 11).select(F.col("id").alias("i"))
     ideal = (
         scored.join(F.broadcast(ranks), F.col("i") <= F.col("n_rel"))
@@ -1122,15 +1127,22 @@ def mutual_information_priority_status(
     selection: MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))), reported with the
     joint entropy and their ratio (a normalized-MI variant).
 
-    Everything derives from ONE joint-count aggregation (margins are
-    re-aggregations of the ≤15-cell joint table, not extra scans);
-    each term is rounded to 12 decimals and decimal-summed
-    (order-independent, libm-ulp-proof — the NDCG/PSI recipe)."""
+    Everything derives from ONE joint-count aggregation: the ≤15-cell
+    joint table is checkpoint_bounded (it feeds both margins, the total,
+    and the term join — without the cut each consumer re-derived the
+    aggregation, i.e. 4 scans of orders; audited r7, now 1); each term is
+    rounded to 12 decimals and decimal-summed (order-independent,
+    libm-ulp-proof — the NDCG/PSI recipe)."""
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     o = load_table(spark, sf_dir, "orders")
-    joint = o.groupBy(
-        F.col("o_orderpriority").alias("x"),
-        F.col("o_orderstatus").alias("y"),
-    ).agg(F.count("*").cast("long").alias("nxy"))
+    joint = checkpoint_bounded(
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        ).agg(F.count("*").cast("long").alias("nxy")),
+        bound="|priorities| x |statuses| <= 15 cells",
+    )
     mx = joint.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
     my = joint.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
     tot = joint.agg(F.sum("nxy").cast("long").alias("n"))
@@ -2432,6 +2444,11 @@ def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block",
         F.floor(F.col("cents") / 10000.0).cast("long"),
     )
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
+    # both self-join sides AND the entity count consume the slice — one
+    # materialization instead of three scans (audited r7: 3 -> 1)
+    c = checkpoint_bounded(c, bound="audit slice c_custkey < 400 rows")
     a = c.select(*[F.col(x).alias(f"{x}_a") for x in c.columns])
     pairs = a.join(
         F.broadcast(c), F.col("c_custkey_a") < F.col("c_custkey")
@@ -2758,18 +2775,62 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     attr→attr (should fail), and attr→key (fails hard) so the metric's
     whole range is exercised.
 
-    Scale shape: per candidate one (A, B) count aggregate then an A-level
-    max — two map-side-combined groupBys, no joins; all integers until
-    the final rate."""
+    Scale shape: ONE scan of customer computes every candidate's (A, B)
+    count table via GROUPING SETS over the three distinct column sets
+    (Expand multiplies rows 3x map-side, partial aggregation collapses
+    them before the shuffle); every candidate's A-level max/sum then reads
+    its gid slice of that ONE grouped table through an explode that tags
+    rows with their candidate label — a single linear plan, no union of
+    re-analyzed branches, no cache needed — 4 scans → 1 (audited r7).
+    All integers until the final rate."""
     c = load_table(spark, sf_dir, "customer")
-    out = None
+    all_cols = ("c_nationkey", "c_mktsegment", "c_custkey")
+    sets = []  # distinct column sets, insertion-ordered
     for lhs, rhs in _FD_CANDIDATES:
-        pair = c.groupBy(lhs, rhs).agg(F.count("*").alias("val_n"))
-        grp = pair.groupBy(lhs).agg(
-            F.sum("val_n").cast("long").alias("grp_n"),
-            F.max("val_n").cast("long").alias("grp_max"),
+        key = frozenset((lhs, rhs))
+        if key not in [frozenset(s) for s in sets]:
+            sets.append(tuple(col for col in all_cols if col in key))
+
+    def gid_of(colset) -> int:  # bit i SET when all_cols[i] aggregated away
+        return sum(
+            1 << (len(all_cols) - 1 - i)
+            for i, col in enumerate(all_cols)
+            if col not in colset
         )
-        row = grp.agg(
+
+    pairs = c.groupingSets(
+        [[F.col(col) for col in s] for s in sets], *all_cols
+    ).agg(
+        F.count("*").alias("val_n"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    # tag each grouped row with the candidate(s) its gid serves; lhs
+    # values group as strings (distinct ⇔ distinct for int/string cols)
+    cand_structs = [
+        F.when(
+            F.col("gid") == gid_of(frozenset((lhs, rhs))),
+            F.struct(
+                F.lit(f"{lhs} -> {rhs}").alias("dependency"),
+                F.col(lhs).cast("string").alias("lhs_val"),
+            ),
+        )
+        for lhs, rhs in _FD_CANDIDATES
+    ]
+    tagged = pairs.select(
+        "val_n",
+        F.explode(
+            F.filter(
+                F.array(*cand_structs), lambda s: s.isNotNull()
+            )
+        ).alias("cand"),
+    ).select("val_n", "cand.dependency", "cand.lhs_val")
+    grp = tagged.groupBy("dependency", "lhs_val").agg(
+        F.sum("val_n").cast("long").alias("grp_n"),
+        F.max("val_n").cast("long").alias("grp_max"),
+    )
+    return (
+        grp.groupBy("dependency")
+        .agg(
             F.count("*").cast("long").alias("n_keys"),
             F.sum("grp_n").cast("long").alias("n_rows"),
             (F.sum("grp_n") - F.sum("grp_max")).cast("long").alias(
@@ -2783,15 +2844,9 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + 0.0
             ).alias("violation_rate"),
-        ).select(
-            F.lit(f"{lhs} -> {rhs}").alias("dependency"),
-            "n_keys",
-            "n_rows",
-            "n_violations",
-            "violation_rate",
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("dependency")
+        .orderBy("dependency")
+    )
 
 
 @register(

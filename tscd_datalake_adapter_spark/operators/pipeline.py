@@ -819,6 +819,11 @@ def _lm_perdoc_scores(
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    # bg feeds c2, c1 (train side) AND the scored side — cache it so the
+    # corpus bigram-explodes once, not once per consumer (audited r7:
+    # 4 scans of documents -> 3; the remaining two are the reference
+    # top-N and the vocab unigram pass). persist: O(corpus bigrams).
+    bg = persist_corpus(bg)
     train = bg.join(F.broadcast(ref_ids), "doc_id", "semi")
     c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
