@@ -484,11 +484,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
-    # tf feeds the document frequencies AND the per-term scores — cache it
-    # so the tokenize+filter pass runs once (audited r7: 3 scans -> 2; the
-    # other pass is the corpus-stats aggregate over all doc lengths).
-    # persist: one row per (matching doc, term) grows with the corpus.
-    tf = persist_corpus(
+    # tf feeds the document frequencies AND the per-term scores. Measured
+    # r7 (sf0.1, min-of-3, cleared cache): persist_corpus(tf) made the
+    # query ~0.7s SLOWER (cache build + lost whole-stage fusion exceed the
+    # extra filtered-explode pass it saves here), so the duplicate pass is
+    # kept deliberately — both derivations filter to the <=16 query terms
+    # before any shuffle, so even at 100 TB each pass moves only matching
+    # tokens; swap persist_corpus(tf) in if the term list grows large.
+    tf = (
         dl.select("doc_id", "dl", F.explode("t").alias("tok"))
         .where(F.col("tok").isin(*_BM25_TERMS))
         .groupBy("doc_id", "dl", "tok")
