@@ -599,6 +599,10 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    # bg feeds c2, c1 (train slice) AND the scored slice — cache it so the
+    # corpus bigram-explodes once (same move as the scaled variant,
+    # audited r7: 3 scans -> 2). persist: O(corpus bigrams).
+    bg = persist_corpus(bg)
     train = bg.where(F.col("doc_id") % 7 == 0)
     c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
