@@ -848,6 +848,12 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         # the cached per-doc token counts hold one scan (visible as above)
         # plus the two documented tiny pruned doc-count scans
         "naive_bayes_lang_confusion": 3,
+        # cached bigram pass + reference top-N + vocab unigram pass
+        "lm_perplexity_filter_scaled": 3,
+        # two filtered single passes KEPT deliberately (measured faster
+        # than caching at sf0.1, see the call-site note) + the corpus
+        # length-stats pass
+        "bm25_topk": 3,
     }
     fixed = (
         "local_clustering_coefficient",
@@ -914,6 +920,22 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         "cramers_v_priority_segment",
         "winsorized_stats_by_priority",
         "view_to_purchase_latency",
+        # r7 scan-dedup rewrites (GROUPING SETS single-pass histograms,
+        # checkpoint_bounded/persist_corpus shared intermediates)
+        "hbos_outlier_scores",
+        "mutual_information_priority_status",
+        "range_partition_balance",
+        "ndcg_retrieval_eval",
+        "functional_dependency_audit",
+        "asof_join_nearest",
+        "asof_join_interpolate",
+        "lm_perplexity_filter",
+        "lm_perplexity_filter_scaled",
+        "er_blocking_eval",
+        "last_touch_attribution",
+        "multiset_ops",
+        "bm25_topk",
+        "tfidf_top_terms",
     )
     from tscd_datalake_adapter_spark.plans import executed_scan_counts
 
