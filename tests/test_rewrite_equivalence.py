@@ -178,3 +178,152 @@ def test_spread_is_identity_when_already_split(spark):
     assert out.rdd.getNumPartitions() == target
     # and values survive the round-robin untouched
     assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+
+def test_hbos_grouping_sets_matches_separate_histograms(spark):
+    """The ONE GROUPING SETS pass behind hbos_outlier_scores must yield
+    bit-identical histograms and total to four separate groupBys + a
+    count, on synthetic data with empty-ish and skewed feature values."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+            rng.choice(["F", "O"]),
+            rng.randint(0, 5),
+            rng.randint(1, 12),
+        )
+        for i in range(500)
+    ]
+    b = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string,"
+        " price_bucket long, mth long",
+    )
+    hh = b.groupingSets(
+        [
+            [],
+            [F.col("price_bucket")],
+            [F.col("o_orderpriority")],
+            [F.col("o_orderstatus")],
+            [F.col("mth")],
+        ],
+        "price_bucket",
+        "o_orderpriority",
+        "o_orderstatus",
+        "mth",
+    ).agg(
+        F.count("*").cast("long").alias("c"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    got = {
+        15: {"n": r["c"] for r in hh.where(F.col("gid") == 15).collect()},
+        7: {r["price_bucket"]: r["c"] for r in hh.where(F.col("gid") == 7).collect()},
+        11: {r["o_orderpriority"]: r["c"] for r in hh.where(F.col("gid") == 11).collect()},
+        13: {r["o_orderstatus"]: r["c"] for r in hh.where(F.col("gid") == 13).collect()},
+        14: {r["mth"]: r["c"] for r in hh.where(F.col("gid") == 14).collect()},
+    }
+    assert got[15] == {"n": 500}
+    assert got[7] == {
+        r["price_bucket"]: r["c"]
+        for r in b.groupBy("price_bucket").agg(F.count("*").cast("long").alias("c")).collect()
+    }
+    assert got[11] == {
+        r["o_orderpriority"]: r["c"]
+        for r in b.groupBy("o_orderpriority").agg(F.count("*").cast("long").alias("c")).collect()
+    }
+    assert got[13] == {
+        r["o_orderstatus"]: r["c"]
+        for r in b.groupBy("o_orderstatus").agg(F.count("*").cast("long").alias("c")).collect()
+    }
+    assert got[14] == {
+        r["mth"]: r["c"]
+        for r in b.groupBy("mth").agg(F.count("*").cast("long").alias("c")).collect()
+    }
+
+
+def test_fd_audit_tagged_explode_matches_per_candidate_loop(spark):
+    """functional_dependency_audit's single-plan form (GROUPING SETS +
+    explode-tagged candidates) must equal the straightforward
+    one-aggregation-per-candidate loop, on synthetic data with exact FDs,
+    near-FDs, ties, and NULL-free key candidates."""
+    import random
+
+    from tscd_datalake_adapter_spark.operators.mlprep import _FD_CANDIDATES
+
+    rng = random.Random(23)
+    rows = [
+        (i, rng.randint(0, 6), rng.choice(["A", "B", "C"]))
+        for i in range(300)
+    ]
+    c = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string"
+    )
+
+    # straightforward loop (the pre-rewrite formulation)
+    expected = {}
+    for lhs, rhs in _FD_CANDIDATES:
+        pair = c.groupBy(lhs, rhs).agg(F.count("*").alias("val_n"))
+        grp = pair.groupBy(lhs).agg(
+            F.sum("val_n").cast("long").alias("grp_n"),
+            F.max("val_n").cast("long").alias("grp_max"),
+        )
+        r = grp.agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("grp_n").cast("long").alias("n_rows"),
+            (F.sum("grp_n") - F.sum("grp_max")).cast("long").alias("n_violations"),
+        ).collect()[0]
+        expected[f"{lhs} -> {rhs}"] = (r.n_keys, r.n_rows, r.n_violations)
+
+    # the shipped single-plan form, replicated inline on the same frame
+    all_cols = ("c_nationkey", "c_mktsegment", "c_custkey")
+    sets = []
+    for lhs, rhs in _FD_CANDIDATES:
+        key = frozenset((lhs, rhs))
+        if key not in [frozenset(s) for s in sets]:
+            sets.append(tuple(col for col in all_cols if col in key))
+
+    def gid_of(colset):
+        return sum(
+            1 << (len(all_cols) - 1 - i)
+            for i, col in enumerate(all_cols)
+            if col not in colset
+        )
+
+    pairs = c.groupingSets(
+        [[F.col(col) for col in s] for s in sets], *all_cols
+    ).agg(
+        F.count("*").alias("val_n"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    cand_structs = [
+        F.when(
+            F.col("gid") == gid_of(frozenset((lhs, rhs))),
+            F.struct(
+                F.lit(f"{lhs} -> {rhs}").alias("dependency"),
+                F.col(lhs).cast("string").alias("lhs_val"),
+            ),
+        )
+        for lhs, rhs in _FD_CANDIDATES
+    ]
+    tagged = pairs.select(
+        "val_n",
+        F.explode(F.filter(F.array(*cand_structs), lambda s: s.isNotNull())).alias("cand"),
+    ).select("val_n", "cand.dependency", "cand.lhs_val")
+    grp = tagged.groupBy("dependency", "lhs_val").agg(
+        F.sum("val_n").cast("long").alias("grp_n"),
+        F.max("val_n").cast("long").alias("grp_max"),
+    )
+    got = {
+        r.dependency: (r.n_keys, r.n_rows, r.n_violations)
+        for r in grp.groupBy("dependency")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("grp_n").cast("long").alias("n_rows"),
+            (F.sum("grp_n") - F.sum("grp_max")).cast("long").alias("n_violations"),
+        )
+        .collect()
+    }
+    assert got == expected
