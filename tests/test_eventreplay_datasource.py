@@ -315,3 +315,30 @@ def test_eventreplay_partitioned_restart_is_exactly_once(spark, sf_dir, tmp_path
         F.sum(F.col("value").cast("decimal(38,6)")).alias("s")
     ).collect()[0]["s"]
     assert sums == expected
+
+
+def test_eventreplay_frontier_commit_log_corruption_falls_back(sf_dir, tmp_path):
+    """A torn/corrupt sidecar commit log must degrade to frontier 0 (full
+    deterministic replay — the pre-r7 behavior), never crash the reader."""
+    import os
+
+    from tscd_datalake_adapter_spark.sources.eventreplay_datasource import (
+        EventReplayStreamReader,
+    )
+
+    fdir = tmp_path / "frontier"
+    os.makedirs(fdir)
+    opts = {
+        "path": f"{sf_dir}/events.parquet",
+        "batch_rows": "300",
+        "frontier_dir": str(fdir),
+    }
+    for payload in ("", "{not json", '{"wrong_key": 3}', '{"pos": "x"}'):
+        (fdir / "eventreplay-commit.json").write_text(payload)
+        r = EventReplayStreamReader(opts)
+        assert r.latestOffset() == {"pos": 300}, payload
+
+    # a valid log written through commit() round-trips
+    r = EventReplayStreamReader(opts)
+    r.commit({"pos": 600})
+    assert EventReplayStreamReader(opts).latestOffset() == {"pos": 900}

@@ -179,6 +179,18 @@ def test_spread_is_identity_when_already_split(spark):
     # and values survive the round-robin untouched
     assert sorted(r.id for r in out.collect()) == list(range(1000))
 
+    # post-shuffle frame: the guard must refuse — the plan already has an
+    # Exchange, and reading .rdd there would materialize AQE query stages
+    # (real jobs) with a pre-AQE count that can differ from the executed
+    # one. spread() returns the frame untouched without touching .rdd.
+    shuffled = (
+        spark.range(0, 1000, 1, numPartitions=4)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    assert "Exchange" in shuffled._jdf.queryExecution().executedPlan().toString()
+    assert spread(shuffled) is shuffled
+
 
 def test_hbos_grouping_sets_matches_separate_histograms(spark):
     """The ONE GROUPING SETS pass behind hbos_outlier_scores must yield

@@ -152,13 +152,11 @@ def spread(df):
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
 
-    def _has_exchange(node) -> bool:
-        if "Exchange" in node.getClass().getSimpleName():
-            return True
-        kids = node.children()
-        return any(_has_exchange(kids.apply(i)) for i in range(kids.size()))
-
-    if _has_exchange(df._jdf.queryExecution().sparkPlan()):
+    # The PREPARED plan (exchanges inserted; under AQE this is the initial
+    # adaptive plan — stringifying runs no jobs). sparkPlan() would be
+    # useless here: it predates EnsureRequirements, so it never contains
+    # an Exchange node.
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
         return df
     if df.rdd.getNumPartitions() >= target:
         return df
