@@ -902,35 +902,67 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-join plan test are the mitigations this audit tells you when to
     reach for.
 
-    One groupBy per key (map-side partial) feeding a 1-row aggregate —
-    the audit costs a scan per key, nothing more."""
-    arms = [
-        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
-        ("lineitem.l_partkey", "lineitem", "l_partkey"),
-        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
-        ("orders.o_custkey", "orders", "o_custkey"),
-    ]
-    out = None
-    for name, table, key in arms:
-        cnts = (
-            load_table(spark, sf_dir, table)
-            .groupBy(key)
-            .agg(F.count("*").alias("c"))
-        )
-        row = cnts.agg(
-            F.lit(name).alias("join_key"),
+    ALL three lineitem keys come out of ONE scan via GROUPING SETS
+    (Expand multiplies rows 3x map-side, partial aggregation collapses
+    them before the shuffle — the hbos/FD-audit single-pass pattern;
+    audited r7: 4 scans total -> 2, one per fact table), each set's
+    per-key counts then folding to its 1-row stats grouped by gid."""
+
+    def stats_per_gid(cnts: DataFrame, names: dict[int, str]) -> DataFrame:
+        name_col = F.lit(None).cast("string")
+        for g, n in names.items():
+            name_col = F.when(F.col("gid") == g, F.lit(n)).otherwise(name_col)
+        return cnts.groupBy("gid").agg(
             F.count("*").cast("long").alias("n_keys"),
             F.sum("c").cast("long").alias("n_rows"),
             F.max("c").cast("long").alias("max_rows_per_key"),
-            F.round(
-                F.max("c") / F.sum("c").cast("double"), 6
-            ).alias("top1_share"),
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+                "top1_share"
+            ),
             F.round(
                 F.max("c") * F.count("*") / F.sum("c").cast("double"), 6
             ).alias("skew_ratio"),
+        ).select(
+            name_col.cast("string").alias("join_key"),
+            "n_keys",
+            "n_rows",
+            "max_rows_per_key",
+            "top1_share",
+            "skew_ratio",
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("join_key")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li_cnts = li.groupingSets(
+        [
+            [F.col("l_orderkey")],
+            [F.col("l_partkey")],
+            [F.col("l_suppkey")],
+        ],
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+    ).agg(
+        F.count("*").alias("c"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    # gid bit i SET when column i (order: orderkey, partkey, suppkey) is
+    # aggregated away
+    li_stats = stats_per_gid(
+        li_cnts,
+        {
+            3: "lineitem.l_orderkey",
+            5: "lineitem.l_partkey",
+            6: "lineitem.l_suppkey",
+        },
+    )
+    o_cnts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .select("c", F.lit(0).cast("long").alias("gid"))
+    )
+    o_stats = stats_per_gid(o_cnts, {0: "orders.o_custkey"})
+    return li_stats.unionByName(o_stats).orderBy("join_key")
 
 
 @register(

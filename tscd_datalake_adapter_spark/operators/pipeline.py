@@ -316,6 +316,11 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # the gram table feeds BOTH the benchmark slice and the training side
+    # of the overlap join — cache it so the corpus 4-gram-explodes once
+    # (audited r7: 3 scans -> 2; the remainder is the pruned doc-id list).
+    # persist: O(corpus 4-grams).
+    grams = persist_corpus(grams)
     bench = grams.where(F.col("doc_id") % 29 == 0).select("g").distinct()
     hits = (
         grams.where(F.col("doc_id") % 29 != 0)

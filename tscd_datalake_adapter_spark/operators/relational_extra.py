@@ -185,27 +185,57 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
 
-    rows = [
+    # Row-local checks on the same table fold into ONE conditional
+    # aggregation pass (then unpivot via stack); only the referential
+    # checks need their own join pass — and the orders-side RI check
+    # rides the same pass as orders' domain check through a left join
+    # (NULL build side = orphan). Audited r7: 6 scans -> 4 (lineitem
+    # anti-join + lineitem filter pass + orders join pass + customer).
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+
+    li_orphans = (
         li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
         .agg(F.count("*").alias("n_violations"))
-        .select(F.lit("lineitem_orphan_orders").alias("check_name"), "n_violations"),
-        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count("*").alias("n_violations"))
-        .select(F.lit("orders_orphan_customers").alias("check_name"), "n_violations"),
-        li.where(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull())
-        .agg(F.count("*").alias("n_violations"))
-        .select(F.lit("lineitem_null_keys").alias("check_name"), "n_violations"),
-        li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
-        .agg(F.count("*").alias("n_violations"))
-        .select(F.lit("lineitem_bad_discount").alias("check_name"), "n_violations"),
-        o.where(~F.col("o_orderstatus").isin("F", "O", "P"))
-        .agg(F.count("*").alias("n_violations"))
-        .select(F.lit("orders_bad_status").alias("check_name"), "n_violations"),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("check_name")
+        .select(
+            F.lit("lineitem_orphan_orders").alias("check_name"),
+            "n_violations",
+        )
+    )
+    li_rowlocal = li.agg(
+        cnt(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull()).alias(
+            "n_null"
+        ),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "n_disc"
+        ),
+    ).select(
+        F.expr(
+            "stack(2, 'lineitem_null_keys', n_null,"
+            " 'lineitem_bad_discount', n_disc)"
+        ).alias("check_name", "n_violations")
+    )
+    o_checks = (
+        o.join(
+            c.select(F.col("c_custkey").alias("ck")),
+            o.o_custkey == F.col("ck"),
+            "left",
+        )
+        .agg(
+            cnt(F.col("ck").isNull()).alias("n_orphan"),
+            cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias("n_bad"),
+        )
+        .select(
+            F.expr(
+                "stack(2, 'orders_orphan_customers', n_orphan,"
+                " 'orders_bad_status', n_bad)"
+            ).alias("check_name", "n_violations")
+        )
+    )
+    return (
+        li_orphans.unionByName(li_rowlocal)
+        .unionByName(o_checks)
+        .orderBy("check_name")
+    )
 
 
 @register(

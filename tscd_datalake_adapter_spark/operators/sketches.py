@@ -396,15 +396,21 @@ def bloom_probe_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification shuffle. Oracle: DuckDB rebuilds identical bits from
     identical hashes, so even the false-positive COUNT matches exactly.
     """
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     d = load_table(spark, sf_dir, "documents")
-    block_toks = (
+    # the blocklist vocabulary feeds the bit set AND the exact-membership
+    # mark — one materialization instead of two benchmark-slice scans
+    # (audited r7: 3 scans -> 2); bounded by the fixed benchmark suite
+    block_toks = checkpoint_bounded(
         d.where(F.col("doc_id") < 25)
         .select(
             F.explode(
                 F.expr("filter(split(text, ' '), x -> x != '')")
             ).alias("tok")
         )
-        .distinct()
+        .distinct(),
+        bound="distinct vocabulary of the fixed-size benchmark slice",
     )
     ks = spark.range(_BF_K).select(F.col("id").cast("int").alias("k"))
     pos_of = (
