@@ -936,6 +936,10 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         "multiset_ops",
         "bm25_topk",
         "tfidf_top_terms",
+        "join_key_skew_audit",
+        "data_quality_audit",
+        "benchmark_decontamination",
+        "bloom_probe_decontamination",
     )
     from tscd_datalake_adapter_spark.plans import executed_scan_counts
 
