@@ -241,7 +241,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Vectorized signature computation (numpy matmul in mapInPandas, no
     # shuffle) — see _lsh_signatures. sig is narrow: (vec_id, tbl,
     # bucket); embeddings are re-joined only for the rerank over ids.
-    sig = _lsh_signatures(e, "embedding", n_tables, bits)
+    # persist_corpus: sig feeds BOTH the query-probe side and the
+    # candidate bucket join — uncached each consumer re-runs the full
+    # embeddings scan + matmul (measured 4 executed embeddings scans).
+    sig = persist_corpus(_lsh_signatures(e, "embedding", n_tables, bits))
     # Multi-probe: besides the query's own bucket, probe every bucket at
     # Hamming distance 1 (flip each of the `bits` sign bits). Probe count is
     # (bits+1)·tables per query — recall rises sharply for near-boundary
