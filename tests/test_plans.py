@@ -836,11 +836,10 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
     allowed = {
         "referential_integrity_audit": 3,  # child of 3 FK edges, 1 pass each
         "session_funnel_conversion": 3,  # three documented stage passes
-        # the encode pass is ONE persist_corpus cache (its internal scan is
-        # now visible — the old eager checkpoint hid it); the others are
-        # the codebook-training pass, the tiny pushdown-pruned query-vector
-        # read, and the exact rerank of the shortlist — each a single pass
-        "pq_adc_topk": 4,
+        # the sign-LSH signature cache holds one scan; the tiny pushdown-
+        # pruned query-vector read and the exact rerank of the bucket
+        # candidates are each a single pass
+        "ann_lsh_topk": 3,
         # corpus ∪ fresh ∪ planted: three DISJOINT doc_id slices, each
         # scanned once inside the one persist_corpus cache (visible now
         # that the cache keeps lineage; the old eager checkpoint hid them)
@@ -914,6 +913,7 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         "cluster_label_ari",
         "embedding_cosine_near_dup_lsh",
         "pq_adc_topk",
+        "ann_lsh_topk",
         "permutation_test_signflip",
         "hll_distinct_tokens",
         "rfm_segmentation",

@@ -198,13 +198,21 @@ def ecdf_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars)`` would give the per-row exact rank but plans the whole
     corpus into one partition; the binned form trades <=1-bin resolution
     for a plan with no unbounded shuffle-to-one."""
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     d = load_table(spark, sf_dir, "documents")
-    bins = d.groupBy(F.expr(f"n_chars div {ECDF_BIN}").alias("bin")).agg(
-        F.count("*").alias("n")
+    # the bin histogram is value-domain bounded and feeds BOTH the running
+    # total and the corpus count (total = Σ bin counts — no third scan of
+    # documents; the range_partition_balance pattern)
+    bins = checkpoint_bounded(
+        d.groupBy(F.expr(f"n_chars div {ECDF_BIN}").alias("bin")).agg(
+            F.count("*").alias("n")
+        ),
+        bound="one row per 64-char n_chars bin",
     )
     w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cdf = bins.withColumn("cum", F.sum("n").over(w_cum)).drop("n")
-    tot = d.agg(F.count("*").cast("double").alias("total"))
+    tot = bins.agg(F.sum("n").cast("double").alias("total"))
     sample = d.where(F.col("doc_id") % 7 == 0).withColumn(
         "bin", F.expr(f"n_chars div {ECDF_BIN}")
     )

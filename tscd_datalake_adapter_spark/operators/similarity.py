@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import (
+    checkpoint_bounded,
     dec_sum,
     oracle_dec_sum,
     oracle_h60,
@@ -1502,7 +1503,19 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "m", "k")
     )
-    qsubs = ev.where(F.col("vec_id") < PQ_NQ).select(
+    # One pruned scan serves BOTH query surfaces (LUT subvectors and the
+    # rerank query vectors): PQ_NQ rows is bounded by construction, so a
+    # checkpoint is the right cache (was two separate filtered scans, and
+    # the rerank side was UNFILTERED — broadcasting the whole embeddings
+    # table, a 100 TB-scale bug even though the join key made it correct).
+    # Local cost at sf0.1: ~+0.15s from the eager-checkpoint jobs vs the
+    # two pushdown-pruned scans — accepted for the broadcast-size fix;
+    # the pruned scans stop being free once the corpus outgrows one
+    # row-group per file.
+    qraw = checkpoint_bounded(
+        e.where(F.col("vec_id") < PQ_NQ), bound=f"{PQ_NQ} query vectors"
+    )
+    qsubs = qraw.select(
         F.col("vec_id").alias("query_id"),
         F.explode(
             F.array(
@@ -1544,7 +1557,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("arn") <= PQ_CANDS)
         .select("query_id", "vec_id")
     )
-    qe = e.select(
+    qe = qraw.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     rerank = (
