@@ -955,3 +955,64 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         assert worst <= allowed.get(name, 2), (
             f"{name}: duplicate executed scans returned: {tables}"
         )
+
+
+def test_explicit_broadcasts_are_bounded(spark, sf_dir):
+    """Regression net for the corpus-volume-broadcast class (the
+    ``pq_adc_topk`` rerank bug: an unfiltered embeddings table under an
+    explicit ``F.broadcast`` — correct at fixture scale, a cluster-killer
+    at 100 TB). With size-based broadcasts disabled, every remaining
+    BroadcastExchange comes from an explicit hint; its build rows must
+    match the bounded-by-construction values pinned here (probe grids,
+    top-k slices, fixed dims, codebooks). scripts/broadcast_audit.py runs
+    the registry-wide two-SF growth version once per round."""
+    from tscd_datalake_adapter_spark.operators import load_all
+
+    registry = load_all()
+    expected = {
+        # 10 query vectors
+        "cosine_topk": [10],
+        # (bits+1)*tables*queries = 5*12*10 probe rows + 10 query vectors
+        "ann_lsh_topk": [600, 10],
+        # LUT (8q x 8m x 16k), codebook twice (encode + LUT), 8 queries
+        "pq_adc_topk": [1024, 128, 128, 8],
+        # nation twice (cust + supp side), region once
+        "market_share": [25, 25, 1],
+    }
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")
+        for name, want in expected.items():
+            got = plans.broadcast_build_rows(registry[name].fn(spark, sf_dir))
+            assert got == want, f"{name}: broadcast build rows {got} != {want}"
+            spark.catalog.clearCache()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_broadcast_build_rows_detects_forced_corpus_broadcast(spark, sf_dir):
+    """Instrument self-test: the status-store metric read must see a
+    deliberately forced corpus-sized broadcast (the plan-tree node
+    instances under AQE carry fresh zero accumulators — reading those
+    would silently report [] / zeros and the audit would pass vacuously)."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    n_cust = c.count()
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    got = plans.broadcast_build_rows(joined)
+    assert n_cust in got, f"forced {n_cust}-row broadcast not seen in {got}"

@@ -1870,7 +1870,8 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawler account with 10^5 items would otherwise contribute 10^10 pairs.
     With the cap, co-occurrence is an equi-join on the customer key
     (shuffle-partitioned, never all-pairs), pairs aggregate map-side, and
-    the norms join is a broadcast of the bounded part table. sqrt on
+    the norms joins are left to AQE (norms scales with the part catalog —
+    broadcast while small, shuffle at catalog scale). sqrt on
     integer operands is IEEE-exactly-rounded, hence cross-engine."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 1000)
     l = load_table(spark, sf_dir, "lineitem")
@@ -1913,9 +1914,13 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("part").alias("part_a"), F.col("sq").alias("sqa"))
     nb = norms.select(F.col("part").alias("part_b"), F.col("sq").alias("sqb"))
+    # norms is one row per DISTINCT part in the kept ratings — it scales
+    # with the part catalog, so no explicit broadcast hint (AQE
+    # broadcasts it while small, shuffles at catalog scale; the forced
+    # hint was caught at 15k rows and growing by broadcast_audit.py)
     return (
-        pairs.join(F.broadcast(na), ["part_a"])
-        .join(F.broadcast(nb), ["part_b"])
+        pairs.join(na, ["part_a"])
+        .join(nb, ["part_b"])
         .select(
             "part_a",
             "part_b",

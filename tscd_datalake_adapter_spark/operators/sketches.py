@@ -1105,8 +1105,13 @@ def bloom_pruned_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "n_rows")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
     )
+    # ground-truth join: dim_keys SCALES with SF (filtered orders), so no
+    # explicit broadcast hint — AQE broadcasts it while it's small and
+    # shuffles it on a cluster (broadcast_audit.py caught the forced hint
+    # at 30k rows and growing; the Bloom `bits` table stays hinted above
+    # because it is bounded by m=16384 positions by construction)
     truth = probed.join(
-        F.broadcast(dim_keys.withColumn("in_dim", F.lit(1))),
+        dim_keys.withColumn("in_dim", F.lit(1)),
         probed.l_orderkey == dim_keys.o_orderkey,
         "left",
     ).select(

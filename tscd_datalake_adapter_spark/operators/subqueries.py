@@ -242,14 +242,23 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def not_in_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN anti-join shape (TPC-H Q16 flavor). The fixture has no NULL
-    suppkeys, so NOT IN and anti-join agree (NULL semantics noted)."""
+    suppkeys, so NOT IN and anti-join agree (NULL semantics noted).
+
+    Scale note: Spark plans NOT IN as a null-aware anti-join, whose ONLY
+    physical strategy is broadcasting the subquery side — no threshold
+    saves you. The DISTINCT inside the subquery is therefore load-bearing:
+    it shrinks the build from |filtered lineitem rows| (caught at ~200k
+    rows by scripts/broadcast_audit.py, growing with SF) to |distinct
+    suppliers|, and NOT IN is set membership so the result is identical.
+    At true 100 TB with a key proven NULL-free, rewrite to NOT EXISTS —
+    a plain left-anti join that can shuffle."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT s_suppkey, s_name
         FROM supplier
         WHERE s_suppkey NOT IN (
-            SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+            SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
         )
         ORDER BY s_suppkey
         """

@@ -92,6 +92,61 @@ def executed_scan_counts(df: DataFrame) -> dict[str, int]:
     return dict(counts)
 
 
+def broadcast_build_rows(df: DataFrame) -> list[int]:
+    """Execute ``df`` to a noop sink and return the rows actually built
+    into every broadcast relation along the way — the corpus-volume-
+    broadcast audit primitive.
+
+    A ``F.broadcast(x)`` whose row count scales with the corpus passes
+    every fixture-sized test and then ships the whole table to every
+    executor on a real cluster (the ``pq_adc_topk`` rerank bug: an
+    unfiltered embeddings broadcast that was correct only because the
+    join key never matched the extra rows). Reading each
+    BroadcastExchange's ``number of output rows`` at two scale factors
+    makes that class measurable: a build side that is bounded by
+    construction (top-k, value-domain histogram, fixed dim) stays flat,
+    a corpus-volume one grows with SF.
+
+    Metric values come from the SQL status store (the Spark-UI source of
+    truth): under AQE the plan-tree node instances reachable from
+    ``executedPlan()`` carry FRESH zero accumulators, so walking the tree
+    reads zeros — the store keys accumulator ids to the values the run
+    actually recorded. Every SQL execution the action triggers is scanned
+    (eager checkpoints and cache builds inside the query count too — they
+    broadcast on the same cluster); ReusedExchange nodes are separate
+    graph-node names and naturally count zero."""
+    spark = df.sparkSession
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    df.write.format("noop").mode("overwrite").save()
+    # the status store is fed by an async listener bus — drain it so the
+    # just-finished execution's metrics are visible
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+
+    rows: list[int] = []
+    execs = store.executionsList()
+    for i in range(execs.size()):
+        ex = execs.apply(i)
+        eid = ex.executionId()
+        if eid < before:
+            continue
+        mvals = store.executionMetrics(eid)
+        nodes = store.planGraph(eid).allNodes()
+        for j in range(nodes.size()):
+            node = nodes.apply(j)
+            if node.name() != "BroadcastExchange":
+                continue
+            ms = node.metrics()
+            for k in range(ms.size()):
+                m = ms.apply(k)
+                if m.name() != "number of output rows":
+                    continue
+                opt = mvals.get(m.accumulatorId())
+                if opt.isDefined():
+                    rows.append(int(str(opt.get()).replace(",", "")))
+    return sorted(rows, reverse=True)
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
