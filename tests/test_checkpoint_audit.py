@@ -44,12 +44,16 @@ PKG = os.path.join(
 # module (relative to the package) -> audited raw localCheckpoint sites
 AUDITED: dict[str, int] = {
     "functions/__init__.py": 1,  # the checkpoint_bounded helper itself
-    "operators/analytics.py": 22,
+    # r7 second-session re-audit: market_basket baskets (per order) and
+    # rfm purch (per user) were corpus-volume → persist_corpus
+    "operators/analytics.py": 20,
     "operators/dedup.py": 4,
     "operators/history.py": 7,
     "operators/io.py": 1,
     "operators/mining.py": 3,
-    "operators/mlprep.py": 14,
+    # r7 second-session re-audit: conformal base (|orders| rows) and the
+    # funnel's s1/s2 (per user) were corpus-volume → persist_corpus
+    "operators/mlprep.py": 11,
     "operators/multimodal.py": 3,
     "operators/pipeline.py": 1,
     "operators/relational.py": 1,

@@ -19,6 +19,7 @@ from tscd_datalake_adapter_spark.functions import (
     dec_sum,
     h60,
     oracle_h60,
+    persist_corpus,
     spread,
 )
 from tscd_datalake_adapter_spark.operators import register
@@ -1025,7 +1026,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-x-x recency is the MOST recent tier — interpretation, not math."""
     e = load_table(spark, sf_dir, "events")
     ref = e.agg(F.max("ts").alias("ref_ts"))
-    purch = (
+    # purch is one row per PURCHASING USER — corpus-volume, so persist
+    # (lineage kept, spillable), not a checkpoint pinning O(users) rows
+    # per executor. It feeds the stacked metric pass AND the final
+    # bucketing; the metric stack is built by explode-tag (ONE linear
+    # consumer) rather than a unionByName of three arms over the cache —
+    # DeduplicateRelations remaps union-arm exprIds so only one arm
+    # would hit the cache (NOTES r7, the FD-audit gotcha).
+    purch = persist_corpus(
         e.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
         .groupBy("user_id")
         .agg(
@@ -1044,22 +1052,18 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
-        # purch feeds the three stacked metric branches AND the final
-        # bucketing — checkpoint so the purchase aggregation runs once
-        # (executed-plan audit: 4 scans of events without)
-        .localCheckpoint()
     )
-    metrics = (
-        purch.select(F.lit("r").alias("m"), F.col("recency").alias("v"))
-        .unionByName(
-            purch.select(F.lit("f").alias("m"), F.col("frequency").alias("v"))
-        )
-        .unionByName(
-            purch.select(
-                F.lit("m").alias("m"), F.col("monetary_cents").alias("v")
+    metrics = purch.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("r").alias("m"), F.col("recency").alias("v")),
+                F.struct(F.lit("f").alias("m"), F.col("frequency").alias("v")),
+                F.struct(
+                    F.lit("m").alias("m"), F.col("monetary_cents").alias("v")
+                ),
             )
-        )
-    )
+        ).alias("mv")
+    ).select(F.col("mv.m").alias("m"), F.col("mv.v").alias("v"))
     hist = metrics.groupBy("m", "v").agg(F.count("*").alias("cnt"))
     wcum = (
         Window.partitionBy("m")
@@ -1332,14 +1336,15 @@ def market_basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The basket table feeds three consumers (N, frequencies, pairs), so it
     is checkpointed — one fold, three cheap re-reads."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
+    # one row per ORDER — corpus-volume, so persist (lineage kept,
+    # spillable), not a checkpoint pinning O(|orders|) rows per executor
+    baskets = persist_corpus(
         li.select(
             F.col("l_orderkey").alias("okey"),
             F.col("l_partkey").alias("pkey"),
         )
         .groupBy("okey")
         .agg(F.sort_array(F.collect_set("pkey")).alias("parts"))
-        .localCheckpoint()
     )
     n = baskets.agg(F.count("*").cast("long").alias("n_orders"))
     freq = (

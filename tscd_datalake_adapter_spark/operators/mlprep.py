@@ -22,6 +22,7 @@ from tscd_datalake_adapter_spark.functions import (
     h60,
     oracle_dec_sum,
     oracle_h60,
+    persist_corpus,
     spread,
 )
 from tscd_datalake_adapter_spark.operators import register
@@ -573,13 +574,19 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-    # each stage table (one row per user) feeds the next stage's join AND
-    # the final counts — checkpoint all three so events scans exactly the
-    # three documented stage passes (executed-plan audit: 5 without)
-    s1 = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv")
-    ).localCheckpoint()
-    s2 = (
+    # each stage table (one row per USER — corpus-volume, so persist with
+    # lineage kept rather than a checkpoint pinning O(users) rows per
+    # executor) feeds the next stage's join AND the final counts; cached,
+    # events scans exactly the three documented stage passes
+    # (executed-plan audit: 5 without)
+    s1 = persist_corpus(
+        e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "tv"
+            )
+        )
+    )
+    s2 = persist_corpus(
         e.join(s1.where(F.col("tv").isNotNull()), "user_id")
         .groupBy("user_id")
         .agg(
@@ -591,7 +598,6 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("tc")
         )
-        .localCheckpoint()
     )
     s3 = (
         e.join(s2.where(F.col("tc").isNotNull()), "user_id")
@@ -2227,11 +2233,12 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("split"),
         )
     )
-    # one eager cut of the orders⋈lineitem aggregate: beta/cal/test each
-    # reference base (and beta's lineage re-embeds it in every broadcast),
-    # so uncut the join re-executes up to 7x — the MMR localCheckpoint
-    # recipe; the checkpointed frame is |orders| rows x 3 narrow columns
-    base = base.localCheckpoint()
+    # one materialization of the orders⋈lineitem aggregate: beta/cal/test
+    # each reference base (and beta's lineage re-embeds it in every
+    # broadcast), so uncached the join re-executes up to 7x. The frame is
+    # |orders| rows — CORPUS-VOLUME, so persist (lineage kept, spillable),
+    # not a checkpoint pinning O(|orders|) rows per executor
+    base = persist_corpus(base)
     m = base.where(F.col("split") <= 5).agg(
         F.count("*").cast("double").alias("n"),
         dec_sum("x").alias("sx"),
