@@ -1889,7 +1889,10 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as many threads as the source has files (1 at small SF). One cheap
     # narrow-row shuffle before the crossJoin fixes it; on a real cluster
     # with thousands of input splits this is a no-op-sized safeguard.
-    o = o.repartition(spark.sparkContext.defaultParallelism)
+    # persist: the narrow projection feeds the replica fan-out AND the
+    # point estimate — "one scan" stays literally true (per-row = corpus
+    # volume, so persist, not checkpoint).
+    o = persist_corpus(o.repartition(spark.sparkContext.defaultParallelism))
     reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
     u = (F.col("hm") * (F.col("b") + 1) + F.col("b")) % _BOOT_P
     w = (
@@ -3220,14 +3223,20 @@ def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rows → day histogram (map-side combine, calendar-bound),
     one ordered window over it, a 1-row broadcast for the crossing day."""
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("n_purch"),
+    # the daily histogram feeds the LLR stream AND the crossing-day probe
+    # — checkpoint so events aggregates once (executed-plan audit: 2
+    # scans without)
+    daily = checkpoint_bounded(
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purch"),
+        ),
+        bound="one row per calendar day",
     )
     term = F.round(
         F.col("n_purch") * F.expr(_SPRT_LLR_POS)
@@ -3428,13 +3437,20 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rows → histogram → bounded window → argmin row. The
     full-tree extension recurses on filtered histograms — each level one
     more aggregated pass, the standard distributed-tree cost model."""
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     o = load_table(spark, sf_dir, "orders")
-    hist = o.select(
-        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("bin"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-    ).groupBy("bin").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("y").cast("long").alias("pos"),
+    # the value-bin histogram feeds the totals AND the cumulative window
+    # — checkpoint so orders scans once (executed-plan audit: 2 without)
+    hist = checkpoint_bounded(
+        o.select(
+            F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("bin"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        ).groupBy("bin").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        ),
+        bound="one row per 1000-value price bin",
     )
     tot = hist.agg(
         F.sum("n").cast("long").alias("nt"),

@@ -204,12 +204,17 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both truncate to Monday)."""
     e = load_table(spark, sf_dir, "events")
     week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
-    firsts = e.select("user_id", week.alias("w")).groupBy("user_id").agg(
-        F.min("w").alias("cohort_week")
+    # one events pass: the distinct (user, week) table feeds BOTH the
+    # cohort min-aggregate and the activity side (min over distinct weeks
+    # == min over raw events); per-user-week = corpus-volume → persist
+    uw = persist_corpus(
+        e.select("user_id", week.alias("active_week")).distinct()
     )
-    activity = e.select("user_id", week.alias("active_week")).distinct()
+    firsts = uw.groupBy("user_id").agg(
+        F.min("active_week").alias("cohort_week")
+    )
     return (
-        firsts.join(activity, "user_id")
+        firsts.join(uw, "user_id")
         .groupBy("cohort_week", "active_week")
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("cohort_week", "active_week")
@@ -958,34 +963,37 @@ def kaplan_meier_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_no",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    horizon = e.agg(F.max("ts").alias("h"))
-    sess = (
-        s.crossJoin(F.broadcast(horizon))
-        .groupBy("user_id", "session_no", "h")
-        .agg(
+    # the session table feeds the death-time histogram AND the risk-set
+    # total — cache so the sessionization windows run once. persist,
+    # not localCheckpoint: one row per session grows with the data.
+    # The stream horizon (global max ts) = max of the per-session maxes,
+    # so it derives from the SAME cache instead of a second events pass
+    # (executed-plan audit: 2 scans with the separate horizon aggregate).
+    sess_raw = persist_corpus(
+        s.groupBy("user_id", "session_no").agg(
             F.floor(
                 (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
                 / 60000000
             )
             .cast("long")
             .alias("t"),
-            (
-                F.unix_micros(F.max("ts"))
-                > F.unix_micros(F.first("h")) - 1800 * 1000000
-            ).alias("censored"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
         )
-        # the session table feeds the death-time histogram AND the risk-set
-        # total — cache so the sessionization windows run once. persist,
-        # not localCheckpoint: one row per session grows with the data.
     )
-    sess = persist_corpus(sess)
+    horizon = sess_raw.agg(F.max("last_us").alias("h_us"))
+    sess = sess_raw.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        (F.col("last_us") > F.col("h_us") - 1800 * 1000000).alias(
+            "censored"
+        ),
+    )
     by_t = sess.groupBy("t").agg(
         F.sum(F.when(F.col("censored"), 0).otherwise(1))
         .cast("long")
         .alias("d"),
         F.count("*").cast("long").alias("leaving"),
     )
-    total = sess.agg(F.count("*").cast("long").alias("n_total"))
+    total = sess_raw.agg(F.count("*").cast("long").alias("n_total"))
     w_prev = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2227,34 +2235,37 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_no",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    horizon = e.agg(F.max("ts").alias("h"))
-    sess = (
-        s.crossJoin(F.broadcast(horizon))
-        .groupBy("user_id", "session_no", "h")
-        .agg(
+    # the session table feeds the death-time histogram AND the risk-set
+    # total — cache so the sessionization windows run once. persist,
+    # not localCheckpoint: one row per session grows with the data.
+    # The stream horizon (global max ts) = max of the per-session maxes,
+    # so it derives from the SAME cache instead of a second events pass
+    # (executed-plan audit: 2 scans with the separate horizon aggregate).
+    sess_raw = persist_corpus(
+        s.groupBy("user_id", "session_no").agg(
             F.floor(
                 (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
                 / 60000000
             )
             .cast("long")
             .alias("t"),
-            (
-                F.unix_micros(F.max("ts"))
-                > F.unix_micros(F.first("h")) - 1800 * 1000000
-            ).alias("censored"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
         )
-        # the session table feeds the death-time histogram AND the risk-set
-        # total — cache so the sessionization windows run once. persist,
-        # not localCheckpoint: one row per session grows with the data.
     )
-    sess = persist_corpus(sess)
+    horizon = sess_raw.agg(F.max("last_us").alias("h_us"))
+    sess = sess_raw.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        (F.col("last_us") > F.col("h_us") - 1800 * 1000000).alias(
+            "censored"
+        ),
+    )
     by_t = sess.groupBy("t").agg(
         F.sum(F.when(F.col("censored"), 0).otherwise(1))
         .cast("long")
         .alias("d"),
         F.count("*").cast("long").alias("leaving"),
     )
-    total = sess.agg(F.count("*").cast("long").alias("n_total"))
+    total = sess_raw.agg(F.count("*").cast("long").alias("n_total"))
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     risk = (
         by_t.crossJoin(F.broadcast(total))

@@ -390,10 +390,14 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny and broadcast; the join fans each event into ≤7 day buckets — at
     100 TB this is the standard dedup-then-fan-out: distinct (day,user)
     first, then the 7-day expansion, keeping the join input minimal)."""
+    from tscd_datalake_adapter_spark.functions import persist_corpus
+
     e = load_table(spark, sf_dir, "events")
-    day_user = e.select(
-        F.col("ts").cast("date").alias("eday"), "user_id"
-    ).distinct()
+    # per-user-day = corpus-volume and consumed twice (the fan-out join
+    # side and the day grid) — persist so events scans once
+    day_user = persist_corpus(
+        e.select(F.col("ts").cast("date").alias("eday"), "user_id").distinct()
+    )
     days = day_user.select(F.col("eday").alias("day")).distinct()
     return (
         F.broadcast(days)

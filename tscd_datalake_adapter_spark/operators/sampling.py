@@ -327,10 +327,16 @@ def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding so the normalizer is order-independent; all divisions and the
     epoch ceil are mirrored integer/double ops on both engines.
     """
-    from tscd_datalake_adapter_spark.functions import DEC
+    from tscd_datalake_adapter_spark.functions import DEC, checkpoint_bounded
 
     d = load_table(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    # the |sources|-row table feeds the normalizer AND the plan readout —
+    # checkpoint so documents aggregates once (executed-plan audit: 2
+    # scans without)
+    per_src = checkpoint_bounded(
+        d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs")),
+        bound="one row per source catalog entry",
+    )
     per_src = per_src.withColumn(
         "sq", F.round(F.sqrt(F.col("n_docs").cast("double")), 6)
     )

@@ -1371,8 +1371,16 @@ def ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold collapses to 8 integers (a fixed-width, mergeable state —
     at 100 TB each partition folds locally and the combine is 8
     additions)."""
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     toks = _tokens(spark, sf_dir)
-    cnt = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    # the vocabulary count table feeds the sign fold AND the exact-F2
+    # twin — checkpoint so the corpus tokenizes once (executed-plan
+    # audit: 2 scans of documents without)
+    cnt = checkpoint_bounded(
+        toks.groupBy("tok").agg(F.count("*").cast("long").alias("c")),
+        bound="one row per distinct token (vocabulary)",
+    )
     js = spark.range(_AMS_S).select(F.col("id").cast("int").alias("j"))
     sign = 2 * (
         h60(
