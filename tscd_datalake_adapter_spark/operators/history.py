@@ -1430,6 +1430,9 @@ def event_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m"),
         F.when(F.col("trace").rlike("e"), 1).otherwise(0).alias("has_err"),
     )
+    # per-session traces feed the global stats AND the top-10 — persist
+    # so sessionization + regex run once (per-session = corpus volume)
+    flagged = persist_corpus(flagged)
     tot = flagged.agg(
         F.count("*").cast("long").alias("n_sessions"),
         F.sum("m").cast("long").alias("n_matched"),

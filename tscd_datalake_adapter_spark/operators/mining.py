@@ -18,10 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import (
+    checkpoint_bounded,
     dec_sum,
     h60,
     oracle_dec_sum,
-    oracle_h60,    persist_corpus,
+    oracle_h60,
+    persist_corpus,
 )
 from tscd_datalake_adapter_spark.operators import register
 from tscd_datalake_adapter_spark.sources import load_table
@@ -1188,9 +1190,15 @@ def burst_detection_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    decoded = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
-        _viterbi,
-        "day string, n_events long, burst long, total_cost_raw double",
+    # the decoded calendar-bounded series feeds the burst totals AND the
+    # final readout — checkpoint so the events aggregate + Viterbi fold
+    # run once (executed-plan audit: 2 scans without)
+    decoded = checkpoint_bounded(
+        daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+            _viterbi,
+            "day string, n_events long, burst long, total_cost_raw double",
+        ),
+        bound="one row per calendar day",
     )
     tot = decoded.agg(
         F.sum("burst").cast("long").alias("n_burst_days"),

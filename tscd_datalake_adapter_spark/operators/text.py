@@ -572,12 +572,16 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tscd_datalake_adapter_spark.functions import DEC
 
     d = load_table(spark, sf_dir, "documents")
-    exploded = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
-            "tok"
-        ),
+    # the exploded token stream feeds the vocab build AND the per-doc OOV
+    # join — corpus-volume, persist so the corpus tokenizes once
+    exploded = persist_corpus(
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x != '')")
+            ).alias("tok"),
+        )
     )
     vocab = (
         exploded.groupBy("tok")

@@ -257,15 +257,20 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.0001 fraction by 1/SF for the same reason: a fixed fraction selects
     nothing as the part count grows).
     """
+    from tscd_datalake_adapter_spark.functions import persist_corpus
+
     li = _t(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast(DEC)).alias("v_dec")
+    # the per-part view yields the threshold too (Σ v_dec = global total,
+    # count(*) = distinct part count) — one lineitem scan, as the
+    # docstring promises; per-part = catalog volume, so persist
+    per_part = persist_corpus(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("v_dec")
+        )
     )
-    thr = li.agg(
+    thr = per_part.agg(
         (
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
-            * 2.0
-            / F.countDistinct("l_partkey")
+            F.sum("v_dec").cast("double") * 2.0 / F.count("*")
         ).alias("thr")
     )
     return (
@@ -309,10 +314,19 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     s = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-        ).alias("total_rev")
+    from tscd_datalake_adapter_spark.functions import persist_corpus
+
+    # the revenue view feeds its own max AND the argmax filter — persist
+    # so the quarter's lineitem slice scans once (per-supplier = catalog
+    # volume, so persist, not checkpoint)
+    rev = persist_corpus(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DEC
+                )
+            ).alias("total_rev")
+        )
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     best = rev.join(F.broadcast(mx), rev.total_rev == F.col("mx")).drop("mx")
