@@ -940,6 +940,27 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         "data_quality_audit",
         "benchmark_decontamination",
         "bloom_probe_decontamination",
+        # r7 second-session folds (persist/checkpoint shared intermediates,
+        # totals derived from the histograms they already aggregate)
+        "ecdf_normalize_quality",
+        "retention_cohorts",
+        "rolling_active_users",
+        "kaplan_meier_sessions",
+        "nelson_aalen_hazard",
+        "sprt_sequential_ab",
+        "ams_f2_moment",
+        "dataset_mixture_plan",
+        "target_encoding_smoothed",
+        "decision_stump_train",
+        "poisson_bootstrap_ci",
+        "tokenizer_vocab_coverage",
+        "burst_detection_viterbi",
+        "event_pattern_match_regex",
+        "important_parts",
+        "top_supplier",
+        "market_basket_lift_topk",
+        "rfm_segmentation",
+        "conformal_interval_coverage",
     )
     from tscd_datalake_adapter_spark.plans import executed_scan_counts
 
