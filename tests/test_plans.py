@@ -961,6 +961,8 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         "market_basket_lift_topk",
         "rfm_segmentation",
         "conformal_interval_coverage",
+        "simhash_near_dup",
+        "ngram_span_dedup",
     )
     from tscd_datalake_adapter_spark.plans import executed_scan_counts
 

@@ -812,7 +812,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² comparison (same-band requirement ≈ LSH on the fingerprint), then
     ``bit_count(xor)`` computes the exact distance on candidates only.
     Fully oracle-checked: the h60 fingerprints are engine-identical."""
-    fps = simhash_fingerprints(spark, sf_dir).where(F.col("doc_id") < 200)
+    # per-doc fingerprints feed BOTH self-join sides; the aliased arms
+    # don't canonicalize equal, so uncached the corpus fold runs twice —
+    # persist (per-doc = corpus volume)
+    fps = persist_corpus(
+        simhash_fingerprints(spark, sf_dir).where(F.col("doc_id") < 200)
+    )
     banded = fps.withColumn("band", F.expr("shiftright(simhash, 44)"))
     a = banded.select(
         F.col("doc_id").alias("doc_a"),

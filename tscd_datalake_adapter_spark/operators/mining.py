@@ -336,7 +336,10 @@ def ngram_dup_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
     )
-    grams = (
+    # the (doc_id, gram-hash) stream feeds the per-hash doc counts AND
+    # the per-doc rejoin — persist so the sliding-window expansion + md5
+    # run once (gram stream = corpus volume)
+    grams = persist_corpus(
         toks.where(F.size("t") >= 8)
         .select(
             "doc_id",
