@@ -1342,10 +1342,16 @@ def gap_fill_interpolate_daily(
                    AS session_id
         FROM g
     ),
+    s2 AS (
+        SELECT user_id, session_id, init, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS tn
+        FROM s
+    ),
     traces AS MATERIALIZED (
         SELECT user_id, session_id,
                string_agg(init, '' ORDER BY ts, event_id) AS trace
-        FROM s GROUP BY user_id, session_id
+        FROM s2 WHERE tn <= 500 GROUP BY user_id, session_id
     ),
     flagged AS MATERIALIZED (
         SELECT trace,
@@ -1412,7 +1418,18 @@ def event_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    traces = s.groupBy("user_id", "session_id").agg(
+    # trace-length cap IN CODE (was prose): a bot session that never
+    # idles 30 min would otherwise collect an unbounded per-group list;
+    # 500 events caps the aggregation state and the regex input, and no
+    # fixture session approaches it (the containment hot-token-guard
+    # precedent — bounds belong in code, mirrored in the oracle)
+    wt = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    capped = s.withColumn("tn", F.row_number().over(wt)).where(
+        F.col("tn") <= 500
+    )
+    traces = capped.groupBy("user_id", "session_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
