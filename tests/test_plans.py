@@ -1039,3 +1039,27 @@ def test_broadcast_build_rows_detects_forced_corpus_broadcast(spark, sf_dir):
     joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     got = plans.broadcast_build_rows(joined)
     assert n_cust in got, f"forced {n_cust}-row broadcast not seen in {got}"
+
+
+def test_persisted_asof_sides_are_projected(spark, sf_dir):
+    """Project-before-persist regression net: a cache materializes its
+    full schema, so an unprojected persist blocks column pruning through
+    it — the asof family's purchase side read all 6 events columns
+    (including props) until the column-prune audit caught it. Every
+    executed events scan in the nearest-asof plan must read a strict
+    subset of the table."""
+    from tscd_datalake_adapter_spark.operators.asof import asof_join_nearest
+
+    df = asof_join_nearest(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    scans = [
+        s
+        for s in plans.executed_scan_columns(df)
+        if s["table"] == "events.parquet"
+    ]
+    assert scans, "no events scans found"
+    for s in scans:
+        assert len(s["read"]) < s["width"], (
+            f"unpruned events scan: {s['read']}"
+        )
+    spark.catalog.clearCache()

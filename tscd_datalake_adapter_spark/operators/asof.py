@@ -311,8 +311,15 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both arms (backward + forward) consume both sides — cache each
     # filtered projection so events scans once per side, not once per
     # side per arm (audited r7: 4 scans -> 2). persist, not checkpoint:
-    # event rows are corpus volume.
-    purchases = persist_corpus(e.where(F.col("event_type") == "purchase"))
+    # event rows are corpus volume. PROJECT BEFORE PERSIST: a cache
+    # materializes its full schema and blocks column pruning through it
+    # (the column-prune audit caught the unprojected form reading all 6
+    # columns incl. props).
+    purchases = persist_corpus(
+        e.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+    )
     views = persist_corpus(
         e.where(F.col("event_type") == "view").select(
             "user_id", "ts", "event_id", F.col("ts").alias("view_ts")
@@ -408,8 +415,13 @@ def asof_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     family as ``asof_join_nearest``. The weight and the blend evaluate
     identical double operands in identical order cross-engine."""
     e = load_table(spark, sf_dir, "events")
-    # same two-arm reuse as asof_join_nearest: one scan per cached side
-    purchases = persist_corpus(e.where(F.col("event_type") == "purchase"))
+    # same two-arm reuse as asof_join_nearest: one scan per cached side,
+    # projected before the persist (a cache materializes its full schema)
+    purchases = persist_corpus(
+        e.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+    )
     views = persist_corpus(
         e.where(F.col("event_type") == "view").select(
             "user_id",

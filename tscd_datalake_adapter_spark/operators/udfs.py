@@ -143,7 +143,13 @@ def grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     in Python (quantize each double half-up at 6 dp, sum exactly), so it
     matches the decimal-sum oracle bit-for-bit. At scale each nation group is
     one Arrow batch; groups shuffle once on the key."""
-    cust = load_table(spark, sf_dir, "customer")
+    # project BEFORE the grouped-map: Catalyst cannot prune columns
+    # through the Python barrier (the UDF could read any field), so an
+    # unprojected input scans AND Arrow-ships every column (the
+    # column-prune audit caught all 5 of customer for this 3-column UDF)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
 
     def _demean(pdf: pd.DataFrame) -> pd.DataFrame:
         mean = float(_decimal_sum(pdf["c_acctbal"])) / len(pdf)

@@ -147,6 +147,65 @@ def broadcast_build_rows(df: DataFrame) -> list[int]:
     return sorted(rows, reverse=True)
 
 
+def executed_scan_columns(df: DataFrame) -> list[dict]:
+    """Per-scan column pruning in the post-AQE physical plan (run the
+    query to a sink first): one record per FileSourceScan with the table
+    file name, the columns actually read (``requiredSchema``), and the
+    table's full width — the projection-pruning audit primitive. A scan
+    whose read width equals the table width on a wide table means
+    column pruning never fired for it; at 100 TB on columnar parquet
+    that's the difference between reading 2 columns and reading 12.
+    Same tree-walk contract as :func:`executed_scan_counts`."""
+    out: list[dict] = []
+    seen_caches: set[str] = set()
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cls == "InMemoryTableScanExec":
+            rel = node.relation()
+            key = rel.cachedPlan().canonicalized().toString()
+            if key not in seen_caches:
+                seen_caches.add(key)
+                walk(rel.cachedPlan())
+            return
+        if cls.startswith("FileSourceScan"):
+            try:
+                req = node.requiredSchema()
+                total = node.relation().dataSchema()
+                paths = node.relation().location().rootPaths()
+                out.append(
+                    {
+                        "table": (
+                            paths.apply(0).getName() if paths.size() else "?"
+                        ),
+                        "read": [
+                            str(req.apply(i).name())
+                            for i in range(req.size())
+                        ],
+                        "width": total.size(),
+                    }
+                )
+            except Exception:
+                pass
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
