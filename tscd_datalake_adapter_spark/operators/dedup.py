@@ -622,12 +622,19 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     old-vs-new join needed)."""
     from pyspark.sql import Observation
 
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     tokens = distinct_tokens(docs)
-    pairs = (
+    # materialize the thresholded pair list BEFORE the symmetrizing
+    # union — both arms otherwise re-run the whole candidate+verify
+    # pipeline inside the edges cache build (the pagerank construction-
+    # time lesson)
+    pairs = checkpoint_bounded(
         exact_jaccard_pairs(tokens)
         .where(F.col("jaccard") >= 0.9)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b"),
+        bound="thresholded >=0.9 near-dup pair list",
     )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

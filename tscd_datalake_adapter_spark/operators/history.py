@@ -1107,14 +1107,21 @@ def markov_stationary_distribution(
     (k = distinct event types). Transitions into states with no outgoing
     edges are dropped and the vector renormalized, keeping the state
     space closed."""
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    counts = (
+    # the k²-cell transition counts feed the state set AND the matrix —
+    # checkpoint so the corpus window pass runs once (both references
+    # sit inside the pm checkpoint's single construction job, where the
+    # executed-scan audit cannot see them — the markov_removal lesson)
+    counts = checkpoint_bounded(
         e.select("user_id", "event_type", "ts", "event_id")
         .withColumn("prev", F.lag("event_type").over(w))
         .where(F.col("prev").isNotNull())
         .groupBy("prev", F.col("event_type").alias("curr"))
-        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.count("*").cast("long").alias("n")),
+        bound="one row per (event type)^2 transition cell",
     )
     states = counts.select(F.col("prev").alias("state")).distinct()
     wp = Window.partitionBy("prev")
@@ -1829,7 +1836,14 @@ def markov_removal_attribution(
     )
     wt = Window.partitionBy("user_id").orderBy("rn")
     wn = Window.partitionBy("user_id")
-    touches = (
+    # touches is referenced FIVE times below (first-touch arm, both
+    # self-join sides, last-touch arm, the START->CONV anti-join) —
+    # inside the single eager-checkpoint job the union arms each
+    # re-derive the seq windows + firstp join uncached. persist: per-
+    # touch rows are corpus volume. NOTE this construction-time cost is
+    # invisible to the executed-scan audit (the checkpoint cuts the
+    # lineage the audit walks) — measured 3.7 s -> see NOTES.
+    touches = persist_corpus(
         seq.join(firstp, "user_id", "left")
         .where(
             (F.col("event_type") != "purchase")

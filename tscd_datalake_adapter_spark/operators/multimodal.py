@@ -1380,7 +1380,16 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs O(diameter) rounds over the PAIR set (brightness-collapsed
     cliques have diameter ~1-2 here), each round one equi-join — the
     ``dedup_clusters`` scale story unchanged."""
-    pairs = image_phash_near_dup(spark, sf_dir).select("uid_a", "uid_b")
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+
+    # materialize the pair list BEFORE the symmetrizing union — both
+    # arms otherwise re-run the whole phash pipeline (PNG decode
+    # included) inside the eager edges checkpoint (the pagerank
+    # construction-time lesson)
+    pairs = checkpoint_bounded(
+        image_phash_near_dup(spark, sf_dir).select("uid_a", "uid_b"),
+        bound="banded Hamming<=3 near-dup pair list",
+    )
     d = (
         load_table(spark, sf_dir, "documents")
         .where((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from tscd_datalake_adapter_spark.functions import (
     persist_corpus,
     H60_SQLEXPR,
+    checkpoint_bounded,
     dec_sum,
     h60,
     oracle_dec_sum,
@@ -1150,21 +1151,24 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = dt.select("doc_id", F.col("tok").alias("ta"))
     b = dt.select("doc_id", F.col("tok").alias("tb"))
-    edges = (
+    # Materialize the directed edge list BEFORE the symmetrizing union:
+    # both union arms otherwise re-embed the whole token self-join
+    # subtree inside the edges2 checkpoint job, where the executed-scan
+    # audit cannot see the duplication (the markov_removal lesson).
+    edges = checkpoint_bounded(
         a.join(b, "doc_id")
         .where(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 100)
-        .select("ta", "tb")
+        .select("ta", "tb"),
+        bound="w>=100 co-occurrence edges (thresholded pair list)",
     )
-    # Materialize the edge list ONCE: every unrolled iteration (plus the
-    # node/degree derivations) would otherwise re-embed the token
-    # self-join subtree — 7 corpus-scale joins for 5 iterations instead
-    # of 1. The edge list is the bounded w>=100 co-occurrence graph, so
-    # the checkpoint is a small flat relation; iteration joins then scan
-    # it directly (the _cluster_labels lineage lesson applied to an
-    # unrolled — not driver-looped — recursion).
+    # Materialize the symmetrized list ONCE more: every unrolled
+    # iteration (plus the node/degree derivations) would otherwise
+    # re-embed the union — the checkpoint is a small flat relation;
+    # iteration joins then scan it directly (the _cluster_labels lineage
+    # lesson applied to an unrolled — not driver-looped — recursion).
     edges2 = (
         edges.select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
         .unionByName(
@@ -1449,13 +1453,17 @@ def token_graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = dt.select("doc_id", F.col("tok").alias("ta"))
     b = dt.select("doc_id", F.col("tok").alias("tb"))
-    edges = (
+    # materialize the directed edges BEFORE the symmetrizing union —
+    # both arms otherwise re-run the token self-join inside the edges2
+    # cache build (the pagerank/markov_removal construction-time lesson)
+    edges = checkpoint_bounded(
         a.join(b, "doc_id")
         .where(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 100)
-        .select("ta", "tb")
+        .select("ta", "tb"),
+        bound="w>=100 co-occurrence edges (thresholded pair list)",
     )
     edges2 = edges.select(
         F.col("ta").alias("src"), F.col("tb").alias("dst")
