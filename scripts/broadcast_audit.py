@@ -78,7 +78,13 @@ def main() -> int:
         rec: dict = {}
         try:
             for key, sf_dir in (("small", args.small), ("big", args.big)):
-                rec[key] = plans.broadcast_build_rows(spec.fn(spark, sf_dir))
+                # thunk form: operator construction runs INSIDE the
+                # measured window, so broadcasts in eager checkpoint /
+                # cache-build jobs count too (the construction-time
+                # blind spot)
+                rec[key] = plans.broadcast_build_rows(
+                    lambda d=sf_dir: spec.fn(spark, d)
+                )
                 # cache entries persist across the two runs of one query
                 # and across queries — clear so each run builds its own
                 spark.catalog.clearCache()

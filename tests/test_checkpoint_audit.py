@@ -61,7 +61,11 @@ AUDITED: dict[str, int] = {
     "operators/similarity.py": 7,
     "operators/sketches.py": 3,
     "operators/stats_tests.py": 16,
-    "operators/text.py": 16,
+    # r8: pagerank/BFS symmetrized edge lists and the shared
+    # _cooccurrence_edges moved to persist_corpus (threshold-derived,
+    # scale with corpus co-occurrence density — r7 ADVICE); verified
+    # every caller still materializes the cache exactly once
+    "operators/text.py": 14,
 }
 
 _CALL = re.compile(r"\.localCheckpoint\(")

@@ -959,7 +959,7 @@ def test_fixed_queries_have_no_duplicate_executed_scans(spark, sf_dir):
         "important_parts",
         "top_supplier",
         "market_basket_lift_topk",
-        "rfm_segmentation",
+        "not_in_suppliers",
         "conformal_interval_coverage",
         "simhash_near_dup",
         "ngram_span_dedup",
@@ -1013,7 +1013,11 @@ def test_explicit_broadcasts_are_bounded(spark, sf_dir):
         for k in old:
             spark.conf.set(k, "-1")
         for name, want in expected.items():
-            got = plans.broadcast_build_rows(registry[name].fn(spark, sf_dir))
+            # thunk form: construction-time checkpoint/cache-build
+            # broadcasts are measured too
+            got = plans.broadcast_build_rows(
+                lambda n=name: registry[n].fn(spark, sf_dir)
+            )
             assert got == want, f"{name}: broadcast build rows {got} != {want}"
             spark.catalog.clearCache()
     finally:
@@ -1063,3 +1067,51 @@ def test_persisted_asof_sides_are_projected(spark, sf_dir):
             f"unpruned events scan: {s['read']}"
         )
     spark.catalog.clearCache()
+
+
+def _null_aware_anti_flags(df):
+    """isNullAwareAntiJoin flags of every BroadcastHashJoin in the plan."""
+    flags = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cls == "BroadcastHashJoinExec":
+            flags.append(bool(node.isNullAwareAntiJoin()))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return flags
+
+
+def test_not_in_suppliers_avoids_null_aware_anti_join(spark, sf_dir):
+    """The r7 verdict's NAAJ caveat, resolved: Spark's native NOT IN plan
+    is a null-aware anti-join whose ONLY physical strategy broadcasts the
+    subquery side (growing with the supplier dimension). The primary
+    ``not_in_suppliers`` is the provable-null-safety rewrite — a plain
+    left-anti join Catalyst may shuffle — plus a 1-row stats scalar that
+    reproduces NOT IN's three-valued NULL semantics exactly. The SQL demo
+    twin must KEEP the NAAJ (it is the API-surface demonstration)."""
+    from tscd_datalake_adapter_spark.operators.subqueries import (
+        not_in_suppliers,
+        not_in_suppliers_naaj_sql,
+    )
+
+    rewritten = not_in_suppliers(spark, sf_dir)
+    rewritten.write.format("noop").mode("overwrite").save()
+    assert True not in _null_aware_anti_flags(rewritten), (
+        "primary not_in_suppliers still plans a null-aware anti-join"
+    )
+
+    naaj = not_in_suppliers_naaj_sql(spark, sf_dir)
+    naaj.write.format("noop").mode("overwrite").save()
+    assert True in _null_aware_anti_flags(naaj), (
+        "the SQL demo twin no longer demonstrates the NAAJ plan"
+    )

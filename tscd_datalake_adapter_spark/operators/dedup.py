@@ -630,11 +630,15 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union — both arms otherwise re-run the whole candidate+verify
     # pipeline inside the edges cache build (the pagerank construction-
     # time lesson)
+    # Bounded by the query's explicit doc_id<200 slice (<=200 docs ⇒
+    # <=19,900 pairs regardless of corpus size or duplicate density) —
+    # NOT by the jaccard threshold alone, which would scale with the
+    # corpus's duplicate density (r7 ADVICE distinction).
     pairs = checkpoint_bounded(
         exact_jaccard_pairs(tokens)
         .where(F.col("jaccard") >= 0.9)
         .select("doc_a", "doc_b"),
-        bound="thresholded >=0.9 near-dup pair list",
+        bound="pairs over the explicit <=200-doc slice (<=19,900)",
     )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -1386,9 +1386,12 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arms otherwise re-run the whole phash pipeline (PNG decode
     # included) inside the eager edges checkpoint (the pagerank
     # construction-time lesson)
+    # Bounded by the phash query's explicit doc_id<200 (%3==0) slice:
+    # <=67 images ⇒ <=134 uids ⇒ <=8,911 pairs regardless of corpus size
+    # — the slice, not the Hamming threshold, is the bound (r7 ADVICE).
     pairs = checkpoint_bounded(
         image_phash_near_dup(spark, sf_dir).select("uid_a", "uid_b"),
-        bound="banded Hamming<=3 near-dup pair list",
+        bound="pairs over the explicit <=67-image slice (<=8,911)",
     )
     d = (
         load_table(spark, sf_dir, "documents")

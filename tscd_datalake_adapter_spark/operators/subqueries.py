@@ -235,30 +235,100 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey, s_name
     FROM supplier
     WHERE s_suppkey NOT IN (
-        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        SELECT l_suppkey FROM lineitem
+        WHERE l_returnflag = 'A' AND l_quantity > 49 AND l_discount > 0.05
     )
     ORDER BY s_suppkey
     """,
 )
 def not_in_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN anti-join shape (TPC-H Q16 flavor). The fixture has no NULL
-    suppkeys, so NOT IN and anti-join agree (NULL semantics noted).
+    """NOT IN anti-join shape (TPC-H Q16 flavor), planned as a REGULAR
+    left-anti join — Spark's native NOT IN plan is a null-aware anti-join
+    (NAAJ) whose only physical strategy is broadcasting the subquery side
+    (no threshold saves you, and the build grows with the supplier
+    dimension), so at 100 TB the scale-safe plan is this rewrite.
 
-    Scale note: Spark plans NOT IN as a null-aware anti-join, whose ONLY
-    physical strategy is broadcasting the subquery side — no threshold
-    saves you. The DISTINCT inside the subquery is therefore load-bearing:
-    it shrinks the build from |filtered lineitem rows| (caught at ~200k
-    rows by scripts/broadcast_audit.py, growing with SF) to |distinct
-    suppliers|, and NOT IN is set membership so the result is identical.
-    At true 100 TB with a key proven NULL-free, rewrite to NOT EXISTS —
-    a plain left-anti join that can shuffle."""
+    NOT IN's three-valued NULL semantics are reproduced exactly, not
+    assumed away, so the rewrite is valid for ANY input (not just the
+    NULL-free fixture):
+
+    - probe key NULL        → ``NULL NOT IN (non-empty set)`` is never
+      TRUE → handled by the ``s_suppkey IS NOT NULL`` branch;
+    - any build key NULL    → the whole predicate is never TRUE
+      → gated by the 1-row ``n_nulls = 0`` scalar;
+    - build set EMPTY       → ``NOT IN ()`` is TRUE for every probe row
+      (even NULL keys) → the ``n_build = 0`` branch keeps everything
+      (the anti join against an empty side already kept all rows).
+
+    The 1-row stats scalar rides a broadcast nested loop of exactly one
+    row (bounded by construction); the anti join itself is a plain
+    equi-join Catalyst can shuffle OR broadcast by size — the NAAJ form
+    stays registered as ``not_in_suppliers_naaj_sql`` for the SQL-surface
+    demo. Pinned NAAJ-free in tests/test_plans.py."""
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    build = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_returnflag") == "A")
+            & (F.col("l_quantity") > 49)
+            & (F.col("l_discount") > 0.05)
+        )
+        .select("l_suppkey")
+    )
+    stats = build.agg(
+        F.count(F.lit(1)).alias("n_build"),
+        F.count_if(F.col("l_suppkey").isNull()).alias("n_nulls"),
+    )
+    keys = build.where(F.col("l_suppkey").isNotNull()).distinct()
+    return (
+        supplier.join(
+            keys, supplier.s_suppkey == keys.l_suppkey, "left_anti"
+        )
+        .crossJoin(F.broadcast(stats))
+        .where(
+            (F.col("n_build") == 0)
+            | ((F.col("n_nulls") == 0) & F.col("s_suppkey").isNotNull())
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "not_in_suppliers_naaj_sql",
+    tags=("subquery", "set", "sql-demo"),
+    defer=True,
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey NOT IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_returnflag = 'A' AND l_quantity > 49 AND l_discount > 0.05
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def not_in_suppliers_naaj_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal SQL NOT IN surface (API-parity demo): Spark plans this
+    as a null-aware anti-join whose build side is broadcast
+    UNCONDITIONALLY — no non-broadcast NAAJ strategy exists. The DISTINCT
+    inside the subquery is load-bearing (it shrinks the build from
+    |filtered lineitem| to |distinct suppliers|; set membership ⇒
+    identical result), but the build still grows with the supplier
+    dimension — the scale-safe primary plan is the provable-null-safety
+    rewrite in :func:`not_in_suppliers`."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT s_suppkey, s_name
         FROM supplier
         WHERE s_suppkey NOT IN (
-            SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+            SELECT DISTINCT l_suppkey FROM lineitem
+            WHERE l_returnflag = 'A' AND l_quantity > 49 AND l_discount > 0.05
         )
         ORDER BY s_suppkey
         """

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from tscd_datalake_adapter_spark.functions import (
     persist_corpus,
     H60_SQLEXPR,
-    checkpoint_bounded,
     dec_sum,
     h60,
     oracle_dec_sum,
@@ -973,12 +972,19 @@ def _cooccurrence_edges(
     low<high means downstream triangle joins fan out from each node's
     FORWARD adjacency only, the standard mitigation for high-degree skew.
 
-    Returned CHECKPOINTED: every caller consumes the bounded edge list
-    several times (triangle legs, degree unions, node counts), and
-    without the checkpoint each consumer re-executes the corpus explode +
-    co-occurrence self-join — the executed-plan audit measured 22 scans
-    of documents in local_clustering_coefficient before this (the
-    pagerank edge-list lesson)."""
+    Returned PERSISTED (``persist_corpus``): every caller consumes the
+    edge list several times (triangle legs, degree unions, node counts),
+    and without a materialization each consumer re-executes the corpus
+    explode + co-occurrence self-join — the executed-plan audit measured
+    22 scans of documents in local_clustering_coefficient before this.
+    Persist, not checkpoint: the w>=min_docs edge list is
+    threshold-derived and scales with corpus co-occurrence density (up
+    to vocab² in the limit), so pinning it executor-local with no
+    recompute path is the exact class ``persist_corpus`` exists for
+    (r7 ADVICE). Verified at conversion: every caller's executed plan
+    still materializes the cache once (union/self-join arms all
+    substitute — the DeduplicateRelations gotcha does not bite here
+    because callers reference this one returned DataFrame object)."""
     dt = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -993,14 +999,13 @@ def _cooccurrence_edges(
     )
     a = dt.select("doc_id", F.col("tok").alias("ta"))
     b = dt.select("doc_id", F.col("tok").alias("tb"))
-    return (
+    return persist_corpus(
         a.join(b, "doc_id")
         .where(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= min_docs)
         .select("ta", "tb")
-        .localCheckpoint()
     )
 
 
@@ -1151,30 +1156,33 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = dt.select("doc_id", F.col("tok").alias("ta"))
     b = dt.select("doc_id", F.col("tok").alias("tb"))
-    # Materialize the directed edge list BEFORE the symmetrizing union:
-    # both union arms otherwise re-embed the whole token self-join
-    # subtree inside the edges2 checkpoint job, where the executed-scan
-    # audit cannot see the duplication (the markov_removal lesson).
-    edges = checkpoint_bounded(
+    # Symmetrize IN-PLAN (explode both orientations of each edge) instead
+    # of a self-union: one linear plan, one token self-join, no union arms
+    # to re-derive (the DeduplicateRelations cache-substitution gotcha) and
+    # no hidden construction-time re-execution. The edge list is
+    # threshold-derived (w>=100 co-occurrence) so it scales with corpus
+    # density, not a fixed value domain — persist_corpus (spillable,
+    # lineage kept), NOT a checkpoint that pins O(edges) rows
+    # executor-local with no recompute path (r7 ADVICE).
+    edges2 = persist_corpus(
         a.join(b, "doc_id")
         .where(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 100)
-        .select("ta", "tb"),
-        bound="w>=100 co-occurrence edges (thresholded pair list)",
-    )
-    # Materialize the symmetrized list ONCE more: every unrolled
-    # iteration (plus the node/degree derivations) would otherwise
-    # re-embed the union — the checkpoint is a small flat relation;
-    # iteration joins then scan it directly (the _cluster_labels lineage
-    # lesson applied to an unrolled — not driver-looped — recursion).
-    edges2 = (
-        edges.select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
-        .unionByName(
-            edges.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("ta").alias("src"), F.col("tb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("tb").alias("src"), F.col("ta").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        .localCheckpoint(eager=True)
+        .select("e.src", "e.dst")
     )
     nodes = edges2.select(F.col("src").alias("t")).distinct().localCheckpoint(
         eager=True
@@ -1269,10 +1277,10 @@ def token_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared neighbor, sizes joined after, never all token pairs. The graph
     is vocabulary-bounded, so every stage after edge construction is
     vocab²-bounded regardless of corpus size. The edge list is the shared
-    checkpointed ``_cooccurrence_edges`` — the inverted-index pipeline
-    consumes the adjacency several times, and without the checkpoint each
-    consumption re-ran the corpus-scale edge build (measured 20 scans of
-    documents in the executed plan)."""
+    persisted ``_cooccurrence_edges`` — the inverted-index pipeline
+    consumes the adjacency several times, and without a materialization
+    each consumption re-ran the corpus-scale edge build (measured 20
+    scans of documents in the executed plan)."""
     from tscd_datalake_adapter_spark.operators.dedup import (
         exact_jaccard_pairs,
     )
@@ -1453,23 +1461,31 @@ def token_graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = dt.select("doc_id", F.col("tok").alias("ta"))
     b = dt.select("doc_id", F.col("tok").alias("tb"))
-    # materialize the directed edges BEFORE the symmetrizing union —
-    # both arms otherwise re-run the token self-join inside the edges2
-    # cache build (the pagerank/markov_removal construction-time lesson)
-    edges = checkpoint_bounded(
+    # Symmetrize IN-PLAN (explode both edge orientations) instead of a
+    # self-union: one linear plan, one token self-join, no union arms to
+    # re-derive. Threshold-derived edge list (w>=100) scales with corpus
+    # density → persist_corpus, not an executor-pinned checkpoint
+    # (r7 ADVICE; same restructure as pagerank_token_graph).
+    edges2 = persist_corpus(
         a.join(b, "doc_id")
         .where(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 100)
-        .select("ta", "tb"),
-        bound="w>=100 co-occurrence edges (thresholded pair list)",
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("ta").alias("src"), F.col("tb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("tb").alias("src"), F.col("ta").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
     )
-    edges2 = edges.select(
-        F.col("ta").alias("src"), F.col("tb").alias("dst")
-    ).unionByName(
-        edges.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
-    ).cache()
     degs = edges2.groupBy(F.col("src").alias("tok")).agg(
         F.count("*").alias("deg")
     )
@@ -1915,7 +1931,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one groupBy over the (symmetrized via UNION ALL) endpoints; the
     pow2 bucket is a literal CASE chain — NEVER ceil(log2(d)), whose libm
     form mis-buckets exact powers (the ``length_bucketed_batching``
-    lesson). The edge list is the shared checkpointed
+    lesson). The edge list is the shared persisted
     ``_cooccurrence_edges`` (the degree union consumes it twice)."""
     edges = _cooccurrence_edges(spark, sf_dir)
     deg = (

@@ -11,7 +11,9 @@ from __future__ import annotations
 import contextlib
 import io
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def formatted_plan(df: DataFrame) -> str:
@@ -92,7 +94,7 @@ def executed_scan_counts(df: DataFrame) -> dict[str, int]:
     return dict(counts)
 
 
-def broadcast_build_rows(df: DataFrame) -> list[int]:
+def broadcast_build_rows(df: "DataFrame | Callable[[], DataFrame]") -> list[int]:
     """Execute ``df`` to a noop sink and return the rows actually built
     into every broadcast relation along the way — the corpus-volume-
     broadcast audit primitive.
@@ -111,13 +113,34 @@ def broadcast_build_rows(df: DataFrame) -> list[int]:
     truth): under AQE the plan-tree node instances reachable from
     ``executedPlan()`` carry FRESH zero accumulators, so walking the tree
     reads zeros — the store keys accumulator ids to the values the run
-    actually recorded. Every SQL execution the action triggers is scanned
-    (eager checkpoints and cache builds inside the query count too — they
-    broadcast on the same cluster); ReusedExchange nodes are separate
-    graph-node names and naturally count zero."""
-    spark = df.sparkSession
+    actually recorded. Every SQL execution between the watermark and the
+    drain is scanned; ReusedExchange nodes are separate graph-node names
+    and naturally count zero.
+
+    Pass a ZERO-ARG THUNK (not a built DataFrame) to also capture
+    construction-time executions: eager ``localCheckpoint``/cache-build
+    jobs fire while the operator function RUNS, so a broadcast inside a
+    checkpointed subtree is invisible unless construction happens after
+    the watermark. A pre-built DataFrame only measures the final action's
+    executions (fine for plain lazy plans).
+
+    The watermark is the max execution ID in the store, not
+    ``executionsCount()``: IDs are monotonic but the store evicts old
+    entries past ``spark.sql.ui.retainedExecutions`` (default 1000), so
+    in a long session count lags behind IDs and a count-based cutoff
+    would leak earlier queries' broadcasts into the measurement."""
+    spark = getattr(df, "sparkSession", None)
+    if spark is None:
+        spark = SparkSession.getActiveSession()
     store = spark._jsparkSession.sharedState().statusStore()
-    before = store.executionsCount()
+    # settle any in-flight executions so the watermark is complete
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    before_max = -1
+    execs0 = store.executionsList()
+    for i in range(execs0.size()):
+        before_max = max(before_max, execs0.apply(i).executionId())
+    if callable(df) and not isinstance(df, DataFrame):
+        df = df()
     df.write.format("noop").mode("overwrite").save()
     # the status store is fed by an async listener bus — drain it so the
     # just-finished execution's metrics are visible
@@ -128,7 +151,7 @@ def broadcast_build_rows(df: DataFrame) -> list[int]:
     for i in range(execs.size()):
         ex = execs.apply(i)
         eid = ex.executionId()
-        if eid < before:
+        if eid <= before_max:
             continue
         mvals = store.executionMetrics(eid)
         nodes = store.planGraph(eid).allNodes()
