@@ -14,6 +14,17 @@ Modes:
                  cache entry's internal scans count ONCE (a cache
                  materializes once) — remaining duplicates are REAL
                  re-executions of lineage.
+  --full       — like --executed, but accounts EVERY SQL execution the
+                 query triggers (plans.executed_scan_counts_full): the
+                 operator fn runs INSIDE the measured window, so scans
+                 inside eager localCheckpoint / cache-build jobs at
+                 construction time count too — the blind spot that hid
+                 the markov/pagerank/image_dedup per-union-arm
+                 re-executions from --executed (NOTES r7 §11). The cache
+                 is cleared per query so shared cached intermediates
+                 don't mask a query's own build scans. Counts here are
+                 TOTAL executed scans per table (a single-pass query
+                 reads 1), so the flag threshold is also >1.
   --names a,b  — restrict to a comma-separated query subset.
   --slowest N  — restrict to the N most expensive queries of the last
                  FULL --executed sweep (which records per-query wall time
@@ -71,6 +82,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     argv = sys.argv[1:]
     executed = "--executed" in argv
+    full = "--full" in argv
     only: set[str] | None = None
     if "--names" in argv:
         only = set(argv[argv.index("--names") + 1].split(","))
@@ -81,6 +93,7 @@ def main() -> int:
     from tscd_datalake_adapter_spark.operators import load_all
     from tscd_datalake_adapter_spark.plans import (
         executed_scan_counts,
+        executed_scan_counts_full,
         formatted_plan,
     )
 
@@ -97,23 +110,34 @@ def main() -> int:
     flagged = 0
     audited = 0
     times: dict[str, float] = {}
+    full_record: dict[str, dict] = {}
     for name, spec in sorted(registry.items()):
         if only is not None and name not in only:
             continue
         audited += 1
         try:
             t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            if executed:
-                df.write.format("noop").mode("overwrite").save()
-                tables = Counter(executed_scan_counts(df))
+            if full:
+                spark.catalog.clearCache()
+                tables = Counter(
+                    executed_scan_counts_full(
+                        lambda s=spec: s.fn(spark, sf_dir)
+                    )
+                )
             else:
-                tables = _scan_tables(formatted_plan(df))
+                df = spec.fn(spark, sf_dir)
+                if executed:
+                    df.write.format("noop").mode("overwrite").save()
+                    tables = Counter(executed_scan_counts(df))
+                else:
+                    tables = _scan_tables(formatted_plan(df))
             times[name] = round(time.time() - t0, 3)
         except Exception as exc:
             print(f"SKIP {name}: {type(exc).__name__}")
             continue
         dups = {t: n for t, n in tables.items() if n > 1}
+        if full:
+            full_record[name] = dict(tables)
         if dups:
             flagged += 1
             print(f"DUP  {name}: {dups}")
@@ -124,6 +148,16 @@ def main() -> int:
         with open(TIMES_PATH, "w") as f:
             json.dump(times, f, indent=1, sort_keys=True)
         print(f"wrote per-query seconds to {TIMES_PATH}")
+    if full:  # record the construction-inclusive census (merge subsets)
+        path = os.path.join(REPO, ".scan_audit_full.json")
+        merged: dict[str, dict] = {}
+        if only is not None and os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged.update(full_record)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"wrote construction-inclusive scan counts to {path}")
     spark.stop()
     return 0
 

@@ -1115,3 +1115,53 @@ def test_not_in_suppliers_avoids_null_aware_anti_join(spark, sf_dir):
     assert True in _null_aware_anti_flags(naaj), (
         "the SQL demo twin no longer demonstrates the NAAJ plan"
     )
+
+
+def test_construction_time_scan_audit_catches_hidden_double_scan(
+    spark, sf_dir
+):
+    """Instrument pin for the construction-time scan blind spot (NOTES r7
+    §11, r7 verdict item 2): scans that run inside an eager localCheckpoint
+    job are invisible to the tree-walk `executed_scan_counts` (the final
+    plan starts at the truncated RDD), which is exactly how the
+    symmetrizing-union pattern hid its per-arm re-execution in markov/
+    pagerank/image_dedup. `executed_scan_counts_full` accounts every SQL
+    execution in the measured window via the status store, so the seeded
+    double scan below MUST be visible to it — and must read as a single
+    scan once the subtree is materialized before the union (the fix
+    pattern)."""
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    def seeded():
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        # the offender shape: self-union checkpointed WITHOUT
+        # materializing the shared subtree first — each arm re-runs it
+        u = o.unionByName(o).localCheckpoint()
+        return u.groupBy("o_custkey").count()
+
+    full = plans.executed_scan_counts_full(seeded)
+    assert full.get("orders.parquet", 0) == 2, (
+        f"seeded construction-time double scan not flagged: {full}"
+    )
+    # the tree-walk instrument is blind here — pin the contrast so the
+    # audit split (tree-walk for final plans, store for construction)
+    # stays documented by a failing test if either side changes
+    df = seeded()
+    df.write.format("noop").mode("overwrite").save()
+    tree = plans.executed_scan_counts(df)
+    assert tree.get("orders.parquet", 0) == 0
+
+    def fixed():
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        base = o.localCheckpoint()  # materialize BEFORE the self-union
+        u = base.unionByName(base)
+        return u.groupBy("o_custkey").count()
+
+    full_fixed = plans.executed_scan_counts_full(fixed)
+    assert full_fixed.get("orders.parquet", 0) == 1, (
+        f"materialize-before-union fix should read one scan: {full_fixed}"
+    )

@@ -625,7 +625,11 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tscd_datalake_adapter_spark.functions import checkpoint_bounded
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    tokens = distinct_tokens(docs)
+    # persist: exact_jaccard_pairs consumes the token list three times
+    # (sizes + both inverted-index sides) — unpersisted, the pairs
+    # checkpoint job re-scanned documents per consumer (3 scans, found
+    # by the r8 construction-inclusive scan audit)
+    tokens = persist_corpus(distinct_tokens(docs))
     # materialize the thresholded pair list BEFORE the symmetrizing
     # union — both arms otherwise re-run the whole candidate+verify
     # pipeline inside the edges cache build (the pagerank construction-
@@ -647,8 +651,14 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    labels = docs.select(
-        F.col("doc_id").alias("src"), F.col("doc_id").alias("label")
+    # materialize the seed labels: round 0's plan references labels
+    # TWICE (the neighbor-min arm and the outer update), which re-scanned
+    # documents per reference (r8 construction-inclusive scan audit)
+    labels = checkpoint_bounded(
+        docs.select(
+            F.col("doc_id").alias("src"), F.col("doc_id").alias("label")
+        ),
+        bound="one row per doc in the explicit <=200-doc slice",
     )
     # Min-label propagation to fixpoint (diameter-bounded; cache each
     # iteration to keep lineage flat). The cap is a stall guard, not a

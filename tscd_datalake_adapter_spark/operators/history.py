@@ -1829,7 +1829,13 @@ def markov_removal_attribution(
     seq = e.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
     )
-    firstp = (
+    # persist both: seq feeds firstp AND the touches join (2 events scans
+    # inside the touches cache build otherwise), and firstp is referenced
+    # again by the START->CONV anti-join arm (a 3rd scan) — all invisible
+    # to the tree-walk audit, surfaced by the r8 construction-inclusive
+    # scan audit (events now scans ONCE, in the seq cache build).
+    seq = persist_corpus(seq)
+    firstp = persist_corpus(
         seq.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min("rn").alias("prn"))

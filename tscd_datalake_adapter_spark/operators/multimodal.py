@@ -1112,15 +1112,24 @@ def phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0))
         .select("doc_id")
     )
+    # explode-tag, not a self-union: the two planted-twin arms otherwise
+    # scan the slice twice inside the bands cache build (r8
+    # construction-inclusive scan audit)
     sides = d.select(
-        "doc_id", (2 * F.col("doc_id")).alias("uid"), F.lit(0).alias("pert")
-    ).unionAll(
-        d.select(
-            "doc_id",
-            (2 * F.col("doc_id") + 1).alias("uid"),
-            F.lit(1).alias("pert"),
-        )
-    )
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (2 * F.col("doc_id")).alias("uid"),
+                    F.lit(0).alias("pert"),
+                ),
+                F.struct(
+                    (2 * F.col("doc_id") + 1).alias("uid"),
+                    F.lit(1).alias("pert"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.uid", "s.pert")
 
     @F.pandas_udf(T.BinaryType())
     def payload_of(doc_id: pd.Series, pert: pd.Series) -> pd.Series:
@@ -1398,8 +1407,12 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0))
         .select("doc_id")
     )
-    nodes = d.select((2 * F.col("doc_id")).alias("uid")).unionAll(
-        d.select((2 * F.col("doc_id") + 1).alias("uid"))
+    # explode both uids per doc in one pass (the self-union scanned the
+    # slice twice — r8 construction-inclusive scan audit)
+    nodes = d.select(
+        F.explode(
+            F.array(2 * F.col("doc_id"), 2 * F.col("doc_id") + 1)
+        ).alias("uid")
     )
     edges = (
         pairs.select(F.col("uid_a").alias("src"), F.col("uid_b").alias("dst"))

@@ -170,6 +170,94 @@ def broadcast_build_rows(df: "DataFrame | Callable[[], DataFrame]") -> list[int]
     return sorted(rows, reverse=True)
 
 
+def executed_scan_counts_full(
+    fn: "DataFrame | Callable[[], DataFrame]",
+) -> dict[str, int]:
+    """Executed file scans per table across EVERY SQL execution the query
+    triggers — construction-time jobs included — read from the SQL status
+    store. The construction-time companion to :func:`executed_scan_counts`.
+
+    The tree-walk instrument (:func:`executed_scan_counts`) starts at the
+    final action's executed plan, so scans that ran inside an eager
+    ``localCheckpoint`` / cache-build job during operator CONSTRUCTION are
+    invisible to it (the final plan starts at the truncated RDD) — the
+    class that made ``markov_removal_attribution`` re-run its whole
+    upstream pipeline once per union arm (NOTES r7 §11). This function
+    closes the blind spot: pass a ZERO-ARG THUNK so construction runs
+    inside the measured window, then every execution between the
+    watermark and the drain is scanned.
+
+    Counting rule: one count per DISTINCT ``number of files read``
+    accumulator with a recorded value > 0, per execution. Three
+    empirically-verified graph behaviors force each clause:
+
+    - cache-hit references show the scan node with the metric undefined
+      (a later execution) or defined ``0`` (re-planned cached subtree in
+      the same session) — only value > 0 proves the scan's RDD actually
+      read files in that execution;
+    - the plan graph INLINES a persisted cache's plan once per
+      InMemoryTableScan reference, but every copy carries the SAME
+      accumulator id (one shared cached-plan instance) — 6 graph nodes /
+      1 real scan for ``jaccard_near_dup``'s 6 token-cache references,
+      so counting nodes instead of distinct accumulators overcounts
+      exactly the way the plan STRING does;
+    - two genuinely separate scans (a self-union's arms, two slices) are
+      distinct plan node instances with distinct accumulators, so they
+      still count twice.
+
+    Clear the cache (``spark.catalog.clearCache()``) before measuring a
+    query that shares cached intermediates with earlier work, or the
+    build scan lands outside the window and the count under-reports."""
+    import re
+
+    spark = getattr(fn, "sparkSession", None)
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    store = spark._jsparkSession.sharedState().statusStore()
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    before_max = -1
+    execs0 = store.executionsList()
+    for i in range(execs0.size()):
+        before_max = max(before_max, execs0.apply(i).executionId())
+    df = fn() if callable(fn) and not isinstance(fn, DataFrame) else fn
+    df.write.format("noop").mode("overwrite").save()
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+
+    table_re = re.compile(r"([A-Za-z0-9_.-]+\.parquet)")
+    counts: dict[str, int] = {}
+    execs = store.executionsList()
+    for i in range(execs.size()):
+        ex = execs.apply(i)
+        eid = ex.executionId()
+        if eid <= before_max:
+            continue
+        mvals = store.executionMetrics(eid)
+        nodes = store.planGraph(eid).allNodes()
+        seen_accs: set[int] = set()
+        for j in range(nodes.size()):
+            node = nodes.apply(j)
+            if not node.name().startswith("Scan"):
+                continue
+            ms = node.metrics()
+            ran = False
+            acc = None
+            for k in range(ms.size()):
+                m = ms.apply(k)
+                if m.name() == "number of files read":
+                    acc = m.accumulatorId()
+                    opt = mvals.get(acc)
+                    if opt.isDefined():
+                        ran = int(str(opt.get()).replace(",", "")) > 0
+                    break
+            if not ran or acc in seen_accs:
+                continue
+            seen_accs.add(acc)
+            m_table = table_re.search(node.desc())
+            table = m_table.group(1) if m_table else "?"
+            counts[table] = counts.get(table, 0) + 1
+    return counts
+
+
 def executed_scan_columns(df: DataFrame) -> list[dict]:
     """Per-scan column pruning in the post-AQE physical plan (run the
     query to a sink first): one record per FileSourceScan with the table
