@@ -1015,10 +1015,17 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.sha2(F.coalesce("text", F.lit("")), 256).alias("text_hash"))
         .distinct()
     )
-    batch = d.where(F.col("doc_id") >= 100).unionByName(
-        d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
+    # one scan, not a self-union: rows 100-119 fan out to (id, id+1e6) by
+    # exploding a conditional array (r8 construction-inclusive scan audit
+    # — the union arms scanned the slice twice)
+    batch = d.where(F.col("doc_id") >= 100).select(
+        F.explode(
+            F.when(
+                F.col("doc_id") < 120,
+                F.array(F.col("doc_id"), F.col("doc_id") + 1000000),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
+        "text",
     )
     fresh, _ = incremental_exact_dedup(batch, state)
     return fresh.agg(
@@ -1522,16 +1529,19 @@ def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the candidate asymmetry itself is hash-checked."""
     docs = _docs(spark, sf_dir)
     corpus = docs.where(F.col("doc_id") < 150).select("doc_id", "text")
-    fresh = docs.where(
-        (F.col("doc_id") >= 150) & (F.col("doc_id") < 200)
-    ).select("doc_id", "text")
-    planted = docs.where(
-        (F.col("doc_id") < 150) & (F.col("doc_id") % 37 == 0)
-    ).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.concat("text", F.lit(" zzplanted")).alias("text"),
+    # the fresh and planted slices are row-disjoint, so the batch is ONE
+    # conditionally-projected scan instead of a two-arm union (r8
+    # construction-inclusive scan audit — the arms scanned twice)
+    is_fresh = (F.col("doc_id") >= 150) & (F.col("doc_id") < 200)
+    is_planted = (F.col("doc_id") < 150) & (F.col("doc_id") % 37 == 0)
+    batch = docs.where(is_fresh | is_planted).select(
+        F.when(is_fresh, F.col("doc_id"))
+        .otherwise(F.col("doc_id") + 10000)
+        .alias("doc_id"),
+        F.when(is_fresh, F.col("text"))
+        .otherwise(F.concat("text", F.lit(" zzplanted")))
+        .alias("text"),
     )
-    batch = fresh.unionByName(planted)
     return incremental_near_dup(spark, corpus, batch).orderBy(
         "batch_id", "corpus_id"
     )
