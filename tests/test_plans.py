@@ -1165,3 +1165,34 @@ def test_construction_time_scan_audit_catches_hidden_double_scan(
     assert full_fixed.get("orders.parquet", 0) == 1, (
         f"materialize-before-union fix should read one scan: {full_fixed}"
     )
+
+
+def test_construction_inclusive_scan_counts_pinned(spark, sf_dir):
+    """Census pins for the r8 construction-time fixes: these queries hid
+    duplicate corpus scans inside eager checkpoint/cache-build jobs where
+    the tree-walk audit cannot see them (markov re-scanned events 3x,
+    image dedup re-ran the PNG decode pipeline per planted-twin union
+    arm). The construction-inclusive counts must stay at their fixed
+    values; scan_dup_audit.py --full sweeps the whole registry per round
+    (.scan_audit_full.json)."""
+    from tscd_datalake_adapter_spark.operators import load_all
+
+    registry = load_all()
+    expected = {
+        # seq persisted: one events pass feeds firstp + touches + arms
+        "markov_removal_attribution": {"events.parquet": 1},
+        # tokens cache build + seed-labels checkpoint (two single passes)
+        "dedup_clusters": {"documents.parquet": 2},
+        # bands cache build + cluster nodes pass (explode-tag, no unions)
+        "image_dedup_clusters": {"documents.parquet": 2},
+        # one linear explode-symmetrized edge build
+        "pagerank_token_graph": {"documents.parquet": 1},
+    }
+    for name, want in expected.items():
+        spark.catalog.clearCache()
+        got = plans.executed_scan_counts_full(
+            lambda n=name: registry[n].fn(spark, sf_dir)
+        )
+        got = {t: c for t, c in got.items() if t in want}
+        assert got == want, f"{name}: construction-inclusive scans {got}"
+    spark.catalog.clearCache()
