@@ -144,7 +144,7 @@ def main() -> int:
     print(
         f"\n{flagged} of {audited} audited queries with duplicate same-table scans"
     )
-    if executed and only is None:  # full sweep: refresh the timing record
+    if (executed or full) and only is None:  # sweep: refresh timing record
         with open(TIMES_PATH, "w") as f:
             json.dump(times, f, indent=1, sort_keys=True)
         print(f"wrote per-query seconds to {TIMES_PATH}")
