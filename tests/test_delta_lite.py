@@ -1,0 +1,189 @@
+"""delta_lite protocol tests: the transaction-log contracts a plain
+parquet directory cannot express — log-defined visibility, time travel,
+atomic commit conflicts, checkpoint honesty (SURVEY.md §2.2 lakehouse
+row, implemented from the open Delta protocol spec without the jar)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.sources import load_table
+from tscd_datalake_adapter_spark.sources.delta_lite import (
+    ConcurrentWriteError,
+    read_delta,
+    table_history,
+    write_delta,
+)
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_roundtrip_matches_source(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    v = write_delta(src, path)
+    assert v == 0
+    back = read_delta(spark, path)
+    assert back.count() == src.count()
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, src.collect()))
+    assert a == b
+
+
+def test_append_accumulates_and_history_records(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    assert write_delta(f, path, mode="overwrite") == 0
+    assert write_delta(o, path, mode="append") == 1
+    back = read_delta(spark, path)
+    assert back.count() == f.count() + o.count()
+    hist = table_history(path)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["n_removes"] == 0 and hist[1]["n_removes"] == 0
+    assert hist[1]["n_adds"] >= 1
+
+
+def test_overwrite_hides_old_files_and_time_travel_sees_them(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f, path, mode="overwrite")
+    write_delta(o, path, mode="overwrite")
+    # latest = only the overwrite's rows, though v0's files are on disk
+    latest = read_delta(spark, path)
+    assert latest.count() == o.count()
+    assert latest.where(F.col("o_orderstatus") == "F").count() == 0
+    # time travel replays to v0
+    v0 = read_delta(spark, path, version=0)
+    assert v0.count() == f.count()
+    assert v0.where(F.col("o_orderstatus") == "O").count() == 0
+    hist = table_history(path)
+    assert hist[1]["n_removes"] >= 1  # the overwrite logically removed v0
+
+
+def test_unlogged_file_is_invisible(spark, sf_dir, tmp_path):
+    """The core log contract: a parquet file ON DISK but absent from the
+    log is not part of the table (directory listing would happily read
+    it)."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(100)
+    write_delta(src, path)
+    n = read_delta(spark, path).count()
+    stray_dir = os.path.join(path, "part-99999999999999999999")
+    src.limit(7).write.parquet(stray_dir)
+    assert read_delta(spark, path).count() == n
+
+
+def test_version_conflict_raises(spark, sf_dir, tmp_path):
+    """The atomic-commit race: two writers that both resolved 'next
+    version = 1' — the second link(2) must fail as a conflict, never
+    silently clobber the first commit's content."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import _commit
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(10)
+    write_delta(src, path)
+    _commit(path, 1, [{"commitInfo": {"operation": "WRITE"}}])
+    with pytest.raises(ConcurrentWriteError):
+        _commit(path, 1, [{"commitInfo": {"operation": "RIVAL"}}])
+    # the first commit's content survived intact
+    log1 = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    assert "RIVAL" not in open(log1, encoding="utf-8").read()
+
+
+def test_checkpointed_table_is_refused(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_orders(spark, sf_dir).limit(10), path)
+    with open(
+        os.path.join(path, "_delta_log", "_last_checkpoint"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        f.write('{"version": 0}\n')
+    with pytest.raises(NotImplementedError):
+        read_delta(spark, path)
+
+
+def test_higher_reader_version_is_refused(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_orders(spark, sf_dir).limit(10), path)
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = open(log0, encoding="utf-8").read().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "protocol" in a:
+            a["protocol"]["minReaderVersion"] = 3
+        out.append(json.dumps(a))
+    with open(log0, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")
+    with pytest.raises(NotImplementedError):
+        read_delta(spark, path)
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """The hive layout + log partitionValues must give directory-level
+    pruning: a single-partition filter's scan reads strictly fewer files
+    than the table holds."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src, path, partition_by=("o_orderstatus",))
+    back = read_delta(spark, path)
+    one = back.where(F.col("o_orderstatus") == "F")
+    # correctness
+    assert one.count() == src.where(F.col("o_orderstatus") == "F").count()
+    # pruning: the filtered plan lists only the F partition's files
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no partition filters in: {plan[:800]}"
+
+
+def test_partition_values_mismatch_detected(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        _orders(spark, sf_dir),
+        path,
+        partition_by=("o_orderstatus",),
+    )
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = open(log0, encoding="utf-8").read().splitlines()
+    out = []
+    corrupted = False
+    for ln in lines:
+        a = json.loads(ln)
+        if "add" in a and not corrupted:
+            a["add"]["partitionValues"] = {"o_orderstatus": "WRONG"}
+            corrupted = True
+        out.append(json.dumps(a))
+    with open(log0, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")
+    with pytest.raises(ValueError, match="partitionValues mismatch"):
+        read_delta(spark, path)
+
+
+def test_empty_overwrite_reads_back_empty_with_schema(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.limit(5), path)
+    write_delta(src.where(F.lit(False)), path, mode="overwrite")
+    back = read_delta(spark, path)
+    assert back.count() == 0
+    assert set(back.columns) == set(src.columns)

@@ -853,3 +853,169 @@ def csv_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_good_chars"),
     )
+
+
+@register(
+    "delta_lite_roundtrip_agg",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH v0 AS (
+        SELECT l_linestatus, l_quantity FROM lineitem
+        WHERE l_returnflag = 'R'
+    ),
+    v1 AS (
+        SELECT l_linestatus, l_quantity FROM lineitem
+        WHERE l_returnflag = 'A' AND l_quantity > 45
+    ),
+    t AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('l_quantity')} AS qty
+    FROM t GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def delta_lite_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol write+read via the pure-Python log implementation
+    (``sources.delta_lite`` — the §2.2 lakehouse row, minus the absent
+    connector jar): overwrite-commit the 'R' slice (v0), append-commit the
+    high-quantity 'A' slice (v1), read the LATEST table state back through
+    the transaction log, aggregate. The oracle recomputes from the source
+    slices, so the hash proves the log's add-action replay returns exactly
+    the committed rows — no more (stray files are invisible without a log
+    entry), no fewer."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    write_delta(
+        li.where(F.col("l_returnflag") == "R").drop("l_returnflag"),
+        path,
+        mode="overwrite",
+    )
+    write_delta(
+        li.where(
+            (F.col("l_returnflag") == "A") & (F.col("l_quantity") > 45)
+        ).drop("l_returnflag"),
+        path,
+        mode="append",
+    )
+    back = read_delta(spark, path)
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dec_sum("l_quantity").alias("qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "delta_lite_time_travel",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH v0 AS (
+        SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    ),
+    v1 AS (
+        SELECT o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    ),
+    states AS (
+        SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT)
+                   AS n_rows, {oracle_dec_sum('o_totalprice')} AS total
+        FROM v0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+               {oracle_dec_sum('o_totalprice')}
+        FROM v1
+    )
+    SELECT version, n_rows, total FROM states ORDER BY version
+    """,
+)
+def delta_lite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the delta_lite log: commit the 'F' orders
+    (v0), OVERWRITE with the 'O' orders (v1) — the v0 files are logically
+    removed but stay on disk — then read BOTH versions by log replay and
+    aggregate each. The oracle recomputes both states from the source
+    slices: a version-0 read returning anything from the overwrite (or an
+    overwrite read leaking version-0 rows) hash-fails. This is the read
+    semantics a plain parquet directory cannot express (every file on
+    disk is always visible to a directory listing)."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta_tt")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    write_delta(
+        o.where(F.col("o_orderstatus") == "F").drop("o_orderstatus"),
+        path,
+        mode="overwrite",
+    )
+    write_delta(
+        o.where(F.col("o_orderstatus") == "O").drop("o_orderstatus"),
+        path,
+        mode="overwrite",
+    )
+    parts = []
+    for v in (0, 1):
+        parts.append(
+            read_delta(spark, path, version=v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum("o_totalprice").alias("total"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+@register(
+    "delta_lite_partitioned_read",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def delta_lite_partitioned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partitioned delta_lite table (hive layout + partitionValues in the
+    log, cross-checked on read): write orders partitioned by status, read
+    back, filter to two partitions, aggregate. The partition column is
+    reconstructed by Spark's parquet reader from the layout — so the
+    filter prunes at the directory level exactly as it would on the real
+    connector's partition index (pinned plan-side in
+    tests/test_delta_lite.py)."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta_part")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_delta(o, path, mode="overwrite", partition_by=("o_orderstatus",))
+    back = read_delta(spark, path)
+    return (
+        back.where(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dec_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

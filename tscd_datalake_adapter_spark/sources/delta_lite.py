@@ -1,0 +1,328 @@
+"""delta_lite — a minimal pure-Python implementation of the open Delta
+Lake transaction-log protocol (delta.io PROTOCOL.md), over Spark parquet.
+
+The environment has no ``delta-spark`` connector jar (the §2.2
+"Delta/Iceberg write+read" row has been honestly feature-gated since
+round 1: ``sources.tables.write_table``). The LOG format itself, however,
+is an open JSON specification — so the write+read semantics the row asks
+for can be implemented from the public spec without the connector:
+
+- a TABLE is a directory of parquet data files plus ``_delta_log/``
+  containing one JSON file per committed version
+  (``00000000000000000000.json``, …);
+- each log file is newline-delimited actions: ``protocol`` and
+  ``metaData`` (first commit), ``add`` (file became part of the table),
+  ``remove`` (file logically deleted), ``commitInfo`` (audit);
+- the table state at version V = replay of log files 0..V: active files
+  = adds minus later removes. Readers read exactly those parquet files.
+- commits are ATOMIC via write-temp + ``os.rename`` into the log
+  directory; a name collision = concurrent writer = the optimistic-
+  concurrency conflict the protocol defines (single-writer here: we
+  raise, never retry-merge).
+
+Honest scope (documented, enforced by errors — not silently wrong):
+
+- JSON-only log: no checkpoint parquet files are written, and reading
+  stops with ``NotImplementedError`` if ``_last_checkpoint`` exists
+  (tables written by THIS module never have one; a full-featured writer
+  compacting its log would). Readers per spec must replay JSON anyway.
+- minReaderVersion=1 / minWriterVersion=2 tables only — no deletion
+  vectors, column mapping, or generated columns; reading a table that
+  declares a higher reader version raises.
+- Single-writer optimistic concurrency (version-file rename): a lost
+  race raises ``ConcurrentWriteError``.
+- Partition columns use the hive layout (``col=value/``) so Spark's own
+  parquet reader reconstructs them via ``basePath`` — the Delta spec
+  stores ``partitionValues`` in the log (we do too, and the reader
+  CHECKS them against the path) but delegating column materialization to
+  the hive layout keeps the read path one ``spark.read.parquet`` call.
+
+Everything here derives from the public protocol document and the Spark
+API; the resulting tables are spec-shaped (JSON log + parquet data), and
+the unit tests replay write→read→time-travel→overwrite against plain
+parquet ground truth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    conflict; this minimal single-writer implementation never retries)."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def _version_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.json")
+
+
+def _existing_versions(path: str) -> list[int]:
+    ld = _log_dir(path)
+    if not os.path.isdir(ld):
+        return []
+    if os.path.exists(os.path.join(ld, "_last_checkpoint")):
+        raise NotImplementedError(
+            "delta_lite reads JSON-only logs; this table has a checkpoint "
+            "(_last_checkpoint), which only a full Delta reader can resume "
+            "from"
+        )
+    out = []
+    for fn in os.listdir(ld):
+        if fn.endswith(".json") and len(fn) == 25:
+            try:
+                out.append(int(fn[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _replay(path: str, version: int | None = None) -> dict:
+    """Replay the log up to ``version`` (inclusive; latest if None).
+    Returns {"files": {relpath: add_action}, "metadata": …,
+    "version": int}."""
+    versions = _existing_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"not a delta_lite table (no log): {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in log (have {versions[0]}.."
+            f"{versions[-1]})"
+        )
+    files: dict[str, dict] = {}
+    metadata: dict | None = None
+    for v in versions:
+        if v > version:
+            break
+        with open(_version_file(path, v), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    mrv = action["protocol"].get("minReaderVersion", 1)
+                    if mrv > 1:
+                        raise NotImplementedError(
+                            f"table requires minReaderVersion {mrv}; "
+                            "delta_lite reads version-1 tables only"
+                        )
+                elif "metaData" in action:
+                    metadata = action["metaData"]
+                elif "add" in action:
+                    files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+    return {"files": files, "metadata": metadata, "version": version}
+
+
+def _commit(path: str, version: int, actions: list[dict]) -> None:
+    """Atomic single-file commit: write the full content to a temp name,
+    then ``os.link`` it to the version name — link(2) fails with EEXIST
+    if the destination exists and the destination appears fully written
+    or not at all (no empty-file window, unlike create-then-replace; no
+    silent clobber, unlike rename). A lost race between two writers
+    surfaces as ConcurrentWriteError — the protocol's optimistic-
+    concurrency conflict."""
+    ld = _log_dir(path)
+    os.makedirs(ld, exist_ok=True)
+    dest = _version_file(path, version)
+    tmp = os.path.join(ld, f".{uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, dest)
+    except FileExistsError as exc:
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently at {path}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+
+
+def _rel_data_files(path: str) -> list[str]:
+    """Relative paths of every parquet data file currently on disk (hive
+    layout aware), EXCLUDING the log directory."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(root, fn), path)
+                )
+    return sorted(out)
+
+
+def _partition_values(relpath: str, partition_by: tuple[str, ...]) -> dict:
+    """partitionValues per the spec, parsed from the hive path segments."""
+    vals: dict[str, str] = {}
+    for seg in relpath.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k in partition_by:
+                vals[k] = v
+    return vals
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Write ``df`` as a delta_lite table commit; returns the committed
+    version. ``mode``: "overwrite" (logical remove of all prior files +
+    adds) or "append" (adds only). Data files are written by Spark's
+    parquet sink into a per-commit subdirectory (so concurrent data-file
+    names never collide and old versions' files stay readable for time
+    travel — spec-legal: add paths are arbitrary relative paths).
+
+    Scale shape: the data write IS ``df.write.parquet`` — fully
+    distributed, partitioned via the hive layout; only the log commit
+    (a few hundred bytes per file action) is driver-side, exactly like
+    the real connector's driver-side transaction commit."""
+    versions = _existing_versions(path)
+    version = (versions[-1] + 1) if versions else 0
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    prior = _replay(path, None)["files"] if versions else {}
+
+    commit_dir = f"part-{version:020d}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(path, commit_dir))
+
+    now_ms = int(time.time() * 1000)
+    adds = []
+    for rel in _rel_data_files(path):
+        if not rel.startswith(commit_dir + os.sep) and rel != commit_dir:
+            continue
+        full = os.path.join(path, rel)
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values(
+                        rel, partition_by
+                    ),
+                    "size": os.path.getsize(full),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": list(partition_by),
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if mode == "overwrite":
+        for rel, add in prior.items():
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": add.get("partitionValues", {}),
+                    }
+                }
+            )
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "delta_lite/0.1",
+            }
+        }
+    )
+    _commit(path, version, actions)
+    return version
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a delta_lite table (optionally a historical ``version`` —
+    time travel by log replay). The active file set comes from the log;
+    Spark's parquet reader with ``basePath`` reconstructs hive partition
+    columns. Reads exactly the logged files — a data file present on
+    disk but removed from the log (overwritten version) is invisible,
+    which is the Delta read contract plain parquet directory listing
+    cannot give."""
+    state = _replay(path, version)
+    files = state["files"]
+    if not files:
+        # an empty table still has a schema in metaData
+        schema_json = state["metadata"]["schemaString"]
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        )
+    # verify the spec's partitionValues agree with the hive path layout
+    # (they are written together; disagreement means a corrupted table)
+    pcols = state["metadata"]["partitionColumns"]
+    for rel, add in files.items():
+        from_path = _partition_values(rel, tuple(pcols))
+        if from_path != add.get("partitionValues", {}):
+            raise ValueError(
+                f"partitionValues mismatch for {rel}: log says "
+                f"{add.get('partitionValues')}, path says {from_path}"
+            )
+    paths = [os.path.join(path, rel) for rel in sorted(files)]
+    return spark.read.option("basePath", path).parquet(*paths)
+
+
+def table_history(path: str) -> list[dict]:
+    """One record per version: version, operation, n_adds, n_removes —
+    the DESCRIBE HISTORY surface."""
+    out = []
+    for v in _existing_versions(path):
+        ops = {"version": v, "operation": None, "n_adds": 0, "n_removes": 0}
+        with open(_version_file(path, v), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    ops["n_adds"] += 1
+                elif "remove" in action:
+                    ops["n_removes"] += 1
+                elif "commitInfo" in action:
+                    ops["operation"] = action["commitInfo"].get("operation")
+        out.append(ops)
+    return out

@@ -135,6 +135,11 @@ def write_table(
 ) -> None:
     """Generic sink. ``fmt`` in {parquet, delta, iceberg}; lakehouse formats
     require their connector on the classpath (feature-gated: SURVEY.md §2.2).
+    For Delta WITHOUT the connector, ``sources.delta_lite`` implements the
+    open transaction-log protocol (JSON log + parquet data, write/read/
+    time-travel) in pure Python — see ``delta_lite_roundtrip_agg`` and
+    siblings in the registry; this gate covers only the jar-backed
+    DataSource path.
     """
     if fmt in _LAKEHOUSE_FORMATS:
         jars = df.sparkSession.conf.get("spark.jars.packages", "") or ""
@@ -142,7 +147,8 @@ def write_table(
             raise NotImplementedError(
                 f"{fmt} connector not on classpath; add the {fmt} package to "
                 "spark.jars.packages (feature-gated — parquet is the default "
-                "format in this environment)"
+                "format in this environment; sources.delta_lite provides a "
+                "pure-Python Delta-protocol write/read path without the jar)"
             )
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
