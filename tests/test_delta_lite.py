@@ -187,3 +187,61 @@ def test_empty_overwrite_reads_back_empty_with_schema(
     back = read_delta(spark, path)
     assert back.count() == 0
     assert set(back.columns) == set(src.columns)
+
+
+def test_merge_upsert_replaces_and_inserts(spark, sf_dir, tmp_path):
+    from tscd_datalake_adapter_spark.sources.delta_lite import merge_delta
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    base = src.limit(200)
+    write_delta(base, path)
+    n_base = base.count()
+    updates = base.limit(50).select(
+        "o_orderkey", (F.col("o_totalprice") * 0 + 1.0).alias("o_totalprice")
+    )
+    v = merge_delta(spark, path, updates, key="o_orderkey")
+    back = read_delta(spark, path)
+    # same row count (pure update), updated rows carry the new value
+    assert back.count() == n_base
+    assert back.where(F.col("o_totalprice") == 1.0).count() == 50
+    hist = table_history(path)
+    assert hist[v]["operation"] == "MERGE"
+    # base version still readable (copy-on-write)
+    assert read_delta(spark, path, version=0).where(
+        F.col("o_totalprice") == 1.0
+    ).count() == 0
+
+
+def test_vacuum_deletes_unreferenced_files_and_breaks_old_travel(
+    spark, sf_dir, tmp_path
+):
+    from tscd_datalake_adapter_spark.sources.delta_lite import vacuum_delta
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f, path, mode="overwrite")
+    write_delta(o, path, mode="overwrite")
+    # both versions readable pre-vacuum
+    assert read_delta(spark, path, version=0).count() == f.count()
+    deleted = vacuum_delta(path, retain_versions=1)
+    assert deleted, "vacuum should delete the overwritten v0 files"
+    # latest unaffected; travel past the horizon now fails on missing files
+    assert read_delta(spark, path).count() == o.count()
+    with pytest.raises(Exception):
+        read_delta(spark, path, version=0).count()
+
+
+def test_vacuum_retains_everything_when_window_covers_all(
+    spark, sf_dir, tmp_path
+):
+    from tscd_datalake_adapter_spark.sources.delta_lite import vacuum_delta
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(100)
+    write_delta(src, path)
+    write_delta(src.limit(10), path, mode="overwrite")
+    assert vacuum_delta(path, retain_versions=2) == []
+    assert read_delta(spark, path, version=0).count() == 100

@@ -1019,3 +1019,77 @@ def delta_lite_partitioned_read(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "delta_lite_merge_upsert",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 3000
+    ),
+    upd AS (
+        SELECT o_orderkey, round(o_totalprice * 2.0, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey + 9000000, round(o_totalprice, 2)
+        FROM orders WHERE o_orderkey < 100
+    ),
+    merged AS (
+        SELECT b.o_orderkey, b.o_totalprice FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u
+                          WHERE u.o_orderkey = b.o_orderkey)
+        UNION ALL SELECT o_orderkey, o_totalprice FROM upd
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           {oracle_dec_sum('o_totalprice')} AS total,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    """,
+)
+def delta_lite_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) through the delta_lite log: base commit, then a
+    change set that UPDATES every 5th key (doubled price) and INSERTS
+    shifted new keys, applied copy-on-write as one MERGE version; read
+    the post-merge state and aggregate. The oracle recomputes the merged
+    state from the source slices — updated rows must replace (never
+    duplicate) their base rows, inserts must all land."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    from tscd_datalake_adapter_spark.functions import persist_corpus
+
+    path = _tmp("delta_merge")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # persist base: the delta write materializes it once and the update
+    # arm reads the cache; persist updates: merge_delta references it
+    # twice (key anti-join probe + union arm) — unpersisted, this demo
+    # scanned orders 5x (r8 construction-inclusive scan audit)
+    base = persist_corpus(o.where(F.col("o_orderkey") < 3000))
+    write_delta(base, path, mode="overwrite")
+    updates = persist_corpus(
+        base.where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 2.0, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") < 100).select(
+                (F.col("o_orderkey") + 9000000).alias("o_orderkey"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+            )
+        )
+    )
+    merge_delta(spark, path, updates, key="o_orderkey")
+    back = read_delta(spark, path)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        dec_sum("o_totalprice").alias("total"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

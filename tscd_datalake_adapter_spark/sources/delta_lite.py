@@ -15,10 +15,10 @@ for can be implemented from the public spec without the connector:
   ``remove`` (file logically deleted), ``commitInfo`` (audit);
 - the table state at version V = replay of log files 0..V: active files
   = adds minus later removes. Readers read exactly those parquet files.
-- commits are ATOMIC via write-temp + ``os.rename`` into the log
-  directory; a name collision = concurrent writer = the optimistic-
-  concurrency conflict the protocol defines (single-writer here: we
-  raise, never retry-merge).
+- commits are ATOMIC via write-temp + ``os.link`` into the log
+  directory (EEXIST = a concurrent writer won the version = the
+  optimistic-concurrency conflict the protocol defines; single-writer
+  here: we raise, never retry-merge).
 
 Honest scope (documented, enforced by errors — not silently wrong):
 
@@ -326,3 +326,72 @@ def table_history(path: str) -> list[dict]:
                     ops["operation"] = action["commitInfo"].get("operation")
         out.append(ops)
     return out
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+) -> int:
+    """MERGE (upsert by ``key``): rows of ``updates`` replace same-key
+    rows of the current table state; new keys append. Implemented as
+    copy-on-write over the whole table — current-state anti-join + union,
+    committed as one overwrite version with operation MERGE.
+
+    Honest scale note: the real connector's MERGE prunes the rewrite to
+    the FILES whose key ranges intersect the update set (file-level stats
+    in the log); this minimal form rewrites the full table per merge, the
+    right call only when updates touch most files. The engine-side merge
+    semantics themselves (anti-join + union, exactly-once) are the proven
+    ``cdc_merge_apply`` shape."""
+    current = read_delta(spark, path)
+    merged = current.join(
+        updates.select(key).distinct(), on=key, how="left_anti"
+    ).unionByName(updates)
+    version = write_delta(merged, path, mode="overwrite")
+    # relabel the commit operation (same file, same version — the log file
+    # is already committed; rewrite in place is fine single-writer because
+    # the version is claimed)
+    vf = _version_file(path, version)
+    lines = []
+    with open(vf, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                action["commitInfo"]["operation"] = "MERGE"
+            lines.append(json.dumps(action, separators=(",", ":")))
+    tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, vf)
+    return version
+
+
+def vacuum_delta(path: str, retain_versions: int = 1) -> list[str]:
+    """Physically delete data files no longer referenced by any of the
+    newest ``retain_versions`` versions — the retention cleanup that pairs
+    with time travel (after vacuum, travel past the horizon fails because
+    the files are GONE, exactly like the real VACUUM). Not a log commit
+    (per the spec, vacuum does not change table state). Returns the
+    deleted relative paths."""
+    versions = _existing_versions(path)
+    if not versions:
+        return []
+    keep: set[str] = set()
+    for v in versions[-max(retain_versions, 1):]:
+        keep.update(_replay(path, v)["files"])
+    deleted = []
+    for rel in _rel_data_files(path):
+        if rel not in keep:
+            os.unlink(os.path.join(path, rel))
+            deleted.append(rel)
+    # prune now-empty data directories (never the log)
+    for root, dirs, files in os.walk(path, topdown=False):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        if root != path and not os.listdir(root):
+            os.rmdir(root)
+    return sorted(deleted)
