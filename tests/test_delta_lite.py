@@ -245,3 +245,91 @@ def test_vacuum_retains_everything_when_window_covers_all(
     write_delta(src.limit(10), path, mode="overwrite")
     assert vacuum_delta(path, retain_versions=2) == []
     assert read_delta(spark, path, version=0).count() == 100
+
+
+def test_checkpoint_roundtrip_and_resume(spark, sf_dir, tmp_path):
+    """Checkpoint compaction: after checkpoint_delta the reader resumes
+    from the parquet snapshot (+ later JSON commits), and the state is
+    identical to the pure-JSON replay."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        checkpoint_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f, path, mode="overwrite")
+    write_delta(o, path, mode="append")
+    before = sorted(map(tuple, read_delta(spark, path).collect()))
+    v = checkpoint_delta(path)
+    assert v == 1
+    after = sorted(map(tuple, read_delta(spark, path).collect()))
+    assert before == after
+    # a commit AFTER the checkpoint lands on top of the snapshot
+    p = src.where(F.col("o_orderstatus") == "P")
+    assert write_delta(p, path, mode="append") == 2
+    assert read_delta(spark, path).count() == f.count() + o.count() + p.count()
+
+
+def test_checkpoint_cleanup_bounds_time_travel(spark, sf_dir, tmp_path):
+    """Log cleanup after checkpointing: latest reads work from the
+    snapshot alone; time travel to a cleaned-up version raises instead of
+    silently returning wrong data."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        checkpoint_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f, path, mode="overwrite")
+    write_delta(o, path, mode="overwrite")
+    checkpoint_delta(path, cleanup=True)
+    assert not os.path.exists(
+        os.path.join(path, "_delta_log", f"{0:020d}.json")
+    )
+    assert read_delta(spark, path).count() == o.count()
+    with pytest.raises(ValueError, match="not reconstructable"):
+        read_delta(spark, path, version=0)
+    # writes continue from the checkpointed version
+    assert write_delta(f, path, mode="append") == 2
+    assert read_delta(spark, path).count() == o.count() + f.count()
+
+
+def test_checkpointed_partitioned_table_roundtrips(spark, sf_dir, tmp_path):
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        checkpoint_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src, path, partition_by=("o_orderstatus",))
+    checkpoint_delta(path, cleanup=True)
+    back = read_delta(spark, path)
+    assert back.count() == src.count()
+    assert (
+        back.where(F.col("o_orderstatus") == "F").count()
+        == src.where(F.col("o_orderstatus") == "F").count()
+    )
+
+
+def test_vacuum_after_checkpoint_cleanup_keeps_latest(
+    spark, sf_dir, tmp_path
+):
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        checkpoint_delta,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f, path, mode="overwrite")
+    write_delta(o, path, mode="overwrite")
+    checkpoint_delta(path, cleanup=True)
+    deleted = vacuum_delta(path, retain_versions=1)
+    assert deleted  # v0's files are unreferenced by the snapshot
+    assert read_delta(spark, path).count() == o.count()

@@ -22,10 +22,14 @@ for can be implemented from the public spec without the connector:
 
 Honest scope (documented, enforced by errors — not silently wrong):
 
-- JSON-only log: no checkpoint parquet files are written, and reading
-  stops with ``NotImplementedError`` if ``_last_checkpoint`` exists
-  (tables written by THIS module never have one; a full-featured writer
-  compacting its log would). Readers per spec must replay JSON anyway.
+- Single-part classic checkpoints only (``V.checkpoint.parquet`` +
+  ``_last_checkpoint``): :func:`checkpoint_delta` compacts the replay
+  state into one parquet file (the spec's log-compaction — at real
+  commit rates, replaying every JSON commit grows linearly and the
+  checkpoint bounds it), and the reader resumes from the newest
+  checkpoint at or below the requested version. Multi-part or v2
+  checkpoints (sidecars) are refused, as is a ``_last_checkpoint``
+  whose parquet is missing.
 - minReaderVersion=1 / minWriterVersion=2 tables only — no deletion
   vectors, column mapping, or generated columns; reading a table that
   declares a higher reader version raises.
@@ -70,12 +74,6 @@ def _existing_versions(path: str) -> list[int]:
     ld = _log_dir(path)
     if not os.path.isdir(ld):
         return []
-    if os.path.exists(os.path.join(ld, "_last_checkpoint")):
-        raise NotImplementedError(
-            "delta_lite reads JSON-only logs; this table has a checkpoint "
-            "(_last_checkpoint), which only a full Delta reader can resume "
-            "from"
-        )
     out = []
     for fn in os.listdir(ld):
         if fn.endswith(".json") and len(fn) == 25:
@@ -86,23 +84,102 @@ def _existing_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def _checkpoint_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+
+
+def _last_checkpoint_version(path: str) -> int | None:
+    """Version of the newest checkpoint per ``_last_checkpoint``, verified
+    single-part classic; None if the table has no checkpoint."""
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    with open(lc, encoding="utf-8") as f:
+        meta = json.loads(f.read().strip() or "{}")
+    if meta.get("parts") not in (None, 1):
+        raise NotImplementedError(
+            "multi-part checkpoints are not supported by delta_lite"
+        )
+    v = meta.get("version")
+    if v is None or not os.path.exists(_checkpoint_file(path, v)):
+        raise NotImplementedError(
+            "_last_checkpoint present but its single-part classic "
+            "checkpoint parquet is missing/unsupported — only a full Delta "
+            "reader can resume this table"
+        )
+    return int(v)
+
+
+def _read_checkpoint(path: str, version: int) -> dict:
+    """State snapshot from a classic checkpoint parquet (driver-side
+    pyarrow read — the log is metadata-scale by design)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_checkpoint_file(path, version)).to_pylist()
+    files: dict[str, dict] = {}
+    metadata: dict | None = None
+    for row in tbl:
+        proto = row.get("protocol")
+        if proto:
+            mrv = proto.get("minReaderVersion", 1)
+            if mrv and mrv > 1:
+                raise NotImplementedError(
+                    f"checkpoint requires minReaderVersion {mrv}; "
+                    "delta_lite reads version-1 tables only"
+                )
+        md = row.get("metaData")
+        if md and md.get("id"):
+            metadata = dict(md)
+            if isinstance(metadata.get("partitionColumns"), tuple):
+                metadata["partitionColumns"] = list(
+                    metadata["partitionColumns"]
+                )
+        add = row.get("add")
+        if add and add.get("path"):
+            add = dict(add)
+            add["partitionValues"] = dict(add.get("partitionValues") or {})
+            files[add["path"]] = add
+    return {"files": files, "metadata": metadata}
+
+
 def _replay(path: str, version: int | None = None) -> dict:
-    """Replay the log up to ``version`` (inclusive; latest if None).
+    """Replay the log up to ``version`` (inclusive; latest if None),
+    resuming from the newest checkpoint at or below it when one exists
+    (the spec's read path: checkpoint state + later JSON commits).
     Returns {"files": {relpath: add_action}, "metadata": …,
     "version": int}."""
     versions = _existing_versions(path)
-    if not versions:
+    cp_version = _last_checkpoint_version(path)
+    if not versions and cp_version is None:
         raise FileNotFoundError(f"not a delta_lite table (no log): {path}")
+    cp_v = -1 if cp_version is None else cp_version
+    latest = max(versions[-1] if versions else -1, cp_v)
     if version is None:
-        version = versions[-1]
-    if version not in versions:
-        raise ValueError(
-            f"version {version} not in log (have {versions[0]}.."
-            f"{versions[-1]})"
-        )
+        version = latest
+    if version > latest or version < 0:
+        raise ValueError(f"version {version} not in log (latest {latest})")
+
     files: dict[str, dict] = {}
     metadata: dict | None = None
+    start_after = -1
+    if cp_version is not None and cp_version <= version:
+        state = _read_checkpoint(path, cp_version)
+        files = state["files"]
+        metadata = state["metadata"]
+        start_after = cp_version
+    # every JSON commit in (start_after, version] must be present — a
+    # cleaned-up log can no longer serve pre-checkpoint time travel
+    need = set(range(start_after + 1, version + 1))
+    have = set(versions)
+    if not need <= have:
+        missing = sorted(need - have)
+        raise ValueError(
+            f"version {version} not reconstructable: log files "
+            f"{missing} are absent (cleaned up after checkpointing?)"
+        )
     for v in versions:
+        if v <= start_after:
+            continue
         if v > version:
             break
         with open(_version_file(path, v), encoding="utf-8") as f:
@@ -197,10 +274,13 @@ def write_delta(
     (a few hundred bytes per file action) is driver-side, exactly like
     the real connector's driver-side transaction commit."""
     versions = _existing_versions(path)
-    version = (versions[-1] + 1) if versions else 0
+    cp_version = _last_checkpoint_version(path)
+    cp_v = -1 if cp_version is None else cp_version
+    latest = max(versions[-1] if versions else -1, cp_v)
+    version = latest + 1
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
-    prior = _replay(path, None)["files"] if versions else {}
+    prior = _replay(path, None)["files"] if version > 0 else {}
 
     commit_dir = f"part-{version:020d}"
     writer = df.write.mode("errorifexists")
@@ -379,9 +459,13 @@ def vacuum_delta(path: str, retain_versions: int = 1) -> list[str]:
     (per the spec, vacuum does not change table state). Returns the
     deleted relative paths."""
     versions = _existing_versions(path)
-    if not versions:
+    cp_version = _last_checkpoint_version(path)
+    if not versions and cp_version is None:
         return []
     keep: set[str] = set()
+    # the latest state is always retained (covers the checkpoint-only,
+    # cleaned-up-log case where no JSON versions remain)
+    keep.update(_replay(path, None)["files"])
     for v in versions[-max(retain_versions, 1):]:
         keep.update(_replay(path, v)["files"])
     deleted = []
@@ -395,3 +479,123 @@ def vacuum_delta(path: str, retain_versions: int = 1) -> list[str]:
         if root != path and not os.listdir(root):
             os.rmdir(root)
     return sorted(deleted)
+
+
+def checkpoint_delta(path: str, cleanup: bool = False) -> int:
+    """Write a classic single-part checkpoint of the CURRENT state
+    (``V.checkpoint.parquet`` + ``_last_checkpoint``) — the spec's log
+    compaction. At real commit rates the JSON replay grows linearly with
+    table age; a checkpoint bounds every subsequent read to one parquet
+    footer + the commits since. With ``cleanup=True`` the JSON files at
+    or below the checkpoint are deleted afterwards (the spec's log
+    cleanup) — latest-state reads are unaffected, but time travel to a
+    cleaned-up version correctly raises. Returns the checkpointed
+    version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = _replay(path, None)
+    version = state["version"]
+    md = state["metadata"]
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {"protocol": None, "metaData": md, "add": None},
+    ]
+    for add in state["files"].values():
+        rows.append({"protocol": None, "metaData": None, "add": add})
+
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    (
+                                        "options",
+                                        pa.map_(pa.string(), pa.string()),
+                                    ),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        (
+                            "configuration",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        (
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def _mapify(d, keys):
+        d = dict(d)
+        for k in keys:
+            if isinstance(d.get(k), dict):
+                d[k] = list(d[k].items())
+        return d
+
+    norm = []
+    for r in rows:
+        r = dict(r)
+        if r["metaData"]:
+            m = _mapify(r["metaData"], ("configuration",))
+            if isinstance(m.get("format"), dict):
+                m["format"] = _mapify(m["format"], ("options",))
+            norm.append({**r, "metaData": m})
+        elif r["add"]:
+            norm.append({**r, "add": _mapify(r["add"], ("partitionValues",))})
+        else:
+            norm.append(r)
+
+    tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.cp.tmp")
+    pq.write_table(pa.Table.from_pylist(norm, schema=schema), tmp)
+    os.replace(tmp, _checkpoint_file(path, version))
+    lc_tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.lc.tmp")
+    with open(lc_tmp, "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps({"version": version, "size": len(norm), "parts": 1})
+            + "\n"
+        )
+    os.replace(lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
+    if cleanup:
+        for v in _existing_versions(path):
+            if v <= version:
+                os.unlink(_version_file(path, v))
+    return version
