@@ -333,3 +333,37 @@ def test_vacuum_after_checkpoint_cleanup_keeps_latest(
     deleted = vacuum_delta(path, retain_versions=1)
     assert deleted  # v0's files are unreferenced by the snapshot
     assert read_delta(spark, path).count() == o.count()
+
+
+def test_partition_layout_is_pinned_and_inherited(spark, sf_dir, tmp_path):
+    """Partition columns are pinned at table creation: appends and merges
+    inherit them (no partition_by needed), and a conflicting layout is
+    refused instead of silently writing files the partition-column
+    reconstruction cannot read."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import merge_delta
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    f = src.where(F.col("o_orderstatus") == "F")
+    o = src.where(F.col("o_orderstatus") == "O")
+    write_delta(f, path, partition_by=("o_orderstatus",))
+    # append without partition_by: inherited, stays hive-partitioned
+    write_delta(o, path, mode="append")
+    back = read_delta(spark, path)
+    assert back.count() == f.count() + o.count()
+    assert (
+        back.where(F.col("o_orderstatus") == "O").count() == o.count()
+    )
+    # conflicting layout is refused
+    with pytest.raises(ValueError, match="pinned partition columns"):
+        write_delta(o, path, mode="append", partition_by=())
+    # merge preserves the layout too (updates ride the inherited pcols)
+    updates = f.limit(20).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    merge_delta(spark, path, updates, key="o_orderkey")
+    back2 = read_delta(spark, path)
+    assert back2.where(F.col("o_orderstatus") == "X").count() == 20
+    assert back2.count() == f.count() + o.count()

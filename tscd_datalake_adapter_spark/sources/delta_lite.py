@@ -260,7 +260,7 @@ def write_delta(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
-    partition_by: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] | None = None,
 ) -> int:
     """Write ``df`` as a delta_lite table commit; returns the committed
     version. ``mode``: "overwrite" (logical remove of all prior files +
@@ -268,6 +268,20 @@ def write_delta(
     parquet sink into a per-commit subdirectory (so concurrent data-file
     names never collide and old versions' files stay readable for time
     travel — spec-legal: add paths are arbitrary relative paths).
+
+    ``partition_by`` on an EXISTING table is inherited from the table's
+    metaData when omitted and validated against it when given — the Delta
+    contract pins partition columns at table creation, and silently
+    writing a commit in a different layout would leave the table with
+    files the partition-column reconstruction cannot read.
+
+    Layout matches the real connector: data files live in hive
+    partition directories AT THE TABLE ROOT (``col=val/part-*.parquet``;
+    Spark's UUID file names prevent cross-commit collisions), because
+    per-commit SUBdirectories make Spark's partition discovery see
+    conflicting structures across commits under one basePath. The new
+    files of a commit are identified by a before/after listing diff —
+    sound under the declared single-writer model.
 
     Scale shape: the data write IS ``df.write.parquet`` — fully
     distributed, partitioned via the hive layout; only the log commit
@@ -280,18 +294,31 @@ def write_delta(
     version = latest + 1
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
-    prior = _replay(path, None)["files"] if version > 0 else {}
+    prior_state = _replay(path, None) if version > 0 else None
+    prior = prior_state["files"] if prior_state else {}
+    if prior_state and prior_state["metadata"]:
+        existing_pcols = tuple(
+            prior_state["metadata"].get("partitionColumns") or ()
+        )
+        if partition_by is None:
+            partition_by = existing_pcols
+        elif tuple(partition_by) != existing_pcols:
+            raise ValueError(
+                f"partition_by {tuple(partition_by)} does not match the "
+                f"table's pinned partition columns {existing_pcols}"
+            )
+    partition_by = tuple(partition_by or ())
 
-    commit_dir = f"part-{version:020d}"
-    writer = df.write.mode("errorifexists")
+    before_files = set(_rel_data_files(path))
+    writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(path, commit_dir))
+    writer.parquet(path)
 
     now_ms = int(time.time() * 1000)
     adds = []
     for rel in _rel_data_files(path):
-        if not rel.startswith(commit_dir + os.sep) and rel != commit_dir:
+        if rel in before_files:
             continue
         full = os.path.join(path, rel)
         adds.append(
