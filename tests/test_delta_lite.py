@@ -97,11 +97,272 @@ def test_version_conflict_raises(spark, sf_dir, tmp_path):
     src = _orders(spark, sf_dir).limit(10)
     write_delta(src, path)
     _commit(path, 1, [{"commitInfo": {"operation": "WRITE"}}])
-    with pytest.raises(ConcurrentWriteError):
+    with pytest.raises(FileExistsError):
         _commit(path, 1, [{"commitInfo": {"operation": "RIVAL"}}])
     # the first commit's content survived intact
     log1 = os.path.join(path, "_delta_log", f"{1:020d}.json")
     assert "RIVAL" not in open(log1, encoding="utf-8").read()
+
+
+def test_overwrite_race_raises_append_race_retries(spark, sf_dir, tmp_path):
+    """Protocol conflict resolution (r8 verdict item 6): a lost APPEND
+    race re-reads the log and commits at the next version (disjoint file
+    sets never conflict — both writers' rows land); a lost OVERWRITE race
+    raises (its remove-set was computed against a dead state)."""
+    from tscd_datalake_adapter_spark.sources import delta_lite
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.limit(10), path)
+
+    # simulate the race: a rival zero-add append lands at every version
+    # this writer is about to claim, until the writer has lost twice
+    real_commit = delta_lite._commit
+    races = {"left": 2}
+
+    def racing_commit(p, version, actions):
+        if races["left"] > 0:
+            races["left"] -= 1
+            real_commit(
+                p,
+                version,
+                [
+                    {
+                        "commitInfo": {
+                            "timestamp": 1,
+                            "operation": "RIVAL_APPEND",
+                            "operationParameters": {"mode": "APPEND"},
+                        }
+                    }
+                ],
+            )
+        return real_commit(p, version, actions)
+
+    delta_lite._commit = racing_commit
+    try:
+        v = write_delta(src.limit(5), path, mode="append")
+    finally:
+        delta_lite._commit = real_commit
+    assert v == 3  # lost versions 1 and 2 to the rival, landed at 3
+    assert read_delta(spark, path).count() == 15  # nothing lost
+    ops = [h["operation"] for h in table_history(path)]
+    assert ops == ["WRITE", "RIVAL_APPEND", "RIVAL_APPEND", "WRITE"]
+
+    # an overwrite losing the same race must raise, not retry
+    races["left"] = 1
+    delta_lite._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            write_delta(src.limit(3), path, mode="overwrite")
+    finally:
+        delta_lite._commit = real_commit
+    # the failed overwrite left no visible rows (its files are unlogged)
+    assert read_delta(spark, path).count() == 15
+
+
+def test_schema_on_write_enforced_append_evolved_overwrite(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r8: schema is validated on EVERY write — a drifted append
+    raises; a full overwrite evolves the schema via a fresh metaData
+    action, and the post-overwrite EMPTY read returns the NEW schema."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        DeltaSchemaError,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(10)
+    write_delta(src, path)
+
+    drifted = src.withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    with pytest.raises(DeltaSchemaError):
+        write_delta(drifted, path, mode="append")
+    renamed = src.withColumnRenamed("o_totalprice", "price")
+    with pytest.raises(DeltaSchemaError):
+        write_delta(renamed, path, mode="append")
+
+    # overwrite evolves: new schema is logged and read back
+    write_delta(renamed, path, mode="overwrite")
+    assert "price" in read_delta(spark, path).columns
+    # the evolved EMPTY state reads with the evolved schema, not v0's
+    write_delta(renamed.limit(0), path, mode="overwrite")
+    empty = read_delta(spark, path)
+    assert empty.count() == 0 and "price" in empty.columns
+    # time travel to version 0 still reads with version 0's schema
+    assert "o_totalprice" in read_delta(spark, path, version=0).columns
+
+
+def test_partition_string_values_survive_type_inference(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r8 (medium): a STRING partition column with numeric-looking
+    zero-padded values ('01') must read back as the string '01' — the
+    logged schema is supplied to the reader, so hive partition
+    type-inference can never corrupt it to the int 1."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("01", 1), ("02", 2), ("10", 3)], "bucket string, v int"
+    )
+    write_delta(df, path, partition_by=("bucket",))
+    back = read_delta(spark, path)
+    assert [f.dataType.simpleString() for f in back.schema.fields if f.name == "bucket"] == ["string"]
+    assert sorted(r.bucket for r in back.collect()) == ["01", "02", "10"]
+
+
+def test_partition_values_hive_unescaped_in_log(spark, sf_dir, tmp_path):
+    """The spec's partitionValues store LOGICAL values: a value Hive
+    escapes in the path (':' → '%3A') must appear decoded in the add
+    action, and read back intact."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a:b", 1), ("c d", 2)], "k string, v int"
+    )
+    write_delta(df, path, partition_by=("k",))
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    pvals = set()
+    for ln in open(log0, encoding="utf-8"):
+        a = json.loads(ln)
+        if "add" in a:
+            pvals.add(a["add"]["partitionValues"]["k"])
+    assert pvals == {"a:b", "c d"}  # decoded, not 'a%3Ab'
+    assert sorted(r.k for r in read_delta(spark, path).collect()) == [
+        "a:b",
+        "c d",
+    ]
+
+
+def test_crashed_writer_leftovers_never_committed(spark, sf_dir, tmp_path):
+    """ADVICE r8 (low): files under hidden directories (a crashed Spark
+    write's _temporary, an abandoned _staging_*) are invisible to later
+    commits and to reads, and vacuum clears abandoned staging dirs."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import vacuum_delta
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(10)
+    write_delta(src, path)
+    # simulate a crashed writer: parquet bytes under hidden dirs
+    for hidden in ("_temporary/0/task_1", "_staging_deadbeef"):
+        d = os.path.join(path, hidden)
+        os.makedirs(d)
+        src.limit(3).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "x")
+        )
+    v = write_delta(src.limit(5), path, mode="append")
+    # the new commit added only its own 5 rows' files — no stray adds
+    hist = table_history(path)
+    assert hist[v]["n_adds"] >= 1
+    assert read_delta(spark, path).count() == 15
+    vacuum_delta(path)
+    assert not os.path.exists(os.path.join(path, "_staging_deadbeef"))
+    assert read_delta(spark, path).count() == 15
+
+
+def test_replace_partitions_scoped_overwrite(spark, sf_dir, tmp_path):
+    """replaceWhere on partitions: only the named partitions' files are
+    removed; naming a partition with no new rows DROPS it (the primitive
+    the lake adapter's merge needs for fully-superseded partitions)."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).where(
+        F.col("o_orderstatus").isin("F", "O", "P")
+    )
+    write_delta(src, path, partition_by=("o_orderstatus",))
+    n_f = src.where("o_orderstatus = 'F'").count()
+    n_o = src.where("o_orderstatus = 'O'").count()
+
+    # replace P with a 1-row slice, drop nothing else
+    one_p = src.where("o_orderstatus = 'P'").limit(1)
+    write_delta(
+        one_p,
+        path,
+        mode="overwrite",
+        replace_partitions=[{"o_orderstatus": "P"}],
+    )
+    back = read_delta(spark, path)
+    assert back.where("o_orderstatus = 'P'").count() == 1
+    assert back.where("o_orderstatus = 'F'").count() == n_f
+    assert back.where("o_orderstatus = 'O'").count() == n_o
+
+    # name P with ZERO new rows → the partition is dropped outright
+    write_delta(
+        src.where("o_orderstatus = 'NOPE'"),
+        path,
+        mode="overwrite",
+        replace_partitions=[{"o_orderstatus": "P"}],
+    )
+    back2 = read_delta(spark, path)
+    assert back2.where("o_orderstatus = 'P'").count() == 0
+    assert back2.where("o_orderstatus = 'F'").count() == n_f
+
+
+def test_checkpoint_carries_tombstones(spark, sf_dir, tmp_path):
+    """Spec fidelity (ADVICE r8 low): the classic checkpoint must carry
+    the unexpired remove tombstones, not just the active adds."""
+    import pyarrow.parquet as pq
+
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        checkpoint_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.limit(10), path)
+    write_delta(src.limit(4), path, mode="overwrite")  # v0 files tombstoned
+    v = checkpoint_delta(path)
+    cp = pq.read_table(
+        os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    ).to_pylist()
+    removes = [r["remove"]["path"] for r in cp if r.get("remove")]
+    adds = [r["add"]["path"] for r in cp if r.get("add")]
+    assert removes and set(removes).isdisjoint(adds)
+    # a reader resuming from the checkpoint sees only the live rows
+    assert read_delta(spark, path).count() == 4
+
+
+def test_version_as_of_timestamp_travel(spark, sf_dir, tmp_path):
+    """Timestamp-based travel per the spec: latest version with
+    inCommitTimestamp <= cutoff; None before the first commit; the
+    monotonic clamp orders equal/backdated stamps."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import version_as_of
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.limit(10), path, commit_timestamp_ms=1_000)
+    write_delta(
+        src.limit(5), path, mode="append", commit_timestamp_ms=2_000
+    )
+    # backdated third commit: clamped to 2_001, never reordered
+    write_delta(
+        src.limit(2), path, mode="append", commit_timestamp_ms=1_500
+    )
+    assert version_as_of(path, 999) is None
+    assert version_as_of(path, 1_000) == 0
+    assert version_as_of(path, 1_999) == 0
+    assert version_as_of(path, 2_000) == 1
+    assert version_as_of(path, 2_001) == 2
+    assert version_as_of(path, 10**15) == 2
+    assert read_delta(spark, path, version=1).count() == 15
+
+
+def test_purge_removed_deletes_latest_commits_dead_files(
+    spark, sf_dir, tmp_path
+):
+    """purge_removed: the targeted post-compaction cleanup — exactly the
+    files the LATEST commit removed are unlinked; older versions refuse."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _rel_data_files,
+        purge_removed,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.limit(10), path)
+    v = write_delta(src.limit(4), path, mode="overwrite")
+    before = set(_rel_data_files(path))
+    purged = purge_removed(path, v)
+    assert purged and set(purged) <= before
+    assert read_delta(spark, path).count() == 4
+    with pytest.raises(ValueError):
+        purge_removed(path, v - 1)
 
 
 def test_checkpointed_table_is_refused(spark, sf_dir, tmp_path):

@@ -14,11 +14,25 @@ for can be implemented from the public spec without the connector:
   ``metaData`` (first commit), ``add`` (file became part of the table),
   ``remove`` (file logically deleted), ``commitInfo`` (audit);
 - the table state at version V = replay of log files 0..V: active files
-  = adds minus later removes. Readers read exactly those parquet files.
+  = adds minus later removes. Readers read exactly those parquet files,
+  with the LOGGED schema (``metaData.schemaString``) supplied to the
+  parquet reader — partition-column values are cast from the hive path
+  to the logged type, never type-INFERRED (inference would silently turn
+  a string partition value ``'01'`` into the int ``1``).
 - commits are ATOMIC via write-temp + ``os.link`` into the log
   directory (EEXIST = a concurrent writer won the version = the
-  optimistic-concurrency conflict the protocol defines; single-writer
-  here: we raise, never retry-merge).
+  optimistic-concurrency conflict the protocol defines). Data files are
+  written to a hidden staging directory and MOVED into the table under
+  names carrying the commit's uuid, so every commit knows exactly which
+  files are its own — which makes the protocol's conflict resolution
+  sound: a lost APPEND race is retried at the next version (disjoint
+  file sets never conflict), while a lost OVERWRITE/replace race raises
+  ``ConcurrentWriteError`` (its remove-set was computed against a state
+  that no longer exists).
+- schema is enforced ON WRITE, like the connector: an append whose
+  schema differs from ``metaData.schemaString`` raises; an overwrite
+  with a changed schema commits a fresh ``metaData`` action (schema
+  evolution), keeping the table id and the pinned partition columns.
 
 Honest scope (documented, enforced by errors — not silently wrong):
 
@@ -27,19 +41,27 @@ Honest scope (documented, enforced by errors — not silently wrong):
   state into one parquet file (the spec's log-compaction — at real
   commit rates, replaying every JSON commit grows linearly and the
   checkpoint bounds it), and the reader resumes from the newest
-  checkpoint at or below the requested version. Multi-part or v2
-  checkpoints (sidecars) are refused, as is a ``_last_checkpoint``
-  whose parquet is missing.
+  checkpoint at or below the requested version. Checkpoints carry the
+  unexpired ``remove`` tombstones alongside the active ``add`` set, per
+  the spec. Multi-part or v2 checkpoints (sidecars) are refused, as is
+  a ``_last_checkpoint`` whose parquet is missing.
 - minReaderVersion=1 / minWriterVersion=2 tables only — no deletion
   vectors, column mapping, or generated columns; reading a table that
   declares a higher reader version raises.
-- Single-writer optimistic concurrency (version-file rename): a lost
-  race raises ``ConcurrentWriteError``.
-- Partition columns use the hive layout (``col=value/``) so Spark's own
-  parquet reader reconstructs them via ``basePath`` — the Delta spec
-  stores ``partitionValues`` in the log (we do too, and the reader
-  CHECKS them against the path) but delegating column materialization to
-  the hive layout keeps the read path one ``spark.read.parquet`` call.
+- Optimistic concurrency with append-only retry (above). Concurrent
+  CREATION of a table (two writers both at version 0) is always a
+  conflict. A crashed writer leaves at most an unlogged hidden
+  ``_staging_*`` directory (invisible to readers and to later commits;
+  removed by :func:`vacuum_delta`) — never a half-visible commit.
+- Partition columns use the hive layout (``col=value/``); the log's
+  ``partitionValues`` store the DECODED values (hive %XX escapes
+  undone, ``__HIVE_DEFAULT_PARTITION__`` → null) per the spec, and the
+  reader cross-checks them against the path on every read.
+- Known remaining non-interop vs a full connector (documented, small):
+  no per-file column ``stats`` in add actions (data-skipping falls back
+  to the parquet footers), no ``txn``/idempotent-writer actions, and
+  tombstones never expire (we have no retention clock; a real reader
+  simply sees more removes than strictly required).
 
 Everything here derives from the public protocol document and the Spark
 API; the resulting tables are spec-shaped (JSON log + parquet data), and
@@ -51,6 +73,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 import uuid
 
@@ -58,8 +82,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer committed this version first (optimistic-concurrency
-    conflict; this minimal single-writer implementation never retries)."""
+    """Another writer committed this version first and the conflict is
+    real (table creation, or an overwrite whose remove-set is stale).
+    Non-conflicting append races are retried internally instead."""
+
+
+class DeltaSchemaError(ValueError):
+    """Write schema does not match the table's logged schema (appends
+    must match exactly; use mode="overwrite" to evolve the schema)."""
 
 
 def _log_dir(path: str) -> str:
@@ -117,6 +147,7 @@ def _read_checkpoint(path: str, version: int) -> dict:
 
     tbl = pq.read_table(_checkpoint_file(path, version)).to_pylist()
     files: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     metadata: dict | None = None
     for row in tbl:
         proto = row.get("protocol")
@@ -139,15 +170,20 @@ def _read_checkpoint(path: str, version: int) -> dict:
             add = dict(add)
             add["partitionValues"] = dict(add.get("partitionValues") or {})
             files[add["path"]] = add
-    return {"files": files, "metadata": metadata}
+        rm = row.get("remove")
+        if rm and rm.get("path"):
+            rm = dict(rm)
+            rm["partitionValues"] = dict(rm.get("partitionValues") or {})
+            tombstones[rm["path"]] = rm
+    return {"files": files, "tombstones": tombstones, "metadata": metadata}
 
 
 def _replay(path: str, version: int | None = None) -> dict:
     """Replay the log up to ``version`` (inclusive; latest if None),
     resuming from the newest checkpoint at or below it when one exists
     (the spec's read path: checkpoint state + later JSON commits).
-    Returns {"files": {relpath: add_action}, "metadata": …,
-    "version": int}."""
+    Returns {"files": {relpath: add_action}, "tombstones":
+    {relpath: remove_action}, "metadata": …, "version": int}."""
     versions = _existing_versions(path)
     cp_version = _last_checkpoint_version(path)
     if not versions and cp_version is None:
@@ -160,11 +196,13 @@ def _replay(path: str, version: int | None = None) -> dict:
         raise ValueError(f"version {version} not in log (latest {latest})")
 
     files: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     metadata: dict | None = None
     start_after = -1
     if cp_version is not None and cp_version <= version:
         state = _read_checkpoint(path, cp_version)
         files = state["files"]
+        tombstones = state["tombstones"]
         metadata = state["metadata"]
         start_after = cp_version
     # every JSON commit in (start_after, version] must be present — a
@@ -199,9 +237,17 @@ def _replay(path: str, version: int | None = None) -> dict:
                     metadata = action["metaData"]
                 elif "add" in action:
                     files[action["add"]["path"]] = action["add"]
+                    tombstones.pop(action["add"]["path"], None)
                 elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
-    return {"files": files, "metadata": metadata, "version": version}
+                    rel = action["remove"]["path"]
+                    files.pop(rel, None)
+                    tombstones[rel] = action["remove"]
+    return {
+        "files": files,
+        "tombstones": tombstones,
+        "metadata": metadata,
+        "version": version,
+    }
 
 
 def _commit(path: str, version: int, actions: list[dict]) -> None:
@@ -210,8 +256,8 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
     if the destination exists and the destination appears fully written
     or not at all (no empty-file window, unlike create-then-replace; no
     silent clobber, unlike rename). A lost race between two writers
-    surfaces as ConcurrentWriteError — the protocol's optimistic-
-    concurrency conflict."""
+    surfaces as FileExistsError for the caller to resolve (retry at the
+    next version for appends, ConcurrentWriteError otherwise)."""
     ld = _log_dir(path)
     os.makedirs(ld, exist_ok=True)
     dest = _version_file(path, version)
@@ -223,37 +269,142 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
         os.fsync(f.fileno())
     try:
         os.link(tmp, dest)
-    except FileExistsError as exc:
-        raise ConcurrentWriteError(
-            f"version {version} was committed concurrently at {path}"
-        ) from exc
     finally:
         os.unlink(tmp)
 
 
 def _rel_data_files(path: str) -> list[str]:
     """Relative paths of every parquet data file currently on disk (hive
-    layout aware), EXCLUDING the log directory."""
+    layout aware), EXCLUDING the log directory and any hidden
+    ('.'/'_'-prefixed) directories or files — mirroring Spark's
+    hidden-file filter, so leftovers from a crashed write
+    (``_staging_*/…`` or ``path/_temporary/…``) are invisible here."""
     out = []
     for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
-            if fn.endswith(".parquet"):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 out.append(
                     os.path.relpath(os.path.join(root, fn), path)
                 )
     return sorted(out)
 
 
+_HIVE_ESCAPE_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_unescape(value: str) -> str | None:
+    """Decode one hive path-segment value: %XX escapes undone (the exact
+    inverse of Hive/Spark ``escapePathName``), the null sentinel → None.
+    The spec's partitionValues store logical values, not path bytes."""
+    if value == _HIVE_NULL:
+        return None
+    return _HIVE_ESCAPE_RE.sub(lambda m: chr(int(m.group(1), 16)), value)
+
+
 def _partition_values(relpath: str, partition_by: tuple[str, ...]) -> dict:
-    """partitionValues per the spec, parsed from the hive path segments."""
-    vals: dict[str, str] = {}
+    """partitionValues per the spec, parsed (and hive-unescaped) from the
+    path segments."""
+    vals: dict[str, str | None] = {}
     for seg in relpath.split(os.sep)[:-1]:
         if "=" in seg:
             k, v = seg.split("=", 1)
             if k in partition_by:
-                vals[k] = v
+                vals[k] = _hive_unescape(v)
     return vals
+
+
+def _schema_fingerprint(schema) -> dict[str, str]:
+    """Name→type map for schema-on-write comparison: field ORDER and
+    NULLABILITY are owned by the reader/writer (parquet resolves columns
+    by name; nullability flags vary by construction path), so neither
+    participates in the contract."""
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+
+def _logged_schema(metadata: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(metadata["schemaString"]))
+
+
+def _write_data_files(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...],
+    commit_uuid: str,
+    writer_options: dict[str, str] | None = None,
+) -> list[str]:
+    """Write ``df``'s parquet files into the table under names owned by
+    this commit. Spark writes into a hidden ``_staging_<uuid>`` directory
+    (invisible to readers and to other commits), then each part file is
+    MOVED (same-filesystem rename, atomic per file) into its hive
+    directory at the table root as ``part-NNNNN-<commit_uuid>.parquet``.
+    Returns the relative paths moved. Because every add is attributed to
+    its commit, concurrent writers can never claim each other's files —
+    the soundness gap a before/after directory diff has by construction.
+    The data write itself is Spark-distributed; only the per-file rename
+    loop is driver-side, and it is metadata-scale (one syscall per part
+    file), exactly like the real connector's commit."""
+    staging = os.path.join(path, f"_staging_{commit_uuid}")
+    writer = df.write.mode("overwrite")
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    moved: list[str] = []
+    try:
+        i = 0
+        for root, dirs, files in os.walk(staging):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for fn in sorted(files):
+                if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                    continue
+                reldir = os.path.relpath(root, staging)
+                name = f"part-{i:05d}-{commit_uuid}.parquet"
+                i += 1
+                dest_dir = (
+                    path if reldir == "." else os.path.join(path, reldir)
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(
+                    os.path.join(root, fn), os.path.join(dest_dir, name)
+                )
+                moved.append(
+                    name if reldir == "." else os.path.join(reldir, name)
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return sorted(moved)
+
+
+def _commit_info(path: str, version: int) -> dict | None:
+    """The commitInfo action of ``version``, or None when unavailable
+    (cleaned-up log)."""
+    vf = _version_file(path, version)
+    if version < 0 or not os.path.exists(vf):
+        return None
+    with open(vf, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                return action["commitInfo"]
+    return None
+
+
+def _prev_commit_timestamp(path: str, latest: int) -> int | None:
+    """In-commit timestamp of version ``latest`` (for the monotonicity
+    clamp), or None when unavailable (cleaned-up log)."""
+    ci = _commit_info(path, latest)
+    if ci is None:
+        return None
+    ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
+    return int(ts) if ts is not None else None
 
 
 def write_delta(
@@ -261,13 +412,20 @@ def write_delta(
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] | None = None,
+    replace_partitions: list[dict] | None = None,
+    writer_options: dict[str, str] | None = None,
+    commit_timestamp_ms: int | None = None,
+    operation: str | None = None,
+    max_retries: int = 20,
 ) -> int:
     """Write ``df`` as a delta_lite table commit; returns the committed
-    version. ``mode``: "overwrite" (logical remove of all prior files +
-    adds) or "append" (adds only). Data files are written by Spark's
-    parquet sink into a per-commit subdirectory (so concurrent data-file
-    names never collide and old versions' files stay readable for time
-    travel — spec-legal: add paths are arbitrary relative paths).
+    version. ``mode``: "overwrite" (logical remove of prior files +
+    adds) or "append" (adds only). With ``replace_partitions`` (a list
+    of partitionValues dicts, mode must be "overwrite") only the files
+    belonging to those partitions are removed — the connector's
+    ``replaceWhere`` on partition predicates, which can also DROP a
+    partition entirely (a dict with no surviving rows simply gets no new
+    adds).
 
     ``partition_by`` on an EXISTING table is inherited from the table's
     metaData when omitted and validated against it when given — the Delta
@@ -275,108 +433,205 @@ def write_delta(
     writing a commit in a different layout would leave the table with
     files the partition-column reconstruction cannot read.
 
-    Layout matches the real connector: data files live in hive
-    partition directories AT THE TABLE ROOT (``col=val/part-*.parquet``;
-    Spark's UUID file names prevent cross-commit collisions), because
-    per-commit SUBdirectories make Spark's partition discovery see
-    conflicting structures across commits under one basePath. The new
-    files of a commit are identified by a before/after listing diff —
-    sound under the declared single-writer model.
+    Schema-on-write: an append whose name→type fingerprint differs from
+    the logged schema raises :class:`DeltaSchemaError`; a full overwrite
+    with a new schema commits a fresh ``metaData`` action (evolution),
+    keeping the table id and pinned partition columns (which must still
+    exist in the new schema). ``replace_partitions`` never evolves.
+
+    Concurrency: data files are staged and moved under this commit's
+    uuid (see :func:`_write_data_files`), so a lost commit race is
+    retried for appends — re-read the log, re-validate schema/layout,
+    claim the next version; the protocol's non-conflicting concurrent
+    append. Creation races and overwrite races raise
+    :class:`ConcurrentWriteError`.
+
+    ``commit_timestamp_ms`` sets the commit's in-commit timestamp
+    (clamped to be monotonically increasing, as the spec's
+    inCommitTimestamp requires) — the knob :func:`version_as_of` time
+    travel keys on; defaults to the wall clock.
 
     Scale shape: the data write IS ``df.write.parquet`` — fully
     distributed, partitioned via the hive layout; only the log commit
-    (a few hundred bytes per file action) is driver-side, exactly like
-    the real connector's driver-side transaction commit."""
+    (a few hundred bytes per file action) and the per-file rename loop
+    are driver-side, exactly like the real connector's driver-side
+    transaction commit."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    if replace_partitions is not None and mode != "overwrite":
+        raise ValueError("replace_partitions requires mode='overwrite'")
     versions = _existing_versions(path)
     cp_version = _last_checkpoint_version(path)
     cp_v = -1 if cp_version is None else cp_version
     latest = max(versions[-1] if versions else -1, cp_v)
     version = latest + 1
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"unsupported mode {mode!r}")
     prior_state = _replay(path, None) if version > 0 else None
-    prior = prior_state["files"] if prior_state else {}
-    if prior_state and prior_state["metadata"]:
-        existing_pcols = tuple(
-            prior_state["metadata"].get("partitionColumns") or ()
-        )
-        if partition_by is None:
-            partition_by = existing_pcols
-        elif tuple(partition_by) != existing_pcols:
-            raise ValueError(
-                f"partition_by {tuple(partition_by)} does not match the "
-                f"table's pinned partition columns {existing_pcols}"
-            )
-    partition_by = tuple(partition_by or ())
 
-    before_files = set(_rel_data_files(path))
-    writer = df.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    def _validate_against(state) -> tuple[tuple[str, ...], bool]:
+        """(partition columns to use, whether metaData must be re-emitted)."""
+        pby = partition_by
+        evolve = False
+        if state and state["metadata"]:
+            md = state["metadata"]
+            existing_pcols = tuple(md.get("partitionColumns") or ())
+            if pby is None:
+                pby = existing_pcols
+            elif tuple(pby) != existing_pcols:
+                raise ValueError(
+                    f"partition_by {tuple(pby)} does not match the "
+                    f"table's pinned partition columns {existing_pcols}"
+                )
+            logged_fp = _schema_fingerprint(_logged_schema(md))
+            df_fp = _schema_fingerprint(df.schema)
+            if df_fp != logged_fp:
+                if mode == "append" or replace_partitions is not None:
+                    raise DeltaSchemaError(
+                        f"write schema {df_fp} does not match the table's "
+                        f"logged schema {logged_fp}; appends and partition "
+                        "replacements must match exactly (full overwrite "
+                        "evolves the schema)"
+                    )
+                missing = [c for c in existing_pcols if c not in df_fp]
+                if missing:
+                    raise DeltaSchemaError(
+                        f"schema evolution cannot drop the pinned "
+                        f"partition columns {missing}"
+                    )
+                evolve = True
+        return tuple(pby or ()), evolve
 
+    pby, evolve = _validate_against(prior_state)
+
+    commit_uuid = uuid.uuid4().hex
+    adds_rel = _write_data_files(
+        df, path, pby, commit_uuid, writer_options
+    )
     now_ms = int(time.time() * 1000)
-    adds = []
-    for rel in _rel_data_files(path):
-        if rel in before_files:
-            continue
-        full = os.path.join(path, rel)
-        adds.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": _partition_values(
-                        rel, partition_by
-                    ),
-                    "size": os.path.getsize(full),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
 
-    actions: list[dict] = []
-    if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    def _build_actions(state, version: int, pby, evolve) -> list[dict]:
+        req_ms = (
+            int(commit_timestamp_ms)
+            if commit_timestamp_ms is not None
+            else now_ms
         )
-        actions.append(
-            {
-                "metaData": {
-                    "id": str(uuid.uuid4()),
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": list(partition_by),
-                    "configuration": {},
-                    "createdTime": now_ms,
-                }
-            }
-        )
-    if mode == "overwrite":
-        for rel, add in prior.items():
+        ts_ms = req_ms
+        prev_ts = _prev_commit_timestamp(path, version - 1)
+        if prev_ts is not None and ts_ms <= prev_ts:
+            ts_ms = prev_ts + 1  # the spec's monotonic ICT clamp
+        actions: list[dict] = []
+        if version == 0:
             actions.append(
                 {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                        "partitionValues": add.get("partitionValues", {}),
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
                     }
                 }
             )
-    actions.extend(adds)
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "WRITE",
-                "operationParameters": {"mode": mode.upper()},
-                "engineInfo": "delta_lite/0.1",
+        if version == 0 or evolve:
+            md_id = (
+                state["metadata"]["id"]
+                if state and state["metadata"]
+                else str(uuid.uuid4())
+            )
+            created = (
+                state["metadata"].get("createdTime", now_ms)
+                if state and state["metadata"]
+                else now_ms
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": md_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": list(pby),
+                        "configuration": {},
+                        "createdTime": created,
+                    }
+                }
+            )
+        prior = state["files"] if state else {}
+        if mode == "overwrite":
+            for rel, add in prior.items():
+                pv = add.get("partitionValues", {})
+                if replace_partitions is not None and not any(
+                    all(pv.get(k) == v for k, v in want.items())
+                    for want in replace_partitions
+                ):
+                    continue
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": ts_ms,
+                            "dataChange": True,
+                            "partitionValues": pv,
+                        }
+                    }
+                )
+        for rel in adds_rel:
+            full = os.path.join(path, rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": _partition_values(rel, pby),
+                        "size": os.path.getsize(full),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    # `timestamp` carries the CALLER's stamp verbatim (like
+                    # the connector's user/file-time field); travel keyed on
+                    # it uses last-match resolution. `inCommitTimestamp` is
+                    # the spec's strictly-monotonic clamped stamp.
+                    "timestamp": req_ms,
+                    "inCommitTimestamp": ts_ms,
+                    "operation": operation
+                    or (
+                        "WRITE"
+                        if replace_partitions is None
+                        else "REPLACE_PARTITIONS"
+                    ),
+                    "operationParameters": {"mode": mode.upper()},
+                    "engineInfo": "delta_lite/0.2",
+                    "commitUuid": commit_uuid,
+                }
             }
-        }
+        )
+        return actions
+
+    state = prior_state
+    for _attempt in range(max_retries):
+        try:
+            _commit(path, version, _build_actions(state, version, pby, evolve))
+            return version
+        except FileExistsError:
+            if version == 0:
+                raise ConcurrentWriteError(
+                    f"table at {path} was created concurrently"
+                ) from None
+            if mode != "append":
+                raise ConcurrentWriteError(
+                    f"version {version} was committed concurrently at "
+                    f"{path}; the overwrite's remove-set is stale"
+                ) from None
+            # non-conflicting concurrent append (the protocol's retry):
+            # our files are attributed to our commit uuid, so re-reading
+            # the log and claiming the next version is sufficient —
+            # provided schema and layout still validate against whatever
+            # the winner committed.
+            state = _replay(path, None)
+            version = state["version"] + 1
+            pby, evolve = _validate_against(state)
+    raise ConcurrentWriteError(
+        f"append to {path} lost {max_retries} consecutive commit races"
     )
-    _commit(path, version, actions)
-    return version
 
 
 def read_delta(
@@ -384,21 +639,19 @@ def read_delta(
 ) -> DataFrame:
     """Read a delta_lite table (optionally a historical ``version`` —
     time travel by log replay). The active file set comes from the log;
-    Spark's parquet reader with ``basePath`` reconstructs hive partition
-    columns. Reads exactly the logged files — a data file present on
-    disk but removed from the log (overwritten version) is invisible,
-    which is the Delta read contract plain parquet directory listing
-    cannot give."""
+    the LOGGED schema is supplied to Spark's parquet reader, so
+    partition-column values are cast from the hive path segments to
+    their logged types (never type-inferred: a string partition value
+    ``'01'`` stays ``'01'``). Reads exactly the logged files — a data
+    file present on disk but removed from the log (overwritten version)
+    is invisible, which is the Delta read contract plain parquet
+    directory listing cannot give."""
     state = _replay(path, version)
     files = state["files"]
+    schema = _logged_schema(state["metadata"])
     if not files:
         # an empty table still has a schema in metaData
-        schema_json = state["metadata"]["schemaString"]
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(schema_json))
-        )
+        return spark.createDataFrame([], schema)
     # verify the spec's partitionValues agree with the hive path layout
     # (they are written together; disagreement means a corrupted table)
     pcols = state["metadata"]["partitionColumns"]
@@ -410,15 +663,23 @@ def read_delta(
                 f"{add.get('partitionValues')}, path says {from_path}"
             )
     paths = [os.path.join(path, rel) for rel in sorted(files)]
-    return spark.read.option("basePath", path).parquet(*paths)
+    return (
+        spark.read.schema(schema).option("basePath", path).parquet(*paths)
+    )
 
 
 def table_history(path: str) -> list[dict]:
-    """One record per version: version, operation, n_adds, n_removes —
-    the DESCRIBE HISTORY surface."""
+    """One record per version: version, operation, timestamp, n_adds,
+    n_removes — the DESCRIBE HISTORY surface."""
     out = []
     for v in _existing_versions(path):
-        ops = {"version": v, "operation": None, "n_adds": 0, "n_removes": 0}
+        ops = {
+            "version": v,
+            "operation": None,
+            "timestamp": None,
+            "n_adds": 0,
+            "n_removes": 0,
+        }
         with open(_version_file(path, v), encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
@@ -431,8 +692,52 @@ def table_history(path: str) -> list[dict]:
                     ops["n_removes"] += 1
                 elif "commitInfo" in action:
                     ops["operation"] = action["commitInfo"].get("operation")
+                    ops["timestamp"] = action["commitInfo"].get("timestamp")
         out.append(ops)
     return out
+
+
+def version_as_of(
+    path: str, timestamp_ms: int, field: str = "inCommitTimestamp"
+) -> int | None:
+    """Timestamp-based time travel resolution per the spec: the LATEST
+    version whose commit timestamp is <= ``timestamp_ms``. With the
+    default ``field`` the strictly-monotonic ``inCommitTimestamp`` is
+    used. ``field="timestamp"`` resolves against the CALLER-supplied
+    stamps instead (which several commits may share, e.g. one bulk ingest
+    split over many commits) — last match wins, so a cutoff equal to the
+    shared stamp includes the whole batch. Returns None when the cutoff
+    predates the first commit (the table did not exist yet). Raises when
+    the JSON commits needed to decide have been cleaned up past a
+    checkpoint horizon."""
+    versions = _existing_versions(path)
+    if not versions:
+        cp = _last_checkpoint_version(path)
+        if cp is None:
+            raise FileNotFoundError(
+                f"not a delta_lite table (no log): {path}"
+            )
+        raise ValueError(
+            "timestamp travel needs the JSON commits' timestamps, but the "
+            "log was cleaned up past the checkpoint horizon"
+        )
+    best: int | None = None
+    for v in versions:
+        ci = _commit_info(path, v) or {}
+        ts = ci.get(field, ci.get("timestamp"))
+        if ts is not None and int(ts) <= timestamp_ms:
+            best = v
+        elif (
+            ts is not None
+            and int(ts) > timestamp_ms
+            and field == "inCommitTimestamp"
+        ):
+            break  # ICT is monotonic; caller stamps may not be
+    if best is None and versions[0] > 0:
+        raise ValueError(
+            f"cannot decide: versions below {versions[0]} were cleaned up"
+        )
+    return best
 
 
 def merge_delta(
@@ -456,35 +761,31 @@ def merge_delta(
     merged = current.join(
         updates.select(key).distinct(), on=key, how="left_anti"
     ).unionByName(updates)
-    version = write_delta(merged, path, mode="overwrite")
-    # relabel the commit operation (same file, same version — the log file
-    # is already committed; rewrite in place is fine single-writer because
-    # the version is claimed)
-    vf = _version_file(path, version)
-    lines = []
-    with open(vf, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            action = json.loads(line)
-            if "commitInfo" in action:
-                action["commitInfo"]["operation"] = "MERGE"
-            lines.append(json.dumps(action, separators=(",", ":")))
-    tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
-    os.replace(tmp, vf)
-    return version
+    return write_delta(merged, path, mode="overwrite", operation="MERGE")
+
+
+def _prune_empty_dirs(path: str) -> None:
+    """Remove now-empty data directories (never the log, never hidden
+    staging dirs). Collected via a top-down walk WITH pruning (the
+    bottom-up form cannot prune), then removed deepest-first."""
+    candidates: list[str] = []
+    for root, dirs, _files in os.walk(path, topdown=True):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for d in dirs:
+            candidates.append(os.path.join(root, d))
+    for d in sorted(candidates, reverse=True):
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
 
 
 def vacuum_delta(path: str, retain_versions: int = 1) -> list[str]:
     """Physically delete data files no longer referenced by any of the
     newest ``retain_versions`` versions — the retention cleanup that pairs
     with time travel (after vacuum, travel past the horizon fails because
-    the files are GONE, exactly like the real VACUUM). Not a log commit
-    (per the spec, vacuum does not change table state). Returns the
-    deleted relative paths."""
+    the files are GONE, exactly like the real VACUUM). Also removes
+    leftover ``_staging_*`` directories from crashed writers (their files
+    were never committed). Not a log commit (per the spec, vacuum does
+    not change table state). Returns the deleted relative paths."""
     versions = _existing_versions(path)
     cp_version = _last_checkpoint_version(path)
     if not versions and cp_version is None:
@@ -500,12 +801,45 @@ def vacuum_delta(path: str, retain_versions: int = 1) -> list[str]:
         if rel not in keep:
             os.unlink(os.path.join(path, rel))
             deleted.append(rel)
-    # prune now-empty data directories (never the log)
-    for root, dirs, files in os.walk(path, topdown=False):
-        dirs[:] = [d for d in dirs if d != "_delta_log"]
-        if root != path and not os.listdir(root):
-            os.rmdir(root)
+    for entry in os.listdir(path):
+        if entry.startswith("_staging_"):
+            full = os.path.join(path, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+    _prune_empty_dirs(path)
     return sorted(deleted)
+
+
+def purge_removed(path: str, version: int) -> list[str]:
+    """Physically delete exactly the files REMOVED at commit ``version``
+    (they are tombstoned, hence absent from every state >= version), iff
+    ``version`` is the latest — the targeted form of vacuum an engine
+    uses right after a compaction/merge commit it knows nobody time
+    travels behind. Returns the deleted relative paths."""
+    state = _replay(path, None)
+    if version != state["version"]:
+        raise ValueError(
+            f"purge_removed only purges the LATEST commit's removes "
+            f"(latest {state['version']}, got {version}) — older versions "
+            "may still be readable; use vacuum_delta for windowed cleanup"
+        )
+    removed: list[str] = []
+    with open(_version_file(path, version), encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "remove" in action:
+                rel = action["remove"]["path"]
+                if rel in state["files"]:
+                    continue  # re-added later in the same commit
+                full = os.path.join(path, rel)
+                if os.path.exists(full):
+                    os.unlink(full)
+                    removed.append(rel)
+    _prune_empty_dirs(path)
+    return sorted(removed)
 
 
 def checkpoint_delta(path: str, cleanup: bool = False) -> int:
@@ -513,27 +847,31 @@ def checkpoint_delta(path: str, cleanup: bool = False) -> int:
     (``V.checkpoint.parquet`` + ``_last_checkpoint``) — the spec's log
     compaction. At real commit rates the JSON replay grows linearly with
     table age; a checkpoint bounds every subsequent read to one parquet
-    footer + the commits since. With ``cleanup=True`` the JSON files at
-    or below the checkpoint are deleted afterwards (the spec's log
-    cleanup) — latest-state reads are unaffected, but time travel to a
-    cleaned-up version correctly raises. Returns the checkpointed
-    version."""
+    footer + the commits since. The checkpoint carries the remove
+    TOMBSTONES alongside the active adds, as the spec requires (a reader
+    resuming from the checkpoint must still know which files are dead).
+    With ``cleanup=True`` the JSON files at or below the checkpoint are
+    deleted afterwards (the spec's log cleanup) — latest-state reads are
+    unaffected, but time travel to a cleaned-up version correctly raises.
+    Returns the checkpointed version."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     state = _replay(path, None)
     version = state["version"]
     md = state["metadata"]
+    empty = {"protocol": None, "metaData": None, "add": None, "remove": None}
     rows = [
         {
+            **empty,
             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-            "metaData": None,
-            "add": None,
         },
-        {"protocol": None, "metaData": md, "add": None},
+        {**empty, "metaData": md},
     ]
     for add in state["files"].values():
-        rows.append({"protocol": None, "metaData": None, "add": add})
+        rows.append({**empty, "add": add})
+    for rm in state["tombstones"].values():
+        rows.append({**empty, "remove": rm})
 
     schema = pa.schema(
         [
@@ -588,6 +926,20 @@ def checkpoint_delta(path: str, cleanup: bool = False) -> int:
                     ]
                 ),
             ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        (
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -608,6 +960,10 @@ def checkpoint_delta(path: str, cleanup: bool = False) -> int:
             norm.append({**r, "metaData": m})
         elif r["add"]:
             norm.append({**r, "add": _mapify(r["add"], ("partitionValues",))})
+        elif r["remove"]:
+            norm.append(
+                {**r, "remove": _mapify(r["remove"], ("partitionValues",))}
+            )
         else:
             norm.append(r)
 
