@@ -11,7 +11,10 @@ Noise hardening (round 5): min-of-THREE per query, and the JSON carries a
 parallel ``queries_p2`` map with each query's SECOND-best time — when a
 co-tenant load spike inflates a run, best≈p2 means the number is stable
 while best≪p2 flags the measurement itself as noisy, diagnosable from the
-recorded JSON alone.
+recorded JSON alone. Round 9: the CPU probe is a median-of-5 stamped both
+BEFORE and AFTER the run (``cpu_probe_sec_pre/post``; ``cpu_probe_sec`` is
+their mean, feeding ``value_probe_adjusted``) — a single sample was noisy
+enough to flip round-over-round conclusions (r8 verdict).
 
 ``python bench.py --families`` runs the SECOND tier instead: every
 registered query (not just headline), grouped into per-module families,
@@ -57,6 +60,17 @@ def _cpu_probe() -> float:
     for i in range(20_000_000):
         s += i
     return round(time.time() - t0, 3)
+
+
+def _cpu_probe_median(n: int = 5) -> float:
+    """Median of ``n`` probe samples (r8 verdict item 3): a SINGLE sample
+    proved noisy enough to flip round-over-round conclusions (r8's
+    families read was −15% raw vs +12% single-probe-adjusted — the probe
+    variance, not the queries). The bench stamps a median-of-5 BEFORE and
+    AFTER the run and adjusts by their mean, so a mid-run host-speed
+    shift is visible in the recorded JSON itself (pre ≉ post)."""
+    samples = sorted(_cpu_probe() for _ in range(n))
+    return samples[n // 2]
 
 
 def _probe_work(_):
@@ -121,6 +135,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = load_all()
+    probe_pre = _cpu_probe_median()
 
     if families_mode:
         by_family: dict[str, dict] = {}
@@ -141,7 +156,8 @@ def main() -> int:
                 queries_p2[name] = round(times[1], 3)
             families[fam] = round(sum(ts[0] for ts in t.values()), 3)
             families_p2[fam] = round(sum(ts[1] for ts in t.values()), 3)
-        probe = _cpu_probe()
+        probe_post = _cpu_probe_median()
+        probe = round((probe_pre + probe_post) / 2, 3)
         total = round(sum(families.values()), 3)
         result = {
             "metric": "all_queries_total_runtime",
@@ -155,6 +171,8 @@ def main() -> int:
             "queries_p2": queries_p2,
             "n_queries": len(queries),
             "cpu_probe_sec": probe,
+            "cpu_probe_sec_pre": probe_pre,
+            "cpu_probe_sec_post": probe_post,
             "cpu_probe_parallel_sec": _cpu_probe_parallel(),
             "sf": _sf_val(sf_dir),
         }
@@ -173,7 +191,8 @@ def main() -> int:
     timings = {name: round(times[0], 3) for name, times in t.items()}
     second_best = {name: round(times[1], 3) for name, times in t.items()}
 
-    probe = _cpu_probe()
+    probe_post = _cpu_probe_median()
+    probe = round((probe_pre + probe_post) / 2, 3)
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
@@ -184,6 +203,8 @@ def main() -> int:
         "queries": timings,
         "queries_p2": second_best,
         "cpu_probe_sec": probe,
+        "cpu_probe_sec_pre": probe_pre,
+        "cpu_probe_sec_post": probe_post,
         "cpu_probe_parallel_sec": _cpu_probe_parallel(),
         "sf": _sf_val(sf_dir),
     }

@@ -331,6 +331,87 @@ def test_api_shapes(lake, book_dir):
     assert api.health()["status"] == "ok"
 
 
+def test_lake_log_history_and_stray_file_invisibility(
+    lake, book_dir, spark
+):
+    """The delta-backed lake (r9): every mutation is a logged commit —
+    history() names them — and a stray parquet file dropped into the lake
+    directory (a crashed writer, a manual copy) is INVISIBLE to reads,
+    the read contract the plain-parquet layout could not give."""
+    import glob
+    import os
+    import shutil
+
+    paths = sorted(str(p) for p in book_dir.iterdir())
+    lake.ingest_files(paths, TS)
+    ops = [h["operation"] for h in lake.history()]
+    assert ops == ["INGEST", "INGEST", "INGEST"]
+
+    # plant a stray copy of a committed data file in the same partition
+    part_dir = os.path.join(
+        lake.lake_root, "ingest_date=20260813", "ingest_hour=14"
+    )
+    some_file = glob.glob(os.path.join(part_dir, "*.parquet"))[0]
+    shutil.copy(some_file, os.path.join(part_dir, "part-stray.parquet"))
+    assert lake.read().count() == 3  # not 4: the stray is unlogged
+    assert lake.list_books() == [11, 22, 33]
+
+    n = lake.compact("20260813", "14", target_files=1)
+    assert n == 3  # the compaction rewrote the LOGGED rows only
+    ops = [h["operation"] for h in lake.history()]
+    assert ops[-1] == "OPTIMIZE"
+
+
+def test_merge_without_purge_keeps_time_travel(lake, book_dir, spark):
+    """merge_books(purge=False) retains the tombstoned files, so log time
+    travel to the pre-merge state still works — the choice the plain
+    layout never had (its superseded rows were garbage, not a version)."""
+    lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS)
+    updates = spark.createDataFrame(
+        [(22, "new header", "new body")],
+        "book_id long, header string, body string",
+    )
+    ts3 = dt.datetime(2026, 8, 15, 10, 0, 0)
+    lake.merge_books(updates, ts3, purge=False)
+
+    # post-merge state: one row for 22, the new version
+    rows = lake.read().where(F.col("book_id") == 22).collect()
+    assert len(rows) == 1 and rows[0].body == "new body"
+    # pre-merge cutoff reconstructs the ORIGINAL row through the log
+    old = lake.read_as_of(dt.datetime(2026, 8, 14, 0, 0, 0))
+    by_id = {r.book_id: r for r in old.collect()}
+    assert by_id[22].ingest_date == "20260813"
+    assert "new body" not in by_id[22].body
+
+
+def test_parquet_fallback_backend(spark, tmp_path, book_dir):
+    """backend="parquet" keeps the pre-round-9 log-free layout working:
+    ingest/list/merge/read_as_of round-trip, and responses carry the
+    fallback's backend label."""
+    lake = LakeAdapter(spark, str(tmp_path / "plake"), backend="parquet")
+    res = lake.ingest_files(
+        sorted(str(p) for p in book_dir.iterdir()), TS
+    )
+    assert all(r["backend"] == "spark-parquet" for r in res)
+    assert lake.list_books() == [11, 22, 33]
+    import os
+
+    assert not os.path.isdir(os.path.join(lake.lake_root, "_delta_log"))
+    as_of = lake.read_as_of(dt.datetime(2026, 8, 13, 23, 0, 0))
+    assert {r.book_id for r in as_of.collect()} == {11, 22, 33}
+    updates = spark.createDataFrame(
+        [(22, "h", "b2"), (44, "h44", "b44")],
+        "book_id long, header string, body string",
+    )
+    lake.merge_books(updates, TS2)
+    assert lake.list_books() == [11, 22, 33, 44]
+    assert (
+        lake.read().where(F.col("book_id") == 22).first().body == "b2"
+    )
+    with pytest.raises(NotImplementedError):
+        lake.history()
+
+
 def test_lake_write_carries_bloom_filter(spark, tmp_path):
     """The lake's book_id bloom filter must physically land in the files:
     writing identical data with the adapter's options must be measurably

@@ -18,9 +18,6 @@ from tscd_datalake_adapter_spark.lake.adapter import (
     LakeAdapter,
 )
 
-BACKEND = "spark-parquet"
-
-
 def _error(code: str, message: str) -> dict:
     # Error envelope shape of Main.java:162-169.
     return {"error": {"code": code, "message": message}}
@@ -53,19 +50,23 @@ class IngestApi:
         return {
             "book_id": int(str(book_id)),
             "status": "available" if ok else "not_found",
-            "backend": BACKEND,
+            "backend": self.adapter.backend_label,
         }
 
     def list(self) -> dict:
         """GET /ingest/list (``Main.java:138-145``)."""
         books = self.adapter.list_books()
-        return {"count": len(books), "books": books, "backend": BACKEND}
+        return {
+            "count": len(books),
+            "books": books,
+            "backend": self.adapter.backend_label,
+        }
 
     def health(self) -> dict:
         """GET /health (``Main.java:57-62``)."""
         return {
             "status": "ok",
-            "backend": BACKEND,
+            "backend": self.adapter.backend_label,
             "lake_root": self.adapter.lake_root,
             "spark_version": self.adapter.spark.version,
         }

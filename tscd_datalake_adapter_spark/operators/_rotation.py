@@ -24,6 +24,16 @@ import json
 import os
 
 
+def _round_of(path: str) -> int:
+    """Round number from a CORRECTNESS_r{N}.json filename (0 if unparsable)."""
+    base = os.path.basename(path)
+    digits = "".join(ch for ch in base if ch.isdigit())
+    try:
+        return int(digits)
+    except ValueError:
+        return 0
+
+
 def _correctness_rows() -> list[tuple[str, dict]]:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out: list[tuple[str, dict]] = []
@@ -37,6 +47,39 @@ def _correctness_rows() -> list[tuple[str, dict]]:
             out.extend(
                 (name, row) for name, row in rows.items() if isinstance(row, dict)
             )
+    return out
+
+
+def _last_recorded_round() -> dict[str, int]:
+    """name → the NEWEST round that recorded a usable row for it (green,
+    or rows-only for oracle-less queries). Drives the r9+ re-verification
+    rotation: with the whole registry verified, the driver's 50-slot
+    window is best spent re-confirming the STALEST greens — r1-green
+    queries have since been rewritten by fold sweeps and their old rows
+    prove nothing about today's code."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = _round_of(path)
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            )
+            if green or _is_rows_only_record(row):
+                out[name] = max(out.get(name, 0), rnd)
     return out
 
 
@@ -150,13 +193,17 @@ def rotate(registry: dict) -> dict:
        query whose first row this round needs, so they queue here and are
        promoted automatically next round (their names land in the
        correctness files, or the window frees up as greens rotate out);
-    4. hash-verified oracle-backed queries (window slots spent here just
-       re-confirm a green — harmless but zero new signal);
+    4. hash-verified oracle-backed queries — ordered STALEST-GREEN-FIRST
+       (r9, by last recorded round ascending): once the registry is fully
+       verified, window slots spent here re-confirm the greens whose last
+       driver row is oldest relative to the code that has since changed;
     5. oracle-less queries that already have their (best-possible)
        rows-only record: the driver would only re-emit an ``err:
-       "no_oracle"`` row for them, so they sort behind everything.
+       "no_oracle"`` row for them, so they sort behind everything — also
+       stalest-first within the tier.
     """
     recorded = _recorded_without_error()
+    last_round = _last_recorded_round()
 
     def tier(name: str, spec) -> int:
         if spec.oracle is not None:
@@ -167,7 +214,11 @@ def rotate(registry: dict) -> dict:
             return 4
         return 2 if spec.defer else 1
 
+    reg_index = {n: i for i, n in enumerate(registry)}
     out: dict = {}
     for t in (0, 1, 2, 3, 4):
-        out.update({n: s for n, s in registry.items() if tier(n, s) == t})
+        names = [n for n, s in registry.items() if tier(n, s) == t]
+        if t in (3, 4):
+            names.sort(key=lambda n: (last_round.get(n, 0), reg_index[n]))
+        out.update({n: registry[n] for n in names})
     return out
