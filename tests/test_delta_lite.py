@@ -343,6 +343,103 @@ def test_version_as_of_timestamp_travel(spark, sf_dir, tmp_path):
     assert read_delta(spark, path, version=1).count() == 15
 
 
+def test_add_actions_carry_footer_stats(spark, sf_dir, tmp_path):
+    """Every add action records the spec's stats JSON (numRecords +
+    min/maxValues from the parquet footer) — the metadata MERGE pruning
+    and future data skipping key on."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).where("o_orderkey < 100")
+    n = src.count()
+    write_delta(src.coalesce(1), path)
+    log0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    adds = [
+        json.loads(ln)["add"]
+        for ln in open(log0, encoding="utf-8")
+        if "add" in json.loads(ln)
+    ]
+    assert len(adds) == 1
+    stats = json.loads(adds[0]["stats"])
+    assert stats["numRecords"] == n
+    assert stats["minValues"]["o_orderkey"] == 0
+    assert stats["maxValues"]["o_orderkey"] == 99
+    assert "o_orderstatus" in stats["minValues"]
+
+
+def test_merge_rewrites_only_key_intersecting_files(spark, sf_dir, tmp_path):
+    """Stats-pruned MERGE (r9): three appends with disjoint key ranges;
+    an update set touching only the middle range must remove exactly the
+    middle file — the other files' add actions survive untouched."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _replay,
+        merge_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    write_delta(
+        src.where("o_orderkey < 1000").coalesce(1), path, mode="append"
+    )
+    write_delta(
+        src.where("o_orderkey >= 1000 AND o_orderkey < 2000").coalesce(1),
+        path,
+        mode="append",
+    )
+    write_delta(
+        src.where("o_orderkey >= 2000 AND o_orderkey < 3000").coalesce(1),
+        path,
+        mode="append",
+    )
+    before = set(_replay(path, None)["files"])
+    assert len(before) == 3
+    updates = src.where(
+        "o_orderkey >= 1200 AND o_orderkey < 1300"
+    ).withColumn("o_totalprice", F.lit(1.0))
+    n_total = read_delta(spark, path).count()
+    v = merge_delta(spark, path, updates, key="o_orderkey")
+    hist = table_history(path)[v]
+    assert hist["operation"] == "MERGE"
+    assert hist["n_removes"] == 1  # only the middle file rewritten
+    after = set(_replay(path, None)["files"])
+    assert len(before & after) == 2  # the two pruned files survived
+    back = read_delta(spark, path)
+    assert back.count() == n_total  # pure update set: no inserts
+    assert (
+        back.where("o_orderkey >= 1200 AND o_orderkey < 1300")
+        .agg(F.max("o_totalprice"))
+        .first()[0]
+        == 1.0
+    )
+    assert (
+        back.where("o_orderkey < 1000")
+        .agg(F.min("o_totalprice"))
+        .first()[0]
+        > 1.0
+    )
+
+
+def test_read_delta_partition_filter_prunes_at_log_level(
+    spark, sf_dir, tmp_path
+):
+    """partition_filter prunes the FILE LIST before Spark ever sees it:
+    the returned frame's inputFiles are only the matching partition's."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).where(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    write_delta(src, path, partition_by=("o_orderstatus",))
+    only_f = read_delta(
+        spark, path, partition_filter={"o_orderstatus": "F"}
+    )
+    assert all("o_orderstatus=F" in f for f in only_f.inputFiles())
+    assert only_f.count() == src.where("o_orderstatus = 'F'").count()
+    assert (
+        read_delta(
+            spark, path, partition_filter={"o_orderstatus": "NOPE"}
+        ).count()
+        == 0
+    )
+
+
 def test_purge_removed_deletes_latest_commits_dead_files(
     spark, sf_dir, tmp_path
 ):

@@ -42,6 +42,14 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     # same interpretation DuckDB oracles use. Spark 4 would otherwise infer
     # TIMESTAMP_NTZ.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Recursive-CTE volume valve: the default 1M-row limit misfires on
+    # provably-bounded linear recursions once tables grow (found by the r9
+    # sf1 stress bench: the part-hierarchy walk carries |part| rows per
+    # level, 200k x 7 levels > 1M). Every recursive query in the repo
+    # documents its row bound and the LEVEL limit (default 100) remains
+    # the actual non-termination guard, so the row valve is raised to a
+    # value only a runaway could hit.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
