@@ -1,0 +1,349 @@
+"""iceberg_lite + avro_lite protocol tests: the Iceberg table-format
+contracts (snapshot isolation, manifest reuse on append, schema pinned
+per snapshot, manifest-level partition pruning, expiry) implemented from
+the public spec without the connector jar — and the Avro object-container
+subset the metadata layer rides on (SURVEY.md §2.2 lakehouse row, second
+half; the Delta half is tests/test_delta_lite.py)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tscd_datalake_adapter_spark.sources import avro_lite, load_table
+from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+    expire_snapshots,
+    load_metadata,
+    read_iceberg,
+    snapshots,
+    write_iceberg,
+)
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# ------------------------------------------------------------- avro_lite
+
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "b", "type": "boolean"},
+        {"name": "d", "type": "double"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "opt", "type": ["null", "string"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {
+            "name": "nested",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [
+                        {"name": "x", "type": "long"},
+                        {
+                            "name": "ys",
+                            "type": {"type": "array", "items": "string"},
+                        },
+                    ],
+                },
+            ],
+            "default": None,
+        },
+    ],
+}
+
+AVRO_RECORDS = [
+    {
+        "s": "héllo ✓",
+        "n": -(2**40),
+        "i": -1,
+        "b": True,
+        "d": 3.5,
+        "raw": b"\x00\xff",
+        "opt": None,
+        "arr": [1, -2, 3],
+        "m": {"a": "1", "b": "2"},
+        "nested": {"x": 7, "ys": ["p", "q"]},
+    },
+    {
+        "s": "",
+        "n": 0,
+        "i": 2**30,
+        "b": False,
+        "d": -0.25,
+        "raw": b"",
+        "opt": "there",
+        "arr": [],
+        "m": {},
+        "nested": None,
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_roundtrip(tmp_path, codec):
+    p = str(tmp_path / "t.avro")
+    avro_lite.write_container(p, AVRO_SCHEMA, AVRO_RECORDS, codec=codec)
+    schema, records = avro_lite.read_container(p)
+    assert schema == AVRO_SCHEMA
+    assert records == AVRO_RECORDS
+
+
+def test_avro_zigzag_varint_edges():
+    buf = io.BytesIO()
+    for v in (0, -1, 1, 63, -64, 2**31 - 1, -(2**31), 2**62, -(2**62)):
+        buf.seek(0)
+        buf.truncate()
+        avro_lite.write_datum(buf, "long", v)
+        r = avro_lite._Reader(buf.getvalue())
+        assert avro_lite.read_datum(r, "long") == v
+
+
+def test_avro_spec_encoding_pins():
+    """Pin the exact byte encodings the Avro spec mandates (so our writer
+    is spec-shaped, not merely self-consistent): zigzag(1)=2, zigzag(-1)=1,
+    string = varint length + utf8, union branch index precedes value."""
+    buf = io.BytesIO()
+    avro_lite.write_datum(buf, "long", 1)
+    assert buf.getvalue() == b"\x02"
+    buf = io.BytesIO()
+    avro_lite.write_datum(buf, "long", -1)
+    assert buf.getvalue() == b"\x01"
+    buf = io.BytesIO()
+    avro_lite.write_datum(buf, "long", 64)
+    assert buf.getvalue() == b"\x80\x01"
+    buf = io.BytesIO()
+    avro_lite.write_datum(buf, "string", "ab")
+    assert buf.getvalue() == b"\x04ab"
+    buf = io.BytesIO()
+    avro_lite.write_datum(buf, ["null", "long"], 5)
+    assert buf.getvalue() == b"\x02\x0a"  # branch 1, zigzag(5)
+    buf = io.BytesIO()
+    avro_lite.write_datum(buf, ["null", "long"], None)
+    assert buf.getvalue() == b"\x00"  # branch 0, no payload
+
+
+# ----------------------------------------------------------- iceberg_lite
+
+
+def test_roundtrip_matches_source(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src, path)
+    back = read_iceberg(spark, path)
+    assert back.count() == src.count()
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in src.collect())
+    assert a == b
+
+
+def test_append_reuses_prior_manifests(spark, sf_dir, tmp_path):
+    """The property that makes the format O(new files) per commit: an
+    append's manifest list contains the PRIOR manifest paths verbatim
+    plus one new manifest — nothing is rewritten."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src.where("o_orderstatus = 'F'").coalesce(1), path)
+    meta = load_metadata(path)
+    snap1 = meta["snapshots"][-1]
+    _, ml1 = avro_lite.read_container(snap1["manifest-list"])
+    write_iceberg(
+        src.where("o_orderstatus = 'O'").coalesce(1), path, mode="append"
+    )
+    meta = load_metadata(path)
+    snap2 = meta["snapshots"][-1]
+    _, ml2 = avro_lite.read_container(snap2["manifest-list"])
+    assert len(ml2) == len(ml1) + 1
+    assert ml2[0]["manifest_path"] == ml1[0]["manifest_path"]
+    assert read_iceberg(spark, path).count() == src.where(
+        "o_orderstatus IN ('F','O')"
+    ).count()
+
+
+def test_time_travel_by_snapshot_and_timestamp(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    s1 = write_iceberg(
+        src.where("o_orderstatus = 'F'"), path, commit_timestamp_ms=1_000
+    )
+    s2 = write_iceberg(
+        src.where("o_orderstatus = 'O'"),
+        path,
+        mode="overwrite",
+        commit_timestamp_ms=2_000,
+    )
+    n_f = src.where("o_orderstatus = 'F'").count()
+    n_o = src.where("o_orderstatus = 'O'").count()
+    assert read_iceberg(spark, path, snapshot_id=s1).count() == n_f
+    assert read_iceberg(spark, path, snapshot_id=s2).count() == n_o
+    assert read_iceberg(spark, path).count() == n_o
+    assert (
+        read_iceberg(spark, path, as_of_timestamp_ms=1_500).count() == n_f
+    )
+    with pytest.raises(ValueError):
+        read_iceberg(spark, path, as_of_timestamp_ms=999)
+
+
+def test_schema_enforced_append_evolving_overwrite(spark, sf_dir, tmp_path):
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        DeltaSchemaError,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(50)
+    s1 = write_iceberg(src, path)
+    with pytest.raises(DeltaSchemaError):
+        write_iceberg(
+            src.withColumnRenamed("o_totalprice", "price"),
+            path,
+            mode="append",
+        )
+    write_iceberg(
+        src.withColumnRenamed("o_totalprice", "price"),
+        path,
+        mode="overwrite",
+    )
+    assert "price" in read_iceberg(spark, path).columns
+    # the OLD snapshot still reads with the OLD schema (schema-id pinned)
+    assert "o_totalprice" in read_iceberg(
+        spark, path, snapshot_id=s1
+    ).columns
+    meta = load_metadata(path)
+    assert len(meta["schemas"]) == 2
+
+
+def test_partition_pruning_from_manifests(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).where(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    write_iceberg(src, path, partition_by=("o_orderstatus",))
+    only_f = read_iceberg(
+        spark, path, partition_filter={"o_orderstatus": "F"}
+    )
+    assert all("o_orderstatus=F" in f for f in only_f.inputFiles())
+    assert only_f.count() == src.where("o_orderstatus = 'F'").count()
+    assert (
+        read_iceberg(
+            spark, path, partition_filter={"o_orderstatus": "X"}
+        ).count()
+        == 0
+    )
+    # pinned partitioning: a conflicting layout is refused
+    with pytest.raises(ValueError):
+        write_iceberg(src, path, mode="append", partition_by=())
+
+
+def test_unlogged_file_is_invisible(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(100)
+    write_iceberg(src.coalesce(1), path)
+    n = read_iceberg(spark, path).count()
+    stray = os.path.join(path, "data", "part-stray.parquet")
+    src.limit(7).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "data", "_tmp_stray")
+    )
+    import glob
+    import shutil
+
+    shutil.copy(
+        glob.glob(os.path.join(path, "data", "_tmp_stray", "*.parquet"))[0],
+        stray,
+    )
+    assert read_iceberg(spark, path).count() == n
+
+
+def test_metadata_commit_conflict_raises(spark, sf_dir, tmp_path):
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        ConcurrentWriteError,
+    )
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        _commit_metadata,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_orders(spark, sf_dir).limit(10), path)
+    meta = load_metadata(path)
+    _commit_metadata(path, 2, meta)
+    with pytest.raises(ConcurrentWriteError):
+        _commit_metadata(path, 2, meta)
+
+
+def test_non_identity_transform_refused(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _orders(spark, sf_dir).limit(10),
+        path,
+        partition_by=("o_orderstatus",),
+    )
+    meta_file = os.path.join(path, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_file, encoding="utf-8"))
+    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
+    json.dump(meta, open(meta_file, "w", encoding="utf-8"))
+    with pytest.raises(NotImplementedError):
+        read_iceberg(spark, path)
+
+
+def test_higher_format_version_refused(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(_orders(spark, sf_dir).limit(10), path)
+    meta_file = os.path.join(path, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_file, encoding="utf-8"))
+    meta["format-version"] = 4
+    json.dump(meta, open(meta_file, "w", encoding="utf-8"))
+    with pytest.raises(NotImplementedError):
+        read_iceberg(spark, path)
+
+
+def test_version_hint_recovery(spark, sf_dir, tmp_path):
+    """The hint file is a pointer, not the truth: deleting it must not
+    break reads (readers recover via the max-vN scan the spec allows)."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(100)
+    write_iceberg(src, path)
+    write_iceberg(src.limit(10), path, mode="append")
+    os.unlink(os.path.join(path, "metadata", "version-hint.text"))
+    assert read_iceberg(spark, path).count() == 110
+
+
+def test_expire_snapshots_deletes_dead_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    s1 = write_iceberg(src.where("o_orderstatus = 'F'"), path)
+    write_iceberg(src.where("o_orderstatus = 'O'"), path, mode="overwrite")
+    n_o = src.where("o_orderstatus = 'O'").count()
+    deleted = expire_snapshots(path, keep_last=1)
+    assert deleted  # the F files were referenced only by the old snapshot
+    assert read_iceberg(spark, path).count() == n_o
+    with pytest.raises(ValueError):
+        read_iceberg(spark, path, snapshot_id=s1)
+    assert len(snapshots(path)) == 1
+    # idempotent when nothing to expire
+    assert expire_snapshots(path, keep_last=1) == []
+
+
+def test_empty_overwrite_reads_back_empty_with_schema(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src.limit(10), path)
+    write_iceberg(src.limit(0), path, mode="overwrite")
+    back = read_iceberg(spark, path)
+    assert back.count() == 0
+    assert back.columns == src.columns

@@ -1355,3 +1355,169 @@ def lake_read_as_of_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("cutoff")
+
+
+@register(
+    "iceberg_lite_roundtrip_agg",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH v0 AS (
+        SELECT l_linestatus, l_quantity FROM lineitem
+        WHERE l_returnflag = 'R'
+    ),
+    v1 AS (
+        SELECT l_linestatus, l_quantity FROM lineitem
+        WHERE l_returnflag = 'A' AND l_quantity > 45
+    ),
+    t AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('l_quantity')} AS qty
+    FROM t GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def iceberg_lite_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-format write+read via the pure-Python metadata layer
+    (``sources.iceberg_lite`` over ``sources.avro_lite`` — the second
+    half of the §2.2 lakehouse row, from the public table-format spec,
+    no jar): snapshot-commit the 'R' slice, append the high-quantity 'A'
+    slice (the append REUSES the first snapshot's manifest — commit cost
+    O(new files)), read the current snapshot through
+    metadata.json → manifest list (Avro) → manifests (Avro) → parquet,
+    aggregate. The oracle recomputes from the source slices, so the hash
+    proves manifest replay returns exactly the committed rows."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    write_iceberg(
+        li.where(F.col("l_returnflag") == "R").drop("l_returnflag"),
+        path,
+        mode="overwrite",
+    )
+    write_iceberg(
+        li.where(
+            (F.col("l_returnflag") == "A") & (F.col("l_quantity") > 45)
+        ).drop("l_returnflag"),
+        path,
+        mode="append",
+    )
+    back = read_iceberg(spark, path)
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dec_sum("l_quantity").alias("qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "iceberg_lite_time_travel",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH v0 AS (
+        SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    ),
+    v1 AS (
+        SELECT o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    ),
+    states AS (
+        SELECT CAST(0 AS BIGINT) AS snap, CAST(count(*) AS BIGINT)
+                   AS n_rows, {oracle_dec_sum('o_totalprice')} AS total
+        FROM v0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+               {oracle_dec_sum('o_totalprice')}
+        FROM v1
+    )
+    SELECT snap, n_rows, total FROM states ORDER BY snap
+    """,
+)
+def iceberg_lite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the Iceberg metadata chain: commit
+    the 'F' orders, OVERWRITE with the 'O' orders (the first snapshot's
+    manifest list survives untouched), then read BOTH snapshots by id
+    and aggregate each — the snapshot-isolation read a plain parquet
+    directory cannot express. The oracle recomputes both states."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg,
+        snapshots,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_tt")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    write_iceberg(
+        o.where(F.col("o_orderstatus") == "F").drop("o_orderstatus"),
+        path,
+        mode="overwrite",
+    )
+    write_iceberg(
+        o.where(F.col("o_orderstatus") == "O").drop("o_orderstatus"),
+        path,
+        mode="overwrite",
+    )
+    snap_ids = [s["snapshot_id"] for s in snapshots(path)]
+    parts = []
+    for i, sid in enumerate(snap_ids):
+        parts.append(
+            read_iceberg(spark, path, snapshot_id=sid).agg(
+                F.lit(i).cast("long").alias("snap"),
+                F.count("*").cast("long").alias("n_rows"),
+                dec_sum("o_totalprice").alias("total"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("snap")
+
+
+@register(
+    "iceberg_lite_partitioned_read",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_lite_partitioned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest-level partition pruning: write orders identity-partitioned
+    by status, then read ONLY the 'F' partition via partition_filter —
+    the skipped partitions' files are pruned from the MANIFEST entries'
+    typed partition tuples before Spark lists or opens anything (the
+    format's native scale feature). The oracle recomputes the 'F' slice;
+    leakage from other partitions hash-fails."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_part")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_iceberg(o, path, mode="overwrite", partition_by=("o_orderstatus",))
+    back = read_iceberg(
+        spark, path, partition_filter={"o_orderstatus": "F"}
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dec_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

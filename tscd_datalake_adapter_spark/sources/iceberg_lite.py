@@ -1,0 +1,752 @@
+"""iceberg_lite — a minimal pure-Python implementation of the Apache
+Iceberg TABLE FORMAT (format-version 2) over Spark parquet, from the
+public spec (iceberg.apache.org/spec/), completing the §2.2
+"Delta/Iceberg write+read" row's second half without the connector jar
+(``sources.delta_lite`` is the Delta half; the jar-backed DataSource path
+remains feature-gated in ``sources.tables.write_table``).
+
+An Iceberg filesystem table ("HadoopTables" layout) is:
+
+- ``<path>/metadata/v<N>.metadata.json`` — the table metadata: schemas
+  (with per-field ids), partition specs (identity transforms here),
+  snapshots, and the current snapshot pointer; ``version-hint.text``
+  names the current N.
+- each snapshot points at a MANIFEST LIST (an Avro file: one record per
+  manifest, with added/existing counts and sequence numbers);
+- each MANIFEST (Avro) lists data files: status, per-file record counts,
+  and the file's PARTITION TUPLE as a typed struct — the native
+  partition-pruning index;
+- data files are immutable parquet; a snapshot's file set = the union of
+  its manifests' non-deleted entries.
+
+Avro encoding comes from the in-repo ``sources.avro_lite`` (public Avro
+spec, null/deflate codecs). Commits are atomic via the same ``os.link``
+claim delta_lite uses: two writers racing for ``v<N+1>.metadata.json``
+— the loser raises ``ConcurrentWriteError`` (no retry-merge here; the
+Delta half demonstrates that machinery).
+
+Semantics implemented: overwrite/append writes (schema enforced on
+write; full overwrite evolves the schema with a new schema-id), reads of
+the current or any retained snapshot (time travel by snapshot id or
+timestamp), manifest-level partition pruning (``partition_filter`` skips
+data files before Spark lists anything), snapshot history, and snapshot
+expiry with physical file cleanup. APPEND snapshots REUSE the prior
+manifests untouched and add one new manifest — commit cost is O(new
+files), never O(table), which is the property that makes the format work
+at 100 TB.
+
+Honest scope (errors, not silent wrongness): identity partition
+transforms only (bucket/truncate/temporal transforms are refused),
+top-level primitive columns only, no delete files / row-level deletes
+(content=0 data manifests only), no column-bounds maps in manifests
+(file skipping beyond partition pruning falls back to parquet footers),
+single metadata.json lineage (no external catalog). Readers that find a
+higher format-version or a non-identity spec raise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tscd_datalake_adapter_spark.sources import avro_lite
+from tscd_datalake_adapter_spark.sources.delta_lite import (
+    ConcurrentWriteError,
+    DeltaSchemaError,
+    _partition_values,
+    _schema_fingerprint,
+    _write_data_files,
+)
+
+# ----------------------------------------------------------- type mapping
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "binary": "binary",
+}
+
+
+def _iceberg_type(spark_type) -> str:
+    s = spark_type.simpleString()
+    if s in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[s]
+    if s.startswith("decimal"):
+        return s  # decimal(p,s) spells identically
+    if s in ("timestamp", "timestamp_ltz"):
+        return "timestamptz"
+    if s == "timestamp_ntz":
+        return "timestamp"
+    raise NotImplementedError(
+        f"iceberg_lite supports top-level primitive columns only; got {s}"
+    )
+
+
+def _iceberg_schema(df_schema, schema_id: int) -> dict:
+    fields = []
+    for i, f in enumerate(df_schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": fields,
+    }
+
+
+def _spark_schema_of(meta: dict):
+    """Spark StructType for the CURRENT schema of a metadata dict."""
+    from pyspark.sql import types as T
+
+    back = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "binary": T.BinaryType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+    }
+    schema = _current_schema(meta)
+    fields = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if t in back:
+            dt = back[t]
+        elif t.startswith("decimal"):
+            p, s = t[t.index("(") + 1: -1].split(",")
+            dt = T.DecimalType(int(p), int(s))
+        else:
+            raise NotImplementedError(f"unsupported iceberg type {t}")
+        fields.append(T.StructField(f["name"], dt, True))
+    return T.StructType(fields)
+
+
+def _current_schema(meta: dict) -> dict:
+    sid = meta["current-schema-id"]
+    for s in meta["schemas"]:
+        if s["schema-id"] == sid:
+            return s
+    raise ValueError(f"current-schema-id {sid} not in schemas")
+
+
+# ----------------------------------------------------------- avro schemas
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "field_summary",
+    "fields": [
+        {"name": "contains_null", "type": "boolean"},
+        {"name": "contains_nan", "type": ["null", "boolean"],
+         "default": None},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+            "default": None,
+        },
+    ],
+}
+
+
+def _avro_partition_type(iceberg_type: str):
+    m = {
+        "long": "long",
+        "int": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "boolean": "boolean",
+    }
+    if iceberg_type not in m:
+        raise NotImplementedError(
+            f"iceberg_lite identity-partitions on "
+            f"long/int/double/float/string/boolean columns only; "
+            f"got {iceberg_type}"
+        )
+    return m[iceberg_type]
+
+
+def _manifest_entry_schema(meta: dict) -> dict:
+    """manifest_entry avro schema with the partition struct typed per the
+    table's (identity) partition spec."""
+    schema = _current_schema(meta)
+    by_id = {f["id"]: f for f in schema["fields"]}
+    pfields = []
+    for pf in _current_spec(meta)["fields"]:
+        src = by_id[pf["source-id"]]
+        pfields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _avro_partition_type(src["type"])],
+                "default": None,
+            }
+        )
+    partition_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": pfields,
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": partition_record},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+def _current_spec(meta: dict) -> dict:
+    sid = meta["default-spec-id"]
+    for s in meta["partition-specs"]:
+        if s["spec-id"] == sid:
+            return s
+    raise ValueError(f"default-spec-id {sid} not in partition-specs")
+
+
+# ------------------------------------------------------------- metadata io
+
+
+def _metadata_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _version_hint(path: str) -> str:
+    return os.path.join(_metadata_dir(path), "version-hint.text")
+
+
+def _metadata_file(path: str, v: int) -> str:
+    return os.path.join(_metadata_dir(path), f"v{v}.metadata.json")
+
+
+def _current_version(path: str) -> int | None:
+    """Current metadata version: the hint if valid, else the max vN on
+    disk (the spec's recovery path), else None (not a table)."""
+    md = _metadata_dir(path)
+    if not os.path.isdir(md):
+        return None
+    best = None
+    for fn in os.listdir(md):
+        if fn.startswith("v") and fn.endswith(".metadata.json"):
+            try:
+                n = int(fn[1:].split(".")[0])
+            except ValueError:
+                continue
+            best = n if best is None else max(best, n)
+    hint = _version_hint(path)
+    if os.path.exists(hint):
+        try:
+            h = int(open(hint, encoding="utf-8").read().strip())
+            if os.path.exists(_metadata_file(path, h)):
+                return max(h, best if best is not None else h)
+        except ValueError:
+            pass
+    return best
+
+
+def load_metadata(path: str, version: int | None = None) -> dict:
+    v = _current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"not an iceberg_lite table: {path}")
+    with open(_metadata_file(path, v), encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("format-version") not in (1, 2):
+        raise NotImplementedError(
+            f"format-version {meta.get('format-version')} not supported"
+        )
+    for spec in meta.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            if pf.get("transform") != "identity":
+                raise NotImplementedError(
+                    f"transform {pf.get('transform')!r} not supported "
+                    "(identity only)"
+                )
+    return meta
+
+
+def _commit_metadata(path: str, version: int, meta: dict) -> None:
+    """Atomic metadata commit: link-claim v<version>.metadata.json, then
+    update version-hint (a pointer readers only use as a hint)."""
+    md = _metadata_dir(path)
+    os.makedirs(md, exist_ok=True)
+    dest = _metadata_file(path, version)
+    tmp = os.path.join(md, f".{uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, dest)
+    except FileExistsError as exc:
+        raise ConcurrentWriteError(
+            f"metadata v{version} committed concurrently at {path}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+    hint_tmp = os.path.join(md, f".{uuid.uuid4().hex}.hint.tmp")
+    with open(hint_tmp, "w", encoding="utf-8") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, _version_hint(path))
+
+
+# ------------------------------------------------------------------ write
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | None = None,
+    writer_options: dict[str, str] | None = None,
+    commit_timestamp_ms: int | None = None,
+) -> int:
+    """Write ``df`` as an iceberg_lite snapshot; returns the snapshot id.
+
+    ``mode="append"`` adds one manifest and REUSES the prior manifests in
+    the new manifest list (commit cost O(new files)); ``"overwrite"``
+    starts a fresh manifest list (prior snapshots keep theirs — time
+    travel intact until :func:`expire_snapshots`). Schema-on-write
+    matches delta_lite: drifted appends raise, full overwrites evolve
+    (new schema-id, same field-id assignment discipline). Partition
+    columns are pinned at creation (identity transforms).
+
+    Scale shape: the data write is ``df.write.parquet`` (distributed,
+    hive layout under ``data/``); the manifest/metadata writes are
+    driver-side and metadata-scale, exactly like the real table format's
+    commit path."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    now_ms = (
+        int(commit_timestamp_ms)
+        if commit_timestamp_ms is not None
+        else int(time.time() * 1000)
+    )
+    cur_v = _current_version(path)
+    meta = load_metadata(path) if cur_v is not None else None
+
+    if meta is not None:
+        pinned = tuple(
+            pf["name"] for pf in _current_spec(meta)["fields"]
+        )
+        if partition_by is None:
+            partition_by = pinned
+        elif tuple(partition_by) != pinned:
+            raise ValueError(
+                f"partition_by {tuple(partition_by)} does not match the "
+                f"table's pinned partition columns {pinned}"
+            )
+        logged_fp = _schema_fingerprint(_spark_schema_of(meta))
+        df_fp = _schema_fingerprint(df.schema)
+        if df_fp != logged_fp:
+            if mode == "append":
+                raise DeltaSchemaError(
+                    f"write schema {df_fp} does not match the table "
+                    f"schema {logged_fp}; appends must match exactly"
+                )
+            missing = [c for c in (partition_by or ()) if c not in df_fp]
+            if missing:
+                raise DeltaSchemaError(
+                    f"schema evolution cannot drop partition columns "
+                    f"{missing}"
+                )
+    partition_by = tuple(partition_by or ())
+
+    commit_uuid = uuid.uuid4().hex
+    data_root = os.path.join(path, "data")
+    os.makedirs(data_root, exist_ok=True)
+    adds_rel = _write_data_files(
+        df, data_root, partition_by, commit_uuid, writer_options
+    )
+
+    # ---- construct the new metadata ----
+    if meta is None:
+        schema = _iceberg_schema(df.schema, 0)
+        by_name = {f["name"]: f for f in schema["fields"]}
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": by_name[c]["id"],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by)
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": len(schema["fields"]),
+            "schemas": [schema],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 1000 + len(spec_fields) - 1,
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        new_version = 1
+    else:
+        meta = json.loads(json.dumps(meta))  # deep copy
+        new_version = (cur_v or 0) + 1
+        df_fp = _schema_fingerprint(df.schema)
+        if df_fp != _schema_fingerprint(_spark_schema_of(meta)):
+            sid = max(s["schema-id"] for s in meta["schemas"]) + 1
+            schema = _iceberg_schema(df.schema, sid)
+            meta["schemas"].append(schema)
+            meta["current-schema-id"] = sid
+            meta["last-column-id"] = max(
+                meta["last-column-id"], len(schema["fields"])
+            )
+
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int.from_bytes(os.urandom(7), "big")
+    schema = _current_schema(meta)
+    by_name = {f["name"]: f for f in schema["fields"]}
+
+    # ---- the new manifest ----
+    entry_schema = _manifest_entry_schema(meta)
+    entries = []
+    total_rows = 0
+    import pyarrow.parquet as pq
+
+    for rel in adds_rel:
+        full = os.path.join(data_root, rel)
+        nrows = pq.ParquetFile(full).metadata.num_rows
+        total_rows += nrows
+        pvals_raw = _partition_values(rel, partition_by)
+        pvals = {}
+        for c in partition_by:
+            v = pvals_raw.get(c)
+            if v is not None:
+                t = by_name[c]["type"]
+                if t == "long" or t == "int":
+                    v = int(v)
+                elif t in ("double", "float"):
+                    v = float(v)
+                elif t == "boolean":
+                    v = v == "true"
+            pvals[c] = v
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    "partition": pvals,
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                },
+            }
+        )
+    md_dir = _metadata_dir(path)
+    os.makedirs(md_dir, exist_ok=True)
+    manifest_path = os.path.join(md_dir, f"{commit_uuid}-m0.avro")
+    avro_lite.write_container(
+        manifest_path,
+        entry_schema,
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema).encode(),
+            "partition-spec": json.dumps(
+                _current_spec(meta)["fields"]
+            ).encode(),
+            "partition-spec-id": str(meta["default-spec-id"]).encode(),
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+    new_manifest_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": meta["default-spec-id"],
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+
+    # ---- the new manifest list: append reuses prior manifests ----
+    prior_manifests: list[dict] = []
+    if mode == "append" and meta["current-snapshot-id"] != -1:
+        cur_snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
+        _, prior_manifests = avro_lite.read_container(
+            cur_snap["manifest-list"]
+        )
+    manifest_list_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    avro_lite.write_container(
+        manifest_list_path,
+        _MANIFEST_FILE_SCHEMA,
+        prior_manifests + [new_manifest_rec],
+        extra_meta={
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "format-version": b"2",
+        },
+    )
+
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "append" if mode == "append" else "overwrite"
+            },
+            "manifest-list": manifest_list_path,
+            "schema-id": meta["current-schema-id"],
+        }
+    )
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"].append(
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    )
+    _commit_metadata(path, new_version, meta)
+    return snapshot_id
+
+
+def _snapshot_by_id(meta: dict, snapshot_id: int) -> dict:
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise ValueError(
+        f"snapshot {snapshot_id} not found (expired or never existed)"
+    )
+
+
+# ------------------------------------------------------------------- read
+
+
+def _snapshot_files(meta: dict, snap: dict) -> list[dict]:
+    """Non-deleted data_file records of a snapshot (manifest replay)."""
+    _, manifests = avro_lite.read_container(snap["manifest-list"])
+    files: list[dict] = []
+    for m in manifests:
+        _, entries = avro_lite.read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] != 2:  # 2 = DELETED
+                files.append(e["data_file"])
+    return files
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Read an iceberg_lite table: current snapshot, a ``snapshot_id``,
+    or the snapshot current AS OF ``as_of_timestamp_ms`` (snapshot-log
+    resolution, the spec's timestamp travel). ``partition_filter``
+    ({col: value}) prunes data files from the MANIFEST entries' typed
+    partition tuples — no listing, no footer reads for skipped files.
+    The table schema (by schema-id of the snapshot) is supplied to the
+    parquet reader, so hive partition values cast to their declared
+    types exactly as in delta_lite."""
+    meta = load_metadata(path)
+    if snapshot_id is not None and as_of_timestamp_ms is not None:
+        raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
+    if as_of_timestamp_ms is not None:
+        best = None
+        for rec in meta["snapshot-log"]:
+            if rec["timestamp-ms"] <= as_of_timestamp_ms:
+                best = rec["snapshot-id"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before {as_of_timestamp_ms}"
+            )
+        snapshot_id = best
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    # schema as of that snapshot (schema-id pinned in the snapshot)
+    snap = _snapshot_by_id(meta, snapshot_id)
+    snap_meta = json.loads(json.dumps(meta))
+    snap_meta["current-schema-id"] = snap.get(
+        "schema-id", meta["current-schema-id"]
+    )
+    schema = _spark_schema_of(snap_meta)
+    if snapshot_id == -1:
+        return spark.createDataFrame([], schema)
+    files = _snapshot_files(meta, snap)
+    if partition_filter:
+        files = [
+            f
+            for f in files
+            if all(
+                f["partition"].get(k) == v
+                for k, v in partition_filter.items()
+            )
+        ]
+    if not files:
+        return spark.createDataFrame([], schema)
+    data_root = os.path.join(path, "data")
+    paths = sorted(f["file_path"] for f in files)
+    # cross-check manifests against the physical layout (hive segments),
+    # mirroring delta_lite's partitionValues check
+    pcols = tuple(pf["name"] for pf in _current_spec(meta)["fields"])
+    for f in files:
+        rel = os.path.relpath(f["file_path"], data_root)
+        from_path = _partition_values(rel, pcols)
+        for c in pcols:
+            want = f["partition"].get(c)
+            got = from_path.get(c)
+            if got is not None and str(want) != str(got):
+                raise ValueError(
+                    f"partition mismatch for {rel}: manifest says "
+                    f"{want!r}, path says {got!r}"
+                )
+    return (
+        spark.read.schema(schema)
+        .option("basePath", data_root)
+        .parquet(*paths)
+    )
+
+
+def snapshots(path: str) -> list[dict]:
+    """Snapshot history: id, sequence number, timestamp, operation —
+    the table's DESCRIBE HISTORY surface."""
+    meta = load_metadata(path)
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "sequence_number": s["sequence-number"],
+            "timestamp_ms": s["timestamp-ms"],
+            "operation": s["summary"]["operation"],
+        }
+        for s in meta["snapshots"]
+    ]
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Expire all but the newest ``keep_last`` snapshots: commit a new
+    metadata version without them, delete their manifest lists/manifests,
+    and physically delete data files referenced ONLY by expired
+    snapshots — the spec's expire-snapshots maintenance (time travel past
+    the horizon then correctly fails). Returns deleted file paths."""
+    meta = load_metadata(path)
+    cur_v = _current_version(path)
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return []
+    keep = snaps[-max(keep_last, 1):]
+    expired = snaps[: len(snaps) - len(keep)]
+    keep_files: set[str] = set()
+    keep_avro: set[str] = set()
+    for s in keep:
+        keep_avro.add(s["manifest-list"])
+        _, manifests = avro_lite.read_container(s["manifest-list"])
+        for m in manifests:
+            keep_avro.add(m["manifest_path"])
+        keep_files.update(
+            f["file_path"] for f in _snapshot_files(meta, s)
+        )
+    # collect BEFORE deleting anything: expired snapshots can share
+    # manifests with each other (append reuses manifests), so reads must
+    # all happen against the intact tree
+    expired_files: set[str] = set()
+    expired_avro: set[str] = set()
+    for s in expired:
+        ml = s["manifest-list"]
+        expired_avro.add(ml)
+        _, manifests = avro_lite.read_container(ml)
+        for m in manifests:
+            expired_avro.add(m["manifest_path"])
+        expired_files.update(
+            f["file_path"] for f in _snapshot_files(meta, s)
+        )
+    deleted: list[str] = []
+    for p in sorted(expired_files - keep_files):
+        if os.path.exists(p):
+            os.unlink(p)
+            deleted.append(p)
+    for p in sorted(expired_avro - keep_avro):
+        if os.path.exists(p):
+            os.unlink(p)
+    meta = json.loads(json.dumps(meta))
+    meta["snapshots"] = keep
+    kept_ids = {s["snapshot-id"] for s in keep}
+    meta["snapshot-log"] = [
+        r for r in meta["snapshot-log"] if r["snapshot-id"] in kept_ids
+    ]
+    _commit_metadata(path, (cur_v or 0) + 1, meta)
+    return sorted(deleted)

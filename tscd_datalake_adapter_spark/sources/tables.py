@@ -143,11 +143,14 @@ def write_table(
 ) -> None:
     """Generic sink. ``fmt`` in {parquet, delta, iceberg}; lakehouse formats
     require their connector on the classpath (feature-gated: SURVEY.md §2.2).
-    For Delta WITHOUT the connector, ``sources.delta_lite`` implements the
-    open transaction-log protocol (JSON log + parquet data, write/read/
-    time-travel) in pure Python — see ``delta_lite_roundtrip_agg`` and
-    siblings in the registry; this gate covers only the jar-backed
-    DataSource path.
+    WITHOUT the connectors, both open formats are implemented in-repo from
+    their public specs: ``sources.delta_lite`` (JSON transaction log:
+    write/read/time-travel/MERGE/VACUUM/checkpoints) and
+    ``sources.iceberg_lite`` (metadata.json + Avro manifests via
+    ``sources.avro_lite``: snapshots, manifest-reusing appends, partition
+    pruning, expiry) — see ``delta_lite_roundtrip_agg`` /
+    ``iceberg_lite_roundtrip_agg`` and siblings in the registry; this gate
+    covers only the jar-backed DataSource path.
     """
     if fmt in _LAKEHOUSE_FORMATS:
         jars = df.sparkSession.conf.get("spark.jars.packages", "") or ""
@@ -155,8 +158,9 @@ def write_table(
             raise NotImplementedError(
                 f"{fmt} connector not on classpath; add the {fmt} package to "
                 "spark.jars.packages (feature-gated — parquet is the default "
-                "format in this environment; sources.delta_lite provides a "
-                "pure-Python Delta-protocol write/read path without the jar)"
+                "format in this environment; sources.delta_lite and "
+                "sources.iceberg_lite provide pure-Python open-format "
+                "write/read paths without the jars)"
             )
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
