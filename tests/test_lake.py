@@ -449,3 +449,29 @@ def test_lake_write_carries_bloom_filter(spark, tmp_path):
     back = spark.read.parquet(bloomed)
     assert back.where("book_id = 1").count() == 1
     assert back.where("book_id = -5").count() == 0
+
+
+def test_lake_auto_checkpoint_bounds_log_replay(spark, tmp_path, book_dir):
+    """Ingest-heavy lakes auto-checkpoint every N commits (r9): with
+    checkpoint_every=4, the 4th commit writes a classic checkpoint +
+    _last_checkpoint, reads resume from it, and time travel through the
+    retained JSON commits still works."""
+    import os
+
+    from tests.conftest import BOOK_V1
+
+    lake = LakeAdapter(
+        spark, str(tmp_path / "cplake"), checkpoint_every=4
+    )
+    for i in range(1, 6):
+        lake.ingest_text(
+            i, BOOK_V1, dt.datetime(2026, 8, 13, 10 + i, 0, 0)
+        )
+    log = os.path.join(lake.lake_root, "_delta_log")
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    assert os.path.exists(
+        os.path.join(log, f"{4:020d}.checkpoint.parquet")
+    )  # fires when the version number reaches the stride (v4 = commit 5)
+    assert lake.list_books() == [1, 2, 3, 4, 5]
+    as_of = lake.read_as_of(dt.datetime(2026, 8, 13, 12, 30, 0))
+    assert {r.book_id for r in as_of.collect()} == {1, 2}

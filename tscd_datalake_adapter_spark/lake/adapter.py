@@ -129,7 +129,11 @@ class LakeAdapter:
     pre-round-9 log-free layout, kept as a fallback."""
 
     def __init__(
-        self, spark: SparkSession, lake_root: str, backend: str = "delta"
+        self,
+        spark: SparkSession,
+        lake_root: str,
+        backend: str = "delta",
+        checkpoint_every: int = 32,
     ):
         if backend not in ("delta", "parquet"):
             raise ValueError(f"unsupported backend {backend!r}")
@@ -137,6 +141,25 @@ class LakeAdapter:
         self.lake_root = lake_root
         self.backend = backend
         self.backend_label = f"spark-{backend}"
+        # every single-book ingest is one log commit, so an ingest-heavy
+        # lake would otherwise replay thousands of JSON files per read;
+        # a classic checkpoint every N commits bounds replay to one
+        # parquet footer + <N commits (log files are kept — time travel
+        # is unaffected). 0 disables.
+        self.checkpoint_every = checkpoint_every
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if (
+            self.backend == "delta"
+            and self.checkpoint_every
+            and version > 0
+            and version % self.checkpoint_every == 0
+        ):
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                checkpoint_delta,
+            )
+
+            checkpoint_delta(self.lake_root)
 
     # -- write path (R2 + R4) ------------------------------------------------
 
@@ -370,7 +393,7 @@ class LakeAdapter:
                 write_delta,
             )
 
-            write_delta(
+            version = write_delta(
                 df,
                 self.lake_root,
                 mode="append",
@@ -379,6 +402,7 @@ class LakeAdapter:
                 commit_timestamp_ms=_ts_ms(ts),
                 operation="INGEST",
             )
+            self._maybe_checkpoint(version)
             return
         writer = df.write.mode("append")
         for k, v in _BLOOM_OPTIONS.items():
@@ -603,6 +627,7 @@ class LakeAdapter:
             )
             if purge:
                 purge_removed(self.lake_root, version)
+            self._maybe_checkpoint(version)
             return
 
         from pyspark.sql import Observation
@@ -704,6 +729,7 @@ class LakeAdapter:
                 operation="OPTIMIZE",
             )
             purge_removed(self.lake_root, version)
+            self._maybe_checkpoint(version)
             return int(obs.get["n"])
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -763,6 +789,7 @@ class LakeAdapter:
                 operation="EXPIRE",
             )
             purge_removed(self.lake_root, version)
+            self._maybe_checkpoint(version)
             return len({d for d, _ in expired})
         removed = 0
         for entry in sorted(os.listdir(self.lake_root)):
