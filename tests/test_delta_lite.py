@@ -440,6 +440,40 @@ def test_read_delta_partition_filter_prunes_at_log_level(
     )
 
 
+def test_where_predicate_skips_files_by_stats(spark, sf_dir, tmp_path):
+    """Data skipping (r9): a simple conjunctive `where` prunes files whose
+    logged stats prove no match — inputFiles shrink, results are EXACTLY
+    the full-scan filter (the predicate is always re-applied)."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    for lo, hi in ((0, 500), (500, 1000), (1000, 1500)):
+        write_delta(
+            src.where(f"o_orderkey >= {lo} AND o_orderkey < {hi}")
+            .coalesce(1),
+            path,
+            mode="append",
+        )
+    skipped = read_delta(spark, path, where="o_orderkey >= 1200")
+    assert len(skipped.inputFiles()) == 1  # only the [1000,1500) file
+    expected = sorted(
+        tuple(r)
+        for r in read_delta(spark, path)
+        .where("o_orderkey >= 1200")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in skipped.collect()) == expected
+    # equality point lookup prunes to one file
+    one = read_delta(spark, path, where="o_orderkey = 750")
+    assert len(one.inputFiles()) == 1
+    assert one.count() == 1
+    # an unparsable predicate (OR) disables pruning but still filters
+    both = read_delta(
+        spark, path, where="o_orderkey = 10 OR o_orderkey = 1400"
+    )
+    assert len(both.inputFiles()) == 3
+    assert both.count() == 2
+
+
 def test_purge_removed_deletes_latest_commits_dead_files(
     spark, sf_dir, tmp_path
 ):

@@ -1521,3 +1521,48 @@ def iceberg_lite_partitioned_read(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "delta_lite_data_skipping",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_orderkey >= 9000
+    """,
+)
+def delta_lite_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping through the delta_lite log (r9): commit
+    orders in three key-ranged files, then read with a ``where`` whose
+    conjuncts prune files from the add actions' logged min/max — the
+    high-key slice touches ONE file (pinned plan-side in
+    tests/test_delta_lite.py); the predicate is re-applied to the pruned
+    frame so results are exactly the full-scan filter, which the oracle
+    recomputes from the source table."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta_skip")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bounds = [(0, 5000), (5000, 10000), (10000, 10**9)]
+    for lo, hi in bounds:
+        write_delta(
+            o.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ),
+            path,
+            mode="append",
+        )
+    back = read_delta(spark, path, where="o_orderkey >= 9000")
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )

@@ -756,11 +756,77 @@ def _read_logged_files(
     )
 
 
+_CONJUNCT_RE = re.compile(
+    r"^\s*(\w+)\s*(>=|<=|==|=|>|<)\s*"
+    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, object]] | None:
+    """Parse a simple conjunctive predicate into (col, op, literal)
+    triples for file-level pruning. Returns None when the expression is
+    not a plain AND of ``col op literal`` comparisons (ORs, functions,
+    column-to-column) — pruning is then skipped entirely; the predicate
+    itself is ALWAYS applied to the returned frame, so parsing is purely
+    an optimization, never a semantics change."""
+    if re.search(r"\bor\b", where, re.IGNORECASE):
+        return None
+    out = []
+    for conj in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+        m = _CONJUNCT_RE.match(conj)
+        if not m:
+            return None
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        value: object
+        if lit.startswith("'"):
+            value = lit[1:-1]
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        out.append((col, "=" if op == "==" else op, value))
+    return out
+
+
+def _file_may_match(
+    add: dict, conjuncts: list[tuple[str, str, object]]
+) -> bool:
+    """False only when the add's stats PROVE no row satisfies every
+    conjunct (missing stats → may match; incomparable types → may
+    match)."""
+    st = _add_stats(add)
+    if not st:
+        return True
+    if st.get("numRecords") == 0:
+        return False
+    mins = st.get("minValues", {})
+    maxs = st.get("maxValues", {})
+    for col, op, v in conjuncts:
+        if col not in mins or col not in maxs:
+            continue
+        lo, hi = mins[col], maxs[col]
+        try:
+            if op in (">", ">=") and (
+                hi < v or (op == ">" and hi == v)
+            ):
+                return False
+            if op in ("<", "<=") and (
+                lo > v or (op == "<" and lo == v)
+            ):
+                return False
+            if op == "=" and (v < lo or v > hi):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read a delta_lite table (optionally a historical ``version`` —
     time travel by log replay). The active file set comes from the log;
@@ -776,7 +842,13 @@ def read_delta(
     only adds whose logged partitionValues match every entry reach the
     reader — at millions of files this skips the listing and footer
     reads entirely, which is the half of partition pruning Spark's own
-    scan-time pruning cannot do for you."""
+    scan-time pruning cannot do for you.
+
+    ``where`` (a SQL predicate string) is ALWAYS applied to the returned
+    frame; when it parses as a conjunction of simple ``col op literal``
+    comparisons it ADDITIONALLY prunes files whose logged stats prove no
+    row can match (the connector's data skipping) — the exact semantics
+    never change, only how many files Spark ever hears about."""
     state = _replay(path, version)
     files = state["files"]
     rels = list(files)
@@ -789,7 +861,16 @@ def read_delta(
                 for k, v in partition_filter.items()
             )
         ]
-    return _read_logged_files(spark, path, state, rels)
+    if where:
+        conjuncts = _parse_conjuncts(where)
+        if conjuncts:
+            rels = [
+                rel
+                for rel in rels
+                if _file_may_match(files[rel], conjuncts)
+            ]
+    df = _read_logged_files(spark, path, state, rels)
+    return df.where(where) if where else df
 
 
 def table_history(path: str) -> list[dict]:
