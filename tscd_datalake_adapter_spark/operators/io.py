@@ -1264,8 +1264,11 @@ def lake_merge_books_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_df = d.select((F.col("doc_id") + 1).alias("book_id"), raw.alias("raw"))
     lake = LakeAdapter(spark, _tmp("lake_merge") + "/lake")
     lake.ingest_raw_df(raw_df, dt.datetime(2026, 1, 1, 12, 0, 0))
+    # the update-key set is arithmetic (even ids + one insert) — derive it
+    # from range(), not from another documents scan (scan census r9)
     updates = (
-        d.select((F.col("doc_id") + 1).alias("book_id"))
+        spark.range(1, 21)
+        .select(F.col("id").alias("book_id"))
         .where((F.col("book_id") % 2) == 0)
         .select(
             "book_id",
