@@ -347,3 +347,115 @@ def test_empty_overwrite_reads_back_empty_with_schema(
     back = read_iceberg(spark, path)
     assert back.count() == 0
     assert back.columns == src.columns
+
+
+# ------------------------------------------------- avro_lite property tests
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+    _prim = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62).map(
+            lambda v: ("long", v)
+        ),
+        st.booleans().map(lambda v: ("boolean", v)),
+        st.floats(allow_nan=False, allow_infinity=False, width=64).map(
+            lambda v: ("double", v)
+        ),
+        st.text(max_size=40).map(lambda v: ("string", v)),
+        st.binary(max_size=40).map(lambda v: ("bytes", v)),
+    )
+
+    @st.composite
+    def _record_batch(draw):
+        """A random flat record schema + a batch of conforming values."""
+        n_fields = draw(st.integers(min_value=1, max_value=6))
+        fields = []
+        gens = []
+        for i in range(n_fields):
+            kind = draw(
+                st.sampled_from(
+                    ["prim", "optional", "array", "map"]
+                )
+            )
+            t, v = draw(_prim)
+            if kind == "prim":
+                fields.append({"name": f"f{i}", "type": t})
+                gens.append((f"f{i}", t, "prim"))
+            elif kind == "optional":
+                fields.append(
+                    {
+                        "name": f"f{i}",
+                        "type": ["null", t],
+                        "default": None,
+                    }
+                )
+                gens.append((f"f{i}", t, "optional"))
+            elif kind == "array":
+                fields.append(
+                    {"name": f"f{i}", "type": {"type": "array", "items": t}}
+                )
+                gens.append((f"f{i}", t, "array"))
+            else:
+                fields.append(
+                    {"name": f"f{i}", "type": {"type": "map", "values": t}}
+                )
+                gens.append((f"f{i}", t, "map"))
+        schema = {"type": "record", "name": "r", "fields": fields}
+
+        def one_value(t):
+            m = {
+                "long": st.integers(
+                    min_value=-(2**62), max_value=2**62
+                ),
+                "boolean": st.booleans(),
+                "double": st.floats(
+                    allow_nan=False, allow_infinity=False, width=64
+                ),
+                "string": st.text(max_size=20),
+                "bytes": st.binary(max_size=20),
+            }
+            return m[t]
+
+        n_recs = draw(st.integers(min_value=0, max_value=5))
+        records = []
+        for _ in range(n_recs):
+            rec = {}
+            for name, t, kind in gens:
+                if kind == "prim":
+                    rec[name] = draw(one_value(t))
+                elif kind == "optional":
+                    rec[name] = draw(
+                        st.one_of(st.none(), one_value(t))
+                    )
+                elif kind == "array":
+                    rec[name] = draw(
+                        st.lists(one_value(t), max_size=4)
+                    )
+                else:
+                    rec[name] = draw(
+                        st.dictionaries(
+                            st.text(max_size=8), one_value(t), max_size=3
+                        )
+                    )
+            records.append(rec)
+        return schema, records
+
+    @settings(max_examples=60, deadline=None)
+    @given(_record_batch(), st.sampled_from(["null", "deflate"]))
+    def test_avro_property_roundtrip(tmp_path_factory, batch, codec):
+        schema, records = batch
+        p = str(
+            tmp_path_factory.mktemp("avro_prop") / "t.avro"
+        )
+        avro_lite.write_container(p, schema, records, codec=codec)
+        got_schema, got = avro_lite.read_container(p)
+        assert got_schema == schema
+        assert got == records
