@@ -459,3 +459,45 @@ if _HYP:
         got_schema, got = avro_lite.read_container(p)
         assert got_schema == schema
         assert got == records
+
+
+def test_where_predicate_skips_files_by_manifest_bounds(
+    spark, sf_dir, tmp_path
+):
+    """Data skipping from the manifests' per-column bounds (r9): three
+    key-ranged appends; a high-key `where` reads ONE file, results are
+    exactly the full-scan filter, and the bounds round-trip the spec's
+    single-value binary serialization (little-endian longs)."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    for lo, hi in ((0, 500), (500, 1000), (1000, 1500)):
+        write_iceberg(
+            src.where(
+                f"o_orderkey >= {lo} AND o_orderkey < {hi}"
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+    skipped = read_iceberg(spark, path, where="o_orderkey >= 1200")
+    assert len(skipped.inputFiles()) == 1
+    expected = sorted(
+        tuple(r)
+        for r in read_iceberg(spark, path)
+        .where("o_orderkey >= 1200")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in skipped.collect()) == expected
+    # the raw manifest bounds are spec-serialized (8-byte LE longs)
+    meta = load_metadata(path)
+    snap = meta["snapshots"][-1]
+    _, manifests = avro_lite.read_container(snap["manifest-list"])
+    _, entries = avro_lite.read_container(manifests[0]["manifest_path"])
+    df0 = entries[0]["data_file"]
+    lows = {kv["key"]: kv["value"] for kv in df0["lower_bounds"]}
+    assert any(len(v) == 8 for v in lows.values())
+    # ORs disable pruning but never change results
+    both = read_iceberg(
+        spark, path, where="o_orderkey = 10 OR o_orderkey = 1400"
+    )
+    assert len(both.inputFiles()) == 3
+    assert both.count() == 2

@@ -1569,3 +1569,48 @@ def delta_lite_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("o_totalprice").alias("total"),
         F.min("o_orderkey").cast("long").alias("min_key"),
     )
+
+
+@register(
+    "iceberg_lite_data_skipping",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_orderkey >= 9000
+    """,
+)
+def iceberg_lite_data_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data skipping from Iceberg manifest bounds (r9): three key-ranged
+    append snapshots, then a ``where`` read that prunes data files from
+    the manifests' per-column lower/upper bounds (the spec's single-value
+    binary serialization) before Spark lists anything — one file touched
+    (pinned in tests/test_iceberg_lite.py); the predicate is re-applied
+    so results equal the full-scan filter the oracle recomputes."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_skip")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for lo, hi in ((0, 5000), (5000, 10000), (10000, 10**9)):
+        write_iceberg(
+            o.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ),
+            path,
+            mode="append",
+        )
+    back = read_iceberg(spark, path, where="o_orderkey >= 9000")
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )

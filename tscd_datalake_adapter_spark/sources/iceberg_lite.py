@@ -208,6 +208,112 @@ def _avro_partition_type(iceberg_type: str):
     return m[iceberg_type]
 
 
+def _bounds_kv_schema(name: str) -> dict:
+    """Iceberg serializes per-column bounds as a map keyed by FIELD ID
+    with single-value binary payloads; in Avro that is an array of
+    (key int, value bytes) records."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ],
+        },
+    }
+
+
+def _ice_serialize(iceberg_type: str, v) -> bytes | None:
+    """Iceberg's single-value binary serialization (spec appendix D) for
+    the bound types we stat: ints/longs/floats/doubles little-endian,
+    strings UTF-8, booleans one byte."""
+    import struct as _struct
+
+    try:
+        if iceberg_type == "int":
+            return _struct.pack("<i", int(v))
+        if iceberg_type == "long":
+            return _struct.pack("<q", int(v))
+        if iceberg_type == "float":
+            return _struct.pack("<f", float(v))
+        if iceberg_type == "double":
+            return _struct.pack("<d", float(v))
+        if iceberg_type == "string":
+            return str(v).encode("utf-8")
+        if iceberg_type == "boolean":
+            return b"\x01" if v else b"\x00"
+    except (ValueError, OverflowError, _struct.error):
+        return None
+    return None
+
+
+def _ice_deserialize(iceberg_type: str, b: bytes):
+    import struct as _struct
+
+    if iceberg_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if iceberg_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if iceberg_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if iceberg_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if iceberg_type == "string":
+        return b.decode("utf-8")
+    if iceberg_type == "boolean":
+        return b == b"\x01"
+    return None
+
+
+def _file_bounds(full_path: str, schema: dict) -> tuple[list, list]:
+    """(lower_bounds, upper_bounds) kv-lists for a parquet data file,
+    from its footer row-group statistics, serialized per the spec and
+    keyed by field id. Columns without usable stats are omitted
+    (readers treat absence as 'may match')."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in schema["fields"]}
+    try:
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return [], []
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    good: set[str] = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in by_name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                good.discard(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, float) and lo != lo:
+                continue
+            if rg == 0:
+                mins[name], maxs[name] = lo, hi
+                good.add(name)
+            elif name in good:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+    lower, upper = [], []
+    for name in sorted(good):
+        f = by_name[name]
+        t = f["type"]
+        lo_b = _ice_serialize(t, mins[name])
+        hi_b = _ice_serialize(t, maxs[name])
+        if lo_b is None or hi_b is None:
+            continue
+        lower.append({"key": f["id"], "value": lo_b})
+        upper.append({"key": f["id"], "value": hi_b})
+    return lower, upper
+
+
 def _manifest_entry_schema(meta: dict) -> dict:
     """manifest_entry avro schema with the partition struct typed per the
     table's (identity) partition spec."""
@@ -238,6 +344,16 @@ def _manifest_entry_schema(meta: dict) -> dict:
             {"name": "partition", "type": partition_record},
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            {
+                "name": "lower_bounds",
+                "type": ["null", _bounds_kv_schema("k_v_lower")],
+                "default": None,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _bounds_kv_schema("k_v_upper")],
+                "default": None,
+            },
         ],
     }
     return {
@@ -491,6 +607,7 @@ def write_iceberg(
                 elif t == "boolean":
                     v = v == "true"
             pvals[c] = v
+        lower, upper = _file_bounds(full, schema)
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -504,6 +621,8 @@ def write_iceberg(
                     "partition": pvals,
                     "record_count": nrows,
                     "file_size_in_bytes": os.path.getsize(full),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
                 },
             }
         )
@@ -608,21 +727,61 @@ def _snapshot_files(meta: dict, snap: dict) -> list[dict]:
     return files
 
 
+def _df_may_match(
+    data_file: dict, schema: dict, conjuncts
+) -> bool:
+    """False only when the manifest entry's bounds PROVE no row matches
+    every conjunct (absent bounds → may match)."""
+    if data_file.get("record_count") == 0:
+        return False
+    lo_kv = {
+        kv["key"]: kv["value"]
+        for kv in (data_file.get("lower_bounds") or [])
+    }
+    hi_kv = {
+        kv["key"]: kv["value"]
+        for kv in (data_file.get("upper_bounds") or [])
+    }
+    by_name = {f["name"]: f for f in schema["fields"]}
+    for col, op, v in conjuncts:
+        f = by_name.get(col)
+        if f is None or f["id"] not in lo_kv or f["id"] not in hi_kv:
+            continue
+        lo = _ice_deserialize(f["type"], lo_kv[f["id"]])
+        hi = _ice_deserialize(f["type"], hi_kv[f["id"]])
+        if lo is None or hi is None:
+            continue
+        try:
+            if op in (">", ">=") and (hi < v or (op == ">" and hi == v)):
+                return False
+            if op in ("<", "<=") and (lo > v or (op == "<" and lo == v)):
+                return False
+            if op == "=" and (v < lo or v > hi):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
     partition_filter: dict | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read an iceberg_lite table: current snapshot, a ``snapshot_id``,
     or the snapshot current AS OF ``as_of_timestamp_ms`` (snapshot-log
     resolution, the spec's timestamp travel). ``partition_filter``
     ({col: value}) prunes data files from the MANIFEST entries' typed
     partition tuples — no listing, no footer reads for skipped files.
-    The table schema (by schema-id of the snapshot) is supplied to the
-    parquet reader, so hive partition values cast to their declared
-    types exactly as in delta_lite."""
+    ``where`` (a SQL predicate) is ALWAYS applied to the returned frame;
+    simple conjunctive predicates additionally prune files from the
+    manifests' per-column bounds (the format's data skipping). The table
+    schema (by schema-id of the snapshot) is supplied to the parquet
+    reader, so hive partition values cast to their declared types
+    exactly as in delta_lite."""
     meta = load_metadata(path)
     if snapshot_id is not None and as_of_timestamp_ms is not None:
         raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
@@ -657,8 +816,22 @@ def read_iceberg(
                 for k, v in partition_filter.items()
             )
         ]
+    if where:
+        from tscd_datalake_adapter_spark.sources.delta_lite import (
+            _parse_conjuncts,
+        )
+
+        conjuncts = _parse_conjuncts(where)
+        if conjuncts:
+            ice_schema = _current_schema(snap_meta)
+            files = [
+                f
+                for f in files
+                if _df_may_match(f, ice_schema, conjuncts)
+            ]
     if not files:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        return out.where(where) if where else out
     data_root = os.path.join(path, "data")
     paths = sorted(f["file_path"] for f in files)
     # cross-check manifests against the physical layout (hive segments),
@@ -675,11 +848,12 @@ def read_iceberg(
                     f"partition mismatch for {rel}: manifest says "
                     f"{want!r}, path says {got!r}"
                 )
-    return (
+    df = (
         spark.read.schema(schema)
         .option("basePath", data_root)
         .parquet(*paths)
     )
+    return df.where(where) if where else df
 
 
 def snapshots(path: str) -> list[dict]:
