@@ -501,3 +501,52 @@ def test_where_predicate_skips_files_by_manifest_bounds(
     )
     assert len(both.inputFiles()) == 3
     assert both.count() == 2
+
+
+def test_replace_partitions_carries_existing_entries(
+    spark, sf_dir, tmp_path
+):
+    """replace_partitions (r9): entries outside the named partitions are
+    carried as status=EXISTING with their ORIGINAL sequence numbers; a
+    named partition with no new rows is dropped outright."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).where(
+        F.col("o_orderstatus").isin("F", "O", "P")
+    )
+    write_iceberg(src, path, partition_by=("o_orderstatus",))
+    n_f = src.where("o_orderstatus = 'F'").count()
+    n_o = src.where("o_orderstatus = 'O'").count()
+
+    one_p = src.where("o_orderstatus = 'P'").limit(1)
+    write_iceberg(
+        one_p,
+        path,
+        mode="overwrite",
+        replace_partitions=[{"o_orderstatus": "P"}],
+    )
+    back = read_iceberg(spark, path)
+    assert back.where("o_orderstatus = 'P'").count() == 1
+    assert back.where("o_orderstatus = 'F'").count() == n_f
+    assert back.where("o_orderstatus = 'O'").count() == n_o
+    # the carried entries kept their original sequence number (1), the
+    # added entry carries the new one (2)
+    meta = load_metadata(path)
+    snap = meta["snapshots"][-1]
+    _, manifests = avro_lite.read_container(snap["manifest-list"])
+    assert len(manifests) == 1
+    assert manifests[0]["existing_files_count"] >= 2
+    assert manifests[0]["min_sequence_number"] == 1
+    _, entries = avro_lite.read_container(manifests[0]["manifest_path"])
+    seqs = {(e["status"], e["sequence_number"]) for e in entries}
+    assert (0, 1) in seqs and (1, 2) in seqs
+
+    # drop P entirely: named with zero new rows
+    write_iceberg(
+        src.where("o_orderstatus = 'NOPE'"),
+        path,
+        mode="overwrite",
+        replace_partitions=[{"o_orderstatus": "P"}],
+    )
+    back2 = read_iceberg(spark, path)
+    assert back2.where("o_orderstatus = 'P'").count() == 0
+    assert back2.where("o_orderstatus = 'F'").count() == n_f

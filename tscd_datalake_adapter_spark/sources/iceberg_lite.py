@@ -473,18 +473,26 @@ def write_iceberg(
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] | None = None,
+    replace_partitions: list[dict] | None = None,
     writer_options: dict[str, str] | None = None,
     commit_timestamp_ms: int | None = None,
+    operation: str | None = None,
 ) -> int:
     """Write ``df`` as an iceberg_lite snapshot; returns the snapshot id.
 
     ``mode="append"`` adds one manifest and REUSES the prior manifests in
     the new manifest list (commit cost O(new files)); ``"overwrite"``
     starts a fresh manifest list (prior snapshots keep theirs — time
-    travel intact until :func:`expire_snapshots`). Schema-on-write
-    matches delta_lite: drifted appends raise, full overwrites evolve
-    (new schema-id, same field-id assignment discipline). Partition
-    columns are pinned at creation (identity transforms).
+    travel intact until :func:`expire_snapshots`). With
+    ``replace_partitions`` (a list of partition-tuple dicts, mode
+    "overwrite") only entries in the named partitions are dropped: prior
+    entries OUTSIDE them are carried into one rewritten manifest with
+    status=EXISTING and their original snapshot/sequence numbers, per
+    the spec — a partition named with no new rows is thereby dropped.
+    Schema-on-write matches delta_lite: drifted appends raise, full
+    overwrites evolve (new schema-id, same field-id assignment
+    discipline); replace_partitions never evolves. Partition columns are
+    pinned at creation (identity transforms).
 
     Scale shape: the data write is ``df.write.parquet`` (distributed,
     hive layout under ``data/``); the manifest/metadata writes are
@@ -492,6 +500,8 @@ def write_iceberg(
     commit path."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if replace_partitions is not None and mode != "overwrite":
+        raise ValueError("replace_partitions requires mode='overwrite'")
     now_ms = (
         int(commit_timestamp_ms)
         if commit_timestamp_ms is not None
@@ -514,10 +524,11 @@ def write_iceberg(
         logged_fp = _schema_fingerprint(_spark_schema_of(meta))
         df_fp = _schema_fingerprint(df.schema)
         if df_fp != logged_fp:
-            if mode == "append":
+            if mode == "append" or replace_partitions is not None:
                 raise DeltaSchemaError(
                     f"write schema {df_fp} does not match the table "
-                    f"schema {logged_fp}; appends must match exactly"
+                    f"schema {logged_fp}; appends and partition "
+                    "replacements must match exactly"
                 )
             missing = [c for c in (partition_by or ()) if c not in df_fp]
             if missing:
@@ -588,6 +599,29 @@ def write_iceberg(
     entry_schema = _manifest_entry_schema(meta)
     entries = []
     total_rows = 0
+    existing_rows = 0
+    if replace_partitions is not None and meta["current-snapshot-id"] != -1:
+        # carry every prior entry OUTSIDE the named partitions into the
+        # rewritten manifest as status=EXISTING, preserving its original
+        # snapshot and sequence numbers (the spec's manifest rewrite)
+        cur_snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
+        _, prior_ms = avro_lite.read_container(cur_snap["manifest-list"])
+        for m in prior_ms:
+            _, prior_entries = avro_lite.read_container(
+                m["manifest_path"]
+            )
+            for e in prior_entries:
+                if e["status"] == 2:
+                    continue
+                pv = e["data_file"]["partition"]
+                if any(
+                    all(pv.get(k) == v for k, v in want.items())
+                    for want in replace_partitions
+                ):
+                    continue  # replaced: dropped from the new snapshot
+                entries.append({**e, "status": 0})
+                existing_rows += e["data_file"]["record_count"]
+    n_existing = len(entries)
     import pyarrow.parquet as pq
 
     for rel in adds_rel:
@@ -643,19 +677,27 @@ def write_iceberg(
             "content": b"data",
         },
     )
+    min_seq = min(
+        [seq]
+        + [
+            e["sequence_number"]
+            for e in entries
+            if e["status"] == 0 and e.get("sequence_number") is not None
+        ]
+    )
     new_manifest_rec = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
         "partition_spec_id": meta["default-spec-id"],
         "content": 0,
         "sequence_number": seq,
-        "min_sequence_number": seq,
+        "min_sequence_number": min_seq,
         "added_snapshot_id": snapshot_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
+        "added_files_count": len(entries) - n_existing,
+        "existing_files_count": n_existing,
         "deleted_files_count": 0,
         "added_rows_count": total_rows,
-        "existing_rows_count": 0,
+        "existing_rows_count": existing_rows,
         "deleted_rows_count": 0,
         "partitions": None,
     }
@@ -689,7 +731,8 @@ def write_iceberg(
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "summary": {
-                "operation": "append" if mode == "append" else "overwrite"
+                "operation": operation
+                or ("append" if mode == "append" else "overwrite")
             },
             "manifest-list": manifest_list_path,
             "schema-id": meta["current-schema-id"],
