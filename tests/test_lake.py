@@ -475,3 +475,74 @@ def test_lake_auto_checkpoint_bounds_log_replay(spark, tmp_path, book_dir):
     assert lake.list_books() == [1, 2, 3, 4, 5]
     as_of = lake.read_as_of(dt.datetime(2026, 8, 13, 12, 30, 0))
     assert {r.book_id for r in as_of.collect()} == {1, 2}
+
+
+def test_iceberg_backend_full_lifecycle(spark, tmp_path, book_dir):
+    """The whole reference surface on backend="iceberg" (r9): ingest →
+    exists/list → duplicate versions → merge (fully-superseded partition
+    physically dropped after snapshot expiry) → compact → read_as_of
+    time travel through the snapshot log → expire retention. Same
+    operations, same answers as the delta backend — the adapter is
+    format-agnostic."""
+    import glob
+    import os
+
+    lake = LakeAdapter(spark, str(tmp_path / "ilake"), backend="iceberg")
+    assert lake.list_books() == []
+    res = lake.ingest_files(
+        sorted(str(p) for p in book_dir.iterdir()), TS
+    )
+    assert all(r["backend"] == "spark-iceberg" for r in res)
+    assert lake.list_books() == [11, 22, 33]
+    assert lake.exists(22) and not lake.exists(999)
+
+    # time travel BEFORE later writes: snapshot-log resolution
+    assert lake.read_as_of(
+        dt.datetime(2026, 8, 13, 10, 0, 0)
+    ).count() == 0
+    assert {
+        r.book_id for r in lake.read_as_of(TS).collect()
+    } == {11, 22, 33}
+
+    # duplicate ingest in another partition; read_latest resolves
+    lake.ingest_files(
+        sorted(str(p) for p in book_dir.iterdir()), TS2
+    )
+    assert lake.read().where(F.col("book_id") == 11).count() == 2
+    assert lake.read_latest().count() == 3
+    ops = [h["operation"] for h in lake.history()]
+    assert ops == ["INGEST"] * 6
+
+    # merge: book 11 fully superseded out of nothing; 44 inserted
+    updates = spark.createDataFrame(
+        [(22, "h", "merged body"), (44, "h44", "b44")],
+        "book_id long, header string, body string",
+    )
+    ts3 = dt.datetime(2026, 8, 15, 10, 0, 0)
+    lake.merge_books(updates, ts3)
+    assert lake.list_books() == [11, 22, 33, 44]
+    rows = lake.read().where(F.col("book_id") == 22).collect()
+    assert len(rows) == 1 and rows[0].body == "merged body"
+    # merge purge expired old snapshots: physical files of replaced
+    # partitions are gone from disk
+    n_files_before = len(
+        glob.glob(
+            os.path.join(lake.lake_root, "data", "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    assert n_files_before == len(set(lake.read().inputFiles()))
+
+    # compact the merge partition down to one file
+    n = lake.compact("20260815", "10", target_files=1)
+    assert n == 2  # books 22 (merged) + 44 (inserted)
+    assert lake.compact("19990101", "03") == 0  # absent: no commit
+    ops = [h["operation"] for h in lake.history()]
+    assert ops[-1] == "OPTIMIZE"
+
+    # expire everything before the merge day: old partitions drop
+    assert lake.expire("20260815") == 2  # the 0813 + 0814 days
+    assert lake.list_books() == [22, 44]  # 11/33 lived only pre-merge
+    assert lake.read().count() == 2
+    # vacuum is snapshot expiry on iceberg
+    assert lake.vacuum() == []  # maintenance already expired snapshots

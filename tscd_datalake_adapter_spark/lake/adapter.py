@@ -125,7 +125,10 @@ class LakeAdapter:
     """Spark-backed book lake with the reference's operation surface.
 
     ``backend="delta"`` (default) runs every mutation through the
-    ``sources.delta_lite`` transaction log; ``backend="parquet"`` is the
+    ``sources.delta_lite`` transaction log; ``backend="iceberg"`` runs
+    the same operations through the ``sources.iceberg_lite`` table
+    format (snapshots + Avro manifests) — the whole reference surface is
+    format-agnostic behind this class; ``backend="parquet"`` is the
     pre-round-9 log-free layout, kept as a fallback."""
 
     def __init__(
@@ -135,7 +138,7 @@ class LakeAdapter:
         backend: str = "delta",
         checkpoint_every: int = 32,
     ):
-        if backend not in ("delta", "parquet"):
+        if backend not in ("delta", "iceberg", "parquet"):
             raise ValueError(f"unsupported backend {backend!r}")
         self.spark = spark
         self.lake_root = lake_root
@@ -160,6 +163,123 @@ class LakeAdapter:
             )
 
             checkpoint_delta(self.lake_root)
+        # iceberg needs no checkpoint: metadata.json is already a
+        # compact snapshot; its growth axis (the snapshot list) is
+        # trimmed by vacuum()/expire_snapshots, the format's maintenance.
+
+    # -- format dispatch (delta / iceberg) ------------------------------------
+
+    def _fmt_append(self, df: DataFrame, ts: dt.datetime) -> None:
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                write_delta,
+            )
+
+            version = write_delta(
+                df,
+                self.lake_root,
+                mode="append",
+                partition_by=_PARTITION_COLS,
+                writer_options=_BLOOM_OPTIONS,
+                commit_timestamp_ms=_ts_ms(ts),
+                operation="INGEST",
+            )
+            self._maybe_checkpoint(version)
+        else:
+            from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+                write_iceberg,
+            )
+
+            write_iceberg(
+                df,
+                self.lake_root,
+                mode="append",
+                partition_by=_PARTITION_COLS,
+                writer_options=_BLOOM_OPTIONS,
+                commit_timestamp_ms=_ts_ms(ts),
+                operation="INGEST",
+            )
+
+    def _fmt_replace_partitions(
+        self,
+        df: DataFrame,
+        parts: list[dict],
+        ts_ms: int,
+        operation: str,
+        purge: bool,
+    ) -> None:
+        """One partition-scoped overwrite commit; with ``purge`` the
+        files referenced only by pre-commit versions are physically
+        deleted (delta: targeted purge of this commit's tombstones;
+        iceberg: snapshot expiry to the new snapshot)."""
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                purge_removed,
+                write_delta,
+            )
+
+            version = write_delta(
+                df,
+                self.lake_root,
+                mode="overwrite",
+                partition_by=_PARTITION_COLS,
+                replace_partitions=parts,
+                writer_options=_BLOOM_OPTIONS,
+                commit_timestamp_ms=ts_ms,
+                operation=operation,
+            )
+            if purge:
+                purge_removed(self.lake_root, version)
+            self._maybe_checkpoint(version)
+        else:
+            from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+                expire_snapshots,
+                write_iceberg,
+            )
+
+            write_iceberg(
+                df,
+                self.lake_root,
+                mode="overwrite",
+                partition_by=_PARTITION_COLS,
+                replace_partitions=parts,
+                writer_options=_BLOOM_OPTIONS,
+                commit_timestamp_ms=ts_ms,
+                operation=operation,
+            )
+            if purge:
+                expire_snapshots(self.lake_root, keep_last=1)
+
+    def _fmt_partition_tuples(self) -> set[tuple[str, str]]:
+        """(ingest_date, ingest_hour) tuples with live files, from the
+        format's metadata (no data read)."""
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                _replay,
+            )
+
+            state = _replay(self.lake_root, None)
+            return {
+                (
+                    add["partitionValues"]["ingest_date"],
+                    add["partitionValues"]["ingest_hour"],
+                )
+                for add in state["files"].values()
+            }
+        from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            _snapshot_by_id,
+            _snapshot_files,
+            load_metadata,
+        )
+
+        meta = load_metadata(self.lake_root)
+        if meta["current-snapshot-id"] == -1:
+            return set()
+        snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
+        return {
+            (f["partition"]["ingest_date"], f["partition"]["ingest_hour"])
+            for f in _snapshot_files(meta, snap)
+        }
 
     # -- write path (R2 + R4) ------------------------------------------------
 
@@ -388,21 +508,8 @@ class LakeAdapter:
         On the delta backend the append is a logged commit whose caller
         timestamp is the INGEST time — the stamp :meth:`read_as_of`
         resolves versions against."""
-        if self.backend == "delta":
-            from tscd_datalake_adapter_spark.sources.delta_lite import (
-                write_delta,
-            )
-
-            version = write_delta(
-                df,
-                self.lake_root,
-                mode="append",
-                partition_by=_PARTITION_COLS,
-                writer_options=_BLOOM_OPTIONS,
-                commit_timestamp_ms=_ts_ms(ts),
-                operation="INGEST",
-            )
-            self._maybe_checkpoint(version)
+        if self.backend != "parquet":
+            self._fmt_append(df, ts)
             return
         writer = df.write.mode("append")
         for k, v in _BLOOM_OPTIONS.items():
@@ -416,14 +523,20 @@ class LakeAdapter:
         strings). Delta backend: log replay — only COMMITTED files are
         visible (a crashed writer's stray parquet cannot surface); an
         uncreated lake reads as the empty book table."""
-        if self.backend == "delta":
-            from tscd_datalake_adapter_spark.sources.delta_lite import (
-                read_delta,
-            )
-
+        if self.backend != "parquet":
             if self._empty():
                 return self.spark.createDataFrame([], BOOK_SCHEMA)
-            return read_delta(self.spark, self.lake_root)
+            if self.backend == "delta":
+                from tscd_datalake_adapter_spark.sources.delta_lite import (
+                    read_delta,
+                )
+
+                return read_delta(self.spark, self.lake_root)
+            from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+                read_iceberg,
+            )
+
+            return read_iceberg(self.spark, self.lake_root)
         return (
             self.spark.read.option("basePath", self.lake_root)
             .schema(BOOK_SCHEMA)
@@ -477,20 +590,36 @@ class LakeAdapter:
         filter prunes the scan, same filter+window on top."""
         ts = naive_utc(ts)
         day, _ = partition_values(ts)
-        if self.backend == "delta":
-            from tscd_datalake_adapter_spark.sources.delta_lite import (
-                read_delta,
-                version_as_of,
-            )
-
+        if self.backend != "parquet":
             if self._empty():
                 return self.spark.createDataFrame([], BOOK_SCHEMA)
-            v = version_as_of(
-                self.lake_root, _ts_ms(ts), field="timestamp"
-            )
-            if v is None:
-                return self.spark.createDataFrame([], BOOK_SCHEMA)
-            snapshot = read_delta(self.spark, self.lake_root, version=v)
+            if self.backend == "delta":
+                from tscd_datalake_adapter_spark.sources.delta_lite import (
+                    read_delta,
+                    version_as_of,
+                )
+
+                v = version_as_of(
+                    self.lake_root, _ts_ms(ts), field="timestamp"
+                )
+                if v is None:
+                    return self.spark.createDataFrame([], BOOK_SCHEMA)
+                snapshot = read_delta(
+                    self.spark, self.lake_root, version=v
+                )
+            else:
+                from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+                    read_iceberg,
+                )
+
+                try:
+                    snapshot = read_iceberg(
+                        self.spark,
+                        self.lake_root,
+                        as_of_timestamp_ms=_ts_ms(ts),
+                    )
+                except ValueError:  # cutoff predates the first commit
+                    return self.spark.createDataFrame([], BOOK_SCHEMA)
             return self._newest_version_per_book(
                 snapshot.where(F.col("ingest_ts") <= F.lit(ts))
             )
@@ -506,6 +635,12 @@ class LakeAdapter:
             return not os.path.isdir(
                 os.path.join(self.lake_root, "_delta_log")
             )
+        if self.backend == "iceberg":
+            from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+                _current_version,
+            )
+
+            return _current_version(self.lake_root) is None
         return not os.path.isdir(self.lake_root)
 
     def exists(self, book_id: object) -> bool:
@@ -606,28 +741,17 @@ class LakeAdapter:
         cols = [f.name for f in BOOK_SCHEMA.fields]
         out = keep.select(*cols).unionByName(new_rows.select(*cols))
 
-        if self.backend == "delta":
-            from tscd_datalake_adapter_spark.sources.delta_lite import (
-                purge_removed,
-                write_delta,
-            )
-
-            version = write_delta(
+        if self.backend != "parquet":
+            self._fmt_replace_partitions(
                 out,
-                self.lake_root,
-                mode="overwrite",
-                partition_by=_PARTITION_COLS,
-                replace_partitions=[
+                [
                     {"ingest_date": d, "ingest_hour": h}
                     for d, h in sorted(part_rows)
                 ],
-                writer_options=_BLOOM_OPTIONS,
-                commit_timestamp_ms=_ts_ms(ts),
-                operation="MERGE",
+                _ts_ms(ts),
+                "MERGE",
+                purge,
             )
-            if purge:
-                purge_removed(self.lake_root, version)
-            self._maybe_checkpoint(version)
             return
 
         from pyspark.sql import Observation
@@ -696,40 +820,31 @@ class LakeAdapter:
             .where(F.col("ingest_hour") == ingest_hour)
             .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        if self.backend == "delta":
-            # OPTIMIZE as a replace-partition commit: old files tombstoned
+        if self.backend != "parquet":
+            # OPTIMIZE as a replace-partition commit: old files replaced
             # + purged, the coalesced file added, atomically. An absent
-            # partition (no logged files) is a no-op WITHOUT a commit.
-            from tscd_datalake_adapter_spark.sources.delta_lite import (
-                _replay,
-                purge_removed,
-                write_delta,
-            )
-
+            # partition (no live files) is a no-op WITHOUT a commit.
             if self._empty():
                 return 0
-            state = _replay(self.lake_root, None)
-            want = {"ingest_date": ingest_date, "ingest_hour": ingest_hour}
-            has_files = any(
-                all(
-                    add.get("partitionValues", {}).get(k) == v
-                    for k, v in want.items()
-                )
-                for add in state["files"].values()
-            )
-            if not has_files:
+            if (
+                ingest_date,
+                ingest_hour,
+            ) not in self._fmt_partition_tuples():
                 return 0
-            version = write_delta(
+            import time as _time
+
+            self._fmt_replace_partitions(
                 part_df.coalesce(target_files),
-                self.lake_root,
-                mode="overwrite",
-                partition_by=_PARTITION_COLS,
-                replace_partitions=[want],
-                writer_options=_BLOOM_OPTIONS,
-                operation="OPTIMIZE",
+                [
+                    {
+                        "ingest_date": ingest_date,
+                        "ingest_hour": ingest_hour,
+                    }
+                ],
+                int(_time.time() * 1000),
+                "OPTIMIZE",
+                purge=True,
             )
-            purge_removed(self.lake_root, version)
-            self._maybe_checkpoint(version)
             return int(obs.get["n"])
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -758,38 +873,26 @@ class LakeAdapter:
 
         if self._empty():
             return 0
-        if self.backend == "delta":
-            from tscd_datalake_adapter_spark.sources.delta_lite import (
-                _replay,
-                purge_removed,
-                write_delta,
-            )
-
-            state = _replay(self.lake_root, None)
+        if self.backend != "parquet":
             expired = {
-                (
-                    add["partitionValues"]["ingest_date"],
-                    add["partitionValues"]["ingest_hour"],
-                )
-                for add in state["files"].values()
-                if add.get("partitionValues", {}).get("ingest_date", "")
-                < before_date
+                (d, h)
+                for d, h in self._fmt_partition_tuples()
+                if d < before_date
             }
             if not expired:
                 return 0
-            version = write_delta(
+            import time as _time
+
+            self._fmt_replace_partitions(
                 self.spark.createDataFrame([], BOOK_SCHEMA),
-                self.lake_root,
-                mode="overwrite",
-                partition_by=_PARTITION_COLS,
-                replace_partitions=[
+                [
                     {"ingest_date": d, "ingest_hour": h}
                     for d, h in sorted(expired)
                 ],
-                operation="EXPIRE",
+                int(_time.time() * 1000),
+                "EXPIRE",
+                purge=True,
             )
-            purge_removed(self.lake_root, version)
-            self._maybe_checkpoint(version)
             return len({d for d, _ in expired})
         removed = 0
         for entry in sorted(os.listdir(self.lake_root)):
@@ -803,31 +906,47 @@ class LakeAdapter:
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY of the lake's transaction log (delta backend
         only): one record per commit with operation and counts."""
-        if self.backend != "delta":
+        if self.backend == "parquet":
             raise NotImplementedError(
-                "history() requires the delta backend (the parquet layout "
-                "has no transaction log)"
+                "history() requires a table-format backend (the parquet "
+                "layout has no transaction log)"
             )
-        from tscd_datalake_adapter_spark.sources.delta_lite import (
-            table_history,
+        if self._empty():
+            return []
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                table_history,
+            )
+
+            return table_history(self.lake_root)
+        from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            snapshots,
         )
 
-        return table_history(self.lake_root) if not self._empty() else []
+        return snapshots(self.lake_root)
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Physically delete data files referenced only by versions older
         than the newest ``retain_versions`` (delta backend only) — the
         retention cleanup that pairs with log time travel."""
-        if self.backend != "delta":
+        if self.backend == "parquet":
             raise NotImplementedError(
-                "vacuum() requires the delta backend; the parquet layout "
-                "deletes partition directories directly (expire)"
+                "vacuum() requires a table-format backend; the parquet "
+                "layout deletes partition directories directly (expire)"
             )
-        from tscd_datalake_adapter_spark.sources.delta_lite import (
-            vacuum_delta,
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                vacuum_delta,
+            )
+
+            return vacuum_delta(
+                self.lake_root, retain_versions=retain_versions
+            )
+        from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            expire_snapshots,
         )
 
-        return vacuum_delta(self.lake_root, retain_versions=retain_versions)
+        return expire_snapshots(self.lake_root, keep_last=retain_versions)
 
     # -- convenience for tests ----------------------------------------------
 
