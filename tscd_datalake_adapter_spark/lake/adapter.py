@@ -167,6 +167,65 @@ class LakeAdapter:
         # compact snapshot; its growth axis (the snapshot list) is
         # trimmed by vacuum()/expire_snapshots, the format's maintenance.
 
+    def _ingest_single_row_fast(
+        self,
+        bid: int,
+        header: str | None,
+        body: str | None,
+        ts: dt.datetime,
+        day: str,
+        hour: str,
+    ) -> None:
+        """One-row delta ingest without a Spark job: pyarrow writes the
+        parquet file (exact BOOK_SCHEMA arrow types, so reads are
+        indistinguishable from Spark-written files) into its hive
+        directory under a commit-uuid name, then ``commit_files`` logs
+        it. Single-row files carry exact min=max footer stats, so
+        ``exists`` row-group pruning works without the bloom filter the
+        Spark write path adds."""
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tscd_datalake_adapter_spark.sources.delta_lite import (
+            commit_files,
+        )
+
+        table = pa.table(
+            {
+                "book_id": pa.array([bid], pa.int64()),
+                "header": pa.array([header], pa.string()),
+                "body": pa.array([body], pa.string()),
+                "ingest_ts": pa.array(
+                    [naive_utc(ts)], pa.timestamp("us")
+                ),
+            }
+        )
+        part_dir = os.path.join(
+            self.lake_root, f"ingest_date={day}", f"ingest_hour={hour}"
+        )
+        os.makedirs(part_dir, exist_ok=True)
+        commit_uuid = _uuid.uuid4().hex
+        name = f"part-00000-{commit_uuid}.parquet"
+        tmp = os.path.join(part_dir, f"._{commit_uuid}.tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(part_dir, name))
+        rel = os.path.join(
+            f"ingest_date={day}", f"ingest_hour={hour}", name
+        )
+        version = commit_files(
+            self.lake_root,
+            [rel],
+            BOOK_SCHEMA,
+            mode="append",
+            partition_by=_PARTITION_COLS,
+            commit_timestamp_ms=_ts_ms(ts),
+            operation="INGEST",
+            _commit_uuid=commit_uuid,
+        )
+        self._maybe_checkpoint(version)
+
     # -- format dispatch (delta / iceberg) ------------------------------------
 
     def _fmt_append(self, df: DataFrame, ts: dt.datetime) -> None:
@@ -296,9 +355,21 @@ class LakeAdapter:
         if not res.ok:
             raise IngestFailed(f"gutenberg markers missing/mis-ordered for {bid}")
         day, hour = partition_values(ts)
-        row = [(bid, res.header, res.body, naive_utc(ts), day, hour)]
-        df = self.spark.createDataFrame(row, BOOK_SCHEMA)
-        self._write(df, ts)
+        if self.backend == "delta":
+            # metadata-scale fast path: ONE row does not need a Spark
+            # job — write the parquet file driver-side (pyarrow) into
+            # its hive directory and commit it through the log. At the
+            # reference's one-request-per-book ingest rate this is the
+            # difference between ~5 ms and a full cluster round-trip
+            # per POST /ingest/{id}; bulk paths (ingest_raw_df) stay
+            # fully distributed.
+            self._ingest_single_row_fast(
+                bid, res.header, res.body, ts, day, hour
+            )
+        else:
+            row = [(bid, res.header, res.body, naive_utc(ts), day, hour)]
+            df = self.spark.createDataFrame(row, BOOK_SCHEMA)
+            self._write(df, ts)
         return {
             "book_id": bid,
             "status": "ingested",

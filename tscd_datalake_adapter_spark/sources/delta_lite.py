@@ -538,6 +538,41 @@ def write_delta(
     (a few hundred bytes per file action) and the per-file rename loop
     are driver-side, exactly like the real connector's driver-side
     transaction commit."""
+    _check_write_args(mode, replace_partitions, replace_paths)
+    # fail fast: validate layout/schema against the current state BEFORE
+    # the (possibly expensive) distributed data write
+    pre_state = _replay(path, None) if _table_exists(path) else None
+    pby, _ = _validate_write(
+        pre_state, df.schema, mode, partition_by,
+        replace_partitions, replace_paths,
+    )
+    commit_uuid = uuid.uuid4().hex
+    adds_rel = _write_data_files(
+        df, path, pby, commit_uuid, writer_options
+    )
+    return commit_files(
+        path,
+        adds_rel,
+        df.schema,
+        mode=mode,
+        partition_by=partition_by,
+        replace_partitions=replace_partitions,
+        replace_paths=replace_paths,
+        commit_timestamp_ms=commit_timestamp_ms,
+        operation=operation,
+        max_retries=max_retries,
+        _commit_uuid=commit_uuid,
+        _state=pre_state,
+    )
+
+
+def _table_exists(path: str) -> bool:
+    return bool(_existing_versions(path)) or (
+        _last_checkpoint_version(path) is not None
+    )
+
+
+def _check_write_args(mode, replace_partitions, replace_paths) -> None:
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     if replace_partitions is not None and mode != "overwrite":
@@ -548,56 +583,88 @@ def write_delta(
         raise ValueError(
             "replace_paths and replace_partitions are mutually exclusive"
         )
+
+
+def _validate_write(
+    state, schema, mode, partition_by, replace_partitions, replace_paths
+) -> tuple[tuple[str, ...], bool]:
+    """(partition columns to use, whether metaData must be re-emitted) —
+    the schema-on-write and pinned-layout checks, against a replayed
+    state (None for a new table)."""
+    pby = partition_by
+    evolve = False
+    if state and state["metadata"]:
+        md = state["metadata"]
+        existing_pcols = tuple(md.get("partitionColumns") or ())
+        if pby is None:
+            pby = existing_pcols
+        elif tuple(pby) != existing_pcols:
+            raise ValueError(
+                f"partition_by {tuple(pby)} does not match the "
+                f"table's pinned partition columns {existing_pcols}"
+            )
+        logged_fp = _schema_fingerprint(_logged_schema(md))
+        df_fp = _schema_fingerprint(schema)
+        if df_fp != logged_fp:
+            if (
+                mode == "append"
+                or replace_partitions is not None
+                or replace_paths is not None
+            ):
+                raise DeltaSchemaError(
+                    f"write schema {df_fp} does not match the table's "
+                    f"logged schema {logged_fp}; appends and partition "
+                    "replacements must match exactly (full overwrite "
+                    "evolves the schema)"
+                )
+            missing = [c for c in existing_pcols if c not in df_fp]
+            if missing:
+                raise DeltaSchemaError(
+                    f"schema evolution cannot drop the pinned "
+                    f"partition columns {missing}"
+                )
+            evolve = True
+    return tuple(pby or ()), evolve
+
+
+def commit_files(
+    path: str,
+    rels: list[str],
+    schema,
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = None,
+    replace_partitions: list[dict] | None = None,
+    replace_paths: list[str] | None = None,
+    commit_timestamp_ms: int | None = None,
+    operation: str | None = None,
+    max_retries: int = 20,
+    _commit_uuid: str | None = None,
+    _state: dict | None = None,
+) -> int:
+    """Commit PRE-STAGED parquet files (relative paths already at their
+    final locations inside the table) as one version — the log-only half
+    of :func:`write_delta`, exposed for writers that produce their data
+    files without a Spark job (e.g. the lake adapter's metadata-scale
+    single-record ingest: one pyarrow file + one commit, no cluster
+    round-trip). ``schema`` is the pyspark StructType the files conform
+    to; all of write_delta's schema-on-write, pinned-layout, stats, and
+    conflict-retry semantics apply identically."""
+    _check_write_args(mode, replace_partitions, replace_paths)
+    state = (
+        _state
+        if _state is not None
+        else (_replay(path, None) if _table_exists(path) else None)
+    )
+    pby, evolve = _validate_write(
+        state, schema, mode, partition_by,
+        replace_partitions, replace_paths,
+    )
     versions = _existing_versions(path)
     cp_version = _last_checkpoint_version(path)
     cp_v = -1 if cp_version is None else cp_version
     latest = max(versions[-1] if versions else -1, cp_v)
     version = latest + 1
-    prior_state = _replay(path, None) if version > 0 else None
-
-    def _validate_against(state) -> tuple[tuple[str, ...], bool]:
-        """(partition columns to use, whether metaData must be re-emitted)."""
-        pby = partition_by
-        evolve = False
-        if state and state["metadata"]:
-            md = state["metadata"]
-            existing_pcols = tuple(md.get("partitionColumns") or ())
-            if pby is None:
-                pby = existing_pcols
-            elif tuple(pby) != existing_pcols:
-                raise ValueError(
-                    f"partition_by {tuple(pby)} does not match the "
-                    f"table's pinned partition columns {existing_pcols}"
-                )
-            logged_fp = _schema_fingerprint(_logged_schema(md))
-            df_fp = _schema_fingerprint(df.schema)
-            if df_fp != logged_fp:
-                if (
-                    mode == "append"
-                    or replace_partitions is not None
-                    or replace_paths is not None
-                ):
-                    raise DeltaSchemaError(
-                        f"write schema {df_fp} does not match the table's "
-                        f"logged schema {logged_fp}; appends and partition "
-                        "replacements must match exactly (full overwrite "
-                        "evolves the schema)"
-                    )
-                missing = [c for c in existing_pcols if c not in df_fp]
-                if missing:
-                    raise DeltaSchemaError(
-                        f"schema evolution cannot drop the pinned "
-                        f"partition columns {missing}"
-                    )
-                evolve = True
-        return tuple(pby or ()), evolve
-
-    pby, evolve = _validate_against(prior_state)
-
-    commit_uuid = uuid.uuid4().hex
-    adds_rel = _write_data_files(
-        df, path, pby, commit_uuid, writer_options
-    )
+    commit_uuid = _commit_uuid or uuid.uuid4().hex
     now_ms = int(time.time() * 1000)
 
     def _build_actions(state, version: int, pby, evolve) -> list[dict]:
@@ -636,7 +703,7 @@ def write_delta(
                     "metaData": {
                         "id": md_id,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": schema.json(),
                         "partitionColumns": list(pby),
                         "configuration": {},
                         "createdTime": created,
@@ -666,7 +733,7 @@ def write_delta(
                         }
                     }
                 )
-        for rel in adds_rel:
+        for rel in rels:
             full = os.path.join(path, rel)
             add = {
                 "path": rel,
@@ -702,7 +769,6 @@ def write_delta(
         )
         return actions
 
-    state = prior_state
     for _attempt in range(max_retries):
         try:
             _commit(path, version, _build_actions(state, version, pby, evolve))
@@ -724,7 +790,10 @@ def write_delta(
             # the winner committed.
             state = _replay(path, None)
             version = state["version"] + 1
-            pby, evolve = _validate_against(state)
+            pby, evolve = _validate_write(
+                state, schema, mode, partition_by,
+                replace_partitions, replace_paths,
+            )
     raise ConcurrentWriteError(
         f"append to {path} lost {max_retries} consecutive commit races"
     )
