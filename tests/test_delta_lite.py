@@ -759,3 +759,30 @@ def test_partition_layout_is_pinned_and_inherited(spark, sf_dir, tmp_path):
     back2 = read_delta(spark, path)
     assert back2.where(F.col("o_orderstatus") == "X").count() == 20
     assert back2.count() == f.count() + o.count()
+
+
+def test_checkpoint_tombstone_retention(spark, sf_dir, tmp_path):
+    """checkpoint_delta(tombstone_retention_ms=...) drops tombstones
+    older than the retention window (the spec's
+    deletedFileRetentionDuration) — fresh removes stay."""
+    import pyarrow.parquet as pq
+
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        checkpoint_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.limit(10), path)
+    write_delta(src.limit(4), path, mode="overwrite")  # fresh tombstones
+    v = checkpoint_delta(path, tombstone_retention_ms=60_000)
+    cp = pq.read_table(
+        os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    ).to_pylist()
+    assert any(r.get("remove") for r in cp)  # within retention: kept
+    v2 = checkpoint_delta(path, tombstone_retention_ms=0)
+    cp2 = pq.read_table(
+        os.path.join(path, "_delta_log", f"{v2:020d}.checkpoint.parquet")
+    ).to_pylist()
+    assert not any(r.get("remove") for r in cp2)  # expired: dropped
+    assert read_delta(spark, path).count() == 4

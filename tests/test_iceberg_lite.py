@@ -550,3 +550,56 @@ def test_replace_partitions_carries_existing_entries(
     back2 = read_iceberg(spark, path)
     assert back2.where("o_orderstatus = 'P'").count() == 0
     assert back2.where("o_orderstatus = 'F'").count() == n_f
+
+
+def test_cross_format_consistency_delta_vs_iceberg(spark, sf_dir, tmp_path):
+    """The two in-repo table formats must agree cell-for-cell on the same
+    commit sequence (overwrite, append, partition replace) — a
+    cross-IMPLEMENTATION oracle: delta_lite and iceberg_lite share no
+    metadata code, so agreement means neither log loses or duplicates a
+    file."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    src = _orders(spark, sf_dir)
+    dpath, ipath = str(tmp_path / "d"), str(tmp_path / "i")
+    steps = [
+        (dict(mode="overwrite", partition_by=("o_orderstatus",)),
+         src.where("o_orderstatus IN ('F','O','P')")),
+        (dict(mode="append"), src.where("o_orderstatus = 'F'").limit(20)),
+        (dict(mode="overwrite",
+              replace_partitions=[{"o_orderstatus": "P"}]),
+         src.where("o_orderstatus = 'P'").limit(3)),
+    ]
+    for kw, df in steps:
+        write_delta(df, dpath, **kw)
+        write_iceberg(df, ipath, **kw)
+    a = sorted(tuple(r) for r in read_delta(spark, dpath).collect())
+    b = sorted(tuple(r) for r in read_iceberg(spark, ipath).collect())
+    assert a == b and len(a) > 0
+
+
+def test_remove_orphan_files_cleans_unreferenced_parquet(
+    spark, sf_dir, tmp_path
+):
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        remove_orphan_files,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(100)
+    write_iceberg(src.coalesce(1), path)
+    n = read_iceberg(spark, path).count()
+    # plant an orphan (a crashed writer's moved-but-uncommitted file)
+    import glob
+    import shutil
+
+    real = glob.glob(os.path.join(path, "data", "*.parquet"))[0]
+    orphan = os.path.join(path, "data", "part-orphan.parquet")
+    shutil.copy(real, orphan)
+    deleted = remove_orphan_files(path)
+    assert deleted == [orphan]
+    assert read_iceberg(spark, path).count() == n
+    assert remove_orphan_files(path) == []  # idempotent

@@ -1153,7 +1153,11 @@ def purge_removed(path: str, version: int) -> list[str]:
     return sorted(removed)
 
 
-def checkpoint_delta(path: str, cleanup: bool = False) -> int:
+def checkpoint_delta(
+    path: str,
+    cleanup: bool = False,
+    tombstone_retention_ms: int | None = None,
+) -> int:
     """Write a classic single-part checkpoint of the CURRENT state
     (``V.checkpoint.parquet`` + ``_last_checkpoint``) — the spec's log
     compaction. At real commit rates the JSON replay grows linearly with
@@ -1181,7 +1185,18 @@ def checkpoint_delta(path: str, cleanup: bool = False) -> int:
     ]
     for add in state["files"].values():
         rows.append({**empty, "add": add})
-    for rm in state["tombstones"].values():
+    tombstones = list(state["tombstones"].values())
+    if tombstone_retention_ms is not None:
+        # the spec's deletedFileRetentionDuration: tombstones older than
+        # the retention window (whose physical files vacuum has already
+        # reclaimed) are dropped from the checkpoint
+        cutoff = int(time.time() * 1000) - int(tombstone_retention_ms)
+        tombstones = [
+            rm
+            for rm in tombstones
+            if int(rm.get("deletionTimestamp") or 0) >= cutoff
+        ]
+    for rm in tombstones:
         rows.append({**empty, "remove": rm})
 
     schema = pa.schema(

@@ -914,6 +914,41 @@ def snapshots(path: str) -> list[dict]:
     ]
 
 
+def remove_orphan_files(path: str) -> list[str]:
+    """The format's remove-orphan-files maintenance: physically delete
+    parquet files under ``data/`` referenced by NO retained snapshot —
+    leftovers of crashed writers (staged files were moved in but the
+    metadata commit never happened). Never touches referenced files or
+    the metadata tree. Returns the deleted paths."""
+    meta = load_metadata(path)
+    referenced: set[str] = set()
+    for s in meta["snapshots"]:
+        referenced.update(
+            f["file_path"] for f in _snapshot_files(meta, s)
+        )
+    data_root = os.path.join(path, "data")
+    deleted: list[str] = []
+    for root, dirs, files in os.walk(data_root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in files:
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, fn)
+            if full not in referenced:
+                os.unlink(full)
+                deleted.append(full)
+    # clear abandoned staging dirs, then empty partition dirs
+    for entry in os.listdir(data_root):
+        if entry.startswith("_staging_"):
+            import shutil
+
+            shutil.rmtree(os.path.join(data_root, entry))
+    for root, dirs, _files in os.walk(data_root, topdown=False):
+        if root != data_root and not os.listdir(root):
+            os.rmdir(root)
+    return sorted(deleted)
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Expire all but the newest ``keep_last`` snapshots: commit a new
     metadata version without them, delete their manifest lists/manifests,
