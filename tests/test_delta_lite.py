@@ -786,3 +786,98 @@ def test_checkpoint_tombstone_retention(spark, sf_dir, tmp_path):
     ).to_pylist()
     assert not any(r.get("remove") for r in cp2)  # expired: dropped
     assert read_delta(spark, path).count() == 4
+
+
+def test_real_multiprocess_append_race(spark, sf_dir, tmp_path):
+    """REAL concurrency (not a monkeypatched rival): 4 processes each
+    commit 6 single-file appends to the same table simultaneously via
+    commit_files (pyarrow data files, no Spark needed in the workers).
+    Every commit must land: 24 rows, 24 contiguous versions after the
+    creation commit, no duplicates, no lost updates."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).limit(1)
+    write_delta(src, path)  # version 0 creates the table single-writer
+
+    ctx = mp.get_context("fork")
+    errs = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_worker, args=(path, w, errs))
+        for w in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+    failures = []
+    while not errs.empty():
+        failures.append(errs.get())
+    assert not failures, failures
+
+    back = read_delta(spark, path)
+    assert back.count() == 1 + 24
+    keys = [
+        r.o_orderkey
+        for r in back.where("o_orderkey >= 1000000").collect()
+    ]
+    assert sorted(keys) == sorted(
+        1000000 + w * 100 + i for w in range(4) for i in range(6)
+    )
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _existing_versions,
+    )
+
+    assert _existing_versions(path) == list(range(25))
+
+
+def _race_worker(path, worker, errq):
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tscd_datalake_adapter_spark.sources.delta_lite import (
+            commit_files,
+        )
+        from tscd_datalake_adapter_spark.sources import load_table  # noqa: F401
+
+        # the table schema: (o_orderkey long, o_orderstatus string,
+        # o_totalprice double) — mirror it exactly
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderstatus", T.StringType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+            ]
+        )
+        import os as _os
+        import uuid as _uuid
+
+        for i in range(6):
+            key = 1000000 + worker * 100 + i
+            u = _uuid.uuid4().hex
+            name = f"part-00000-{u}.parquet"
+            tmp = _os.path.join(path, f"._{u}.tmp")
+            pq.write_table(
+                pa.table(
+                    {
+                        "o_orderkey": pa.array([key], pa.int64()),
+                        "o_orderstatus": pa.array(["X"], pa.string()),
+                        "o_totalprice": pa.array([1.0], pa.float64()),
+                    }
+                ),
+                tmp,
+            )
+            _os.rename(tmp, _os.path.join(path, name))
+            commit_files(
+                path,
+                [name],
+                schema,
+                mode="append",
+                operation="INGEST",
+                _commit_uuid=u,
+            )
+    except Exception as exc:  # pragma: no cover
+        errq.put(f"worker {worker}: {exc!r}")
