@@ -96,6 +96,24 @@ def _cpu_probe_parallel(n_procs: int = 16) -> float:
     return round(time.time() - t0, 3)
 
 
+def _spark_probe(spark, runs: int = 3) -> float:
+    """Min-of-N seconds for a fixed JVM-side job (range-sum over 200M
+    rows, whole-stage codegen, all cores) — the engine-side machine
+    calibration. The r9 lesson: the pure-Python probe and the JVM
+    throttle DIFFERENTLY on this host (python probe 0.83→2.5 while
+    Spark queries moved ~1.4x), so cross-round comparisons need the
+    probe that runs where the queries run. The first execution is run
+    and DISCARDED (whole-stage-codegen JIT dominates it — measured
+    0.355 cold vs 0.100 warm)."""
+    times = []
+    for i in range(runs + 1):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        if i > 0:
+            times.append(time.time() - t0)
+    return round(min(times), 3)
+
+
 def _timings(spark, sf_dir, specs, runs):
     """{name: sorted [t_1 <= t_2 <= ...]} over `runs` noop-sink executions."""
     out = {}
@@ -136,6 +154,7 @@ def main() -> int:
 
     registry = load_all()
     probe_pre = _cpu_probe_median()
+    spark_probe_pre = _spark_probe(spark)
 
     if families_mode:
         by_family: dict[str, dict] = {}
@@ -157,6 +176,7 @@ def main() -> int:
             families[fam] = round(sum(ts[0] for ts in t.values()), 3)
             families_p2[fam] = round(sum(ts[1] for ts in t.values()), 3)
         probe_post = _cpu_probe_median()
+        spark_probe_post = _spark_probe(spark)
         probe = round((probe_pre + probe_post) / 2, 3)
         total = round(sum(families.values()), 3)
         result = {
@@ -173,6 +193,8 @@ def main() -> int:
             "cpu_probe_sec": probe,
             "cpu_probe_sec_pre": probe_pre,
             "cpu_probe_sec_post": probe_post,
+            "spark_probe_sec_pre": spark_probe_pre,
+            "spark_probe_sec_post": spark_probe_post,
             "cpu_probe_parallel_sec": _cpu_probe_parallel(),
             "sf": _sf_val(sf_dir),
         }
@@ -192,6 +214,7 @@ def main() -> int:
     second_best = {name: round(times[1], 3) for name, times in t.items()}
 
     probe_post = _cpu_probe_median()
+    spark_probe_post = _spark_probe(spark)
     probe = round((probe_pre + probe_post) / 2, 3)
     total = round(sum(timings.values()), 3)
     result = {
@@ -205,6 +228,8 @@ def main() -> int:
         "cpu_probe_sec": probe,
         "cpu_probe_sec_pre": probe_pre,
         "cpu_probe_sec_post": probe_post,
+        "spark_probe_sec_pre": spark_probe_pre,
+        "spark_probe_sec_post": spark_probe_post,
         "cpu_probe_parallel_sec": _cpu_probe_parallel(),
         "sf": _sf_val(sf_dir),
     }
