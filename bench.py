@@ -103,8 +103,11 @@ def _spark_probe(spark, runs: int = 3) -> float:
     throttle DIFFERENTLY on this host (python probe 0.83→2.5 while
     Spark queries moved ~1.4x), so cross-round comparisons need the
     probe that runs where the queries run. The first execution is run
-    and DISCARDED (whole-stage-codegen JIT dominates it — measured
-    0.355 cold vs 0.100 warm)."""
+    and DISCARDED (whole-stage-codegen JIT dominates it — measured 3.6
+    cold vs ~0.2 after one run), but tiered compilation keeps improving
+    the job for ~8 iterations, so the PRE stamp always reads somewhat
+    high; compare rounds POST-to-POST (the post probe runs after
+    hundreds of queries, i.e. at C2 steady state)."""
     times = []
     for i in range(runs + 1):
         t0 = time.time()
