@@ -1614,3 +1614,68 @@ def iceberg_lite_data_skipping(
         dec_sum("o_totalprice").alias("total"),
         F.min("o_orderkey").cast("long").alias("min_key"),
     )
+
+
+@register(
+    "lake_fast_ingest_roundtrip",
+    tags=("io", "lake", "lakehouse"),
+    defer=True,
+    oracle="""
+    SELECT CAST(doc_id + 1 AS BIGINT) AS book_id,
+           '20260103' AS ingest_date,
+           '09' AS ingest_hour,
+           CAST(1 AS BIGINT) AS body_exact
+    FROM documents WHERE doc_id < 8 ORDER BY book_id
+    """,
+)
+def lake_fast_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata-scale single-book ingest (r9: one pyarrow file + one
+    log commit per POST /ingest/{id}, NO Spark job) under the driver's
+    oracle gate: 8 books framed from documents go through
+    ``ingest_text``'s fast path one by one; the read-back must land in
+    the right partition with the EXACT reference split semantics —
+    ``body_exact`` compares the stored body cell-for-cell against the
+    algebraic expectation (retained title tail + newline + text, outer
+    whitespace stripped), so a fast path that drifted from
+    ``split_book`` by one byte hash-fails."""
+    from tscd_datalake_adapter_spark.lake.adapter import LakeAdapter
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 8)
+        .select("doc_id", "text")
+    )
+    rows = d.collect()  # 8 rows — the per-request ingest surface is
+    # driver-side by definition (one HTTP body per call)
+    lake = LakeAdapter(spark, _tmp("lake_fast") + "/lake")
+    ts = dt.datetime(2026, 1, 3, 9, 0, 0)
+    for r in rows:
+        raw = (
+            f"Header for {r['doc_id']}\n"
+            "*** START OF THE PROJECT GUTENBERG EBOOK D ***\n"
+            f"{r['text']}\n"
+            "*** END OF THE PROJECT GUTENBERG EBOOK D ***"
+        )
+        lake.ingest_text(int(r["doc_id"]) + 1, raw, ts)
+    expected_body = F.concat(
+        F.lit("D ***"), F.lit("\n"), F.col("text")
+    )
+    return (
+        lake.read()
+        .select(
+            "book_id", "ingest_date", "ingest_hour", "body"
+        )
+        .join(
+            d.select((F.col("doc_id") + 1).alias("book_id"), "text"),
+            "book_id",
+        )
+        .select(
+            "book_id",
+            "ingest_date",
+            "ingest_hour",
+            (F.col("body") == expected_body).cast("long").alias(
+                "body_exact"
+            ),
+        )
+        .orderBy("book_id")
+    )
