@@ -866,3 +866,53 @@ def test_incremental_near_dup_planted_and_asymmetric(spark, sf_dir):
     for b, c in got:
         assert c < 150  # corpus side only
         assert (150 <= b < 200) or b >= 10000  # batch side only
+
+
+def test_vector_index_delta_incremental_recall(spark, sf_dir):
+    """Recall floor for the delta-persisted IVF index. The fixture's
+    embeddings are RANDOM unit vectors — 64-d data with no cluster
+    structure, where measured recall@5 at 6-of-16 probed cells needs 12+
+    cells for 1.0 (IVF prunes on manifold structure real embedding
+    corpora have and random data provably lacks) — so unlike
+    ann_lsh_topk's recall-1.0 pin, this test asserts a measured FLOOR;
+    the pipeline's exactness (index contents + search result) is
+    hash-pinned by the query's cross-engine oracle instead."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.operators.similarity import (
+        dot,
+        vector_index_delta_incremental,
+    )
+    from tscd_datalake_adapter_spark.sources import load_table
+
+    got = {
+        (r.qid, r.rank): r.vec_id
+        for r in vector_index_delta_incremental(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    brute = (
+        q.crossJoin(emb)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    want = {(r.qid, r.rank): r.vec_id for r in brute.collect()}
+    hits = sum(
+        1
+        for (qid, _rk), vid in want.items()
+        if vid in {v for (q2, _r2), v in got.items() if q2 == qid}
+    )
+    assert hits / len(want) >= 0.6, f"recall@5 {hits}/{len(want)}"
