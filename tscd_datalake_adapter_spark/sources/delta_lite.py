@@ -66,10 +66,14 @@ Honest scope (documented, enforced by errors — not silently wrong):
   that prunes files at the LOG level (no listing, no footer reads for
   skipped files — the piece of data skipping that matters when the
   table has millions of files).
-- Known remaining non-interop vs a full connector (documented, small):
-  no ``txn``/idempotent-writer actions, stats omit nullCount and nested
-  columns, and tombstones never expire (we have no retention clock; a
-  real reader simply sees more removes than strictly required).
+- ``txn`` actions (idempotent-writer versions) are supported: a commit
+  may carry ``{appId, version}``, replay tracks the max version per app,
+  and :func:`last_txn_version` exposes it — the exactly-once recipe the
+  connector's streaming sink uses (skip a micro-batch whose id is
+  already recorded). Remaining non-interop vs a full connector
+  (documented, small): stats omit nullCount and nested columns, and
+  tombstone expiry needs an explicit retention
+  (``checkpoint_delta(tombstone_retention_ms=...)``).
 
 Everything here derives from the public protocol document and the Spark
 API; the resulting tables are spec-shaped (JSON log + parquet data), and
@@ -156,6 +160,7 @@ def _read_checkpoint(path: str, version: int) -> dict:
     tbl = pq.read_table(_checkpoint_file(path, version)).to_pylist()
     files: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     metadata: dict | None = None
     for row in tbl:
         proto = row.get("protocol")
@@ -183,7 +188,17 @@ def _read_checkpoint(path: str, version: int) -> dict:
             rm = dict(rm)
             rm["partitionValues"] = dict(rm.get("partitionValues") or {})
             tombstones[rm["path"]] = rm
-    return {"files": files, "tombstones": tombstones, "metadata": metadata}
+        tx = row.get("txn")
+        if tx and tx.get("appId"):
+            txns[tx["appId"]] = max(
+                txns.get(tx["appId"], -1), int(tx["version"])
+            )
+    return {
+        "files": files,
+        "tombstones": tombstones,
+        "txns": txns,
+        "metadata": metadata,
+    }
 
 
 def _replay(path: str, version: int | None = None) -> dict:
@@ -205,12 +220,14 @@ def _replay(path: str, version: int | None = None) -> dict:
 
     files: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     metadata: dict | None = None
     start_after = -1
     if cp_version is not None and cp_version <= version:
         state = _read_checkpoint(path, cp_version)
         files = state["files"]
         tombstones = state["tombstones"]
+        txns = state.get("txns", {})
         metadata = state["metadata"]
         start_after = cp_version
     # every JSON commit in (start_after, version] must be present — a
@@ -250,9 +267,15 @@ def _replay(path: str, version: int | None = None) -> dict:
                     rel = action["remove"]["path"]
                     files.pop(rel, None)
                     tombstones[rel] = action["remove"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
     return {
         "files": files,
         "tombstones": tombstones,
+        "txns": txns,
         "metadata": metadata,
         "version": version,
     }
@@ -496,6 +519,7 @@ def write_delta(
     writer_options: dict[str, str] | None = None,
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
+    txn: dict | None = None,
     max_retries: int = 20,
 ) -> int:
     """Write ``df`` as a delta_lite table commit; returns the committed
@@ -560,6 +584,7 @@ def write_delta(
         replace_paths=replace_paths,
         commit_timestamp_ms=commit_timestamp_ms,
         operation=operation,
+        txn=txn,
         max_retries=max_retries,
         _commit_uuid=commit_uuid,
         _state=pre_state,
@@ -637,6 +662,7 @@ def commit_files(
     replace_paths: list[str] | None = None,
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
+    txn: dict | None = None,
     max_retries: int = 20,
     _commit_uuid: str | None = None,
     _state: dict | None = None,
@@ -746,6 +772,16 @@ def commit_files(
             if stats:
                 add["stats"] = stats
             actions.append({"add": add})
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": str(txn["appId"]),
+                        "version": int(txn["version"]),
+                        "lastUpdated": ts_ms,
+                    }
+                }
+            )
         actions.append(
             {
                 "commitInfo": {
@@ -1014,6 +1050,16 @@ def version_as_of(
     return best
 
 
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Newest ``txn`` version recorded for ``app_id`` (None if the app
+    never committed) — the idempotence watermark a streaming sink checks
+    before writing a micro-batch: if the batch id is <= this, the batch
+    already committed and must be SKIPPED (exactly-once under retries)."""
+    state = _replay(path, None)
+    v = state["txns"].get(str(app_id))
+    return int(v) if v is not None else None
+
+
 def merge_delta(
     spark: SparkSession,
     path: str,
@@ -1175,7 +1221,13 @@ def checkpoint_delta(
     state = _replay(path, None)
     version = state["version"]
     md = state["metadata"]
-    empty = {"protocol": None, "metaData": None, "add": None, "remove": None}
+    empty = {
+        "protocol": None,
+        "metaData": None,
+        "add": None,
+        "remove": None,
+        "txn": None,
+    }
     rows = [
         {
             **empty,
@@ -1198,6 +1250,8 @@ def checkpoint_delta(
         ]
     for rm in tombstones:
         rows.append({**empty, "remove": rm})
+    for app_id, v in state["txns"].items():
+        rows.append({**empty, "txn": {"appId": app_id, "version": v}})
 
     schema = pa.schema(
         [
@@ -1264,6 +1318,15 @@ def checkpoint_delta(
                         ),
                         ("deletionTimestamp", pa.int64()),
                         ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
                     ]
                 ),
             ),

@@ -2015,3 +2015,50 @@ def run_croston_stream(
         f"FROM {query_name} "
         f"WHERE seq = (SELECT max(seq) FROM {query_name})"
     )
+
+
+def run_delta_sink_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    table_path: str,
+) -> DataFrame:
+    """Structured Streaming sink into the in-repo delta_lite table with
+    EXACTLY-ONCE semantics (r9): each micro-batch appends as one logged
+    commit carrying a ``txn`` action ``{appId, version=batch_id}``, and
+    a replayed batch (foreachBatch re-delivery after a crash/restart) is
+    SKIPPED when its id is already recorded — the connector's streaming
+    sink recipe, on the pure-Python log. availableNow trigger; returns
+    the final table read through the log."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+
+    app_id = "eventreplay-delta-sink"
+    stream = read_event_stream(spark, source_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            done = last_txn_version(table_path, app_id)
+        except FileNotFoundError:  # first batch creates the table
+            done = None
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already committed, exactly-once
+        write_delta(
+            batch_df,
+            table_path,
+            mode="append",
+            txn={"appId": app_id, "version": batch_id},
+            operation="STREAMING UPDATE",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_terminated(q)
+    return read_delta(spark, table_path)
