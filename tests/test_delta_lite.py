@@ -160,6 +160,55 @@ def test_overwrite_race_raises_append_race_retries(spark, sf_dir, tmp_path):
     assert read_delta(spark, path).count() == 15
 
 
+def test_commit_during_data_write_not_absorbed(spark, sf_dir, tmp_path):
+    """ADVICE r9 (high): a commit that lands DURING write_delta's
+    distributed data write — i.e. after the pre-write state replay but
+    before the log commit — must surface as a conflict, never be
+    silently absorbed by claiming a version from a fresh directory
+    listing. An overwrite whose remove-set predates the interloper
+    raises ConcurrentWriteError (else the interloper's files would
+    survive a full overwrite); an append retries and both land."""
+    from tscd_datalake_adapter_spark.sources import delta_lite
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.limit(10), path)
+
+    real_wdf = delta_lite._write_data_files
+    pending = {"rival_rows": 5}
+
+    def racing_wdf(df, p, pby, commit_uuid, writer_options=None):
+        # rival append lands mid-write, exactly once per arm
+        n = pending.pop("rival_rows", 0)
+        if n:
+            delta_lite._write_data_files = real_wdf
+            try:
+                write_delta(src.limit(n), path, mode="append")
+            finally:
+                delta_lite._write_data_files = racing_wdf
+        return real_wdf(df, p, pby, commit_uuid, writer_options)
+
+    delta_lite._write_data_files = racing_wdf
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            write_delta(src.limit(3), path, mode="overwrite")
+    finally:
+        delta_lite._write_data_files = real_wdf
+    # the interloper's rows are intact; the stale overwrite left nothing
+    assert read_delta(spark, path).count() == 15
+
+    # the same race on an APPEND is non-conflicting: retry, both land
+    pending["rival_rows"] = 4
+    delta_lite._write_data_files = racing_wdf
+    try:
+        v = write_delta(src.limit(3), path, mode="append")
+    finally:
+        delta_lite._write_data_files = real_wdf
+    # v0 base, v1 rival#1, v2 rival#2, v3 this append (after one retry)
+    assert v == 3
+    assert read_delta(spark, path).count() == 22
+
+
 def test_schema_on_write_enforced_append_evolved_overwrite(
     spark, sf_dir, tmp_path
 ):
@@ -363,6 +412,62 @@ def test_add_actions_carry_footer_stats(spark, sf_dir, tmp_path):
     assert stats["minValues"]["o_orderkey"] == 0
     assert stats["maxValues"]["o_orderkey"] == 99
     assert "o_orderstatus" in stats["minValues"]
+
+
+def test_footer_stats_drop_column_on_unusable_later_row_group(monkeypatch):
+    """ADVICE r9 (low): a later row group whose min/max is unusable (NaN
+    floats from older parquet-mr writers) must invalidate the column's
+    accumulated bounds entirely — keeping rg0-only bounds could wrongly
+    PRUNE a file whose later row groups hold matching rows. Pinned with
+    a stubbed footer because pyarrow itself never writes NaN stats."""
+    import pyarrow.parquet as pq
+
+    from tscd_datalake_adapter_spark.sources import iceberg_lite
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _file_stats_json,
+    )
+
+    class _Stats:
+        def __init__(self, lo, hi):
+            self.has_min_max = True
+            self.min, self.max = lo, hi
+
+    class _Col:
+        def __init__(self, stats):
+            self.path_in_schema = "x"
+            self.statistics = stats
+
+    class _RG:
+        def __init__(self, stats):
+            self._c = _Col(stats)
+
+        def column(self, ci):
+            return self._c
+
+    class _MD:
+        num_row_groups = 2
+        num_columns = 1
+        num_rows = 10
+
+        def row_group(self, rg):
+            # rg0 has clean bounds; rg1's max is NaN
+            if rg == 0:
+                return _RG(_Stats(1.0, 2.0))
+            return _RG(_Stats(3.0, float("nan")))
+
+    class _PF:
+        def __init__(self, *a, **k):
+            self.metadata = _MD()
+
+    monkeypatch.setattr(pq, "ParquetFile", _PF)
+    stats = json.loads(_file_stats_json("ignored.parquet"))
+    assert stats == {"numRecords": 10}  # column x dropped, not rg0-only
+
+    lower, upper = iceberg_lite._file_bounds(
+        "ignored.parquet",
+        {"fields": [{"name": "x", "id": 1, "type": "double"}]},
+    )
+    assert lower == [] and upper == []
 
 
 def test_merge_rewrites_only_key_intersecting_files(spark, sf_dir, tmp_path):

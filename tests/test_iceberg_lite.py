@@ -249,6 +249,28 @@ def test_partition_pruning_from_manifests(spark, sf_dir, tmp_path):
         write_iceberg(src, path, mode="append", partition_by=())
 
 
+def test_boolean_partition_roundtrip(spark, sf_dir, tmp_path):
+    """ADVICE r9 (medium): a BOOLEAN identity partition — manifests
+    store typed Python True/False while the hive path segment spells
+    'true'/'false'; the manifest-vs-path cross-check must compare the
+    hive serialization, not str(True)."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).withColumn(
+        "is_filled", F.col("o_orderstatus") == F.lit("F")
+    )
+    write_iceberg(src, path, partition_by=("is_filled",))
+    got = read_iceberg(spark, path)
+    assert got.count() == src.count()
+    assert (
+        got.where("is_filled").count()
+        == src.where("o_orderstatus = 'F'").count()
+    )
+    # typed partition_filter prunes to the matching hive directory
+    only_t = read_iceberg(spark, path, partition_filter={"is_filled": True})
+    assert all("is_filled=true" in f for f in only_t.inputFiles())
+    assert only_t.count() == src.where("o_orderstatus = 'F'").count()
+
+
 def test_unlogged_file_is_invisible(spark, sf_dir, tmp_path):
     path = str(tmp_path / "t")
     src = _orders(spark, sf_dir).limit(100)

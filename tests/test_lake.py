@@ -146,6 +146,35 @@ def test_retention_expire(lake, book_dir):
     assert lake.expire("20260813") == 0  # nothing older left
 
 
+@pytest.mark.parametrize("backend", ["delta", "iceberg"])
+def test_read_as_of_after_maintenance_purge(spark, tmp_path, book_dir, backend):
+    """ADVICE r9 (medium): maintenance commits (compact/expire) are
+    stamped at the NEWEST INGEST time, not the wall clock — otherwise
+    read_as_of for any cutoff in (last-ingest-stamp, wall-clock-now)
+    resolves to a pre-maintenance version whose files the purge just
+    deleted: a scan crash on delta, a silently EMPTY lake on iceberg
+    (expire_snapshots trims the snapshot-log)."""
+    lake = LakeAdapter(spark, str(tmp_path / f"mlake_{backend}"), backend=backend)
+    paths = sorted(str(p) for p in book_dir.iterdir())
+    lake.ingest_files(paths, TS)
+
+    # compact purges the replaced small files; a cutoff 1 min after the
+    # last ingest (but well before the wall-clock maintenance run) must
+    # resolve to the surviving compacted snapshot
+    lake.compact("20260813", "14", target_files=1)
+    as_of = lake.read_as_of(TS + dt.timedelta(minutes=1))
+    assert sorted(r.book_id for r in as_of.collect()) == [11, 22, 33]
+
+    # expire drops the 0813 partition and purges its files; a cutoff
+    # just after the newest ingest must still see the surviving 0814 rows
+    lake.ingest_files(paths, TS2)
+    lake.expire("20260814")
+    as_of2 = lake.read_as_of(TS2 + dt.timedelta(minutes=1))
+    rows = as_of2.select("book_id", "ingest_date").collect()
+    assert sorted(r.book_id for r in rows) == [11, 22, 33]
+    assert {r.ingest_date for r in rows} == {"20260814"}
+
+
 def test_merge_upsert(lake, book_dir, spark):
     lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS)
     lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS2)

@@ -331,6 +331,40 @@ class LakeAdapter:
             if purge:
                 expire_snapshots(self.lake_root, keep_last=1)
 
+    def _maintenance_ts_ms(self) -> int:
+        """Commit stamp for maintenance commits (compact/expire): the MAX
+        caller timestamp already in the log — i.e. the newest ingest time
+        — NOT the wall clock. Adapter ingests stamp commits with ingest
+        time, and ``read_as_of`` travels on that timeline; a wall-clock
+        maintenance stamp would leave a window (last-ingest-stamp, now)
+        in which ``read_as_of`` resolves to a PRE-maintenance version
+        whose files the purge just deleted (delta: scan crash; iceberg:
+        trimmed snapshot-log → silently empty lake). Stamping maintenance
+        at the newest ingest time makes every cutoff >= that time resolve
+        to the surviving post-maintenance snapshot (timestamp travel is
+        last-match on ties). Falls back to the wall clock on an empty
+        log (no timeline to join)."""
+        import time as _time
+
+        stamps: list[int] = []
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                table_history,
+            )
+
+            stamps = [
+                h["timestamp"]
+                for h in table_history(self.lake_root)
+                if h["timestamp"] is not None
+            ]
+        elif self.backend == "iceberg":
+            from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+                snapshots,
+            )
+
+            stamps = [s["timestamp_ms"] for s in snapshots(self.lake_root)]
+        return max(stamps) if stamps else int(_time.time() * 1000)
+
     def _fmt_partition_tuples(self) -> set[tuple[str, str]]:
         """(ingest_date, ingest_hour) tuples with live files, from the
         format's metadata (no data read)."""
@@ -925,8 +959,6 @@ class LakeAdapter:
                 ingest_hour,
             ) not in self._fmt_partition_tuples():
                 return 0
-            import time as _time
-
             self._fmt_replace_partitions(
                 part_df.coalesce(target_files),
                 [
@@ -935,7 +967,9 @@ class LakeAdapter:
                         "ingest_hour": ingest_hour,
                     }
                 ],
-                int(_time.time() * 1000),
+                # stamped at the newest ingest time, not the wall clock
+                # (ADVICE r9): see _maintenance_ts_ms
+                self._maintenance_ts_ms(),
                 "OPTIMIZE",
                 purge=True,
             )
@@ -975,15 +1009,15 @@ class LakeAdapter:
             }
             if not expired:
                 return 0
-            import time as _time
-
             self._fmt_replace_partitions(
                 self.spark.createDataFrame([], BOOK_SCHEMA),
                 [
                     {"ingest_date": d, "ingest_hour": h}
                     for d, h in sorted(expired)
                 ],
-                int(_time.time() * 1000),
+                # stamped at the newest ingest time, not the wall clock
+                # (ADVICE r9): see _maintenance_ts_ms
+                self._maintenance_ts_ms(),
                 "EXPIRE",
                 purge=True,
             )

@@ -469,6 +469,14 @@ def _file_stats_json(full_path: str) -> str | None:
                 continue
             lo, hi = _plain(st.min), _plain(st.max)
             if lo is None or hi is None:
+                # an unusable later-row-group min/max (NaN floats from
+                # older parquet-mr writers, binary stats) invalidates the
+                # whole column, same as missing stats — keeping the
+                # rg0-only bounds could wrongly PRUNE a file whose later
+                # row groups hold matching rows (ADVICE r9)
+                seen_all.discard(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
                 continue
             if name not in seen_all and rg == 0:
                 mins[name], maxs[name] = lo, hi
@@ -685,11 +693,16 @@ def commit_files(
         state, schema, mode, partition_by,
         replace_partitions, replace_paths,
     )
-    versions = _existing_versions(path)
-    cp_version = _last_checkpoint_version(path)
-    cp_v = -1 if cp_version is None else cp_version
-    latest = max(versions[-1] if versions else -1, cp_v)
-    version = latest + 1
+    # Claim the version from the SAME state the remove-set/validation was
+    # built against — never from a fresh directory listing. If another
+    # commit landed after that state was replayed (e.g. during
+    # write_delta's distributed data write), claiming state.version+1
+    # collides with it and _commit raises FileExistsError, which flows
+    # into the conflict handling below (retry for append,
+    # ConcurrentWriteError for overwrite). A fresh listing here would
+    # silently absorb the interloper: an overwrite would commit a stale
+    # remove-set and the concurrent append's files would survive it.
+    version = (state["version"] + 1) if state is not None else 0
     commit_uuid = _commit_uuid or uuid.uuid4().hex
     now_ms = int(time.time() * 1000)
 

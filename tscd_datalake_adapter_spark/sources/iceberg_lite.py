@@ -35,13 +35,21 @@ manifests untouched and add one new manifest — commit cost is O(new
 files), never O(table), which is the property that makes the format work
 at 100 TB.
 
+Manifests DO carry per-column lower/upper bounds (spec single-value
+binary serialization keyed by field id, collected from parquet footers
+at commit time), and ``where=`` pruning evaluates them before Spark
+lists anything — see :func:`_file_bounds` / ``_df_may_match`` and the
+oracle query ``iceberg_lite_data_skipping``.
+
 Honest scope (errors, not silent wrongness): identity partition
 transforms only (bucket/truncate/temporal transforms are refused),
 top-level primitive columns only, no delete files / row-level deletes
-(content=0 data manifests only), no column-bounds maps in manifests
-(file skipping beyond partition pruning falls back to parquet footers),
-single metadata.json lineage (no external catalog). Readers that find a
-higher format-version or a non-identity spec raise.
+(content=0 data manifests only), single metadata.json lineage (no
+external catalog). Readers that find a higher format-version or an
+unsupported spec raise. The Avro metadata
+carries the spec's fixed field-id attributes (ADVICE r9) but is
+primarily self-read: external-reader consumability is untested (no
+external Iceberg implementation in this environment to certify against).
 """
 
 from __future__ import annotations
@@ -152,15 +160,22 @@ def _current_schema(meta: dict) -> dict:
 
 # ----------------------------------------------------------- avro schemas
 
+# The "field-id" attributes below are the Iceberg spec's FIXED ids for
+# manifest-list / manifest-entry Avro fields (spec "Manifests" and
+# "Manifest Lists" tables) — required for external Iceberg readers,
+# which resolve fields by id, not name (ADVICE r9). avro_lite itself
+# resolves by name and ignores the attribute.
 _FIELD_SUMMARY = {
     "type": "record",
     "name": "field_summary",
     "fields": [
-        {"name": "contains_null", "type": "boolean"},
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
         {"name": "contains_nan", "type": ["null", "boolean"],
-         "default": None},
-        {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
-        {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+         "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None,
+         "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None,
+         "field-id": 511},
     ],
 }
 
@@ -168,23 +183,31 @@ _MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
     "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "min_sequence_number", "type": "long"},
-        {"name": "added_snapshot_id", "type": "long"},
-        {"name": "added_files_count", "type": "int"},
-        {"name": "existing_files_count", "type": "int"},
-        {"name": "deleted_files_count", "type": "int"},
-        {"name": "added_rows_count", "type": "long"},
-        {"name": "existing_rows_count", "type": "long"},
-        {"name": "deleted_rows_count", "type": "long"},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
         {
             "name": "partitions",
-            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": _FIELD_SUMMARY,
+                    "element-id": 508,
+                },
+            ],
             "default": None,
+            "field-id": 507,
         },
     ],
 }
@@ -208,20 +231,34 @@ def _avro_partition_type(iceberg_type: str):
     return m[iceberg_type]
 
 
-def _bounds_kv_schema(name: str) -> dict:
+def _hive_partition_str(v) -> str:
+    """Serialize a TYPED manifest partition value with the same rule the
+    writer used to parse the hive path segment (ADVICE r9): hive paths
+    spell booleans ``true``/``false`` while Python's ``str`` gives
+    ``True``/``False`` — without this, every read of a
+    boolean-partitioned table would fail the manifest-vs-path
+    cross-check despite booleans being a supported partition type."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _bounds_kv_schema(name: str, key_id: int, value_id: int) -> dict:
     """Iceberg serializes per-column bounds as a map keyed by FIELD ID
-    with single-value binary payloads; in Avro that is an array of
-    (key int, value bytes) records."""
+    with single-value binary payloads; in Avro that is a logical-map
+    array of (key int, value bytes) records carrying the spec's fixed
+    key/value field-ids (lower_bounds 126/127, upper_bounds 129/130)."""
     return {
         "type": "array",
         "items": {
             "type": "record",
             "name": name,
             "fields": [
-                {"name": "key", "type": "int"},
-                {"name": "value", "type": "bytes"},
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": "bytes", "field-id": value_id},
             ],
         },
+        "logicalType": "map",
     }
 
 
@@ -291,9 +328,19 @@ def _file_bounds(full_path: str, schema: dict) -> tuple[list, list]:
             st = col.statistics
             if st is None or not st.has_min_max:
                 good.discard(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
                 continue
             lo, hi = st.min, st.max
-            if isinstance(lo, float) and lo != lo:
+            if (isinstance(lo, float) and lo != lo) or (
+                isinstance(hi, float) and hi != hi
+            ):
+                # NaN bounds in ANY row group invalidate the column —
+                # keeping earlier-row-group bounds could wrongly prune a
+                # file whose later row groups match (ADVICE r9)
+                good.discard(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
                 continue
             if rg == 0:
                 mins[name], maxs[name] = lo, hi
@@ -327,6 +374,9 @@ def _manifest_entry_schema(meta: dict) -> dict:
                 "name": pf["name"],
                 "type": ["null", _avro_partition_type(src["type"])],
                 "default": None,
+                # partition struct fields carry the SPEC's partition
+                # field id (1000+), not a fixed manifest id
+                "field-id": pf["field-id"],
             }
         )
     partition_record = {
@@ -338,21 +388,25 @@ def _manifest_entry_schema(meta: dict) -> dict:
         "type": "record",
         "name": "r2",
         "fields": [
-            {"name": "content", "type": "int"},
-            {"name": "file_path", "type": "string"},
-            {"name": "file_format", "type": "string"},
-            {"name": "partition", "type": partition_record},
-            {"name": "record_count", "type": "long"},
-            {"name": "file_size_in_bytes", "type": "long"},
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_record,
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long",
+             "field-id": 104},
             {
                 "name": "lower_bounds",
-                "type": ["null", _bounds_kv_schema("k_v_lower")],
+                "type": ["null", _bounds_kv_schema("k_v_lower", 126, 127)],
                 "default": None,
+                "field-id": 125,
             },
             {
                 "name": "upper_bounds",
-                "type": ["null", _bounds_kv_schema("k_v_upper")],
+                "type": ["null", _bounds_kv_schema("k_v_upper", 129, 130)],
                 "default": None,
+                "field-id": 128,
             },
         ],
     }
@@ -360,14 +414,14 @@ def _manifest_entry_schema(meta: dict) -> dict:
         "type": "record",
         "name": "manifest_entry",
         "fields": [
-            {"name": "status", "type": "int"},
+            {"name": "status", "type": "int", "field-id": 0},
             {"name": "snapshot_id", "type": ["null", "long"],
-             "default": None},
+             "default": None, "field-id": 1},
             {"name": "sequence_number", "type": ["null", "long"],
-             "default": None},
+             "default": None, "field-id": 3},
             {"name": "file_sequence_number", "type": ["null", "long"],
-             "default": None},
-            {"name": "data_file", "type": data_file},
+             "default": None, "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
         ],
     }
 
@@ -956,7 +1010,7 @@ def read_iceberg(
         for c in pcols:
             want = f["partition"].get(c)
             got = from_path.get(c)
-            if got is not None and str(want) != str(got):
+            if got is not None and _hive_partition_str(want) != str(got):
                 raise ValueError(
                     f"partition mismatch for {rel}: manifest says "
                     f"{want!r}, path says {got!r}"
