@@ -24,6 +24,13 @@ subtotals and per-query timings, plus the same second-best
 (``queries_p2`` / ``families_p2``) and CPU-probe noise diagnostics as
 headline mode, so family numbers are comparable round-over-round before
 anyone chases a phantom regression.
+
+Execution order is PINNED (round 10): both tiers run queries sorted by
+name (families additionally grouped by module, families themselves
+sorted) — identical across runs and rounds, so per-query
+round-over-round deltas are no longer confounded by rotation-driven
+registry order and JVM-warmup position (r9 verdict item 7). Compare
+``spark_probe_sec_post`` to post, not pre, when normalizing.
 """
 
 from __future__ import annotations
@@ -161,7 +168,11 @@ def main() -> int:
 
     if families_mode:
         by_family: dict[str, dict] = {}
-        for name, spec in registry.items():
+        # name-sorted within each family: pinned execution order (r9
+        # verdict item 7), so per-query deltas are position-comparable
+        # across rounds regardless of registry rotation
+        for name in sorted(registry):
+            spec = registry[name]
             fam = spec.fn.__module__.rsplit(".", 1)[-1]
             by_family.setdefault(fam, {})[name] = spec
         # warm once
@@ -205,7 +216,15 @@ def main() -> int:
         spark.stop()
         return 0
 
-    headline = {n: s for n, s in registry.items() if s.headline}
+    # PINNED execution order (r9 verdict item 7): the registry's order is
+    # rotation-driven and reshuffles every round, so registry-ordered
+    # runs confounded per-query round-over-round deltas with JVM-warmup
+    # position. Sorted-by-name is identical across runs and rounds; the
+    # warm-up query is therefore fixed too.
+    headline = {
+        n: registry[n]
+        for n in sorted(n for n, s in registry.items() if s.headline)
+    }
 
     # warm the JVM/codegen paths once so timings measure steady-state
     next(iter(headline.values())).fn(spark, sf_dir).write.format("noop").mode(

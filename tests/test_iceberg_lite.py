@@ -306,6 +306,122 @@ def test_metadata_commit_conflict_raises(spark, sf_dir, tmp_path):
         _commit_metadata(path, 2, meta)
 
 
+def test_bucket_hash_spec_vectors():
+    """The spec's appendix-B murmur3 test vectors pin the bucket hash:
+    hash(34 as long) = 2017239379, hash('iceberg') = 1210000089."""
+    import struct
+
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        bucket_transform,
+        murmur3_32,
+    )
+
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_32(b"iceberg") == 1210000089
+    assert bucket_transform(34, "long", 16) == 2017239379 % 16
+    assert bucket_transform("iceberg", "string", 16) == 1210000089 % 16
+
+
+def test_temporal_transform_partitioning(spark, sf_dir, tmp_path):
+    """r9 verdict item 3: day/hour/month/year/bucket partition
+    transforms — spec-correct transformed spec JSON, int-ordinal
+    partition values in manifests, real-Iceberg hive spells on disk,
+    manifest pruning on SOURCE-column predicates, pinned layout."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        apply_transform,
+        load_metadata,
+    )
+
+    path = str(tmp_path / "t")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    write_iceberg(
+        src,
+        path,
+        partition_transforms=("month(o_orderdate)", "bucket(4, o_custkey)"),
+    )
+    spec = load_metadata(path)["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("o_orderdate_month", "month"),
+        ("o_custkey_bucket", "bucket[4]"),
+    ]
+    got = read_iceberg(spark, path)
+    # table schema holds ONLY source columns; derived path columns are
+    # metadata-side
+    assert [f.name for f in got.schema.fields] == [
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+    ]
+    assert got.count() == src.count()
+    # hive layout uses the human-readable month spell
+    assert any(
+        e.startswith("o_orderdate_month=19")
+        for e in os.listdir(os.path.join(path, "data"))
+    )
+
+    # manifest pruning evaluates the transformed predicate: only months
+    # >= month('1997-06-01') survive, and the result is exact
+    pruned = read_iceberg(spark, path, where="o_orderdate >= '1997-06-01'")
+    n_all = len(read_iceberg(spark, path).inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert 0 < n_pruned < n_all
+    cutoff_ord = apply_transform("month", "timestamptz", "1997-06-01")
+    for f in pruned.inputFiles():
+        seg = [
+            s for s in f.split("/") if s.startswith("o_orderdate_month=")
+        ][0].split("=", 1)[1]
+        y, m = seg.split("-")
+        assert (int(y) - 1970) * 12 + int(m) - 1 >= cutoff_ord
+    assert (
+        pruned.count()
+        == src.where("o_orderdate >= '1997-06-01'").count()
+    )
+    # bucket equality pruning: exactly the matching bucket's files
+    one_key = read_iceberg(spark, path, where="o_custkey = 371")
+    assert one_key.count() == src.where("o_custkey = 371").count()
+    assert len(one_key.inputFiles()) <= n_all // 4 + 1
+
+    # the spec is pinned: a conflicting layout is refused, inheritance
+    # works, appends land in the transformed layout
+    with pytest.raises(ValueError):
+        write_iceberg(
+            src, path, mode="append", partition_by=("o_orderdate",)
+        )
+    write_iceberg(src.limit(10), path, mode="append")
+    assert read_iceberg(spark, path).count() == src.count() + 10
+
+
+def test_hour_transform_and_time_travel(spark, sf_dir, tmp_path):
+    """hour() on a timestamp column + snapshot time travel across a
+    transformed table."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import snapshots
+
+    path = str(tmp_path / "t")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    write_iceberg(
+        ev, path, partition_transforms=("hour(ts)",),
+        commit_timestamp_ms=1_000,
+    )
+    write_iceberg(
+        ev.limit(5), path, mode="append", commit_timestamp_ms=2_000
+    )
+    assert read_iceberg(spark, path).count() == ev.count() + 5
+    first = snapshots(path)[0]["snapshot_id"]
+    assert read_iceberg(spark, path, snapshot_id=first).count() == ev.count()
+    # hour segments spell yyyy-MM-dd-HH
+    segs = [
+        e for e in os.listdir(os.path.join(path, "data"))
+        if e.startswith("ts_hour=")
+    ]
+    assert segs and all(
+        len(s.split("=", 1)[1].split("-")) == 4 for s in segs
+    )
+
+
 def test_non_identity_transform_refused(spark, sf_dir, tmp_path):
     path = str(tmp_path / "t")
     write_iceberg(
@@ -315,7 +431,8 @@ def test_non_identity_transform_refused(spark, sf_dir, tmp_path):
     )
     meta_file = os.path.join(path, "metadata", "v1.metadata.json")
     meta = json.load(open(meta_file, encoding="utf-8"))
-    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
+    # truncate is a real spec transform this module does NOT implement
+    meta["partition-specs"][0]["fields"][0]["transform"] = "truncate[4]"
     json.dump(meta, open(meta_file, "w", encoding="utf-8"))
     with pytest.raises(NotImplementedError):
         read_iceberg(spark, path)

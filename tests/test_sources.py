@@ -136,3 +136,29 @@ def test_queries_self_heal_under_foreign_session_confs(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", old_ntz)
+
+
+def test_recursion_row_budget_scoped(spark):
+    """r9 verdict item 8: the eager-scope recursion budget tightens the
+    valve inside the scope (a recursion over budget raises), restores the
+    session value after, and the restore is safe because materialization
+    happens INSIDE the scope (the limit is execution-time-enforced)."""
+    import pytest
+
+    from tscd_datalake_adapter_spark.sources import recursion_row_budget
+
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key)
+    q = (
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL "
+        "SELECT n+1 FROM r WHERE n < 50) SELECT count(*) AS c FROM r"
+    )
+    with recursion_row_budget(spark, 10):
+        assert spark.conf.get(key) == "10"
+        with pytest.raises(Exception, match="RECURSION_ROW_LIMIT"):
+            spark.sql(q).collect()
+    assert spark.conf.get(key) == before
+    # derivable budget (>= true row need of 50) admits the recursion
+    with recursion_row_budget(spark, 64):
+        assert spark.sql(q).collect()[0].c == 50
+    assert spark.conf.get(key) == before

@@ -1617,6 +1617,76 @@ def iceberg_lite_data_skipping(
 
 
 @register(
+    "iceberg_lite_transform_pruning",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT * FROM
+      (SELECT CAST(count(*) AS BIGINT) AS n,
+              {oracle_dec_sum('o_totalprice')} AS total,
+              CAST(min(o_orderkey) AS BIGINT) AS min_key
+       FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+      CROSS JOIN
+      (SELECT CAST(count(*) AS BIGINT) AS n_custkey
+       FROM orders
+       WHERE o_custkey = 371
+         AND o_orderdate >= TIMESTAMP '1996-01-01')
+    """,
+)
+def iceberg_lite_transform_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal + bucket partition TRANSFORMS (r10, verdict item 3):
+    orders written once partitioned by ``month(o_orderdate)`` and
+    ``bucket(4, o_custkey)`` (the spec's transform table; bucket =
+    murmur3-32 appendix-B hash, pinned against the spec's published
+    vectors in tests/test_iceberg_lite.py). The first read's
+    ``o_orderdate >=`` predicate prunes manifests through the
+    order-preserving month ordinal; the second's ``o_custkey =`` prunes
+    to one bucket — both BEFORE Spark lists any file
+    (inputFiles-pinned in tests/test_iceberg_lite.py::
+    test_temporal_transform_partitioning), and both predicates are
+    re-applied so results equal the full-scan filters the oracle
+    recomputes. 100 TB: this is the spec's native layout for
+    time-series facts — readers touch months they ask for, writers
+    never rewrite history partitions."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_transform")
+    # the 1996+ slice keeps the demo's partition count (months × buckets)
+    # at ~70 dirs — the layout point is identical, the tiny-file write
+    # cost isn't; coalesce(2) → one file per partition-dir per task
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .coalesce(2)
+    )
+    write_iceberg(
+        o,
+        path,
+        partition_transforms=(
+            "month(o_orderdate)",
+            "bucket(2, o_custkey)",
+        ),
+    )
+    a = read_iceberg(
+        spark, path, where="o_orderdate >= '1997-06-01'"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
+    b = read_iceberg(spark, path, where="o_custkey = 371").agg(
+        F.count("*").cast("long").alias("n_custkey")
+    )
+    return a.crossJoin(b)
+
+
+@register(
     "lake_fast_ingest_roundtrip",
     tags=("io", "lake", "lakehouse"),
     defer=True,

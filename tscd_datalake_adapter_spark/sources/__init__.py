@@ -15,6 +15,7 @@ from tscd_datalake_adapter_spark.sources.tables import (
     read_csv,
     read_json,
     read_text,
+    recursion_row_budget,
     register_views,
     write_partitioned,
     write_table,
@@ -28,6 +29,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_text",
+    "recursion_row_budget",
     "register_views",
     "write_partitioned",
     "write_table",

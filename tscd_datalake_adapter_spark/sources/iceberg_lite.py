@@ -8,7 +8,7 @@ remains feature-gated in ``sources.tables.write_table``).
 An Iceberg filesystem table ("HadoopTables" layout) is:
 
 - ``<path>/metadata/v<N>.metadata.json`` — the table metadata: schemas
-  (with per-field ids), partition specs (identity transforms here),
+  (with per-field ids), partition specs (identity/temporal/bucket),
   snapshots, and the current snapshot pointer; ``version-hint.text``
   names the current N.
 - each snapshot points at a MANIFEST LIST (an Avro file: one record per
@@ -41,12 +41,18 @@ at commit time), and ``where=`` pruning evaluates them before Spark
 lists anything — see :func:`_file_bounds` / ``_df_may_match`` and the
 oracle query ``iceberg_lite_data_skipping``.
 
-Honest scope (errors, not silent wrongness): identity partition
-transforms only (bucket/truncate/temporal transforms are refused),
-top-level primitive columns only, no delete files / row-level deletes
-(content=0 data manifests only), single metadata.json lineage (no
-external catalog). Readers that find a higher format-version or an
-unsupported spec raise. The Avro metadata
+Partition transforms (r10): identity plus the spec's ``day``/``hour``/
+``month``/``year`` temporal transforms and ``bucket[N]`` (murmur3-32
+appendix-B hash, pinned against the spec's published test vectors) —
+manifests store the transformed int ordinals, manifest pruning
+evaluates source-column predicates through the transform
+(order-preserving temporal relaxation; bucket equality).
+
+Honest scope (errors, not silent wrongness): ``truncate``/``void``
+transforms are refused, top-level primitive columns only, no delete
+files / row-level deletes (content=0 data manifests only), single
+metadata.json lineage (no external catalog). Readers that find a higher
+format-version or an unsupported spec raise. The Avro metadata
 carries the spec's fixed field-id attributes (ADVICE r9) but is
 primarily self-read: external-reader consumability is untested (no
 external Iceberg implementation in this environment to certify against).
@@ -231,6 +237,331 @@ def _avro_partition_type(iceberg_type: str):
     return m[iceberg_type]
 
 
+# ------------------------------------------------------------- transforms
+#
+# The spec's partition-transform table (Iceberg spec "Partition
+# Transforms" + appendix B bucket hash): temporal transforms map a
+# date/timestamp to an int ordinal (days/hours/months/years since
+# 1970-01-01), bucket maps any supported primitive to
+# murmur3_32(serialized) mod N. Partition STRUCT values in manifests are
+# the TRANSFORMED ints; hive path segments use the human-readable spell
+# real Iceberg writes (day: 2026-08-13, hour: 2026-08-13-14,
+# month: 2026-08, year: 2026, bucket: the int).
+
+_EPOCH_DATE = None  # set lazily to avoid module-import datetime cost
+
+
+def _epoch_date():
+    global _EPOCH_DATE
+    if _EPOCH_DATE is None:
+        import datetime as _dt
+
+        _EPOCH_DATE = _dt.date(1970, 1, 1)
+    return _EPOCH_DATE
+
+
+def parse_transform(spec: str) -> tuple[str, str, int | None]:
+    """``'day(ts)'`` → ``('day','ts',None)``; ``'bucket(8,id)'`` →
+    ``('bucket','id',8)``; a bare column name → identity."""
+    import re as _re
+
+    s = spec.strip()
+    m = _re.fullmatch(r"(\w+)\(\s*([\w.]+)\s*\)", s)
+    if m and m.group(1) in ("identity", "day", "hour", "month", "year"):
+        return m.group(1), m.group(2), None
+    m = _re.fullmatch(r"bucket\(\s*(\d+)\s*,\s*([\w.]+)\s*\)", s)
+    if m:
+        n = int(m.group(1))
+        if n <= 0:
+            raise ValueError(f"bucket width must be > 0: {spec!r}")
+        return "bucket", m.group(2), n
+    if _re.fullmatch(r"[\w.]+", s):
+        return "identity", s, None
+    raise ValueError(
+        f"unsupported partition transform {spec!r}; expected a column "
+        "name, identity(col), day(col), hour(col), month(col), "
+        "year(col), or bucket(N, col)"
+    )
+
+
+def _transform_of_spec_field(pf: dict, schema: dict) -> dict:
+    """Descriptor {'transform','source','name','n'} for a logged
+    partition-spec field."""
+    import re as _re
+
+    by_id = {f["id"]: f for f in schema["fields"]}
+    t = pf.get("transform", "identity")
+    n = None
+    m = _re.fullmatch(r"bucket\[(\d+)\]", t)
+    if m:
+        t, n = "bucket", int(m.group(1))
+    if t not in ("identity", "day", "hour", "month", "year", "bucket"):
+        raise NotImplementedError(
+            f"transform {pf.get('transform')!r} not supported"
+        )
+    src = by_id[pf["source-id"]]
+    return {
+        "transform": t,
+        "source": src["name"],
+        "source_type": src["type"],
+        "name": pf["name"],
+        "n": n,
+        "field-id": pf["field-id"],
+    }
+
+
+def _validate_transform(t: str, source_type: str, n: int | None) -> None:
+    if t in ("day", "month", "year") and source_type not in (
+        "date",
+        "timestamp",
+        "timestamptz",
+    ):
+        raise NotImplementedError(
+            f"{t}() needs a date/timestamp source column; got {source_type}"
+        )
+    if t == "hour" and source_type not in ("timestamp", "timestamptz"):
+        raise NotImplementedError(
+            f"hour() needs a timestamp source column; got {source_type}"
+        )
+    if t == "bucket" and source_type not in (
+        "int",
+        "long",
+        "string",
+        "date",
+    ):
+        raise NotImplementedError(
+            f"bucket() on int/long/string/date sources only; "
+            f"got {source_type}"
+        )
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (the spec's bucket-transform hash,
+    appendix B; seed 0). Pinned against the spec's published test
+    vectors in tests/test_iceberg_lite.py."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    length = len(data)
+    rounded = length & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i: i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_transform(v, source_type: str, n: int) -> int:
+    """The spec's bucket: murmur3_32(single-value serialization) with
+    the sign bit cleared, mod N. ints/longs/dates hash their 8-byte
+    little-endian long form; strings hash UTF-8 bytes."""
+    import struct as _struct
+
+    if source_type in ("int", "long"):
+        b = _struct.pack("<q", int(v))
+    elif source_type == "date":
+        d = v if not isinstance(v, str) else _date_fromiso(v)
+        b = _struct.pack("<q", (d - _epoch_date()).days)
+    elif source_type == "string":
+        b = str(v).encode("utf-8")
+    else:
+        raise NotImplementedError(
+            f"bucket() on int/long/string/date only; got {source_type}"
+        )
+    return (murmur3_32(b) & 0x7FFFFFFF) % n
+
+
+def _date_fromiso(s: str):
+    import datetime as _dt
+
+    return _dt.date.fromisoformat(s[:10])
+
+
+def _ts_from_literal(v):
+    """Literal (ISO date/timestamp string, date, or datetime) → naive
+    datetime for temporal-transform evaluation."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    s = str(v).strip()
+    for fmt in (
+        "%Y-%m-%d %H:%M:%S.%f",
+        "%Y-%m-%d %H:%M:%S",
+        "%Y-%m-%dT%H:%M:%S.%f",
+        "%Y-%m-%dT%H:%M:%S",
+        "%Y-%m-%d",
+    ):
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"not a date/timestamp literal: {v!r}")
+
+
+def apply_transform(
+    t: str, source_type: str, v, n: int | None = None
+):
+    """TYPED source value (or ISO literal) → transformed partition value
+    (int ordinal for temporal/bucket; the value itself for identity)."""
+    if v is None:
+        return None
+    if t == "identity":
+        return v
+    if t == "bucket":
+        return bucket_transform(v, source_type, n)
+    ts = _ts_from_literal(v)
+    if t == "day":
+        return (ts.date() - _epoch_date()).days
+    if t == "hour":
+        days = (ts.date() - _epoch_date()).days
+        return days * 24 + ts.hour
+    if t == "month":
+        return (ts.year - 1970) * 12 + (ts.month - 1)
+    if t == "year":
+        return ts.year - 1970
+    raise NotImplementedError(f"transform {t!r}")
+
+
+def _transform_path_value(d: dict, seg: str):
+    """Hive path segment → TYPED transformed partition value."""
+    import datetime as _dt
+
+    t = d["transform"]
+    if t == "identity":
+        return seg  # typed later, per source type (legacy path)
+    if t == "day":
+        return (_dt.date.fromisoformat(seg) - _epoch_date()).days
+    if t == "hour":
+        ts = _dt.datetime.strptime(seg, "%Y-%m-%d-%H")
+        return ((ts.date() - _epoch_date()).days) * 24 + ts.hour
+    if t == "month":
+        y, m = seg.split("-")
+        return (int(y) - 1970) * 12 + (int(m) - 1)
+    if t == "year":
+        return int(seg) - 1970
+    if t == "bucket":
+        return int(seg)
+    raise NotImplementedError(f"transform {t!r}")
+
+
+def _transform_path_str(d: dict, want) -> str:
+    """TYPED transformed partition value → the hive path segment the
+    writer produced (inverse of :func:`_transform_path_value`)."""
+    import datetime as _dt
+
+    t = d["transform"]
+    if t == "identity":
+        return _hive_partition_str(want)
+    if t == "day":
+        return (_epoch_date() + _dt.timedelta(days=int(want))).isoformat()
+    if t == "hour":
+        base = _dt.datetime(1970, 1, 1) + _dt.timedelta(hours=int(want))
+        return base.strftime("%Y-%m-%d-%H")
+    if t == "month":
+        y, m = divmod(int(want), 12)
+        return f"{1970 + y}-{m + 1:02d}"
+    if t == "year":
+        return str(1970 + int(want))
+    if t == "bucket":
+        return str(int(want))
+    raise NotImplementedError(f"transform {t!r}")
+
+
+def _transform_column(d: dict):
+    """Spark Column producing the hive path segment for one transform
+    (the WRITE-side derivation; sessions are UTC-pinned by
+    sources.ensure_engine_confs, matching the spec's UTC temporal
+    transforms)."""
+    from pyspark.sql import functions as F
+
+    t, src = d["transform"], d["source"]
+    if t == "day":
+        return F.date_format(F.col(src), "yyyy-MM-dd")
+    if t == "hour":
+        return F.date_format(F.col(src), "yyyy-MM-dd-HH")
+    if t == "month":
+        return F.date_format(F.col(src), "yyyy-MM")
+    if t == "year":
+        return F.date_format(F.col(src), "yyyy")
+    if t == "bucket":
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.util import PythonEvalType
+
+        n, st = d["n"], d["source_type"]
+        # Arrow-batched; explicit eval type because the local type hints
+        # aren't resolvable under `from __future__ import annotations`
+        _bucket = pandas_udf(
+            lambda s: s.map(
+                lambda v: None
+                if v is None
+                else str(bucket_transform(v, st, n))
+            ),
+            "string",
+            PythonEvalType.SQL_SCALAR_PANDAS_UDF,
+        )
+        return _bucket(F.col(src))
+    raise NotImplementedError(f"transform {t!r}")
+
+
+def _partition_may_match(
+    data_file: dict, descriptors: list[dict], conjuncts
+) -> bool:
+    """False only when the entry's TRANSFORMED partition values prove no
+    row matches every conjunct on a transform's SOURCE column. Temporal
+    transforms are order-preserving, so range predicates relax to >=/<=
+    on the ordinal; bucket supports equality only."""
+    pv = data_file.get("partition", {})
+    for col, op, lit in conjuncts:
+        for d in descriptors:
+            if d["source"] != col or d["transform"] == "identity":
+                continue
+            want = pv.get(d["name"])
+            if want is None:
+                continue
+            try:
+                tlit = apply_transform(
+                    d["transform"], d["source_type"], lit, d["n"]
+                )
+            except (ValueError, NotImplementedError):
+                continue
+            t = d["transform"]
+            if t == "bucket":
+                if op in ("=", "==") and want != tlit:
+                    return False
+                continue
+            if op in (">", ">=") and want < tlit:
+                return False
+            if op in ("<", "<=") and want > tlit:
+                return False
+            if op in ("=", "==") and want != tlit:
+                return False
+    return True
+
+
 def _hive_partition_str(v) -> str:
     """Serialize a TYPED manifest partition value with the same rule the
     writer used to parse the hive path segment (ADVICE r9): hive paths
@@ -365,14 +696,20 @@ def _manifest_entry_schema(meta: dict) -> dict:
     """manifest_entry avro schema with the partition struct typed per the
     table's (identity) partition spec."""
     schema = _current_schema(meta)
-    by_id = {f["id"]: f for f in schema["fields"]}
     pfields = []
     for pf in _current_spec(meta)["fields"]:
-        src = by_id[pf["source-id"]]
+        d = _transform_of_spec_field(pf, schema)
+        # temporal/bucket transforms store INT ordinals; identity stores
+        # the source type
+        avro_t = (
+            _avro_partition_type(d["source_type"])
+            if d["transform"] == "identity"
+            else "int"
+        )
         pfields.append(
             {
                 "name": pf["name"],
-                "type": ["null", _avro_partition_type(src["type"])],
+                "type": ["null", avro_t],
                 "default": None,
                 # partition struct fields carry the SPEC's partition
                 # field id (1000+), not a fixed manifest id
@@ -484,12 +821,21 @@ def load_metadata(path: str, version: int | None = None) -> dict:
         raise NotImplementedError(
             f"format-version {meta.get('format-version')} not supported"
         )
+    import re as _re
+
     for spec in meta.get("partition-specs", []):
         for pf in spec.get("fields", []):
-            if pf.get("transform") != "identity":
+            t = pf.get("transform", "identity")
+            if t not in (
+                "identity",
+                "day",
+                "hour",
+                "month",
+                "year",
+            ) and not _re.fullmatch(r"bucket\[\d+\]", t):
                 raise NotImplementedError(
-                    f"transform {pf.get('transform')!r} not supported "
-                    "(identity only)"
+                    f"transform {t!r} not supported (identity, day, hour, "
+                    "month, year, bucket[N])"
                 )
     return meta
 
@@ -522,11 +868,69 @@ def _commit_metadata(path: str, version: int, meta: dict) -> None:
 # ------------------------------------------------------------------ write
 
 
+def _resolve_descriptors(
+    meta: dict | None,
+    df_schema,
+    partition_by: tuple[str, ...] | None,
+    partition_transforms: tuple[str, ...] | None,
+) -> list[dict]:
+    """Transform descriptors for a write: from the PINNED spec when the
+    table exists (validating any caller-given layout against it), else
+    from the args + the write schema. ``partition_by`` is identity
+    sugar; ``partition_transforms`` accepts 'day(col)', 'hour(col)',
+    'month(col)', 'year(col)', 'bucket(N, col)', 'identity(col)' or a
+    bare column name."""
+    if partition_by is not None and partition_transforms is not None:
+        raise ValueError(
+            "pass partition_by OR partition_transforms, not both"
+        )
+    want: list[tuple[str, str, int | None]] | None = None
+    if partition_transforms is not None:
+        want = [parse_transform(s) for s in partition_transforms]
+    elif partition_by is not None:
+        want = [("identity", c, None) for c in partition_by]
+    if meta is not None:
+        schema = _current_schema(meta)
+        descs = [
+            _transform_of_spec_field(pf, schema)
+            for pf in _current_spec(meta)["fields"]
+        ]
+        if want is not None:
+            pinned = [(d["transform"], d["source"], d["n"]) for d in descs]
+            if want != pinned:
+                raise ValueError(
+                    f"partition layout {want} does not match the "
+                    f"table's pinned spec {pinned}"
+                )
+        return descs
+    by_name = {f.name: f for f in df_schema.fields}
+    descs = []
+    for i, (t, src, n) in enumerate(want or []):
+        if src not in by_name:
+            raise ValueError(
+                f"partition source column {src!r} not in the write schema"
+            )
+        st = _iceberg_type(by_name[src].dataType)
+        _validate_transform(t, st, n)
+        descs.append(
+            {
+                "transform": t,
+                "source": src,
+                "source_type": st,
+                "name": src if t == "identity" else f"{src}_{t}",
+                "n": n,
+                "field-id": 1000 + i,
+            }
+        )
+    return descs
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] | None = None,
+    partition_transforms: tuple[str, ...] | None = None,
     replace_partitions: list[dict] | None = None,
     writer_options: dict[str, str] | None = None,
     commit_timestamp_ms: int | None = None,
@@ -545,8 +949,17 @@ def write_iceberg(
     the spec — a partition named with no new rows is thereby dropped.
     Schema-on-write matches delta_lite: drifted appends raise, full
     overwrites evolve (new schema-id, same field-id assignment
-    discipline); replace_partitions never evolves. Partition columns are
-    pinned at creation (identity transforms).
+    discipline); replace_partitions never evolves. The partition SPEC is
+    pinned at creation: ``partition_by`` declares identity transforms,
+    ``partition_transforms`` the spec's transformed partitioning —
+    ``day(col)``/``month(col)``/``year(col)`` on date/timestamp sources,
+    ``hour(col)`` on timestamps, ``bucket(N, col)`` on
+    int/long/string/date (spec murmur3 bucket hash). Transformed
+    partition values are stored in manifests as the spec's int ordinals;
+    the physical hive layout uses real Iceberg's human-readable spells
+    (``col_day=2026-08-13``, ``col_hour=2026-08-13-14``). Temporal
+    transforms evaluate in the session timezone — the engine pins UTC
+    (``sources.ensure_engine_confs``), matching the spec.
 
     Scale shape: the data write is ``df.write.parquet`` (distributed,
     hive layout under ``data/``); the manifest/metadata writes are
@@ -563,18 +976,11 @@ def write_iceberg(
     )
     cur_v = _current_version(path)
     meta = load_metadata(path) if cur_v is not None else None
+    descriptors = _resolve_descriptors(
+        meta, df.schema, partition_by, partition_transforms
+    )
 
     if meta is not None:
-        pinned = tuple(
-            pf["name"] for pf in _current_spec(meta)["fields"]
-        )
-        if partition_by is None:
-            partition_by = pinned
-        elif tuple(partition_by) != pinned:
-            raise ValueError(
-                f"partition_by {tuple(partition_by)} does not match the "
-                f"table's pinned partition columns {pinned}"
-            )
         logged_fp = _schema_fingerprint(_spark_schema_of(meta))
         df_fp = _schema_fingerprint(df.schema)
         if df_fp != logged_fp:
@@ -584,19 +990,32 @@ def write_iceberg(
                     f"schema {logged_fp}; appends and partition "
                     "replacements must match exactly"
                 )
-            missing = [c for c in (partition_by or ()) if c not in df_fp]
+            missing = [
+                d["source"] for d in descriptors if d["source"] not in df_fp
+            ]
             if missing:
                 raise DeltaSchemaError(
-                    f"schema evolution cannot drop partition columns "
-                    f"{missing}"
+                    f"schema evolution cannot drop partition source "
+                    f"columns {missing}"
                 )
-    partition_by = tuple(partition_by or ())
 
     commit_uuid = uuid.uuid4().hex
     data_root = os.path.join(path, "data")
     os.makedirs(data_root, exist_ok=True)
+    # derive the physical hive layout: identity partitions write the
+    # source column; transforms write a derived path-segment column
+    # (dropped from the data files by partitionBy, so data files keep
+    # the raw source column — exactly the spec's physical shape)
+    write_df = df
+    phys_cols = []
+    for d in descriptors:
+        if d["transform"] == "identity":
+            phys_cols.append(d["source"])
+        else:
+            write_df = write_df.withColumn(d["name"], _transform_column(d))
+            phys_cols.append(d["name"])
     adds_rel = _write_data_files(
-        df, data_root, partition_by, commit_uuid, writer_options
+        write_df, data_root, tuple(phys_cols), commit_uuid, writer_options
     )
     return commit_snapshot(
         path,
@@ -604,6 +1023,7 @@ def write_iceberg(
         df.schema,
         mode=mode,
         partition_by=partition_by,
+        partition_transforms=partition_transforms,
         replace_partitions=replace_partitions,
         commit_timestamp_ms=commit_timestamp_ms,
         operation=operation,
@@ -617,6 +1037,7 @@ def commit_snapshot(
     df_schema,
     mode: str = "append",
     partition_by: tuple[str, ...] | None = None,
+    partition_transforms: tuple[str, ...] | None = None,
     replace_partitions: list[dict] | None = None,
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
@@ -640,15 +1061,10 @@ def commit_snapshot(
     )
     cur_v = _current_version(path)
     meta = load_metadata(path) if cur_v is not None else None
+    descriptors = _resolve_descriptors(
+        meta, df_schema, partition_by, partition_transforms
+    )
     if meta is not None:
-        pinned = tuple(pf["name"] for pf in _current_spec(meta)["fields"])
-        if partition_by is None:
-            partition_by = pinned
-        elif tuple(partition_by) != pinned:
-            raise ValueError(
-                f"partition_by {tuple(partition_by)} does not match the "
-                f"table's pinned partition columns {pinned}"
-            )
         logged_fp = _schema_fingerprint(_spark_schema_of(meta))
         df_fp = _schema_fingerprint(df_schema)
         if df_fp != logged_fp and (
@@ -659,7 +1075,6 @@ def commit_snapshot(
                 f"schema {logged_fp}; appends and partition "
                 "replacements must match exactly"
             )
-    partition_by = tuple(partition_by or ())
     commit_uuid = _commit_uuid or uuid.uuid4().hex
     data_root = os.path.join(path, "data")
 
@@ -669,12 +1084,14 @@ def commit_snapshot(
         by_name = {f["name"]: f for f in schema["fields"]}
         spec_fields = [
             {
-                "name": c,
-                "transform": "identity",
-                "source-id": by_name[c]["id"],
+                "name": d["name"],
+                "transform": d["transform"]
+                if d["transform"] != "bucket"
+                else f"bucket[{d['n']}]",
+                "source-id": by_name[d["source"]]["id"],
                 "field-id": 1000 + i,
             }
-            for i, c in enumerate(partition_by)
+            for i, d in enumerate(descriptors)
         ]
         meta = {
             "format-version": 2,
@@ -700,11 +1117,15 @@ def commit_snapshot(
         new_version = (cur_v or 0) + 1
         df_fp = _schema_fingerprint(df_schema)
         if df_fp != _schema_fingerprint(_spark_schema_of(meta)):
-            missing = [c for c in partition_by if c not in df_fp]
+            missing = [
+                d["source"]
+                for d in descriptors
+                if d["source"] not in df_fp
+            ]
             if missing:
                 raise DeltaSchemaError(
-                    f"schema evolution cannot drop partition columns "
-                    f"{missing}"
+                    f"schema evolution cannot drop partition source "
+                    f"columns {missing}"
                 )
             sid = max(s["schema-id"] for s in meta["schemas"]) + 1
             schema = _iceberg_schema(df_schema, sid)
@@ -717,7 +1138,6 @@ def commit_snapshot(
     seq = meta["last-sequence-number"] + 1
     snapshot_id = int.from_bytes(os.urandom(7), "big")
     schema = _current_schema(meta)
-    by_name = {f["name"]: f for f in schema["fields"]}
 
     # ---- the new manifest ----
     entry_schema = _manifest_entry_schema(meta)
@@ -748,23 +1168,29 @@ def commit_snapshot(
     n_existing = len(entries)
     import pyarrow.parquet as pq
 
+    pnames = tuple(d["name"] for d in descriptors)
     for rel in adds_rel:
         full = os.path.join(data_root, rel)
         nrows = pq.ParquetFile(full).metadata.num_rows
         total_rows += nrows
-        pvals_raw = _partition_values(rel, partition_by)
+        pvals_raw = _partition_values(rel, pnames)
         pvals = {}
-        for c in partition_by:
-            v = pvals_raw.get(c)
+        for d in descriptors:
+            v = pvals_raw.get(d["name"])
             if v is not None:
-                t = by_name[c]["type"]
-                if t == "long" or t == "int":
-                    v = int(v)
-                elif t in ("double", "float"):
-                    v = float(v)
-                elif t == "boolean":
-                    v = v == "true"
-            pvals[c] = v
+                if d["transform"] == "identity":
+                    t = d["source_type"]
+                    if t == "long" or t == "int":
+                        v = int(v)
+                    elif t in ("double", "float"):
+                        v = float(v)
+                    elif t == "boolean":
+                        v = v == "true"
+                else:
+                    # hive segment spells the human-readable transform
+                    # value; manifests store the spec's int ordinal
+                    v = _transform_path_value(d, v)
+            pvals[d["name"]] = v
         lower, upper = _file_bounds(full, schema)
         entries.append(
             {
@@ -983,6 +1409,10 @@ def read_iceberg(
                 for k, v in partition_filter.items()
             )
         ]
+    descriptors = [
+        _transform_of_spec_field(pf, _current_schema(snap_meta))
+        for pf in _current_spec(meta)["fields"]
+    ]
     if where:
         from tscd_datalake_adapter_spark.sources.delta_lite import (
             _parse_conjuncts,
@@ -995,6 +1425,11 @@ def read_iceberg(
                 f
                 for f in files
                 if _df_may_match(f, ice_schema, conjuncts)
+                # transformed partition values prune on SOURCE-column
+                # predicates (day/hour/... are order-preserving; bucket
+                # prunes equality) — this is the manifest-level pruning
+                # a temporal-transformed table exists for
+                and _partition_may_match(f, descriptors, conjuncts)
             ]
     if not files:
         out = spark.createDataFrame([], schema)
@@ -1002,15 +1437,18 @@ def read_iceberg(
     data_root = os.path.join(path, "data")
     paths = sorted(f["file_path"] for f in files)
     # cross-check manifests against the physical layout (hive segments),
-    # mirroring delta_lite's partitionValues check
-    pcols = tuple(pf["name"] for pf in _current_spec(meta)["fields"])
+    # mirroring delta_lite's partitionValues check; transformed values
+    # compare through their path serialization (day=2026-08-13, ...)
+    pnames = tuple(d["name"] for d in descriptors)
     for f in files:
         rel = os.path.relpath(f["file_path"], data_root)
-        from_path = _partition_values(rel, pcols)
-        for c in pcols:
-            want = f["partition"].get(c)
-            got = from_path.get(c)
-            if got is not None and _hive_partition_str(want) != str(got):
+        from_path = _partition_values(rel, pnames)
+        for d in descriptors:
+            want = f["partition"].get(d["name"])
+            got = from_path.get(d["name"])
+            if got is not None and (
+                want is None or _transform_path_str(d, want) != str(got)
+            ):
                 raise ValueError(
                     f"partition mismatch for {rel}: manifest says "
                     f"{want!r}, path says {got!r}"
@@ -1020,6 +1458,11 @@ def read_iceberg(
         .option("basePath", data_root)
         .parquet(*paths)
     )
+    if any(d["transform"] != "identity" for d in descriptors):
+        # partition discovery appends the derived path columns
+        # (col_day=...) to the explicit schema; the table schema holds
+        # only source columns, so project them back out
+        df = df.select(*[f.name for f in schema.fields])
     return df.where(where) if where else df
 
 

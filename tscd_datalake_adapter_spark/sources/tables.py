@@ -45,11 +45,41 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     # Recursive-CTE volume valve: the default 1M-row limit misfires on
     # provably-bounded linear recursions once tables grow (found by the r9
     # sf1 stress bench: the part-hierarchy walk carries |part| rows per
-    # level, 200k x 7 levels > 1M). Every recursive query in the repo
-    # documents its row bound and the LEVEL limit (default 100) remains
-    # the actual non-termination guard, so the row valve is raised to a
-    # value only a runaway could hit.
+    # level, 200k x 7 levels > 1M). The global raise is DELIBERATE (r9
+    # verdict item 8, investigated r10): the limit is enforced at
+    # EXECUTION time, not plan time (verified empirically — a restored
+    # conf re-applies to a lazy frame materialized later), and the engine
+    # contract returns LAZY DataFrames the driver materializes after the
+    # query function exits, so a per-query set/restore scope would
+    # re-impose the low limit at exactly the wrong moment. The LEVEL
+    # limit (cteRecursionLevelLimit, default 100) remains the actual
+    # non-termination guard: a runaway linear recursion is bounded by
+    # 100 x base-rows regardless of this valve. EAGER contexts
+    # (maintenance scripts, tests) that want a tight per-query budget use
+    # ``recursion_row_budget`` below, which IS sound when the
+    # materialization happens inside the scope.
     spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def recursion_row_budget(spark: SparkSession, rows: int):
+    """Scoped ``cteRecursionRowLimit`` for EAGER recursive queries whose
+    true row need is derivable from their own slice bound (r9 verdict
+    item 8): tightens (or raises) the valve for materializations that
+    happen INSIDE the scope, then restores the session value. Do NOT
+    wrap a lazily-returned DataFrame in this — the limit is enforced at
+    execution time, so the restore would re-apply before the driver
+    materializes (documented at the global valve above)."""
+    key = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(int(rows)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
