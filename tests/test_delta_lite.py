@@ -431,6 +431,8 @@ def test_footer_stats_drop_column_on_unusable_later_row_group(monkeypatch):
         def __init__(self, lo, hi):
             self.has_min_max = True
             self.min, self.max = lo, hi
+            self.has_null_count = True
+            self.null_count = 0
 
     class _Col:
         def __init__(self, stats):
@@ -461,7 +463,9 @@ def test_footer_stats_drop_column_on_unusable_later_row_group(monkeypatch):
 
     monkeypatch.setattr(pq, "ParquetFile", _PF)
     stats = json.loads(_file_stats_json("ignored.parquet"))
-    assert stats == {"numRecords": 10}  # column x dropped, not rg0-only
+    # column x's min/max dropped (not rg0-only); nullCount (usable in
+    # both row groups) is independent and survives
+    assert stats == {"numRecords": 10, "nullCount": {"x": 0}}
 
     lower, upper = iceberg_lite._file_bounds(
         "ignored.parquet",
@@ -577,6 +581,59 @@ def test_where_predicate_skips_files_by_stats(spark, sf_dir, tmp_path):
     )
     assert len(both.inputFiles()) == 3
     assert both.count() == 2
+
+
+def test_null_predicate_skipping_from_nullcount(spark, sf_dir, tmp_path):
+    """r9 verdict item 4: adds carry the spec's nullCount stat; ``IS
+    NULL`` prunes zero-null files, ``IS NOT NULL`` prunes ALL-null files
+    (which have no min/max at all — nullCount is the only stat that can
+    skip them), results always equal the full-scan filter, and the stat
+    survives a checkpoint."""
+    from pyspark.sql import types as T
+
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _replay,
+        checkpoint_delta,
+    )
+
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    no_nulls = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    all_nulls = spark.createDataFrame([(3, None), (4, None)], schema)
+    mixed = spark.createDataFrame([(5, "c"), (6, None)], schema)
+    for df in (no_nulls, all_nulls, mixed):
+        write_delta(df.coalesce(1), path, mode="append")
+
+    # stats JSON carries nullCount for every file
+    st = [
+        json.loads(a["stats"])
+        for a in _replay(path, None)["files"].values()
+    ]
+    assert sorted(s["nullCount"]["v"] for s in st) == [0, 1, 2]
+
+    isnull = read_delta(spark, path, where="v IS NULL")
+    assert len(isnull.inputFiles()) == 2  # zero-null file pruned
+    assert sorted(r.k for r in isnull.collect()) == [3, 4, 6]
+    notnull = read_delta(spark, path, where="v IS NOT NULL")
+    assert len(notnull.inputFiles()) == 2  # all-null file pruned
+    assert sorted(r.k for r in notnull.collect()) == [1, 2, 5]
+    # combined with a comparison conjunct both prunes compose
+    both = read_delta(spark, path, where="v IS NOT NULL AND k >= 5")
+    assert len(both.inputFiles()) == 1
+    assert sorted(r.k for r in both.collect()) == [5]
+
+    # nullCount survives checkpointing: cleanup=True deletes the JSON
+    # commits, so the pruned read below can ONLY have gotten its stats
+    # back out of the checkpoint parquet
+    checkpoint_delta(path, cleanup=True)
+    isnull2 = read_delta(spark, path, where="v IS NULL")
+    assert len(isnull2.inputFiles()) == 2
+    assert sorted(r.k for r in isnull2.collect()) == [3, 4, 6]
 
 
 def test_purge_removed_deletes_latest_commits_dead_files(

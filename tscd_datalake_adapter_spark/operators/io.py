@@ -1617,6 +1617,81 @@ def iceberg_lite_data_skipping(
 
 
 @register(
+    "delta_lite_null_skipping",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                       OR (o_orderkey % 3 = 2 AND o_orderkey % 2 = 0)
+                  THEN NULL ELSE o_orderpriority END AS v,
+             o_totalprice
+      FROM orders WHERE o_orderkey < 3000
+    )
+    SELECT * FROM
+      (SELECT CAST(count(*) AS BIGINT) AS n_null,
+              {oracle_dec_sum('o_totalprice')} AS total_null
+       FROM src WHERE v IS NULL)
+      CROSS JOIN
+      (SELECT CAST(count(*) AS BIGINT) AS n_notnull,
+              CAST(min(o_orderkey) AS BIGINT) AS min_key
+       FROM src WHERE v IS NOT NULL)
+    """,
+)
+def delta_lite_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nullCount data skipping (r10, verdict item 4): three committed
+    files partitioning the key space — ALL-null / ZERO-null / mixed
+    ``v`` — then ``IS NULL`` and ``IS NOT NULL`` reads that prune from
+    the adds' logged nullCount stat (the all-null file has NO min/max,
+    so nullCount is the only stat that can skip it; pruning pinned in
+    tests/test_delta_lite.py::test_null_predicate_skipping_from_nullcount).
+    Predicates are re-applied, so both aggregates equal the full-scan
+    filters the oracle recomputes."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta_null_skip")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select(
+            "o_orderkey",
+            F.when(
+                (F.col("o_orderkey") % 3 == 0)
+                | (
+                    (F.col("o_orderkey") % 3 == 2)
+                    & (F.col("o_orderkey") % 2 == 0)
+                ),
+                F.lit(None),
+            )
+            .otherwise(F.col("o_orderpriority"))
+            .alias("v"),
+            "o_totalprice",
+        )
+    )
+    # disjoint thirds of the key space = one file each: all-null,
+    # zero-null, mixed — the shapes each prune arm proves itself against
+    for residue in (0, 1, 2):
+        write_delta(
+            src.where(F.col("o_orderkey") % 3 == residue).coalesce(1),
+            path,
+            mode="append",
+        )
+    a = read_delta(spark, path, where="v IS NULL").agg(
+        F.count("*").cast("long").alias("n_null"),
+        dec_sum("o_totalprice").alias("total_null"),
+    )
+    b = read_delta(spark, path, where="v IS NOT NULL").agg(
+        F.count("*").cast("long").alias("n_notnull"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
+    return a.crossJoin(b)
+
+
+@register(
     "iceberg_lite_transform_pruning",
     tags=("io", "lakehouse"),
     defer=True,

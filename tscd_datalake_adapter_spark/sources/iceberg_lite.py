@@ -536,6 +536,8 @@ def _partition_may_match(
     on the ordinal; bucket supports equality only."""
     pv = data_file.get("partition", {})
     for col, op, lit in conjuncts:
+        if op not in (">", ">=", "<", "<=", "=", "=="):
+            continue  # null-predicates etc. carry no transform ordinal
         for d in descriptors:
             if d["source"] != col or d["transform"] == "identity":
                 continue
