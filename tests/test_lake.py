@@ -525,6 +525,27 @@ def test_iceberg_backend_full_lifecycle(spark, tmp_path, book_dir):
     assert lake.list_books() == [11, 22, 33]
     assert lake.exists(22) and not lake.exists(999)
 
+    # r10: the iceberg backend partitions NATIVELY by
+    # day(ingest_ts)/hour(ingest_ts) — transform hive dirs on disk, and
+    # the spec pins the transforms (not pre-derived string columns)
+    assert os.path.isdir(
+        os.path.join(
+            lake.lake_root,
+            "data",
+            "ingest_ts_day=2026-08-13",
+            "ingest_ts_hour=2026-08-13-14",
+        )
+    )
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        load_metadata,
+    )
+
+    spec = load_metadata(lake.lake_root)["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("ingest_ts_day", "day"),
+        ("ingest_ts_hour", "hour"),
+    ]
+
     # time travel BEFORE later writes: snapshot-log resolution
     assert lake.read_as_of(
         dt.datetime(2026, 8, 13, 10, 0, 0)

@@ -114,6 +114,40 @@ _BLOOM_OPTIONS = {
 
 _PARTITION_COLS = ("ingest_date", "ingest_hour")
 
+# iceberg backend (r10, verdict item 3): NATIVE temporal transforms on
+# the single ingest_ts column — the spec's layout for a time-partitioned
+# lake — instead of pre-derived string partition columns.
+# ingest_date/ingest_hour remain ordinary DATA columns (the row contract
+# is backend-agnostic); only the partition SPEC differs:
+# day(ingest_ts), hour(ingest_ts), hive dirs
+# ingest_ts_day=2026-08-13/ingest_ts_hour=2026-08-13-14/.
+_ICEBERG_TRANSFORMS = ("day(ingest_ts)", "hour(ingest_ts)")
+
+_EPOCH_DAY = dt.date(1970, 1, 1)
+
+
+def _transform_ordinals(day: str, hour: str) -> tuple[int, int]:
+    """(day-ordinal, hour-ordinal) ints for the lake's (yyyyMMdd, HH)
+    partition strings — the iceberg spec's transformed partition
+    values (days / hours since 1970-01-01 UTC)."""
+    d = dt.datetime.strptime(day, "%Y%m%d").date()
+    day_ord = (d - _EPOCH_DAY).days
+    return day_ord, day_ord * 24 + int(hour)
+
+
+def _iceberg_parts(parts: list[dict]) -> list[dict]:
+    """Adapter-surface partition dicts (ingest_date/ingest_hour strings)
+    → transformed spec-field dicts for iceberg replace_partitions."""
+    out = []
+    for p in parts:
+        day_ord, hour_ord = _transform_ordinals(
+            p["ingest_date"], p["ingest_hour"]
+        )
+        out.append(
+            {"ingest_ts_day": day_ord, "ingest_ts_hour": hour_ord}
+        )
+    return out
+
 
 def _ts_ms(ts: dt.datetime) -> int:
     return int(
@@ -189,33 +223,37 @@ class LakeAdapter:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pa.table(
-            {
-                "book_id": pa.array([bid], pa.int64()),
-                "header": pa.array([header], pa.string()),
-                "body": pa.array([body], pa.string()),
-                "ingest_ts": pa.array(
-                    [naive_utc(ts)], pa.timestamp("us")
-                ),
-            }
-        )
-        data_root = (
-            self.lake_root
-            if self.backend == "delta"
-            else os.path.join(self.lake_root, "data")
-        )
-        part_dir = os.path.join(
-            data_root, f"ingest_date={day}", f"ingest_hour={hour}"
-        )
+        cols = {
+            "book_id": pa.array([bid], pa.int64()),
+            "header": pa.array([header], pa.string()),
+            "body": pa.array([body], pa.string()),
+            "ingest_ts": pa.array([naive_utc(ts)], pa.timestamp("us")),
+        }
+        if self.backend == "delta":
+            # identity partition columns live in the PATH, not the file
+            data_root = self.lake_root
+            seg = (f"ingest_date={day}", f"ingest_hour={hour}")
+        else:
+            # transform layout (r10): the path carries the DERIVED
+            # day/hour spells; ingest_date/ingest_hour are ordinary data
+            # columns and must be IN the file
+            cols["ingest_date"] = pa.array([day], pa.string())
+            cols["ingest_hour"] = pa.array([hour], pa.string())
+            data_root = os.path.join(self.lake_root, "data")
+            iso = f"{day[0:4]}-{day[4:6]}-{day[6:8]}"
+            seg = (
+                f"ingest_ts_day={iso}",
+                f"ingest_ts_hour={iso}-{hour}",
+            )
+        table = pa.table(cols)
+        part_dir = os.path.join(data_root, *seg)
         os.makedirs(part_dir, exist_ok=True)
         commit_uuid = _uuid.uuid4().hex
         name = f"part-00000-{commit_uuid}.parquet"
         tmp = os.path.join(part_dir, f"._{commit_uuid}.tmp")
         pq.write_table(table, tmp)
         os.rename(tmp, os.path.join(part_dir, name))
-        rel = os.path.join(
-            f"ingest_date={day}", f"ingest_hour={hour}", name
-        )
+        rel = os.path.join(*seg, name)
         if self.backend == "delta":
             from tscd_datalake_adapter_spark.sources.delta_lite import (
                 commit_files,
@@ -242,7 +280,7 @@ class LakeAdapter:
                 [rel],
                 BOOK_SCHEMA,
                 mode="append",
-                partition_by=_PARTITION_COLS,
+                partition_transforms=_ICEBERG_TRANSFORMS,
                 commit_timestamp_ms=_ts_ms(ts),
                 operation="INGEST",
                 _commit_uuid=commit_uuid,
@@ -275,7 +313,7 @@ class LakeAdapter:
                 df,
                 self.lake_root,
                 mode="append",
-                partition_by=_PARTITION_COLS,
+                partition_transforms=_ICEBERG_TRANSFORMS,
                 writer_options=_BLOOM_OPTIONS,
                 commit_timestamp_ms=_ts_ms(ts),
                 operation="INGEST",
@@ -322,8 +360,8 @@ class LakeAdapter:
                 df,
                 self.lake_root,
                 mode="overwrite",
-                partition_by=_PARTITION_COLS,
-                replace_partitions=parts,
+                partition_transforms=_ICEBERG_TRANSFORMS,
+                replace_partitions=_iceberg_parts(parts),
                 writer_options=_BLOOM_OPTIONS,
                 commit_timestamp_ms=ts_ms,
                 operation=operation,
@@ -391,10 +429,14 @@ class LakeAdapter:
         if meta["current-snapshot-id"] == -1:
             return set()
         snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
-        return {
-            (f["partition"]["ingest_date"], f["partition"]["ingest_hour"])
-            for f in _snapshot_files(meta, snap)
-        }
+        out = set()
+        for f in _snapshot_files(meta, snap):
+            # transformed ordinals back to the adapter's (yyyyMMdd, HH)
+            day_ord = f["partition"]["ingest_ts_day"]
+            hour_ord = f["partition"]["ingest_ts_hour"]
+            d = _EPOCH_DAY + dt.timedelta(days=day_ord)
+            out.add((d.strftime("%Y%m%d"), f"{hour_ord % 24:02d}"))
+        return out
 
     # -- write path (R2 + R4) ------------------------------------------------
 
