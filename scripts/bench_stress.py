@@ -12,6 +12,13 @@ legitimately ratio near 1. Both scale runs happen back-to-back in one
 process, so machine-state drift cancels out of the ratio; the absolute
 numbers also carry the median-of-5 CPU probes.
 
+Round 10 (r9 verdict item 5): when an sf10 fixture exists
+(``scripts/gen_stress_fixture.py --scale 10``; env
+``SPARK_GRAFT_STRESS10_DIR``, default ``.stress/sf10``), the headline
+set plus the three steepest sf1 ratios (``STEEP3``) also run at sf10 —
+one more decade tells whether those curves flatten (linear-dominant,
+fine) or compound (a hidden super-linear term).
+
 Usage: python scripts/bench_stress.py [--out BENCH_STRESS_rN.json]
 """
 
@@ -28,6 +35,17 @@ from bench import _cpu_probe_median  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/root/repo/.stress/sf1")
+SF10 = os.environ.get(
+    "SPARK_GRAFT_STRESS10_DIR", "/root/repo/.stress/sf10"
+)
+
+# the three steepest sf1/sf0.1 ratios from BENCH_STRESS_r09 — the
+# queries whose next decade (sf10) decides linear vs super-linear
+STEEP3 = [
+    "naive_bayes_lang_confusion",
+    "zorder_clustered_read",
+    "poisson_bootstrap_ci",
+]
 
 # the 15 most expensive registry queries per BENCH_FAMILIES_r08
 TOP15 = [
@@ -50,7 +68,7 @@ TOP15 = [
 
 
 def main() -> int:
-    out_path = "BENCH_STRESS_r09.json"
+    out_path = "BENCH_STRESS_r10.json"
     args = sys.argv[1:]
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
@@ -69,12 +87,18 @@ def main() -> int:
         n for n in TOP15 if n in registry
     ]
 
+    have_sf10 = os.path.isdir(SF10)
+    headline_names = {n for n, s in registry.items() if s.headline}
+
     probe_pre = _cpu_probe_median()
     results: dict[str, dict] = {}
     for name in names:
         fn = registry[name].fn
         row: dict = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        tiers = [("sf0.1", SF01), ("sf1", SF1)]
+        if have_sf10 and (name in headline_names or name in STEEP3):
+            tiers.append(("sf10", SF10))
+        for label, sf_dir in tiers:
             times = []
             for _ in range(2):
                 t0 = time.time()
@@ -86,6 +110,10 @@ def main() -> int:
         row["ratio"] = (
             round(row["sf1"] / row["sf0.1"], 2) if row["sf0.1"] > 0 else None
         )
+        if "sf10" in row and row["sf1"] > 0:
+            # the second decade's ratio: ~first-decade ratio → linear
+            # (constant per-decade factor); much larger → compounding
+            row["ratio10"] = round(row["sf10"] / row["sf1"], 2)
         results[name] = row
         print(f"{name}: {row}", file=sys.stderr)
     probe_post = _cpu_probe_median()
@@ -94,6 +122,15 @@ def main() -> int:
         "metric": "stress_scaling_sf1_over_sf0.1",
         "n_queries": len(results),
         "sf1_dir": SF1,
+        "sf10_dir": SF10 if have_sf10 else None,
+        "worst_ratio10": sorted(
+            (
+                (r["ratio10"], n)
+                for n, r in results.items()
+                if "ratio10" in r
+            ),
+            reverse=True,
+        )[:8],
         "cpu_probe_sec_pre": probe_pre,
         "cpu_probe_sec_post": probe_post,
         "total_sf0.1": round(sum(r["sf0.1"] for r in results.values()), 3),
@@ -109,6 +146,7 @@ def main() -> int:
     print(json.dumps({k: doc[k] for k in (
         "metric", "n_queries", "total_sf0.1", "total_sf1",
         "cpu_probe_sec_pre", "cpu_probe_sec_post", "worst_ratios",
+        "worst_ratio10",
     )}))
     spark.stop()
     return 0

@@ -54,6 +54,11 @@ N_DOCS = 50_000
 N_EMB = 20_000
 EMB_DIM = 64
 
+# --scale N multiplies every row count above (r9 verdict item 5: the
+# sf10 tier = --scale 10, one more decade over sf1, to tell whether the
+# steepest sf1 ratios flatten — linear-dominant — or compound). region/
+# nation stay 5/25 at every scale, like real TPC-H.
+
 
 def _ts_us(rng, n, start: str, end: str) -> np.ndarray:
     lo = np.datetime64(start, "us").astype("int64")
@@ -67,7 +72,17 @@ def _write(path: str, name: str, table: pa.Table) -> None:
     print(f"{name}: {table.num_rows} rows -> {out}")
 
 
-def main(target: str) -> None:
+def main(target: str, scale: int = 1) -> None:
+    global N_CUSTOMER, N_SUPPLIER, N_PART, N_ORDERS
+    global N_EVENTS, N_USERS, N_DOCS, N_EMB
+    N_CUSTOMER *= scale
+    N_SUPPLIER *= scale
+    N_PART *= scale
+    N_ORDERS *= scale
+    N_EVENTS *= scale
+    N_USERS *= scale
+    N_DOCS *= scale
+    N_EMB *= scale
     os.makedirs(target, exist_ok=True)
     rng = np.random.default_rng(SEED)
 
@@ -232,4 +247,15 @@ def main(target: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.stress/sf1")
+    argv = sys.argv[1:]
+    scale = 1
+    if "--scale" in argv:
+        i = argv.index("--scale")
+        scale = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    default = (
+        "/root/repo/.stress/sf1"
+        if scale == 1
+        else f"/root/repo/.stress/sf{scale}"
+    )
+    main(argv[0] if argv else default, scale=scale)

@@ -391,6 +391,43 @@ def test_temporal_transform_partitioning(spark, sf_dir, tmp_path):
     assert read_iceberg(spark, path).count() == src.count() + 10
 
 
+def test_truncate_transform_int_and_string(spark, sf_dir, tmp_path):
+    """truncate[W] (spec): ints floor to the bucket start (negatives
+    included), strings keep the first W chars; both are order-preserving
+    so range predicates prune through the transform."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        apply_transform,
+        load_metadata,
+    )
+
+    # spec semantics incl. the negative floor-mod case
+    assert apply_transform("truncate", "long", 17, 10) == 10
+    assert apply_transform("truncate", "long", -3, 10) == -10
+    assert apply_transform("truncate", "string", "iceberg", 3) == "ice"
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_iceberg(
+        src, path, partition_transforms=("truncate(500, o_orderkey)",)
+    )
+    spec = load_metadata(path)["partition-specs"][0]["fields"]
+    assert spec[0]["transform"] == "truncate[500]"
+    got = read_iceberg(spark, path)
+    assert got.count() == src.count()
+    pruned = read_iceberg(spark, path, where="o_orderkey >= 900")
+    assert 0 < len(pruned.inputFiles()) < len(got.inputFiles())
+    # only buckets whose START >= truncate(900)=500 survive
+    for f in pruned.inputFiles():
+        seg = [
+            s for s in f.split("/")
+            if s.startswith("o_orderkey_truncate=")
+        ][0].split("=", 1)[1]
+        assert int(seg) >= 500
+    assert (
+        pruned.count() == src.where("o_orderkey >= 900").count()
+    )
+
+
 def test_hour_transform_and_time_travel(spark, sf_dir, tmp_path):
     """hour() on a timestamp column + snapshot time travel across a
     transformed table."""
@@ -431,8 +468,8 @@ def test_non_identity_transform_refused(spark, sf_dir, tmp_path):
     )
     meta_file = os.path.join(path, "metadata", "v1.metadata.json")
     meta = json.load(open(meta_file, encoding="utf-8"))
-    # truncate is a real spec transform this module does NOT implement
-    meta["partition-specs"][0]["fields"][0]["transform"] = "truncate[4]"
+    # void is a real spec transform this module does NOT implement
+    meta["partition-specs"][0]["fields"][0]["transform"] = "void"
     json.dump(meta, open(meta_file, "w", encoding="utf-8"))
     with pytest.raises(NotImplementedError):
         read_iceberg(spark, path)

@@ -42,14 +42,15 @@ lists anything — see :func:`_file_bounds` / ``_df_may_match`` and the
 oracle query ``iceberg_lite_data_skipping``.
 
 Partition transforms (r10): identity plus the spec's ``day``/``hour``/
-``month``/``year`` temporal transforms and ``bucket[N]`` (murmur3-32
-appendix-B hash, pinned against the spec's published test vectors) —
-manifests store the transformed int ordinals, manifest pruning
-evaluates source-column predicates through the transform
-(order-preserving temporal relaxation; bucket equality).
+``month``/``year`` temporal transforms, ``bucket[N]`` (murmur3-32
+appendix-B hash, pinned against the spec's published test vectors), and
+``truncate[W]`` (int floor-mod bucket start / string prefix) —
+manifests store the transformed values, manifest pruning evaluates
+source-column predicates through the transform (order-preserving
+relaxation for temporal and truncate; bucket equality).
 
-Honest scope (errors, not silent wrongness): ``truncate``/``void``
-transforms are refused, top-level primitive columns only, no delete
+Honest scope (errors, not silent wrongness): the ``void``
+transform is refused, top-level primitive columns only, no delete
 files / row-level deletes (content=0 data manifests only), single
 metadata.json lineage (no external catalog). Readers that find a higher
 format-version or an unsupported spec raise. The Avro metadata
@@ -269,18 +270,18 @@ def parse_transform(spec: str) -> tuple[str, str, int | None]:
     m = _re.fullmatch(r"(\w+)\(\s*([\w.]+)\s*\)", s)
     if m and m.group(1) in ("identity", "day", "hour", "month", "year"):
         return m.group(1), m.group(2), None
-    m = _re.fullmatch(r"bucket\(\s*(\d+)\s*,\s*([\w.]+)\s*\)", s)
+    m = _re.fullmatch(r"(bucket|truncate)\(\s*(\d+)\s*,\s*([\w.]+)\s*\)", s)
     if m:
-        n = int(m.group(1))
+        n = int(m.group(2))
         if n <= 0:
-            raise ValueError(f"bucket width must be > 0: {spec!r}")
-        return "bucket", m.group(2), n
+            raise ValueError(f"{m.group(1)} width must be > 0: {spec!r}")
+        return m.group(1), m.group(3), n
     if _re.fullmatch(r"[\w.]+", s):
         return "identity", s, None
     raise ValueError(
         f"unsupported partition transform {spec!r}; expected a column "
         "name, identity(col), day(col), hour(col), month(col), "
-        "year(col), or bucket(N, col)"
+        "year(col), bucket(N, col), or truncate(W, col)"
     )
 
 
@@ -292,10 +293,12 @@ def _transform_of_spec_field(pf: dict, schema: dict) -> dict:
     by_id = {f["id"]: f for f in schema["fields"]}
     t = pf.get("transform", "identity")
     n = None
-    m = _re.fullmatch(r"bucket\[(\d+)\]", t)
+    m = _re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
     if m:
-        t, n = "bucket", int(m.group(1))
-    if t not in ("identity", "day", "hour", "month", "year", "bucket"):
+        t, n = m.group(1), int(m.group(2))
+    if t not in (
+        "identity", "day", "hour", "month", "year", "bucket", "truncate",
+    ):
         raise NotImplementedError(
             f"transform {pf.get('transform')!r} not supported"
         )
@@ -331,6 +334,11 @@ def _validate_transform(t: str, source_type: str, n: int | None) -> None:
     ):
         raise NotImplementedError(
             f"bucket() on int/long/string/date sources only; "
+            f"got {source_type}"
+        )
+    if t == "truncate" and source_type not in ("int", "long", "string"):
+        raise NotImplementedError(
+            f"truncate() on int/long/string sources only; "
             f"got {source_type}"
         )
 
@@ -433,6 +441,12 @@ def apply_transform(
         return v
     if t == "bucket":
         return bucket_transform(v, source_type, n)
+    if t == "truncate":
+        # spec: ints floor to the bucket start (floor mod, negatives
+        # included); strings truncate to the first W characters
+        if source_type in ("int", "long"):
+            return int(v) - (int(v) % n)
+        return str(v)[:n]
     ts = _ts_from_literal(v)
     if t == "day":
         return (ts.date() - _epoch_date()).days
@@ -453,6 +467,10 @@ def _transform_path_value(d: dict, seg: str):
     t = d["transform"]
     if t == "identity":
         return seg  # typed later, per source type (legacy path)
+    if t == "truncate":
+        return (
+            int(seg) if d["source_type"] in ("int", "long") else seg
+        )
     if t == "day":
         return (_dt.date.fromisoformat(seg) - _epoch_date()).days
     if t == "hour":
@@ -476,6 +494,8 @@ def _transform_path_str(d: dict, want) -> str:
     t = d["transform"]
     if t == "identity":
         return _hive_partition_str(want)
+    if t == "truncate":
+        return str(want)
     if t == "day":
         return (_epoch_date() + _dt.timedelta(days=int(want))).isoformat()
     if t == "hour":
@@ -499,6 +519,15 @@ def _transform_column(d: dict):
     from pyspark.sql import functions as F
 
     t, src = d["transform"], d["source"]
+    if t == "truncate":
+        if d["source_type"] in ("int", "long"):
+            w = d["n"]
+            # floor-mod bucket start, negatives included (the spec's
+            # v - (((v % W) + W) % W))
+            return F.expr(
+                f"CAST({src} - ((({src} % {w}) + {w}) % {w}) AS STRING)"
+            )
+        return F.substring(F.col(src), 1, d["n"])
     if t == "day":
         return F.date_format(F.col(src), "yyyy-MM-dd")
     if t == "hour":
@@ -701,11 +730,12 @@ def _manifest_entry_schema(meta: dict) -> dict:
     pfields = []
     for pf in _current_spec(meta)["fields"]:
         d = _transform_of_spec_field(pf, schema)
-        # temporal/bucket transforms store INT ordinals; identity stores
-        # the source type
+        # temporal/bucket transforms store INT ordinals; identity and
+        # truncate store the source type (truncate's result type is its
+        # source type per the spec)
         avro_t = (
             _avro_partition_type(d["source_type"])
-            if d["transform"] == "identity"
+            if d["transform"] in ("identity", "truncate")
             else "int"
         )
         pfields.append(
@@ -834,10 +864,10 @@ def load_metadata(path: str, version: int | None = None) -> dict:
                 "hour",
                 "month",
                 "year",
-            ) and not _re.fullmatch(r"bucket\[\d+\]", t):
+            ) and not _re.fullmatch(r"(bucket|truncate)\[\d+\]", t):
                 raise NotImplementedError(
                     f"transform {t!r} not supported (identity, day, hour, "
-                    "month, year, bucket[N])"
+                    "month, year, bucket[N], truncate[W])"
                 )
     return meta
 
@@ -1087,9 +1117,11 @@ def commit_snapshot(
         spec_fields = [
             {
                 "name": d["name"],
-                "transform": d["transform"]
-                if d["transform"] != "bucket"
-                else f"bucket[{d['n']}]",
+                "transform": (
+                    f"{d['transform']}[{d['n']}]"
+                    if d["transform"] in ("bucket", "truncate")
+                    else d["transform"]
+                ),
                 "source-id": by_name[d["source"]]["id"],
                 "field-id": 1000 + i,
             }
