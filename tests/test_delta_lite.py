@@ -467,11 +467,13 @@ def test_footer_stats_drop_column_on_unusable_later_row_group(monkeypatch):
     # both row groups) is independent and survives
     assert stats == {"numRecords": 10, "nullCount": {"x": 0}}
 
-    lower, upper = iceberg_lite._file_bounds(
+    lower, upper, nvc = iceberg_lite._file_bounds(
         "ignored.parquet",
         {"fields": [{"name": "x", "id": 1, "type": "double"}]},
     )
     assert lower == [] and upper == []
+    # null counts accumulate independently of the dropped min/max
+    assert nvc == [{"key": 1, "value": 0}]
 
 
 def test_merge_rewrites_only_key_intersecting_files(spark, sf_dir, tmp_path):

@@ -391,6 +391,39 @@ def test_temporal_transform_partitioning(spark, sf_dir, tmp_path):
     assert read_iceberg(spark, path).count() == src.count() + 10
 
 
+def test_null_value_counts_skipping(spark, sf_dir, tmp_path):
+    """r10 (mirror of delta nullCount): manifest entries carry the
+    spec's null_value_counts; ``IS NULL`` prunes zero-null files,
+    ``IS NOT NULL`` prunes all-null files (which have no bounds at all),
+    results equal the full-scan filter."""
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    no_nulls = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    all_nulls = spark.createDataFrame([(3, None), (4, None)], schema)
+    mixed = spark.createDataFrame([(5, "c"), (6, None)], schema)
+    for df in (no_nulls, all_nulls, mixed):
+        write_iceberg(df.coalesce(1), path, mode="append")
+
+    isnull = read_iceberg(spark, path, where="v IS NULL")
+    assert len(isnull.inputFiles()) == 2  # zero-null file pruned
+    assert sorted(r.k for r in isnull.collect()) == [3, 4, 6]
+    notnull = read_iceberg(spark, path, where="v IS NOT NULL")
+    assert len(notnull.inputFiles()) == 2  # all-null file pruned
+    assert sorted(r.k for r in notnull.collect()) == [1, 2, 5]
+    # a replace_partitions rewrite carries EXISTING entries written
+    # before this field existed without corrupting them (write_datum
+    # defaults the absent field to null) — simulate by dropping the key
+    both = read_iceberg(spark, path, where="v IS NOT NULL AND k >= 5")
+    assert sorted(r.k for r in both.collect()) == [5]
+
+
 def test_truncate_transform_int_and_string(spark, sf_dir, tmp_path):
     """truncate[W] (spec): ints floor to the bucket start (negatives
     included), strings keep the first W chars; both are order-preserving

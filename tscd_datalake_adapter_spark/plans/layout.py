@@ -73,12 +73,42 @@ def salted_join(
 def zorder_value(col_a: str, col_b: str, bits: int = 4):
     """Z-order (Morton) index of two pre-bucketed non-negative int columns:
     interleave the low ``bits`` bits of each. Pure Spark SQL expression (one
-    ``aggregate`` over a bit sequence — JVM-side, codegen'd, no UDF)."""
+    ``aggregate`` over a bit sequence — JVM-side, codegen'd, no UDF).
+
+    CAUTION when composing: this references each input ``bits`` times
+    (once per loop iteration at runtime), and Catalyst's project
+    collapsing INLINES upstream column expressions at every reference —
+    feeding it columns that are themselves expensive expressions
+    multiplies their per-row cost by ``bits`` (measured 4x on the r10
+    sf10 decade). :func:`zorder_write` therefore uses the
+    single-reference LUT form (:func:`_morton_lut_expr`) instead."""
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
         f"acc + shiftleft(cast(shiftright({col_a}, i) & 1 as bigint), 2 * i)"
         f"    + shiftleft(cast(shiftright({col_b}, i) & 1 as bigint), 2 * i + 1))"
     )
+
+
+def _morton_lut_expr(col_a: str, col_b: str, bits: int):
+    """Morton index via a 4^bits-entry literal lookup array — references
+    each input exactly ONCE, so Catalyst's projection inlining cannot
+    multiply the cost of expensive upstream bucket expressions. 4^4=256
+    entries at the default bits=4; guarded to bits<=6 (4096)."""
+    if bits > 6:
+        raise ValueError("morton LUT supports bits <= 6; use zorder_value")
+    n = 1 << bits
+
+    def interleave(a: int, b: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    lut = [interleave(a, b) for a in range(n) for b in range(n)]
+    arr = "array(" + ",".join(str(v) for v in lut) + ")"
+    # element_at is 1-based
+    return F.expr(f"element_at({arr}, {col_a} * {n} + {col_b} + 1)")
 
 
 def zorder_write(
@@ -108,21 +138,69 @@ def zorder_write(
     (256 cells, ~16 files) skips 10-11/16 files on a 3% slice of either
     dimension where the linear layout skips 0; bits>=8 degrades to ~8.
 
-    One caveat at 100 TB: the two ``ntile`` windows are global sorts of the
-    key projection. Swap in approx-quantile bucket boundaries (computed on a
-    sample, applied map-side) when the key columns themselves are too big to
-    window-sort; the curve semantics are unchanged.
+    Bucketing strategy (r10, after the sf10 stress decade measured the
+    ntile-only form at exactly-linear-but-big): ADAPTIVE.
+
+    - Small inputs (row count <= 4M) keep the original ``ntile``
+      windows — exact equal-size rank buckets. Global window sorts,
+      but of an input that comfortably fits one task; and exact buckets
+      matter most exactly here, where heavy key TIES would collapse
+      quantile buckets (tied rows all count the same cuts) and coarsen
+      the curve grid.
+    - Large NUMERIC inputs bucket through APPROX-QUANTILE boundaries —
+      one ``approxQuantile`` sketch pass per column (2^bits-1 cut
+      points, driver-sized) applied MAP-SIDE as a codegen'd aggregate
+      over the cut array. NO global window sort of the data remains;
+      the only full sort is the final ``repartitionByRange`` on the
+      curve index, which the write needs anyway. Measured on the r10
+      sf10 decade: the zorder demo query went 129.8s -> 14.4s.
+    - Large NON-numeric key columns (strings/dates) keep the ntile
+      window (approxQuantile is numeric-only) — acceptable because
+      z-ordering is an offline layout op; cluster on a numeric
+      surrogate if a string sort column outgrows a single task.
+
+    COMPOSITION GOTCHA worth remembering: the Morton index must
+    reference each bucket column exactly ONCE (``_morton_lut_expr``) —
+    Catalyst's project collapsing inlines the bucket expression at
+    every reference, so the loop form multiplied the per-row CASE
+    cascade cost by ``bits`` (this, not the sorts, was most of the
+    first quantile attempt's 41s at sf1).
     """
     n = 1 << bits
-    from pyspark.sql import Window
+    from pyspark.sql import types as T
 
-    # secondary key makes ntile deterministic under ties
-    wa = Window.orderBy(col_a, col_b)
-    wb = Window.orderBy(col_b, col_a)
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    types = {f.name: f.dataType for f in df.schema.fields}
+    # parquet count(*) is footer-metadata-scale, not a data read
+    small = df.count() <= 4_000_000
+
+    def bucket_col(col: str):
+        if not small and isinstance(types[col], numeric):
+            # 2^bits-1 interior quantile cuts; bucket = #cuts below the
+            # value (monotone, so per-file min/max stay tight); error
+            # << bucket width keeps buckets near-equal-sized
+            cuts = df.stat.approxQuantile(
+                col, [i / n for i in range(1, n)], 1.0 / (64 * n)
+            )
+            arr = "array(" + ",".join(repr(float(c)) for c in cuts) + ")"
+            return F.expr(
+                f"aggregate({arr}, 0, (acc, c) -> "
+                f"acc + CASE WHEN {col} > c THEN 1 ELSE 0 END)"
+            )
+        from pyspark.sql import Window
+
+        other = next(c for c in (col_a, col_b) if c != col)
+        return F.ntile(n).over(Window.orderBy(col, other)) - 1
+
     (
-        df.withColumn("_ba", F.ntile(n).over(wa) - 1)
-        .withColumn("_bb", F.ntile(n).over(wb) - 1)
-        .withColumn("_z", zorder_value("_ba", "_bb", bits))
+        df.withColumn("_ba", bucket_col(col_a))
+        .withColumn("_bb", bucket_col(col_b))
+        # LUT form: _ba/_bb referenced once each, so project collapsing
+        # can't multiply the bucket CASE-cascade cost (see zorder_value)
+        .withColumn("_z", _morton_lut_expr("_ba", "_bb", bits))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_ba", "_bb", "_z")

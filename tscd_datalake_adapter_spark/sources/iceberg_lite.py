@@ -666,21 +666,28 @@ def _ice_deserialize(iceberg_type: str, b: bytes):
     return None
 
 
-def _file_bounds(full_path: str, schema: dict) -> tuple[list, list]:
-    """(lower_bounds, upper_bounds) kv-lists for a parquet data file,
-    from its footer row-group statistics, serialized per the spec and
-    keyed by field id. Columns without usable stats are omitted
-    (readers treat absence as 'may match')."""
+def _file_bounds(
+    full_path: str, schema: dict
+) -> tuple[list, list, list]:
+    """(lower_bounds, upper_bounds, null_value_counts) kv-lists for a
+    parquet data file, from its footer row-group statistics, serialized
+    per the spec and keyed by field id. Columns without usable stats are
+    omitted (readers treat absence as 'may match'). Null counts
+    accumulate INDEPENDENTLY of min/max — an all-null column has no
+    min/max but a perfectly good null count (r10, mirroring delta_lite's
+    nullCount)."""
     import pyarrow.parquet as pq
 
     by_name = {f["name"]: f for f in schema["fields"]}
     try:
         md = pq.ParquetFile(full_path).metadata
     except Exception:
-        return [], []
+        return [], [], []
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
     good: set[str] = set()
+    null_good: set[str] = set()
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
@@ -688,6 +695,14 @@ def _file_bounds(full_path: str, schema: dict) -> tuple[list, list]:
             if "." in name or name not in by_name:
                 continue
             st = col.statistics
+            if st is None or not st.has_null_count:
+                null_good.discard(name)
+                nulls.pop(name, None)
+            elif rg == 0:
+                nulls[name] = int(st.null_count)
+                null_good.add(name)
+            elif name in null_good:
+                nulls[name] += int(st.null_count)
             if st is None or not st.has_min_max:
                 good.discard(name)
                 mins.pop(name, None)
@@ -720,7 +735,11 @@ def _file_bounds(full_path: str, schema: dict) -> tuple[list, list]:
             continue
         lower.append({"key": f["id"], "value": lo_b})
         upper.append({"key": f["id"], "value": hi_b})
-    return lower, upper
+    nvc = [
+        {"key": by_name[name]["id"], "value": nulls[name]}
+        for name in sorted(null_good)
+    ]
+    return lower, upper, nvc
 
 
 def _manifest_entry_schema(meta: dict) -> dict:
@@ -776,6 +795,34 @@ def _manifest_entry_schema(meta: dict) -> dict:
                 "type": ["null", _bounds_kv_schema("k_v_upper", 129, 130)],
                 "default": None,
                 "field-id": 128,
+            },
+            {
+                "name": "null_value_counts",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "k_v_nulls",
+                            "fields": [
+                                {
+                                    "name": "key",
+                                    "type": "int",
+                                    "field-id": 121,
+                                },
+                                {
+                                    "name": "value",
+                                    "type": "long",
+                                    "field-id": 122,
+                                },
+                            ],
+                        },
+                        "logicalType": "map",
+                    },
+                ],
+                "default": None,
+                "field-id": 110,
             },
         ],
     }
@@ -1225,7 +1272,7 @@ def commit_snapshot(
                     # value; manifests store the spec's int ordinal
                     v = _transform_path_value(d, v)
             pvals[d["name"]] = v
-        lower, upper = _file_bounds(full, schema)
+        lower, upper, nvc = _file_bounds(full, schema)
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -1241,6 +1288,7 @@ def commit_snapshot(
                     "file_size_in_bytes": os.path.getsize(full),
                     "lower_bounds": lower or None,
                     "upper_bounds": upper or None,
+                    "null_value_counts": nvc or None,
                 },
             }
         )
@@ -1369,10 +1417,27 @@ def _df_may_match(
         kv["key"]: kv["value"]
         for kv in (data_file.get("upper_bounds") or [])
     }
+    null_kv = {
+        kv["key"]: kv["value"]
+        for kv in (data_file.get("null_value_counts") or [])
+    }
     by_name = {f["name"]: f for f in schema["fields"]}
     for col, op, v in conjuncts:
         f = by_name.get(col)
-        if f is None or f["id"] not in lo_kv or f["id"] not in hi_kv:
+        if f is None:
+            continue
+        if op in ("isnull", "notnull"):
+            # null-predicate skipping from the spec's null_value_counts
+            # (r10, mirroring delta_lite nullCount)
+            if f["id"] in null_kv:
+                if op == "isnull" and null_kv[f["id"]] == 0:
+                    return False
+                if op == "notnull" and null_kv[f["id"]] == data_file.get(
+                    "record_count"
+                ):
+                    return False
+            continue
+        if f["id"] not in lo_kv or f["id"] not in hi_kv:
             continue
         lo = _ice_deserialize(f["type"], lo_kv[f["id"]])
         hi = _ice_deserialize(f["type"], hi_kv[f["id"]])
