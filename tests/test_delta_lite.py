@@ -638,6 +638,57 @@ def test_null_predicate_skipping_from_nullcount(spark, sf_dir, tmp_path):
     assert sorted(r.k for r in isnull2.collect()) == [3, 4, 6]
 
 
+def test_read_delta_changes_incremental(spark, sf_dir, tmp_path):
+    """Incremental (change-feed) read: exactly the rows ADDED in the
+    version range, stamped with _commit_version/_commit_timestamp; a
+    data-removing commit in range raises unless ignore_deletes."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        ConcurrentWriteError,  # noqa: F401 (import parity with module)
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    slices = [(0, 300), (300, 700), (700, 1200)]
+    for i, (lo, hi) in enumerate(slices):
+        write_delta(
+            src.where(f"o_orderkey >= {lo} AND o_orderkey < {hi}"),
+            path,
+            mode="append",
+            commit_timestamp_ms=1000 + i,
+        )
+    inc = read_delta_changes(spark, path, 1, 2)
+    expect = src.where("o_orderkey >= 300 AND o_orderkey < 1200")
+    assert inc.count() == expect.count()
+    assert set(inc.columns) == {
+        "o_orderkey", "o_totalprice", "_commit_version",
+        "_commit_timestamp",
+    }
+    byv = {
+        r["_commit_version"]: r["n"]
+        for r in inc.groupBy("_commit_version").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert byv == {
+        1: src.where("o_orderkey >= 300 AND o_orderkey < 700").count(),
+        2: src.where("o_orderkey >= 700 AND o_orderkey < 1200").count(),
+    }
+    ts = {r["_commit_timestamp"] for r in inc.select("_commit_timestamp").distinct().collect()}
+    assert ts == {1001, 1002}
+    # out-of-range start is a loud error, not an empty frame
+    with pytest.raises(ValueError, match="not in log"):
+        read_delta_changes(spark, path, 5)
+
+    # an overwrite in range is not representable append-only
+    write_delta(src.limit(5), path, mode="overwrite")
+    with pytest.raises(ValueError, match="removes data"):
+        read_delta_changes(spark, path, 1)
+    # ignore_deletes surfaces the rewrite's adds as inserts
+    inc2 = read_delta_changes(spark, path, 3, ignore_deletes=True)
+    assert inc2.count() == 5
+    assert {r["_commit_version"] for r in inc2.collect()} == {3}
+
+
 def test_purge_removed_deletes_latest_commits_dead_files(
     spark, sf_dir, tmp_path
 ):

@@ -391,6 +391,52 @@ def test_temporal_transform_partitioning(spark, sf_dir, tmp_path):
     assert read_iceberg(spark, path).count() == src.count() + 10
 
 
+def test_incremental_append_scan(spark, sf_dir, tmp_path):
+    """The spec's incremental append scan: exactly the rows added by
+    snapshots after `from`, stamped with _snapshot_id; reused manifests
+    (append commits reuse prior manifests) must NOT re-surface older
+    rows; a non-append snapshot in range raises."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg_incremental,
+        snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    slices = [(0, 300), (300, 700), (700, 1200)]
+    for lo, hi in slices:
+        write_iceberg(
+            src.where(f"o_orderkey >= {lo} AND o_orderkey < {hi}"),
+            path,
+            mode="append",
+        )
+    snaps = snapshots(path)
+    inc = read_iceberg_incremental(spark, path, snaps[0]["snapshot_id"])
+    expect = src.where("o_orderkey >= 300 AND o_orderkey < 1200")
+    assert inc.count() == expect.count()
+    by_snap = {
+        r["_snapshot_id"]: r["count"]
+        for r in inc.groupBy("_snapshot_id").count().collect()
+    }
+    assert by_snap == {
+        snaps[1]["snapshot_id"]: src.where(
+            "o_orderkey >= 300 AND o_orderkey < 700"
+        ).count(),
+        snaps[2]["snapshot_id"]: src.where(
+            "o_orderkey >= 700 AND o_orderkey < 1200"
+        ).count(),
+    }
+    # bounded range: just the middle snapshot
+    mid = read_iceberg_incremental(
+        spark, path, snaps[0]["snapshot_id"], snaps[1]["snapshot_id"]
+    )
+    assert mid.count() == by_snap[snaps[1]["snapshot_id"]]
+    # a rewrite inside the range is undefined for an append scan
+    write_iceberg(src.limit(5), path, mode="overwrite")
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, path, snaps[0]["snapshot_id"])
+
+
 def test_null_value_counts_skipping(spark, sf_dir, tmp_path):
     """r10 (mirror of delta nullCount): manifest entries carry the
     spec's null_value_counts; ``IS NULL`` prunes zero-null files,

@@ -1762,6 +1762,110 @@ def iceberg_lite_transform_pruning(
 
 
 @register(
+    "delta_lite_incremental_read",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT CAST(1 AS BIGINT) AS _commit_version,
+           CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total
+    FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 700
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           {oracle_dec_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey >= 700 AND o_orderkey < 1200
+    ORDER BY _commit_version
+    """,
+)
+def delta_lite_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed consumption (r10): three append commits, then
+    ``read_delta_changes`` over versions [1, 2] — exactly the rows those
+    commits ADDED, stamped with their version, no rescan of version 0.
+    The downstream-pipeline pattern: process a table incrementally at
+    the cadence of commits, cost bounded by the increment, not the
+    table. A data-removing commit in range raises (append-only
+    contract, connector streaming-source semantics) — pinned in
+    tests/test_delta_lite.py::test_read_delta_changes_incremental."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    path = _tmp("delta_inc")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for lo, hi in ((0, 300), (300, 700), (700, 1200)):
+        write_delta(
+            src.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ),
+            path,
+            mode="append",
+        )
+    return (
+        read_delta_changes(spark, path, 1, 2)
+        .groupBy("_commit_version")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dec_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("_commit_version")
+    )
+
+
+@register(
+    "iceberg_lite_incremental_read",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT CAST(2 AS BIGINT) AS n_snapshots,
+           CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 1200
+    """,
+)
+def iceberg_lite_incremental_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg spec's incremental APPEND scan (r10): three append
+    snapshots, then the rows added strictly after the first snapshot —
+    manifest entries with status=ADDED in the range, reused manifests
+    (appends reuse prior manifests) correctly NOT re-surfaced. Snapshot
+    ids are random, so the oracle checks the increment's shape: distinct
+    snapshot count, rows, exact sum, min key. Non-append snapshots in
+    range raise (tests/test_iceberg_lite.py::
+    test_incremental_append_scan)."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg_incremental,
+        snapshots,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_inc")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for lo, hi in ((0, 300), (300, 700), (700, 1200)):
+        write_iceberg(
+            src.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ),
+            path,
+            mode="append",
+        )
+    first = snapshots(path)[0]["snapshot_id"]
+    return read_iceberg_incremental(spark, path, first).agg(
+        F.countDistinct("_snapshot_id").cast("long").alias("n_snapshots"),
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
+
+
+@register(
     "lake_fast_ingest_roundtrip",
     tags=("io", "lake", "lakehouse"),
     defer=True,
