@@ -175,6 +175,50 @@ def test_read_as_of_after_maintenance_purge(spark, tmp_path, book_dir, backend):
     assert {r.ingest_date for r in rows} == {"20260814"}
 
 
+@pytest.mark.parametrize("backend", ["delta", "iceberg"])
+def test_books_ingested_since_change_feed(
+    spark, tmp_path, book_dir, backend
+):
+    """r10 change-feed over the reference surface: poll the books
+    appended by INGEST commits after a saved log position — maintenance
+    rewrites (MERGE) in between are skipped, not re-surfaced."""
+    lake = LakeAdapter(spark, str(tmp_path / f"clake_{backend}"), backend=backend)
+    paths = sorted(str(p) for p in book_dir.iterdir())
+    assert lake.log_position() is None
+    assert lake.books_ingested_since(None).count() == 0
+
+    lake.ingest_files(paths, TS)  # books 11, 22, 33
+    pos = lake.log_position()
+    assert pos is not None
+    # everything from the beginning
+    assert sorted(
+        r.book_id for r in lake.books_ingested_since(None).collect()
+    ) == [11, 22, 33]
+    # nothing new yet at the saved cursor
+    assert lake.books_ingested_since(pos).count() == 0
+
+    # a MERGE (rewrite) between polls is NOT new data
+    updates = spark.createDataFrame(
+        [(22, "h", "merged body")],
+        "book_id long, header string, body string",
+    )
+    lake.merge_books(updates, TS2, purge=False)
+    assert lake.books_ingested_since(pos).count() == 0
+
+    # new ingests after the cursor surface exactly once, with the full
+    # row contract
+    from tests.conftest import BOOK_V1
+
+    lake.ingest_text(44, BOOK_V1, TS2)
+    got = lake.books_ingested_since(pos)
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in lake.read().schema.fields
+    ]
+    rows = got.collect()
+    assert [r.book_id for r in rows] == [44]
+    assert rows[0].ingest_date == "20260814"
+
+
 def test_merge_upsert(lake, book_dir, spark):
     lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS)
     lake.ingest_files(sorted(str(p) for p in book_dir.iterdir()), TS2)

@@ -1073,6 +1073,77 @@ class LakeAdapter:
                 removed += 1
         return removed
 
+    def log_position(self) -> int | None:
+        """Opaque resume cursor for :meth:`books_ingested_since` — the
+        newest commit the log currently holds (delta: latest version;
+        iceberg: current snapshot id). None on an empty lake (= "from
+        the beginning")."""
+        if self.backend == "parquet":
+            raise NotImplementedError(
+                "log_position() requires a table-format backend"
+            )
+        if self._empty():
+            return None
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                _existing_versions,
+                _last_checkpoint_version,
+            )
+
+            vs = _existing_versions(self.lake_root)
+            cp = _last_checkpoint_version(self.lake_root)
+            return max(vs[-1] if vs else -1, cp if cp is not None else -1)
+        from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            load_metadata,
+        )
+
+        sid = load_metadata(self.lake_root)["current-snapshot-id"]
+        return None if sid == -1 else sid
+
+    def books_ingested_since(self, position: int | None) -> DataFrame:
+        """Change-feed poll over the reference surface: the book rows
+        appended by INGEST commits AFTER ``position`` (a prior
+        :meth:`log_position`; None = everything) — the consumer pattern
+        the reference's one-book-per-request ingestion naturally feeds
+        ("give me the books that arrived since my last poll"), at the
+        cost of the increment, never a rescan. Maintenance commits
+        (MERGE/OPTIMIZE/EXPIRE) rewrite surviving rows; they are NOT new
+        books and are skipped by the operation filter. Uniform
+        BOOK_SCHEMA columns across backends."""
+        if self.backend == "parquet":
+            raise NotImplementedError(
+                "books_ingested_since() requires a table-format backend "
+                "(the parquet layout has no commit log to resume from)"
+            )
+        cols = [f.name for f in BOOK_SCHEMA.fields]
+        if self._empty():
+            return self.spark.createDataFrame([], BOOK_SCHEMA)
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                read_delta_changes,
+            )
+
+            start = 0 if position is None else int(position) + 1
+            if start > self.log_position():
+                return self.spark.createDataFrame([], BOOK_SCHEMA)
+            return read_delta_changes(
+                self.spark,
+                self.lake_root,
+                start,
+                operations=("INGEST",),
+            ).select(*cols)
+        from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            read_iceberg_incremental,
+        )
+
+        return read_iceberg_incremental(
+            self.spark,
+            self.lake_root,
+            position,
+            operations=("INGEST",),
+            skip_non_append=True,
+        ).select(*cols)
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY of the lake's transaction log (delta backend
         only): one record per commit with operation and counts."""

@@ -1866,6 +1866,63 @@ def iceberg_lite_incremental_read(
 
 
 @register(
+    "lake_books_since_log",
+    tags=("io", "lake", "lakehouse"),
+    defer=True,
+    oracle="""
+    SELECT CAST(doc_id + 1 AS BIGINT) AS book_id,
+           '20260104' AS ingest_date,
+           '10' AS ingest_hour
+    FROM documents WHERE doc_id >= 5 AND doc_id < 8
+    ORDER BY book_id
+    """,
+)
+def lake_books_since_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-consumer change feed (r10): ingest 5 books, save
+    the log position, ingest 3 more plus a MERGE rewrite in between —
+    the poll returns EXACTLY the 3 post-cursor ingests (the merge's
+    rewritten rows are maintenance, not new books), in the right
+    partition, via the INGEST-filtered incremental log read. Cost is the
+    increment — no rescan of the 5 pre-cursor books."""
+    from tscd_datalake_adapter_spark.lake.adapter import LakeAdapter
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 8)
+        .select("doc_id", "text")
+    )
+    rows = sorted(d.collect(), key=lambda r: r["doc_id"])
+    lake = LakeAdapter(spark, _tmp("lake_since") + "/lake")
+
+    def frame(r) -> str:
+        return (
+            f"Header for {r['doc_id']}\n"
+            "*** START OF THE PROJECT GUTENBERG EBOOK D ***\n"
+            f"{r['text']}\n"
+            "*** END OF THE PROJECT GUTENBERG EBOOK D ***"
+        )
+
+    ts1 = dt.datetime(2026, 1, 4, 9, 0, 0)
+    ts2 = dt.datetime(2026, 1, 4, 10, 0, 0)
+    for r in rows[:5]:
+        lake.ingest_text(int(r["doc_id"]) + 1, frame(r), ts1)
+    pos = lake.log_position()
+    # a rewrite between polls must NOT surface as new books
+    updates = spark.createDataFrame(
+        [(1, "h", "merged body")],
+        "book_id long, header string, body string",
+    )
+    lake.merge_books(updates, ts1)
+    for r in rows[5:]:
+        lake.ingest_text(int(r["doc_id"]) + 1, frame(r), ts2)
+    return (
+        lake.books_ingested_since(pos)
+        .select("book_id", "ingest_date", "ingest_hour")
+        .orderBy("book_id")
+    )
+
+
+@register(
     "lake_fast_ingest_roundtrip",
     tags=("io", "lake", "lakehouse"),
     defer=True,

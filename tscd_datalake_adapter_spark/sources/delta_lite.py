@@ -1112,6 +1112,7 @@ def read_delta_changes(
     starting_version: int,
     ending_version: int | None = None,
     ignore_deletes: bool = False,
+    operations: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Incremental read: rows ADDED in versions
     ``[starting_version, ending_version]`` (inclusive; latest if None) —
@@ -1133,7 +1134,13 @@ def read_delta_changes(
     Scale shape: the version scan is log-metadata only; the data read is
     one distributed parquet read per version in the range (bounded by
     the consumption cadence, not by table size), and file pruning needs
-    nothing — the adds ARE the increment."""
+    nothing — the adds ARE the increment.
+
+    ``operations`` (e.g. ``("INGEST",)``) restricts the feed to commits
+    whose logged operation is in the set; other commits in the range are
+    SKIPPED ENTIRELY (adds and removes alike) — the poll-for-new-appends
+    pattern where maintenance commits (OPTIMIZE/MERGE/EXPIRE rewrites)
+    are not new data."""
     from pyspark.sql import functions as F
 
     versions = _existing_versions(path)
@@ -1161,7 +1168,9 @@ def read_delta_changes(
     out: DataFrame | None = None
     for v in range(start, end + 1):
         adds: list[str] = []
+        removes = False
         ts_ms = None
+        op = None
         with open(_version_file(path, v), encoding="utf-8") as f:
             for line in f:
                 line = line.strip()
@@ -1173,16 +1182,20 @@ def read_delta_changes(
                 elif "remove" in action and action["remove"].get(
                     "dataChange"
                 ):
-                    if not ignore_deletes:
-                        raise ValueError(
-                            f"version {v} removes data (operation "
-                            "rewrites/deletes rows); incremental "
-                            "append-only read cannot represent it — "
-                            "pass ignore_deletes=True to skip removes "
-                            "and own the dedup"
-                        )
+                    removes = True
                 elif "commitInfo" in action:
                     ts_ms = action["commitInfo"].get("timestamp")
+                    op = action["commitInfo"].get("operation")
+        if operations is not None and op not in operations:
+            continue  # filtered commit: skipped entirely
+        if removes and not ignore_deletes:
+            raise ValueError(
+                f"version {v} removes data (operation {op!r} "
+                "rewrites/deletes rows); incremental append-only read "
+                "cannot represent it — pass ignore_deletes=True to "
+                "skip removes and own the dedup, or filter with "
+                "operations=(...)"
+            )
         if not adds:
             continue
         part = (

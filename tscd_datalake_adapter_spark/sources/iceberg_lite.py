@@ -1364,7 +1364,11 @@ def commit_snapshot(
             "timestamp-ms": now_ms,
             "summary": {
                 "operation": operation
-                or ("append" if mode == "append" else "overwrite")
+                or ("append" if mode == "append" else "overwrite"),
+                # the WRITE MODE separately from the engine label, so
+                # incremental append scans can tell an INGEST-labelled
+                # append from a MERGE-labelled rewrite (r10)
+                "mode": mode,
             },
             "manifest-list": manifest_list_path,
             "schema-id": meta["current-schema-id"],
@@ -1568,8 +1572,10 @@ def read_iceberg(
 def read_iceberg_incremental(
     spark: SparkSession,
     path: str,
-    from_snapshot_id: int,
+    from_snapshot_id: int | None,
     to_snapshot_id: int | None = None,
+    operations: tuple[str, ...] | None = None,
+    skip_non_append: bool = False,
 ) -> DataFrame:
     """The spec's INCREMENTAL APPEND SCAN: rows added by snapshots AFTER
     ``from_snapshot_id`` up to ``to_snapshot_id`` (inclusive; current if
@@ -1582,31 +1588,54 @@ def read_iceberg_incremental(
 
     Scale shape: metadata-only snapshot walk; one distributed parquet
     read per appended file set. The adds ARE the increment — no table
-    scan, no file pruning needed."""
+    scan, no file pruning needed.
+
+    ``operations`` restricts the feed to snapshots whose summary
+    operation label matches (others skipped); ``skip_non_append=True``
+    SKIPS rewrite snapshots instead of raising — together the
+    poll-for-new-appends pattern over a log that also carries
+    maintenance commits."""
     from pyspark.sql import functions as F
 
     meta = load_metadata(path)
     snaps = meta["snapshots"]
     by_id = {s["snapshot-id"]: i for i, s in enumerate(snaps)}
-    if from_snapshot_id not in by_id:
-        raise ValueError(
-            f"snapshot {from_snapshot_id} not found (expired?)"
-        )
+    if from_snapshot_id is None:
+        lo = -1  # from the beginning: every retained snapshot
+    else:
+        if from_snapshot_id not in by_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} not found (expired?)"
+            )
+        lo = by_id[from_snapshot_id]
     if to_snapshot_id is None:
         to_snapshot_id = meta["current-snapshot-id"]
     if to_snapshot_id not in by_id:
         raise ValueError(f"snapshot {to_snapshot_id} not found (expired?)")
-    lo, hi = by_id[from_snapshot_id], by_id[to_snapshot_id]
+    hi = by_id[to_snapshot_id]
     if lo > hi:
         raise ValueError("from_snapshot_id is newer than to_snapshot_id")
     schema = _spark_schema_of(meta)
     out: DataFrame | None = None
     for s in snaps[lo + 1: hi + 1]:
-        if s["summary"]["operation"] != "append":
+        if (
+            operations is not None
+            and s["summary"]["operation"] not in operations
+        ):
+            continue  # filtered snapshot: skipped entirely
+        # the write MODE (recorded separately since r10) decides
+        # append-ness; older snapshots without it fall back to the label
+        is_append = (
+            s["summary"].get("mode", s["summary"]["operation"]) == "append"
+        )
+        if not is_append:
+            if skip_non_append:
+                continue
             raise ValueError(
                 f"snapshot {s['snapshot-id']} is "
                 f"{s['summary']['operation']!r}, not an append; the "
-                "incremental append scan is undefined across rewrites"
+                "incremental append scan is undefined across rewrites "
+                "(skip_non_append=True to skip them)"
             )
         sid, seq = s["snapshot-id"], s["sequence-number"]
         paths = []
