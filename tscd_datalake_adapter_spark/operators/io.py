@@ -1866,6 +1866,45 @@ def iceberg_lite_incremental_read(
 
 
 @register(
+    "iceberg_lite_partitions_meta",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_orderdate_month,
+           CAST(1 AS BIGINT) AS file_count,
+           CAST(count(*) AS BIGINT) AS record_count
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def iceberg_lite_partitions_meta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The format's ``partitions`` metadata table (r10): per-partition
+    file/record counts answered ENTIRELY from manifests — no data file
+    is opened (the operational inspection surface of a 100 TB table:
+    "which months are skewed, which need compaction"). Orders written
+    month-transformed with one file per partition, so the oracle can
+    recompute both counts from the raw table."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        partitions_meta,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_pmeta")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .coalesce(1)
+    )
+    write_iceberg(o, path, partition_transforms=("month(o_orderdate)",))
+    return (
+        partitions_meta(spark, path)
+        .select("o_orderdate_month", "file_count", "record_count")
+        .orderBy("o_orderdate_month")
+    )
+
+
+@register(
     "lake_books_since_log",
     tags=("io", "lake", "lakehouse"),
     defer=True,
