@@ -2062,3 +2062,76 @@ def run_delta_sink_stream(
     )
     _await_terminated(q)
     return read_delta(spark, table_path)
+
+
+def run_delta_replication_stream(
+    spark: SparkSession,
+    source_table: str,
+    checkpoint_dir: str,
+    target_table: str,
+    operations: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """LOG-TO-LOG streaming replication with end-to-end EXACTLY-ONCE
+    (r10): the ``deltalite`` streaming SOURCE (version offsets straight
+    off the source table's transaction log — no sidecar state) feeds the
+    r9 txn-action SINK (per-micro-batch append commits into the target
+    log, replayed batch ids skipped). Together they close the loop: a
+    crash at ANY point — mid-batch, between source commit and sink
+    commit, after sink commit but before checkpoint — resumes without
+    loss or duplication, because the source offsets live in Spark's WAL
+    and the sink's idempotence lives in the target log's txn actions.
+    This is the CDC-fanout shape a lakehouse replicates tables with
+    (region mirroring, dev snapshots, downstream materialization).
+
+    ``operations`` filters source commits (e.g. ``("INGEST",)`` to
+    replicate an ingest feed while skipping maintenance rewrites).
+    Python streaming sources don't support availableNow (module
+    docstring of the datasource), so this drives a processingTime
+    trigger to quiescence and stops. Returns the replicated target read
+    through its log."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+    from tscd_datalake_adapter_spark.sources.deltalite_datasource import (
+        DeltaLiteStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaLiteStreamDataSource)
+    except Exception:  # already registered in this session
+        pass
+    app_id = f"deltalite-replicate:{os.path.abspath(source_table)}"
+    reader = (
+        spark.readStream.format("deltalite").option("path", source_table)
+    )
+    if operations:
+        reader = reader.option("operations", ",".join(operations))
+    stream = reader.load().drop("_commit_version", "_commit_timestamp")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            done = last_txn_version(target_table, app_id)
+        except FileNotFoundError:
+            done = None
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already committed, exactly-once
+        write_delta(
+            batch_df,
+            target_table,
+            mode="append",
+            txn={"appId": app_id, "version": batch_id},
+            operation="STREAMING UPDATE",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return read_delta(spark, target_table)
