@@ -689,6 +689,60 @@ def test_read_delta_changes_incremental(spark, sf_dir, tmp_path):
     assert {r["_commit_version"] for r in inc2.collect()} == {3}
 
 
+def test_optimize_zorder_two_dim_skipping(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER (r10): one atomic rewrite; content byte-identical;
+    afterwards where= stats skipping prunes files on BOTH curve columns
+    (the scattered pre-optimize layout prunes neither); history carries
+    the OPTIMIZE ZORDER commit; partitioned tables refuse."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        optimize_zorder,
+        table_history,
+    )
+
+    path = str(tmp_path / "t")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # scattered layout: hash-partitioned writes, no useful clustering
+    write_delta(src.repartition(8, "o_orderkey"), path)
+    kmax = src.agg({"o_custkey": "max"}).collect()[0][0]
+    pmax = src.agg({"o_totalprice": "max"}).collect()[0][0]
+    k_pred = f"o_custkey >= {int(kmax * 0.3)} AND o_custkey <= {int(kmax * 0.33)}"
+    p_pred = f"o_totalprice >= {pmax * 0.3} AND o_totalprice <= {pmax * 0.33}"
+    before_k = len(read_delta(spark, path, where=k_pred).inputFiles())
+
+    v = optimize_zorder(spark, path, "o_custkey", "o_totalprice",
+                        n_files=16)
+    assert table_history(path)[v]["operation"] == "OPTIMIZE ZORDER"
+    # byte-identical content
+    assert (
+        sorted(tuple(r) for r in read_delta(spark, path).collect())
+        == sorted(tuple(r) for r in src.collect())
+    )
+    after = read_delta(spark, path)
+    n_files = len(after.inputFiles())
+    k_files = len(read_delta(spark, path, where=k_pred).inputFiles())
+    p_files = len(read_delta(spark, path, where=p_pred).inputFiles())
+    assert k_files <= n_files // 2, (k_files, n_files)
+    assert p_files <= n_files // 2, (p_files, n_files)
+    assert before_k == 8  # the scattered layout pruned nothing
+    # results are exactly the full-scan filter either way
+    assert (
+        read_delta(spark, path, where=k_pred).count()
+        == src.where(k_pred).count()
+    )
+
+    # partitioned tables refuse rather than silently de-partition
+    p2 = str(tmp_path / "p")
+    write_delta(
+        src.withColumn("status", F.lit("x")),
+        p2,
+        partition_by=("status",),
+    )
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        optimize_zorder(spark, p2, "o_custkey", "o_totalprice")
+
+
 def test_purge_removed_deletes_latest_commits_dead_files(
     spark, sf_dir, tmp_path
 ):

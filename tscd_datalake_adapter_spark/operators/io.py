@@ -1866,6 +1866,55 @@ def iceberg_lite_incremental_read(
 
 
 @register(
+    "delta_lite_optimize_zorder",
+    tags=("io", "lakehouse", "layout"),
+    defer=True,
+    oracle=f"""
+    SELECT * FROM
+      (SELECT CAST(count(*) AS BIGINT) AS n_k,
+              {oracle_dec_sum('o_totalprice')} AS total_k
+       FROM orders WHERE o_custkey BETWEEN 100 AND 200)
+      CROSS JOIN
+      (SELECT CAST(count(*) AS BIGINT) AS n_p,
+              CAST(min(o_orderkey) AS BIGINT) AS min_key_p
+       FROM orders WHERE o_totalprice < 10000.0)
+    """,
+)
+def delta_lite_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on a logged table (r10): a scattered
+    (hash-partitioned) write, then ONE atomic z-order rewrite commit —
+    after which ``where=`` stats skipping is file-effective on BOTH
+    curve columns; the two slice reads below recompute exactly the
+    full-scan filters the oracle checks (content is a pure layout
+    rewrite, pinned byte-identical + file-count-pinned in
+    tests/test_delta_lite.py::test_optimize_zorder_two_dim_skipping).
+    This is the connector's OPTIMIZE ZORDER BY, on the in-repo log."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        optimize_zorder,
+        read_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta_zorder")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_delta(src.repartition(8, "o_orderkey"), path)
+    optimize_zorder(spark, path, "o_custkey", "o_totalprice", n_files=16)
+    a = read_delta(
+        spark, path, where="o_custkey >= 100 AND o_custkey <= 200"
+    ).agg(
+        F.count("*").cast("long").alias("n_k"),
+        dec_sum("o_totalprice").alias("total_k"),
+    )
+    b = read_delta(spark, path, where="o_totalprice < 10000.0").agg(
+        F.count("*").cast("long").alias("n_p"),
+        F.min("o_orderkey").cast("long").alias("min_key_p"),
+    )
+    return a.crossJoin(b)
+
+
+@register(
     "iceberg_lite_partitions_meta",
     tags=("io", "lakehouse"),
     defer=True,

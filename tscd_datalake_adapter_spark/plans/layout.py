@@ -166,6 +166,26 @@ def zorder_write(
     cascade cost by ``bits`` (this, not the sorts, was most of the
     first quantile attempt's 41s at sf1).
     """
+    (
+        zorder_cluster(df, col_a, col_b, n_files=n_files, bits=bits)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_cluster(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 4,
+) -> DataFrame:
+    """The clustering HALF of :func:`zorder_write` (r10 factor-out):
+    returns ``df`` range-partitioned + sorted on the Morton curve of the
+    two columns, helper columns dropped — one output file per partition
+    when written. Reused by :func:`zorder_write` (plain parquet) and by
+    ``delta_lite.optimize_zorder`` (atomic logged rewrite). Strategy and
+    gotchas documented on :func:`zorder_write`."""
     n = 1 << bits
     from pyspark.sql import types as T
 
@@ -195,7 +215,7 @@ def zorder_write(
         other = next(c for c in (col_a, col_b) if c != col)
         return F.ntile(n).over(Window.orderBy(col, other)) - 1
 
-    (
+    return (
         df.withColumn("_ba", bucket_col(col_a))
         .withColumn("_bb", bucket_col(col_b))
         # LUT form: _ba/_bb referenced once each, so project collapsing
@@ -204,6 +224,4 @@ def zorder_write(
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_ba", "_bb", "_z")
-        .write.mode("overwrite")
-        .parquet(path)
     )

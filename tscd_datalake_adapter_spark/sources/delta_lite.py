@@ -1308,6 +1308,52 @@ def _prune_empty_dirs(path: str) -> None:
             os.rmdir(d)
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 4,
+) -> int:
+    """``OPTIMIZE ... ZORDER BY (a, b)``: rewrite the table's current
+    snapshot clustered on the Morton curve of two columns, as ONE atomic
+    overwrite commit — after it, :func:`read_delta`'s ``where=`` stats
+    skipping is file-effective on BOTH columns (each file covers a small
+    rectangle of the 2-D space), where the pre-optimize layout served at
+    most its write order. Readers at any moment see either the whole old
+    snapshot or the whole new one; time travel to pre-optimize versions
+    is intact until :func:`vacuum_delta`. Returns the committed version.
+
+    Data content is byte-identical (a pure layout rewrite) — pinned by
+    test. Unpartitioned tables only (the connector z-orders WITHIN
+    partitions; do that here by compacting per partition first):
+    partitioned tables raise rather than silently de-partitioning.
+
+    Scale shape: one distributed pass — adaptive bucket derivation
+    (``plans.layout.zorder_cluster``: quantile sketches map-side at
+    scale, exact ntile below 4M rows), range shuffle on the curve index,
+    per-file sorted writes, one metadata commit."""
+    from tscd_datalake_adapter_spark.plans.layout import zorder_cluster
+
+    state = _replay(path, None)
+    pcols = state["metadata"].get("partitionColumns") or []
+    if pcols:
+        raise NotImplementedError(
+            f"optimize_zorder on unpartitioned tables only; this table "
+            f"is partitioned by {pcols} (z-order within partitions by "
+            "compacting each partition first)"
+        )
+    df = read_delta(spark, path)
+    clustered = zorder_cluster(df, col_a, col_b, n_files=n_files, bits=bits)
+    return write_delta(
+        clustered,
+        path,
+        mode="overwrite",
+        operation="OPTIMIZE ZORDER",
+    )
+
+
 def vacuum_delta(path: str, retain_versions: int = 1) -> list[str]:
     """Physically delete data files no longer referenced by any of the
     newest ``retain_versions`` versions — the retention cleanup that pairs
