@@ -1,0 +1,144 @@
+"""The iceberglite STREAMING SOURCE: micro-batches from an iceberg_lite
+table with sequence-number offsets — the format twin of the deltalite
+source (tests mirror tests/test_deltalite_datasource.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from tscd_datalake_adapter_spark.sources import load_table
+from tscd_datalake_adapter_spark.sources.iceberg_lite import write_iceberg
+from tscd_datalake_adapter_spark.sources.iceberglite_datasource import (
+    IcebergLiteStreamDataSource,
+)
+
+
+def _register(spark):
+    try:
+        spark.dataSource.register(IcebergLiteStreamDataSource)
+    except Exception as e:
+        assert "already" in str(e).lower() or "exists" in str(e).lower()
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_iceberglite_stream_consumes_snapshots_incrementally(
+    spark, sf_dir, tmp_path
+):
+    """Snapshots land as micro-batch increments; identity partition
+    values arrive typed from the hive path; restart from the checkpoint
+    consumes only the post-stop snapshot — exactly once."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src.where("o_orderkey < 300"), path, mode="append",
+                  partition_by=("o_orderstatus",))
+    write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 700"),
+        path, mode="append",
+    )
+
+    out_dir = str(tmp_path / "out")
+    ckpt = tempfile.mkdtemp(prefix="iceberglite_ckpt_")
+    q = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == src.where("o_orderkey < 700").count()
+    # two distinct snapshots stamped; partition column typed from path
+    assert got.select("_snapshot_id").distinct().count() == 2
+    expect = {
+        (r["o_orderstatus"], r["n"])
+        for r in src.where("o_orderkey < 700")
+        .groupBy("o_orderstatus").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert {
+        (r["o_orderstatus"], r["n"])
+        for r in got.groupBy("o_orderstatus").count()
+        .withColumnRenamed("count", "n").collect()
+    } == expect
+
+    # restart: only the new snapshot is consumed
+    write_iceberg(
+        src.where("o_orderkey >= 700 AND o_orderkey < 1000"),
+        path, mode="append",
+    )
+    q2 = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == src.where("o_orderkey < 1000").count()
+    assert got.select("_snapshot_id").distinct().count() == 3
+
+
+def test_iceberglite_stream_rejects_rewrites_unless_opted(
+    spark, sf_dir, tmp_path
+):
+    """A rewrite snapshot fails the stream; skip_non_append (or an
+    operations filter) skips it — the INGEST-feed pattern."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src.where("o_orderkey < 300"), path, mode="append",
+                  operation="INGEST")
+    write_iceberg(src.limit(5), path, mode="overwrite", operation="MERGE")
+    write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 600"),
+        path, mode="append", operation="INGEST",
+    )
+
+    q = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("noop")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="il_ckpt_")
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    with pytest.raises(Exception, match="not an append"):
+        q.processAllAvailable()
+        q.awaitTermination(5)
+    q.stop()
+
+    out_dir = str(tmp_path / "out")
+    q2 = (
+        spark.readStream.format("iceberglite")
+        .option("path", path)
+        .option("operations", "INGEST")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="il_ckpt2_")
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == src.where("o_orderkey < 600").count()
+    assert got.select("_snapshot_id").distinct().count() == 2
