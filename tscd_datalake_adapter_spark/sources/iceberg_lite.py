@@ -1014,6 +1014,7 @@ def write_iceberg(
     writer_options: dict[str, str] | None = None,
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
+    summary_extra: dict | None = None,
 ) -> int:
     """Write ``df`` as an iceberg_lite snapshot; returns the snapshot id.
 
@@ -1106,6 +1107,7 @@ def write_iceberg(
         replace_partitions=replace_partitions,
         commit_timestamp_ms=commit_timestamp_ms,
         operation=operation,
+        summary_extra=summary_extra,
         _commit_uuid=commit_uuid,
     )
 
@@ -1120,6 +1122,7 @@ def commit_snapshot(
     replace_partitions: list[dict] | None = None,
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
+    summary_extra: dict | None = None,
     _commit_uuid: str | None = None,
 ) -> int:
     """Commit PRE-STAGED parquet files (paths relative to ``<path>/data``,
@@ -1369,6 +1372,10 @@ def commit_snapshot(
                 # incremental append scans can tell an INGEST-labelled
                 # append from a MERGE-labelled rewrite (r10)
                 "mode": mode,
+                # caller properties (the spec allows free summary keys);
+                # the streaming sink's exactly-once batch-id dedup lives
+                # here, as in the real Iceberg Spark sink
+                **(summary_extra or {}),
             },
             "manifest-list": manifest_list_path,
             "schema-id": meta["current-schema-id"],
@@ -1717,6 +1724,30 @@ def partitions_meta(spark: SparkSession, path: str) -> DataFrame:
     )
     rows = [k + tuple(v) for k, v in sorted(agg.items())]
     return spark.createDataFrame(rows, schema)
+
+
+def last_streaming_batch_id(path: str, app_id: str) -> int | None:
+    """The streaming-sink exactly-once watermark (the real Iceberg Spark
+    sink's recipe): the max batch id any retained snapshot recorded for
+    ``app_id`` in its summary — a replayed foreachBatch delivery with an
+    id at or below it is a no-op. None when no snapshot carries one. NB:
+    rides the snapshot list, so keep enough snapshots retained to cover
+    redelivery windows (expire_snapshots trims history and the watermark
+    with it)."""
+    try:
+        meta = load_metadata(path)
+    except FileNotFoundError:
+        return None
+    best = None
+    for s in meta["snapshots"]:
+        summary = s.get("summary", {})
+        if summary.get("streaming-app-id") != app_id:
+            continue
+        bid = summary.get("streaming-batch-id")
+        if bid is not None:
+            bid = int(bid)
+            best = bid if best is None else max(best, bid)
+    return best
 
 
 def snapshots(path: str) -> list[dict]:
