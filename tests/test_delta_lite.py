@@ -1150,3 +1150,73 @@ def _race_worker(path, worker, errq):
             )
     except Exception as exc:  # pragma: no cover
         errq.put(f"worker {worker}: {exc!r}")
+
+
+def test_delete_delta_row_level_copy_on_write(spark, sf_dir, tmp_path):
+    """r11: DELETE FROM ... WHERE on delta_lite — stats-pruned
+    copy-on-write as ONE version. Untouched add actions carried
+    verbatim; NULL predicates keep rows; no-match deletes commit
+    nothing; pre-delete versions stay travel-readable."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _replay,
+        delete_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = (
+        _orders(spark, sf_dir)
+        .select("o_orderkey", "o_totalprice")
+        .where("o_orderkey < 2000")
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_delta(src, path, mode="append")
+    files_before = set(_replay(path, None)["files"])
+    assert len(files_before) == 4
+
+    lo_key = src.agg(F.min("o_orderkey")).first()[0]
+    res = delete_delta(spark, path, f"o_orderkey = {lo_key}")
+    assert res["deleted_rows"] == 1
+    assert res["rewritten_files"] == 1  # stats pruned 3 of 4 files
+    files_after = set(_replay(path, None)["files"])
+    assert len(files_before & files_after) == 3  # carried untouched
+    got = read_delta(spark, path)
+    assert got.count() == src.count() - 1
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, src.where(f"o_orderkey <> {lo_key}").collect())
+    )
+    hist = table_history(path)
+    assert hist[-1]["operation"] == "DELETE"
+    # time travel: version 0 still serves the deleted row
+    assert (
+        read_delta(spark, path, version=0)
+        .where(f"o_orderkey = {lo_key}")
+        .count()
+        == 1
+    )
+
+    # no-match delete: no commit at all
+    v = _replay(path, None)["version"]
+    res = delete_delta(spark, path, "o_orderkey = -5")
+    assert res == {
+        "version": v, "deleted_rows": 0, "rewritten_files": 0,
+    }
+    assert _replay(path, None)["version"] == v
+
+    # NULL predicate keeps rows
+    from pyspark.sql import Row, types as T
+
+    null_df = spark.createDataFrame(
+        [Row(o_orderkey=None, o_totalprice=None)],
+        T.StructType([
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField(
+                "o_totalprice", got.schema["o_totalprice"].dataType, True
+            ),
+        ]),
+    )
+    write_delta(null_df, path, mode="append")
+    delete_delta(spark, path, "o_orderkey > 0")
+    left = read_delta(spark, path)
+    assert left.count() == 1
+    assert left.first()["o_orderkey"] is None

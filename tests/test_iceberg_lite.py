@@ -898,3 +898,235 @@ def test_remove_orphan_files_cleans_unreferenced_parquet(
     assert deleted == [orphan]
     assert read_iceberg(spark, path).count() == n
     assert remove_orphan_files(path) == []  # idempotent
+
+
+def _strip_mode_from_summaries(path):
+    """Simulate a table written by the pre-r10 engine: remove the 'mode'
+    summary key from every snapshot, leaving only the free-form
+    operation label (e.g. INGEST for appends, MERGE for rewrites)."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        _current_version,
+        _metadata_file,
+    )
+
+    v = _current_version(path)
+    f = _metadata_file(path, v)
+    with open(f, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    for s in meta["snapshots"]:
+        s["summary"].pop("mode", None)
+    with open(f, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, separators=(",", ":"))
+
+
+def test_incremental_scan_classifies_pre_mode_snapshots(
+    spark, sf_dir, tmp_path
+):
+    """r10 ADVICE: snapshots written before the 'mode' summary key carry
+    only free-form labels ('INGEST' for appends, 'MERGE' for rewrites) —
+    append-ness must be inferred from the MANIFEST LIST, not the label.
+    Pre-r10 INGEST appends must flow through the incremental scan (not
+    raise, not vanish under skip_non_append); a pre-r10 MERGE rewrite
+    must still be classified as a rewrite."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg_incremental,
+    )
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        snapshots as _snaps,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    write_iceberg(src.where("o_orderkey < 300"), path, mode="append",
+                  operation="INGEST")
+    write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 700"),
+        path, mode="append", operation="INGEST",
+    )
+    _strip_mode_from_summaries(path)
+    snaps = _snaps(path)
+
+    # plain incremental scan over label-only appends: must NOT raise
+    inc = read_iceberg_incremental(spark, path, snaps[0]["snapshot_id"])
+    assert inc.count() == src.where(
+        "o_orderkey >= 300 AND o_orderkey < 700"
+    ).count()
+    # and skip_non_append must NOT silently drop them
+    inc2 = read_iceberg_incremental(
+        spark, path, snaps[0]["snapshot_id"], skip_non_append=True
+    )
+    assert inc2.count() == inc.count()
+
+    # a label-only REWRITE is still classified as one (manifest list
+    # drops prior manifests / carries EXISTING entries)
+    write_iceberg(src.limit(5), path, mode="overwrite", operation="MERGE")
+    _strip_mode_from_summaries(path)
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, path, snaps[0]["snapshot_id"])
+    # replace_partitions rewrites carry EXISTING entries — also caught
+    path2 = str(tmp_path / "t2")
+    part = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_iceberg(part.where("o_orderkey < 300"), path2, mode="append",
+                  partition_by=("o_orderstatus",), operation="INGEST")
+    first = _snaps(path2)[0]["snapshot_id"]
+    write_iceberg(
+        part.where("o_orderkey < 100 AND o_orderstatus = 'O'"),
+        path2, mode="overwrite",
+        replace_partitions=[{"o_orderstatus": "O"}],
+        operation="MERGE",
+    )
+    _strip_mode_from_summaries(path2)
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, path2, first)
+
+
+def test_bucket_transform_nullable_and_large_longs(spark, sf_dir, tmp_path):
+    """r10 ADVICE: nullable int/long columns reach the bucket pandas_udf
+    as float64 with NaN under Arrow→pandas — int(NaN) raised on write,
+    and longs above 2^53 silently rounded to a WRONG bucket, so read-side
+    bucket-equality pruning skipped the file holding them. The write-side
+    derivation is now cast to string JVM-side (exact for any long); nulls
+    land in the null partition and big longs are found by pruned reads."""
+    from pyspark.sql import types as T
+
+    # unrepresentable in float64 (rounds to 2^60), and chosen so the
+    # rounded value lands in a DIFFERENT bucket (5 vs 0 mod 8) — the
+    # pre-fix float64 path would have pruned away the file holding it
+    big = (1 << 60) + 1
+    rows = [(1, 10), (2, None), (3, big), (4, big + 1), (5, 7)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("k", T.LongType(), True),
+        ]),
+    )
+    path = str(tmp_path / "t")
+    write_iceberg(
+        df, path, partition_transforms=("bucket(8, k)",), mode="append"
+    )
+    got = read_iceberg(spark, path)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(rows)
+    # the pruned equality read finds the 2^60-scale key: its bucket was
+    # computed from the exact long, not a float64 rounding of it
+    hit = read_iceberg(spark, path, where=f"k = {big}")
+    assert [tuple(r) for r in hit.collect()] == [(3, big)]
+    # and the bucket matches the spec hash of the EXACT value
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        bucket_transform,
+    )
+
+    assert int(float(big)) != big  # float64 really would move it …
+    assert bucket_transform(big, "long", 8) != bucket_transform(
+        int(float(big)), "long", 8
+    )  # … into a different bucket
+
+
+def test_delete_iceberg_row_level_copy_on_write(spark, sf_dir, tmp_path):
+    """r11 (r10 verdict item 1): DELETE FROM ... WHERE on iceberg_lite —
+    bounds-pruned copy-on-write as ONE snapshot. Untouched files are
+    carried as EXISTING entries byte-identical (same file_path); time
+    travel to the pre-delete snapshot is intact; NULL predicates keep
+    rows; a no-match delete commits nothing; a stale rewrite collides."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        _snapshot_by_id,
+        _snapshot_files,
+        commit_snapshot,
+        delete_iceberg,
+        load_metadata,
+    )
+
+    path = str(tmp_path / "t")
+    src = (
+        _orders(spark, sf_dir)
+        .select("o_orderkey", "o_totalprice")
+        .where("o_orderkey < 2000")
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_iceberg(src, path, mode="append")
+
+    meta = load_metadata(path)
+    files_before = {
+        f["file_path"]: f["record_count"]
+        for f in _snapshot_files(
+            meta, _snapshot_by_id(meta, meta["current-snapshot-id"])
+        )
+    }
+    assert len(files_before) == 4
+    pre_snap = meta["current-snapshot-id"]
+
+    lo_key = src.agg(F.min("o_orderkey")).first()[0]
+    res = delete_iceberg(spark, path, f"o_orderkey = {lo_key}")
+    assert res["deleted_rows"] == 1
+    # bounds pruning: only the one range-file containing lo_key rewrote
+    assert res["rewritten_files"] == 1
+    meta2 = load_metadata(path)
+    files_after = {
+        f["file_path"]: f["record_count"]
+        for f in _snapshot_files(
+            meta2, _snapshot_by_id(meta2, meta2["current-snapshot-id"])
+        )
+    }
+    survivors = set(files_before) & set(files_after)
+    assert len(survivors) == 3  # carried as EXISTING, not rewritten
+    for p in survivors:
+        assert files_after[p] == files_before[p]
+    # content: exactly the predicate's complement
+    got = read_iceberg(spark, path)
+    expect = src.where(f"o_orderkey <> {lo_key}")
+    assert got.count() == expect.count() == src.count() - 1
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # the snapshot records the spec's deleted-records summary + DELETE op
+    snap2 = _snapshot_by_id(meta2, meta2["current-snapshot-id"])
+    assert snap2["summary"]["operation"] == "DELETE"
+    assert snap2["summary"]["deleted-records"] == "1"
+    assert snap2["summary"]["mode"] == "overwrite"
+    # time travel: the pre-delete snapshot still serves the deleted row
+    trav = read_iceberg(spark, path, snapshot_id=pre_snap)
+    assert trav.where(f"o_orderkey = {lo_key}").count() == 1
+
+    # no-match delete: bounds-pruned to zero candidates, NO commit
+    v_before = len(load_metadata(path)["snapshots"])
+    res = delete_iceberg(spark, path, "o_orderkey = -17")
+    assert res["deleted_rows"] == 0 and res["rewritten_files"] == 0
+    assert len(load_metadata(path)["snapshots"]) == v_before
+    # candidates-but-no-matches (bounds can't disprove inequality pairs
+    # inside a range): also no commit
+    mid = lo_key + 1
+    res = delete_iceberg(
+        spark, path, f"o_orderkey > {mid} AND o_orderkey < {mid + 1}"
+    )
+    assert res["deleted_rows"] == 0
+    assert len(load_metadata(path)["snapshots"]) == v_before
+
+    # NULL predicate keeps rows: add a row with NULL key, delete on it
+    from pyspark.sql import Row, types as T
+
+    null_df = spark.createDataFrame(
+        [Row(o_orderkey=None, o_totalprice=None)],
+        T.StructType([
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField(
+                "o_totalprice",
+                read_iceberg(spark, path).schema["o_totalprice"].dataType,
+                True,
+            ),
+        ]),
+    )
+    write_iceberg(null_df, path, mode="append")
+    res = delete_iceberg(spark, path, "o_orderkey > 0")
+    got = read_iceberg(spark, path)
+    assert got.count() == 1  # only the NULL-key row survives
+    assert got.first()["o_orderkey"] is None
+
+    # a stale rewrite (file no longer live) collides loudly
+    with pytest.raises(ValueError, match="not live in the current"):
+        commit_snapshot(
+            path, [], got.schema, mode="overwrite",
+            replace_paths=[sorted(files_before)[0]],
+        )

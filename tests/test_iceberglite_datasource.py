@@ -142,3 +142,64 @@ def test_iceberglite_stream_rejects_rewrites_unless_opted(
     got = spark.read.parquet(out_dir)
     assert got.count() == src.where("o_orderkey < 600").count()
     assert got.select("_snapshot_id").distinct().count() == 2
+
+
+def test_iceberglite_stream_fails_on_expired_unconsumed_snapshots(
+    spark, sf_dir, tmp_path
+):
+    """r10 ADVICE: sequence numbers in (start, end] whose snapshots were
+    removed by expire_snapshots between micro-batches must FAIL the
+    stream, not silently yield nothing — the source is advertised as
+    exactly-once, like the deltalite twin's missing-version raise."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        expire_snapshots,
+    )
+
+    _register(spark)
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = tempfile.mkdtemp(prefix="il_ckpt_exp_")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src.where("o_orderkey < 300"), path, mode="append")
+
+    q = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out_dir).count() == src.where(
+        "o_orderkey < 300"
+    ).count()
+
+    # two appends the stream never saw; expiry removes the first of them
+    write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 600"),
+        path, mode="append",
+    )
+    write_iceberg(
+        src.where("o_orderkey >= 600 AND o_orderkey < 900"),
+        path, mode="append",
+    )
+    expire_snapshots(path, keep_last=1)
+
+    q2 = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    with pytest.raises(Exception, match="expired by expire_snapshots"):
+        q2.processAllAvailable()
+        q2.awaitTermination(5)
+    q2.stop()
+    # nothing partial landed: the lost increment was refused, not skipped
+    assert spark.read.parquet(out_dir).count() == src.where(
+        "o_orderkey < 300"
+    ).count()

@@ -1189,6 +1189,57 @@ class LakeAdapter:
 
         return expire_snapshots(self.lake_root, keep_last=retain_versions)
 
+    def erase_book(self, book_id: object, physical: bool = False) -> dict:
+        """Row-level GDPR-style erasure: delete EVERY row of ``book_id``
+        from the lake, on both table-format backends, as one commit
+        (r11; delta via :func:`delta_lite.delete_delta`, iceberg via
+        :func:`iceberg_lite.delete_iceberg` — both bounds-pruned
+        copy-on-write, so only files whose book_id range covers the
+        target are rewritten; single-book ingest files carry exact
+        min==max stats, making this a one-file rewrite in the common
+        layout).
+
+        The delete alone keeps pre-delete versions readable (time
+        travel); ``physical=True`` additionally runs the retention
+        cleanup (:meth:`vacuum` with ``retain_versions=1``) so the
+        erased bytes are physically unlinked — the actual GDPR contract.
+
+        Returns ``{"book_id", "deleted_rows", "rewritten_files",
+        "erased_files", "backend"}``."""
+        bid = validate_book_id(book_id)
+        if self.backend == "parquet":
+            raise NotImplementedError(
+                "erase_book() requires a table-format backend; the "
+                "parquet layout can only drop whole partition "
+                "directories (expire)"
+            )
+        if self.backend == "delta":
+            from tscd_datalake_adapter_spark.sources.delta_lite import (
+                delete_delta,
+            )
+
+            res = delete_delta(
+                self.spark, self.lake_root, f"book_id = {bid}"
+            )
+        else:
+            from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+                delete_iceberg,
+            )
+
+            res = delete_iceberg(
+                self.spark, self.lake_root, f"book_id = {bid}"
+            )
+        erased: list[str] = []
+        if physical and res["deleted_rows"]:
+            erased = self.vacuum(retain_versions=1)
+        return {
+            "book_id": bid,
+            "deleted_rows": res["deleted_rows"],
+            "rewritten_files": res["rewritten_files"],
+            "erased_files": len(erased),
+            "backend": self.backend_label,
+        }
+
     # -- convenience for tests ----------------------------------------------
 
     def ingest_files(self, paths: Iterable[str], ts: dt.datetime) -> list[dict]:

@@ -1294,6 +1294,73 @@ def merge_delta(
     )
 
 
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    where: str,
+    commit_timestamp_ms: int | None = None,
+) -> dict:
+    """``DELETE FROM <table> WHERE <predicate>`` — copy-on-write
+    row-level delete as ONE version (operation DELETE), the iceberg twin
+    is :func:`iceberg_lite.delete_iceberg`.
+
+    Stats-pruned like :func:`merge_delta`: only files whose logged
+    min/max stats say the predicate MAY match are rewritten; every other
+    add action is untouched (``replace_paths`` commit). Rows where the
+    predicate is NULL are KEPT (SQL DELETE semantics). A delete that
+    matches nothing commits nothing. Time travel to pre-delete versions
+    stays intact until :func:`vacuum_delta` — pair with vacuum for a
+    physical (GDPR-grade) erase.
+
+    Returns ``{"version", "deleted_rows", "rewritten_files"}`` (version
+    is the pre-delete version when nothing matched).
+
+    Scale shape: two distributed passes over ONLY the candidate files
+    (count matches, rewrite survivors) plus a metadata-scale log commit —
+    the same findTouchedFiles-then-rewrite shape as the connector's COW
+    DELETE."""
+    from pyspark.sql import functions as F
+
+    state = _replay(path, None)
+    files = state["files"]
+    conjuncts = _parse_conjuncts(where)
+    if conjuncts:
+        rewrite = [
+            rel for rel in files if _file_may_match(files[rel], conjuncts)
+        ]
+    else:
+        rewrite = list(files)
+    if not rewrite:
+        return {
+            "version": state["version"],
+            "deleted_rows": 0,
+            "rewritten_files": 0,
+        }
+    df = _read_logged_files(spark, path, state, rewrite)
+    # NULL predicate keeps the row: DELETE removes only proven-TRUE rows
+    match = F.coalesce(F.expr(where), F.lit(False))
+    deleted = df.where(match).count()
+    if deleted == 0:
+        return {
+            "version": state["version"],
+            "deleted_rows": 0,
+            "rewritten_files": 0,
+        }
+    version = write_delta(
+        df.where(~match),
+        path,
+        mode="overwrite",
+        replace_paths=rewrite,
+        operation="DELETE",
+        commit_timestamp_ms=commit_timestamp_ms,
+    )
+    return {
+        "version": version,
+        "deleted_rows": deleted,
+        "rewritten_files": len(rewrite),
+    }
+
+
 def _prune_empty_dirs(path: str) -> None:
     """Remove now-empty data directories (never the log, never hidden
     staging dirs). Collected via a top-down walk WITH pruning (the

@@ -29,8 +29,9 @@ over a log that also carries maintenance commits.
 Scale shape: the driver touches only the JSON log (bytes per version);
 the data reads are per-file executor tasks (parquet row groups), so a
 1000-executor cluster fans each micro-batch out file-parallel. Partition
-columns are reconstructed from the hive path ON THE EXECUTOR and cast
-per the LOGGED schema, exactly like the batch read path.
+columns are reconstructed ON THE EXECUTOR from each add action's logged
+``partitionValues`` and cast per the LOGGED schema's JSON type names
+(long/integer/date/timestamp/decimal/...), matching the batch read path.
 
 The same Trigger caveat as ``eventreplay``: Python micro-batch streams
 do not support AvailableNow — drive with a processingTime trigger +
@@ -76,6 +77,7 @@ class DeltaLiteFilePartition(InputPartition):
         pcols: tuple,
         ptypes: tuple,
         field_names: tuple,
+        pvalues: tuple,
     ):
         self.table_path = table_path
         self.rel = rel
@@ -84,17 +86,46 @@ class DeltaLiteFilePartition(InputPartition):
         self.pcols = pcols
         self.ptypes = ptypes
         self.field_names = field_names
+        # logged partitionValues (spec-decoded strings, None for null),
+        # aligned with pcols — carried from the add action so the
+        # executor never re-parses (or mis-unescapes) the hive path.
+        self.pvalues = pvalues
 
 
-def _typed_partition_value(v: str | None, simple_type: str):
+def _typed_partition_value(v: str | None, json_type: str):
+    """Cast one LOGGED partition value (a decoded string, or None) to
+    the Python value matching its schemaString JSON type name.
+
+    The type names here are StructType.json() names ('long', 'integer',
+    'short', 'byte', 'date', 'timestamp', 'decimal(p,s)', ...), NOT
+    simpleString names ('bigint', 'int', ...) — the fields come straight
+    from ``json.loads(md["schemaString"])``. simpleString aliases are
+    accepted too for robustness.
+    """
     if v is None:
         return None
-    if simple_type in ("bigint", "int", "smallint", "tinyint"):
+    if json_type in (
+        "long", "integer", "short", "byte",
+        "bigint", "int", "smallint", "tinyint",
+    ):
         return int(v)
-    if simple_type in ("double", "float"):
+    if json_type in ("double", "float"):
         return float(v)
-    if simple_type == "boolean":
+    if json_type == "boolean":
         return v == "true"
+    if json_type == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(v)
+    if json_type in ("timestamp", "timestamp_ntz"):
+        import datetime
+
+        # hive/delta serialize timestamps as 'yyyy-MM-dd HH:mm:ss[.f+]'
+        return datetime.datetime.fromisoformat(v)
+    if json_type.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(v)
     return v  # string partition values stay verbatim
 
 
@@ -151,7 +182,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         field_names = tuple(f["name"] for f in schema_fields)
         parts: list[DeltaLiteFilePartition] = []
         for v in range(s + 1, e + 1):
-            adds: list[str] = []
+            adds: list[tuple[str, dict]] = []
             removes = False
             ts_ms = None
             op = None
@@ -162,7 +193,12 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                         continue
                     action = json.loads(line)
                     if "add" in action and action["add"].get("dataChange"):
-                        adds.append(action["add"]["path"])
+                        adds.append(
+                            (
+                                action["add"]["path"],
+                                action["add"].get("partitionValues") or {},
+                            )
+                        )
                     elif "remove" in action and action["remove"].get(
                         "dataChange"
                     ):
@@ -179,11 +215,12 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                     ".option('ignore_deletes','true') or filter with "
                     ".option('operations', …)"
                 )
-            for rel in sorted(adds):
+            for rel, pv in sorted(adds):
                 parts.append(
                     DeltaLiteFilePartition(
                         self._path, rel, v, ts_ms, pcols, ptypes,
                         field_names,
+                        tuple(pv.get(c) for c in pcols),
                     )
                 )
         return parts
@@ -194,16 +231,13 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         full = os.path.join(partition.table_path, partition.rel)
         table = pq.read_table(full)
         cols = set(table.column_names)
-        # hive path → typed constants for partition columns (they are
-        # not stored in the data files)
-        pvals = {}
-        for seg in partition.rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, val = seg.split("=", 1)
-                pvals[k] = val
+        # logged partitionValues → typed constants for partition columns
+        # (they are not stored in the data files)
         consts = {}
-        for c, t in zip(partition.pcols, partition.ptypes):
-            consts[c] = _typed_partition_value(pvals.get(c), t)
+        for c, t, v in zip(
+            partition.pcols, partition.ptypes, partition.pvalues
+        ):
+            consts[c] = _typed_partition_value(v, t)
         rows = table.to_pylist()
         out = []
         for r in rows:

@@ -50,9 +50,11 @@ source-column predicates through the transform (order-preserving
 relaxation for temporal and truncate; bucket equality).
 
 Honest scope (errors, not silent wrongness): the ``void``
-transform is refused, top-level primitive columns only, no delete
-files / row-level deletes (content=0 data manifests only), single
-metadata.json lineage (no external catalog). Readers that find a higher
+transform is refused, top-level primitive columns only, single
+metadata.json lineage (no external catalog). Row-level deletes are
+COPY-ON-WRITE (:func:`delete_iceberg`, r11 — bounds-pruned file
+rewrite committed via ``replace_paths``); merge-on-read delete FILES
+(content=1/2 manifests) are not written or read. Readers that find a higher
 format-version or an unsupported spec raise. The Avro metadata
 carries the spec's fixed field-id attributes (ADVICE r9) but is
 primarily self-read: external-reader consumability is untested (no
@@ -541,18 +543,35 @@ def _transform_column(d: dict):
         from pyspark.util import PythonEvalType
 
         n, st = d["n"], d["source_type"]
+
         # Arrow-batched; explicit eval type because the local type hints
-        # aren't resolvable under `from __future__ import annotations`
-        _bucket = pandas_udf(
-            lambda s: s.map(
+        # aren't resolvable under `from __future__ import annotations`.
+        # Null checks use pd.isna, NOT `is None`: a nullable int/long
+        # column arrives as float64 with NaN under Arrow→pandas, where
+        # int(NaN) raises. Worse, float64 silently rounds longs above
+        # 2^53 — routing them to the wrong bucket would make read-side
+        # bucket-equality pruning skip the file holding them. So the
+        # column is cast to STRING on the JVM side (exact for any long;
+        # dates spell ISO, which bucket_transform parses) and the hash
+        # input never passes through a float.
+        def _bucket_series(s):
+            import pandas as pd
+
+            return s.map(
                 lambda v: None
-                if v is None
+                if pd.isna(v)
                 else str(bucket_transform(v, st, n))
-            ),
+            )
+
+        _bucket = pandas_udf(
+            _bucket_series,
             "string",
             PythonEvalType.SQL_SCALAR_PANDAS_UDF,
         )
-        return _bucket(F.col(src))
+        col = F.col(src)
+        if st in ("int", "long", "date"):
+            col = col.cast("string")
+        return _bucket(col)
     raise NotImplementedError(f"transform {t!r}")
 
 
@@ -1011,6 +1030,7 @@ def write_iceberg(
     partition_by: tuple[str, ...] | None = None,
     partition_transforms: tuple[str, ...] | None = None,
     replace_partitions: list[dict] | None = None,
+    replace_paths: list[str] | None = None,
     writer_options: dict[str, str] | None = None,
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
@@ -1049,6 +1069,8 @@ def write_iceberg(
         raise ValueError(f"unsupported mode {mode!r}")
     if replace_partitions is not None and mode != "overwrite":
         raise ValueError("replace_partitions requires mode='overwrite'")
+    if replace_paths is not None and mode != "overwrite":
+        raise ValueError("replace_paths requires mode='overwrite'")
     now_ms = (
         int(commit_timestamp_ms)
         if commit_timestamp_ms is not None
@@ -1064,10 +1086,14 @@ def write_iceberg(
         logged_fp = _schema_fingerprint(_spark_schema_of(meta))
         df_fp = _schema_fingerprint(df.schema)
         if df_fp != logged_fp:
-            if mode == "append" or replace_partitions is not None:
+            if (
+                mode == "append"
+                or replace_partitions is not None
+                or replace_paths is not None
+            ):
                 raise DeltaSchemaError(
                     f"write schema {df_fp} does not match the table "
-                    f"schema {logged_fp}; appends and partition "
+                    f"schema {logged_fp}; appends and partition/path "
                     "replacements must match exactly"
                 )
             missing = [
@@ -1105,6 +1131,7 @@ def write_iceberg(
         partition_by=partition_by,
         partition_transforms=partition_transforms,
         replace_partitions=replace_partitions,
+        replace_paths=replace_paths,
         commit_timestamp_ms=commit_timestamp_ms,
         operation=operation,
         summary_extra=summary_extra,
@@ -1120,6 +1147,7 @@ def commit_snapshot(
     partition_by: tuple[str, ...] | None = None,
     partition_transforms: tuple[str, ...] | None = None,
     replace_partitions: list[dict] | None = None,
+    replace_paths: list[str] | None = None,
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
     summary_extra: dict | None = None,
@@ -1131,11 +1159,26 @@ def commit_snapshot(
     files without a Spark job (the lake adapter's metadata-scale
     single-record ingest). ``df_schema`` is the pyspark StructType the
     files conform to; schema-on-write, pinned layout, manifest reuse,
-    and bounds all apply identically."""
+    and bounds all apply identically.
+
+    ``replace_paths`` (mode "overwrite", exclusive with
+    ``replace_partitions``): drop exactly those live data files (by
+    their manifest ``file_path``) and carry every other prior entry as
+    status=EXISTING with its original snapshot/sequence numbers — the
+    file-scoped rewrite a copy-on-write row-level DELETE commits. A
+    named path not live in the current snapshot raises (a delete built
+    against a stale snapshot must collide, not silently resurrect)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     if replace_partitions is not None and mode != "overwrite":
         raise ValueError("replace_partitions requires mode='overwrite'")
+    if replace_paths is not None:
+        if mode != "overwrite":
+            raise ValueError("replace_paths requires mode='overwrite'")
+        if replace_partitions is not None:
+            raise ValueError(
+                "replace_paths and replace_partitions are exclusive"
+            )
     now_ms = (
         int(commit_timestamp_ms)
         if commit_timestamp_ms is not None
@@ -1150,11 +1193,13 @@ def commit_snapshot(
         logged_fp = _schema_fingerprint(_spark_schema_of(meta))
         df_fp = _schema_fingerprint(df_schema)
         if df_fp != logged_fp and (
-            mode == "append" or replace_partitions is not None
+            mode == "append"
+            or replace_partitions is not None
+            or replace_paths is not None
         ):
             raise DeltaSchemaError(
                 f"write schema {df_fp} does not match the table "
-                f"schema {logged_fp}; appends and partition "
+                f"schema {logged_fp}; appends and partition/path "
                 "replacements must match exactly"
             )
     commit_uuid = _commit_uuid or uuid.uuid4().hex
@@ -1249,6 +1294,38 @@ def commit_snapshot(
                     continue  # replaced: dropped from the new snapshot
                 entries.append({**e, "status": 0})
                 existing_rows += e["data_file"]["record_count"]
+    if replace_paths is not None and meta["current-snapshot-id"] != -1:
+        # carry every prior entry EXCEPT the named files as
+        # status=EXISTING (original snapshot/sequence numbers kept) —
+        # the copy-on-write DELETE's manifest rewrite
+        drop = {os.path.normpath(p) for p in replace_paths}
+        seen: set[str] = set()
+        carried: set[str] = set()
+        cur_snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
+        _, prior_ms = avro_lite.read_container(cur_snap["manifest-list"])
+        for m in prior_ms:
+            _, prior_entries = avro_lite.read_container(
+                m["manifest_path"]
+            )
+            for e in prior_entries:
+                if e["status"] == 2:
+                    continue
+                fp = os.path.normpath(e["data_file"]["file_path"])
+                if fp in drop:
+                    seen.add(fp)
+                    continue
+                if fp in carried:
+                    continue  # defensive: reused-manifest duplicate
+                carried.add(fp)
+                entries.append({**e, "status": 0})
+                existing_rows += e["data_file"]["record_count"]
+        missing = sorted(drop - seen)
+        if missing:
+            raise ValueError(
+                f"replace_paths named files not live in the current "
+                f"snapshot: {missing} — the rewrite was built against a "
+                "stale snapshot"
+            )
     n_existing = len(entries)
     import pyarrow.parquet as pq
 
@@ -1399,6 +1476,53 @@ def _snapshot_by_id(meta: dict, snapshot_id: int) -> dict:
 
 
 # ------------------------------------------------------------------- read
+
+
+def _snapshot_is_append(meta: dict, snap: dict) -> bool:
+    """Whether a snapshot APPENDED data (vs rewrote it) — the predicate
+    the incremental append scan and the streaming source are defined
+    over.
+
+    Snapshots written since the ``mode`` summary key exists carry the
+    answer directly. Older snapshots (or tables written by the pre-r10
+    code, whose appends carried free-form labels like ``INGEST``) are
+    classified from the MANIFEST LIST instead of the label, per r10
+    ADVICE: an append's new manifests hold only ADDED entries
+    (``existing_files_count == deleted_files_count == 0``) and reuse
+    every prior manifest verbatim; a rewrite either carries EXISTING
+    entries into its new manifest or drops prior manifests from the
+    list. The label is free-form per the spec and never trusted.
+    """
+    summary = snap.get("summary") or {}
+    if "mode" in summary:
+        return summary["mode"] == "append"
+    seq = snap["sequence-number"]
+    _, manifests = avro_lite.read_container(snap["manifest-list"])
+    for m in manifests:
+        if m["sequence_number"] == seq and (
+            m["existing_files_count"] > 0 or m["deleted_files_count"] > 0
+        ):
+            return False  # rewrite: carried or deleted prior files
+    # did it keep every manifest the previous retained snapshot had?
+    snaps = meta["snapshots"]
+    idx = next(
+        (
+            i
+            for i, s in enumerate(snaps)
+            if s["snapshot-id"] == snap["snapshot-id"]
+        ),
+        0,
+    )
+    if idx > 0:
+        prev = snaps[idx - 1]
+        try:
+            _, prev_ms = avro_lite.read_container(prev["manifest-list"])
+        except OSError:
+            return True  # prior list unreadable: no evidence of a drop
+        kept = {m["manifest_path"] for m in manifests}
+        if any(m["manifest_path"] not in kept for m in prev_ms):
+            return False  # dropped prior data: an overwrite
+    return True
 
 
 def _snapshot_files(meta: dict, snap: dict) -> list[dict]:
@@ -1576,6 +1700,105 @@ def read_iceberg(
     return df.where(where) if where else df
 
 
+def delete_iceberg(
+    spark: SparkSession,
+    path: str,
+    where: str,
+    commit_timestamp_ms: int | None = None,
+) -> dict:
+    """``DELETE FROM <table> WHERE <predicate>`` — copy-on-write
+    row-level delete, committed as ONE snapshot (r10 verdict item 1; the
+    delta twin is :func:`delta_lite.merge_delta`'s machinery).
+
+    Bounds-pruned like the real engine's COW delete: only files whose
+    manifest bounds / transformed partition values say the predicate MAY
+    match are rewritten; every other live file is carried as a
+    status=EXISTING entry with its original snapshot and sequence
+    numbers (the ``replace_paths`` manifest rewrite). Rows where the
+    predicate is NULL are KEPT (SQL DELETE semantics). When the matched
+    count is zero the table is left untouched — no empty commit. Time
+    travel to pre-delete snapshots stays intact until
+    :func:`expire_snapshots` (this is NOT a GDPR hard erase until then;
+    pair with expiry for that).
+
+    Returns ``{"snapshot_id", "deleted_rows", "rewritten_files"}``
+    (snapshot_id is the pre-delete current snapshot when nothing
+    matched; the new snapshot's summary carries the spec's
+    ``deleted-records``).
+
+    Scale shape: two distributed passes over ONLY the candidate files
+    (one to count matches — the same findTouchedFiles scan the Spark COW
+    path runs — one to rewrite), plus a metadata-scale manifest rewrite.
+    At 100 TB with clustered layout the candidates are a handful of
+    files, not the table."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _parse_conjuncts,
+    )
+
+    meta = load_metadata(path)
+    if meta["current-snapshot-id"] == -1:
+        return {
+            "snapshot_id": None, "deleted_rows": 0, "rewritten_files": 0,
+        }
+    snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
+    files = _snapshot_files(meta, snap)
+    descriptors = [
+        _transform_of_spec_field(pf, _current_schema(meta))
+        for pf in _current_spec(meta)["fields"]
+    ]
+    conjuncts = _parse_conjuncts(where)
+    if conjuncts:
+        ice_schema = _current_schema(meta)
+        candidates = [
+            f
+            for f in files
+            if _df_may_match(f, ice_schema, conjuncts)
+            and _partition_may_match(f, descriptors, conjuncts)
+        ]
+    else:
+        candidates = list(files)
+    if not candidates:
+        return {
+            "snapshot_id": snap["snapshot-id"],
+            "deleted_rows": 0,
+            "rewritten_files": 0,
+        }
+    schema = _spark_schema_of(meta)
+    data_root = os.path.join(path, "data")
+    paths = sorted(f["file_path"] for f in candidates)
+    df = (
+        spark.read.schema(schema)
+        .option("basePath", data_root)
+        .parquet(*paths)
+        .select(*[f.name for f in schema.fields])
+    )
+    # NULL predicate keeps the row: DELETE removes only proven-TRUE rows
+    match = F.coalesce(F.expr(where), F.lit(False))
+    deleted = df.where(match).count()
+    if deleted == 0:
+        return {
+            "snapshot_id": snap["snapshot-id"],
+            "deleted_rows": 0,
+            "rewritten_files": 0,
+        }
+    snapshot_id = write_iceberg(
+        df.where(~match),
+        path,
+        mode="overwrite",
+        replace_paths=paths,
+        operation="DELETE",
+        summary_extra={"deleted-records": str(deleted)},
+        commit_timestamp_ms=commit_timestamp_ms,
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "deleted_rows": deleted,
+        "rewritten_files": len(paths),
+    }
+
+
 def read_iceberg_incremental(
     spark: SparkSession,
     path: str,
@@ -1631,11 +1854,9 @@ def read_iceberg_incremental(
         ):
             continue  # filtered snapshot: skipped entirely
         # the write MODE (recorded separately since r10) decides
-        # append-ness; older snapshots without it fall back to the label
-        is_append = (
-            s["summary"].get("mode", s["summary"]["operation"]) == "append"
-        )
-        if not is_append:
+        # append-ness; older snapshots without it are classified from
+        # the manifest list, never the free-form label (r10 ADVICE)
+        if not _snapshot_is_append(meta, s):
             if skip_non_append:
                 continue
             raise ValueError(

@@ -107,6 +107,7 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         from tscd_datalake_adapter_spark.sources.iceberg_lite import (
             _current_schema,
             _current_spec,
+            _snapshot_is_append,
             _transform_of_spec_field,
             load_metadata,
         )
@@ -115,6 +116,19 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         if e <= s:
             return []
         meta = load_metadata(self._path)
+        # every sequence number in (s, e] must still have its snapshot:
+        # commits allocate them contiguously, so a gap means
+        # expire_snapshots removed a snapshot the stream has not
+        # consumed yet — data loss the exactly-once contract must turn
+        # into a loud failure (the deltalite twin raises the same way)
+        retained = {sn["sequence-number"] for sn in meta["snapshots"]}
+        expired = sorted(set(range(s + 1, e + 1)) - retained)
+        if expired:
+            raise ValueError(
+                f"sequence numbers {expired} were expired by "
+                "expire_snapshots before the stream consumed them; the "
+                "stream cannot replay them"
+            )
         schema = _current_schema(meta)
         field_names = tuple(f["name"] for f in schema["fields"])
         descs = [
@@ -140,10 +154,7 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                 and summary["operation"] not in self._operations
             ):
                 continue
-            is_append = (
-                summary.get("mode", summary["operation"]) == "append"
-            )
-            if not is_append:
+            if not _snapshot_is_append(meta, snap):
                 if self._skip_non_append:
                     continue
                 raise ValueError(
