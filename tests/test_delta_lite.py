@@ -732,15 +732,93 @@ def test_optimize_zorder_two_dim_skipping(spark, sf_dir, tmp_path):
         == src.where(k_pred).count()
     )
 
-    # partitioned tables refuse rather than silently de-partition
+    # z-ordering BY a partition column is a layout no-op → refused
     p2 = str(tmp_path / "p")
     write_delta(
         src.withColumn("status", F.lit("x")),
         p2,
         partition_by=("status",),
     )
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
-        optimize_zorder(spark, p2, "o_custkey", "o_totalprice")
+    with pytest.raises(ValueError, match="partition columns"):
+        optimize_zorder(spark, p2, "status", "o_totalprice")
+
+
+def test_optimize_zorder_within_partitions(spark, sf_dir, tmp_path):
+    """r11 (r10 verdict item 2): OPTIMIZE ZORDER on a PARTITIONED table
+    z-orders WITHIN each hive partition as ONE atomic commit — the
+    connector's semantics. Content byte-identical, partition layout
+    preserved, and the 2-D stats skipping is file-effective inside each
+    partition (pinned per partition, not just globally)."""
+    import os as _os
+
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _replay,
+        optimize_zorder,
+        table_history,
+    )
+
+    path = str(tmp_path / "t")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # scattered within-partition layout: hash splits, no clustering
+    write_delta(
+        src.repartition(12, "o_orderkey"),
+        path,
+        partition_by=("o_orderstatus",),
+    )
+    kmax = src.agg({"o_custkey": "max"}).collect()[0][0]
+    k_pred = (
+        f"o_custkey >= {int(kmax * 0.3)} AND o_custkey <= "
+        f"{int(kmax * 0.33)}"
+    )
+
+    # 48 slices over 3 near-equal partitions → ~16 files each, the same
+    # file-per-cell granularity the unpartitioned pin uses
+    v = optimize_zorder(
+        spark, path, "o_custkey", "o_totalprice", n_files=48
+    )
+    assert table_history(path)[v]["operation"] == "OPTIMIZE ZORDER"
+    # exactly ONE commit did the whole table (atomicity: old versions
+    # intact, new layout complete)
+    assert table_history(path)[-1]["version"] == v == 1
+    # content byte-identical across the rewrite
+    assert sorted(
+        tuple(r)
+        for r in read_delta(spark, path).select(*src.columns).collect()
+    ) == sorted(tuple(r) for r in src.collect())
+    # partition layout preserved: every file still under its status dir
+    state = _replay(path, None)
+    assert state["metadata"]["partitionColumns"] == ["o_orderstatus"]
+    by_status: dict[str, list[str]] = {}
+    for rel in state["files"]:
+        seg = [s for s in rel.split(_os.sep) if s.startswith("o_orderstatus=")]
+        assert seg, rel
+        by_status.setdefault(seg[0].split("=", 1)[1], []).append(rel)
+    assert set(by_status) == {"F", "O", "P"}
+    # per-partition 2-D skipping: inside EACH partition the custkey
+    # slice touches at most half that partition's files
+    for status, rels in by_status.items():
+        n_part = len(
+            read_delta(
+                spark, path, partition_filter={"o_orderstatus": status}
+            ).inputFiles()
+        )
+        n_hit = len(
+            read_delta(
+                spark,
+                path,
+                partition_filter={"o_orderstatus": status},
+                where=k_pred,
+            ).inputFiles()
+        )
+        if n_part >= 8:  # too few files → nothing to pin
+            assert n_hit <= n_part // 2, (status, n_hit, n_part)
+    # results equal the full-scan filter
+    assert (
+        read_delta(spark, path, where=k_pred).count()
+        == src.where(k_pred).count()
+    )
 
 
 def test_purge_removed_deletes_latest_commits_dead_files(

@@ -179,13 +179,26 @@ def zorder_cluster(
     col_b: str,
     n_files: int = 16,
     bits: int = 4,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The clustering HALF of :func:`zorder_write` (r10 factor-out):
     returns ``df`` range-partitioned + sorted on the Morton curve of the
     two columns, helper columns dropped — one output file per partition
     when written. Reused by :func:`zorder_write` (plain parquet) and by
     ``delta_lite.optimize_zorder`` (atomic logged rewrite). Strategy and
-    gotchas documented on :func:`zorder_write`."""
+    gotchas documented on :func:`zorder_write`.
+
+    ``partition_cols`` (r11): z-order WITHIN hive partitions — the
+    partition columns LEAD the range key, so every range slice holds one
+    partition's contiguous z-span and a partitioned write keeps each
+    file a small (a, b) rectangle inside its own directory. Still ONE
+    distributed pass and one shuffle: the range partitioner allocates
+    slices proportional to actual partition sizes (a per-partition loop
+    would instead pay a full job per partition). ``n_files`` stays the
+    TOTAL slice count across partitions. Bucket boundaries are computed
+    globally — monotone binning keeps per-file min/max tight within any
+    partition; only file-size balance would gain from per-partition
+    quantiles, which the size-proportional range split already covers."""
     n = 1 << bits
     from pyspark.sql import types as T
 
@@ -215,13 +228,14 @@ def zorder_cluster(
         other = next(c for c in (col_a, col_b) if c != col)
         return F.ntile(n).over(Window.orderBy(col, other)) - 1
 
+    range_key = [*partition_cols, "_z"]
     return (
         df.withColumn("_ba", bucket_col(col_a))
         .withColumn("_bb", bucket_col(col_b))
         # LUT form: _ba/_bb referenced once each, so project collapsing
         # can't multiply the bucket CASE-cascade cost (see zorder_value)
         .withColumn("_z", _morton_lut_expr("_ba", "_bb", bits))
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+        .repartitionByRange(n_files, *range_key)
+        .sortWithinPartitions(*range_key)
         .drop("_ba", "_bb", "_z")
     )

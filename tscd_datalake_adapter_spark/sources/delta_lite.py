@@ -1393,26 +1393,37 @@ def optimize_zorder(
     is intact until :func:`vacuum_delta`. Returns the committed version.
 
     Data content is byte-identical (a pure layout rewrite) — pinned by
-    test. Unpartitioned tables only (the connector z-orders WITHIN
-    partitions; do that here by compacting per partition first):
-    partitioned tables raise rather than silently de-partitioning.
+    test. Partitioned tables (r11, r10 verdict item 2) z-order WITHIN
+    each hive partition, exactly like the connector: the partition
+    columns lead the range key (``zorder_cluster(partition_cols=...)``),
+    so every file stays inside its directory AND covers a small (a, b)
+    rectangle — still one shuffle, one distributed pass, ONE atomic
+    commit for the whole table (readers see the old layout or the new,
+    never a half-optimized mix). Z-ordering BY a partition column is
+    refused (its per-file range inside a partition is a constant —
+    the ask is a layout no-op and certainly a user mistake).
 
     Scale shape: one distributed pass — adaptive bucket derivation
     (``plans.layout.zorder_cluster``: quantile sketches map-side at
-    scale, exact ntile below 4M rows), range shuffle on the curve index,
-    per-file sorted writes, one metadata commit."""
+    scale, exact ntile below 4M rows), range shuffle on
+    (partitions..., curve index), per-file sorted writes, one metadata
+    commit."""
     from tscd_datalake_adapter_spark.plans.layout import zorder_cluster
 
     state = _replay(path, None)
-    pcols = state["metadata"].get("partitionColumns") or []
-    if pcols:
-        raise NotImplementedError(
-            f"optimize_zorder on unpartitioned tables only; this table "
-            f"is partitioned by {pcols} (z-order within partitions by "
-            "compacting each partition first)"
+    pcols = tuple(state["metadata"].get("partitionColumns") or ())
+    overlap = {col_a, col_b} & set(pcols)
+    if overlap:
+        raise ValueError(
+            f"z-order columns {sorted(overlap)} are partition columns; "
+            "within a partition their value is constant — pick "
+            "non-partition columns"
         )
     df = read_delta(spark, path)
-    clustered = zorder_cluster(df, col_a, col_b, n_files=n_files, bits=bits)
+    clustered = zorder_cluster(
+        df, col_a, col_b, n_files=n_files, bits=bits,
+        partition_cols=pcols,
+    )
     return write_delta(
         clustered,
         path,
