@@ -203,3 +203,85 @@ def test_iceberglite_stream_fails_on_expired_unconsumed_snapshots(
     assert spark.read.parquet(out_dir).count() == src.where(
         "o_orderkey < 300"
     ).count()
+
+
+def test_cross_format_replication_iceberg_to_delta(spark, sf_dir, tmp_path):
+    """r11 (r10 verdict item 3): the REVERSE capstone — an ICEBERG table
+    streams into a DELTA target with end-to-end exactly-once:
+    sequence-number offsets on the read side, the delta txn-action
+    watermark on the write side. Initial sync, checkpoint catch-up
+    across restart with an interleaved maintenance rewrite (skipped via
+    the operations filter), and an idle re-run all land every row
+    exactly once."""
+    import os as _os
+
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        last_txn_version,
+        read_delta,
+        table_history,
+    )
+    from tscd_datalake_adapter_spark.streaming.jobs import (
+        run_cross_format_replication_stream,
+    )
+
+    src_tbl = str(tmp_path / "src")
+    tgt_tbl = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src.where("o_orderkey < 300"), src_tbl, mode="append",
+                  operation="INGEST")
+    write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 700"),
+        src_tbl, mode="append", operation="INGEST",
+    )
+
+    out = run_cross_format_replication_stream(
+        spark, src_tbl, ckpt, tgt_tbl,
+        operations=("INGEST",),
+        source_format="iceberg", target_format="delta",
+    )
+    assert out.count() == src.where("o_orderkey < 700").count()
+    assert all(
+        h["operation"] == "STREAMING UPDATE"
+        for h in table_history(tgt_tbl)
+    )
+
+    # catch-up after new source commits + an interleaved maintenance
+    # rewrite (filtered out — must not break the resume)
+    write_iceberg(src.limit(5), src_tbl, mode="overwrite",
+                  operation="MERGE")
+    write_iceberg(
+        src.where("o_orderkey >= 700 AND o_orderkey < 1000"),
+        src_tbl, mode="append", operation="INGEST",
+    )
+    out = run_cross_format_replication_stream(
+        spark, src_tbl, ckpt, tgt_tbl,
+        operations=("INGEST",),
+        source_format="iceberg", target_format="delta",
+    )
+    assert out.count() == src.where("o_orderkey < 1000").count()
+    # rows survive the format hop cell-for-cell
+    a = sorted(tuple(r) for r in read_delta(spark, tgt_tbl).collect())
+    b = sorted(
+        tuple(r) for r in src.where("o_orderkey < 1000").collect()
+    )
+    assert a == b
+
+    # idle re-run: txn watermark stands, nothing duplicated
+    app_id = f"iceberg-to-delta:{_os.path.abspath(src_tbl)}"
+    wm = last_txn_version(tgt_tbl, app_id)
+    assert wm is not None
+    out = run_cross_format_replication_stream(
+        spark, src_tbl, ckpt, tgt_tbl,
+        operations=("INGEST",),
+        source_format="iceberg", target_format="delta",
+    )
+    assert out.count() == src.where("o_orderkey < 1000").count()
+    assert last_txn_version(tgt_tbl, app_id) == wm
+
+    # unsupported direction pairs refuse loudly
+    with pytest.raises(ValueError, match="cross-format"):
+        run_cross_format_replication_stream(
+            spark, src_tbl, ckpt, tgt_tbl,
+            source_format="iceberg", target_format="iceberg",
+        )

@@ -2143,20 +2143,37 @@ def run_cross_format_replication_stream(
     checkpoint_dir: str,
     target_table: str,
     operations: tuple[str, ...] | None = None,
+    source_format: str = "delta",
+    target_format: str = "iceberg",
 ) -> DataFrame:
-    """CROSS-FORMAT streaming replication, exactly-once (r10 capstone):
-    a DELTA source table streams into an ICEBERG target — the deltalite
-    source's version offsets on the read side, and the real Iceberg
-    Spark sink's recipe on the write side: each micro-batch is one
-    append snapshot carrying ``streaming-app-id``/``streaming-batch-id``
-    in its summary, and a replayed batch id at or below the recorded
-    watermark is skipped (:func:`iceberg_lite.last_streaming_batch_id`).
-    The migrate-and-mirror shape: move a live table between formats with
-    no loss, no duplication, and no downtime window.
+    """CROSS-FORMAT streaming replication, exactly-once, BOTH directions
+    (r10 capstone; r11 adds the reverse per verdict item 3): a table in
+    one in-repo format streams into a target in the other.
+
+    - ``delta → iceberg``: the deltalite source's version offsets on the
+      read side; the real Iceberg Spark sink's recipe on the write side
+      — each micro-batch is one append snapshot carrying
+      ``streaming-app-id``/``streaming-batch-id`` in its summary, and a
+      replayed batch id at or below the recorded watermark is skipped
+      (:func:`iceberg_lite.last_streaming_batch_id`).
+    - ``iceberg → delta``: the iceberglite source's sequence-number
+      offsets feed the delta txn-action sink — each micro-batch is one
+      logged append commit carrying ``txn {appId, version=batch_id}``,
+      replayed ids skipped (:func:`delta_lite.last_txn_version`).
+
+    Either way the migrate-and-mirror shape holds: move a live table
+    between formats with no loss, no duplication, and no downtime
+    window; a crash at any point resumes from Spark's offset WAL on the
+    read side and the target log/summary watermark on the write side.
 
     Same processingTime-to-quiescence drive as the delta-to-delta
     replication (Python sources lack availableNow). Returns the
-    replicated iceberg table."""
+    replicated target table read through its own format."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
     from tscd_datalake_adapter_spark.sources.deltalite_datasource import (
         DeltaLiteStreamDataSource,
     )
@@ -2165,33 +2182,78 @@ def run_cross_format_replication_stream(
         read_iceberg,
         write_iceberg,
     )
+    from tscd_datalake_adapter_spark.sources.iceberglite_datasource import (
+        IcebergLiteStreamDataSource,
+    )
 
+    if (source_format, target_format) not in (
+        ("delta", "iceberg"),
+        ("iceberg", "delta"),
+    ):
+        raise ValueError(
+            "cross-format replication runs delta→iceberg or "
+            f"iceberg→delta; got {source_format}→{target_format} "
+            "(same-format replication is run_delta_replication_stream)"
+        )
+    ds = (
+        DeltaLiteStreamDataSource
+        if source_format == "delta"
+        else IcebergLiteStreamDataSource
+    )
     try:
-        spark.dataSource.register(DeltaLiteStreamDataSource)
+        spark.dataSource.register(ds)
     except Exception:  # already registered in this session
         pass
-    app_id = f"delta-to-iceberg:{os.path.abspath(source_table)}"
-    reader = (
-        spark.readStream.format("deltalite").option("path", source_table)
+    app_id = (
+        f"{source_format}-to-{target_format}:"
+        f"{os.path.abspath(source_table)}"
     )
+    reader = spark.readStream.format(
+        "deltalite" if source_format == "delta" else "iceberglite"
+    ).option("path", source_table)
     if operations:
         reader = reader.option("operations", ",".join(operations))
-    stream = reader.load().drop("_commit_version", "_commit_timestamp")
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        done = last_streaming_batch_id(target_table, app_id)
-        if done is not None and batch_id <= done:
-            return  # replayed batch: already committed, exactly-once
-        write_iceberg(
-            batch_df,
-            target_table,
-            mode="append",
-            operation="STREAMING UPDATE",
-            summary_extra={
-                "streaming-app-id": app_id,
-                "streaming-batch-id": int(batch_id),
-            },
+    stream = reader.load().drop(
+        *(
+            ("_commit_version", "_commit_timestamp")
+            if source_format == "delta"
+            else ("_snapshot_id", "_committed_at_ms")
         )
+    )
+
+    if target_format == "iceberg":
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            done = last_streaming_batch_id(target_table, app_id)
+            if done is not None and batch_id <= done:
+                return  # replayed batch: already committed
+            write_iceberg(
+                batch_df,
+                target_table,
+                mode="append",
+                operation="STREAMING UPDATE",
+                summary_extra={
+                    "streaming-app-id": app_id,
+                    "streaming-batch-id": int(batch_id),
+                },
+            )
+
+    else:
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            try:
+                done = last_txn_version(target_table, app_id)
+            except FileNotFoundError:  # first batch creates the table
+                done = None
+            if done is not None and batch_id <= done:
+                return  # replayed batch: already committed
+            write_delta(
+                batch_df,
+                target_table,
+                mode="append",
+                txn={"appId": app_id, "version": batch_id},
+                operation="STREAMING UPDATE",
+            )
 
     q = (
         stream.writeStream.foreachBatch(_sink)
@@ -2202,4 +2264,6 @@ def run_cross_format_replication_stream(
     q.processAllAvailable()
     q.stop()
     q.awaitTermination(30)
-    return read_iceberg(spark, target_table)
+    if target_format == "iceberg":
+        return read_iceberg(spark, target_table)
+    return read_delta(spark, target_table)
