@@ -394,3 +394,47 @@ def test_cross_format_replication_delta_to_iceberg(spark, sf_dir, tmp_path):
     out = run_cross_format_replication_stream(spark, src_tbl, ckpt, tgt_tbl)
     assert out.count() == src.where("o_orderkey < 1000").count()
     assert last_streaming_batch_id(tgt_tbl, app_id) == wm
+
+
+def test_deltalite_stream_fails_on_mid_stream_schema_evolution(
+    spark, sf_dir, tmp_path
+):
+    """r11 (r10 verdict item 5): a running query's schema is fixed — an
+    overwrite that EVOLVES the source schema between micro-batches must
+    fail the stream with a clear error (even when its removes are opted
+    past via ignore_deletes), never silently misalign rows."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    src = _orders(spark, sf_dir)
+    write_delta(src.where("o_orderkey < 300"), path, mode="append")
+
+    q = (
+        spark.readStream.format("deltalite")
+        .option("path", path)
+        .option("ignore_deletes", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dl_ckpt_se_")
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # schema evolution lands while the query runs
+    write_delta(
+        src.where("o_orderkey >= 300 AND o_orderkey < 600")
+        .withColumnRenamed("o_totalprice", "price"),
+        path,
+        mode="overwrite",
+    )
+    with pytest.raises(Exception, match="schema evolved mid-stream"):
+        q.processAllAvailable()
+        q.awaitTermination(5)
+    q.stop()
+    # nothing from the evolved commit leaked into the sink
+    got = spark.read.parquet(out_dir)
+    assert got.count() == src.where("o_orderkey < 300").count()

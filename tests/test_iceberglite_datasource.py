@@ -285,3 +285,44 @@ def test_cross_format_replication_iceberg_to_delta(spark, sf_dir, tmp_path):
             spark, src_tbl, ckpt, tgt_tbl,
             source_format="iceberg", target_format="iceberg",
         )
+
+
+def test_iceberglite_stream_fails_on_mid_stream_schema_evolution(
+    spark, sf_dir, tmp_path
+):
+    """r11 (r10 verdict item 5, format twin): a snapshot in range whose
+    schema-id resolves to an evolved schema fails the stream loudly —
+    even under skip_non_append — never silently misaligns rows."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src.where("o_orderkey < 300"), path, mode="append")
+
+    q = (
+        spark.readStream.format("iceberglite")
+        .option("path", path)
+        .option("skip_non_append", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="il_ckpt_se_")
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+
+    write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 600")
+        .withColumnRenamed("o_totalprice", "price"),
+        path,
+        mode="overwrite",
+    )
+    with pytest.raises(Exception, match="evolved schema"):
+        q.processAllAvailable()
+        q.awaitTermination(5)
+    q.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == src.where("o_orderkey < 300").count()

@@ -33,6 +33,13 @@ columns are reconstructed ON THE EXECUTOR from each add action's logged
 ``partitionValues`` and cast per the LOGGED schema's JSON type names
 (long/integer/date/timestamp/decimal/...), matching the batch read path.
 
+Schema-evolution contract (r11, pinned by test): a running query's
+schema is FIXED, so if the source table's schema EVOLVES mid-stream
+(an overwrite committing a new metaData between micro-batches) the
+stream FAILS LOUDLY at the next batch rather than silently misaligning
+rows — restart with a fresh checkpoint to stream under the new schema.
+(A restarted stream declares whatever schema the log currently holds.)
+
 The same Trigger caveat as ``eventreplay``: Python micro-batch streams
 do not support AvailableNow — drive with a processingTime trigger +
 ``processAllAvailable()``.
@@ -130,10 +137,15 @@ def _typed_partition_value(v: str | None, json_type: str):
 
 
 class DeltaLiteStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, declared_fields: tuple | None = None):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("deltalite source requires .option('path', …)")
+        # (name, type) pairs of the TABLE schema the stream was declared
+        # with — a mid-stream schema evolution cannot be represented in
+        # a running query's fixed schema, so partitions() fails loudly
+        # when the logged schema drifts from this (see module docstring)
+        self._declared_fields = declared_fields
         self._start = int(options.get("starting_version", "0"))
         ops = options.get("operations")
         self._operations = (
@@ -172,6 +184,19 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         state = _replay(self._path, e)
         md = state["metadata"]
         schema_fields = json.loads(md["schemaString"])["fields"]
+        if self._declared_fields is not None:
+            got = tuple(
+                (f["name"], f["type"] if isinstance(f["type"], str)
+                 else "struct")
+                for f in schema_fields
+            )
+            if got != self._declared_fields:
+                raise ValueError(
+                    f"source table schema evolved mid-stream (declared "
+                    f"{self._declared_fields}, log now says {got}); a "
+                    "running query's schema is fixed — restart the "
+                    "stream (fresh checkpoint) to pick up the new schema"
+                )
         # simpleString-ish types for partition casting
         type_of = {f["name"]: f["type"] for f in schema_fields}
         pcols = tuple(md.get("partitionColumns") or ())
@@ -276,4 +301,12 @@ class DeltaLiteStreamDataSource(DataSource):
         )
 
     def streamReader(self, schema):
-        return DeltaLiteStreamReader(self.options)
+        from tscd_datalake_adapter_spark.sources.delta_lite import _replay
+
+        md = _replay(self.options["path"], None)["metadata"]
+        declared = tuple(
+            (f["name"], f["type"] if isinstance(f["type"], str)
+             else "struct")
+            for f in json.loads(md["schemaString"])["fields"]
+        )
+        return DeltaLiteStreamReader(self.options, declared)

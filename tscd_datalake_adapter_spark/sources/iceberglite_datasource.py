@@ -26,6 +26,11 @@ skipped entirely. Identity partition values (path-encoded, not in the
 data files) are reconstructed ON THE EXECUTOR and typed per the schema;
 transform-derived path segments are metadata-only and ignored.
 
+Schema-evolution contract (r11, pinned by test, same as the deltalite
+twin): a running query's schema is FIXED — a snapshot in range whose
+``schema-id`` resolves to a different schema fails the stream loudly;
+restart with a fresh checkpoint to stream under the new schema.
+
 Same trigger caveat as the other Python sources: no AvailableNow —
 drive with a processingTime trigger + ``processAllAvailable()``.
 """
@@ -76,12 +81,16 @@ def _typed_identity_value(v: str | None, ice_type: str):
 
 
 class IcebergLiteStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, declared_fields: tuple | None = None):
         self._path = options.get("path")
         if not self._path:
             raise ValueError(
                 "iceberglite source requires .option('path', …)"
             )
+        # (name, type) pairs of the TABLE schema the stream was declared
+        # with — snapshots in range whose schema-id resolves to a
+        # different schema fail the stream loudly (module docstring)
+        self._declared_fields = declared_fields
         ops = options.get("operations")
         self._operations = (
             tuple(s.strip() for s in ops.split(",") if s.strip())
@@ -144,10 +153,30 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         ptypes = tuple(t for _, t in identity)
         data_root = os.path.join(self._path, "data")
         parts: list[IcebergLiteFilePartition] = []
+        schemas_by_id = {
+            sc["schema-id"]: sc for sc in meta["schemas"]
+        }
         for snap in meta["snapshots"]:
             seq = snap["sequence-number"]
             if not (s < seq <= e):
                 continue
+            if self._declared_fields is not None:
+                snap_schema = schemas_by_id.get(
+                    snap.get("schema-id"), schema
+                )
+                got = tuple(
+                    (f["name"], f["type"])
+                    for f in snap_schema["fields"]
+                )
+                if got != self._declared_fields:
+                    raise ValueError(
+                        f"snapshot {snap['snapshot-id']} (seq {seq}) "
+                        f"was written under an evolved schema {got}; "
+                        f"the stream declared {self._declared_fields} "
+                        "— a running query's schema is fixed; restart "
+                        "the stream (fresh checkpoint) to pick up the "
+                        "new schema"
+                    )
             summary = snap["summary"]
             if (
                 self._operations is not None
@@ -242,4 +271,13 @@ class IcebergLiteStreamDataSource(DataSource):
         )
 
     def streamReader(self, schema):
-        return IcebergLiteStreamReader(self.options)
+        from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            _current_schema,
+            load_metadata,
+        )
+
+        cur = _current_schema(load_metadata(self.options["path"]))
+        declared = tuple(
+            (f["name"], f["type"]) for f in cur["fields"]
+        )
+        return IcebergLiteStreamReader(self.options, declared)
