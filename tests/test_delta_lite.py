@@ -1298,3 +1298,61 @@ def test_delete_delta_row_level_copy_on_write(spark, sf_dir, tmp_path):
     left = read_delta(spark, path)
     assert left.count() == 1
     assert left.first()["o_orderkey"] is None
+
+
+def test_update_delta_row_level(spark, sf_dir, tmp_path):
+    """r11: copy-on-write UPDATE ... SET ... WHERE on delta_lite —
+    stats-pruned rewrite, matched rows transformed with the declared
+    type preserved, partition-column SET refused, no-match commits
+    nothing, NULL predicates leave rows unchanged."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _replay,
+        update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = (
+        _orders(spark, sf_dir)
+        .where("o_orderkey < 2000")
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_delta(src, path, partition_by=("o_orderstatus",),
+                mode="append")
+
+    lo_key = src.agg(F.min("o_orderkey")).first()[0]
+    res = update_delta(
+        spark, path, f"o_orderkey = {lo_key}",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    assert res["updated_rows"] == 1
+    got = read_delta(spark, path)
+    assert got.schema["o_totalprice"].dataType == src.schema[
+        "o_totalprice"
+    ].dataType
+    old = src.where(f"o_orderkey = {lo_key}").first()["o_totalprice"]
+    new = got.where(f"o_orderkey = {lo_key}").first()["o_totalprice"]
+    assert float(new) == float(old) * 2
+    a = sorted(
+        map(tuple, got.where(f"o_orderkey <> {lo_key}")
+            .select(*src.columns).collect())
+    )
+    b = sorted(
+        map(tuple, src.where(f"o_orderkey <> {lo_key}").collect())
+    )
+    assert a == b
+    assert table_history(path)[-1]["operation"] == "UPDATE"
+
+    # no-match: no commit
+    v = _replay(path, None)["version"]
+    res = update_delta(
+        spark, path, "o_orderkey = -1", {"o_totalprice": "0.0"}
+    )
+    assert res["updated_rows"] == 0
+    assert _replay(path, None)["version"] == v
+
+    # partition-column SET refused
+    with pytest.raises(ValueError, match="partition columns"):
+        update_delta(
+            spark, path, "o_orderkey > 0", {"o_orderstatus": "'X'"}
+        )

@@ -2186,3 +2186,85 @@ def iceberg_lite_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cap_holds"
         ),
     )
+
+
+@register(
+    "iceberg_lite_dml_triad",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.5
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey < 8000
+      UNION ALL SELECT 999999999, 42.0
+    ),
+    updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 2000 AND 2999 THEN p + 10
+                  ELSE p END AS p
+      FROM merged
+    ),
+    final AS (SELECT * FROM updated WHERE o_orderkey >= 500)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('p')} AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM final
+    """,
+)
+def iceberg_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DML triad on iceberg_lite (r11): MERGE (upsert prices
+    for keys % 97 + insert one new key), then UPDATE (+10 on a key
+    band), then DELETE (drop the low band) — three copy-on-write
+    snapshots, each bounds-pruned to the files its predicate can touch,
+    each carrying the untouched files as status=EXISTING manifest
+    entries. The oracle recomputes the exact same algebra (1.5× and +10
+    are binary-exact double ops, so Spark and DuckDB agree bitwise); a
+    row leaked, dropped, double-applied, or applied to the wrong band
+    hash-fails. 100 TB: this is the mutation surface a lakehouse user
+    actually runs (upsert feeds, corrections, GDPR erasure), each commit
+    rewriting only intersecting files."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        delete_iceberg,
+        merge_iceberg,
+        read_iceberg,
+        update_iceberg,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_dml")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .where("o_orderkey < 8000")
+    )
+    for lo, hi in [(0, 3000), (3000, 6000), (6000, 8000)]:
+        write_iceberg(
+            o.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ),
+            path,
+            mode="append",
+        )
+    updates = o.where("o_orderkey % 97 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.5
+    ).unionByName(
+        spark.createDataFrame(
+            [(999999999, 42.0)], "o_orderkey long, o_totalprice double"
+        )
+    )
+    merge_iceberg(spark, path, updates, "o_orderkey")
+    update_iceberg(
+        spark, path, "o_orderkey BETWEEN 2000 AND 2999",
+        {"o_totalprice": "o_totalprice + 10"},
+    )
+    delete_iceberg(spark, path, "o_orderkey < 500")
+    back = read_iceberg(spark, path)
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

@@ -1799,6 +1799,203 @@ def delete_iceberg(
     }
 
 
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    commit_timestamp_ms: int | None = None,
+) -> int:
+    """MERGE (upsert by ``key``) on iceberg_lite — rows of ``updates``
+    replace same-key rows of the current table; new keys append.
+    Copy-on-write, ONE snapshot (operation MERGE); the format twin of
+    :func:`delta_lite.merge_delta` (r11 — with :func:`delete_iceberg`
+    this closes the DML triad on both in-repo formats).
+
+    Bounds-pruned like the delta twin: only files whose manifest
+    ``key`` bounds intersect the update set's [min, max] are rewritten;
+    every other live file is carried as a status=EXISTING entry via the
+    ``replace_paths`` manifest rewrite. Files without usable bounds
+    conservatively rewrite. Returns the committed snapshot id.
+
+    Scale shape: ONE 2-value aggregate over the updates, a driver-side
+    metadata-scale range check over the file list, then one distributed
+    anti-join + union over only the candidate files."""
+    from pyspark.sql import functions as F
+
+    meta = load_metadata(path)
+    if meta["current-snapshot-id"] == -1:
+        raise FileNotFoundError(f"not an iceberg_lite table yet: {path}")
+    snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
+    files = _snapshot_files(meta, snap)
+    rng = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    umin, umax = rng["lo"], rng["hi"]
+    ice_schema = _current_schema(meta)
+    kf = next(
+        (f for f in ice_schema["fields"] if f["name"] == key), None
+    )
+    rewrite: list[dict] = []
+    for f in files:
+        prunable = f.get("record_count") == 0
+        lb = ub = None
+        if kf is not None:
+            lo_kv = {
+                kv["key"]: kv["value"]
+                for kv in (f.get("lower_bounds") or [])
+            }
+            hi_kv = {
+                kv["key"]: kv["value"]
+                for kv in (f.get("upper_bounds") or [])
+            }
+            if kf["id"] in lo_kv and kf["id"] in hi_kv:
+                lb = _ice_deserialize(kf["type"], lo_kv[kf["id"]])
+                ub = _ice_deserialize(kf["type"], hi_kv[kf["id"]])
+        if (
+            not prunable
+            and umin is not None
+            and lb is not None
+            and ub is not None
+        ):
+            try:
+                prunable = ub < umin or lb > umax
+            except TypeError:
+                prunable = False  # incomparable types: rewrite
+        if not prunable:
+            rewrite.append(f)
+    schema = _spark_schema_of(meta)
+    data_root = os.path.join(path, "data")
+    if rewrite:
+        paths = sorted(f["file_path"] for f in rewrite)
+        touched = (
+            spark.read.schema(schema)
+            .option("basePath", data_root)
+            .parquet(*paths)
+            .select(*[f.name for f in schema.fields])
+        )
+    else:
+        touched = spark.createDataFrame([], schema)
+    merged = touched.join(
+        updates.select(key).distinct(), on=key, how="left_anti"
+    ).unionByName(updates)
+    return write_iceberg(
+        merged,
+        path,
+        mode="overwrite",
+        replace_paths=sorted(f["file_path"] for f in rewrite),
+        operation="MERGE",
+        commit_timestamp_ms=commit_timestamp_ms,
+    )
+
+
+def update_iceberg(
+    spark: SparkSession,
+    path: str,
+    where: str,
+    set_exprs: dict[str, str],
+    commit_timestamp_ms: int | None = None,
+) -> dict:
+    """``UPDATE <table> SET col = expr, ... WHERE <predicate>`` —
+    copy-on-write row-level UPDATE as ONE snapshot (r11; completes the
+    DML triad with :func:`delete_iceberg` / :func:`merge_iceberg`).
+
+    Bounds-pruned exactly like DELETE: only files the predicate MAY
+    touch are rewritten — matched rows get each ``set_exprs`` value
+    (a SQL expression string, evaluated per row, cast back to the
+    column's declared type so the table schema never drifts), unmatched
+    rows in those files are rewritten verbatim, and every other file is
+    carried as EXISTING. NULL predicates leave rows unchanged (SQL
+    UPDATE semantics). Updating a partition-source column is refused
+    (the row would need to MOVE partitions — that's a delete+insert, so
+    spell it as one). A no-match update commits nothing.
+
+    Returns ``{"snapshot_id", "updated_rows", "rewritten_files"}``."""
+    from pyspark.sql import functions as F
+
+    meta = load_metadata(path)
+    if meta["current-snapshot-id"] == -1:
+        return {
+            "snapshot_id": None, "updated_rows": 0, "rewritten_files": 0,
+        }
+    descriptors = [
+        _transform_of_spec_field(pf, _current_schema(meta))
+        for pf in _current_spec(meta)["fields"]
+    ]
+    psources = {d["source"] for d in descriptors}
+    bad = set(set_exprs) & psources
+    if bad:
+        raise ValueError(
+            f"UPDATE on partition source columns {sorted(bad)} would "
+            "move rows between partitions; use delete + insert"
+        )
+    snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
+    files = _snapshot_files(meta, snap)
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _parse_conjuncts,
+    )
+
+    conjuncts = _parse_conjuncts(where)
+    if conjuncts:
+        ice_schema = _current_schema(meta)
+        candidates = [
+            f
+            for f in files
+            if _df_may_match(f, ice_schema, conjuncts)
+            and _partition_may_match(f, descriptors, conjuncts)
+        ]
+    else:
+        candidates = list(files)
+    if not candidates:
+        return {
+            "snapshot_id": snap["snapshot-id"],
+            "updated_rows": 0,
+            "rewritten_files": 0,
+        }
+    schema = _spark_schema_of(meta)
+    data_root = os.path.join(path, "data")
+    paths = sorted(f["file_path"] for f in candidates)
+    df = (
+        spark.read.schema(schema)
+        .option("basePath", data_root)
+        .parquet(*paths)
+        .select(*[f.name for f in schema.fields])
+    )
+    match = F.coalesce(F.expr(where), F.lit(False))
+    updated = df.where(match).count()
+    if updated == 0:
+        return {
+            "snapshot_id": snap["snapshot-id"],
+            "updated_rows": 0,
+            "rewritten_files": 0,
+        }
+    types = {f.name: f.dataType for f in schema.fields}
+    out = df
+    for col, expr in set_exprs.items():
+        if col not in types:
+            raise ValueError(f"unknown column {col!r}")
+        out = out.withColumn(
+            col,
+            F.when(match, F.expr(expr).cast(types[col])).otherwise(
+                F.col(col)
+            ),
+        )
+    snapshot_id = write_iceberg(
+        out.select(*[f.name for f in schema.fields]),
+        path,
+        mode="overwrite",
+        replace_paths=paths,
+        operation="UPDATE",
+        summary_extra={"updated-records": str(updated)},
+        commit_timestamp_ms=commit_timestamp_ms,
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "updated_rows": updated,
+        "rewritten_files": len(paths),
+    }
+
+
 def read_iceberg_incremental(
     spark: SparkSession,
     path: str,
