@@ -1276,3 +1276,106 @@ def test_update_iceberg_row_level(spark, sf_dir, tmp_path):
         update_iceberg(
             spark, path, "o_orderkey > 0", {"o_orderstatus": "'X'"}
         )
+
+
+def test_nested_columns_roundtrip(spark, sf_dir, tmp_path):
+    """r11: struct/list/map columns round-trip through iceberg_lite with
+    spec-shaped schema JSON — nested field/element/key/value ids unique
+    across the schema, last-column-id covering them, bounds-based
+    skipping still working on sibling primitive columns (nested columns
+    simply carry no bounds = may-match), appends schema-checked, and
+    partitioning by a nested column refused."""
+    from pyspark.sql import types as T
+
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        DeltaSchemaError,
+    )
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        _max_field_id,
+    )
+
+    path = str(tmp_path / "t")
+    src = (
+        _orders(spark, sf_dir)
+        .where("o_orderkey < 1000")
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("info"),
+            F.array(
+                F.col("o_orderkey"), F.col("o_orderkey") * 2
+            ).alias("keys"),
+            F.create_map(
+                F.lit("status"), F.col("o_orderstatus")
+            ).alias("attrs"),
+        )
+    )
+    write_iceberg(src, path, mode="append")
+    got = read_iceberg(spark, path)
+    # nullability is not part of the schema contract (see
+    # _schema_fingerprint); simpleString compares structure + types
+    assert got.schema.simpleString() == src.schema.simpleString()
+    a = sorted(
+        (r["o_orderkey"], tuple(r["info"]), tuple(r["keys"]),
+         tuple(sorted(r["attrs"].items())))
+        for r in got.collect()
+    )
+    b = sorted(
+        (r["o_orderkey"], tuple(r["info"]), tuple(r["keys"]),
+         tuple(sorted(r["attrs"].items())))
+        for r in src.collect()
+    )
+    assert a == b
+
+    # spec shape: nested ids unique, allocated above the top-level ids,
+    # and last-column-id covers the maximum
+    meta = load_metadata(path)
+    schema = meta["schemas"][-1]
+    ids: list[int] = []
+
+    def walk(t):
+        if not isinstance(t, dict):
+            return
+        if t["type"] == "struct":
+            for f in t["fields"]:
+                ids.append(f["id"])
+                walk(f["type"])
+        elif t["type"] == "list":
+            ids.append(t["element-id"])
+            walk(t["element"])
+        elif t["type"] == "map":
+            ids.append(t["key-id"])
+            ids.append(t["value-id"])
+            walk(t["key"])
+            walk(t["value"])
+
+    walk(schema)
+    assert len(ids) == len(set(ids))  # unique across the whole schema
+    assert [f["id"] for f in schema["fields"]] == [1, 2, 3, 4]
+    assert meta["last-column-id"] == max(ids) == _max_field_id(schema)
+
+    # appends are schema-checked (nested spelled into the fingerprint)
+    with pytest.raises(DeltaSchemaError):
+        write_iceberg(
+            src.withColumn("keys", F.array(F.lit("x"))), path,
+            mode="append",
+        )
+    write_iceberg(src, path, mode="append")
+    assert read_iceberg(spark, path).count() == 2 * src.count()
+
+    # sibling primitive bounds still skip; nested predicates still work
+    hit = read_iceberg(spark, path, where="o_orderkey = 1")
+    assert hit.count() == 2 * src.where("o_orderkey = 1").count()
+    assert (
+        read_iceberg(spark, path).where("info.status = 'F'").count()
+        == 2 * src.where("info.status = 'F'").count()
+    )
+
+    # partitioning by a nested column is refused
+    with pytest.raises(NotImplementedError, match="nested"):
+        write_iceberg(
+            src, str(tmp_path / "p"), mode="append",
+            partition_by=("info",),
+        )

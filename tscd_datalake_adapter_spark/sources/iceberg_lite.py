@@ -50,8 +50,12 @@ source-column predicates through the transform (order-preserving
 relaxation for temporal and truncate; bucket equality).
 
 Honest scope (errors, not silent wrongness): the ``void``
-transform is refused, top-level primitive columns only, single
-metadata.json lineage (no external catalog). Row-level deletes are
+transform is refused, single metadata.json lineage (no external
+catalog). Nested columns (struct/list/map, r11) round-trip with
+spec-shaped schema JSON and unique nested field ids; partitioning and
+manifest bounds stay primitive-only (nested columns carry no bounds —
+readers treat absence as may-match, per the spec). Schema evolution
+re-enumerates ids depth-first (same discipline as flat columns). Row-level deletes are
 COPY-ON-WRITE (:func:`delete_iceberg`, r11 — bounds-pruned file
 rewrite committed via ``replace_paths``); merge-on-read delete FILES
 (content=1/2 manifests) are not written or read. Readers that find a higher
@@ -96,6 +100,7 @@ _SPARK_TO_ICEBERG = {
 
 
 def _iceberg_type(spark_type) -> str:
+    """Primitive Spark type → the spec's primitive type string."""
     s = spark_type.simpleString()
     if s in _SPARK_TO_ICEBERG:
         return _SPARK_TO_ICEBERG[s]
@@ -105,12 +110,65 @@ def _iceberg_type(spark_type) -> str:
         return "timestamptz"
     if s == "timestamp_ntz":
         return "timestamp"
-    raise NotImplementedError(
-        f"iceberg_lite supports top-level primitive columns only; got {s}"
-    )
+    raise NotImplementedError(f"unsupported spark type {s}")
+
+
+def _iceberg_type_of(spark_type, alloc):
+    """Spark type → the spec's schema-JSON type: primitive strings, or
+    the object forms for struct/list/map (r11 — nested columns). Nested
+    element/key/value/field ids come from ``alloc`` (a fresh-id
+    counter); the spec requires them unique across the whole schema."""
+    from pyspark.sql import types as T
+
+    if isinstance(spark_type, T.StructType):
+        fields = []
+        for f in spark_type.fields:
+            fid = alloc()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type_of(f.dataType, alloc),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(spark_type, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type_of(spark_type.elementType, alloc),
+            "element-required": not spark_type.containsNull,
+        }
+    if isinstance(spark_type, T.MapType):
+        kid = alloc()
+        vid = alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type_of(spark_type.keyType, alloc),
+            "value-id": vid,
+            "value": _iceberg_type_of(spark_type.valueType, alloc),
+            "value-required": not spark_type.valueContainsNull,
+        }
+    return _iceberg_type(spark_type)
 
 
 def _iceberg_schema(df_schema, schema_id: int) -> dict:
+    """Table schema JSON. TOP-LEVEL field ids stay 1..N by position —
+    the pre-r11 flat contract, so manifest bounds of existing tables
+    keep resolving — and NESTED ids (struct fields, list elements, map
+    keys/values) are allocated AFTER every top-level id, unique across
+    the schema per the spec."""
+    n_top = len(df_schema.fields)
+    counter = {"next": n_top + 1}
+
+    def alloc() -> int:
+        v = counter["next"]
+        counter["next"] += 1
+        return v
+
     fields = []
     for i, f in enumerate(df_schema.fields, start=1):
         fields.append(
@@ -118,7 +176,7 @@ def _iceberg_schema(df_schema, schema_id: int) -> dict:
                 "id": i,
                 "name": f.name,
                 "required": False,
-                "type": _iceberg_type(f.dataType),
+                "type": _iceberg_type_of(f.dataType, alloc),
             }
         )
     return {
@@ -128,35 +186,96 @@ def _iceberg_schema(df_schema, schema_id: int) -> dict:
     }
 
 
+def _max_field_id(schema: dict) -> int:
+    """Largest field/element/key/value id anywhere in a schema JSON —
+    what the spec's ``last-column-id`` must cover."""
+    best = 0
+
+    def walk(t) -> None:
+        nonlocal best
+        if not isinstance(t, dict):
+            return
+        if t["type"] == "struct":
+            for f in t["fields"]:
+                best = max(best, f["id"])
+                walk(f["type"])
+        elif t["type"] == "list":
+            best = max(best, t["element-id"])
+            walk(t["element"])
+        elif t["type"] == "map":
+            best = max(best, t["key-id"], t["value-id"])
+            walk(t["key"])
+            walk(t["value"])
+
+    walk(schema)
+    return best
+
+
+_ICEBERG_TO_SPARK = None
+
+
+def _spark_type_of(t):
+    """Inverse of :func:`_iceberg_type_of`: schema-JSON type → Spark
+    type, primitives and the nested object forms."""
+    from pyspark.sql import types as T
+
+    global _ICEBERG_TO_SPARK
+    if _ICEBERG_TO_SPARK is None:
+        _ICEBERG_TO_SPARK = {
+            "long": T.LongType(),
+            "int": T.IntegerType(),
+            "double": T.DoubleType(),
+            "float": T.FloatType(),
+            "string": T.StringType(),
+            "boolean": T.BooleanType(),
+            "date": T.DateType(),
+            "binary": T.BinaryType(),
+            "timestamptz": T.TimestampType(),
+            "timestamp": T.TimestampNTZType(),
+        }
+    if isinstance(t, dict):
+        if t["type"] == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        _spark_type_of(f["type"]),
+                        not f.get("required", False),
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if t["type"] == "list":
+            return T.ArrayType(
+                _spark_type_of(t["element"]),
+                not t.get("element-required", False),
+            )
+        if t["type"] == "map":
+            return T.MapType(
+                _spark_type_of(t["key"]),
+                _spark_type_of(t["value"]),
+                not t.get("value-required", False),
+            )
+        raise NotImplementedError(f"unsupported iceberg type {t}")
+    if t in _ICEBERG_TO_SPARK:
+        return _ICEBERG_TO_SPARK[t]
+    if t.startswith("decimal"):
+        p, s = t[t.index("(") + 1: -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    raise NotImplementedError(f"unsupported iceberg type {t}")
+
+
 def _spark_schema_of(meta: dict):
     """Spark StructType for the CURRENT schema of a metadata dict."""
     from pyspark.sql import types as T
 
-    back = {
-        "long": T.LongType(),
-        "int": T.IntegerType(),
-        "double": T.DoubleType(),
-        "float": T.FloatType(),
-        "string": T.StringType(),
-        "boolean": T.BooleanType(),
-        "date": T.DateType(),
-        "binary": T.BinaryType(),
-        "timestamptz": T.TimestampType(),
-        "timestamp": T.TimestampNTZType(),
-    }
     schema = _current_schema(meta)
-    fields = []
-    for f in schema["fields"]:
-        t = f["type"]
-        if t in back:
-            dt = back[t]
-        elif t.startswith("decimal"):
-            p, s = t[t.index("(") + 1: -1].split(",")
-            dt = T.DecimalType(int(p), int(s))
-        else:
-            raise NotImplementedError(f"unsupported iceberg type {t}")
-        fields.append(T.StructField(f["name"], dt, True))
-    return T.StructType(fields)
+    return T.StructType(
+        [
+            T.StructField(f["name"], _spark_type_of(f["type"]), True)
+            for f in schema["fields"]
+        ]
+    )
 
 
 def _current_schema(meta: dict) -> dict:
@@ -305,6 +424,11 @@ def _transform_of_spec_field(pf: dict, schema: dict) -> dict:
             f"transform {pf.get('transform')!r} not supported"
         )
     src = by_id[pf["source-id"]]
+    if not isinstance(src["type"], str):
+        raise NotImplementedError(
+            f"partitioning by nested column {src['name']!r} is not "
+            "supported (the spec partitions on primitive source fields)"
+        )
     return {
         "transform": t,
         "source": src["name"],
@@ -1008,6 +1132,15 @@ def _resolve_descriptors(
             raise ValueError(
                 f"partition source column {src!r} not in the write schema"
             )
+        from pyspark.sql import types as T
+
+        if isinstance(
+            by_name[src].dataType, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            raise NotImplementedError(
+                f"partitioning by nested column {src!r} is not supported "
+                "(the spec partitions on primitive source fields)"
+            )
         st = _iceberg_type(by_name[src].dataType)
         _validate_transform(t, st, n)
         descs.append(
@@ -1228,7 +1361,7 @@ def commit_snapshot(
             "location": path,
             "last-sequence-number": 0,
             "last-updated-ms": now_ms,
-            "last-column-id": len(schema["fields"]),
+            "last-column-id": _max_field_id(schema),
             "schemas": [schema],
             "current-schema-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
@@ -1261,7 +1394,7 @@ def commit_snapshot(
             meta["schemas"].append(schema)
             meta["current-schema-id"] = sid
             meta["last-column-id"] = max(
-                meta["last-column-id"], len(schema["fields"])
+                meta["last-column-id"], _max_field_id(schema)
             )
 
     seq = meta["last-sequence-number"] + 1
