@@ -178,17 +178,30 @@ def main() -> int:
         # warm once
         first = next(iter(registry.values()))
         first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        from tscd_datalake_adapter_spark.operators import is_construction
+
         families: dict[str, float] = {}
         families_p2: dict[str, float] = {}
+        families_build: dict[str, float] = {}
         queries: dict[str, float] = {}
         queries_p2: dict[str, float] = {}
+        construction_names: list[str] = []
         for fam in sorted(by_family):
             t = _timings(spark, sf_dir, by_family[fam], runs=2)
+            build = 0.0
             for name, times in t.items():
                 queries[name] = round(times[0], 3)
                 queries_p2[name] = round(times[1], 3)
+                if is_construction(by_family[fam][name]):
+                    construction_names.append(name)
+                    build += times[0]
             families[fam] = round(sum(ts[0] for ts in t.values()), 3)
             families_p2[fam] = round(sum(ts[1] for ts in t.values()), 3)
+            # build-vs-read split (r11, r10 verdict item 6): subtotal of
+            # construction-inclusive queries (their time contains demo
+            # writes), so read-path regressions aren't chased through
+            # write-path noise; families_read = families - families_build
+            families_build[fam] = round(build, 3)
         probe_post = _cpu_probe_median()
         spark_probe_post = _spark_probe(spark)
         probe = round((probe_pre + probe_post) / 2, 3)
@@ -201,6 +214,12 @@ def main() -> int:
             "unit": "sec",
             "families": families,
             "families_p2": families_p2,
+            "families_build": families_build,
+            "families_read": {
+                f: round(families[f] - families_build[f], 3)
+                for f in families
+            },
+            "construction_queries": sorted(construction_names),
             "queries": queries,
             "queries_p2": queries_p2,
             "n_queries": len(queries),

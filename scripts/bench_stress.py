@@ -47,6 +47,23 @@ STEEP3 = [
     "poisson_bootstrap_ci",
 ]
 
+# r11 (r10 verdict item 7): the 10 most expensive registry queries per
+# BENCH_FAMILIES_r10 also get the sf10 decade — the bounded-iteration /
+# construction-amortization arguments their docstrings make are now
+# measured across two decades, not asserted
+TOP10_SF10 = [
+    "iceberg_lite_transform_pruning",
+    "croston_intermittent_forecast",
+    "logistic_regression_returnflag",
+    "pq_adc_topk",
+    "markov_removal_attribution",
+    "image_dedup_clusters",
+    "iceberg_lite_partitions_meta",
+    "lake_merge_books_log",
+    "fuzzy_dedup_keep_longest",
+    "pca_top_component_power",
+]
+
 # the 15 most expensive registry queries per BENCH_FAMILIES_r08
 TOP15 = [
     "logistic_regression_returnflag",
@@ -68,7 +85,7 @@ TOP15 = [
 
 
 def main() -> int:
-    out_path = "BENCH_STRESS_r10.json"
+    out_path = "BENCH_STRESS_r11.json"
     args = sys.argv[1:]
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
@@ -83,9 +100,9 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
-    names = [n for n, s in registry.items() if s.headline] + [
-        n for n in TOP15 if n in registry
-    ]
+    names = [n for n, s in registry.items() if s.headline]
+    for extra in (TOP15, TOP10_SF10):
+        names += [n for n in extra if n in registry and n not in names]
 
     have_sf10 = os.path.isdir(SF10)
     headline_names = {n for n, s in registry.items() if s.headline}
@@ -96,7 +113,11 @@ def main() -> int:
         fn = registry[name].fn
         row: dict = {}
         tiers = [("sf0.1", SF01), ("sf1", SF1)]
-        if have_sf10 and (name in headline_names or name in STEEP3):
+        if have_sf10 and (
+            name in headline_names
+            or name in STEEP3
+            or name in TOP10_SF10
+        ):
             tiers.append(("sf10", SF10))
         for label, sf_dir in tiers:
             times = []
