@@ -403,6 +403,14 @@ def test_api_shapes(lake, book_dir):
     assert listing["count"] == 1 and listing["books"] == [41]
     assert api.health()["status"] == "ok"
 
+    # the DELETE route (r11): erase, idempotent re-delete, bad id
+    res = api.delete(41)
+    assert res["status"] == "deleted" and res["deleted_rows"] == 1
+    assert api.status(41)["status"] == "not_found"
+    assert api.list()["count"] == 0
+    assert api.delete(41)["status"] == "not_found"
+    assert api.delete("x")["error"]["code"] == "invalid_book_id"
+
 
 def test_lake_log_history_and_stray_file_invisibility(
     lake, book_dir, spark

@@ -62,6 +62,27 @@ class IngestApi:
             "backend": self.adapter.backend_label,
         }
 
+    def delete(self, book_id: object, physical: bool = False) -> dict:
+        """DELETE /ingest/{book_id} — the erasure route the reference
+        does not have (r11 extension, same response-dict conventions):
+        row-level delete of every version of the book on the
+        table-format backends; ``physical=True`` also unlinks the bytes
+        past retention (the GDPR contract). Not-found deletes report
+        status ``not_found`` rather than erroring (idempotent DELETE)."""
+        try:
+            res = self.adapter.erase_book(book_id, physical=physical)
+        except InvalidBookId as exc:
+            return _error("invalid_book_id", str(exc))
+        except NotImplementedError as exc:
+            return _error("unsupported_backend", str(exc))
+        return {
+            "book_id": res["book_id"],
+            "status": "deleted" if res["deleted_rows"] else "not_found",
+            "deleted_rows": res["deleted_rows"],
+            "physical": bool(physical),
+            "backend": self.adapter.backend_label,
+        }
+
     def health(self) -> dict:
         """GET /health (``Main.java:57-62``)."""
         return {
