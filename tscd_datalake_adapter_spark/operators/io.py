@@ -2268,3 +2268,84 @@ def iceberg_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "delta_lite_dml_triad",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.5
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey < 8000
+      UNION ALL SELECT 999999999, 42.0
+    ),
+    updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 2000 AND 2999 THEN p + 10
+                  ELSE p END AS p
+      FROM merged
+    ),
+    final AS (SELECT * FROM updated WHERE o_orderkey >= 500)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('p')} AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM final
+    """,
+)
+def delta_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same DML triad as ``iceberg_lite_dml_triad``, on the DELTA
+    log: MERGE (stats-pruned upsert, r9 machinery), UPDATE (+10 on a
+    key band, r11), DELETE (drop the low band, r11) — three logged
+    commits, identical algebra, identical oracle. Running the same
+    mutation program through both formats and hash-matching both
+    against one oracle is the cross-format DML consistency check."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        delete_delta,
+        merge_delta,
+        read_delta,
+        table_history,
+        update_delta,
+        write_delta,
+    )
+
+    path = _tmp("delta_dml")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .where("o_orderkey < 8000")
+    )
+    for lo, hi in [(0, 3000), (3000, 6000), (6000, 8000)]:
+        write_delta(
+            o.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ),
+            path,
+            mode="append",
+        )
+    updates = o.where("o_orderkey % 97 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.5
+    ).unionByName(
+        spark.createDataFrame(
+            [(999999999, 42.0)], "o_orderkey long, o_totalprice double"
+        )
+    )
+    merge_delta(spark, path, updates, "o_orderkey")
+    update_delta(
+        spark, path, "o_orderkey BETWEEN 2000 AND 2999",
+        {"o_totalprice": "o_totalprice + 10"},
+    )
+    delete_delta(spark, path, "o_orderkey < 500")
+    assert [h["operation"] for h in table_history(path)][-3:] == [
+        "MERGE", "UPDATE", "DELETE",
+    ]
+    back = read_delta(spark, path)
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
