@@ -36,15 +36,16 @@ for can be implemented from the public spec without the connector:
 
 Honest scope (documented, enforced by errors — not silently wrong):
 
-- Single-part classic checkpoints only (``V.checkpoint.parquet`` +
-  ``_last_checkpoint``): :func:`checkpoint_delta` compacts the replay
-  state into one parquet file (the spec's log-compaction — at real
-  commit rates, replaying every JSON commit grows linearly and the
-  checkpoint bounds it), and the reader resumes from the newest
-  checkpoint at or below the requested version. Checkpoints carry the
-  unexpired ``remove`` tombstones alongside the active ``add`` set, per
-  the spec. Multi-part or v2 checkpoints (sidecars) are refused, as is
-  a ``_last_checkpoint`` whose parquet is missing.
+- Classic checkpoints, single-part AND multi-part (r11):
+  :func:`checkpoint_delta` compacts the replay state into one parquet
+  file, or ``parts=N`` spec-named part files (the spec's log-compaction
+  — at real commit rates, replaying every JSON commit grows linearly
+  and the checkpoint bounds it), and the reader resumes from the newest
+  checkpoint at or below the requested version, unioning parts.
+  Checkpoints carry the unexpired ``remove`` tombstones alongside the
+  active ``add`` set, per the spec. V2 checkpoints (sidecars) are
+  refused, as is a ``_last_checkpoint`` whose parquet (or any declared
+  part) is missing.
 - minReaderVersion=1 / minWriterVersion=2 tables only — no deletion
   vectors, column mapping, or generated columns; reading a table that
   declares a higher reader version raises.
@@ -133,34 +134,84 @@ def _checkpoint_file(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
 
 
+def _checkpoint_part_file(path: str, v: int, part: int, parts: int) -> str:
+    """Spec naming for one part of a multi-part checkpoint:
+    ``{v:020d}.checkpoint.{part:010d}.{parts:010d}.parquet`` (parts are
+    1-indexed)."""
+    return os.path.join(
+        _log_dir(path),
+        f"{v:020d}.checkpoint.{part:010d}.{parts:010d}.parquet",
+    )
+
+
 def _last_checkpoint_version(path: str) -> int | None:
-    """Version of the newest checkpoint per ``_last_checkpoint``, verified
-    single-part classic; None if the table has no checkpoint."""
+    """Version of the newest checkpoint per ``_last_checkpoint`` —
+    classic single-part, or multi-part (r11; every declared part file
+    must be present). None if the table has no checkpoint."""
     lc = os.path.join(_log_dir(path), "_last_checkpoint")
     if not os.path.exists(lc):
         return None
     with open(lc, encoding="utf-8") as f:
         meta = json.loads(f.read().strip() or "{}")
-    if meta.get("parts") not in (None, 1):
-        raise NotImplementedError(
-            "multi-part checkpoints are not supported by delta_lite"
-        )
     v = meta.get("version")
-    if v is None or not os.path.exists(_checkpoint_file(path, v)):
+    parts = meta.get("parts")
+    if v is None:
         raise NotImplementedError(
-            "_last_checkpoint present but its single-part classic "
-            "checkpoint parquet is missing/unsupported — only a full Delta "
-            "reader can resume this table"
+            "_last_checkpoint present but carries no version — only a "
+            "full Delta reader can resume this table"
         )
-    return int(v)
+    v = int(v)
+    if parts in (None, 1) and os.path.exists(_checkpoint_file(path, v)):
+        return v
+    if parts and parts >= 1:
+        missing = [
+            p
+            for p in range(1, int(parts) + 1)
+            if not os.path.exists(
+                _checkpoint_part_file(path, v, p, int(parts))
+            )
+        ]
+        if not missing:
+            return v
+        raise NotImplementedError(
+            f"multi-part checkpoint v{v} is missing parts {missing} — "
+            "only a full Delta reader can resume this table"
+        )
+    raise NotImplementedError(
+        "_last_checkpoint present but its checkpoint parquet is "
+        "missing/unsupported — only a full Delta reader can resume "
+        "this table"
+    )
+
+
+def _checkpoint_files_of(path: str, version: int) -> list[str]:
+    """The parquet file(s) of the newest checkpoint at ``version`` —
+    one classic file, or every part of a multi-part checkpoint."""
+    single = _checkpoint_file(path, version)
+    if os.path.exists(single):
+        return [single]
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    with open(lc, encoding="utf-8") as f:
+        parts = int(json.loads(f.read().strip() or "{}").get("parts") or 1)
+    return [
+        _checkpoint_part_file(path, version, p, parts)
+        for p in range(1, parts + 1)
+    ]
 
 
 def _read_checkpoint(path: str, version: int) -> dict:
-    """State snapshot from a classic checkpoint parquet (driver-side
-    pyarrow read — the log is metadata-scale by design)."""
+    """State snapshot from a classic checkpoint parquet — single-part or
+    the union of every part (the spec: actions are split arbitrarily
+    across parts; union order is irrelevant because path keys are
+    disjoint). Driver-side pyarrow read — the log is metadata-scale by
+    design."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_checkpoint_file(path, version)).to_pylist()
+    tbl = [
+        row
+        for part in _checkpoint_files_of(path, version)
+        for row in pq.read_table(part).to_pylist()
+    ]
     files: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
     txns: dict[str, int] = {}
@@ -1581,8 +1632,9 @@ def checkpoint_delta(
     path: str,
     cleanup: bool = False,
     tombstone_retention_ms: int | None = None,
+    parts: int = 1,
 ) -> int:
-    """Write a classic single-part checkpoint of the CURRENT state
+    """Write a classic checkpoint of the CURRENT state
     (``V.checkpoint.parquet`` + ``_last_checkpoint``) — the spec's log
     compaction. At real commit rates the JSON replay grows linearly with
     table age; a checkpoint bounds every subsequent read to one parquet
@@ -1592,7 +1644,12 @@ def checkpoint_delta(
     With ``cleanup=True`` the JSON files at or below the checkpoint are
     deleted afterwards (the spec's log cleanup) — latest-state reads are
     unaffected, but time travel to a cleaned-up version correctly raises.
-    Returns the checkpointed version."""
+    ``parts > 1`` (r11) writes the spec's MULTI-PART checkpoint
+    (``V.checkpoint.{p:010d}.{N:010d}.parquet`` × N + ``parts`` in
+    ``_last_checkpoint``) — at millions of files a single checkpoint
+    parquet becomes the read bottleneck; parts let a reader fan the
+    state load out. Readers here accept both forms. Returns the
+    checkpointed version."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1735,13 +1792,35 @@ def checkpoint_delta(
         else:
             norm.append(r)
 
-    tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.cp.tmp")
-    pq.write_table(pa.Table.from_pylist(norm, schema=schema), tmp)
-    os.replace(tmp, _checkpoint_file(path, version))
+    n_parts = max(1, int(parts))
+    if n_parts == 1:
+        tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.cp.tmp")
+        pq.write_table(pa.Table.from_pylist(norm, schema=schema), tmp)
+        os.replace(tmp, _checkpoint_file(path, version))
+    else:
+        # the spec's multi-part checkpoint: actions split across N
+        # parquet parts (chunked contiguously — any split is legal; a
+        # reader unions all parts). Every part lands BEFORE
+        # _last_checkpoint flips, so a crash mid-write leaves the prior
+        # checkpoint authoritative.
+        chunk = -(-len(norm) // n_parts)  # ceil; empty parts are legal
+        for p in range(1, n_parts + 1):
+            part_rows = norm[(p - 1) * chunk: p * chunk]
+            tmp = os.path.join(
+                _log_dir(path), f".{uuid.uuid4().hex}.cp{p}.tmp"
+            )
+            pq.write_table(
+                pa.Table.from_pylist(part_rows, schema=schema), tmp
+            )
+            os.replace(
+                tmp, _checkpoint_part_file(path, version, p, n_parts)
+            )
     lc_tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.lc.tmp")
     with open(lc_tmp, "w", encoding="utf-8") as f:
         f.write(
-            json.dumps({"version": version, "size": len(norm), "parts": 1})
+            json.dumps(
+                {"version": version, "size": len(norm), "parts": n_parts}
+            )
             + "\n"
         )
     os.replace(lc_tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
