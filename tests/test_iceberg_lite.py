@@ -1379,3 +1379,131 @@ def test_nested_columns_roundtrip(spark, sf_dir, tmp_path):
             src, str(tmp_path / "p"), mode="append",
             partition_by=("info",),
         )
+
+
+def test_merge_on_read_position_deletes(spark, sf_dir, tmp_path):
+    """r11: the spec's MERGE-ON-READ position deletes — content=1
+    DELETE manifests over parquet (file_path, pos) files. A MOR delete
+    rewrites NO data file (O(matched rows) commit); readers apply the
+    deletes via broadcast anti-join; appends keep working and keep the
+    deletes applied; COW mutations are refused until
+    materialize_deletes folds them in, after which the delete manifests
+    are gone and the data files no longer hold the deleted rows."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        _live_delete_files,
+        _snapshot_by_id,
+        _snapshot_files,
+        delete_iceberg,
+        materialize_deletes,
+        merge_iceberg,
+        update_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    src = (
+        _orders(spark, sf_dir)
+        .select("o_orderkey", "o_totalprice")
+        .where("o_orderkey < 2000")
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_iceberg(src, path, mode="append")
+    meta0 = load_metadata(path)
+    files0 = {
+        f["file_path"]
+        for f in _snapshot_files(
+            meta0, _snapshot_by_id(meta0, meta0["current-snapshot-id"])
+        )
+    }
+
+    keys = sorted(
+        r["o_orderkey"]
+        for r in src.orderBy("o_orderkey").limit(3).collect()
+    )
+    res = delete_iceberg(
+        spark, path, f"o_orderkey <= {keys[-1]}",
+        strategy="merge-on-read",
+    )
+    assert res["deleted_rows"] == 3 and res["delete_files"] >= 1
+    meta1 = load_metadata(path)
+    # NO data file rewritten — the data file set is identical
+    files1 = {
+        f["file_path"]
+        for f in _snapshot_files(
+            meta1, _snapshot_by_id(meta1, meta1["current-snapshot-id"])
+        )
+    }
+    assert files1 == files0
+    assert len(_live_delete_files(meta1)) == 1
+    snap1 = _snapshot_by_id(meta1, meta1["current-snapshot-id"])
+    assert snap1["summary"]["mode"] == "merge-on-read-delete"
+    # reads apply the deletes
+    got = read_iceberg(spark, path)
+    assert got.count() == src.count() - 3
+    assert got.where(f"o_orderkey <= {keys[-1]}").count() == 0
+    # time travel BEFORE the delete still sees the rows
+    assert read_iceberg(
+        spark, path, snapshot_id=meta0["current-snapshot-id"]
+    ).count() == src.count()
+
+    # a second MOR delete doesn't double-count already-deleted positions
+    res2 = delete_iceberg(
+        spark, path, f"o_orderkey <= {keys[-1] + 0}",
+        strategy="merge-on-read",
+    )
+    assert res2["deleted_rows"] == 0
+
+    # appends keep working; the deletes stay applied
+    extra = src.limit(0)  # schema-matched empty + a real slice
+    write_iceberg(
+        src.where("o_orderkey < 2000").limit(5).unionByName(extra),
+        path, mode="append",
+    )
+    got = read_iceberg(spark, path)
+    assert got.count() == src.count() - 3 + 5
+
+    # COW mutations are refused while deletes are pending
+    with pytest.raises(ValueError, match="position-delete"):
+        delete_iceberg(spark, path, "o_orderkey > 0")
+    with pytest.raises(ValueError, match="position-delete"):
+        update_iceberg(
+            spark, path, "o_orderkey > 0", {"o_totalprice": "0.0"}
+        )
+    with pytest.raises(ValueError, match="position-delete"):
+        merge_iceberg(
+            spark, path,
+            src.limit(1), "o_orderkey",
+        )
+
+    # materialize: deletes fold into rewritten files, ONE commit
+    before = read_iceberg(spark, path)
+    before_rows = sorted(map(tuple, before.collect()))
+    m = materialize_deletes(spark, path)
+    assert m["removed_positions"] == 3 and m["rewritten_files"] >= 1
+    meta2 = load_metadata(path)
+    assert _live_delete_files(meta2) == []
+    after = read_iceberg(spark, path)
+    assert sorted(map(tuple, after.collect())) == before_rows
+    # and COW DML works again (the appended limit(5) slice may have
+    # duplicated the key, so only the no-raise contract is pinned)
+    res3 = delete_iceberg(spark, path, f"o_orderkey = {keys[-1] + 1}")
+    assert res3["deleted_rows"] >= 0
+    # idempotent materialize: no deletes -> no commit
+    n_snaps = len(load_metadata(path)["snapshots"])
+    m2 = materialize_deletes(spark, path)
+    assert m2["removed_positions"] == 0
+    assert len(load_metadata(path)["snapshots"]) == n_snaps
+
+    # maintenance safety: orphan cleanup never deletes live delete files
+    res = delete_iceberg(
+        spark, path, "o_orderkey >= 0 AND o_orderkey <= 100000000",
+        strategy="merge-on-read",
+    )
+    if res["deleted_rows"]:
+        from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            remove_orphan_files,
+        )
+
+        live = read_iceberg(spark, path).count()
+        remove_orphan_files(path)
+        assert read_iceberg(spark, path).count() == live

@@ -2349,3 +2349,80 @@ def delta_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "iceberg_lite_mor_delete",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    WITH mor AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey < 6000
+        AND NOT (o_orderkey >= 1000 AND o_orderkey < 1500)
+    ),
+    final AS (
+      SELECT * FROM mor WHERE o_orderkey NOT BETWEEN 2000 AND 2099
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM final
+    """,
+)
+def iceberg_lite_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ position deletes (r11): two successive MOR deletes
+    write content=1 DELETE manifests (parquet of ``file_path, pos``) —
+    NO data file is rewritten (asserted: the data file set is identical
+    across both deletes), readers apply the deletes via broadcast
+    anti-join, and after materialize_deletes the result is unchanged but
+    the delete manifests are gone. The oracle recomputes the double
+    complement; a position mis-applied, double-applied, or lost in the
+    materialize rewrite hash-fails. 100 TB: this is the O(matched rows)
+    delete a big table wants — the COW twin rewrites files, this commits
+    a sidecar."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        _snapshot_by_id,
+        _snapshot_files,
+        delete_iceberg,
+        load_metadata,
+        materialize_deletes,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_mor")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .where("o_orderkey < 6000")
+        .repartitionByRange(3, "o_orderkey")
+    )
+    write_iceberg(o, path, mode="append")
+
+    def _data_files():
+        m = load_metadata(path)
+        return {
+            f["file_path"]
+            for f in _snapshot_files(
+                m, _snapshot_by_id(m, m["current-snapshot-id"])
+            )
+        }
+
+    before = _data_files()
+    delete_iceberg(
+        spark, path, "o_orderkey >= 1000 AND o_orderkey < 1500",
+        strategy="merge-on-read",
+    )
+    delete_iceberg(
+        spark, path, "o_orderkey BETWEEN 2000 AND 2099",
+        strategy="merge-on-read",
+    )
+    assert _data_files() == before  # MOR: zero data files rewritten
+    materialize_deletes(spark, path)
+    back = read_iceberg(spark, path)
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )

@@ -55,10 +55,16 @@ catalog). Nested columns (struct/list/map, r11) round-trip with
 spec-shaped schema JSON and unique nested field ids; partitioning and
 manifest bounds stay primitive-only (nested columns carry no bounds —
 readers treat absence as may-match, per the spec). Schema evolution
-re-enumerates ids depth-first (same discipline as flat columns). Row-level deletes are
-COPY-ON-WRITE (:func:`delete_iceberg`, r11 — bounds-pruned file
-rewrite committed via ``replace_paths``); merge-on-read delete FILES
-(content=1/2 manifests) are not written or read. Readers that find a higher
+re-enumerates ids depth-first (same discipline as flat columns).
+Row-level deletes run BOTH ways (r11): COPY-ON-WRITE
+(:func:`delete_iceberg`, bounds-pruned file rewrite via
+``replace_paths``) and MERGE-ON-READ position deletes
+(``strategy="merge-on-read"`` — content=1 DELETE manifests over
+``(file_path, pos)`` parquet, O(matched rows) commits, readers apply
+them by broadcast anti-join, :func:`materialize_deletes` folds them
+back into the data files). Equality deletes (content=2) are not
+written or read; partial-overwrite commits refuse while position
+deletes are pending (they would resurrect rows). Readers that find a higher
 format-version or an unsupported spec raise. The Avro metadata
 carries the spec's fixed field-id attributes (ADVICE r9) but is
 primarily self-read: external-reader consumability is untested (no
@@ -1168,6 +1174,7 @@ def write_iceberg(
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
     summary_extra: dict | None = None,
+    _drop_deletes: bool = False,
 ) -> int:
     """Write ``df`` as an iceberg_lite snapshot; returns the snapshot id.
 
@@ -1269,6 +1276,7 @@ def write_iceberg(
         operation=operation,
         summary_extra=summary_extra,
         _commit_uuid=commit_uuid,
+        _drop_deletes=_drop_deletes,
     )
 
 
@@ -1285,6 +1293,7 @@ def commit_snapshot(
     operation: str | None = None,
     summary_extra: dict | None = None,
     _commit_uuid: str | None = None,
+    _drop_deletes: bool = False,
 ) -> int:
     """Commit PRE-STAGED parquet files (paths relative to ``<path>/data``,
     already in place) as one snapshot — the metadata-only half of
@@ -1401,6 +1410,29 @@ def commit_snapshot(
     snapshot_id = int.from_bytes(os.urandom(7), "big")
     schema = _current_schema(meta)
 
+    # a partial-overwrite commit (replace_partitions / replace_paths)
+    # built without awareness of LIVE position-delete files would
+    # silently RESURRECT deleted rows: its carried EXISTING entries lose
+    # their deletes when the fresh manifest list drops the delete
+    # manifests. Refuse unless the caller is materialize_deletes, which
+    # consumes them deliberately (r11, merge-on-read). A FULL overwrite
+    # replaces every row, so dropping the delete files with the data
+    # they applied to is exactly right — no guard needed; appends reuse
+    # the prior manifest list wholesale, delete manifests included.
+    if (
+        mode == "overwrite"
+        and (replace_partitions is not None or replace_paths is not None)
+        and not _drop_deletes
+        and meta["current-snapshot-id"] != -1
+        and _live_delete_files(meta)
+    ):
+        raise ValueError(
+            "table has live position-delete files; run "
+            "materialize_deletes() before partial-overwrite commits "
+            "(replace_partitions/replace_paths/COW DML) — full "
+            "overwrites and appends are always fine"
+        )
+
     # ---- the new manifest ----
     entry_schema = _manifest_entry_schema(meta)
     entries = []
@@ -1413,6 +1445,8 @@ def commit_snapshot(
         cur_snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
         _, prior_ms = avro_lite.read_container(cur_snap["manifest-list"])
         for m in prior_ms:
+            if m.get("content", 0) != 0:
+                continue  # delete manifests are never carried as data
             _, prior_entries = avro_lite.read_container(
                 m["manifest_path"]
             )
@@ -1437,6 +1471,8 @@ def commit_snapshot(
         cur_snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
         _, prior_ms = avro_lite.read_container(cur_snap["manifest-list"])
         for m in prior_ms:
+            if m.get("content", 0) != 0:
+                continue  # delete manifests are never carried as data
             _, prior_entries = avro_lite.read_container(
                 m["manifest_path"]
             )
@@ -1599,6 +1635,145 @@ def commit_snapshot(
     return snapshot_id
 
 
+def _commit_delete_files(
+    path: str,
+    delete_rels: list[str],
+    commit_timestamp_ms: int | None = None,
+    summary_extra: dict | None = None,
+) -> int:
+    """Commit PRE-STAGED position-delete parquet files (relative to
+    ``<path>/data``; each holds ``(file_path string, pos long)`` rows)
+    as ONE merge-on-read DELETE snapshot (r11): a new content=1 DELETE
+    manifest is appended to the current snapshot's manifest list — every
+    prior manifest (data and delete) reused verbatim, so the commit is
+    O(delete files) like an append. Summary mode is
+    ``merge-on-read-delete`` (NOT ``append``): incremental append scans
+    and the streaming source correctly treat it as a non-append."""
+    import pyarrow.parquet as pq
+
+    meta = load_metadata(path)
+    if meta["current-snapshot-id"] == -1:
+        raise FileNotFoundError(
+            f"cannot delete from an empty table: {path}"
+        )
+    cur_v = _current_version(path)
+    meta = json.loads(json.dumps(meta))  # deep copy
+    new_version = (cur_v or 0) + 1
+    now_ms = (
+        int(commit_timestamp_ms)
+        if commit_timestamp_ms is not None
+        else int(time.time() * 1000)
+    )
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = int.from_bytes(os.urandom(7), "big")
+    schema = _current_schema(meta)
+    descriptors = [
+        _transform_of_spec_field(pf, schema)
+        for pf in _current_spec(meta)["fields"]
+    ]
+    data_root = os.path.join(path, "data")
+    commit_uuid = uuid.uuid4().hex
+    entries = []
+    total_rows = 0
+    for rel in delete_rels:
+        full = os.path.join(data_root, rel)
+        nrows = pq.ParquetFile(full).metadata.num_rows
+        total_rows += nrows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    # path-position deletes are partition-unscoped; the
+                    # entry's partition struct stays all-null
+                    "partition": {d["name"]: None for d in descriptors},
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "null_value_counts": None,
+                },
+            }
+        )
+    md_dir = _metadata_dir(path)
+    manifest_path = os.path.join(md_dir, f"{commit_uuid}-d0.avro")
+    avro_lite.write_container(
+        manifest_path,
+        _manifest_entry_schema(meta),
+        entries,
+        extra_meta={
+            "schema": json.dumps(schema).encode(),
+            "partition-spec": json.dumps(
+                _current_spec(meta)["fields"]
+            ).encode(),
+            "partition-spec-id": str(meta["default-spec-id"]).encode(),
+            "format-version": b"2",
+            "content": b"deletes",
+        },
+    )
+    delete_manifest_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": meta["default-spec-id"],
+        "content": 1,  # DELETES manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    cur_snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
+    _, prior_manifests = avro_lite.read_container(
+        cur_snap["manifest-list"]
+    )
+    manifest_list_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    avro_lite.write_container(
+        manifest_list_path,
+        _MANIFEST_FILE_SCHEMA,
+        prior_manifests + [delete_manifest_rec],
+        extra_meta={
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "format-version": b"2",
+        },
+    )
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "DELETE",
+                "mode": "merge-on-read-delete",
+                "deleted-records": str(total_rows),
+                **(summary_extra or {}),
+            },
+            "manifest-list": manifest_list_path,
+            "schema-id": meta["current-schema-id"],
+        }
+    )
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"].append(
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    )
+    _commit_metadata(path, new_version, meta)
+    return snapshot_id
+
+
 def _snapshot_by_id(meta: dict, snapshot_id: int) -> dict:
     for s in meta["snapshots"]:
         if s["snapshot-id"] == snapshot_id:
@@ -1659,15 +1834,45 @@ def _snapshot_is_append(meta: dict, snap: dict) -> bool:
 
 
 def _snapshot_files(meta: dict, snap: dict) -> list[dict]:
-    """Non-deleted data_file records of a snapshot (manifest replay)."""
+    """Non-deleted data_file records of a snapshot (manifest replay).
+    DATA manifests only (content=0) — position-delete files live in
+    content=1 manifests and are served by
+    :func:`_snapshot_delete_files`."""
     _, manifests = avro_lite.read_container(snap["manifest-list"])
     files: list[dict] = []
     for m in manifests:
+        if m.get("content", 0) != 0:
+            continue  # delete manifest: not data
         _, entries = avro_lite.read_container(m["manifest_path"])
         for e in entries:
             if e["status"] != 2:  # 2 = DELETED
                 files.append(e["data_file"])
     return files
+
+
+def _snapshot_delete_files(meta: dict, snap: dict) -> list[dict]:
+    """POSITION-DELETE file records of a snapshot — the spec's content=1
+    manifests (r11, merge-on-read deletes). Each parquet holds
+    ``(file_path string, pos long)`` rows naming deleted positions."""
+    _, manifests = avro_lite.read_container(snap["manifest-list"])
+    files: list[dict] = []
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
+        _, entries = avro_lite.read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] != 2:
+                files.append(e["data_file"])
+    return files
+
+
+def _live_delete_files(meta: dict) -> list[dict]:
+    """Delete files of the CURRENT snapshot ([] for empty tables)."""
+    if meta["current-snapshot-id"] == -1:
+        return []
+    return _snapshot_delete_files(
+        meta, _snapshot_by_id(meta, meta["current-snapshot-id"])
+    )
 
 
 def _df_may_match(
@@ -1820,12 +2025,44 @@ def read_iceberg(
                     f"partition mismatch for {rel}: manifest says "
                     f"{want!r}, path says {got!r}"
                 )
+    delete_files = _snapshot_delete_files(meta, snap)
     df = (
         spark.read.schema(schema)
         .option("basePath", data_root)
         .parquet(*paths)
     )
-    if any(d["transform"] != "identity" for d in descriptors):
+    if delete_files:
+        # merge-on-read position deletes (r11): anti-join the selected
+        # rows against the delete files' (file_path, pos) sets. Both
+        # sides of the key come from Spark's _metadata columns, so the
+        # path spelling agrees by construction. The delete set is
+        # metadata-scale relative to the data (that's the point of MOR)
+        # — broadcast it so the data side never shuffles.
+        from pyspark.sql import functions as F
+
+        dels = F.broadcast(
+            spark.read.parquet(
+                *sorted(f["file_path"] for f in delete_files)
+            ).select("file_path", "pos")
+        )
+        df = (
+            df.withColumns(
+                {
+                    "__ice_fp": F.col("_metadata.file_path"),
+                    "__ice_pos": F.col("_metadata.row_index"),
+                }
+            )
+            .join(
+                dels,
+                (F.col("__ice_fp") == dels["file_path"])
+                & (F.col("__ice_pos") == dels["pos"]),
+                "left_anti",
+            )
+            .drop("__ice_fp", "__ice_pos")
+        )
+    if delete_files or any(
+        d["transform"] != "identity" for d in descriptors
+    ):
         # partition discovery appends the derived path columns
         # (col_day=...) to the explicit schema; the table schema holds
         # only source columns, so project them back out
@@ -1838,6 +2075,7 @@ def delete_iceberg(
     path: str,
     where: str,
     commit_timestamp_ms: int | None = None,
+    strategy: str = "copy-on-write",
 ) -> dict:
     """``DELETE FROM <table> WHERE <predicate>`` — copy-on-write
     row-level delete, committed as ONE snapshot (r10 verdict item 1; the
@@ -1863,18 +2101,36 @@ def delete_iceberg(
     (one to count matches — the same findTouchedFiles scan the Spark COW
     path runs — one to rewrite), plus a metadata-scale manifest rewrite.
     At 100 TB with clustered layout the candidates are a handful of
-    files, not the table."""
+    files, not the table.
+
+    ``strategy="merge-on-read"`` (r11) instead writes the spec's
+    POSITION-DELETE files (content=1 manifests; parquet of
+    ``(file_path, pos)``): no data file is rewritten — the commit is
+    O(matched rows), the shape a 100 TB table wants for small deletes.
+    Readers apply the deletes via a broadcast anti-join; COW mutations
+    are refused while deletes are pending until
+    :func:`materialize_deletes` folds them in. Returns
+    ``{"snapshot_id", "deleted_rows", "delete_files"}``."""
     from pyspark.sql import functions as F
 
     from tscd_datalake_adapter_spark.sources.delta_lite import (
         _parse_conjuncts,
     )
 
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
     meta = load_metadata(path)
     if meta["current-snapshot-id"] == -1:
         return {
             "snapshot_id": None, "deleted_rows": 0, "rewritten_files": 0,
         }
+    live_deletes = _live_delete_files(meta)
+    if strategy == "copy-on-write" and live_deletes:
+        raise ValueError(
+            "table has live position-delete files; run "
+            "materialize_deletes() first (or keep using "
+            "strategy='merge-on-read')"
+        )
     snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
     files = _snapshot_files(meta, snap)
     descriptors = [
@@ -1905,10 +2161,54 @@ def delete_iceberg(
         spark.read.schema(schema)
         .option("basePath", data_root)
         .parquet(*paths)
-        .select(*[f.name for f in schema.fields])
     )
     # NULL predicate keeps the row: DELETE removes only proven-TRUE rows
     match = F.coalesce(F.expr(where), F.lit(False))
+
+    if strategy == "merge-on-read":
+        matched = df.where(match).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        if live_deletes:
+            # positions already deleted must not double-count (and the
+            # predicate may re-match them): subtract the live delete set
+            prior = F.broadcast(
+                spark.read.parquet(
+                    *sorted(f["file_path"] for f in live_deletes)
+                ).select("file_path", "pos")
+            )
+            matched = matched.join(
+                prior, ["file_path", "pos"], "left_anti"
+            )
+        deleted = matched.count()
+        if deleted == 0:
+            return {
+                "snapshot_id": snap["snapshot-id"],
+                "deleted_rows": 0,
+                "delete_files": 0,
+            }
+        # the spec's sort order for position deletes: file_path, pos
+        commit_uuid = uuid.uuid4().hex
+        rels = _write_data_files(
+            matched.repartition(1).sortWithinPartitions(
+                "file_path", "pos"
+            ),
+            data_root,
+            (),
+            commit_uuid,
+            None,
+        )
+        snapshot_id = _commit_delete_files(
+            path, rels, commit_timestamp_ms=commit_timestamp_ms
+        )
+        return {
+            "snapshot_id": snapshot_id,
+            "deleted_rows": deleted,
+            "delete_files": len(rels),
+        }
+
+    df = df.select(*[f.name for f in schema.fields])
     deleted = df.where(match).count()
     if deleted == 0:
         return {
@@ -1929,6 +2229,102 @@ def delete_iceberg(
         "snapshot_id": snapshot_id,
         "deleted_rows": deleted,
         "rewritten_files": len(paths),
+    }
+
+
+def materialize_deletes(
+    spark: SparkSession,
+    path: str,
+    commit_timestamp_ms: int | None = None,
+) -> dict:
+    """Fold pending merge-on-read position deletes into the data files
+    (the spec's rewrite-data-files maintenance, r11): every data file
+    named by a live delete file is rewritten WITHOUT its deleted
+    positions, the untouched files carry as EXISTING entries, and the
+    delete manifests are dropped — ONE atomic commit, after which COW
+    mutations are allowed again. No-op (no commit) when no deletes are
+    pending. Returns ``{"snapshot_id", "rewritten_files",
+    "removed_positions"}``.
+
+    Scale shape: only files WITH pending deletes are read and rewritten
+    (discovered from the delete files' distinct file_path set —
+    metadata-scale); the anti-join is broadcast on the delete set."""
+    from pyspark.sql import functions as F
+
+    meta = load_metadata(path)
+    dels = _live_delete_files(meta)
+    cur = meta["current-snapshot-id"]
+    if not dels:
+        return {
+            "snapshot_id": None if cur == -1 else cur,
+            "rewritten_files": 0,
+            "removed_positions": 0,
+        }
+    snap = _snapshot_by_id(meta, cur)
+    files = _snapshot_files(meta, snap)
+    del_df = F.broadcast(
+        spark.read.parquet(
+            *sorted(f["file_path"] for f in dels)
+        ).select("file_path", "pos")
+    )
+    # distinct files with pending deletes: bounded by the delete set
+    affected_uris = {
+        r["file_path"]
+        for r in del_df.select("file_path").distinct().collect()
+    }
+
+    def _uri_path(u: str) -> str:
+        return u.split(":", 1)[1] if u.startswith("file:") else u
+
+    affected_posix = {_uri_path(u) for u in affected_uris}
+    affected = sorted(
+        f["file_path"]
+        for f in files
+        if f["file_path"] in affected_posix
+        or f["file_path"] in affected_uris
+    )
+    if not affected:
+        raise ValueError(
+            "live delete files name no live data file — the delete set "
+            "is stale (was the table rewritten around the guard?)"
+        )
+    schema = _spark_schema_of(meta)
+    data_root = os.path.join(path, "data")
+    df = (
+        spark.read.schema(schema)
+        .option("basePath", data_root)
+        .parquet(*affected)
+    )
+    kept = (
+        df.withColumns(
+            {
+                "__ice_fp": F.col("_metadata.file_path"),
+                "__ice_pos": F.col("_metadata.row_index"),
+            }
+        )
+        .join(
+            del_df,
+            (F.col("__ice_fp") == del_df["file_path"])
+            & (F.col("__ice_pos") == del_df["pos"]),
+            "left_anti",
+        )
+        .select(*[f.name for f in schema.fields])
+    )
+    removed = sum(int(f["record_count"]) for f in dels)
+    snapshot_id = write_iceberg(
+        kept,
+        path,
+        mode="overwrite",
+        replace_paths=affected,
+        operation="REWRITE",
+        summary_extra={"removed-position-deletes": str(removed)},
+        commit_timestamp_ms=commit_timestamp_ms,
+        _drop_deletes=True,
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "rewritten_files": len(affected),
+        "removed_positions": removed,
     }
 
 
@@ -1959,6 +2355,11 @@ def merge_iceberg(
     meta = load_metadata(path)
     if meta["current-snapshot-id"] == -1:
         raise FileNotFoundError(f"not an iceberg_lite table yet: {path}")
+    if _live_delete_files(meta):
+        raise ValueError(
+            "table has live position-delete files; run "
+            "materialize_deletes() before MERGE"
+        )
     snap = _snapshot_by_id(meta, meta["current-snapshot-id"])
     files = _snapshot_files(meta, snap)
     rng = updates.agg(
@@ -2051,6 +2452,11 @@ def update_iceberg(
         return {
             "snapshot_id": None, "updated_rows": 0, "rewritten_files": 0,
         }
+    if _live_delete_files(meta):
+        raise ValueError(
+            "table has live position-delete files; run "
+            "materialize_deletes() before UPDATE"
+        )
     descriptors = [
         _transform_of_spec_field(pf, _current_schema(meta))
         for pf in _current_spec(meta)["fields"]
@@ -2328,6 +2734,9 @@ def remove_orphan_files(path: str) -> list[str]:
         referenced.update(
             f["file_path"] for f in _snapshot_files(meta, s)
         )
+        referenced.update(
+            f["file_path"] for f in _snapshot_delete_files(meta, s)
+        )
     data_root = os.path.join(path, "data")
     deleted: list[str] = []
     for root, dirs, files in os.walk(data_root):
@@ -2374,6 +2783,9 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
         keep_files.update(
             f["file_path"] for f in _snapshot_files(meta, s)
         )
+        keep_files.update(
+            f["file_path"] for f in _snapshot_delete_files(meta, s)
+        )
     # collect BEFORE deleting anything: expired snapshots can share
     # manifests with each other (append reuses manifests), so reads must
     # all happen against the intact tree
@@ -2387,6 +2799,9 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
             expired_avro.add(m["manifest_path"])
         expired_files.update(
             f["file_path"] for f in _snapshot_files(meta, s)
+        )
+        expired_files.update(
+            f["file_path"] for f in _snapshot_delete_files(meta, s)
         )
     deleted: list[str] = []
     for p in sorted(expired_files - keep_files):
