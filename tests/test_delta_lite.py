@@ -1423,3 +1423,58 @@ def test_multi_part_checkpoint_roundtrip(spark, sf_dir, tmp_path):
     os.unlink(part_files[1])
     with pytest.raises(NotImplementedError, match="missing parts"):
         _replay(path, None)
+
+
+def test_restore_delta_to_version(spark, sf_dir, tmp_path):
+    """r11: RESTORE TABLE TO VERSION — a metadata-only commit re-adding
+    since-removed files and tombstoning since-added ones; history is
+    preserved (the restore is itself a commit), schema drift restores
+    too, and restoring past a vacuum fails loudly."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        restore_delta,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.where("o_orderkey < 500"), path, mode="append")  # v0
+    write_delta(
+        src.where("o_orderkey >= 500 AND o_orderkey < 900"),
+        path, mode="append",
+    )  # v1
+    v1_rows = sorted(map(tuple, read_delta(spark, path).collect()))
+    # v2: schema-evolving overwrite (column renamed)
+    write_delta(
+        src.where("o_orderkey < 200")
+        .withColumnRenamed("o_totalprice", "price"),
+        path, mode="overwrite",
+    )
+    assert "price" in read_delta(spark, path).columns
+
+    res = restore_delta(path, 1)
+    assert res["version"] == 3
+    assert res["readded_files"] > 0 and res["removed_files"] > 0
+    got = read_delta(spark, path)
+    assert "o_totalprice" in got.columns  # schema restored
+    assert sorted(map(tuple, got.collect())) == v1_rows
+    hist = table_history(path)
+    assert hist[-1]["operation"] == "RESTORE"
+    # history preserved: v2 still travels
+    assert "price" in read_delta(spark, path, version=2).columns
+    # restore to current = no-op
+    assert restore_delta(path, 3) == {
+        "version": 3, "readded_files": 0, "removed_files": 0,
+    }
+    # appends continue on the restored state
+    write_delta(
+        src.where("o_orderkey >= 900 AND o_orderkey < 1100"),
+        path, mode="append",
+    )
+    assert read_delta(spark, path).count() == src.where(
+        "o_orderkey < 1100"
+    ).count()
+
+    # a vacuumed version cannot be restored: its files are gone
+    vacuum_delta(path, retain_versions=1)
+    with pytest.raises(ValueError, match="physically removed"):
+        restore_delta(path, 2)

@@ -1507,3 +1507,56 @@ def test_merge_on_read_position_deletes(spark, sf_dir, tmp_path):
         live = read_iceberg(spark, path).count()
         remove_orphan_files(path)
         assert read_iceberg(spark, path).count() == live
+
+
+def test_rollback_iceberg_and_expiry_keeps_current(spark, sf_dir, tmp_path):
+    """r11: rollback_to_snapshot moves the current pointer back as a
+    metadata-only commit; reads serve the old snapshot, appends build on
+    it, re-roll-forward works, and expire_snapshots always retains the
+    CURRENT snapshot even when it is not the newest."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        rollback_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    s1 = write_iceberg(src.where("o_orderkey < 300"), path, mode="append")
+    s2 = write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 700"),
+        path, mode="append",
+    )
+    n1 = src.where("o_orderkey < 300").count()
+
+    rollback_iceberg(path, s1)
+    assert read_iceberg(spark, path).count() == n1
+    meta = load_metadata(path)
+    assert meta["current-snapshot-id"] == s1
+    # abandoned snapshot retained: roll forward is possible
+    assert {s["snapshot_id"] for s in snapshots(path)} == {s1, s2}
+    rollback_iceberg(path, s2)
+    assert read_iceberg(spark, path).count() == src.where(
+        "o_orderkey < 700"
+    ).count()
+
+    # roll back again, then EXPIRE: the current (older) snapshot and its
+    # files must survive — keep_last counts the NEWEST snapshots, and
+    # the current pointer is additionally always retained (without the
+    # guard, expiry would delete the live table out from under readers)
+    rollback_iceberg(path, s1)
+    expire_snapshots(path, keep_last=1)
+    assert read_iceberg(spark, path).count() == n1
+    ids = [s["snapshot_id"] for s in snapshots(path)]
+    assert s1 in ids
+    assert load_metadata(path)["current-snapshot-id"] == s1
+    # a later append builds on the rolled-back current state
+    write_iceberg(
+        src.where("o_orderkey >= 700 AND o_orderkey < 800"),
+        path, mode="append",
+    )
+    assert read_iceberg(spark, path).count() == n1 + src.where(
+        "o_orderkey >= 700 AND o_orderkey < 800"
+    ).count()
+
+    # unknown snapshot refuses
+    with pytest.raises(ValueError, match="not found"):
+        rollback_iceberg(path, 12345)

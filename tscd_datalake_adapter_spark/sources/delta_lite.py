@@ -1412,6 +1412,102 @@ def delete_delta(
     }
 
 
+def restore_delta(
+    path: str,
+    to_version: int,
+    commit_timestamp_ms: int | None = None,
+) -> dict:
+    """``RESTORE TABLE ... TO VERSION AS OF v`` — commit a NEW version
+    whose state equals version ``to_version`` (r11): files present then
+    but since removed are RE-ADDED (their original add actions, stats
+    intact), files added since are tombstoned, and a drifted schema is
+    restored with a fresh metaData action. History is preserved — a
+    restore is itself a commit (operation RESTORE), so it can be
+    time-traveled past or restored away from again; nothing is deleted.
+
+    Metadata-only and O(changed files): no data is read or written.
+    Re-added files must still exist on disk — a file already reclaimed
+    by :func:`vacuum_delta` fails the restore loudly (the connector's
+    behavior). Restoring to the current version is a no-op (no commit).
+
+    Returns ``{"version", "readded_files", "removed_files"}``."""
+    now_state = _replay(path, None)
+    cur_v = now_state["version"]
+    if to_version == cur_v:
+        return {
+            "version": cur_v, "readded_files": 0, "removed_files": 0,
+        }
+    old_state = _replay(path, to_version)  # raises if cleaned up
+    readds = [
+        rel for rel in old_state["files"] if rel not in now_state["files"]
+    ]
+    missing = [
+        rel
+        for rel in readds
+        if not os.path.exists(os.path.join(path, rel))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE to version {to_version}: data files "
+            f"{missing} were physically removed (vacuum past the "
+            "retention horizon)"
+        )
+    removes = [
+        rel for rel in now_state["files"] if rel not in old_state["files"]
+    ]
+    req_ms = (
+        int(commit_timestamp_ms)
+        if commit_timestamp_ms is not None
+        else int(time.time() * 1000)
+    )
+    prev = _prev_commit_timestamp(path, cur_v)
+    ts_ms = req_ms if prev is None else max(req_ms, prev + 1)
+    actions: list[dict] = []
+    if _schema_fingerprint(
+        _logged_schema(old_state["metadata"])
+    ) != _schema_fingerprint(_logged_schema(now_state["metadata"])):
+        actions.append({"metaData": old_state["metadata"]})
+    for rel in sorted(readds):
+        actions.append(
+            {"add": {**old_state["files"][rel], "dataChange": True}}
+        )
+    for rel in sorted(removes):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts_ms,
+                    "dataChange": True,
+                    "partitionValues": now_state["files"][rel].get(
+                        "partitionValues", {}
+                    ),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": req_ms,
+                "inCommitTimestamp": ts_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": int(to_version)},
+                "engineInfo": "delta_lite/0.2",
+            }
+        }
+    )
+    try:
+        _commit(path, cur_v + 1, actions)
+    except FileExistsError as exc:
+        raise ConcurrentWriteError(
+            f"RESTORE lost the commit race at version {cur_v + 1}"
+        ) from exc
+    return {
+        "version": cur_v + 1,
+        "readded_files": len(readds),
+        "removed_files": len(removes),
+    }
+
+
 def update_delta(
     spark: SparkSession,
     path: str,

@@ -2760,6 +2760,41 @@ def remove_orphan_files(path: str) -> list[str]:
     return sorted(deleted)
 
 
+def rollback_iceberg(
+    path: str,
+    snapshot_id: int,
+    commit_timestamp_ms: int | None = None,
+) -> int:
+    """The spec's ``rollback_to_snapshot`` maintenance (r11): move the
+    CURRENT-snapshot pointer back to a retained snapshot as a new
+    metadata version — purely metadata, nothing rewritten or deleted.
+    The abandoned snapshots stay in the snapshot list (re-roll-forward
+    is possible) until :func:`expire_snapshots`, which always retains
+    the current snapshot regardless of age. The snapshot-log records the
+    rollback, so timestamp travel after it resolves correctly. Returns
+    the new metadata version. Rolling back to the current snapshot is a
+    no-op (no commit)."""
+    meta = load_metadata(path)
+    _snapshot_by_id(meta, snapshot_id)  # raises if expired/unknown
+    cur_v = _current_version(path)
+    if meta["current-snapshot-id"] == snapshot_id:
+        return cur_v
+    now_ms = (
+        int(commit_timestamp_ms)
+        if commit_timestamp_ms is not None
+        else int(time.time() * 1000)
+    )
+    meta = json.loads(json.dumps(meta))
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"].append(
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    )
+    new_version = (cur_v or 0) + 1
+    _commit_metadata(path, new_version, meta)
+    return new_version
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Expire all but the newest ``keep_last`` snapshots: commit a new
     metadata version without them, delete their manifest lists/manifests,
@@ -2771,8 +2806,17 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     snaps = meta["snapshots"]
     if len(snaps) <= keep_last:
         return []
-    keep = snaps[-max(keep_last, 1):]
-    expired = snaps[: len(snaps) - len(keep)]
+    keep_ids = {
+        s["snapshot-id"] for s in snaps[-max(keep_last, 1):]
+    }
+    # the CURRENT snapshot is always retained, even when a rollback
+    # moved the pointer to an old one — expiring the snapshot readers
+    # are on would delete the live table out from under them (r11)
+    keep_ids.add(meta["current-snapshot-id"])
+    keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return []
     keep_files: set[str] = set()
     keep_avro: set[str] = set()
     for s in keep:
