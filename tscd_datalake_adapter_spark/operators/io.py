@@ -2426,3 +2426,95 @@ def iceberg_lite_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("o_totalprice").alias("total"),
         F.min("o_orderkey").cast("long").alias("min_key"),
     )
+
+
+@register(
+    "delta_lite_restore",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey < 900
+    """,
+)
+def delta_lite_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (r11): two appends build version 1, an
+    overwrite discards most of it at version 2, RESTORE brings version
+    1's exact state back as version 3 — metadata-only, the since-
+    removed files re-added, the overwrite's files tombstoned. The
+    oracle recomputes version 1's content; a restore that missed a
+    file, resurrected the overwrite, or dropped stats hash-fails."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        read_delta,
+        restore_delta,
+        table_history,
+        write_delta,
+    )
+
+    path = _tmp("delta_restore")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_delta(o.where("o_orderkey < 500"), path, mode="append")
+    write_delta(
+        o.where("o_orderkey >= 500 AND o_orderkey < 900"),
+        path, mode="append",
+    )
+    write_delta(o.where("o_orderkey < 10"), path, mode="overwrite")
+    res = restore_delta(path, 1)
+    assert res["version"] == 3 and res["readded_files"] > 0
+    assert table_history(path)[-1]["operation"] == "RESTORE"
+    back = read_delta(spark, path)
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+@register(
+    "iceberg_lite_rollback",
+    tags=("io", "lakehouse"),
+    defer=True,
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {oracle_dec_sum('o_totalprice')} AS total,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey < 500 OR
+         (o_orderkey >= 900 AND o_orderkey < 1200)
+    """,
+)
+def iceberg_lite_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollback_to_snapshot (r11): append s1, append s2, roll back to
+    s1 (metadata-only pointer move), then append AGAIN — the new append
+    must build on the rolled-back state, so s2's rows never reappear.
+    The oracle recomputes s1 + the post-rollback append; a rollback
+    that left s2's manifests in the current snapshot hash-fails."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        read_iceberg,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    path = _tmp("iceberg_rollback")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    s1 = write_iceberg(o.where("o_orderkey < 500"), path, mode="append")
+    write_iceberg(
+        o.where("o_orderkey >= 500 AND o_orderkey < 900"),
+        path, mode="append",
+    )
+    rollback_iceberg(path, s1)
+    write_iceberg(
+        o.where("o_orderkey >= 900 AND o_orderkey < 1200"),
+        path, mode="append",
+    )
+    back = read_iceberg(spark, path)
+    return back.agg(
+        F.count("*").cast("long").alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
