@@ -2202,7 +2202,7 @@ def iceberg_lite_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     updated AS (
       SELECT o_orderkey,
-             CASE WHEN o_orderkey BETWEEN 2000 AND 2999 THEN p + 10
+             CASE WHEN o_orderkey BETWEEN 600 AND 699 THEN p + 10
                   ELSE p END AS p
       FROM merged
     ),
@@ -2257,7 +2257,7 @@ def iceberg_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_iceberg(spark, path, updates, "o_orderkey")
     update_iceberg(
-        spark, path, "o_orderkey BETWEEN 2000 AND 2999",
+        spark, path, "o_orderkey BETWEEN 600 AND 699",
         {"o_totalprice": "o_totalprice + 10"},
     )
     delete_iceberg(spark, path, "o_orderkey < 500")
@@ -2284,7 +2284,7 @@ def iceberg_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     updated AS (
       SELECT o_orderkey,
-             CASE WHEN o_orderkey BETWEEN 2000 AND 2999 THEN p + 10
+             CASE WHEN o_orderkey BETWEEN 600 AND 699 THEN p + 10
                   ELSE p END AS p
       FROM merged
     ),
@@ -2335,7 +2335,7 @@ def delta_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_delta(spark, path, updates, "o_orderkey")
     update_delta(
-        spark, path, "o_orderkey BETWEEN 2000 AND 2999",
+        spark, path, "o_orderkey BETWEEN 600 AND 699",
         {"o_totalprice": "o_totalprice + 10"},
     )
     delete_delta(spark, path, "o_orderkey < 500")
