@@ -1478,3 +1478,25 @@ def test_restore_delta_to_version(spark, sf_dir, tmp_path):
     vacuum_delta(path, retain_versions=1)
     with pytest.raises(ValueError, match="physically removed"):
         restore_delta(path, 2)
+
+
+def test_restore_delta_to_timestamp(spark, sf_dir, tmp_path):
+    """r11: timestamp-based RESTORE resolves through inCommitTimestamp
+    and restores the version current at the cutoff."""
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        restore_delta_to_timestamp,
+    )
+
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir)
+    write_delta(src.where("o_orderkey < 400"), path, mode="append",
+                commit_timestamp_ms=1_000)
+    write_delta(src.where("o_orderkey < 10"), path, mode="overwrite",
+                commit_timestamp_ms=2_000)
+    res = restore_delta_to_timestamp(path, 1_500)
+    assert res["version"] == 2
+    assert read_delta(spark, path).count() == src.where(
+        "o_orderkey < 400"
+    ).count()
+    with pytest.raises(ValueError, match="did not exist"):
+        restore_delta_to_timestamp(path, 500)

@@ -326,3 +326,62 @@ def test_iceberglite_stream_fails_on_mid_stream_schema_evolution(
     q.stop()
     got = spark.read.parquet(out_dir)
     assert got.count() == src.where("o_orderkey < 300").count()
+
+
+def test_iceberglite_stream_vs_mor_delete(spark, sf_dir, tmp_path):
+    """r11 interplay pin: a MERGE-ON-READ delete snapshot in range is a
+    NON-append (summary mode merge-on-read-delete) — the unfiltered
+    stream fails loudly on it; skip_non_append keeps the append-only
+    feed flowing (already-streamed rows stay streamed; the delete is a
+    downstream concern, documented MOR semantics for append feeds)."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        delete_iceberg,
+    )
+
+    _register(spark)
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    src = _orders(spark, sf_dir)
+    write_iceberg(src.where("o_orderkey < 300"), path, mode="append")
+    delete_iceberg(
+        spark, path, "o_orderkey < 50", strategy="merge-on-read"
+    )
+    write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 600"),
+        path, mode="append",
+    )
+
+    q = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("noop")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="il_ckpt_mor_")
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    with pytest.raises(Exception, match="not an append"):
+        q.processAllAvailable()
+        q.awaitTermination(5)
+    q.stop()
+
+    q2 = (
+        spark.readStream.format("iceberglite")
+        .option("path", path)
+        .option("skip_non_append", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="il_ckpt_mor2_"),
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(out_dir)
+    # append-only feed semantics: both append snapshots' FULL row sets
+    # flow (the MOR delete is table-read semantics, not feed semantics)
+    assert got.count() == src.where("o_orderkey < 600").count()

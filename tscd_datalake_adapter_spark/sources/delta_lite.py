@@ -1433,6 +1433,8 @@ def restore_delta(
     Returns ``{"version", "readded_files", "removed_files"}``."""
     now_state = _replay(path, None)
     cur_v = now_state["version"]
+    if to_version < 0:
+        raise ValueError(f"invalid version {to_version}")
     if to_version == cur_v:
         return {
             "version": cur_v, "readded_files": 0, "removed_files": 0,
@@ -1506,6 +1508,24 @@ def restore_delta(
         "readded_files": len(readds),
         "removed_files": len(removes),
     }
+
+
+def restore_delta_to_timestamp(
+    path: str,
+    timestamp_ms: int,
+    commit_timestamp_ms: int | None = None,
+) -> dict:
+    """``RESTORE TABLE ... TO TIMESTAMP AS OF t`` — resolve the version
+    current at ``timestamp_ms`` through the monotonic inCommitTimestamp
+    (:func:`version_as_of`) and delegate to :func:`restore_delta`.
+    Raises when the cutoff predates the table."""
+    v = version_as_of(path, timestamp_ms)
+    if v is None:
+        raise ValueError(
+            f"no version at or before timestamp {timestamp_ms} — the "
+            "table did not exist yet"
+        )
+    return restore_delta(path, v, commit_timestamp_ms=commit_timestamp_ms)
 
 
 def update_delta(
