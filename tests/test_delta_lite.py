@@ -1500,3 +1500,39 @@ def test_restore_delta_to_timestamp(spark, sf_dir, tmp_path):
     ).count()
     with pytest.raises(ValueError, match="did not exist"):
         restore_delta_to_timestamp(path, 500)
+
+
+def test_update_delta_multi_column_swap_semantics(spark, sf_dir, tmp_path):
+    """Review fix (r11): every SET expression and the WHERE predicate
+    must evaluate against the ORIGINAL row — a column swap is the
+    canonical probe (sequential withColumn breaks it), and a SET whose
+    target feeds the predicate must not un-match the row halfway."""
+    from pyspark.sql import Row, types as T
+
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(id=1, a=6, b=100), Row(id=2, a=20, b=200)],
+        T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.LongType(), True),
+        ]),
+    )
+    write_delta(df, path, mode="append")
+    # a < 10 matches only id=1; a doubles PAST the predicate bound and
+    # b must still update; and the swap form must read original values
+    res = update_delta(
+        spark, path, "a < 10", {"a": "a * 2", "b": "b + 1"}
+    )
+    assert res["updated_rows"] == 1
+    rows = {r["id"]: (r["a"], r["b"]) for r in read_delta(spark, path).collect()}
+    assert rows == {1: (12, 101), 2: (20, 200)}
+
+    res = update_delta(spark, path, "id = 2", {"a": "b", "b": "a"})
+    assert res["updated_rows"] == 1
+    rows = {r["id"]: (r["a"], r["b"]) for r in read_delta(spark, path).collect()}
+    assert rows == {1: (12, 101), 2: (200, 20)}  # true swap

@@ -1560,3 +1560,44 @@ def test_rollback_iceberg_and_expiry_keeps_current(spark, sf_dir, tmp_path):
     # unknown snapshot refuses
     with pytest.raises(ValueError, match="not found"):
         rollback_iceberg(path, 12345)
+
+
+def test_update_iceberg_multi_column_swap_semantics(
+    spark, sf_dir, tmp_path
+):
+    """Review fix (r11), format twin: SET expressions and the predicate
+    evaluate against the ORIGINAL row — column swap + predicate-feeding
+    SET both behave per SQL UPDATE."""
+    from pyspark.sql import Row, types as T
+
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        update_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(id=1, a=6, b=100), Row(id=2, a=20, b=200)],
+        T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.LongType(), True),
+        ]),
+    )
+    write_iceberg(df, path, mode="append")
+    res = update_iceberg(
+        spark, path, "a < 10", {"a": "a * 2", "b": "b + 1"}
+    )
+    assert res["updated_rows"] == 1
+    rows = {
+        r["id"]: (r["a"], r["b"])
+        for r in read_iceberg(spark, path).collect()
+    }
+    assert rows == {1: (12, 101), 2: (20, 200)}
+
+    res = update_iceberg(spark, path, "id = 2", {"a": "b", "b": "a"})
+    assert res["updated_rows"] == 1
+    rows = {
+        r["id"]: (r["a"], r["b"])
+        for r in read_iceberg(spark, path).collect()
+    }
+    assert rows == {1: (12, 101), 2: (200, 20)}

@@ -385,3 +385,92 @@ def test_iceberglite_stream_vs_mor_delete(spark, sf_dir, tmp_path):
     # append-only feed semantics: both append snapshots' FULL row sets
     # flow (the MOR delete is table-read semantics, not feed semantics)
     assert got.count() == src.where("o_orderkey < 600").count()
+
+
+def test_iceberglite_stream_skips_rolled_back_snapshots(
+    spark, sf_dir, tmp_path
+):
+    """r11 review fix: a snapshot rolled back OUT of the lineage must
+    never reach the stream as a phantom append — it is skipped (its
+    rows were never emitted), later appends flow, and expiring the
+    abandoned snapshot does not brick the stream. The incremental batch
+    reader refuses a rolled-back from-snapshot explicitly."""
+    from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+        expire_snapshots,
+        read_iceberg_incremental,
+        rollback_iceberg,
+    )
+
+    _register(spark)
+    path = str(tmp_path / "t")
+    out_dir = str(tmp_path / "out")
+    ckpt = tempfile.mkdtemp(prefix="il_ckpt_rb_")
+    src = _orders(spark, sf_dir)
+    s1 = write_iceberg(src.where("o_orderkey < 300"), path, mode="append")
+
+    q = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # an append the stream never saw gets rolled back; a fresh append
+    # follows on the restored lineage
+    s2 = write_iceberg(
+        src.where("o_orderkey >= 300 AND o_orderkey < 600"),
+        path, mode="append",
+    )
+    rollback_iceberg(path, s1)
+    write_iceberg(
+        src.where("o_orderkey >= 600 AND o_orderkey < 900"),
+        path, mode="append",
+    )
+
+    q2 = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(out_dir)
+    # s2's rows (the rolled-back branch) never appear; s3's do
+    assert got.where(
+        "o_orderkey >= 300 AND o_orderkey < 600"
+    ).count() == 0
+    assert got.count() == src.where(
+        "o_orderkey < 300 OR (o_orderkey >= 600 AND o_orderkey < 900)"
+    ).count()
+
+    # the incremental batch reader names the lineage problem
+    with pytest.raises(ValueError, match="lineage"):
+        read_iceberg_incremental(spark, path, s2)
+
+    # expiring the abandoned snapshot must not brick the stream
+    expire_snapshots(path, keep_last=1)
+    write_iceberg(
+        src.where("o_orderkey >= 900 AND o_orderkey < 1000"),
+        path, mode="append",
+    )
+    q3 = (
+        spark.readStream.format("iceberglite").option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == src.where(
+        "o_orderkey < 300 OR (o_orderkey >= 600 AND o_orderkey < 1000)"
+    ).count()

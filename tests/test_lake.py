@@ -410,6 +410,9 @@ def test_api_shapes(lake, book_dir):
     assert api.list()["count"] == 0
     assert api.delete(41)["status"] == "not_found"
     assert api.delete("x")["error"]["code"] == "invalid_book_id"
+    # idempotent even on a lake no ingest ever touched (no table yet)
+    empty = IngestApi(LakeAdapter(lake.spark, str(book_dir) + "_void"))
+    assert empty.delete(7)["status"] == "not_found"
 
 
 def test_lake_log_history_and_stray_file_invisibility(

@@ -75,6 +75,17 @@ class IngestApi:
             return _error("invalid_book_id", str(exc))
         except NotImplementedError as exc:
             return _error("unsupported_backend", str(exc))
+        except FileNotFoundError:
+            # idempotent DELETE: a lake with no table yet holds no books
+            return {
+                "book_id": int(str(book_id)),
+                "status": "not_found",
+                "deleted_rows": 0,
+                "physical": bool(physical),
+                "backend": self.adapter.backend_label,
+            }
+        except ValueError as exc:  # e.g. pending position-delete files
+            return _error("delete_failed", str(exc))
         return {
             "book_id": res["book_id"],
             "status": "deleted" if res["deleted_rows"] else "not_found",

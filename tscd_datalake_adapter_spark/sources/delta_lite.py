@@ -1584,16 +1584,28 @@ def update_delta(
             "rewritten_files": 0,
         }
     types = {f.name: f.dataType for f in df.schema.fields}
-    out = df
-    for col, expr in set_exprs.items():
+    for col in set_exprs:
         if col not in types:
             raise ValueError(f"unknown column {col!r}")
-        out = out.withColumn(
-            col,
-            F.when(match, F.expr(expr).cast(types[col])).otherwise(
-                F.col(col)
-            ),
-        )
+    # ONE projection evaluates every SET expression AND the predicate
+    # against the ORIGINAL row — sequential withColumn would let later
+    # SETs (and the re-inlined predicate) see already-updated columns,
+    # breaking SQL UPDATE semantics (e.g. a column swap a=b, b=a)
+    out = df.select(
+        *[
+            (
+                F.when(
+                    match,
+                    F.expr(set_exprs[f.name]).cast(f.dataType),
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+            )
+            for f in df.schema.fields
+        ]
+    )
     version = write_delta(
         out,
         path,

@@ -186,8 +186,15 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         schema_fields = json.loads(md["schemaString"])["fields"]
         if self._declared_fields is not None:
             got = tuple(
-                (f["name"], f["type"] if isinstance(f["type"], str)
-                 else "struct")
+                (
+                    f["name"],
+                    f["type"]
+                    if isinstance(f["type"], str)
+                    # nested types compare by their FULL serialized JSON
+                    # — collapsing to a label would let an evolution
+                    # inside a struct/array/map slip past the guard
+                    else json.dumps(f["type"], sort_keys=True),
+                )
                 for f in schema_fields
             )
             if got != self._declared_fields:
@@ -305,8 +312,12 @@ class DeltaLiteStreamDataSource(DataSource):
 
         md = _replay(self.options["path"], None)["metadata"]
         declared = tuple(
-            (f["name"], f["type"] if isinstance(f["type"], str)
-             else "struct")
+            (
+                f["name"],
+                f["type"]
+                if isinstance(f["type"], str)
+                else json.dumps(f["type"], sort_keys=True),
+            )
             for f in json.loads(md["schemaString"])["fields"]
         )
         return DeltaLiteStreamReader(self.options, declared)

@@ -1610,6 +1610,14 @@ def commit_snapshot(
         {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
+            # the spec's lineage pointer (r11): after a rollback, the
+            # CURRENT chain of parents is the table history — consumers
+            # walk it so abandoned (rolled-back) snapshots never replay
+            "parent-snapshot-id": (
+                None
+                if meta["current-snapshot-id"] == -1
+                else meta["current-snapshot-id"]
+            ),
             "timestamp-ms": now_ms,
             "summary": {
                 "operation": operation
@@ -1755,6 +1763,7 @@ def _commit_delete_files(
         {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
+            "parent-snapshot-id": meta["current-snapshot-id"],
             "timestamp-ms": now_ms,
             "summary": {
                 "operation": "DELETE",
@@ -1786,6 +1795,35 @@ def _snapshot_by_id(meta: dict, snapshot_id: int) -> dict:
 # ------------------------------------------------------------------- read
 
 
+def _ancestry(meta: dict) -> list[dict]:
+    """The CURRENT table lineage, oldest → newest: walk
+    ``parent-snapshot-id`` from the current snapshot through the
+    retained list (r11). After a rollback, abandoned snapshots are NOT
+    on this chain — they stay retained (re-roll-forward, time travel)
+    but are not table history, so lineage-aware consumers (incremental
+    scans, the streaming source) never replay them as appends.
+
+    Legacy snapshots without the pointer (pre-r11 commits) fall back to
+    their list predecessor — pre-r11 histories were strictly linear, so
+    the reconstruction is exact."""
+    snaps = meta["snapshots"]
+    if meta["current-snapshot-id"] == -1 or not snaps:
+        return []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    idx = {s["snapshot-id"]: i for i, s in enumerate(snaps)}
+    chain: list[dict] = []
+    cur = by_id.get(meta["current-snapshot-id"])
+    while cur is not None:
+        chain.append(cur)
+        if "parent-snapshot-id" in cur:
+            pid = cur["parent-snapshot-id"]
+            cur = by_id.get(pid) if pid is not None else None
+        else:  # legacy linear history: predecessor in list order
+            i = idx[cur["snapshot-id"]]
+            cur = snaps[i - 1] if i > 0 else None
+    return list(reversed(chain))
+
+
 def _snapshot_is_append(meta: dict, snap: dict) -> bool:
     """Whether a snapshot APPENDED data (vs rewrote it) — the predicate
     the incremental append scan and the streaming source are defined
@@ -1811,8 +1849,11 @@ def _snapshot_is_append(meta: dict, snap: dict) -> bool:
             m["existing_files_count"] > 0 or m["deleted_files_count"] > 0
         ):
             return False  # rewrite: carried or deleted prior files
-    # did it keep every manifest the previous retained snapshot had?
+    # did it keep every manifest its PREDECESSOR had? The parent
+    # pointer names the true predecessor when present (post-rollback
+    # lists are not lineage-ordered); legacy snapshots use list order.
     snaps = meta["snapshots"]
+    by_id = {s["snapshot-id"]: s for s in snaps}
     idx = next(
         (
             i
@@ -1821,8 +1862,12 @@ def _snapshot_is_append(meta: dict, snap: dict) -> bool:
         ),
         0,
     )
-    if idx > 0:
+    prev = None
+    if "parent-snapshot-id" in snap:
+        prev = by_id.get(snap["parent-snapshot-id"])
+    elif idx > 0:
         prev = snaps[idx - 1]
+    if prev is not None:
         try:
             _, prev_ms = avro_lite.read_container(prev["manifest-list"])
         except OSError:
@@ -1830,7 +1875,18 @@ def _snapshot_is_append(meta: dict, snap: dict) -> bool:
         kept = {m["manifest_path"] for m in manifests}
         if any(m["manifest_path"] not in kept for m in prev_ms):
             return False  # dropped prior data: an overwrite
-    return True
+        return True
+    # OLDEST retained snapshot (its predecessors expired): an append at
+    # seq > 1 reuses its predecessors' manifests, so its manifest list
+    # holds manifests with sequence_number < seq; a FULL overwrite's
+    # list holds only seq-manifests. seq == 1 is trivially an append
+    # (first commit of the table). The rare append-onto-EMPTY-table at
+    # seq > 1 (no prior manifests to reuse) conservatively classifies
+    # as a rewrite — a raise/skip, never silent double-counting.
+    seq0 = snap["sequence-number"]
+    if seq0 == 1:
+        return True
+    return any(m["sequence_number"] < seq0 for m in manifests)
 
 
 def _snapshot_files(meta: dict, snap: dict) -> list[dict]:
@@ -2509,18 +2565,30 @@ def update_iceberg(
             "rewritten_files": 0,
         }
     types = {f.name: f.dataType for f in schema.fields}
-    out = df
-    for col, expr in set_exprs.items():
+    for col in set_exprs:
         if col not in types:
             raise ValueError(f"unknown column {col!r}")
-        out = out.withColumn(
-            col,
-            F.when(match, F.expr(expr).cast(types[col])).otherwise(
-                F.col(col)
-            ),
-        )
+    # ONE projection evaluates every SET expression AND the predicate
+    # against the ORIGINAL row — sequential withColumn would let later
+    # SETs (and the re-inlined predicate) see already-updated columns,
+    # breaking SQL UPDATE semantics (e.g. a column swap a=b, b=a)
+    out = df.select(
+        *[
+            (
+                F.when(
+                    match,
+                    F.expr(set_exprs[f.name]).cast(f.dataType),
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
     snapshot_id = write_iceberg(
-        out.select(*[f.name for f in schema.fields]),
+        out,
         path,
         mode="overwrite",
         replace_paths=paths,
@@ -2564,20 +2632,37 @@ def read_iceberg_incremental(
     from pyspark.sql import functions as F
 
     meta = load_metadata(path)
-    snaps = meta["snapshots"]
+    # the increment walks the CURRENT LINEAGE (parent chain), not the
+    # retained list: after a rollback, abandoned snapshots stay retained
+    # but their rows are NOT table history — positional iteration would
+    # replay them as phantom appends (r11 review fix)
+    snaps = _ancestry(meta)
     by_id = {s["snapshot-id"]: i for i, s in enumerate(snaps)}
+    retained = {s["snapshot-id"] for s in meta["snapshots"]}
     if from_snapshot_id is None:
-        lo = -1  # from the beginning: every retained snapshot
+        lo = -1  # from the beginning: every lineage snapshot
     else:
         if from_snapshot_id not in by_id:
             raise ValueError(
-                f"snapshot {from_snapshot_id} not found (expired?)"
+                f"snapshot {from_snapshot_id} "
+                + (
+                    "is not on the current table lineage (rolled back?)"
+                    if from_snapshot_id in retained
+                    else "not found (expired?)"
+                )
             )
         lo = by_id[from_snapshot_id]
     if to_snapshot_id is None:
         to_snapshot_id = meta["current-snapshot-id"]
     if to_snapshot_id not in by_id:
-        raise ValueError(f"snapshot {to_snapshot_id} not found (expired?)")
+        raise ValueError(
+            f"snapshot {to_snapshot_id} "
+            + (
+                "is not on the current table lineage (rolled back?)"
+                if to_snapshot_id in retained
+                else "not found (expired?)"
+            )
+        )
     hi = by_id[to_snapshot_id]
     if lo > hi:
         raise ValueError("from_snapshot_id is newer than to_snapshot_id")

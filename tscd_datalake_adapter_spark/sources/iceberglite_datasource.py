@@ -31,6 +31,12 @@ twin): a running query's schema is FIXED — a snapshot in range whose
 ``schema-id`` resolves to a different schema fails the stream loudly;
 restart with a fresh checkpoint to stream under the new schema.
 
+Rollback contract (r11, pinned by test): the stream follows the
+CURRENT LINEAGE via ``parent-snapshot-id`` — snapshots rolled back out
+of the lineage are SKIPPED (their rows are not table state; emitting
+them would be phantom replay), and their later expiry is likewise
+ignored; only an expired snapshot the lineage actually needed raises.
+
 Same trigger caveat as the other Python sources: no AvailableNow —
 drive with a processingTime trigger + ``processAllAvailable()``.
 """
@@ -114,6 +120,7 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         from tscd_datalake_adapter_spark.sources import avro_lite
         from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            _ancestry,
             _current_schema,
             _current_spec,
             _snapshot_is_append,
@@ -125,16 +132,33 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         if e <= s:
             return []
         meta = load_metadata(self._path)
-        # every sequence number in (s, e] must still have its snapshot:
-        # commits allocate them contiguously, so a gap means
-        # expire_snapshots removed a snapshot the stream has not
-        # consumed yet — data loss the exactly-once contract must turn
-        # into a loud failure (the deltalite twin raises the same way)
-        retained = {sn["sequence-number"] for sn in meta["snapshots"]}
-        expired = sorted(set(range(s + 1, e + 1)) - retained)
-        if expired:
+        # the stream follows the CURRENT LINEAGE (parent chain): after a
+        # rollback, abandoned snapshots are retained but their rows are
+        # not table state — emitting them would be phantom replay (r11
+        # review fix). A sequence number in range is therefore:
+        #   - on the lineage → emitted (subject to the filters below);
+        #   - retained but OFF the lineage (rolled back) → skipped, its
+        #     rows were never emitted and never will be;
+        #   - absent and BELOW the oldest lineage member → possibly an
+        #     expired-unconsumed lineage snapshot: data loss, raise
+        #     (commits allocate seqs contiguously along the lineage);
+        #   - absent and at/above the oldest lineage member → provably
+        #     off-lineage (the connected parent chain skipped it), safe
+        #     to skip.
+        lineage = _ancestry(meta)
+        lineage_seqs = {sn["sequence-number"] for sn in lineage}
+        retained_seqs = {sn["sequence-number"] for sn in meta["snapshots"]}
+        oldest = min(lineage_seqs) if lineage_seqs else None
+        lost = sorted(
+            v
+            for v in range(s + 1, e + 1)
+            if v not in lineage_seqs
+            and v not in retained_seqs
+            and (oldest is None or v < oldest)
+        )
+        if lost:
             raise ValueError(
-                f"sequence numbers {expired} were expired by "
+                f"sequence numbers {lost} were expired by "
                 "expire_snapshots before the stream consumed them; the "
                 "stream cannot replay them"
             )
@@ -156,7 +180,7 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         schemas_by_id = {
             sc["schema-id"]: sc for sc in meta["schemas"]
         }
-        for snap in meta["snapshots"]:
+        for snap in lineage:
             seq = snap["sequence-number"]
             if not (s < seq <= e):
                 continue
