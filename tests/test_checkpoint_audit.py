@@ -46,7 +46,10 @@ AUDITED: dict[str, int] = {
     "functions/__init__.py": 1,  # the checkpoint_bounded helper itself
     # r7 second-session re-audit: market_basket baskets (per order) and
     # rfm purch (per user) were corpus-volume → persist_corpus
-    "operators/analytics.py": 20,
+    # r11 optimization: croston's 40-step recursive CTE became one
+    # single-partition mapInPandas fold — its pre-recursion checkpoint
+    # site (bounded ≤40-row series) is gone with the recursion
+    "operators/analytics.py": 19,
     "operators/dedup.py": 4,
     "operators/history.py": 7,
     "operators/io.py": 1,

@@ -746,8 +746,8 @@ def test_slowest_tier_plan_shapes(spark, sf_dir):
       anchor;
     - fuzzy_dedup_keep_longest / image_dedup_clusters: label propagation +
       keep-policy stay on equi joins (no all-pairs anywhere);
-    - croston_intermittent_forecast: the recursion iterates the 1-partition
-      checkpointed series — NO parquet scan inside the recursive plan;
+    - croston_intermittent_forecast: one scan feeding the bounded
+      single-partition mapInPandas fold (r11 — was a 40-job recursion);
     - pq_adc_topk: integer-key broadcast LUT join, bounded top-k;
     - logistic_regression_returnflag: IRLS passes are map-side aggregates
       with a 1-row broadcast beta, never a shuffle join;
@@ -792,8 +792,13 @@ def test_slowest_tier_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
+    # r11: the recursion became a single-partition mapInPandas fold — the
+    # whole query is now ONE pass: scan → partial/final agg → top-40 →
+    # fold (no recursive per-step jobs, no checkpoint, no re-scan)
     p = plans.formatted_plan(croston_intermittent_forecast(spark, sf_dir))
-    assert "Scan parquet" not in p, "recursion re-reads the corpus"
+    # one scan node = 2 mentions in a formatted plan (tree + detail block)
+    assert p.count("Scan parquet") == 2, "fold must read the corpus once"
+    assert "MapInPandas" in p
     assert "CartesianProduct" not in p
 
     df = pq_adc_topk(spark, sf_dir)

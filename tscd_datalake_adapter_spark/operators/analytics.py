@@ -2622,8 +2622,14 @@ def logistic_regression_returnflag(
     # the decimal-moment aggregate is CPU-bound: spread it over every core
     # (scan parallelism = source file count, 1-3 at local SFs; no-op-sized
     # on a real cluster) and keep the projected features resident so each
-    # IRLS pass re-reads 3 narrow columns, not the parquet scan lineage
-    feats = feats.repartition(spark.sparkContext.defaultParallelism)
+    # IRLS pass re-reads 3 narrow columns, not the parquet scan lineage.
+    # persist is load-bearing (guide §2.4/§5): feats is consumed THREE
+    # times (2 IRLS passes + the n_rows count) and without it every pass
+    # re-ran the scan AND the round-robin exchange — 3 full-data shuffles
+    # for one query (measured r11: 3.05 s → see OPTIMIZATION_r11.md)
+    feats = persist_corpus(
+        feats.repartition(spark.sparkContext.defaultParallelism)
+    )
     beta = spark.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
     )
@@ -4683,21 +4689,22 @@ def croston_intermittent_forecast(
     sparsity: the calendar is fixed, so a plain value cutoff is dense at
     one SF and empty at another).
 
-    Both engines run the SAME data-driven recurrence as a native
-    ``WITH RECURSIVE`` (Spark 4) — the first recursive CTE in the repo
-    whose recursion consumes a table row per step rather than a derived
-    key. Alpha=0.2 literals and libm-free arithmetic make the fold
-    bit-exact with NO per-step rounding (the ``holt_linear_forecast``
-    lesson); rounding happens once at output.
+    The recurrence is the oracle's ``WITH RECURSIVE`` fold run as ONE
+    single-partition ``mapInPandas`` pass (r11 optimization, guide §1.2:
+    the engine-side recursive CTE launched one cluster JOB per step — 40
+    jobs whose per-step scheduling dwarfed the ≤40-row arithmetic;
+    measured 4.16 s → ~0.6 s, result bit-identical because the Python
+    fold performs the same IEEE-double operations in the same order:
+    ``0.2*q + 0.8*z`` on exact-int inputs, alpha literals parse to the
+    same doubles in both engines, and rounding still happens ONCE at
+    output in Spark expressions, never inside the fold — the
+    ``holt_linear_forecast`` lesson).
 
-    Scale shape: the recursion is capped at the first 40 demand events
+    Scale shape: the fold is capped at the first 40 demand events
     (``rn <= 40``) — Croston is inherently sequential, so the bounded
     series IS the scale story; the corpus-sized work is one map-side-
-    combined groupBy(day) ahead of it. The tiny series is materialized
-    once (coalesce(1) + localCheckpoint) before the recursion so the
-    engine's per-step jobs iterate a 1-partition local relation instead
-    of re-deriving the aggregate (measured ~2x on the recursion cost;
-    each recursive step is its own job by construction)."""
+    combined groupBy(day) ahead of it, and the fold input is a ≤40-row
+    single partition (executor-side, nothing collected to the driver)."""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.where(F.col("event_type") == "purchase")
@@ -4709,37 +4716,52 @@ def croston_intermittent_forecast(
         )
         .agg(F.count("*").cast("long").alias("q"))
         .where(h60(F.concat(F.lit("croston:"), F.col("day"))) % 3 == 0)
+        # the demand-day table is value-domain bounded (≤ calendar days);
+        # the ORDER BY day_idx + rn<=40 cap needs every row in one
+        # partition for the sequential fold
         .select("day_idx", "q")
+        .orderBy("day_idx")
+        .limit(40)
         .coalesce(1)
-        .localCheckpoint(eager=True)
     )
-    return spark.sql(
-        """
-        WITH RECURSIVE s AS (
-            SELECT row_number() OVER (ORDER BY day_idx) AS rn, day_idx, q
-            FROM {daily}
-        ),
-        sc AS (SELECT * FROM s WHERE rn <= 40),
-        c AS (
-            SELECT rn, day_idx, q, CAST(q AS DOUBLE) AS z,
-                   CAST(NULL AS DOUBLE) AS p
-            FROM sc WHERE rn = 1
-            UNION ALL
-            SELECT sc.rn, sc.day_idx, sc.q,
-                   0.2 * sc.q + 0.8 * c.z AS z,
-                   CASE WHEN c.p IS NULL
-                        THEN CAST(sc.day_idx - c.day_idx AS DOUBLE)
-                        ELSE 0.2 * (sc.day_idx - c.day_idx) + 0.8 * c.p
-                   END AS p
-            FROM c JOIN sc ON sc.rn = c.rn + 1
-        )
-        SELECT CAST(rn AS BIGINT) AS n_demand_days,
-               round(z, 6) AS croston_size,
-               round(p, 6) AS croston_interval,
-               round(z / p, 6) AS forecast_per_day
-        FROM c WHERE rn = (SELECT max(rn) FROM c)
-        """,
-        daily=daily,
+
+    def _croston_fold(batches):
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        s = pd.concat(chunks).sort_values("day_idx")
+        if len(s) == 0:
+            return
+        # the exact recurrence of the oracle's recursive CTE, same
+        # IEEE-double op order per step: z ← 0.2*q + 0.8*z;
+        # p ← (d − d_prev) first, then 0.2*(d − d_prev) + 0.8*p
+        rn = 0
+        z = None
+        p = None
+        prev = None
+        for d, q in zip(s["day_idx"].tolist(), s["q"].tolist()):
+            rn += 1
+            if rn == 1:
+                z = float(q)
+                p = None
+            else:
+                z = 0.2 * q + 0.8 * z
+                p = (
+                    float(d - prev)
+                    if p is None
+                    else 0.2 * (d - prev) + 0.8 * p
+                )
+            prev = d
+        yield pd.DataFrame({"rn": [rn], "z": [z], "p": [p]})
+
+    folded = daily.mapInPandas(_croston_fold, "rn long, z double, p double")
+    return folded.select(
+        F.col("rn").alias("n_demand_days"),
+        F.round("z", 6).alias("croston_size"),
+        F.round("p", 6).alias("croston_interval"),
+        F.round(F.col("z") / F.col("p"), 6).alias("forecast_per_day"),
     )
 
 

@@ -1842,10 +1842,10 @@ def markov_removal_attribution(
     )
     wt = Window.partitionBy("user_id").orderBy("rn")
     wn = Window.partitionBy("user_id")
-    # touches is referenced FIVE times below (first-touch arm, both
-    # self-join sides, last-touch arm, the START->CONV anti-join) —
-    # inside the single eager-checkpoint job the union arms each
-    # re-derive the seq windows + firstp join uncached. persist: per-
+    # touches is referenced FOUR times below (first-touch arm, the
+    # lead-derived touch→touch arm, last-touch arm, the START->CONV
+    # anti-join) — inside the single eager-checkpoint job the union arms
+    # each re-derive the seq windows + firstp join uncached. persist: per-
     # touch rows are corpus volume. NOTE this construction-time cost is
     # invisible to the executed-scan audit (the checkpoint cuts the
     # lineage the audit walks) — measured 3.7 s -> see NOTES.
@@ -1859,22 +1859,26 @@ def markov_removal_attribution(
             "user_id",
             "event_type",
             F.row_number().over(wt).alias("tn"),
+            # the SUCCESSOR touch, computed in the same window pass as tn
+            # (identical window spec → same WindowExec, no extra sort or
+            # shuffle): `lead IS NOT NULL` is exactly "a row with tn+1
+            # exists", so the touch→touch edge arm below reads it straight
+            # off the cache instead of self-joining touches⋈touches on
+            # user_id (guide §2.4 — the join cost one more full pass +
+            # join build per bench run; at 100 TB it would be a full
+            # corpus shuffle since a corpus-sized side can't broadcast)
+            F.lead("event_type").over(wt).alias("next_type"),
             F.count("*").over(wn).alias("nt"),
             F.when(F.col("prn").isNull(), 0).otherwise(1).alias("conv"),
         )
     )
-    a, b = touches.alias("a"), touches.alias("b")
     edges = (
         touches.where(F.col("tn") == 1)
         .select(F.lit("START").alias("f"), F.col("event_type").alias("t"))
         .unionAll(
-            a.join(
-                b,
-                (F.col("a.user_id") == F.col("b.user_id"))
-                & (F.col("b.tn") == F.col("a.tn") + 1),
-            ).select(
-                F.col("a.event_type").alias("f"),
-                F.col("b.event_type").alias("t"),
+            touches.where(F.col("next_type").isNotNull()).select(
+                F.col("event_type").alias("f"),
+                F.col("next_type").alias("t"),
             )
         )
         .unionAll(
