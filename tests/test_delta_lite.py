@@ -38,6 +38,36 @@ def test_roundtrip_matches_source(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_hash_distribution_one_file_per_partition(spark, sf_dir, tmp_path):
+    """distribution_mode="hash" (r11): the partitioned write shuffles by
+    the partition columns, so every hive directory holds exactly ONE
+    data file (Iceberg's write.distribution-mode=hash — the small-files
+    fix), and the rows read back identical to the default layout."""
+    path = str(tmp_path / "t")
+    src = _orders(spark, sf_dir).repartition(4)  # multi-task input
+    write_delta(
+        src,
+        path,
+        partition_by=("o_orderstatus",),
+        distribution_mode="hash",
+    )
+    per_dir: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        n = sum(f.endswith(".parquet") for f in files)
+        if n:
+            per_dir[os.path.basename(root)] = n
+    assert per_dir and all(v == 1 for v in per_dir.values()), per_dir
+    back = read_delta(spark, path)
+    a = sorted(map(tuple, back.select(*src.columns).collect()))
+    b = sorted(map(tuple, src.collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        write_delta(
+            src, path, partition_by=("o_orderstatus",),
+            distribution_mode="range",
+        )
+
+
 def test_append_accumulates_and_history_records(spark, sf_dir, tmp_path):
     path = str(tmp_path / "t")
     src = _orders(spark, sf_dir)
@@ -177,7 +207,9 @@ def test_commit_during_data_write_not_absorbed(spark, sf_dir, tmp_path):
     real_wdf = delta_lite._write_data_files
     pending = {"rival_rows": 5}
 
-    def racing_wdf(df, p, pby, commit_uuid, writer_options=None):
+    def racing_wdf(
+        df, p, pby, commit_uuid, writer_options=None, distribution_mode=None
+    ):
         # rival append lands mid-write, exactly once per arm
         n = pending.pop("rival_rows", 0)
         if n:
@@ -186,7 +218,9 @@ def test_commit_during_data_write_not_absorbed(spark, sf_dir, tmp_path):
                 write_delta(src.limit(n), path, mode="append")
             finally:
                 delta_lite._write_data_files = racing_wdf
-        return real_wdf(df, p, pby, commit_uuid, writer_options)
+        return real_wdf(
+            df, p, pby, commit_uuid, writer_options, distribution_mode
+        )
 
     delta_lite._write_data_files = racing_wdf
     try:

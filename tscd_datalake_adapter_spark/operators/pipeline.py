@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tscd_datalake_adapter_spark.functions import (
+    checkpoint_bounded,
     dec_sum,
     h60,
     oracle_dec_sum,
@@ -610,7 +611,12 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = persist_corpus(bg)
     train = bg.where(F.col("doc_id") % 7 == 0)
     c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    # r11 (guide §2.3): c1 is algebraically Σ_w2 c2 — derive it from the
+    # (train-vocab-bounded) c2 table instead of a SECOND groupBy pass
+    # over the corpus-sized train bigram stream; c2 is persisted because
+    # both the derivation and the scoring join consume it
+    c2 = persist_corpus(c2)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         toks.where(F.col("doc_id") % 7 == 0)
         .select(F.explode("t").alias("tok"))
@@ -1108,10 +1114,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared vocab; the top-weighted docs are what importance resampling
     would draw first for domain-targeted pre-training selection.
 
-    Scale shape: identical machinery to ``lm_perplexity_filter`` — two
-    vocab-bounded count tables joined (broadcast once bounded) onto the
-    exploded token stream, one groupBy(doc) decimal-exact fold, TakeOrdered
-    top-k. No windows, no collect."""
+    Scale shape: identical machinery to ``lm_perplexity_filter`` — ONE
+    vocab-bounded count table (raw + conditional target counts from a
+    single groupBy(tok) pass, r11) broadcast onto the exploded token
+    stream, one groupBy(doc) decimal-exact fold, TakeOrdered top-k. No
+    windows, no collect."""
     from tscd_datalake_adapter_spark.functions import DEC
 
     d = load_table(spark, sf_dir, "documents")
@@ -1130,28 +1137,39 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ex = persist_corpus(ex)  # exploded token stream: O(corpus tokens)
-    vocab = ex.agg(F.countDistinct("tok").cast("long").alias("v"))
-    target = (
-        ex.where(F.col("lang") == "en")
-        .groupBy("tok")
-        .agg(F.count("*").cast("long").alias("ct"))
+    # r11 (guide §2.3 "aggregate before you shuffle" + §2.4): the raw
+    # counts, target counts AND vocab size all come out of ONE
+    # groupBy(tok) pass — previously vocab (countDistinct), target
+    # (en-filtered groupBy) and raw (groupBy) were three separate
+    # shuffled passes over the cached token stream, and scoring paid two
+    # joins. ct is a conditional count, so sum-when replaces the
+    # separate en-only table (0, never NULL, exactly the old
+    # coalesce(ct, 0)); the token totals and vocab size are one further
+    # agg over the vocab-bounded count table, checkpointed because four
+    # consumers read it.
+    counts = checkpoint_bounded(
+        ex.groupBy("tok").agg(
+            F.count("*").cast("long").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+        ),
+        bound="vocab-bounded unigram count table",
     )
-    raw = ex.groupBy("tok").agg(F.count("*").cast("long").alias("cr"))
-    nt = target.agg(F.sum("ct").cast("long").alias("nt"))
-    nr = raw.agg(F.sum("cr").cast("long").alias("nr"))
+    stats = counts.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.count("*").cast("long").alias("v"),
+    )
     scored = (
-        ex.join(F.broadcast(target), "tok", "left")
-        .join(raw, "tok")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
-        .crossJoin(F.broadcast(vocab))
+        ex.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             "lang",
             F.round(
                 F.log(
-                    (F.coalesce("ct", F.lit(0)) + 1.0)
-                    / (F.col("nt") + F.col("v"))
+                    (F.col("ct") + 1.0) / (F.col("nt") + F.col("v"))
                 )
                 - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v"))),
                 6,

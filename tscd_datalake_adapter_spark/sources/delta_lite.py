@@ -420,6 +420,7 @@ def _write_data_files(
     partition_by: tuple[str, ...],
     commit_uuid: str,
     writer_options: dict[str, str] | None = None,
+    distribution_mode: str | None = None,
 ) -> list[str]:
     """Write ``df``'s parquet files into the table under names owned by
     this commit. Spark writes into a hidden ``_staging_<uuid>`` directory
@@ -431,7 +432,22 @@ def _write_data_files(
     the soundness gap a before/after directory diff has by construction.
     The data write itself is Spark-distributed; only the per-file rename
     loop is driver-side, and it is metadata-scale (one syscall per part
-    file), exactly like the real connector's commit."""
+    file), exactly like the real connector's commit.
+
+    ``distribution_mode="hash"`` (r11, guide §6 / Iceberg's
+    ``write.distribution-mode=hash``) shuffles the rows by the physical
+    partition columns first, so each output directory is written by the
+    one task that owns the whole partition: no per-task
+    sort-across-directories, one file per partition instead of
+    (tasks × partitions) small files — measured ~2× on a 72-directory
+    transformed write locally, and the classic small-files fix at scale.
+    Default None preserves the caller's layout (several demos
+    deliberately write multiple files per partition to exercise
+    file-level stats skipping)."""
+    if distribution_mode not in (None, "none", "hash"):
+        raise ValueError(f"unsupported distribution_mode {distribution_mode!r}")
+    if distribution_mode == "hash" and partition_by:
+        df = df.repartition(*partition_by)
     staging = os.path.join(path, f"_staging_{commit_uuid}")
     writer = df.write.mode("overwrite")
     for k, v in (writer_options or {}).items():
@@ -601,6 +617,7 @@ def write_delta(
     operation: str | None = None,
     txn: dict | None = None,
     max_retries: int = 20,
+    distribution_mode: str | None = None,
 ) -> int:
     """Write ``df`` as a delta_lite table commit; returns the committed
     version. ``mode``: "overwrite" (logical remove of prior files +
@@ -641,7 +658,10 @@ def write_delta(
     distributed, partitioned via the hive layout; only the log commit
     (a few hundred bytes per file action) and the per-file rename loop
     are driver-side, exactly like the real connector's driver-side
-    transaction commit."""
+    transaction commit. ``distribution_mode="hash"`` pre-shuffles by the
+    partition columns so each hive directory is written by one owning
+    task (one file per partition instead of tasks × partitions small
+    files — guide §6); default None keeps the caller's layout."""
     _check_write_args(mode, replace_partitions, replace_paths)
     # fail fast: validate layout/schema against the current state BEFORE
     # the (possibly expensive) distributed data write
@@ -652,7 +672,7 @@ def write_delta(
     )
     commit_uuid = uuid.uuid4().hex
     adds_rel = _write_data_files(
-        df, path, pby, commit_uuid, writer_options
+        df, path, pby, commit_uuid, writer_options, distribution_mode
     )
     return commit_files(
         path,

@@ -1174,6 +1174,7 @@ def write_iceberg(
     commit_timestamp_ms: int | None = None,
     operation: str | None = None,
     summary_extra: dict | None = None,
+    distribution_mode: str | None = None,
     _drop_deletes: bool = False,
 ) -> int:
     """Write ``df`` as an iceberg_lite snapshot; returns the snapshot id.
@@ -1204,7 +1205,11 @@ def write_iceberg(
     Scale shape: the data write is ``df.write.parquet`` (distributed,
     hive layout under ``data/``); the manifest/metadata writes are
     driver-side and metadata-scale, exactly like the real table format's
-    commit path."""
+    commit path. ``distribution_mode="hash"`` is the spec's
+    ``write.distribution-mode=hash``: shuffle by the physical partition
+    columns so each directory is written by one owning task (one file
+    per partition, no small-files explosion — guide §6); the default
+    None keeps the caller's layout."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     if replace_partitions is not None and mode != "overwrite":
@@ -1261,7 +1266,12 @@ def write_iceberg(
             write_df = write_df.withColumn(d["name"], _transform_column(d))
             phys_cols.append(d["name"])
     adds_rel = _write_data_files(
-        write_df, data_root, tuple(phys_cols), commit_uuid, writer_options
+        write_df,
+        data_root,
+        tuple(phys_cols),
+        commit_uuid,
+        writer_options,
+        distribution_mode,
     )
     return commit_snapshot(
         path,
