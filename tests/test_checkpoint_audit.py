@@ -62,7 +62,7 @@ AUDITED: dict[str, int] = {
     "operators/relational.py": 1,
     "operators/sampling.py": 1,
     "operators/similarity.py": 7,
-    "operators/sketches.py": 3,
+    "operators/sketches.py": 2,
     "operators/stats_tests.py": 16,
     # r8: pagerank/BFS symmetrized edge lists and the shared
     # _cooccurrence_edges moved to persist_corpus (threshold-derived,

@@ -1253,9 +1253,13 @@ def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("x")
     )
     L = _DD_LN_GAMMA
-    # both bounded histograms feed a total + a cumulative walk —
-    # checkpoint them so orders scans exactly twice (sketch + exact twin,
-    # the documented design; the exact side exists only for the guarantee)
+    # the sketch histogram feeds a total AND a cumulative walk —
+    # checkpoint it so orders scans exactly twice (sketch + exact twin,
+    # the documented design; the exact side exists only for the
+    # guarantee). The exact-cents histogram has ONE consumer (its
+    # cumulative walk), so its old checkpoint was a pure extra
+    # materialization job — removed r11 (guide §5: cache only reused
+    # intermediates).
     hb = (
         o.select(
             F.ceil(F.log("x") / F.expr(L)).cast("long").alias("bidx")
@@ -1268,7 +1272,6 @@ def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(F.round(F.col("x") * 100.0, 0).cast("long").alias("cents"))
         .groupBy("cents")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint()
     )
     n = hb.agg(F.sum("c").cast("long").alias("n"))
     w_b = Window.orderBy("bidx").rowsBetween(Window.unboundedPreceding, 0)
