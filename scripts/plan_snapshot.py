@@ -1,5 +1,5 @@
 """Snapshot `.explain("formatted")` output for named queries into
-plans/r11/<query>_<tag>.txt (optimization-round evidence artifacts).
+plans/r12/<query>_<tag>.txt (optimization-round evidence artifacts).
 
 Usage: python scripts/plan_snapshot.py <tag> query1 query2 ...
        python scripts/plan_snapshot.py <tag> --headline
@@ -20,13 +20,24 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
 )
 
 
 def _slowest(registry, k: int) -> list[str]:
+    import re
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "BENCH_FAMILIES_r*.json")))
+    # numeric round sort (r11 ADVICE): the corpus mixes zero-padded
+    # (r05..r08) and unpadded (r10, r11) round numbers, so a lexicographic
+    # sorted()[-1] would silently pick the wrong "latest" bench for an
+    # unpadded single-digit round or round >= 100
+    files = sorted(
+        glob.glob(os.path.join(root, "BENCH_FAMILIES_r*.json")),
+        key=lambda p: int(
+            re.search(r"BENCH_FAMILIES_r0*(\d+)\.json$", p).group(1)
+        ),
+    )
     if not files:
         return []
     with open(files[-1]) as fh:

@@ -3,6 +3,8 @@ broadcast, top-k — the 100 TB contract, checked on the actual plans."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tscd_datalake_adapter_spark import plans
@@ -796,9 +798,15 @@ def test_slowest_tier_plan_shapes(spark, sf_dir):
     # whole query is now ONE pass: scan → partial/final agg → top-40 →
     # fold (no recursive per-step jobs, no checkpoint, no re-scan)
     p = plans.formatted_plan(croston_intermittent_forecast(spark, sf_dir))
-    # one scan node = 2 mentions in a formatted plan (tree + detail block)
-    assert p.count("Scan parquet") == 2, "fold must read the corpus once"
-    assert "MapInPandas" in p
+    # count scan NODES in the numbered tree section only (r11 ADVICE: the
+    # raw substring count also matched the detail block, encoding explain
+    # layout rather than plan shape)
+    assert (
+        len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    ), "fold must read the corpus once"
+    # r12: constant-key applyInPandas (self-enforcing single-group fold,
+    # r11 ADVICE) replaced the coalesce(1)+mapInPandas pair
+    assert "FlatMapGroupsInPandas" in p
     assert "CartesianProduct" not in p
 
     df = pq_adc_topk(spark, sf_dir)

@@ -4690,7 +4690,7 @@ def croston_intermittent_forecast(
     one SF and empty at another).
 
     The recurrence is the oracle's ``WITH RECURSIVE`` fold run as ONE
-    single-partition ``mapInPandas`` pass (r11 optimization, guide §1.2:
+    constant-key ``applyInPandas`` group (r11 optimization, guide §1.2:
     the engine-side recursive CTE launched one cluster JOB per step — 40
     jobs whose per-step scheduling dwarfed the ≤40-row arithmetic;
     measured 4.16 s → ~0.6 s, result bit-identical because the Python
@@ -4704,7 +4704,7 @@ def croston_intermittent_forecast(
     (``rn <= 40``) — Croston is inherently sequential, so the bounded
     series IS the scale story; the corpus-sized work is one map-side-
     combined groupBy(day) ahead of it, and the fold input is a ≤40-row
-    single partition (executor-side, nothing collected to the driver)."""
+    single group (executor-side, nothing collected to the driver)."""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.where(F.col("event_type") == "purchase")
@@ -4722,18 +4722,14 @@ def croston_intermittent_forecast(
         .select("day_idx", "q")
         .orderBy("day_idx")
         .limit(40)
-        .coalesce(1)
     )
 
-    def _croston_fold(batches):
+    def _croston_fold(s):
         import pandas as pd
 
-        chunks = list(batches)
-        if not chunks:
-            return
-        s = pd.concat(chunks).sort_values("day_idx")
         if len(s) == 0:
-            return
+            return pd.DataFrame({"rn": [], "z": [], "p": []})
+        s = s.sort_values("day_idx")
         # the exact recurrence of the oracle's recursive CTE, same
         # IEEE-double op order per step: z ← 0.2*q + 0.8*z;
         # p ← (d − d_prev) first, then 0.2*(d − d_prev) + 0.8*p
@@ -4754,9 +4750,16 @@ def croston_intermittent_forecast(
                     else 0.2 * (d - prev) + 0.8 * p
                 )
             prev = d
-        yield pd.DataFrame({"rn": [rn], "z": [z], "p": [p]})
+        return pd.DataFrame({"rn": [rn], "z": [z], "p": [p]})
 
-    folded = daily.mapInPandas(_croston_fold, "rn long, z double, p double")
+    # groupBy(constant).applyInPandas instead of coalesce(1)+mapInPandas
+    # (r11 ADVICE): the fold is only correct over ONE partition, and a
+    # constant-key grouped map makes that structural — Spark itself routes
+    # every row to the single group's task, so a future edit cannot
+    # silently reintroduce per-partition partial folds
+    folded = daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: _croston_fold(pdf), "rn long, z double, p double"
+    )
     return folded.select(
         F.col("rn").alias("n_demand_days"),
         F.round("z", 6).alias("croston_size"),

@@ -1161,8 +1161,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cr").cast("long").alias("nr"),
         F.count("*").cast("long").alias("v"),
     )
+    # no forced broadcast on the count table (r11 ADVICE): unigram vocab
+    # grows with corpus, so a pinned broadcast could exceed memory at the
+    # 100 TB design point — AQE picks broadcast when the table measures
+    # small (it does at every test SF) and falls back to a shuffle join
+    # when it doesn't; the 1-row stats frame stays hinted
     scored = (
-        ex.join(F.broadcast(counts), "tok")
+        ex.join(counts, "tok")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
