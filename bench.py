@@ -31,6 +31,15 @@ sorted) — identical across runs and rounds, so per-query
 round-over-round deltas are no longer confounded by rotation-driven
 registry order and JVM-warmup position (r9 verdict item 7). Compare
 ``spark_probe_sec_post`` to post, not pre, when normalizing.
+
+Throttle defense (round 12, additions-only): headline mode stamps
+``throttle_suspect`` (Spark probe pre/post diverging >4x — beyond the
+~2.5-2.8x tiered-compilation warmup a healthy box shows) and, when
+suspected, re-runs every query ONCE after the run ("bookend" pass),
+folding the extra rep into the min; the pre-bookend mins are kept in
+``queries_prepass``. This is the defense against the r11 failure mode: a
+host throttle at run start poisoned all three back-to-back reps of the
+early-alphabet queries and faked a 0.51 geomean "regression".
 """
 
 from __future__ import annotations
@@ -251,11 +260,34 @@ def main() -> int:
     ).save()
 
     t = _timings(spark, sf_dir, headline, runs=3)
-    timings = {name: round(times[0], 3) for name, times in t.items()}
-    second_best = {name: round(times[1], 3) for name, times in t.items()}
 
     probe_post = _cpu_probe_median()
     spark_probe_post = _spark_probe(spark)
+
+    # Throttle defense (r11 verdict item 1, additions-only): min-of-3 runs
+    # each query's reps BACK-TO-BACK, so a host slowdown that recovers
+    # mid-run poisons all three reps of the early-order queries (r11's
+    # driver run: 6.7x at position 0 decaying to 1.0x by position 17,
+    # diagnosed from the probes alone). The JVM probe always reads
+    # somewhat high pre-run (tiered-compilation warmup: ~2.5-2.8x on a
+    # HEALTHY box, r10/r12 records), so the suspect threshold is 4x; the
+    # poisoned r11 run read 7.5x. When suspected, every query gets ONE
+    # bookend re-run after the probes confirm recovery, and `queries`
+    # takes the min over all four reps — the pre-bookend values stay in
+    # `queries_prepass` so both readings are in the artifact.
+    throttle_suspect = (
+        spark_probe_post > 0 and spark_probe_pre / spark_probe_post > 4.0
+    )
+    prepass = None
+    if throttle_suspect:
+        prepass = {name: round(times[0], 3) for name, times in t.items()}
+        t2 = _timings(spark, sf_dir, headline, runs=1)
+        t = {
+            name: sorted(times + t2[name]) for name, times in t.items()
+        }
+
+    timings = {name: round(times[0], 3) for name, times in t.items()}
+    second_best = {name: round(times[1], 3) for name, times in t.items()}
     probe = round((probe_pre + probe_post) / 2, 3)
     total = round(sum(timings.values()), 3)
     result = {
@@ -266,6 +298,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "queries_p2": second_best,
+        "throttle_suspect": throttle_suspect,
         "cpu_probe_sec": probe,
         "cpu_probe_sec_pre": probe_pre,
         "cpu_probe_sec_post": probe_post,
@@ -274,6 +307,9 @@ def main() -> int:
         "cpu_probe_parallel_sec": _cpu_probe_parallel(),
         "sf": _sf_val(sf_dir),
     }
+    if prepass is not None:
+        result["queries_prepass"] = prepass
+        result["spark_probe_sec_bookend"] = _spark_probe(spark)
     print(json.dumps(result))
     spark.stop()
     return 0
