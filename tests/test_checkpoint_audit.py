@@ -57,7 +57,9 @@ AUDITED: dict[str, int] = {
     # r7 second-session re-audit: conformal base (|orders| rows) and the
     # funnel's s1/s2 (per user) were corpus-volume → persist_corpus
     "operators/mlprep.py": 11,
-    "operators/multimodal.py": 3,
+    # r12: image_dedup_clusters' propagation loop (edges + labels +
+    # per-round state, 3 sites) became one union-find task — no
+    # checkpoints left in multimodal.py
     "operators/pipeline.py": 1,
     "operators/relational.py": 1,
     "operators/sampling.py": 1,

@@ -746,10 +746,11 @@ def test_slowest_tier_plan_shapes(spark, sf_dir):
     - contrastive_pair_mining: broadcast <=30-row anchor set (its crossJoin
       IS the one allowed broadcast nested loop), windows partitioned by
       anchor;
-    - fuzzy_dedup_keep_longest / image_dedup_clusters: label propagation +
-      keep-policy stay on equi joins (no all-pairs anywhere);
+    - fuzzy_dedup_keep_longest / image_dedup_clusters: pair generation +
+      keep-policy stay on equi joins (no all-pairs anywhere; r12 —
+      clustering itself is the bounded single-task union-find);
     - croston_intermittent_forecast: one scan feeding the bounded
-      single-partition mapInPandas fold (r11 — was a 40-job recursion);
+      constant-key applyInPandas fold (r11 — was a 40-job recursion);
     - pq_adc_topk: integer-key broadcast LUT join, bounded top-k;
     - logistic_regression_returnflag: IRLS passes are map-side aggregates
       with a 1-row broadcast beta, never a shuffle join;

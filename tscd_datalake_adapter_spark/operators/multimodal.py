@@ -1377,23 +1377,27 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming 3 can put A,C at Hamming 6, so clustering — not pair removal
     — is what deduplicates exactly once).
 
-    Spark side: the same iterative min-label propagation as
-    ``dedup_clusters`` (labels only shrink; localCheckpoint per round
-    keeps lineage flat; raises on non-convergence) over the band-blocked
-    pair set; the oracle is the recursive-CTE transitive closure over the
-    formula-derived pairs. Output is the bounded per-cluster summary
-    (top-20 by size), split into clean/perturbed membership — the planted
-    twins guarantee every cluster pairs both sides of each image.
+    Spark side (r12, guide §4.2): the component labels come from
+    ``dedup.union_find_labels`` — one constant-key ``applyInPandas``
+    union-find over the BOUNDED pair list (≤8,911 pairs from the explicit
+    ≤67-image slice), replacing the O(diameter) min-label propagation
+    rounds whose per-round join + count + checkpoint JOBS were pure
+    scheduling overhead at this bound (the croston recipe;
+    ``dedup_clusters`` keeps the distributed loop as the unbounded-scale
+    demonstration). The oracle is the recursive-CTE transitive closure
+    over the formula-derived pairs — union-by-min-root converges to the
+    same min-uid fixpoint, hash-verified. Output is the bounded
+    per-cluster summary (top-20 by size), split into clean/perturbed
+    membership — the planted twins guarantee every cluster pairs both
+    sides of each image.
 
-    Scale shape: pair generation inherits the LSH band join; propagation
-    runs O(diameter) rounds over the PAIR set (brightness-collapsed
-    cliques have diameter ~1-2 here), each round one equi-join — the
-    ``dedup_clusters`` scale story unchanged."""
+    Scale shape: pair generation inherits the LSH band join; the
+    clustering input is slice-bounded, so one task is the right venue."""
     from tscd_datalake_adapter_spark.functions import checkpoint_bounded
+    from tscd_datalake_adapter_spark.operators.dedup import union_find_labels
 
-    # materialize the pair list BEFORE the symmetrizing union — both
-    # arms otherwise re-run the whole phash pipeline (PNG decode
-    # included) inside the eager edges checkpoint (the pagerank
+    # materialize the pair list so the phash pipeline (PNG decode
+    # included) runs once before the clustering consumer (the pagerank
     # construction-time lesson)
     # Bounded by the phash query's explicit doc_id<200 (%3==0) slice:
     # <=67 images ⇒ <=134 uids ⇒ <=8,911 pairs regardless of corpus size
@@ -1408,56 +1412,19 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     # explode both uids per doc in one pass (the self-union scanned the
-    # slice twice — r8 construction-inclusive scan audit)
+    # slice twice — r8 construction-inclusive scan audit); self-edges
+    # seed the singletons, the oracle's `UNION SELECT uid, uid FROM dims`
     nodes = d.select(
         F.explode(
             F.array(2 * F.col("doc_id"), 2 * F.col("doc_id") + 1)
         ).alias("uid")
     )
-    edges = (
-        pairs.select(F.col("uid_a").alias("src"), F.col("uid_b").alias("dst"))
-        .unionAll(
-            pairs.select(
-                F.col("uid_b").alias("src"), F.col("uid_a").alias("dst")
-            )
-        )
-        .localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("uid_a").alias("src"), F.col("uid_b").alias("dst")
+    ).unionByName(
+        nodes.select(F.col("uid").alias("src"), F.col("uid").alias("dst"))
     )
-    labels = nodes.select(
-        F.col("uid").alias("src"), F.col("uid").alias("label")
-    ).localCheckpoint(eager=True)
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("src").alias("dst"), F.col("label").alias("nl")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nl").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "src", "left")
-            .select(
-                "src",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("label propagation did not converge in 20 rounds")
+    labels = union_find_labels(edges)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(
