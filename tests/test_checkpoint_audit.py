@@ -51,7 +51,10 @@ AUDITED: dict[str, int] = {
     # site (bounded ≤40-row series) is gone with the recursion
     "operators/analytics.py": 19,
     "operators/dedup.py": 4,
-    "operators/history.py": 7,
+    # r12: markov_removal_attribution's expression-unrolled recursion
+    # (pivot row + every-2-steps + out: 4 sites) became one applyInPandas
+    # fold over the 1-row matrix — no lineage cuts left in it
+    "operators/history.py": 3,
     "operators/io.py": 1,
     "operators/mining.py": 3,
     # r7 second-session re-audit: conformal base (|orders| rows) and the
@@ -70,7 +73,9 @@ AUDITED: dict[str, int] = {
     # _cooccurrence_edges moved to persist_corpus (threshold-derived,
     # scale with corpus co-occurrence density — r7 ADVICE); verified
     # every caller still materializes the cache exactly once
-    "operators/text.py": 14,
+    # r12: pagerank's degs checkpoint folded into the persisted edge
+    # cache (deg attached via a src window at cache-build time)
+    "operators/text.py": 13,
 }
 
 _CALL = re.compile(r"\.localCheckpoint\(")

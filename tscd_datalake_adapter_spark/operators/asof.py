@@ -410,49 +410,83 @@ def asof_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges); a same-instant bracket degenerates to the backward value
     (0/0 guard).
 
-    Composed from one backward + one forward union+window pass joined on
-    the left key — two key shuffles, no pair materialization, same plan
-    family as ``asof_join_nearest``. The weight and the blend evaluate
-    identical double operands in identical order cross-engine."""
+    ONE scan and ONE key shuffle (r12, guide §2.4): both directions ride
+    the same tagged union — the backward carry is a ``last(..,
+    ignorenulls)`` over the ascending (ts, side, id) traversal and the
+    forward carry the same over the descending traversal, two window
+    specs over the SAME partitioning (one Exchange, two in-partition
+    sorts, zero joins). Previously this was two separate union+window
+    passes (each its own shuffle over both cached sides) re-joined on
+    purchase_id — at 100 TB that join re-shuffles every purchase row a
+    third time for values the first pass already had in hand. Tie
+    semantics are byte-identical to the two-pass form: right rows sort
+    before left rows at equal ts in both traversals (inclusive <=/>=),
+    ids ascending under the ascending walk (backward ties → max id) and
+    descending under the descending walk (forward ties → min id). The
+    weight and the blend evaluate identical double operands in identical
+    order cross-engine."""
     e = load_table(spark, sf_dir, "events")
-    # same two-arm reuse as asof_join_nearest: one scan per cached side,
-    # projected before the persist (a cache materializes its full schema)
-    purchases = persist_corpus(
-        e.where(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id"
-        )
-    )
-    views = persist_corpus(
-        e.where(F.col("event_type") == "view").select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.col("ts").alias("view_ts"),
-            F.col("value").alias("view_value"),
-        )
-    )
-    common = dict(
-        on="ts",
-        by="user_id",
-        left_id="event_id",
-        right_id="event_id",
-        right_payload=("view_ts", "view_value"),
-    )
-    b = asof_join(purchases, views, **common).select(
+    is_p = F.col("event_type") == "purchase"
+    # the old right-side NULL-ts guard: a NULL-ts view must match nothing
+    # (purchase rows keep their NULL ts; their matches are nulled below)
+    u = e.where(
+        (is_p | (F.col("event_type") == "view"))
+        & (is_p | F.col("ts").isNotNull())
+    ).select(
         "user_id",
-        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.when(is_p, 1).otherwise(0).alias("_side"),
+        F.when(is_p, F.col("event_id")).alias("_lid"),
+        F.when(~is_p, F.col("event_id")).alias("_rid"),
+        F.when(~is_p, F.col("ts")).alias("_rts"),
+        F.when(~is_p, F.col("value")).alias("_rv"),
+    )
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("_side"), F.col("_rid"), F.col("_lid"))
+        .rowsBetween(*frame)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(),
+            F.col("_side"),
+            F.col("_rid").desc(),
+            F.col("_lid"),
+        )
+        .rowsBetween(*frame)
+    )
+
+    def carry(col: str, w) -> F.Column:
+        return F.last(F.col(col), ignorenulls=True).over(w)
+
+    carried = u.select(
+        "user_id",
+        "ts",
+        "_side",
+        "_lid",
+        carry("_rid", wb).alias("bb_id"),
+        carry("_rts", wb).alias("bb_ts"),
+        carry("_rv", wb).alias("bb_v"),
+        carry("_rid", wf).alias("ff_id"),
+        carry("_rts", wf).alias("ff_ts"),
+        carry("_rv", wf).alias("ff_v"),
+    )
+    # NULL-ts purchases keep their row but match nothing (SQL as-of
+    # semantics, same guard as the generic asof_join)
+    ok = F.col("ts").isNotNull()
+    j = carried.where(F.col("_side") == 1).select(
+        "user_id",
+        F.col("_lid").alias("purchase_id"),
         F.col("ts").alias("pts"),
-        F.col("asof_event_id").alias("prev_view_id"),
-        F.col("asof_view_ts").alias("b_ts"),
-        F.col("asof_view_value").alias("b_v"),
+        F.when(ok, F.col("bb_id")).alias("prev_view_id"),
+        F.when(ok, F.col("bb_ts")).alias("b_ts"),
+        F.when(ok, F.col("bb_v")).alias("b_v"),
+        F.when(ok, F.col("ff_id")).alias("next_view_id"),
+        F.when(ok, F.col("ff_ts")).alias("f_ts"),
+        F.when(ok, F.col("ff_v")).alias("f_v"),
     )
-    f = asof_join(purchases, views, direction="forward", **common).select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("asof_event_id").alias("next_view_id"),
-        F.col("asof_view_ts").alias("f_ts"),
-        F.col("asof_view_value").alias("f_v"),
-    )
-    j = b.join(f, "purchase_id", "left")
     span = F.unix_micros("f_ts") - F.unix_micros("b_ts")
     w = (
         (F.unix_micros("pts") - F.unix_micros("b_ts")).cast("double")

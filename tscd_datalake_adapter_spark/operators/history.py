@@ -1925,72 +1925,103 @@ def markov_removal_attribution(
             for f in froms
             for t in tos
         ]
-    ).localCheckpoint()
+    )  # one row; consumed once by the fold below — no checkpoint needed
     scenarios = ("full",) + _MRA_CHANNELS
-    # init + iterations as ONE selectExpr STRING per step, parsed JVM-side:
-    # nested Column objects here cost ~15s of py4j round-trips for the
-    # 12 x 25 updates (the pq_adc literal-matrix lesson, NOTES r5 item 4)
-    tp_cols = [f"tp_{f}_{t}" for f in froms for t in tos]
-    init = [
-        f"{'1.0D' if st == 'CONV' else '0.0D'} AS p_{sc}_{st}"
-        for sc in scenarios
-        for st in froms + ("CONV", "NULL")
-    ]
-    row = row.selectExpr("*", *init)
-    for it in range(_MRA_ITERS):
-        exprs = list(tp_cols)
-        for sc in scenarios:
-            removed = sc if sc != "full" else None
-            for st in ("CONV", "NULL"):
-                exprs.append(f"p_{sc}_{st}")
-            for f in froms:
-                # round-12 each product, exact decimal adds, round-9 —
-                # identical to the oracle's SUM over the same <=6 terms
-                # (zero tp cells add exact decimal zeros)
-                terms = []
-                for t in tos:
-                    mp = "0.0D" if t == removed else f"p_{sc}_{t}"
-                    terms.append(
-                        f"CAST(round(tp_{f}_{t} * {mp}, 12)"
-                        f" AS DECIMAL(38,12))"
-                    )
-                exprs.append(
-                    f"round(CAST({' + '.join(terms)} AS DOUBLE), 9)"
-                    f" AS p_{sc}_{f}"
-                )
-        row = row.selectExpr(*exprs)
-        if it % 2 == 1:  # CollapseProject re-inlines ~6x per step: cut
-            row = row.localCheckpoint()
-    row = row.localCheckpoint()
-    out = None
-    for c in _MRA_CHANNELS:
-        re_c = F.round(
-            1.0 - F.col(f"p_{c}_START") / F.col("p_full_START"), 9
-        )
-        r = row.select(
-            F.lit(c).alias("channel"),
-            F.col("p_full_START").alias("p_full"),
-            F.col(f"p_{c}_START").alias("p_removed"),
-            re_c.alias("re"),
-        )
-        out = r if out is None else out.unionByName(r)
-    out = out.localCheckpoint()
-    tot = out.agg(
-        F.sum(F.col("re").cast("decimal(38,12)")).cast("double").alias("tot")
-    )
-    return (
-        out.crossJoin(F.broadcast(tot))
-        .select(
+    channels = _MRA_CHANNELS
+    iters = _MRA_ITERS
+
+    # r12 (guide §1.2/§4.2, the croston recipe): the (scenario × state)
+    # recursion state is 35 doubles over a ONE-row pivoted matrix, so the
+    # whole 12-step fold runs as one constant-key applyInPandas group.
+    # The previous expression-unrolled form (12 selectExpr steps, a
+    # 1-row localCheckpoint every 2 steps to stop CollapseProject's ~6×
+    # re-inlining) paid 7 checkpoint JOBS plus Catalyst planning of the
+    # compounding expression tree — measured ~1.5-2 s of the query's
+    # 3.3-3.8 s with the data pipeline itself at ~1.5 s. The Python fold
+    # replays the recipe bit-identically: per term, an IEEE-double
+    # product rounded HALF_UP at 12 dp (Decimal(double) is the exact
+    # binary expansion, same as BigDecimal(double)), exact decimal adds,
+    # correctly-rounded decimal→double cast, HALF_UP round at 9 dp —
+    # the same op sequence the oracle's SQL evaluates.
+    def _mra_fold(pdf):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        cols = [
             "channel",
-            (F.round(F.col("p_full"), 6) + 0.0).alias("p_conv_full"),
-            (F.round(F.col("p_removed"), 6) + 0.0).alias("p_conv_removed"),
-            (F.round(F.col("re"), 6) + 0.0).alias("removal_effect"),
-            (F.round(F.col("re") / F.col("tot"), 6) + 0.0).alias(
-                "attribution_share"
-            ),
+            "p_conv_full",
+            "p_conv_removed",
+            "removal_effect",
+            "attribution_share",
+        ]
+        if len(pdf) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        Q12 = Decimal("1e-12")
+        Q9 = Decimal("1e-9")
+        Q6 = Decimal("1e-6")
+
+        # Decimal(repr(x)), NOT Decimal(x): Spark's round()/double→decimal
+        # cast parse the SHORTEST round-trip representation
+        # (BigDecimal.valueOf / Double.toString), not the exact binary
+        # expansion — Python's repr() is the same shortest-round-trip
+        # algorithm, so this reproduces Spark's HALF_UP boundary behavior
+        # bit-for-bit
+        def rnd(x: float, q: Decimal) -> float:
+            return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+        r = pdf.iloc[0]
+        tp = {
+            (f, t): float(r[f"tp_{f}_{t}"]) for f in froms for t in tos
+        }
+        states = froms + ("CONV", "NULL")
+        p = {
+            (sc, st): (1.0 if st == "CONV" else 0.0)
+            for sc in scenarios
+            for st in states
+        }
+        for _ in range(iters):
+            nxt = dict(p)
+            for sc in scenarios:
+                removed = sc if sc != "full" else None
+                for f in froms:
+                    acc = Decimal(0)
+                    for t in tos:
+                        mp = 0.0 if t == removed else p[(sc, t)]
+                        acc += Decimal(repr(tp[(f, t)] * mp)).quantize(
+                            Q12, rounding=ROUND_HALF_UP
+                        )
+                    nxt[(sc, f)] = rnd(float(acc), Q9)
+            p = nxt
+        p_full = p[("full", "START")]
+        res = [
+            (c, p_full, p[(c, "START")], rnd(1.0 - p[(c, "START")] / p_full, Q9))
+            for c in channels
+        ]
+        tot = float(
+            sum(
+                Decimal(repr(re)).quantize(Q12, rounding=ROUND_HALF_UP)
+                for _, _, _, re in res
+            )
         )
-        .orderBy("channel")
+        return pd.DataFrame(
+            {
+                "channel": [c for c, _, _, _ in res],
+                "p_conv_full": [rnd(pf, Q6) + 0.0 for _, pf, _, _ in res],
+                "p_conv_removed": [rnd(pr, Q6) + 0.0 for _, _, pr, _ in res],
+                "removal_effect": [rnd(re, Q6) + 0.0 for _, _, _, re in res],
+                "attribution_share": [
+                    rnd(re / tot, Q6) + 0.0 for _, _, _, re in res
+                ],
+            }
+        )
+
+    folded = row.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: _mra_fold(pdf),
+        "channel string, p_conv_full double, p_conv_removed double,"
+        " removal_effect double, attribution_share double",
     )
+    return folded.orderBy("channel")
 
 
 def _shapley_pairs():

@@ -2224,10 +2224,21 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over the aggregated score histogram."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # aggregate BEFORE the join (r12, guide §2.3): the per-order item
+    # count needs only lineitem keys, so fold lineitem to one row per
+    # order first (map-side combine cuts the exchange ~4x: |lineitem|
+    # rows → |orders| rows) and join the two order-sized tables — the
+    # old join-then-groupBy shuffled every lineitem row into the join
+    # before collapsing it. Inner-join equivalence: o_orderkey is unique
+    # in orders, so join→groupBy(o_orderkey, o_totalprice) ≡
+    # count-per-l_orderkey→join, and orders without lineitems are
+    # excluded by both forms.
+    cnt = l.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count("*").cast("long").alias("x")
+    )
     base = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(F.count("*").cast("long").alias("x"))
+        o.select("o_orderkey", "o_totalprice")
+        .join(cnt, "o_orderkey")
         .select(
             F.col("o_totalprice").alias("y"),
             "x",
@@ -2271,19 +2282,34 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     calhist = cal.groupBy("score_bin").agg(
         F.count("*").cast("long").alias("c")
     )
-    caln = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    # n_cal = Σ histogram counts, computed IN the same window pass (r12,
+    # guide §2.3/§2.4): the old separate `caln` aggregate was a second
+    # full pass over the calibration slice of the cached base, and its
+    # crossJoin a second consumer of calhist — both ride the one ordered
+    # window over the bin-bounded histogram now
     w = Window.orderBy("score_bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("score_bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     qhat = (
-        calhist.withColumn("cum", F.sum("c").over(w))
-        .crossJoin(F.broadcast(caln))
+        calhist.select(
+            "score_bin",
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(wall).cast("long").alias("n_cal"),
+        )
         .where(
             F.col("cum") >= F.ceil(0.9 * (F.col("n_cal") + 1))
         )
-        .agg((F.min("score_bin") + 1).alias("q_upper"))
+        .agg(
+            (F.min("score_bin") + 1).alias("q_upper"),
+            F.max("n_cal").alias("n_cal"),
+        )
     )
     test = (
         base.where(F.col("split") >= 8)
         .crossJoin(F.broadcast(beta.select("b0", "b1")))
+        # the FULL qhat frame (not a projection): both its consumers then
+        # share one ReusedExchange-able broadcast subtree
         .crossJoin(F.broadcast(qhat))
         .agg(
             F.count("*").cast("long").alias("n_test"),
@@ -2293,8 +2319,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        beta.crossJoin(F.broadcast(caln))
-        .crossJoin(F.broadcast(qhat))
+        beta.crossJoin(F.broadcast(qhat))
         .crossJoin(F.broadcast(test))
         .select(
             "n_train",

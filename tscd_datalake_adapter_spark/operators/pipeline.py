@@ -840,8 +840,15 @@ def _lm_perdoc_scores(
     # top-N and the vocab unigram pass). persist: O(corpus bigrams).
     bg = persist_corpus(bg)
     train = bg.join(F.broadcast(ref_ids), "doc_id", "semi")
-    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    # r12 (guide §2.3, the same derivation r11 applied to
+    # lm_perplexity_filter): c1 is algebraically Σ_w2 c2, so derive it
+    # from the bounded c2 table instead of a SECOND pass over the train
+    # bigram stream; c2 is persisted because both the derivation and its
+    # own broadcast consume it
+    c2 = persist_corpus(
+        train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         toks.join(F.broadcast(ref_ids), "doc_id", "semi")
         .select(F.explode("t").alias("tok"))

@@ -1164,6 +1164,13 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # density, not a fixed value domain — persist_corpus (spillable,
     # lineage kept), NOT a checkpoint that pins O(edges) rows
     # executor-local with no recompute path (r7 ADVICE).
+    # r12 (guide §2.4/§5): the out-degree is attached to the cached edge
+    # row ONCE, via a src-partitioned count window INSIDE the cache build
+    # — each of the 5 unrolled iterations previously re-joined a separate
+    # checkpointed degs table onto the edges (5 extra node-keyed joins);
+    # at 100 TB those are 5 removed edge-table shuffles. The window's
+    # exchange also leaves the CACHED edges hash-partitioned by src, the
+    # very key every iteration's rank join uses.
     edges2 = persist_corpus(
         a.join(b, "doc_id")
         .where(F.col("ta") < F.col("tb"))
@@ -1183,14 +1190,13 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
+        .withColumn(
+            "deg",
+            F.count("*").over(Window.partitionBy("src")).cast("double"),
+        )
     )
     nodes = edges2.select(F.col("src").alias("t")).distinct().localCheckpoint(
         eager=True
-    )
-    degs = (
-        edges2.groupBy(F.col("src").alias("t"))
-        .agg(F.count("*").cast("double").alias("deg"))
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
     pr = (
@@ -1202,7 +1208,6 @@ def pagerank_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges2.join(
                 pr.withColumnRenamed("t", "src"), "src"
             )
-            .join(degs.withColumnRenamed("t", "src"), "src")
             .groupBy(F.col("dst").alias("t"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
         )
