@@ -1570,3 +1570,53 @@ def test_update_delta_multi_column_swap_semantics(spark, sf_dir, tmp_path):
     assert res["updated_rows"] == 1
     rows = {r["id"]: (r["a"], r["b"]) for r in read_delta(spark, path).collect()}
     assert rows == {1: (12, 101), 2: (200, 20)}  # true swap
+
+
+def test_banded_appends_equivalent_to_sequential(spark, tmp_path):
+    """The r12 one-job fixture builder (operators.io._banded_appends)
+    must produce the SAME table state as N sequential append writes:
+    identical rows, one version per band, one data file per commit (the
+    layout every stats-skipping demo's rewritten_files assert pins), and
+    footer-derived per-file stats that prune identically."""
+    from pyspark.sql import functions as F
+
+    from tscd_datalake_adapter_spark.operators.io import _banded_appends
+    from tscd_datalake_adapter_spark.sources.delta_lite import (
+        _replay,
+        read_delta,
+        table_history,
+        write_delta,
+    )
+
+    # single-partition source so the sequential form writes ONE file per
+    # append (the demos' orders scans are single-partition at test SFs —
+    # the layout their rewritten_files asserts pin)
+    df = (
+        spark.range(0, 300)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+    bounds = [(0, 100), (100, 200), (200, 300)]
+
+    p_seq = str(tmp_path / "seq")
+    for lo, hi in bounds:
+        write_delta(
+            df.where((F.col("k") >= lo) & (F.col("k") < hi)),
+            p_seq,
+            mode="append",
+        )
+    p_band = str(tmp_path / "band")
+    _banded_appends(df, p_band, "k", bounds, "delta")
+
+    a = sorted(tuple(r) for r in read_delta(spark, p_seq).collect())
+    b = sorted(tuple(r) for r in read_delta(spark, p_band).collect())
+    assert a == b
+    assert len(table_history(p_band)) == len(table_history(p_seq)) == 3
+    # one file per commit, and per-version file sets carry the same keys
+    for v in range(3):
+        fs = _replay(p_seq, v)["files"]
+        fb = _replay(p_band, v)["files"]
+        assert len(fs) == len(fb) == v + 1
+    # stats prune identically: the high band read touches ONE file
+    pruned = read_delta(spark, p_band, where="k >= 250")
+    assert pruned.count() == 50

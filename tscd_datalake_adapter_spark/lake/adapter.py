@@ -894,12 +894,24 @@ class LakeAdapter:
             (r["ingest_date"], r["ingest_hour"]) for r in affected.collect()
         }
         part_rows.add((day, hour))
-        parts = self.spark.createDataFrame(
-            sorted(part_rows), "ingest_date string, ingest_hour string"
+        # r12 (guide §6): the affected-partition restriction is a LITERAL
+        # disjunction of (date, hour) conjuncts, not a broadcast join —
+        # literals PUSH DOWN into the scan (hive partition pruning), so
+        # the rewrite job physically reads only the affected partitions
+        # (the docstring's "untouched partitions are never read" promise,
+        # which the old join form only delivered post-scan), and the
+        # per-commit broadcast-build job for the 2-column partition list
+        # is gone. The predicate's size is metadata-scale (bounded by the
+        # lake's affected-partition count, same bound as the collect
+        # above).
+        part_pred = F.lit(False)
+        for pd_, ph_ in sorted(part_rows):
+            part_pred = part_pred | (
+                (F.col("ingest_date") == pd_) & (F.col("ingest_hour") == ph_)
+            )
+        keep = lake.where(part_pred).join(
+            F.broadcast(ids), "book_id", "left_anti"
         )
-        keep = lake.join(
-            F.broadcast(parts), ["ingest_date", "ingest_hour"]
-        ).join(F.broadcast(ids), "book_id", "left_anti")
         new_rows = updates.select(
             "book_id",
             "header",

@@ -23,6 +23,95 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"tscd_{prefix}_")
 
 
+def _banded_appends(
+    df: DataFrame,
+    path: str,
+    key: str,
+    bounds: list[tuple[int, int]],
+    fmt: str,
+) -> None:
+    """Build an N-commit key-banded append fixture with ONE Spark job
+    (r12, guide §1.2 + r11 verdict item 2: "batch the staging-write →
+    rename → commit sequence"). The N sequential ``write_delta`` /
+    ``write_iceberg`` appends each paid a full Spark write job (scan +
+    stage + commit) for a tiny disjoint band; here every band is staged
+    by a single partitioned write (one scan of ``df``, one task per band
+    via the band-keyed repartition → one file per band, the same
+    one-file-per-commit layout the sequential form produced), then each
+    band's file is committed in band order through the format's
+    LOG-ONLY commit primitive (``commit_files`` / ``commit_snapshot`` —
+    the same functions the sequential writes end in, so schema pinning,
+    footer-derived stats/bounds, version sequence, and commit semantics
+    are identical; only the number of cluster round-trips changes).
+
+    ``bounds`` must be disjoint [lo, hi) bands (rows outside every band
+    are dropped, matching the sequential form's per-band filters)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    band = F.lit(None).cast("int")
+    for i in reversed(range(len(bounds))):
+        lo, hi = bounds[i]
+        band = F.when(
+            (F.col(key) >= lo) & (F.col(key) < hi), F.lit(i)
+        ).otherwise(band)
+    assert "fixture_band" not in df.columns
+    staging = path + "_bandstage"
+    (
+        df.withColumn("fixture_band", band)
+        .where(F.col("fixture_band").isNotNull())
+        .repartition("fixture_band")
+        .write.mode("overwrite")
+        .partitionBy("fixture_band")
+        .parquet(staging)
+    )
+    if fmt == "delta":
+        from tscd_datalake_adapter_spark.sources.delta_lite import (
+            commit_files,
+        )
+
+        data_root = path
+    else:
+        from tscd_datalake_adapter_spark.sources.iceberg_lite import (
+            commit_snapshot,
+        )
+
+        data_root = os.path.join(path, "data")
+    try:
+        for i in range(len(bounds)):
+            band_dir = os.path.join(staging, f"fixture_band={i}")
+            files = sorted(
+                fn
+                for fn in (
+                    os.listdir(band_dir) if os.path.isdir(band_dir) else []
+                )
+                if fn.endswith(".parquet") and not fn.startswith(("_", "."))
+            )
+            commit_uuid = _uuid.uuid4().hex
+            os.makedirs(data_root, exist_ok=True)
+            rels = []
+            for j, fn in enumerate(files):
+                name = f"part-{j:05d}-{commit_uuid}.parquet"
+                os.rename(
+                    os.path.join(band_dir, fn),
+                    os.path.join(data_root, name),
+                )
+                rels.append(name)
+            if fmt == "delta":
+                commit_files(
+                    path, rels, df.schema, mode="append",
+                    _commit_uuid=commit_uuid,
+                )
+            else:
+                commit_snapshot(
+                    path, rels, df.schema, mode="append",
+                    _commit_uuid=commit_uuid,
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 @register(
     "csv_roundtrip_agg",
     tags=("io",),
@@ -1555,14 +1644,7 @@ def delta_lite_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice"
     )
     bounds = [(0, 5000), (5000, 10000), (10000, 10**9)]
-    for lo, hi in bounds:
-        write_delta(
-            o.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ),
-            path,
-            mode="append",
-        )
+    _banded_appends(o, path, "o_orderkey", bounds, "delta")
     back = read_delta(spark, path, where="o_orderkey >= 9000")
     return back.agg(
         F.count("*").cast("long").alias("n"),
@@ -1600,14 +1682,10 @@ def iceberg_lite_data_skipping(
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    for lo, hi in ((0, 5000), (5000, 10000), (10000, 10**9)):
-        write_iceberg(
-            o.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ),
-            path,
-            mode="append",
-        )
+    _banded_appends(
+        o, path, "o_orderkey", [(0, 5000), (5000, 10000), (10000, 10**9)],
+        "iceberg",
+    )
     back = read_iceberg(spark, path, where="o_orderkey >= 9000")
     return back.agg(
         F.count("*").cast("long").alias("n"),
@@ -1800,14 +1878,10 @@ def delta_lite_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    for lo, hi in ((0, 300), (300, 700), (700, 1200)):
-        write_delta(
-            src.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ),
-            path,
-            mode="append",
-        )
+    _banded_appends(
+        src, path, "o_orderkey", [(0, 300), (300, 700), (700, 1200)],
+        "delta",
+    )
     return (
         read_delta_changes(spark, path, 1, 2)
         .groupBy("_commit_version")
@@ -1852,14 +1926,10 @@ def iceberg_lite_incremental_read(
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    for lo, hi in ((0, 300), (300, 700), (700, 1200)):
-        write_iceberg(
-            src.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ),
-            path,
-            mode="append",
-        )
+    _banded_appends(
+        src, path, "o_orderkey", [(0, 300), (300, 700), (700, 1200)],
+        "iceberg",
+    )
     first = snapshots(path)[0]["snapshot_id"]
     return read_iceberg_incremental(spark, path, first).agg(
         F.countDistinct("_snapshot_id").cast("long").alias("n_snapshots"),
@@ -2120,14 +2190,10 @@ def delta_lite_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    for lo, hi in [(0, 5000), (5000, 10000), (10000, 10**9)]:
-        write_delta(
-            o.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ),
-            path,
-            mode="append",
-        )
+    _banded_appends(
+        o, path, "o_orderkey", [(0, 5000), (5000, 10000), (10000, 10**9)],
+        "delta",
+    )
     r1 = delete_delta(spark, path, "o_orderkey < 1000")
     assert r1["rewritten_files"] == 1, r1  # stats pruned 2 of 3 files
     delete_delta(spark, path, "o_totalprice > 400000.0")
@@ -2176,14 +2242,10 @@ def iceberg_lite_row_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    for lo, hi in [(0, 5000), (5000, 10000), (10000, 10**9)]:
-        write_iceberg(
-            o.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ),
-            path,
-            mode="append",
-        )
+    _banded_appends(
+        o, path, "o_orderkey", [(0, 5000), (5000, 10000), (10000, 10**9)],
+        "iceberg",
+    )
     r1 = delete_iceberg(spark, path, "o_orderkey < 1000")
     assert r1["rewritten_files"] == 1, r1  # bounds pruned 2 of 3 files
     delete_iceberg(spark, path, "o_totalprice > 400000.0")
@@ -2251,14 +2313,10 @@ def iceberg_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .where("o_orderkey < 8000")
     )
-    for lo, hi in [(0, 3000), (3000, 6000), (6000, 8000)]:
-        write_iceberg(
-            o.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ),
-            path,
-            mode="append",
-        )
+    _banded_appends(
+        o, path, "o_orderkey", [(0, 3000), (3000, 6000), (6000, 8000)],
+        "iceberg",
+    )
     updates = o.where("o_orderkey % 97 = 0").withColumn(
         "o_totalprice", F.col("o_totalprice") * 1.5
     ).unionByName(
@@ -2329,14 +2387,10 @@ def delta_lite_dml_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .where("o_orderkey < 8000")
     )
-    for lo, hi in [(0, 3000), (3000, 6000), (6000, 8000)]:
-        write_delta(
-            o.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ),
-            path,
-            mode="append",
-        )
+    _banded_appends(
+        o, path, "o_orderkey", [(0, 3000), (3000, 6000), (6000, 8000)],
+        "delta",
+    )
     updates = o.where("o_orderkey % 97 = 0").withColumn(
         "o_totalprice", F.col("o_totalprice") * 1.5
     ).unionByName(
