@@ -52,9 +52,10 @@ AUDITED: dict[str, int] = {
     "operators/analytics.py": 19,
     "operators/dedup.py": 4,
     # r12: markov_removal_attribution's expression-unrolled recursion
-    # (pivot row + every-2-steps + out: 4 sites) became one applyInPandas
-    # fold over the 1-row matrix — no lineage cuts left in it
-    "operators/history.py": 3,
+    # (pivot row + every-2-steps + out: 4 sites) and
+    # markov_stationary_distribution's matrix + per-iteration cuts
+    # (2 sites) became applyInPandas folds over the bounded matrices
+    "operators/history.py": 1,
     "operators/io.py": 1,
     "operators/mining.py": 3,
     # r7 second-session re-audit: conformal base (|orders| rows) and the
@@ -66,7 +67,9 @@ AUDITED: dict[str, int] = {
     "operators/pipeline.py": 1,
     "operators/relational.py": 1,
     "operators/sampling.py": 1,
-    "operators/similarity.py": 7,
+    # r12: mmr's per-pick selection checkpoints (2 sites) folded into one
+    # applyInPandas greedy chain over the bounded page
+    "operators/similarity.py": 5,
     "operators/sketches.py": 2,
     "operators/stats_tests.py": 16,
     # r8: pagerank/BFS symmetrized edge lists and the shared

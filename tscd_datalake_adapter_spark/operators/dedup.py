@@ -687,7 +687,15 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("l.label").alias("nmin"))
         )
         obs = Observation(f"cc_round_{i}")
-        new_labels = (
+        # ONE action per round (r12): the convergence metric rides the
+        # eager localCheckpoint itself (Observation's CollectMetrics
+        # fires on the checkpoint's materializing action — verified),
+        # replacing the previous cache()+count()+checkpoint pair of jobs.
+        # The checkpoint still cuts the lineage every round: without it
+        # the unrolled recursion compounds to a ~100k-line plan whose
+        # per-round Catalyst re-optimization dwarfs the actual work
+        # (11.7s -> 3s first-run at sf0.1).
+        labels = (
             labels.join(
                 neighbor_min, labels.src == neighbor_min.node, "left"
             )
@@ -701,18 +709,10 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("chg"),
             )
             .observe(obs, F.sum("chg").alias("changed"))
-            .cache()
+            .drop("chg")
+            .localCheckpoint(eager=True)
         )
-        new_labels.count()
         changed = obs.get["changed"] or 0
-        # cache() keeps execution incremental but NOT the logical plan:
-        # without a lineage cut the unrolled recursion compounds to a
-        # ~100k-line plan whose per-round Catalyst re-optimization dwarfs
-        # the actual work (11.7s -> 3s first-run at sf0.1). The checkpoint
-        # reads from the still-warm cache, so the extra job is a copy of a
-        # doc-count-bounded frame.
-        labels = new_labels.drop("chg").localCheckpoint(eager=True)
-        new_labels.unpersist()
         if changed == 0:
             break
     if changed != 0:

@@ -1107,67 +1107,89 @@ def markov_stationary_distribution(
     (k = distinct event types). Transitions into states with no outgoing
     edges are dropped and the vector renormalized, keeping the state
     space closed."""
-    from tscd_datalake_adapter_spark.functions import checkpoint_bounded
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # the k²-cell transition counts feed the state set AND the matrix —
-    # checkpoint so the corpus window pass runs once (both references
-    # sit inside the pm checkpoint's single construction job, where the
-    # executed-scan audit cannot see them — the markov_removal lesson)
-    counts = checkpoint_bounded(
+    counts = (
         e.select("user_id", "event_type", "ts", "event_id")
         .withColumn("prev", F.lag("event_type").over(w))
         .where(F.col("prev").isNotNull())
         .groupBy("prev", F.col("event_type").alias("curr"))
-        .agg(F.count("*").cast("long").alias("n")),
-        bound="one row per (event type)^2 transition cell",
+        .agg(F.count("*").cast("long").alias("n"))
     )
-    states = counts.select(F.col("prev").alias("state")).distinct()
-    wp = Window.partitionBy("prev")
-    pm = (
-        counts.join(
-            F.broadcast(states.select(F.col("state").alias("curr"))), "curr"
+
+    # r12 (the markov_removal_attribution recipe, guide §1.2/§4.2): the
+    # whole recursion state is k rows over a k²-cell matrix (k = distinct
+    # event types), so the matrix build + 5 power iterations +
+    # renormalizations run in ONE constant-key applyInPandas group —
+    # previously the matrix checkpoint plus a per-iteration checkpoint
+    # paid ~7 one-row-scale driver jobs. The fold replays the recipe
+    # bit-identically (Decimal(repr(x)) = the shortest-round-trip base
+    # Spark's round()/double→decimal cast uses; exact decimal adds;
+    # HALF_UP quantize at 12/9/6 dp), and the corpus window pass now has
+    # exactly ONE consumer, so counts needs no checkpoint either: the
+    # entire query is one job.
+    def _stationary_fold(pdf):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"state": [], "pi_stationary": []})
+        Q12 = Decimal("1e-12")
+        Q9 = Decimal("1e-9")
+        Q6 = Decimal("1e-6")
+
+        def rnd(x: float, q: Decimal) -> float:
+            return float(
+                Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+            )
+
+        rows = list(
+            zip(pdf["prev"].tolist(), pdf["curr"].tolist(), pdf["n"].tolist())
         )
-        .select(
-            "prev",
-            "curr",
-            F.round(
-                F.col("n").cast("double") / F.sum("n").over(wp), 12
-            ).alias("p"),
+        states = sorted({pv for pv, _, _ in rows})
+        sset = set(states)
+        # closure first, THEN the per-prev denominator: the original
+        # per-prev sum window ran over the states-joined (post-closure)
+        # rows, so transitions into sink states are excluded from the
+        # denominator too
+        out_n = {}
+        for pv, cu, n in rows:
+            if cu in sset:
+                out_n[pv] = out_n.get(pv, 0) + int(n)
+        pm = {
+            (pv, cu): rnd(float(int(n)) / float(out_n[pv]), Q12)
+            for pv, cu, n in rows
+            if cu in sset
+        }
+        k = len(states)
+        pi = {st: rnd(1.0 / k, Q9) for st in states}
+        for _ in range(5):
+            terms = {}
+            tot = Decimal(0)
+            for (pv, cu), p in pm.items():
+                if pv not in pi:
+                    continue
+                t = Decimal(repr(rnd(pi[pv] * p, Q12))).quantize(
+                    Q12, rounding=ROUND_HALF_UP
+                )
+                terms[cu] = terms.get(cu, Decimal(0)) + t
+                tot += t
+            ftot = float(tot)
+            pi = {cu: rnd(float(s) / ftot, Q9) for cu, s in terms.items()}
+        res = sorted(pi.items())
+        return pd.DataFrame(
+            {
+                "state": [st for st, _ in res],
+                "pi_stationary": [rnd(v, Q6) for _, v in res],
+            }
         )
+
+    folded = counts.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: _stationary_fold(pdf),
+        "state string, pi_stationary double",
     )
-    # the transition matrix and the iterate are tiny (k and k^2 rows for
-    # k event types): eager one-shot cuts keep iteration t from re-running
-    # the full scan+window lineage of iterations 1..t-1 (and the s/tot
-    # double reference from evaluating `joined` twice per step)
-    pm = pm.localCheckpoint()
-    k = states.agg(F.count("*").alias("k"))
-    pi = states.crossJoin(F.broadcast(k)).select(
-        "state", F.round(1.0 / F.col("k"), 9).alias("pi")
-    )
-    for _ in range(5):
-        joined = pi.join(
-            pm, pi["state"] == pm["prev"]
-        ).select(
-            "curr", F.round(F.col("pi") * F.col("p"), 12).alias("t")
-        )
-        s = joined.groupBy(F.col("curr").alias("state")).agg(
-            F.sum(F.col("t").cast("decimal(38,12)"))
-            .cast("double")
-            .alias("s")
-        )
-        tot = joined.agg(
-            F.sum(F.col("t").cast("decimal(38,12)"))
-            .cast("double")
-            .alias("tot")
-        )
-        pi = s.crossJoin(F.broadcast(tot)).select(
-            "state", F.round(F.col("s") / F.col("tot"), 9).alias("pi")
-        ).localCheckpoint()
-    return pi.select(
-        "state", F.round("pi", 6).alias("pi_stationary")
-    ).orderBy("state")
+    return folded.orderBy("state")
 
 
 @register(

@@ -1195,6 +1195,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("rel").desc(), "cand_id").limit(MMR_CANDS).cache()
     )
     a, b = cands.alias("a"), cands.alias("b")
+    # single consumer since the r12 fold (the tagged union below) — no
+    # cache; the pairwise page is recomputed zero extra times
     sims = a.join(
         b, F.col("a.cand_id") != F.col("b.cand_id")
     ).select(
@@ -1203,43 +1205,81 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             cosine(F.col("a.embedding"), F.col("b.embedding")), 6
         ).alias("sim"),
-    ).cache()
-    sel = (
-        cands.orderBy(F.col("rel").desc(), "cand_id")
-        .limit(1)
-        .select(
-            F.lit(1).cast("int").alias("step"),
-            "cand_id",
-            F.col("rel").alias("score"),
+    )
+    # r12 (guide §1.2/§4.2, the croston/markov fold recipe): the greedy
+    # chain runs over the BOUNDED page (MMR_CANDS rows + its pairwise sim
+    # table), so the whole k-step selection folds in ONE constant-key
+    # applyInPandas group — previously each of the MMR_K-1 picks paid a
+    # lineage-cut checkpoint job over the cached 20-row page (the 3^k
+    # plan-growth guard), ~7 driver round-trips of pure overhead. rel and
+    # sim stay Spark-computed round-6 doubles (the cross-engine recipe);
+    # the fold only replays the argmax chain's two-term double arithmetic
+    # with the identical λ literal and (score desc, cand_id) tiebreak,
+    # and the final round-6 stays a Spark expression.
+    k_steps = MMR_K
+    tagged = cands.select(
+        F.lit(0).alias("is_sim"),
+        F.col("cand_id").alias("ia"),
+        F.lit(None).cast("long").alias("ib"),
+        F.col("rel").alias("x"),
+    ).unionByName(
+        sims.select(
+            F.lit(1).alias("is_sim"),
+            F.col("sa").alias("ia"),
+            F.col("sb").cast("long").alias("ib"),
+            F.col("sim").alias("x"),
         )
     )
-    # Each pick references the previous selection three times; without
-    # lineage truncation the lazy plan tree grows 3^k and Catalyst chokes
-    # analyzing it. localCheckpoint pins each ≤k-row selection (a tiny
-    # job per step over the cached 20-row page) so the plan stays linear.
-    sel = sel.localCheckpoint()
-    for step in range(2, MMR_K + 1):
-        picked = sel.select(F.col("cand_id").alias("pid"))
-        ms = (
-            sims.join(picked, F.col("sb") == F.col("pid"))
-            .groupBy("sa")
-            .agg(F.max("sim").alias("ms"))
-        )
-        pick = (
-            cands.join(picked, F.col("cand_id") == F.col("pid"), "left_anti")
-            .join(ms, F.col("cand_id") == F.col("sa"))
-            .select(
-                F.lit(step).cast("int").alias("step"),
-                "cand_id",
-                (
-                    F.lit(lam) * F.col("rel")
-                    - F.lit(1 - lam) * F.col("ms")
-                ).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), "cand_id")
-            .limit(1)
-        )
-        sel = sel.unionByName(pick).localCheckpoint()
+
+    def _mmr_fold(pdf):
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"step": [], "cand_id": [], "score": []})
+        rel = {}
+        sim = {}
+        for t, a, b, x in zip(
+            pdf["is_sim"], pdf["ia"], pdf["ib"], pdf["x"]
+        ):
+            if t == 0:
+                rel[int(a)] = float(x)
+            else:
+                sim[(int(a), int(b))] = float(x)
+        # step 1: max rel, cand_id tiebreak
+        first = min(rel, key=lambda c: (-rel[c], c))
+        out = [(1, first, rel[first])]
+        selected = [first]
+        for step in range(2, k_steps + 1):
+            best = None
+            for c in sorted(rel):
+                if c in selected:
+                    continue
+                pairs = [
+                    sim[(c, s)] for s in selected if (c, s) in sim
+                ]
+                if not pairs:
+                    continue  # the per-step ms join is inner
+                ms = max(pairs)
+                score = lam * rel[c] - (1 - lam) * ms
+                if best is None or score > best[2] or (
+                    score == best[2] and c < best[1]
+                ):
+                    best = (step, c, score)
+            if best is None:
+                break
+            out.append(best)
+            selected.append(best[1])
+        return pd.DataFrame(
+            {
+                "step": [s for s, _, _ in out],
+                "cand_id": [c for _, c, _ in out],
+                "score": [v for _, _, v in out],
+            }
+        ).astype({"step": "int32", "cand_id": "int64"})
+
+    sel = tagged.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: _mmr_fold(pdf), "step int, cand_id long, score double"
+    )
     return sel.select(
         "step", "cand_id", F.round("score", 6).alias("score")
     ).orderBy("step")
