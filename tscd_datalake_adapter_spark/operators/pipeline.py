@@ -756,14 +756,18 @@ def lm_perplexity_filter_scaled_demo(
     absolute N exactly like a real deployment's fixed trusted slice, fully
     deterministic and partition-invariant, planned as
     TakeOrderedAndProject (per-partition top-N, no global sort)."""
-    from tscd_datalake_adapter_spark.functions import h60
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded, h60
 
     d = load_table(spark, sf_dir, "documents")
-    ref_ids = (
+    # checkpoint the bounded id set (r12): it feeds THREE broadcast sites
+    # plus the persisted c2 build — materialized once, the corpus top-N
+    # scan runs exactly once instead of once per broadcast-build job
+    ref_ids = checkpoint_bounded(
         d.select("doc_id", h60(F.col("text")).alias("hk"))
         .orderBy("hk", "doc_id")
         .limit(40)
-        .select("doc_id")
+        .select("doc_id"),
+        bound="top-40 reference doc ids",
     )
     return _lm_perplexity_scaled_body(
         spark, sf_dir, ref_ids, exact_cuts=True
@@ -790,18 +794,20 @@ def lm_perplexity_filter_scaled(
       default accuracy 1e-4 relative rank error) instead of exact
       ``percentile``'s buffer-every-score aggregation state.
     """
-    from tscd_datalake_adapter_spark.functions import h60
+    from tscd_datalake_adapter_spark.functions import checkpoint_bounded, h60
 
     d = load_table(spark, sf_dir, "documents")
     # Bounded deterministic reference: top-N by content hash. limit() over
     # an ordered frame plans as TakeOrderedAndProject: per-partition top-N,
     # single merge of N*partitions candidates — no full sort, no shuffle of
-    # the corpus.
-    ref_ids = (
+    # the corpus. Checkpointed (bounded at ref_docs rows) so the three
+    # broadcast sites + the c2 cache build share ONE materialization.
+    ref_ids = checkpoint_bounded(
         d.select("doc_id", h60(F.col("text")).alias("hk"))
         .orderBy("hk", "doc_id")
         .limit(ref_docs)
-        .select("doc_id")
+        .select("doc_id"),
+        bound="top-ref_docs reference doc ids",
     )
     return _lm_perplexity_scaled_body(spark, sf_dir, ref_ids)
 
